@@ -1,0 +1,89 @@
+"""Stats-report operators: top-k posts, top-k channels, top-k per group.
+
+Reference (/root/reference/main.py:385-437, 894-923):
+  * per industry: `count`, `nlargest(20,'views')` top posts,
+    `groupby(channel)['views'].sum().nlargest(15)` top channels;
+  * channel audit: per top channel, its 3 most-viewed posts
+    (loop + `nlargest(3)`, main.py:903-910).
+
+Spark realization: `TakeOrderedAndProject` for global top-k (orderBy +
+limit — no full sort at scale), `row_number()` window for top-k per
+group.  Every top-k adds a deterministic tie-breaker (SURVEY.md §2.6 ⚠):
+pandas breaks ties by first-seen order, which has no Spark equivalent, so
+we define ties broken by ascending id/name and mirror that in the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def top_k_by(df: DataFrame, order_col: str, k: int, tiebreak: str) -> DataFrame:
+    """Global top-k rows by `order_col` desc (T1), ties by `tiebreak` asc.
+
+    Compiles to TakeOrderedAndProject: each partition keeps a k-row heap,
+    the driver merges — no global sort, safe at any scale for small k.
+    """
+    return df.orderBy(F.desc(order_col), F.asc(tiebreak)).limit(k)
+
+
+def top_channels_by_views(
+    df: DataFrame, channel_col: str, views_col: str, k: int = 15
+) -> DataFrame:
+    """Σ views per channel, top-k (A1+T2; main.py:428).
+
+    Returns (channel, total_views).  Partial aggregation happens map-side;
+    only ~|channels| rows shuffle.
+    """
+    return (
+        df.groupBy(F.col(channel_col).alias("channel"))
+        .agg(F.sum(views_col).alias("total_views"))
+        .orderBy(F.desc("total_views"), F.asc("channel"))
+        .limit(k)
+    )
+
+
+def top_channels_by_count(df: DataFrame, channel_col: str, k: int = 15) -> DataFrame:
+    """Post count per channel, top-k (A2+T2; main.py:877 value_counts)."""
+    return (
+        df.groupBy(F.col(channel_col).alias("channel"))
+        .agg(F.count(F.lit(1)).alias("post_count"))
+        .orderBy(F.desc("post_count"), F.asc("channel"))
+        .limit(k)
+    )
+
+
+def top_k_per_group(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    k: int,
+    tiebreak: str,
+) -> DataFrame:
+    """Top-k rows per group via row_number window (W1; main.py:903-910's
+    loop + nlargest(3), de-looped).  Adds column `rn` (1-based rank)."""
+    w = Window.partitionBy(group_col).orderBy(F.desc(order_col), F.asc(tiebreak))
+    return df.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
+
+
+def channel_audit(
+    df: DataFrame,
+    channel_col: str,
+    views_col: str,
+    id_col: str,
+    top_channels: int = 15,
+    posts_per_channel: int = 3,
+) -> DataFrame:
+    """Channel-audit: for each of the top-N channels by total views, its
+    top-M posts by views (main.py:894-923).  Semi-join against the computed
+    top-channel list (J2) then per-group top-k (W1).
+
+    The top-channel list is tiny (N rows) → broadcast semi-join, no shuffle
+    of the fact side beyond the window partitioning.
+    """
+    top = top_channels_by_views(df, channel_col, views_col, top_channels).select(
+        F.col("channel").alias(channel_col)
+    )
+    restricted = df.join(F.broadcast(top), channel_col, "left_semi")
+    return top_k_per_group(restricted, channel_col, views_col, posts_per_channel, id_col)

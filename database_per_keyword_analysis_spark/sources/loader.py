@@ -1,0 +1,175 @@
+"""Parquet source layer with an explicit schema registry.
+
+The reference infers schemas from ``read_sql``/``read_csv`` and patches
+types afterwards (/root/reference/main.py:1036-1042).  We instead declare
+every table's ``StructType`` up front (SURVEY.md §1.4) — no inference, and
+a read that drifts from the contract fails loudly.
+
+Tables are the driver fixtures (TESTDATA.md / FIXTURES.md §5): a TPC-H-ish
+star schema + ``events`` (stream-shaped) + ``documents``/``embeddings``
+(LLM-data-pipeline fixtures).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Explicit schemas for each fixture table (FIXTURES.md §5).  `events.ts`
+# is TIMESTAMP(NANOS) in the parquet footer; Spark surfaces it as
+# TimestampNTZ/Timestamp depending on version, so it is validated
+# specially in `load` rather than pinned here.
+SCHEMAS: dict[str, T.StructType] = {
+    "region": T.StructType(
+        [
+            T.StructField("r_regionkey", T.IntegerType()),
+            T.StructField("r_name", T.StringType()),
+        ]
+    ),
+    "nation": T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    ),
+    "customer": T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_name", T.StringType()),
+            T.StructField("c_nationkey", T.IntegerType()),
+            T.StructField("c_acctbal", T.DoubleType()),
+            T.StructField("c_mktsegment", T.StringType()),
+        ]
+    ),
+    "supplier": T.StructType(
+        [
+            T.StructField("s_suppkey", T.LongType()),
+            T.StructField("s_name", T.StringType()),
+            T.StructField("s_nationkey", T.IntegerType()),
+            T.StructField("s_acctbal", T.DoubleType()),
+        ]
+    ),
+    "part": T.StructType(
+        [
+            T.StructField("p_partkey", T.LongType()),
+            T.StructField("p_name", T.StringType()),
+            T.StructField("p_brand", T.StringType()),
+            T.StructField("p_type", T.StringType()),
+            T.StructField("p_size", T.IntegerType()),
+            T.StructField("p_retailprice", T.DoubleType()),
+        ]
+    ),
+    "orders": T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("o_orderdate", T.TimestampType()),
+            T.StructField("o_orderpriority", T.StringType()),
+        ]
+    ),
+    "lineitem": T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("l_partkey", T.LongType()),
+            T.StructField("l_suppkey", T.LongType()),
+            T.StructField("l_linenumber", T.IntegerType()),
+            T.StructField("l_quantity", T.DoubleType()),
+            T.StructField("l_extendedprice", T.DoubleType()),
+            T.StructField("l_discount", T.DoubleType()),
+            T.StructField("l_tax", T.DoubleType()),
+            T.StructField("l_returnflag", T.StringType()),
+            T.StructField("l_linestatus", T.StringType()),
+            T.StructField("l_shipdate", T.TimestampType()),
+        ]
+    ),
+    # ts validated at load time (nanos parquet type), see module docstring.
+    "events": None,  # type: ignore[dict-item]
+    "documents": T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    ),
+    "embeddings": T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    ),
+}
+
+TABLES = tuple(SCHEMAS)
+
+_EVENTS_COLS = ("event_id", "ts", "user_id", "event_type", "value", "props")
+
+_TS_TYPES = (T.TimestampType, T.TimestampNTZType)
+
+
+def _compatible(got: T.DataType, expected: T.DataType) -> bool:
+    # Parquet timestamps surface as TimestampNTZ on Spark 4 (isAdjustedToUTC
+    # =false footers); both behave identically under a UTC session timezone
+    # and NTZ matches DuckDB's naive timestamps, so accept either.
+    if isinstance(expected, _TS_TYPES) and isinstance(got, _TS_TYPES):
+        return True
+    return got == expected
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table as a DataFrame, validating its schema.
+
+    Equivalent of the reference's JDBC scan S1 (/root/reference/main.py:269-280)
+    — but the projection/predicate pushdown the reference hand-writes in SQL
+    is left to Catalyst: callers `.select()`/`.where()` and the parquet scan
+    prunes columns and row groups automatically.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        # TIMESTAMP(NANOS) parquet is illegal for Spark's converter; read
+        # nanos as long and rebuild the timestamp below.  Runtime-settable,
+        # so this also works under a session we didn't construct.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    expected = SCHEMAS.get(name)
+    if expected is not None:
+        got = {f.name: f.dataType for f in df.schema.fields}
+        for f in expected.fields:
+            if f.name not in got:
+                raise ValueError(f"{name}: missing column {f.name}; got {list(got)}")
+            if not _compatible(got[f.name], f.dataType):
+                raise ValueError(
+                    f"{name}.{f.name}: expected {f.dataType}, got {got[f.name]}"
+                )
+    elif name == "events":
+        missing = [c for c in _EVENTS_COLS if c not in df.columns]
+        if missing:
+            raise ValueError(f"events: missing columns {missing}")
+        # Normalize ts to microsecond TimestampType regardless of how this
+        # Spark version surfaces parquet NANOS (TimestampNTZ or long).
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            # ns-since-epoch → µs via integer division (double would lose
+            # precision past 2^53), then to a naive timestamp.  DuckDB's
+            # TIMESTAMP read of the same file truncates ns→µs identically.
+            df = df.withColumn(
+                "ts",
+                F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+            )
+        elif not isinstance(ts_type, _TS_TYPES):
+            df = df.withColumn("ts", df["ts"].cast("timestamp_ntz"))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
+    """Register each fixture table as a temp view for `spark.sql` queries."""
+    for name in tables:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)
