@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .config import FIXTURE_CONFIG, KeywordConfig
 from .operators import keywords as K
+from .operators import relational as R
 from .operators import stats as S
 from .sources import load
 
@@ -203,3 +204,162 @@ def q_channel_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").alias("views"),
         "rn",
     ).orderBy("channel", "rn")
+
+
+# ---------------------------------------------------------------------------
+# Relational surface (SURVEY.md §2.3/2.4/2.5/2.7 — joins/aggs/windows/setops
+# the reference lacks, proven over the TPC-H-ish fixtures).
+# ---------------------------------------------------------------------------
+
+_DEC_SUM = "CAST(sum(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE)"
+
+
+def _dsum(expr: str, alias: str) -> str:
+    return _DEC_SUM.format(expr=expr) + f" AS {alias}"
+
+
+@register(
+    "pricing_summary",
+    "SELECT l_returnflag, l_linestatus, "
+    + _dsum("l_quantity", "sum_qty") + ", "
+    + _dsum("l_extendedprice", "sum_base_price") + ", "
+    + _dsum("l_extendedprice * (1 - l_discount)", "sum_disc_price") + ", "
+    + _dsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)", "sum_charge") + ", "
+    + _DEC_SUM.format(expr="l_quantity") + " / count(*) AS avg_qty, "
+    "count(*) AS count_order "
+    "FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01' "
+    "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus",
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.pricing_summary(load(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "revenue_by_nation",
+    "SELECT n_name, "
+    + _dsum("l_extendedprice * (1 - l_discount)", "revenue")
+    + " FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+    "JOIN customer ON o_custkey = c_custkey "
+    "JOIN nation ON c_nationkey = n_nationkey "
+    "JOIN region ON n_regionkey = r_regionkey "
+    "WHERE r_name = 'ASIA' GROUP BY n_name ORDER BY revenue DESC, n_name",
+)
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.revenue_by_nation(
+        load(spark, sf_dir, "customer"),
+        load(spark, sf_dir, "orders"),
+        load(spark, sf_dir, "lineitem"),
+        load(spark, sf_dir, "nation"),
+        load(spark, sf_dir, "region"),
+    )
+
+
+@register(
+    "top_customers_by_revenue",
+    "SELECT c_custkey, c_name, "
+    + _dsum("l_extendedprice * (1 - l_discount)", "revenue")
+    + " FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+    "JOIN customer ON o_custkey = c_custkey "
+    "GROUP BY c_custkey, c_name ORDER BY revenue DESC, c_custkey LIMIT 10",
+)
+def q_top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.top_customers_by_revenue(
+        load(spark, sf_dir, "customer"),
+        load(spark, sf_dir, "orders"),
+        load(spark, sf_dir, "lineitem"),
+    )
+
+
+@register(
+    "segment_order_stats",
+    "SELECT c_mktsegment, count(*) AS n_orders, "
+    "count(DISTINCT o_custkey) AS n_customers, "
+    + _dsum("o_totalprice", "total_price")
+    + " FROM orders JOIN customer ON o_custkey = c_custkey "
+    "GROUP BY c_mktsegment ORDER BY c_mktsegment",
+)
+def q_segment_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.segment_order_stats(
+        load(spark, sf_dir, "customer"), load(spark, sf_dir, "orders")
+    )
+
+
+@register(
+    "customers_without_orders",
+    "SELECT c_custkey, c_name, c_mktsegment FROM customer c "
+    "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) "
+    "ORDER BY c_custkey",
+)
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.customers_without_orders(
+        load(spark, sf_dir, "customer"), load(spark, sf_dir, "orders")
+    )
+
+
+@register(
+    "customers_with_open_orders",
+    "SELECT c_custkey, c_name FROM customer c "
+    "WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+    "AND o.o_orderstatus = 'O') ORDER BY c_custkey",
+)
+def q_customers_with_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.customers_with_open_orders(
+        load(spark, sf_dir, "customer"), load(spark, sf_dir, "orders")
+    )
+
+
+@register(
+    "order_priority_rollup",
+    "SELECT coalesce(o_orderstatus, 'ALL') AS status, "
+    "coalesce(o_orderpriority, 'ALL') AS priority, "
+    "count(*) AS n_orders, " + _dsum("o_totalprice", "total_price")
+    + " FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority) "
+    "ORDER BY status, priority",
+)
+def q_order_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.order_priority_rollup(load(spark, sf_dir, "orders"))
+
+
+@register(
+    "running_order_totals",
+    "SELECT o_custkey, o_orderkey, o_orderdate, "
+    "row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) "
+    "AS order_seq, "
+    "CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) OVER (PARTITION BY o_custkey "
+    "ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND "
+    "CURRENT ROW) AS DOUBLE) AS running_total, "
+    "CAST(CAST(o_totalprice AS DECIMAL(18,6)) - lag(CAST(o_totalprice AS "
+    "DECIMAL(18,6)), 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, "
+    "o_orderkey) AS DOUBLE) AS delta_prev FROM orders",
+)
+def q_running_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.running_order_totals(load(spark, sf_dir, "orders"))
+
+
+@register(
+    "part_type_distincts",
+    "SELECT p_brand, count(DISTINCT p_type) AS n_types, "
+    "count(DISTINCT l_suppkey) AS n_suppliers, count(*) AS n_lineitems "
+    "FROM lineitem JOIN part ON l_partkey = p_partkey "
+    "GROUP BY p_brand ORDER BY p_brand",
+)
+def q_part_type_distincts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.part_type_distincts(
+        load(spark, sf_dir, "part"), load(spark, sf_dir, "lineitem")
+    )
+
+
+@register(
+    "nation_region_setops",
+    "WITH ak AS (SELECT r_regionkey AS k FROM region WHERE r_name = 'AMERICA'), "
+    "ok AS (SELECT r_regionkey AS k FROM region EXCEPT ALL SELECT k FROM ak) "
+    "SELECT n_name, TRUE AS in_america FROM nation "
+    "WHERE n_regionkey IN (SELECT k FROM ak) "
+    "UNION ALL "
+    "SELECT n_name, FALSE AS in_america FROM nation "
+    "WHERE n_regionkey IN (SELECT k FROM ok) ORDER BY n_name",
+)
+def q_nation_region_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.nation_region_setops(
+        load(spark, sf_dir, "nation"), load(spark, sf_dir, "region")
+    )

@@ -1,0 +1,211 @@
+"""Relational operator surface: joins, aggregations, windows, set ops.
+
+The reference has NO key-based joins anywhere (SURVEY.md §2.3) — its only
+join-like constructs are membership predicates.  This module provides the
+full relational surface a user of a real engine needs, exercised over the
+driver's TPC-H-ish fixtures, all as declarative DataFrame compositions so
+Catalyst owns join strategy (AQE broadcast/sort-merge/skew handling),
+pushdown, and pruning.
+
+Numeric convention for oracle-stable aggregates: double products are
+computed per-row in IEEE double (bit-identical in any engine), CAST to
+DECIMAL(18,6) (deterministic rounding), summed exactly in decimal (order-
+independent), then presented as DOUBLE — so a parallel Spark sum and a
+sequential DuckDB sum agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dec_sum(expr: F.Column, alias: str, scale: int = 6) -> F.Column:
+    """Order-independent sum of a double expression (see module doc)."""
+    return F.sum(expr.cast(f"decimal(18,{scale})")).cast("double").alias(alias)
+
+
+def pricing_summary(lineitem: DataFrame, cutoff: str = "2001-09-01") -> DataFrame:
+    """TPC-H Q1-style pricing summary: the canonical scan→filter→group→agg.
+
+    Map-side partial aggregation reduces ~rows to 6 groups before the
+    shuffle; the filter pushes into the parquet scan.
+    """
+    li = lineitem.where(F.col("l_shipdate") <= F.lit(cutoff).cast("timestamp_ntz"))
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dec_sum(F.col("l_quantity"), "sum_qty"),
+            dec_sum(F.col("l_extendedprice"), "sum_base_price"),
+            dec_sum(disc_price, "sum_disc_price"),
+            dec_sum(charge, "sum_charge"),
+            # deterministic avg: exact decimal sum → double, then one double
+            # division (plain avg(double) varies with summation order)
+            (
+                F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def revenue_by_nation(
+    customer: DataFrame, orders: DataFrame, lineitem: DataFrame, nation: DataFrame,
+    region: DataFrame, region_name: str = "ASIA",
+) -> DataFrame:
+    """TPC-H Q5-style multi-join: revenue per nation within one region.
+
+    Join order: fact-to-fact (orders⋈lineitem) shuffles on orderkey; the
+    dimension chain customer⋈nation⋈region is small and broadcast, so no
+    extra shuffle for it.  AQE would pick this anyway at these sizes; the
+    explicit `broadcast` makes the intent survive a 100× scale-up where
+    stale statistics might not.
+    """
+    dims = (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .where(F.col("r_name") == region_name)
+        .select("c_custkey", "n_name")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(dims), orders.o_custkey == F.col("c_custkey"))
+        .groupBy("n_name")
+        .agg(dec_sum(revenue, "revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+def top_customers_by_revenue(
+    customer: DataFrame, orders: DataFrame, lineitem: DataFrame, k: int = 10
+) -> DataFrame:
+    """TPC-H Q10-flavored: top-k customers by lineitem revenue."""
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(dec_sum(revenue, "revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(k)
+    )
+
+
+def segment_order_stats(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Orders per market segment: equi-join + group-by with several aggs,
+    including a distinct agg (absent from the reference, SURVEY.md §2.4)."""
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            dec_sum(F.col("o_totalprice"), "total_price"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def customers_without_orders(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Anti-join (J3 generalized): customers that never ordered."""
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+def customers_with_open_orders(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Semi-join (J2): customers having at least one open ('O') order."""
+    open_orders = orders.where(F.col("o_orderstatus") == "O")
+    return (
+        customer.join(open_orders, customer.c_custkey == open_orders.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+def order_priority_rollup(orders: DataFrame) -> DataFrame:
+    """ROLLUP over (status, priority) — the reference's per-industry +
+    "Global" dual reporting (main.py:516-564) expressed as a grouping set.
+
+    NULL group keys are labeled 'ALL' so the output is oracle-comparable.
+    """
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dec_sum(F.col("o_totalprice"), "total_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total_price",
+        )
+        .orderBy("status", "priority")
+    )
+
+
+def running_order_totals(orders: DataFrame) -> DataFrame:
+    """Window surface absent from the reference (SURVEY.md §2.5): per
+    customer, order sequence with lag delta and running total."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    price_dec = F.col("o_totalprice").cast("decimal(18,6)")
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.row_number().over(w).alias("order_seq"),
+            F.sum(price_dec).over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("double")
+            .alias("running_total"),
+            (price_dec - F.lag(price_dec, 1).over(w)).cast("double").alias("delta_prev"),
+        )
+    )
+
+
+def part_type_distincts(part: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Exact + approximate distinct aggregates per brand.  The approx
+    column is the 100 TB path (HLL sketch, mergeable, no giant shuffle of
+    distinct values) — rsd pinned so results are deterministic."""
+    joined = lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+    return (
+        joined.groupBy("p_brand")
+        .agg(
+            F.countDistinct("p_type").alias("n_types"),
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+def nation_region_setops(nation: DataFrame, region: DataFrame) -> DataFrame:
+    """Set-operation surface (E1/§2.7): union/except/intersect composition.
+
+    Returns each nation name tagged with whether its region is AMERICA,
+    built via intersect/except rather than a join, to exercise the ops.
+    """
+    america_keys = (
+        region.where(F.col("r_name") == "AMERICA").select(F.col("r_regionkey").alias("k"))
+    )
+    all_keys = region.select(F.col("r_regionkey").alias("k"))
+    other_keys = all_keys.exceptAll(america_keys)
+    in_america = (
+        nation.join(america_keys, nation.n_regionkey == F.col("k"), "left_semi")
+        .select("n_name")
+        .withColumn("in_america", F.lit(True))
+    )
+    outside = (
+        nation.join(other_keys.intersect(all_keys), nation.n_regionkey == F.col("k"), "left_semi")
+        .select("n_name")
+        .withColumn("in_america", F.lit(False))
+    )
+    return in_america.unionByName(outside).orderBy("n_name")
