@@ -1,0 +1,39 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+
+from database_per_keyword_analysis_spark.sources import TABLES, load
+
+
+def test_all_tables_load(spark, sf_dir):
+    for name in TABLES:
+        df = load(spark, sf_dir, name)
+        assert df.count() > 0, name
+
+
+def test_events_ts_is_timestamp(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    assert isinstance(
+        ev.schema["ts"].dataType, (T.TimestampType, T.TimestampNTZType)
+    )
+    # nanos truncate toward zero to µs — first event is known from fixtures
+    first = ev.orderBy("ts").first()
+    assert first.ts.isoformat() == "2024-01-01T00:09:58.778549"
+
+
+def test_schema_validation_rejects_drift(spark, sf_dir, tmp_path):
+    df = load(spark, sf_dir, "region")
+    bad = df.withColumn("r_regionkey", df.r_regionkey.cast("string"))
+    p = str(tmp_path / "region.parquet")
+    bad.write.parquet(p)
+    with pytest.raises(ValueError, match="r_regionkey"):
+        load(spark, str(tmp_path), "region")
+
+
+def test_missing_column_rejected(spark, sf_dir, tmp_path):
+    df = load(spark, sf_dir, "nation").drop("n_name")
+    p = str(tmp_path / "nation.parquet")
+    df.write.parquet(p)
+    with pytest.raises(ValueError, match="n_name"):
+        load(spark, str(tmp_path), "nation")
