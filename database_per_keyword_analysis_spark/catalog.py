@@ -363,3 +363,137 @@ def q_nation_region_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.nation_region_setops(
         load(spark, sf_dir, "nation"), load(spark, sf_dir, "region")
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-series & event-stream surface (A7/W2 + §2.10 batch forms, JSON §2.8).
+# ---------------------------------------------------------------------------
+
+from .functions import timeutil as TU  # noqa: E402
+from .operators import events as E  # noqa: E402
+
+
+@register(
+    "events_daily_counts",
+    "WITH b AS (SELECT CAST(min(ts) AS DATE) AS lo, CAST(max(ts) AS DATE) AS hi "
+    "FROM events), "
+    "spine AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) "
+    "AS bucket FROM b), "
+    "d AS (SELECT CAST(ts AS DATE) AS bucket, count(*) AS n FROM events GROUP BY 1) "
+    "SELECT spine.bucket, coalesce(d.n, 0) AS n FROM spine LEFT JOIN d USING (bucket) "
+    "ORDER BY bucket",
+)
+def q_events_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event counts, zero-filled spine (A7 'D'; main.py:812-816)."""
+    return TU.bucketed_counts(load(spark, sf_dir, "events"), "ts", "day")
+
+
+@register(
+    "events_weekly_counts",
+    # pandas 'W' convention: weeks ending Sunday, labeled by the Sunday.
+    # DuckDB dayofweek: Sunday=0 → offset (7 - dow) % 7.
+    "WITH lab AS (SELECT CAST(ts AS DATE) + INTERVAL ((7 - dayofweek(CAST(ts AS DATE))) % 7) DAY AS bucket FROM events), "
+    "d AS (SELECT CAST(bucket AS DATE) AS bucket, count(*) AS n FROM lab GROUP BY 1), "
+    "b AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM d), "
+    "spine AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 7 DAY)) AS DATE) "
+    "AS bucket FROM b) "
+    "SELECT spine.bucket, coalesce(d.n, 0) AS n FROM spine LEFT JOIN d USING (bucket) "
+    "ORDER BY bucket",
+)
+def q_events_weekly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly (W-SUN) event counts, zero-filled (A7 'W')."""
+    return TU.bucketed_counts(load(spark, sf_dir, "events"), "ts", "week")
+
+
+@register(
+    "orders_monthly_counts",
+    "WITH d AS (SELECT last_day(CAST(o_orderdate AS DATE)) AS bucket, count(*) AS n "
+    "FROM orders GROUP BY 1), "
+    "b AS (SELECT date_trunc('month', min(bucket)) AS lo, "
+    "date_trunc('month', max(bucket)) AS hi FROM d), "
+    "spine AS (SELECT last_day(CAST(unnest(generate_series(lo, hi, "
+    "INTERVAL 1 MONTH)) AS DATE)) AS bucket FROM b) "
+    "SELECT spine.bucket, coalesce(d.n, 0) AS n FROM spine LEFT JOIN d USING (bucket) "
+    "ORDER BY bucket",
+)
+def q_orders_monthly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly order counts labeled by month end, zero-filled (A7 'M')."""
+    return TU.bucketed_counts(load(spark, sf_dir, "orders"), "o_orderdate", "month")
+
+
+@register(
+    "events_json_stats",
+    "SELECT event_type, count(*) AS n_events, "
+    "CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k, "
+    "CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k, "
+    "CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k, "
+    + _dsum("value", "sum_value")
+    + " FROM events GROUP BY event_type ORDER BY event_type",
+)
+def q_events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON props extraction + per-type stats (§2.8 gap row)."""
+    return E.json_props_stats(load(spark, sf_dir, "events"))
+
+
+@register(
+    "sessionize_events",
+    "WITH g AS (SELECT user_id, ts, event_id, "
+    "CASE WHEN lag(ts) OVER w IS NULL OR epoch_us(ts) - epoch_us(lag(ts) OVER w) "
+    "> 1800000000 THEN 1 ELSE 0 END AS is_new "
+    "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+    "s AS (SELECT user_id, ts, sum(is_new) OVER (PARTITION BY user_id "
+    "ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+    "AS session_id FROM g) "
+    "SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end, "
+    "count(*) AS n_events FROM s GROUP BY user_id, session_id "
+    "ORDER BY user_id, session_id",
+)
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization, 30-min idle timeout (§2.10 batch analog)."""
+    return E.sessionize(load(spark, sf_dir, "events"), gap_minutes=30)
+
+
+@register(
+    "asof_last_view_before_purchase",
+    "SELECT event_id, user_id, ts, last_view_ts FROM ("
+    "SELECT event_id, user_id, ts, event_type, "
+    "last_value(CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS) "
+    "OVER (PARTITION BY user_id ORDER BY ts, event_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_view_ts "
+    "FROM events) WHERE event_type = 'purchase' ORDER BY event_id",
+)
+def q_asof_last_view_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: latest prior 'view' per 'purchase' (§2.3 gap row)."""
+    return E.asof_last_view_before_purchase(load(spark, sf_dir, "events"))
+
+
+@register(
+    "sliding_window_counts",
+    # Spark aligns windows to the epoch; last window start for an event is
+    # floor(ts / slide) * slide, and a 1-day window sliding 6h covers the
+    # 3 earlier starts too.
+    "WITH starts AS (SELECT unnest(generate_series("
+    "make_timestamp((epoch_us(ts) // 21600000000) * 21600000000 - 64800000000), "
+    "make_timestamp((epoch_us(ts) // 21600000000) * 21600000000), "
+    "INTERVAL 6 HOUR)) AS window_start FROM events) "
+    "SELECT window_start, window_start + INTERVAL 1 DAY AS window_end, "
+    "count(*) AS n FROM starts GROUP BY window_start ORDER BY window_start",
+)
+def q_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-day/6-hour window counts (W2 sliding variant)."""
+    return E.sliding_window_counts(load(spark, sf_dir, "events"))
+
+
+@register(
+    "user_activity_pivot",
+    "SELECT user_id, "
+    "count(*) FILTER (WHERE event_type = 'click') AS n_click, "
+    "count(*) FILTER (WHERE event_type = 'error') AS n_error, "
+    "count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase, "
+    "count(*) FILTER (WHERE event_type = 'signup') AS n_signup, "
+    "count(*) FILTER (WHERE event_type = 'view') AS n_view "
+    "FROM events GROUP BY user_id ORDER BY user_id",
+)
+def q_user_activity_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user × event-type counts (§2.4 gap row)."""
+    return E.user_activity_pivot(load(spark, sf_dir, "events"))

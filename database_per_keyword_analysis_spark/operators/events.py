@@ -1,0 +1,132 @@
+"""Event-stream operators in batch form: JSON extraction, windowed
+counts, sessionization, as-of join.
+
+The reference has no streaming and no JSON (SURVEY.md §2.8/§2.10) — these
+are the north-star extensions over the driver's `events` fixture
+(event_id, ts, user_id, event_type, value, props JSON-string).  Each has
+a batch formulation here (oracle-checkable); streaming/ holds the
+readStream variants of the windowed aggregations.
+
+Scale notes: sessionization and as-of both partition by `user_id` — at
+100 TB that is a single shuffle each, and AQE's skew-join/partition
+coalescing handles hot users; there is no driver-side collection
+anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .relational import dec_sum
+
+
+def json_props_stats(events: DataFrame) -> DataFrame:
+    """Per event_type stats over the JSON `props.k` field (C-row gap in
+    the reference: no JSON functions; SURVEY.md §2.8).
+
+    `get_json_object` evaluates JVM-side inside codegen — no UDF.
+    """
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        events.select("event_type", k.alias("k"), "value")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            dec_sum(F.col("value"), "sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Batch sessionization: a session breaks when a user is idle longer
+    than `gap_minutes` (the batch analog of streaming session_window;
+    guide 'Sessionization' pattern).
+
+    Returns one row per session: (user_id, session_id, session_start,
+    session_end, n_events).  Gap arithmetic in integer microseconds —
+    exact, no float drift vs the oracle.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev_us = F.lag(us).over(w)
+    is_new = (prev_us.isNull() | ((us - prev_us) > gap_minutes * 60_000_000)).cast("int")
+    with_ids = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.sum(is_new)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("session_id"),
+    )
+    return (
+        with_ids.groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+def asof_last_view_before_purchase(events: DataFrame) -> DataFrame:
+    """As-of join (SURVEY.md §2.3 gap row): for each 'purchase', the ts of
+    the same user's most recent strictly-earlier 'view'.
+
+    Spark lacks a native as-of join; the single-pass formulation is a
+    conditional `last(..., ignorenulls)` over an ordered per-user window —
+    one shuffle on user_id, no self-join, no `merge_asof` UDF needed.
+    """
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    view_ts = F.when(F.col("event_type") == "view", F.col("ts"))
+    return (
+        events.withColumn("last_view_ts", F.last(view_ts, ignorenulls=True).over(w))
+        .where(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", "last_view_ts")
+        .orderBy("event_id")
+    )
+
+
+def sliding_window_counts(
+    events: DataFrame, width: str = "1 day", slide: str = "6 hours"
+) -> DataFrame:
+    """Sliding-window event counts (streaming W2 analog, batch form).
+
+    Returns (window_start TIMESTAMP, window_end TIMESTAMP, n BIGINT).
+    `F.window` assigns each event to width/slide overlapping windows
+    JVM-side (an explode of ~width/slide rows per event).
+    """
+    return (
+        events.groupBy(F.window("ts", width, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n",
+        )
+        .orderBy("window_start")
+    )
+
+
+def user_activity_pivot(events: DataFrame) -> DataFrame:
+    """Pivot (absent from the reference): events per user × event_type.
+    Explicit pivot values keep the plan one-pass (no distinct pre-scan)."""
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        events.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .select(
+            "user_id", *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types]
+        )
+        .orderBy("user_id")
+    )
