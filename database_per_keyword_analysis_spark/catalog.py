@@ -497,3 +497,103 @@ def q_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_user_activity_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot: per-user × event-type counts (§2.4 gap row)."""
     return E.user_activity_pivot(load(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# Text/NLP Tier A + text-analysis extensions (§2.9, §2.11).
+# ---------------------------------------------------------------------------
+
+from .operators import textquality as TQ  # noqa: E402
+from .operators import wordfreq as WF  # noqa: E402
+
+# DuckDB-side token pipeline mirroring functions.text Tier A for ASCII:
+# lower → non-word runs → space → split on spaces → drop empties.
+_DUCK_TOKS = (
+    "list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), "
+    r"'[^\w؀-ۿ‌@.:/]+', ' ', 'g')), '\s+'), t -> t <> '')"
+)
+_DUCK_KEEP = (
+    r"len(t) >= 3 AND NOT regexp_matches(t, '\d') "
+    r"AND NOT regexp_matches(t, 'http|www|\.com|\.ir|@|id:|bot') "
+    r"AND regexp_matches(t, '^[\w؀-ۿ‌]+$')"
+)
+_STOP_IN = ", ".join(_sql_quote(w) for w in TQ.STOPWORDS_EN)
+
+
+@register(
+    "word_frequency_by_lang",
+    f"WITH tok AS (SELECT lang, unnest({_DUCK_TOKS}) AS word FROM documents "
+    "WHERE text IS NOT NULL), "
+    f"kept AS (SELECT lang, word FROM (SELECT lang, word AS t FROM tok) "
+    f"sub(lang, word) WHERE {_DUCK_KEEP.replace('(t', '(word').replace('len(t)', 'len(word)')} "
+    f"AND word NOT IN ({_STOP_IN})), "
+    "c AS (SELECT lang, word, count(*) AS cnt FROM kept GROUP BY lang, word) "
+    "SELECT lang, word, cnt, rn FROM (SELECT lang, word, cnt, "
+    "row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, word) AS rn FROM c) "
+    "WHERE rn <= 20 ORDER BY lang, rn",
+)
+def q_word_frequency_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 words per language after Tier-A normalize/tokenize/filter +
+    stopword removal (A5/U1-U6; main.py:440-567, de-looped)."""
+    docs = load(spark, sf_dir, "documents")
+    return WF.word_frequency(
+        docs, ["lang"], "text", stopwords=list(TQ.STOPWORDS_EN), top_n=20
+    )
+
+
+@register(
+    "doc_quality_metrics",
+    "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_actual, "
+    r"CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) AS n_tokens_ws, "
+    f"CAST(len(regexp_extract_all(text, '{TQ.BPE_ISH_PATTERN}')) AS INTEGER) "
+    "AS n_tokens_bpe, "
+    r"CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) / "
+    r"CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS mean_word_len, "
+    f"CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), "
+    f"x -> x IN ({_STOP_IN}))) AS DOUBLE) / "
+    r"CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS stopword_ratio, "
+    r"CAST(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS DOUBLE) "
+    "/ CAST(length(text) AS DOUBLE) AS punct_ratio "
+    "FROM documents WHERE text IS NOT NULL ORDER BY doc_id",
+)
+def q_doc_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality metrics (north-star text analysis)."""
+    return TQ.quality_metrics(load(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def _langid_sql() -> str:
+    langs = sorted(TQ.LANG_MARKERS)
+    score_cols = ", ".join(
+        f"len(list_filter(toks, x -> x IN "
+        f"({', '.join(_sql_quote(m) for m in TQ.LANG_MARKERS[l])}))) AS score_{l}"
+        for l in langs
+    )
+    greatest = "greatest(" + ", ".join(f"score_{l}" for l in langs) + ")"
+    cases = " ".join(
+        f"WHEN score_{l} = {greatest} THEN '{l}'" for l in langs
+    )
+    return (
+        "WITH t AS (SELECT doc_id, lang, "
+        r"regexp_split_to_array(lower(trim(text)), '\s+') AS toks "
+        "FROM documents WHERE text IS NOT NULL), "
+        f"s AS (SELECT doc_id, lang, {score_cols} FROM t) "
+        "SELECT doc_id, lang AS labeled_lang, "
+        f"CASE WHEN {greatest} <= 0 THEN 'und' {cases} END AS predicted_lang "
+        "FROM s ORDER BY doc_id"
+    )
+
+
+@register("language_id", _langid_sql())
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-lexicon language-ID heuristic (north-star text analysis)."""
+    return TQ.language_id(load(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+@register(
+    "doc_fingerprints",
+    "SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) "
+    "AS fingerprint FROM documents WHERE text IS NOT NULL ORDER BY doc_id",
+)
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """md5 fingerprint of normalized text (north-star fingerprinting)."""
+    return TQ.fingerprints(load(spark, sf_dir, "documents")).orderBy("doc_id")

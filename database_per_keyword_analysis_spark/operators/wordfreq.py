@@ -1,0 +1,72 @@
+"""Word-frequency analysis (A5 + U1-U7): the reference's NLP reporting
+stage, de-looped.
+
+Reference: per industry slice (plus a "Global" any-industry group), build
+a Counter over filtered tokens and take the top 50
+(/root/reference/main.py:440-567) — a Python for-loop over rows.
+
+Spark realization: normalize → tokenize → explode → keep-predicate →
+stopword anti-filter → groupBy(group, word).count() → row_number ≤ n.
+One shuffle for the count (map-side combine first: the word domain is
+tiny compared to token instances) and one for the per-group ranking
+window over the counted (group, word) pairs — which is already small.
+
+Dynamic stopwords (U7): the reference adds every channel username and its
+'@name' form to the stopword set (main.py:448-453).  `dynamic_stopwords`
+builds that as a DataFrame; we apply stopwords with a broadcast left_anti
+join so a million-row stopword list would work unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+
+
+def dynamic_stopwords(df: DataFrame, channel_col: str) -> DataFrame:
+    """Distinct lowered channel names and their '@name' forms as a
+    one-column ('word') stopword DataFrame (U7; main.py:448-453)."""
+    base = df.select(F.lower(F.col(channel_col)).alias("word")).distinct()
+    return base.unionByName(base.select(F.concat(F.lit("@"), "word").alias("word")))
+
+
+def tokens(
+    df: DataFrame,
+    text_col: str = "text",
+    spec: TX.TokenFilterSpec = TX.ENGLISH_SPEC,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Exploded, filtered token stream: one row per kept token, with
+    `keep_cols` carried through.  Column: `word`."""
+    tok = F.explode(TX.tokenize(TX.normalize_text(F.col(text_col)))).alias("word")
+    exploded = df.where(F.col(text_col).isNotNull()).select(*keep_cols, tok)
+    return exploded.where(TX.token_keep_predicate(F.col("word"), spec))
+
+
+def word_frequency(
+    df: DataFrame,
+    group_cols: list[str],
+    text_col: str = "text",
+    stopwords: DataFrame | list[str] | None = None,
+    top_n: int = 50,
+    spec: TX.TokenFilterSpec = TX.ENGLISH_SPEC,
+) -> DataFrame:
+    """Top-n words per group (A5).  Returns (group_cols..., word, cnt, rn),
+    rn = 1-based rank by cnt desc / word asc (deterministic tie-break)."""
+    tok = tokens(df, text_col, spec, keep_cols=tuple(group_cols))
+    if stopwords is not None:
+        if isinstance(stopwords, list):
+            tok = tok.where(~F.col("word").isin(*stopwords)) if stopwords else tok
+        else:
+            tok = tok.join(
+                F.broadcast(stopwords.select(F.col("word"))), "word", "left_anti"
+            )
+    counts = tok.groupBy(*group_cols, "word").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy(*group_cols).orderBy(F.desc("cnt"), F.asc("word"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= top_n)
+        .orderBy(*group_cols, "rn")
+    )

@@ -1,0 +1,97 @@
+"""Unit tests for the Tier-A text pipeline: Persian normalization rules,
+U6 token-filter edge cases (FIXTURES.md §4), normalization idempotence."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from database_per_keyword_analysis_spark.functions import text as TX
+from database_per_keyword_analysis_spark.operators import wordfreq as WF
+
+
+def _norm_one(spark, s: str) -> str:
+    return (
+        spark.range(1).select(TX.normalize_text(F.lit(s)).alias("x")).first().x
+    )
+
+
+def _toks_one(spark, s: str, spec=TX.REFERENCE_SPEC) -> list[str]:
+    df = spark.createDataFrame([(1, s)], "doc_id long, text string")
+    return [r.word for r in WF.tokens(df, "text", spec).collect()]
+
+
+def test_normalize_persian_char_unification(spark):
+    assert _norm_one(spark, "كيف") == "کیف"  # Arabic kaf/yeh → Persian
+
+
+def test_normalize_strips_diacritics(spark):
+    assert _norm_one(spark, "مدرسةٌ") == "مدرسه"
+
+
+def test_normalize_squeezes_repeats_and_whitespace(spark):
+    assert _norm_one(spark, "sooooo   GOOD") == "soo good"
+
+
+def test_normalize_idempotent_examples(spark):
+    for s in ["hello world", "كيف حالك", "aaa  bbb", "x"]:
+        once = _norm_one(spark, s)
+        assert _norm_one(spark, once) == once
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.text(alphabet=st.characters(codec="utf-8", categories=("L", "N", "Zs")), max_size=40))
+def test_normalize_idempotent_property(spark, s):
+    once = _norm_one(spark, s)
+    assert _norm_one(spark, once) == once
+
+
+def test_token_filters_reference_spec(spark):
+    # FIXTURES.md §4 edge cases, REFERENCE_SPEC (ascii_rule on)
+    text = "ab abc a1b http://x.com www.y.ir @chan id:99 bot1 landing beautiful کتاب خانه‌ها"
+    kept = _toks_one(spark, text)
+    assert "ab" not in kept          # len < 3
+    assert "abc" in kept             # len 3 kept
+    assert "a1b" not in kept         # digit
+    assert not any("http" in t or "www" in t or "@" in t for t in kept)
+    assert "landing" not in kept     # ascii junk literal
+    assert "beautiful" not in kept   # all-ASCII len>7
+    assert "کتاب" in kept            # Persian kept
+    assert "خانه‌ها" in kept          # ZWNJ-joined word survives tokenize
+    assert "bot1" not in kept        # digit + 'bot'
+
+
+def test_token_filters_english_spec(spark):
+    kept = _toks_one(spark, "beautiful admin words", TX.ENGLISH_SPEC)
+    assert "beautiful" in kept  # ascii_rule off keeps long English words
+    assert "admin" in kept
+
+
+def test_dynamic_stopwords(spark):
+    df = spark.createDataFrame(
+        [(1, "hello from ChanA", "ChanA"), (2, "more text", "chanB")],
+        "doc_id long, text string, channel string",
+    )
+    sw = {r.word for r in WF.dynamic_stopwords(df, "channel").collect()}
+    assert sw == {"chana", "chanb", "@chana", "@chanb"}
+
+
+def test_word_frequency_applies_stopword_df(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta beta chana", "g"), (2, "beta gamma", "g")],
+        "doc_id long, text string, grp string",
+    )
+    sw = spark.createDataFrame([("chana",)], "word string")
+    out = WF.word_frequency(df, ["grp"], "text", stopwords=sw, top_n=10)
+    got = {(r.word, r.cnt, r.rn) for r in out.collect()}
+    assert got == {("beta", 3, 1), ("alpha", 1, 2), ("gamma", 1, 3)}
+
+
+def test_snippet(spark):
+    df = spark.createDataFrame([("line1\nline2 " + "x" * 200,)], "text string")
+    out = df.select(TX.snippet("text", 100).alias("s")).first().s
+    assert out.endswith("...")
+    assert "\n" not in out
+    assert len(out) == 103
