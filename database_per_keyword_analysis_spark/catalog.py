@@ -597,3 +597,178 @@ def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """md5 fingerprint of normalized text (north-star fingerprinting)."""
     return TQ.fingerprints(load(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Dedup + similarity search (north-star extensions, SURVEY.md §2.11).
+# ---------------------------------------------------------------------------
+
+from .operators import dedup as D  # noqa: E402
+from .operators import similarity as SIM  # noqa: E402
+
+_DUCK_SHINGLES = (
+    "toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t "
+    "FROM documents WHERE text IS NOT NULL), "
+    "sh AS (SELECT DISTINCT doc_id, unnest(list_transform("
+    "generate_series(1, greatest(len(t) - 2, 0)), "
+    "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle FROM toks)"
+)
+
+_DUCK_JACCARD_TAIL = (
+    "sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), "
+    "inter AS ({inter_sql}) "
+    "SELECT doc_a, doc_b, CAST(c AS DOUBLE) / CAST(x.n + y.n - c AS DOUBLE) "
+    "AS jaccard FROM inter JOIN sz x ON x.doc_id = doc_a "
+    "JOIN sz y ON y.doc_id = doc_b "
+    "WHERE CAST(c AS DOUBLE) / CAST(x.n + y.n - c AS DOUBLE) >= {thr} "
+    "ORDER BY doc_a, doc_b"
+)
+
+
+@register(
+    "exact_duplicates",
+    "SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) "
+    "AS fingerprint, "
+    "row_number() OVER (PARTITION BY md5(regexp_replace(lower(trim(text)), "
+    "'\\s+', ' ', 'g')) ORDER BY doc_id) AS dup_rank, "
+    "row_number() OVER (PARTITION BY md5(regexp_replace(lower(trim(text)), "
+    "'\\s+', ' ', 'g')) ORDER BY doc_id) > 1 AS is_duplicate "
+    "FROM documents WHERE text IS NOT NULL ORDER BY doc_id",
+)
+def q_exact_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized-text fingerprint (keeper = lowest id)."""
+    return D.exact_duplicates(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "jaccard_near_dups",
+    f"WITH {_DUCK_SHINGLES}, "
+    + _DUCK_JACCARD_TAIL.format(
+        inter_sql=(
+            "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c "
+            "FROM sh a JOIN sh b ON a.shingle = b.shingle "
+            "AND a.doc_id < b.doc_id GROUP BY 1, 2"
+        ),
+        thr="0.8",
+    ),
+)
+def q_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram-Jaccard near-dup pairs at threshold 0.8."""
+    return D.jaccard_pairs(load(spark, sf_dir, "documents"), threshold=0.8)
+
+
+def _minhash_sql() -> str:
+    seeds = D.N_SEEDS
+    rows = seeds // D.N_BANDS
+    mins = ", ".join(
+        f"min(md5('{i}:' || shingle)) AS mh_{i}" for i in range(seeds)
+    )
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5("
+        + " || '|' || ".join(f"mh_{b * rows + r}" for r in range(rows))
+        + ") AS key FROM sig"
+        for b in range(D.N_BANDS)
+    )
+    inter = (
+        "SELECT c.doc_a, c.doc_b, count(*) AS c FROM cand c "
+        "JOIN sh a ON a.doc_id = c.doc_a "
+        "JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle GROUP BY 1, 2"
+    )
+    return (
+        f"WITH {_DUCK_SHINGLES}, "
+        f"sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id), "
+        f"bands AS ({bands}), "
+        "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+        "FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key "
+        "AND a.doc_id < b.doc_id), "
+        + _DUCK_JACCARD_TAIL.format(inter_sql=inter, thr="0.8")
+    )
+
+
+@register("minhash_near_dups", _minhash_sql())
+def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dups (12 seeds, 4×3 bands) with exact verify —
+    deterministic md5 minhashing, so the oracle reproduces it exactly."""
+    return D.minhash_near_dups(load(spark, sf_dir, "documents"), threshold=0.8)
+
+
+def _simhash_sql() -> str:
+    bits = D.SIMHASH_BITS
+    sums = ", ".join(
+        f"sum(CASE WHEN (h // {2**b}) % 2 = 1 THEN 1 ELSE -1 END) AS s_{b}"
+        for b in range(bits)
+    )
+    fp = " + ".join(f"(CASE WHEN s_{b} > 0 THEN {2**b} ELSE 0 END)" for b in range(bits))
+    return (
+        "WITH tok AS (SELECT DISTINCT doc_id, "
+        "unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok "
+        "FROM documents WHERE text IS NOT NULL), "
+        "h AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 4) AS INTEGER) AS h "
+        "FROM tok), "
+        f"s AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id) "
+        f"SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM s ORDER BY doc_id"
+    )
+
+
+@register("simhash_fingerprints", _simhash_sql())
+def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit portable SimHash per document."""
+    return D.simhash(load(spark, sf_dir, "documents"))
+
+
+_DUCK_DOT = (
+    "CAST(list_sum(list_transform(list_zip({a}, {b}), p -> "
+    "CAST(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) AS DECIMAL(38,12)))) AS DOUBLE)"
+)
+
+
+@register(
+    "knn_bruteforce",
+    "WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings "
+    "WHERE vec_id < 10), "
+    "c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings), "
+    "scored AS (SELECT query_id, neighbor_id, "
+    + _DUCK_DOT.format(a="qe", b="ce")
+    + " / (sqrt(" + _DUCK_DOT.format(a="qe", b="qe") + ") * sqrt("
+    + _DUCK_DOT.format(a="ce", b="ce") + ")) AS cosine "
+    "FROM c CROSS JOIN q WHERE query_id <> neighbor_id) "
+    "SELECT query_id, neighbor_id, cosine, rank FROM ("
+    "SELECT query_id, neighbor_id, cosine, row_number() OVER ("
+    "PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank "
+    "FROM scored) WHERE rank <= 5 ORDER BY query_id, rank",
+)
+def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 neighbors for query vectors (vec_id < 10)."""
+    from pyspark.sql import functions as F
+
+    emb = load(spark, sf_dir, "embeddings")
+    return SIM.knn_bruteforce(emb, emb.where(F.col("vec_id") < 10), k=5)
+
+
+@register(
+    "cosine_near_dup_pairs",
+    "WITH e AS (SELECT vec_id, embedding FROM embeddings) "
+    "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
+    + _DUCK_DOT.format(a="a.embedding", b="b.embedding")
+    + " / (sqrt(" + _DUCK_DOT.format(a="a.embedding", b="a.embedding")
+    + ") * sqrt(" + _DUCK_DOT.format(a="b.embedding", b="b.embedding")
+    + ")) AS cosine FROM e a JOIN e b ON a.vec_id < b.vec_id "
+    "WHERE " + _DUCK_DOT.format(a="a.embedding", b="b.embedding")
+    + " / (sqrt(" + _DUCK_DOT.format(a="a.embedding", b="a.embedding")
+    + ") * sqrt(" + _DUCK_DOT.format(a="b.embedding", b="b.embedding")
+    + ")) >= 0.4 ORDER BY vec_a, vec_b",
+)
+def q_cosine_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (threshold tuned to fixture
+    geometry: max pairwise cosine ≈ 0.51)."""
+    return SIM.cosine_near_dup_pairs(load(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+@register("lsh_bucketed_knn", None)  # approximate → rows-only check
+def q_lsh_bucketed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH approximate top-k (scale path; recall measured in
+    tests against knn_bruteforce, not oracle-checked)."""
+    from pyspark.sql import functions as F
+
+    emb = load(spark, sf_dir, "embeddings")
+    return SIM.lsh_bucketed_knn(emb, emb.where(F.col("vec_id") < 10), k=5)

@@ -1,0 +1,231 @@
+"""Deduplication operators for a training-data pipeline (north star;
+SURVEY.md §2.11): exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Absent from the reference (it has no dedup at all); designed Spark-first:
+
+  * exact: md5-fingerprint groupBy — one shuffle of (hash, id) pairs,
+    never of the text itself;
+  * n-gram Jaccard: shingle-join intersection counts — exact but
+    quadratic in docs-sharing-a-shingle; the *correctness* baseline;
+  * MinHash+LSH: the 100 TB path.  Signatures are S independent min-
+    hashes computed in ONE aggregation pass; banding turns the all-pairs
+    problem into an equi-join on (band, key); only candidate pairs get
+    exact Jaccard verification;
+  * SimHash: 16-bit portable fingerprint; near-dup = small Hamming
+    distance, computable with xor+bit_count.
+
+Portability choice: every hash is md5 (identical in Spark, DuckDB,
+Python), minhash "values" are the md5 hex *strings* compared
+lexicographically — so the DuckDB oracle reproduces the exact candidate
+sets and signatures.  At raw-throughput scale xxhash64 would be faster;
+the structure is hash-agnostic.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+N_SEEDS = 12
+N_BANDS = 4  # 4 bands × 3 rows; P(candidate | J=0.8) ≈ 0.94
+
+
+def fingerprint_col(text_col: str) -> F.Column:
+    return F.md5(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "))
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup by normalized-text fingerprint.  Returns
+    (doc_id, fingerprint, dup_rank, is_duplicate): rank 1 is the keeper
+    (lowest doc_id), others are duplicates."""
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    return (
+        docs.where(F.col(text_col).isNotNull())
+        .select("doc_id", fingerprint_col(text_col).alias("fingerprint"))
+        .withColumn("dup_rank", F.row_number().over(w))
+        .withColumn("is_duplicate", F.col("dup_rank") > 1)
+        .orderBy("doc_id")
+    )
+
+
+def shingles(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (doc_id, shingle)."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    # guard: Spark's sequence(1, 0) DESCENDS instead of returning empty
+    sh = F.expr(
+        f"CASE WHEN size(toks) >= {n} THEN "
+        f"transform(sequence(1, size(toks) - {n - 1}), "
+        f"i -> concat_ws(' ', slice(toks, i, {n}))) "
+        "ELSE array() END"
+    )
+    return (
+        docs.where(F.col(text_col).isNotNull())
+        .select("doc_id", toks.alias("toks"))
+        .select("doc_id", F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+def _jaccard(inter: F.Column, na: F.Column, nb: F.Column) -> F.Column:
+    return inter.cast("double") / (na + nb - inter).cast("double")
+
+
+def jaccard_pairs(
+    docs: DataFrame, text_col: str = "text", n: int = 3, threshold: float = 0.8
+) -> DataFrame:
+    """Exact n-gram-Jaccard near-dup pairs (doc_a < doc_b, jaccard ≥
+    threshold).  Exact but joins every doc pair sharing a shingle — use
+    `minhash_near_dups` past ~10^6 docs."""
+    sh = shingles(docs, text_col, n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            _jaccard(F.col("inter"), F.col("na"), F.col("nb")).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def minhash_signatures(sh: DataFrame, n_seeds: int = N_SEEDS) -> DataFrame:
+    """S minhashes per doc in one aggregation pass: column mh_i =
+    lexicographic min of md5('<i>:' || shingle)."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh_{i}")
+        for i in range(n_seeds)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, n_seeds: int = N_SEEDS, n_bands: int = N_BANDS
+) -> DataFrame:
+    """Candidate pairs: docs agreeing on ALL rows of ≥1 band.  Banding is
+    an explode to (doc, band, key) + self-equi-join — the all-pairs
+    comparison never happens."""
+    rows = n_seeds // n_bands
+    band_cols = []
+    for b in range(n_bands):
+        key = F.md5(
+            F.concat_ws("|", *[F.col(f"mh_{b * rows + r}") for r in range(rows)])
+        )
+        band_cols.append(F.struct(F.lit(b).alias("band"), key.alias("key")))
+    exploded = sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("doc_id", "bk.band", "bk.key")
+    a, b = exploded.alias("a"), exploded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_near_dups(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    n_seeds: int = N_SEEDS,
+    n_bands: int = N_BANDS,
+) -> DataFrame:
+    """MinHash-LSH near-dup detection with exact-Jaccard verification of
+    candidates — the scale path: shuffles are O(docs·seeds) for
+    signatures, O(docs·bands) for banding, O(candidates) for verify."""
+    sh = shingles(docs, text_col, n)
+    cand = lsh_candidate_pairs(minhash_signatures(sh, n_seeds), n_seeds, n_bands)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # intersection size: doc_a's shingles equi-joined to doc_b's on the
+    # composite (doc_b, shingle) key — no per-pair cross product
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            _jaccard(F.col("inter"), F.col("na"), F.col("nb")).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+SIMHASH_BITS = 16
+
+
+def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Portable 16-bit SimHash over distinct tokens: token hash = first 4
+    md5 hex digits as int; bit b of the fingerprint is the sign of
+    Σ_tokens (±1 per token's bit b)."""
+    toks = (
+        docs.where(F.col(text_col).isNotNull())
+        .select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+        )
+        .distinct()
+        .select(
+            "doc_id",
+            F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("long").alias("h"),
+        )
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
+        ).alias(f"s_{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    agg = toks.groupBy("doc_id").agg(*bit_sums)
+    fp = reduce(
+        lambda acc, b: acc
+        + F.when(F.col(f"s_{b}") > 0, F.lit(2**b)).otherwise(F.lit(0)),
+        range(SIMHASH_BITS),
+        F.lit(0).cast("long"),
+    )
+    return agg.select("doc_id", fp.alias("simhash")).orderBy("doc_id")
+
+
+def simhash_pairs(docs: DataFrame, text_col: str = "text", max_hamming: int = 1) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance.  All-pairs xor compare
+    — fine to ~10^4 docs; at scale, block on simhash byte prefixes first."""
+    s = simhash(docs, text_col)
+    a = s.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
+    b = s.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a", "doc_b",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .orderBy("doc_a", "doc_b")
+    )

@@ -1,0 +1,185 @@
+"""Similarity search over embedding columns (north star; SURVEY.md §2.11).
+
+`embeddings(vec_id, embedding ARRAY<FLOAT>, label)` fixtures.  Two tiers:
+
+  * brute-force cosine top-k — the correctness baseline.  Dot products
+    and norms are computed with built-in higher-order functions
+    (`zip_with` + `aggregate`) entirely JVM-side; per-element products are
+    IEEE doubles (bit-identical in any engine) accumulated in DECIMAL so
+    the result is independent of addition order → oracle-stable floats;
+  * hyperplane-LSH bucketed top-k — the scale path: vectors are bucketed
+    by the sign pattern of H deterministic pseudo-random hyperplanes, and
+    only same-bucket pairs are compared.  Approximate (recall < 1), so it
+    is NOT oracle-checked against SQL; tests measure recall against the
+    brute-force tier instead.
+
+At 100 TB: brute-force is O(Q·N) — fine when Q is small and N is
+broadcast-partitioned; the LSH tier makes N·N self-join feasible by
+turning it into an equi-join on bucket id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# 28,12 leaves precision headroom: decimal(28,12)+decimal(28,12) →
+# decimal(29,12), re-cast in the merge so the accumulator type is stable
+# (at precision 38 Spark would instead SHRINK the scale, breaking the
+# aggregate's type contract).
+_DEC = "decimal(28,12)"
+
+
+def _dot_dec(a: str, b: str) -> Column:
+    """Order-independent dot product of two float arrays (see module doc)."""
+    return F.expr(
+        f"CAST(aggregate(zip_with({a}, {b}, (x, y) -> "
+        f"CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS {_DEC})), "
+        f"CAST(0 AS {_DEC}), (acc, v) -> CAST(acc + v AS {_DEC})) AS DOUBLE)"
+    )
+
+
+def with_norm(vecs: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    return vecs.withColumn("norm", F.sqrt(_dot_dec(vec_col, vec_col)))
+
+
+def knn_bruteforce(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k: for each query vector, the k nearest other
+    vectors.  Returns (query_id, neighbor_id, cosine, rank).
+
+    The query side is broadcast (small); candidates stream through one
+    codegen stage computing the dot; the per-query top-k is a window over
+    |Q|·k-bounded data after an early `row_number` cut.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_emb")
+    )
+    c = vectors.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_emb")
+    )
+    dot = _dot_dec("q_emb", "c_emb")
+    qn = F.sqrt(_dot_dec("q_emb", "q_emb"))
+    cn = F.sqrt(_dot_dec("c_emb", "c_emb"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot / (qn * cn)).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def cosine_near_dup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.99,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (vec_a < vec_b, cosine ≥
+    threshold).  All-pairs form — the LSH tier replaces it at scale."""
+    a = vectors.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("ea"))
+    b = vectors.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("eb"))
+    dot = _dot_dec("ea", "eb")
+    na = F.sqrt(_dot_dec("ea", "ea"))
+    nb = F.sqrt(_dot_dec("eb", "eb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", (dot / (na * nb)).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic pseudo-random unit-free hyperplanes via a tiny LCG —
+    no numpy dependency at plan-build time, reproducible everywhere."""
+    state = seed * 2654435761 % (2**32)
+    planes = []
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (1103515245 * state + 12345) % (2**31)
+            row.append((state / 2**31) * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucketed_knn(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    n_planes: int = 6,
+    n_tables: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate cosine top-k via multi-table hyperplane LSH.
+
+    Each of `n_tables` tables buckets vectors by the sign pattern of
+    `n_planes` hyperplanes; candidates are vectors sharing the query's
+    bucket in ANY table (union via explode + equi-join on (table, bucket)
+    + distinct).  For sign-LSH, P(candidate) = 1-(1-(1-θ/π)^H)^L — with
+    H=6, L=16 a cosine-0.5 neighbor is found ~75% of the time, and the
+    per-table join does ~N²/2^H work instead of N².  Tuning H/L trades
+    recall against cost; recall is measured in tests, not oracle-checked.
+    """
+
+    def buckets(col: str) -> Column:
+        per_table = []
+        for t in range(n_tables):
+            planes = _hyperplanes(dim, n_planes, seed=7 + 131 * t)
+            acc = F.lit(t * (2**n_planes))  # offset keys so tables don't collide
+            for i, p in enumerate(planes):
+                proj = F.expr(
+                    f"aggregate(zip_with({col}, array({', '.join(repr(x) for x in p)}), "
+                    "(x, y) -> CAST(x AS DOUBLE) * y), CAST(0 AS DOUBLE), (a, v) -> a + v)"
+                )
+                acc = acc + F.when(proj > 0, F.lit(2**i)).otherwise(F.lit(0))
+            per_table.append(acc)
+        return F.array(*per_table)
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_emb"),
+        F.explode(buckets(vec_col)).alias("bucket"),
+    )
+    c = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_emb"),
+        F.explode(buckets(vec_col)).alias("bucket"),
+    )
+    cand = (
+        c.join(F.broadcast(q.select("query_id", "bucket")), "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "c_emb")
+        .distinct()
+    )
+    dot = _dot_dec("q_emb", "c_emb")
+    qn = F.sqrt(_dot_dec("q_emb", "q_emb"))
+    cn = F.sqrt(_dot_dec("c_emb", "c_emb"))
+    scored = cand.join(
+        F.broadcast(queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_emb"))),
+        "query_id",
+    ).select("query_id", "neighbor_id", (dot / (qn * cn)).alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
