@@ -772,3 +772,73 @@ def q_lsh_bucketed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     return SIM.lsh_bucketed_knn(emb, emb.where(F.col("vec_id") < 10), k=5)
+
+
+# ---------------------------------------------------------------------------
+# Structured Streaming surface (§2.10): each query is driven to completion
+# with availableNow and oracle-checked against its batch-SQL twin —
+# batch/stream parity IS the correctness contract.
+# ---------------------------------------------------------------------------
+
+from .streaming import windows as SW  # noqa: E402
+
+
+@register(
+    "stream_tumbling_counts",
+    "SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start, "
+    "CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL 1 DAY AS window_end, "
+    "count(*) AS n FROM events GROUP BY 1, 2 ORDER BY 1",
+)
+def q_stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-day window counts via readStream + watermark."""
+    from pyspark.sql import functions as F
+
+    stream = SW.windowed_counts(SW.read_events_stream(spark, sf_dir))
+    out = SW.run_to_memory(stream, "q_stream_tumble")
+    return out.select(
+        F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+        F.col("window_end").cast("timestamp_ntz").alias("window_end"),
+        "n",
+    ).orderBy("window_start")
+
+
+@register(
+    "stream_session_counts",
+    # session_window convention: end = last event ts + gap
+    "WITH g AS (SELECT user_id, ts, event_id, "
+    "CASE WHEN lag(ts) OVER w IS NULL OR epoch_us(ts) - epoch_us(lag(ts) OVER w) "
+    "> 1800000000 THEN 1 ELSE 0 END AS is_new "
+    "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+    "s AS (SELECT user_id, ts, sum(is_new) OVER (PARTITION BY user_id "
+    "ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+    "AS sid FROM g) "
+    "SELECT user_id, min(ts) AS session_start, "
+    "max(ts) + INTERVAL 30 MINUTE AS session_end, count(*) AS n_events "
+    "FROM s GROUP BY user_id, sid ORDER BY user_id, session_start",
+)
+def q_stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows (30-min gap) via readStream."""
+    from pyspark.sql import functions as F
+
+    stream = SW.session_window_counts(SW.read_events_stream(spark, sf_dir))
+    out = SW.run_to_memory(stream, "q_stream_sess")
+    return out.select(
+        "user_id",
+        F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+        F.col("session_end").cast("timestamp_ntz").alias("session_end"),
+        "n_events",
+    ).orderBy("user_id", "session_start")
+
+
+@register(
+    "stream_dedup_count",
+    "SELECT count(*) AS n FROM (SELECT DISTINCT event_id FROM events)",
+)
+def q_stream_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful stream dedup on event_id (dropDuplicatesWithinWatermark),
+    reduced to a count for the oracle."""
+    from pyspark.sql import functions as F
+
+    deduped = SW.deduped_stream(SW.read_events_stream(spark, sf_dir))
+    out = SW.run_append_to_memory(deduped, "q_stream_dedup")
+    return out.agg(F.count(F.lit(1)).alias("n"))

@@ -1,0 +1,126 @@
+"""Structured Streaming surface (SURVEY.md §2.10 — absent from the
+reference, which batch-resamples a static table; required by the north
+star for the `events` stream shape).
+
+Design: every streaming query is the SAME DataFrame expression as its
+batch twin, applied to `readStream` instead of `read` — batch/stream
+parity is the correctness strategy (§5.2.5): the batch run is the oracle
+for the streaming run.
+
+Watermarks bound state: `withWatermark('ts', ...)` lets Spark drop
+window/dedup state once the event-time frontier passes, which is what
+makes these operators runnable forever on an unbounded stream — the
+100 TB/day posture.  All results are emitted with `availableNow` triggers
+in tests (process-everything-then-stop), the recommended pattern for
+batch-backfill of a streaming pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Explicit schema for streaming reads (readStream cannot infer), matching
+# sources/loader.py events normalization: ns → µs handled by reading the
+# raw long column.
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as ns long
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`events` as a stream: parquet-directory source with explicit
+    schema; ts rebuilt exactly as the batch loader does."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # FileStreamSource needs a directory; select the single fixture file
+    # out of sf_dir with a glob filter.
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    # TimestampType (not NTZ): watermarks require it; under the UTC
+    # session timezone the values are identical to the batch loader's NTZ.
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_counts(
+    events: DataFrame,
+    width: str = "1 day",
+    slide: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Tumbling/sliding window counts — works on batch AND stream input
+    (parity pair for timeutil.bucketed_counts / events.sliding_window_counts)."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    win = F.window("ts", width, slide) if slide else F.window("ts", width)
+    return (
+        src.groupBy(win.alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n",
+        )
+    )
+
+
+def session_window_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Per-user session windows via the built-in session_window (the
+    streaming-native analog of operators.events.sessionize)."""
+    src = events.withWatermark("ts", "1 hour") if events.isStreaming else events
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def deduped_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Stateful dedup on event_id with bounded state
+    (dropDuplicatesWithinWatermark)."""
+    if events.isStreaming:
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+    return events.dropDuplicates(["event_id"])
+
+
+def run_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
+    """Drive a streaming DataFrame to completion with an availableNow
+    trigger into a memory sink; returns the materialized result."""
+    q = (
+        stream_df.writeStream.outputMode("complete" if stream_df.isStreaming else "append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+def run_append_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
+    """Append-mode variant (for dedup/passthrough streams)."""
+    q = (
+        stream_df.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
