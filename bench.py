@@ -1,0 +1,76 @@
+"""Benchmark harness (driver contract: one JSON line to stdout).
+
+Runs the headline catalog queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
+"sf": ...}.  Each query is forced end-to-end with the noop sink (full
+computation including the final projection, no driver collect cost).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from database_per_keyword_analysis_spark import catalog  # noqa: E402
+from database_per_keyword_analysis_spark.session import get_spark  # noqa: E402
+
+# Representative headline set: keyword analytics, relational joins/aggs,
+# windows, time series, text, dedup, similarity, streaming-batch twin.
+HEADLINE = [
+    "industry_counts",
+    "keyword_breakdown",
+    "top_posts",
+    "channel_audit",
+    "pricing_summary",
+    "revenue_by_nation",
+    "top_customers_by_revenue",
+    "order_priority_rollup",
+    "running_order_totals",
+    "events_daily_counts",
+    "events_json_stats",
+    "sessionize_events",
+    "user_activity_pivot",
+    "word_frequency_by_lang",
+    "doc_quality_metrics",
+    "doc_fingerprints",
+    "exact_duplicates",
+    "minhash_near_dups",
+    "knn_bruteforce",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("dpka-bench")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warmup
+
+    qs = catalog.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        df = qs[name](spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

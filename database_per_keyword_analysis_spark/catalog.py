@@ -660,12 +660,15 @@ def q_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _minhash_sql() -> str:
     seeds = D.N_SEEDS
     rows = seeds // D.N_BANDS
-    mins = ", ".join(
-        f"min(md5('{i}:' || shingle)) AS mh_{i}" for i in range(seeds)
+    # mirror dedup.minhash_signatures: one md5 per shingle, affine combos
+    mins = ", ".join(f"min(a + {i} * b) AS mh_{i}" for i in range(seeds))
+    ab = (
+        "SELECT doc_id, CAST('0x' || substr(md5(shingle), 1, 12) AS BIGINT) AS a, "
+        "CAST('0x' || substr(md5(shingle), 13, 12) AS BIGINT) AS b FROM sh"
     )
     bands = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band, md5("
-        + " || '|' || ".join(f"mh_{b * rows + r}" for r in range(rows))
+        + " || '|' || ".join(f"CAST(mh_{b * rows + r} AS VARCHAR)" for r in range(rows))
         + ") AS key FROM sig"
         for b in range(D.N_BANDS)
     )
@@ -676,7 +679,7 @@ def _minhash_sql() -> str:
     )
     return (
         f"WITH {_DUCK_SHINGLES}, "
-        f"sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id), "
+        f"sig AS (SELECT doc_id, {mins} FROM ({ab}) GROUP BY doc_id), "
         f"bands AS ({bands}), "
         "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
         "FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key "

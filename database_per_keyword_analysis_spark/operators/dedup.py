@@ -102,12 +102,17 @@ def jaccard_pairs(
 
 
 def minhash_signatures(sh: DataFrame, n_seeds: int = N_SEEDS) -> DataFrame:
-    """S minhashes per doc in one aggregation pass: column mh_i =
-    lexicographic min of md5('<i>:' || shingle)."""
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh_{i}")
-        for i in range(n_seeds)
-    ]
+    """S minhashes per doc in one aggregation pass.
+
+    One md5 per shingle, split into two 48-bit halves (a, b); hash i is
+    the affine combination a + i·b (all < 2^53 — no overflow, no modulus
+    needed) — the classic two-hash minwise scheme, S× cheaper than S
+    independent digests and still portable integer arithmetic for the
+    oracle."""
+    h = F.md5("shingle")
+    a = F.conv(F.substring(h, 1, 12), 16, 10).cast("long")
+    b = F.conv(F.substring(h, 13, 12), 16, 10).cast("long")
+    aggs = [F.min(a + F.lit(i) * b).alias(f"mh_{i}") for i in range(n_seeds)]
     return sh.groupBy("doc_id").agg(*aggs)
 
 

@@ -57,22 +57,26 @@ def knn_bruteforce(
     codegen stage computing the dot; the per-query top-k is a window over
     |Q|·k-bounded data after an early `row_number` cut.
     """
+    # norms once per vector (not per pair): the pair stage then computes
+    # only the dot product — 3× fewer decimal aggregates in the hot loop.
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_emb")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_emb"),
+        F.sqrt(_dot_dec(vec_col, vec_col)).alias("q_norm"),
     )
     c = vectors.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_emb")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_emb"),
+        F.sqrt(_dot_dec(vec_col, vec_col)).alias("c_norm"),
     )
     dot = _dot_dec("q_emb", "c_emb")
-    qn = F.sqrt(_dot_dec("q_emb", "q_emb"))
-    cn = F.sqrt(_dot_dec("c_emb", "c_emb"))
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            (dot / (qn * cn)).alias("cosine"),
+            (dot / (F.col("q_norm") * F.col("c_norm"))).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -91,15 +95,21 @@ def cosine_near_dup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (vec_a < vec_b, cosine ≥
     threshold).  All-pairs form — the LSH tier replaces it at scale."""
-    a = vectors.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("ea"))
-    b = vectors.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("eb"))
+    a = vectors.select(
+        F.col(id_col).alias("vec_a"),
+        F.col(vec_col).alias("ea"),
+        F.sqrt(_dot_dec(vec_col, vec_col)).alias("na"),
+    )
+    b = vectors.select(
+        F.col(id_col).alias("vec_b"),
+        F.col(vec_col).alias("eb"),
+        F.sqrt(_dot_dec(vec_col, vec_col)).alias("nb"),
+    )
     dot = _dot_dec("ea", "eb")
-    na = F.sqrt(_dot_dec("ea", "ea"))
-    nb = F.sqrt(_dot_dec("eb", "eb"))
     return (
         a.crossJoin(b)
         .where(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", (dot / (na * nb)).alias("cosine"))
+        .select("vec_a", "vec_b", (dot / (F.col("na") * F.col("nb"))).alias("cosine"))
         .where(F.col("cosine") >= threshold)
         .orderBy("vec_a", "vec_b")
     )
@@ -171,12 +181,20 @@ def lsh_bucketed_knn(
         .distinct()
     )
     dot = _dot_dec("q_emb", "c_emb")
-    qn = F.sqrt(_dot_dec("q_emb", "q_emb"))
-    cn = F.sqrt(_dot_dec("c_emb", "c_emb"))
-    scored = cand.join(
-        F.broadcast(queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_emb"))),
-        "query_id",
-    ).select("query_id", "neighbor_id", (dot / (qn * cn)).alias("cosine"))
+    qside = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_emb"),
+        F.sqrt(_dot_dec(vec_col, vec_col)).alias("q_norm"),
+    )
+    scored = (
+        cand.withColumn("c_norm", F.sqrt(_dot_dec("c_emb", "c_emb")))
+        .join(F.broadcast(qside), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot / (F.col("q_norm") * F.col("c_norm"))).alias("cosine"),
+        )
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
