@@ -845,3 +845,64 @@ def q_stream_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = SW.deduped_stream(SW.read_events_stream(spark, sf_dir))
     out = SW.run_append_to_memory(deduped, "q_stream_dedup")
     return out.agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal columns (§2.11): opaque binary payload + typed metadata
+# struct; decode / feature-extract as Arrow-batched mapInPandas; frame
+# sampling as pure built-ins.  The deterministic fake decode keeps even
+# the Python stages oracle-checkable (fixture text is ASCII, so DuckDB
+# char-ops == byte-ops).
+# ---------------------------------------------------------------------------
+
+from .operators import multimodal as MM  # noqa: E402
+
+_MEDIA_KIND_SQL = (
+    "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"
+)
+
+
+@register(
+    "multimodal_byte_features",
+    f"SELECT doc_id, {_MEDIA_KIND_SQL} AS media_kind, "
+    "octet_length(encode(text)) AS n_bytes, md5(text) AS payload_md5, "
+    "lower(hex(encode(substr(text, 1, 8)))) AS head_hex "
+    "FROM documents WHERE text IS NOT NULL ORDER BY doc_id",
+)
+def q_multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column feature extraction (size / digest / magic bytes) via
+    mapInPandas over Arrow batches."""
+    docs = load(spark, sf_dir, "documents")
+    return MM.extract_byte_features(MM.with_media_payload(docs)).orderBy("doc_id")
+
+
+@register(
+    "multimodal_decode",
+    f"SELECT doc_id, {_MEDIA_KIND_SQL} AS media_kind, "
+    "list_aggregate(list_transform(split(text, ''), x -> ord(x)), 'avg') "
+    "AS mean_byte, CAST(octet_length(encode(text)) AS BIGINT) AS n_units "
+    "FROM documents WHERE text IS NOT NULL ORDER BY doc_id",
+)
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stand-in decode stage (mean byte ≈ mean pixel) —
+    exercises the full decode plumbing; real codecs drop in behind the
+    same mapInPandas signature (operators/multimodal.py:decode_media)."""
+    docs = load(spark, sf_dir, "documents")
+    return MM.decode_media(MM.with_media_payload(docs)).orderBy("doc_id")
+
+
+@register(
+    "video_frame_samples",
+    "SELECT doc_id, duration_s, CAST(unnest(generate_series(0, duration_s - 1, "
+    "greatest(1, CAST(ceil(duration_s / 8.0) AS INT)))) AS INT) AS frame_s "
+    "FROM (SELECT doc_id, CAST(1 + doc_id % 30 AS INT) AS duration_s "
+    "FROM documents WHERE text IS NOT NULL AND doc_id % 3 = 2) "
+    "ORDER BY doc_id, frame_s",
+)
+def q_video_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Even-spaced frame-sampling plan for video payloads (sequence +
+    explode, no decode needed)."""
+    docs = load(spark, sf_dir, "documents")
+    return MM.sample_frame_offsets(MM.with_media_payload(docs)).orderBy(
+        "doc_id", "frame_s"
+    )

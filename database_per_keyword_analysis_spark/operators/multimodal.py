@@ -1,0 +1,175 @@
+"""Multimodal-column operators (north star; SURVEY.md §2.11).
+
+The reference corpus is text-only (/root/reference/main.py — no binary
+columns anywhere), but a training-data pipeline at 100 TB carries
+image/audio/video payloads.  The model here: media is an opaque
+``binary`` column plus a typed metadata struct; decode / feature-extract
+/ frame-sample are Arrow-batched ``mapInPandas`` stages so the heavy
+bytes never leave the executor as Python objects row-by-row.
+
+The actual codec step is STUBBED (image/audio libs are not in this
+container): ``decode_media`` either raises ``NotImplementedError`` (real
+decoder path) or applies a deterministic fake decode (mean byte value /
+pseudo sample count) so the Spark-side plumbing — schema, partitioning,
+UDF signature, Arrow batch shape — is real and oracle-checkable.
+
+Scale notes: every operator here is a single projection pass (no
+shuffle).  ``mapInPandas`` streams Arrow batches, so a 100 TB corpus of
+multi-MB payloads flows batch-by-batch without materializing a partition
+in memory; payload bytes are column-pruned away the moment features are
+extracted.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_KINDS = ["image", "audio", "video"]
+MIMES = {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}
+
+#: frames sampled per video by default
+N_FRAME_SAMPLES = 8
+
+META_SCHEMA = T.StructType(
+    [
+        T.StructField("mime", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_s", T.IntegerType()),
+    ]
+)
+
+
+def with_media_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stage the `documents` fixture as a multimodal corpus: an opaque
+    binary ``payload`` plus a typed ``meta`` struct, all derived
+    deterministically from existing columns (no randomness — the oracle
+    must reproduce it).
+
+    In a real pipeline this is the ingest schema itself; here it makes
+    the text fixture exercise binary-column plumbing.
+    """
+    kind = F.element_at(
+        F.array(*[F.lit(k) for k in MEDIA_KINDS]), (F.col("doc_id") % 3 + 1).cast("int")
+    )
+    mime_map = F.create_map(
+        *[x for k in MEDIA_KINDS for x in (F.lit(k), F.lit(MIMES[k]))]
+    )
+    return docs.where(F.col(text_col).isNotNull()).select(
+        "doc_id",
+        kind.alias("media_kind"),
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        F.struct(
+            mime_map[kind].alias("mime"),
+            (16 + (F.col("doc_id") % 64) * 16).cast("int").alias("width"),
+            (16 + (F.col("doc_id") % 48) * 16).cast("int").alias("height"),
+            (1 + F.col("doc_id") % 30).cast("int").alias("duration_s"),
+        ).alias("meta"),
+    )
+
+
+_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_kind", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("payload_md5", T.StringType()),
+        T.StructField("head_hex", T.StringType()),
+    ]
+)
+
+
+def extract_byte_features(media: DataFrame) -> DataFrame:
+    """Codec-independent byte features via Arrow-batched ``mapInPandas``:
+    size, digest, magic-bytes prefix.  This is the real plumbing a
+    decode stage rides on — binary columns in, typed features out,
+    payload pruned from the output schema."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_kind": pdf["media_kind"],
+                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                    "payload_md5": pdf["payload"].map(
+                        lambda b: hashlib.md5(bytes(b)).hexdigest()
+                    ),
+                    "head_hex": pdf["payload"].map(lambda b: bytes(b)[:8].hex()),
+                }
+            )
+
+    return media.select("doc_id", "media_kind", "payload").mapInPandas(
+        batches, _FEATURE_SCHEMA
+    )
+
+
+_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_kind", T.StringType()),
+        T.StructField("mean_byte", T.DoubleType()),
+        T.StructField("n_units", T.LongType()),
+    ]
+)
+
+
+def decode_media(media: DataFrame, *, fake: bool = True) -> DataFrame:
+    """Decode stage.  ``fake=True`` (default in this container) applies a
+    deterministic stand-in decode — mean byte value as a proxy for "mean
+    pixel/sample", unit count = byte count.  ``fake=False`` is the real
+    codec path: STUB — raises ``NotImplementedError`` unless PIL/soundfile
+    are importable (they are not baked into this container)."""
+    if not fake:
+        try:
+            import PIL  # noqa: F401
+        except ImportError as exc:  # pragma: no cover - container has no PIL
+            raise NotImplementedError(
+                "real media decode needs PIL/soundfile; not available here — "
+                "use fake=True for the deterministic stand-in"
+            ) from exc
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            raw = pdf["payload"].map(bytes)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_kind": pdf["media_kind"],
+                    "mean_byte": raw.map(
+                        lambda b: sum(b) / len(b) if b else None
+                    ).astype("float64"),
+                    "n_units": raw.map(len).astype("int64"),
+                }
+            )
+
+    return media.select("doc_id", "media_kind", "payload").mapInPandas(
+        batches, _DECODE_SCHEMA
+    )
+
+
+def sample_frame_offsets(
+    media: DataFrame, n_samples: int = N_FRAME_SAMPLES
+) -> DataFrame:
+    """Even-spaced frame-sampling plan for video payloads: one row per
+    (doc, frame_s).  Pure built-ins (`sequence` + `explode`) — the frame
+    *plan* needs no decode; a downstream ``mapInPandas`` decoder consumes
+    it.  At scale this is the operator that turns a 100 TB video corpus
+    into a bounded per-video sample without reading frames you skip."""
+    dur = F.col("meta.duration_s")
+    step = F.greatest(F.lit(1), F.ceil(dur / F.lit(n_samples))).cast("int")
+    return (
+        media.where(F.col("media_kind") == "video")
+        .select(
+            "doc_id",
+            dur.alias("duration_s"),
+            F.explode(F.sequence(F.lit(0), dur - 1, step)).alias("frame_s"),
+        )
+        .select("doc_id", "duration_s", F.col("frame_s").cast("int").alias("frame_s"))
+    )
