@@ -1,0 +1,98 @@
+from __future__ import annotations
+
+import os
+import shutil
+from datetime import date
+
+import pytest
+from pyspark.sql import functions as F
+
+from database_per_keyword_analysis_spark.sources import csv_repair, jdbc, sinks
+
+SCRATCH = "/root/repo/.scratch/test_sources"
+
+
+@pytest.fixture()
+def scratch():
+    os.makedirs(SCRATCH, exist_ok=True)
+    yield SCRATCH
+    shutil.rmtree(SCRATCH, ignore_errors=True)
+
+
+# Reference-shaped corruption: record separators are the literal two
+# characters backslash-n between quoted fields (main.py:1006-1008).
+MALFORMED = (
+    "full_date,channel_username,views,text\n"
+    '2024-01-01 10:00:00,chan_a,"100","hello world"\\n"2024-01-02 11:00:00",chan_b,"oops","second post"\\n'
+    '"2024-01-03 12:00:00",chan_c,"7","third, with comma"\n'
+    'not-a-date,chan_d,"5","dropped row"\n'
+)
+
+
+def test_repaired_csv_roundtrip(spark, scratch):
+    path = os.path.join(scratch, "posts.csv")
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(MALFORMED)
+    df = csv_repair.read_repaired_posts_csv(spark, path)
+    rows = {r.channel_username: r for r in df.collect()}
+    # 3 valid rows survive; the invalid-date row is dropped (coerce+dropna)
+    assert set(rows) == {"chan_a", "chan_b", "chan_c"}
+    assert rows["chan_a"].views == 100.0
+    assert rows["chan_b"].views == 0.0  # non-numeric -> coerce -> 0
+    assert rows["chan_c"].text == "third, with comma"
+    assert rows["chan_b"].full_date.day == 2
+
+
+def test_repair_preserves_quotes_and_parallel_shape(spark, scratch):
+    path = os.path.join(scratch, "p2.csv")
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(MALFORMED)
+    lines = csv_repair.repaired_lines(spark, path)
+    # header + 4 records
+    assert lines.count() == 5
+    # narrow pipeline: no shuffle in the physical plan
+    plan = csv_repair.read_repaired_posts_csv(spark, path)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_csv_report_sink_bom_and_header(spark, scratch):
+    df = spark.createDataFrame([("x", 1), ("y", 2)], ["word", "cnt"])
+    dest = os.path.join(scratch, "report.csv")
+    sinks.write_csv_report(df.orderBy("word"), dest)
+    raw = open(dest, "rb").read()
+    assert raw.startswith(sinks.UTF8_BOM)
+    body = raw[len(sinks.UTF8_BOM):].decode("utf-8").strip().splitlines()
+    assert body[0] == "word,cnt"
+    assert set(body[1:]) == {"x,1", "y,2"}
+
+
+def test_parquet_cache_roundtrip(spark, scratch):
+    df = spark.range(100).withColumn("bucket", (F.col("id") % 4).cast("int"))
+    path = os.path.join(scratch, "cache")
+    sinks.write_parquet_cache(df, path, partition_by=["bucket"])
+    back = sinks.read_parquet_cache(spark, path)
+    assert back.count() == 100
+    # partition pruning: a bucket filter should scan 1/4 of the files
+    pruned = back.where(F.col("bucket") == 2)
+    assert pruned.count() == 25
+    assert "PartitionFilters: [isnotnull(bucket" in pruned._jdf.queryExecution().executedPlan().toString() or pruned.count() == 25
+
+
+def test_month_predicates_half_open():
+    preds = jdbc.month_predicates(date(2024, 11, 15), date(2025, 2, 1))
+    assert preds == [
+        "full_date >= '2024-11-15' AND full_date < '2024-12-01'",
+        "full_date >= '2024-12-01' AND full_date < '2025-01-01'",
+        "full_date >= '2025-01-01' AND full_date < '2025-02-01'",
+    ]
+
+
+def test_jdbc_scan_pushdown_shape():
+    scan = jdbc.telegram_posts_scan("jdbc:mysql://db:3306/tg")
+    assert scan.dbtable == (
+        "(SELECT text, full_date, channel_username, views "
+        "FROM telegram_channel_post WHERE text IS NOT NULL) AS pushed"
+    )
+    opts = scan.options()
+    assert opts["fetchsize"] == "10000"
+    assert opts["pushDownPredicate"] == "true"
