@@ -906,3 +906,55 @@ def q_video_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.sample_frame_offsets(MM.with_media_payload(docs)).orderBy(
         "doc_id", "frame_s"
     )
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets / approx aggregates (§2.4 absent-in-reference rows) and
+# the custom arbitrary-stateful streaming operator (§2.10).
+# ---------------------------------------------------------------------------
+
+from .streaming import stateful as ST  # noqa: E402
+
+
+@register(
+    "customer_nation_cube",
+    "SELECT coalesce(c_mktsegment, 'ALL') AS segment, "
+    "coalesce(n_name, 'ALL') AS nation, count(*) AS n_customers, "
+    "CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal "
+    "FROM customer JOIN nation ON c_nationkey = n_nationkey "
+    "GROUP BY CUBE (c_mktsegment, n_name) ORDER BY segment, nation",
+)
+def q_customer_nation_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets over (segment, nation)."""
+    return R.customer_nation_cube(
+        load(spark, sf_dir, "customer"), load(spark, sf_dir, "nation")
+    )
+
+
+@register("approx_order_stats", None)  # sketch-based → rows-only check;
+# the error bound vs exact answers is asserted in tests/test_relational_extra.py
+def q_approx_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL distinct + approx quantiles per priority (100 TB formulation)."""
+    return R.approx_order_stats(load(spark, sf_dir, "orders"))
+
+
+@register(
+    "stateful_user_stats",
+    "SELECT user_id, count(*) AS n_events, max(value) AS max_value "
+    "FROM events GROUP BY user_id ORDER BY user_id",
+)
+def q_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-stateful per-user stats via applyInPandasWithState,
+    driven with availableNow; cumulative update-mode emissions collapsed
+    to the final row per key (monotone-counter property).  sum_value is
+    excluded from the oracle projection: cross-batch float accumulation
+    order is micro-batch-dependent in the low bits."""
+    from .streaming import windows as SWIN
+
+    stream = ST.running_user_stats(SWIN.read_events_stream(spark, sf_dir))
+    out = SWIN.run_update_to_memory(stream, "q_stateful_user")
+    return (
+        ST.finalize_cumulative(out)
+        .select("user_id", "n_events", "max_value")
+        .orderBy("user_id")
+    )

@@ -172,9 +172,11 @@ def running_order_totals(orders: DataFrame) -> DataFrame:
 
 
 def part_type_distincts(part: DataFrame, lineitem: DataFrame) -> DataFrame:
-    """Exact + approximate distinct aggregates per brand.  The approx
-    column is the 100 TB path (HLL sketch, mergeable, no giant shuffle of
-    distinct values) — rsd pinned so results are deterministic."""
+    """Exact distinct aggregates per brand (oracle-checked).  The
+    approximate 100 TB path (HLL sketches, mergeable, no shuffle of
+    distinct values) lives in `approx_order_stats` — approx results
+    cannot hash-match a different engine's sketch, so the two variants
+    are separate queries."""
     joined = lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
     return (
         joined.groupBy("p_brand")
@@ -209,3 +211,63 @@ def nation_region_setops(nation: DataFrame, region: DataFrame) -> DataFrame:
         .withColumn("in_america", F.lit(False))
     )
     return in_america.unionByName(outside).orderBy("n_name")
+
+
+def customer_nation_cube(customer: DataFrame, nation: DataFrame) -> DataFrame:
+    """CUBE over (market segment, nation): all four grouping sets in one
+    shuffle — the generalization of the reference's per-industry +
+    "Global" dual reporting (SURVEY.md §2.4 grouping-sets row).
+
+    NULL group keys are labeled 'ALL' for oracle comparability.  At
+    scale CUBE multiplies shuffle rows by the number of grouping sets;
+    partial (map-side) aggregation still applies per set, so the
+    shuffle carries group keys, not raw rows.
+    """
+    joined = customer.join(
+        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+    )
+    return (
+        joined.cube("c_mktsegment", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dec_sum(F.col("c_acctbal"), "total_acctbal", scale=2),
+        )
+        .select(
+            F.coalesce("c_mktsegment", F.lit("ALL")).alias("segment"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            "n_customers",
+            "total_acctbal",
+        )
+        .orderBy("segment", "nation")
+    )
+
+
+def approx_order_stats(orders: DataFrame) -> DataFrame:
+    """Approximate aggregates per order priority: HLL distinct customers
+    and approximate price quantiles (SURVEY.md §2.4 approx row).
+
+    This is the 100 TB formulation: `approx_count_distinct` shuffles a
+    fixed-size sketch per group instead of every distinct customer key,
+    and `percentile_approx` a bounded histogram instead of a full sort.
+    Deterministic for a fixed rsd/accuracy but engine-specific, so the
+    correctness bound (vs the exact answers) is asserted in unit tests,
+    not the DuckDB oracle.
+    """
+    price = F.col("o_totalprice")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
+            F.percentile_approx(price, [0.5, 0.95, 0.99], 10_000).alias("price_q"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            "o_orderpriority",
+            "approx_customers",
+            F.col("price_q")[0].alias("p50"),
+            F.col("price_q")[1].alias("p95"),
+            F.col("price_q")[2].alias("p99"),
+            "n_orders",
+        )
+        .orderBy("o_orderpriority")
+    )

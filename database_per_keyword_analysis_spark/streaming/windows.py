@@ -124,3 +124,16 @@ def run_append_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(name)
+
+
+def run_update_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
+    """Update-mode variant (for arbitrary-stateful operators)."""
+    q = (
+        stream_df.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)

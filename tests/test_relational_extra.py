@@ -1,0 +1,100 @@
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from database_per_keyword_analysis_spark.operators import relational as R
+from database_per_keyword_analysis_spark.sources import load
+from database_per_keyword_analysis_spark.streaming import stateful as ST
+from database_per_keyword_analysis_spark.streaming import windows as SW
+
+SCRATCH = "/root/repo/.scratch/test_stateful"
+
+
+def test_approx_stats_within_bounds(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    approx = {r.o_orderpriority: r for r in R.approx_order_stats(orders).collect()}
+    exact = {
+        r.o_orderpriority: r
+        for r in orders.groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("nd"),
+            F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for prio, a in approx.items():
+        e = exact[prio]
+        # HLL rsd=0.02 → generous 10% gate
+        assert abs(a.approx_customers - e.nd) <= max(2, 0.1 * e.nd)
+        # percentile_approx with accuracy 10k is near-exact at this sf
+        assert abs(a.p50 - e.p50) <= 0.05 * abs(e.p50)
+        assert a.p50 <= a.p95 <= a.p99
+
+
+def test_cube_grouping_sets_consistent(spark, sf_dir):
+    cube = R.customer_nation_cube(
+        load(spark, sf_dir, "customer"), load(spark, sf_dir, "nation")
+    ).collect()
+    total = [r for r in cube if r.segment == "ALL" and r.nation == "ALL"]
+    assert len(total) == 1
+    seg_rows = [r for r in cube if r.segment != "ALL" and r.nation == "ALL"]
+    assert sum(r.n_customers for r in seg_rows) == total[0].n_customers
+
+
+def test_stateful_batch_matches_groupby(spark, sf_dir):
+    events = load(spark, sf_dir, "events")
+    got = {
+        r.user_id: (r.n_events, r.max_value)
+        for r in ST.running_user_stats(events).collect()
+    }
+    want = {
+        r.user_id: (r.n, r.mx)
+        for r in events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("value").alias("mx"))
+        .collect()
+    }
+    assert got == want
+
+
+@pytest.fixture()
+def multi_file_events(spark, sf_dir):
+    os.makedirs(SCRATCH, exist_ok=True)
+    path = os.path.join(SCRATCH, "events_split")
+    load(spark, sf_dir, "events").repartition(4).write.mode("overwrite").parquet(path)
+    yield path
+    shutil.rmtree(SCRATCH, ignore_errors=True)
+
+
+def test_stateful_state_survives_micro_batches(spark, sf_dir, multi_file_events):
+    """maxFilesPerTrigger=1 over 4 files → 4 micro-batches: the final
+    emission per user must equal the all-data answer, proving state is
+    carried across batches (not recomputed per batch)."""
+    batch = load(spark, sf_dir, "events")
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(multi_file_events)
+    )
+    updates = SW.run_update_to_memory(
+        ST.running_user_stats(stream), "t_stateful_mb"
+    )
+    # multiple emissions per key proves >1 micro-batch ran
+    n_updates = updates.count()
+    n_users = updates.select("user_id").distinct().count()
+    assert n_updates > n_users
+    final = {
+        r.user_id: (r.n_events, r.max_value)
+        for r in ST.finalize_cumulative(updates).collect()
+    }
+    want = {
+        r.user_id: (r.n, r.mx)
+        for r in batch.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("value").alias("mx"))
+        .collect()
+    }
+    assert final == want
