@@ -958,3 +958,31 @@ def q_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "n_events", "max_value")
         .orderBy("user_id")
     )
+
+
+@register("word_frequency_tier_b", None)  # environment-dependent (hazm
+# models), like the reference itself (main.py:478-481) → rows-only check
+def q_word_frequency_tier_b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tier-B word frequency: hazm-faithful pandas_udf pipeline (with
+    documented fallbacks), then built-in explode→filter→count→top-k.
+    The UDF sits after projection/filter so pushdown still happens."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from .functions import nlp_tier_b as NB
+    from .functions.text import ENGLISH_SPEC, token_keep_predicate
+
+    docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    toks = docs.select("lang", F.explode(NB.tier_b_tokens("text")).alias("word"))
+    counted = (
+        toks.where(token_keep_predicate(F.col("word"), ENGLISH_SPEC))
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("word"))
+    return (
+        counted.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 20)
+        .select("lang", "word", "cnt", "rank")
+        .orderBy("lang", "rank")
+    )
