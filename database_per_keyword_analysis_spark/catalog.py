@@ -231,7 +231,7 @@ def _dsum(expr: str, alias: str) -> str:
     "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus",
 )
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return R.pricing_summary(load(spark, sf_dir, "lineitem"))
+    return R.pricing_summary(load(spark, sf_dir, "lineitem", parallel=True))
 
 
 @register(
@@ -535,7 +535,7 @@ _STOP_IN = ", ".join(_sql_quote(w) for w in TQ.STOPWORDS_EN)
 def q_word_frequency_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 words per language after Tier-A normalize/tokenize/filter +
     stopword removal (A5/U1-U6; main.py:440-567, de-looped)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", parallel=True)
     return WF.word_frequency(
         docs, ["lang"], "text", stopwords=list(TQ.STOPWORDS_EN), top_n=20
     )
@@ -558,7 +558,7 @@ def q_word_frequency_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_doc_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality metrics (north-star text analysis)."""
-    return TQ.quality_metrics(load(spark, sf_dir, "documents")).orderBy("doc_id")
+    return TQ.quality_metrics(load(spark, sf_dir, "documents", parallel=True)).orderBy("doc_id")
 
 
 def _langid_sql() -> str:
@@ -586,7 +586,7 @@ def _langid_sql() -> str:
 @register("language_id", _langid_sql())
 def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-lexicon language-ID heuristic (north-star text analysis)."""
-    return TQ.language_id(load(spark, sf_dir, "documents")).orderBy("doc_id")
+    return TQ.language_id(load(spark, sf_dir, "documents", parallel=True)).orderBy("doc_id")
 
 
 @register(
@@ -596,7 +596,7 @@ def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """md5 fingerprint of normalized text (north-star fingerprinting)."""
-    return TQ.fingerprints(load(spark, sf_dir, "documents")).orderBy("doc_id")
+    return TQ.fingerprints(load(spark, sf_dir, "documents", parallel=True)).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -637,7 +637,7 @@ _DUCK_JACCARD_TAIL = (
 )
 def q_exact_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup by normalized-text fingerprint (keeper = lowest id)."""
-    return D.exact_duplicates(load(spark, sf_dir, "documents"))
+    return D.exact_duplicates(load(spark, sf_dir, "documents", parallel=True))
 
 
 @register(
@@ -654,7 +654,7 @@ def q_exact_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram-Jaccard near-dup pairs at threshold 0.8."""
-    return D.jaccard_pairs(load(spark, sf_dir, "documents"), threshold=0.8)
+    return D.jaccard_pairs(load(spark, sf_dir, "documents", parallel=True), threshold=0.8)
 
 
 def _minhash_sql() -> str:
@@ -692,7 +692,7 @@ def _minhash_sql() -> str:
 def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dups (12 seeds, 4×3 bands) with exact verify —
     deterministic md5 minhashing, so the oracle reproduces it exactly."""
-    return D.minhash_near_dups(load(spark, sf_dir, "documents"), threshold=0.8)
+    return D.minhash_near_dups(load(spark, sf_dir, "documents", parallel=True), threshold=0.8)
 
 
 def _simhash_sql() -> str:
@@ -716,7 +716,7 @@ def _simhash_sql() -> str:
 @register("simhash_fingerprints", _simhash_sql())
 def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit portable SimHash per document."""
-    return D.simhash(load(spark, sf_dir, "documents"))
+    return D.simhash(load(spark, sf_dir, "documents", parallel=True))
 
 
 _DUCK_DOT = (
@@ -744,7 +744,7 @@ def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 neighbors for query vectors (vec_id < 10)."""
     from pyspark.sql import functions as F
 
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings", parallel=True)
     return SIM.knn_bruteforce(emb, emb.where(F.col("vec_id") < 10), k=5)
 
 
@@ -764,7 +764,7 @@ def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_cosine_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (threshold tuned to fixture
     geometry: max pairwise cosine ≈ 0.51)."""
-    return SIM.cosine_near_dup_pairs(load(spark, sf_dir, "embeddings"), threshold=0.4)
+    return SIM.cosine_near_dup_pairs(load(spark, sf_dir, "embeddings", parallel=True), threshold=0.4)
 
 
 @register("lsh_bucketed_knn", None)  # approximate → rows-only check
@@ -773,7 +773,7 @@ def q_lsh_bucketed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests against knn_bruteforce, not oracle-checked)."""
     from pyspark.sql import functions as F
 
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings", parallel=True)
     return SIM.lsh_bucketed_knn(emb, emb.where(F.col("vec_id") < 10), k=5)
 
 

@@ -124,13 +124,39 @@ def _compatible(got: T.DataType, expected: T.DataType) -> bool:
     return got == expected
 
 
-def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Raise partition count to cluster parallelism for CPU-bound
+    downstream work when the scan under-splits.
+
+    The fixtures are single-row-group parquet files, so a scan yields ONE
+    partition no matter how many cores exist — every per-row-expensive
+    operator downstream (regex matching, shingling, vector math) would
+    run single-threaded.  At 100 TB a scan naturally yields ≫ cores
+    partitions and this is a no-op (checked, not assumed); the
+    round-robin shuffle only fires on under-split inputs, where the data
+    is by construction small relative to the compute it unlocks.
+    Catalyst still pushes filters/pruning through the Repartition node
+    into the scan (PushPredicateThroughNonJoin).
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_partitions or sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
+def load(
+    spark: SparkSession, sf_dir: str, name: str, parallel: bool = False
+) -> DataFrame:
     """Load one fixture table as a DataFrame, validating its schema.
 
     Equivalent of the reference's JDBC scan S1 (/root/reference/main.py:269-280)
     — but the projection/predicate pushdown the reference hand-writes in SQL
     is left to Catalyst: callers `.select()`/`.where()` and the parquet scan
     prunes columns and row groups automatically.
+
+    ``parallel=True`` applies :func:`fan_out` — use for queries whose
+    per-row compute dominates scan cost.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
@@ -166,7 +192,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             )
         elif not isinstance(ts_type, _TS_TYPES):
             df = df.withColumn("ts", df["ts"].cast("timestamp_ntz"))
-    return df
+    return fan_out(df) if parallel else df
 
 
 def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
