@@ -986,3 +986,63 @@ def q_word_frequency_tier_b(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "word", "cnt", "rank")
         .orderBy("lang", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Coverage completions: J1 theta-join formulation of the keyword count,
+# E1 explicit union-all, and the reference's third entry point (the
+# parameterized debug query, main.py:956-990).
+# ---------------------------------------------------------------------------
+
+
+@register("keyword_breakdown_join", _keyword_breakdown_sql(CFG))
+def q_keyword_breakdown_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 via broadcast theta-join posts⋈keywords ON contains(text, kw)
+    (J1) — must agree exactly with the one-pass agg formulation."""
+    docs = load(spark, sf_dir, "documents")
+    return K.keyword_breakdown_join(docs, CFG, text_col="text", channel_col="source")
+
+
+@register(
+    "orders_status_union",
+    "SELECT o_orderstatus, count(*) AS n FROM ("
+    "SELECT o_orderstatus FROM orders WHERE o_orderstatus = 'O' "
+    "UNION ALL SELECT o_orderstatus FROM orders WHERE o_orderstatus = 'F' "
+    "UNION ALL SELECT o_orderstatus FROM orders WHERE o_orderstatus NOT IN ('O','F')"
+    ") GROUP BY o_orderstatus ORDER BY o_orderstatus",
+)
+def q_orders_status_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 UNION ALL: partitioned slices re-assembled with unionByName
+    (the reference's monthly pd.concat, main.py:301-303) — counts must
+    survive the round trip."""
+    from pyspark.sql import functions as F
+
+    orders = load(spark, sf_dir, "orders")
+    o = orders.where(F.col("o_orderstatus") == "O")
+    f_ = orders.where(F.col("o_orderstatus") == "F")
+    rest = orders.where(~F.col("o_orderstatus").isin("O", "F"))
+    return (
+        o.select("o_orderstatus")
+        .unionByName(f_.select("o_orderstatus"))
+        .unionByName(rest.select("o_orderstatus"))
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("o_orderstatus")
+    )
+
+
+_DEBUG_INDUSTRY, _DEBUG_KEYWORD = "Query_Engine", "hash join"
+
+
+@register(
+    "debug_keyword_posts",
+    f"WITH {_cleaned_cte(CFG)} SELECT doc_id, source AS channel, "
+    "concat(replace(substr(text, 1, 100), chr(10), ' '), '...') AS snippet "
+    f"FROM cleaned WHERE {_contains_any('text', CFG.industry_keywords[_DEBUG_INDUSTRY])} "
+    f"AND contains(text, '{_DEBUG_KEYWORD}') ORDER BY doc_id",
+)
+def q_debug_keyword_posts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entry point 3 (main.py:956-990): audit posts of one industry
+    matching one keyword, post-filters, with display snippets."""
+    docs = load(spark, sf_dir, "documents")
+    return K.debug_keyword_posts(docs, CFG, _DEBUG_INDUSTRY, _DEBUG_KEYWORD)

@@ -163,3 +163,67 @@ def keyword_breakdown(
         long.where(F.col("cnt") > 0)
         .orderBy(F.col("industry"), F.desc("cnt"), F.col("keyword"))
     )
+
+
+def keyword_dim(spark, cfg: KeywordConfig) -> DataFrame:
+    """The keyword dimension as a (industry, keyword) DataFrame — the
+    reference's INDUSTRY_KEYWORDS dict (main.py:45-74) as data."""
+    rows = [(i, k) for i, kws in cfg.industry_keywords.items() for k in kws]
+    return spark.createDataFrame(rows, ["industry", "keyword"])
+
+
+def keyword_breakdown_join(
+    df: DataFrame,
+    cfg: KeywordConfig,
+    text_col: str = "text",
+    channel_col: str | None = None,
+) -> DataFrame:
+    """A4 in its J1 theta-join formulation: posts ⋈ keywords on
+    `contains(text, keyword)` as a broadcast nested-loop join
+    (main.py:231-237/371-378 is logically `CROSS JOIN ... WHERE instr>0`).
+
+    Same result as `keyword_breakdown`; that one-pass agg is the faster
+    plan (shuffles ~80 longs vs row×keyword pairs), but the join form is
+    the one that generalizes to a keyword dim too large to inline in an
+    expression tree — broadcast stays O(|keywords|) per executor.
+    """
+    cleaned = clean(coarse_keyword_filter(df, cfg, text_col), cfg, text_col, channel_col)
+    kw = keyword_dim(df.sparkSession, cfg)
+    return (
+        cleaned.select(text_col)
+        .crossJoin(F.broadcast(kw))
+        .where(F.col(text_col).contains(F.col("keyword")))
+        .groupBy("industry", "keyword")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("industry"), F.desc("cnt"), F.col("keyword"))
+    )
+
+
+def debug_keyword_posts(
+    df: DataFrame,
+    cfg: KeywordConfig,
+    industry: str,
+    keyword: str,
+    text_col: str = "text",
+    channel_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The reference's only parameterized query API (entry point 3,
+    main.py:956-990): posts of one industry containing one keyword,
+    after blacklist+noise filters, projected for manual audit.
+
+    Predicate composition: is_<industry> ∧ contains(text, keyword) ∧
+    ¬blacklisted ∧ ¬noise — all pushed into one scan.
+    """
+    flagged = categorize(clean(df, cfg, text_col, channel_col), cfg, text_col)
+    from ..functions.text import snippet
+
+    return (
+        flagged.where(F.col(flag_col(industry)) & F.col(text_col).contains(keyword))
+        .select(
+            F.col(id_col),
+            F.col(channel_col).alias("channel"),
+            snippet(text_col).alias("snippet"),
+        )
+        .orderBy(id_col)
+    )
