@@ -1046,3 +1046,32 @@ def q_debug_keyword_posts(spark: SparkSession, sf_dir: str) -> DataFrame:
     matching one keyword, post-filters, with display snippets."""
     docs = load(spark, sf_dir, "documents")
     return K.debug_keyword_posts(docs, CFG, _DEBUG_INDUSTRY, _DEBUG_KEYWORD)
+
+
+@register(
+    "top_channels_salted",
+    # identical oracle to top_channels_by_views: salting must be invisible
+    f"WITH {_cleaned_cte(CFG)} "
+    "SELECT source AS channel, CAST(sum(n_chars) AS BIGINT) AS total_views "
+    f"FROM cleaned WHERE {_STREAMING_PRED} "
+    "GROUP BY source ORDER BY total_views DESC, channel LIMIT 15",
+)
+def q_top_channels_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe twin of top_channels_by_views: two-phase salted sum
+    (operators/scale.py) — hot channels split across 16 partial tasks,
+    result bit-identical to the direct aggregation."""
+    from pyspark.sql import functions as F
+
+    from .operators import scale as SC
+
+    docs = load(spark, sf_dir, "documents")
+    flagged = K.categorize(
+        K.clean(K.coarse_keyword_filter(docs, CFG), CFG, channel_col="source"), CFG
+    )
+    sliced = flagged.where(K.flag_col("Streaming"))
+    return (
+        SC.salted_sum(sliced, ["source"], "n_chars", "total_views")
+        .select(F.col("source").alias("channel"), "total_views")
+        .orderBy(F.desc("total_views"), "channel")
+        .limit(15)
+    )

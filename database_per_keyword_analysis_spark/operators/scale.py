@@ -1,0 +1,84 @@
+"""Skew and co-location helpers for the 100 TB tier (SURVEY.md §7.4).
+
+The reference's corpus has mega-channels that dominate any per-channel
+grouping (it even blacklists one outright, /root/reference/main.py:202-205).
+At cluster scale a skewed group key means one reducer gets the mega-key's
+entire partition while the rest idle.  Two standing answers:
+
+  * **salting** — split each key into `n_salts` pseudo-keys for a partial
+    aggregate, then combine partials in a second (tiny) aggregation.
+    Exact for algebraic aggregates (sum/count/min/max); the second stage
+    shuffles one row per (key, salt), not per input row.
+  * **bucketing** — pre-shuffle a fact table into persisted hash buckets
+    on its join key so repeated joins/aggregations on that key skip the
+    exchange entirely (SortMergeJoin with zero Exchange).
+
+AQE's skew-join splitting (enabled in `session.py`) handles skewed JOINS
+at runtime; salting is for skewed AGGREGATIONS, which AQE does not
+rebalance when a single group key is hot (all rows of one key must still
+meet in one task for a one-shot agg — salting is the decomposition that
+avoids it).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_SALTS = 16
+
+
+def with_salt(df: DataFrame, n_salts: int = DEFAULT_SALTS) -> DataFrame:
+    """Add a deterministic salt column derived from a whole-row hash —
+    reproducible across retries (a `rand()` salt breaks task retry
+    idempotency and any oracle comparison)."""
+    return df.withColumn(
+        "__salt", F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(n_salts))
+    )
+
+
+def salted_sum(
+    df: DataFrame,
+    keys: list[str],
+    sum_col: str | Column,
+    alias: str,
+    n_salts: int = DEFAULT_SALTS,
+) -> DataFrame:
+    """Two-phase skew-safe sum: groupBy(keys + salt) partial sums, then
+    groupBy(keys) combine.  Identical result to a direct groupBy-sum for
+    exact-typed columns (long/decimal); both shuffles carry aggregates,
+    never raw rows, and the hot key's rows split across `n_salts` tasks.
+    """
+    c = F.col(sum_col) if isinstance(sum_col, str) else sum_col
+    partial = (
+        with_salt(df, n_salts)
+        .groupBy(*keys, "__salt")
+        .agg(F.sum(c).alias("__partial"))
+    )
+    return partial.groupBy(*keys).agg(F.sum("__partial").alias(alias))
+
+
+def salted_count(
+    df: DataFrame, keys: list[str], alias: str, n_salts: int = DEFAULT_SALTS
+) -> DataFrame:
+    partial = (
+        with_salt(df, n_salts)
+        .groupBy(*keys, "__salt")
+        .agg(F.count(F.lit(1)).alias("__partial"))
+    )
+    return partial.groupBy(*keys).agg(F.sum("__partial").cast("long").alias(alias))
+
+
+def write_bucketed(
+    df: DataFrame, table: str, keys: list[str], n_buckets: int = 32
+) -> None:
+    """Persist `df` hash-bucketed (and sorted) by `keys`: subsequent
+    equi-joins/aggregations on `keys` between co-bucketed tables run
+    with NO exchange (verified in tests/test_scale.py by asserting the
+    join plan is Exchange-free)."""
+    (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, *keys)
+        .sortBy(*keys)
+        .saveAsTable(table)
+    )
