@@ -1075,3 +1075,16 @@ def q_top_channels_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("total_views"), "channel")
         .limit(15)
     )
+
+
+@register("ivf_knn", None)  # approximate (k-means quantizer) → rows-only;
+# recall vs knn_bruteforce asserted in tests/test_similarity.py
+def q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: coarse k-means quantizer, n_probe nearest
+    lists searched per query (operators/similarity.py:ivf_knn)."""
+    from pyspark.sql import functions as F
+
+    from .operators import similarity as SIM
+
+    emb = load(spark, sf_dir, "embeddings", parallel=True)
+    return SIM.ivf_knn(emb, emb.where(F.col("vec_id") < 10), k=5)

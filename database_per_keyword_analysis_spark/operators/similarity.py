@@ -201,3 +201,122 @@ def lsh_bucketed_knn(
         .where(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) tier: coarse k-means quantizer + probed cluster
+# search — the other classic ANN scale path next to hyperplane LSH.
+# ---------------------------------------------------------------------------
+
+def ivf_index(
+    vectors: DataFrame,
+    n_lists: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    train_fraction: float | None = None,
+):
+    """Build an IVF index: k-means centroids (the coarse quantizer) and
+    the vector→list assignment.
+
+    Returns (assigned DataFrame with `list_id`, centroids list-of-lists).
+
+    Scale design: centroids are trained on a SAMPLE (`train_fraction`;
+    k-means on 100 TB is neither needed nor possible — n_lists≪N means a
+    few million sampled rows fix the same centroids), assignment is one
+    narrow map over the corpus (no shuffle), and the centroid table is
+    driver-small (n_lists × dim floats) — it broadcasts into the probe
+    join.  Writing `assigned` partitioned by `list_id` gives partition
+    pruning on probes.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = vectors if train_fraction is None else vectors.sample(
+        fraction=train_fraction, seed=seed
+    )
+    feats = train.select(array_to_vector(F.col(vec_col)).alias("features"))
+    model = KMeans(k=n_lists, seed=seed, maxIter=20).fit(feats)
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+
+    pred = model.transform(
+        vectors.select(
+            F.col(id_col), F.col(vec_col), array_to_vector(F.col(vec_col)).alias("features")
+        )
+    )
+    assigned = pred.select(
+        id_col, vec_col, F.col("prediction").cast("int").alias("list_id")
+    )
+    return assigned, centroids
+
+
+def _centroid_df(spark, centroids: list[list[float]]) -> DataFrame:
+    return spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)], ["list_id", "centroid"]
+    ).withColumn("centroid", F.col("centroid").cast("array<double>"))
+
+
+def ivf_knn(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-probed approximate top-k cosine: each query searches only its
+    `n_probe` nearest inverted lists instead of the whole corpus —
+    compare ~n_probe/n_lists of the candidates of brute force.
+
+    All joins after assignment are equi-joins on `list_id` (shuffle-free
+    on the corpus side when `assigned` is pre-partitioned by list_id);
+    the query→probe-list fan-out is broadcast (|Q|·n_probe rows).
+    """
+    spark = vectors.sparkSession
+    assigned, centroids = ivf_index(vectors, n_lists, vec_col, id_col, seed)
+    cent = _centroid_df(spark, centroids)
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_emb"),
+        F.sqrt(_dot_dec(vec_col, vec_col)).alias("q_norm"),
+    )
+    # rank centroids per query by cosine → keep n_probe
+    qc = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("c_score", _dot_dec("q_emb", "centroid"))
+        .withColumn(
+            "c_rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("c_score"), F.asc("list_id")
+                )
+            ),
+        )
+        .where(F.col("c_rank") <= n_probe)
+        .select("query_id", "q_emb", "q_norm", "list_id")
+    )
+    cand = assigned.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_emb"), "list_id"
+    )
+    scored = (
+        cand.join(F.broadcast(qc), "list_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("c_norm", F.sqrt(_dot_dec("c_emb", "c_emb")))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (_dot_dec("q_emb", "c_emb") / (F.col("q_norm") * F.col("c_norm"))).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+        .orderBy("query_id", "rank")
+    )

@@ -61,3 +61,21 @@ def test_lsh_recall_against_bruteforce(spark, sf_dir):
     # expected; the point is the mechanism works and finds true neighbors.
     assert recall >= 0.2, f"recall {recall}"
     assert approx, "LSH returned nothing"
+
+
+def test_ivf_recall_and_shape(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in SIM.knn_bruteforce(emb, queries, k=5).collect()
+    }
+    rows = SIM.ivf_knn(emb, queries, k=5).collect()
+    approx = {(r.query_id, r.neighbor_id) for r in rows}
+    # every query answered with a full (or near-full) candidate list
+    assert len(rows) >= 90
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.2, f"recall {recall}"
+    # deterministic across runs (seeded k-means)
+    again = {(r.query_id, r.neighbor_id) for r in SIM.ivf_knn(emb, queries, k=5).collect()}
+    assert approx == again
