@@ -1,0 +1,74 @@
+"""Physical-plan assertions: the optimizer behaviors the 100 TB design
+depends on must be visible in `.explain` output, not assumed.
+
+These guard against regressions that stay correctness-green but destroy
+scale behavior (a filter that stops pushing, a broadcast that silently
+becomes a shuffle join, a projection that drags every column through)."""
+
+from __future__ import annotations
+
+from database_per_keyword_analysis_spark import catalog
+from database_per_keyword_analysis_spark.sources import load
+
+
+def _plan(spark, sf_dir, name):
+    df = catalog.queries()[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_keyword_scan_pushes_notnull_and_prunes(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "industry_counts")
+    assert "PushedFilters: [IsNotNull(text)" in plan
+    # documents has 5 columns; only text+source must be read
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" in read and "source" in read
+    assert "n_chars" not in read and "lang" not in read and "doc_id" not in read
+
+
+def test_pricing_summary_pushes_range_filter(spark, sf_dir):
+    df = catalog.queries()["pricing_summary"](spark, sf_dir)
+    df.collect()  # finalize THIS dataset's AQE plan (a write would clone it)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters:" in plan and "l_shipdate" in plan.split("PushedFilters:")[1].splitlines()[0]
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" not in read  # unused column pruned
+    # whole-stage codegen spans appear as *(n) markers in the final plan
+    import re as _re
+
+    assert _re.search(r"\*\(\d+\) HashAggregate", plan)
+
+
+def test_revenue_by_nation_broadcasts_dims(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "revenue_by_nation")
+    assert "BroadcastHashJoin" in plan
+    # exactly one shuffled (fact-fact) join at most: orders⋈lineitem
+    assert plan.count("SortMergeJoin") <= 1
+
+
+def test_knn_broadcasts_query_side(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "knn_bruteforce")
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_anti_and_semi_joins_are_joins_not_subquery_loops(spark, sf_dir):
+    for name, kind in [
+        ("customers_without_orders", "LeftAnti"),
+        ("customers_with_open_orders", "LeftSemi"),
+    ]:
+        assert kind in _plan(spark, sf_dir, name)
+
+
+def test_quality_metrics_is_single_pass_no_shuffle(spark, sf_dir):
+    # pure projection operator: no aggregation exchange (only the
+    # parallelize repartition and final sort are allowed)
+    df = catalog.queries()["doc_quality_metrics"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_loader_projection_reaches_scan(spark, sf_dir):
+    df = load(spark, sf_dir, "lineitem").select("l_orderkey").where("l_orderkey > 100")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert read.count("l_") == 1  # only l_orderkey read
+    assert "GreaterThan(l_orderkey,100)" in plan
