@@ -1088,3 +1088,37 @@ def q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings", parallel=True)
     return SIM.ivf_knn(emb, emb.where(F.col("vec_id") < 10), k=5)
+
+
+@register(
+    "stream_sliding_counts",
+    # same oracle as the batch sliding_window_counts twin
+    "WITH starts AS (SELECT unnest(generate_series("
+    "make_timestamp((epoch_us(ts) // 21600000000) * 21600000000 - 64800000000), "
+    "make_timestamp((epoch_us(ts) // 21600000000) * 21600000000), "
+    "INTERVAL 6 HOUR)) AS window_start FROM events) "
+    "SELECT window_start, window_start + INTERVAL 1 DAY AS window_end, "
+    "count(*) AS n FROM starts GROUP BY window_start ORDER BY window_start",
+)
+def q_stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-day/6-hour windows via readStream + watermark —
+    batch/stream parity with sliding_window_counts."""
+    from pyspark.sql import functions as F
+
+    ev = SW.read_events_stream(spark, sf_dir)
+    stream = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day", "6 hours").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n",
+        )
+    )
+    out = SW.run_to_memory(stream, "q_stream_slide")
+    return out.select(
+        F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+        F.col("window_end").cast("timestamp_ntz").alias("window_end"),
+        "n",
+    ).orderBy("window_start")

@@ -4,6 +4,7 @@ read vs readStream must agree when driven with availableNow."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from database_per_keyword_analysis_spark.sources import load
 from database_per_keyword_analysis_spark.streaming import windows as SW
@@ -67,3 +68,62 @@ def test_session_matches_batch_sessionize(batch_events):
 def test_streaming_dedup(spark, stream_events, batch_events):
     out = SW.run_append_to_memory(SW.deduped_stream(stream_events), "t_dedup")
     assert out.count() == batch_events.select("event_id").distinct().count()
+
+
+def test_watermark_gates_append_emission(spark):
+    """Watermark semantics that ARE guaranteed (late-row dropping is
+    best-effort and must not be asserted): append mode emits a window
+    exactly once, only after the watermark passes its end, and withholds
+    still-open windows at end-of-stream."""
+    import os
+    import shutil
+    import time as _t
+
+    scratch = "/root/repo/.scratch/test_late"
+    os.makedirs(scratch, exist_ok=True)
+    path = os.path.join(scratch, "stream")
+    try:
+        batch1 = spark.createDataFrame(
+            [(1, "2024-01-01 10:05:00"), (2, "2024-01-01 12:00:00")],
+            ["event_id", "ts_s"],
+        ).selectExpr("event_id", "CAST(ts_s AS TIMESTAMP) AS ts")
+        batch2 = spark.createDataFrame(
+            [(3, "2024-01-01 12:10:00")], ["event_id", "ts_s"]
+        ).selectExpr("event_id", "CAST(ts_s AS TIMESTAMP) AS ts")
+        batch1.coalesce(1).write.parquet(os.path.join(path, "f=1"))
+        batch2.coalesce(1).write.parquet(os.path.join(path, "f=2"))
+        # FileStreamSource orders batches by modification time
+        now = _t.time()
+        for root, _, files in os.walk(path):
+            for fn in files:
+                full = os.path.join(root, fn)
+                os.utime(full, (now - 60, now - 60) if "f=1" in root else (now, now))
+
+        stream = (
+            spark.readStream.schema("event_id LONG, ts TIMESTAMP")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(path + "/f=*")
+            .withWatermark("ts", "30 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        q = (
+            stream.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("t_wm_gate")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows = {
+            (r["w"].start.strftime("%H:%M"), r.n)
+            for r in spark.table("t_wm_gate").collect()
+        }
+        # final watermark = 12:10 - 0:30 = 11:40 → the 10:00-11:00 window
+        # closed and emitted exactly once; both 12:00 windows (ends 13:00)
+        # are still open and MUST be withheld
+        assert rows == {("10:00", 1)}
+        wm = q.recentProgress[-1]["eventTime"]["watermark"]
+        assert wm.startswith("2024-01-01T11:40")
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
