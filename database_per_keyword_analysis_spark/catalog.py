@@ -1122,3 +1122,17 @@ def q_stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("window_end").cast("timestamp_ntz").alias("window_end"),
         "n",
     ).orderBy("window_start")
+
+
+@register(
+    "order_price_quantiles",
+    "SELECT o_orderpriority, quantile_cont(o_totalprice, 0.25) AS p25, "
+    "quantile_cont(o_totalprice, 0.5) AS p50, "
+    "quantile_cont(o_totalprice, 0.95) AS p95, "
+    "min(o_totalprice) AS min_price, max(o_totalprice) AS max_price "
+    "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority",
+)
+def q_order_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group quantiles (correctness anchor for the approx
+    tier; §2.4 approx/exact pair)."""
+    return R.order_price_quantiles(load(spark, sf_dir, "orders"))

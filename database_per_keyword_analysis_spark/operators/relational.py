@@ -271,3 +271,23 @@ def approx_order_stats(orders: DataFrame) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+def order_price_quantiles(orders: DataFrame) -> DataFrame:
+    """EXACT quantiles per priority (`percentile`, linear interpolation —
+    agrees bit-for-bit with DuckDB's quantile_cont, so oracle-checked,
+    unlike the sketch tier in `approx_order_stats`).  Exact percentile
+    sorts each group's values — at 100 TB use the approx tier; this is
+    the correctness anchor it is validated against."""
+    p = F.col("o_totalprice")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.expr("percentile(o_totalprice, 0.25)").alias("p25"),
+            F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+            F.expr("percentile(o_totalprice, 0.95)").alias("p95"),
+            F.min(p).alias("min_price"),
+            F.max(p).alias("max_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
