@@ -41,6 +41,12 @@ HEADLINE = [
     "exact_duplicates",
     "minhash_near_dups",
     "knn_bruteforce",
+    "ivf_knn",
+    "customer_nation_cube",
+    "order_price_quantiles",
+    "multimodal_byte_features",
+    "stateful_user_stats",
+    "top_channels_salted",
 ]
 
 
