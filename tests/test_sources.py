@@ -96,3 +96,36 @@ def test_jdbc_scan_pushdown_shape():
     opts = scan.options()
     assert opts["fetchsize"] == "10000"
     assert opts["pushDownPredicate"] == "true"
+
+
+def test_entry2_csv_to_keyword_pipeline(spark, scratch):
+    """Reference entry point 2 (offline pipeline, main.py:1085-1096):
+    malformed CSV → repair → coerce → keyword pipeline, end to end."""
+    from database_per_keyword_analysis_spark.config import KeywordConfig
+    from database_per_keyword_analysis_spark.operators import keywords as K
+
+    cfg = KeywordConfig(
+        industry_keywords={"Steel": ["steel"], "Water": ["water"]},
+        noise_terms=["football"],
+        channel_blacklist=["SpamChan"],
+    )
+    csv = (
+        "full_date,channel_username,views,text\n"
+        '2024-01-01 10:00:00,alpha,"10","steel rally"\\n"2024-01-02 10:00:00",beta,"20","water supply"\\n'
+        '"2024-01-03 10:00:00",spamchan,"99","steel spam"\n'
+        '2024-01-04 10:00:00,beta,"5","football steel"\n'
+        'bad-date,gamma,"7","steel dropped"\n'
+    )
+    path = os.path.join(scratch, "tg.csv")
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(csv)
+    posts = csv_repair.read_repaired_posts_csv(spark, path)
+    got = {
+        r.industry: r.post_count
+        for r in K.industry_counts(
+            posts, cfg, channel_col="channel_username"
+        ).collect()
+    }
+    # alpha/steel survives; beta/water survives; spamchan blacklisted;
+    # football row noise-filtered; bad-date row dropped at load
+    assert got == {"Steel": 1, "Water": 1}
