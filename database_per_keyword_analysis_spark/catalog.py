@@ -1136,3 +1136,43 @@ def q_order_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-group quantiles (correctness anchor for the approx
     tier; §2.4 approx/exact pair)."""
     return R.order_price_quantiles(load(spark, sf_dir, "orders"))
+
+
+def _wf_industry_sql(cfg: KeywordConfig, top_n: int = 10) -> str:
+    all_kws = [k for kws in cfg.industry_keywords.values() for k in kws]
+    branches = " UNION ALL ".join(
+        f"SELECT {_sql_quote(i)} AS industry, text FROM cleaned "
+        f"WHERE {_contains_any('text', kws)}"
+        for i, kws in cfg.industry_keywords.items()
+    )
+    branches += (
+        " UNION ALL SELECT 'Global' AS industry, text FROM cleaned "
+        f"WHERE {_contains_any('text', all_kws)}"
+    )
+    cfg_stop = ", ".join(_sql_quote(w.lower()) for w in cfg.stopwords)
+    return (
+        f"WITH {_cleaned_cte(cfg)}, "
+        f"lab AS ({branches}), "
+        f"tok AS (SELECT industry, unnest({_DUCK_TOKS}) AS word FROM lab), "
+        "dyn AS (SELECT DISTINCT lower(source) AS w FROM documents "
+        "UNION SELECT DISTINCT '@' || lower(source) FROM documents), "
+        f"kept AS (SELECT industry, word FROM tok "
+        f"WHERE {_DUCK_KEEP.replace('(t', '(word').replace('len(t)', 'len(word)')} "
+        f"AND word NOT IN ({cfg_stop}) "
+        "AND word NOT IN (SELECT w FROM dyn)), "
+        "c AS (SELECT industry, word, count(*) AS cnt FROM kept GROUP BY industry, word) "
+        "SELECT industry, word, cnt, rn FROM (SELECT industry, word, cnt, "
+        "row_number() OVER (PARTITION BY industry ORDER BY cnt DESC, word) AS rn FROM c) "
+        f"WHERE rn <= {top_n} ORDER BY industry, rn"
+    )
+
+
+@register("word_frequency_by_industry", _wf_industry_sql(CFG))
+def q_word_frequency_by_industry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's exact A5 reporting shape: top words per industry
+    plus a 'Global' any-industry group, multi-label rows in every group,
+    dynamic channel-name stopwords (main.py:515-564, 448-453)."""
+    docs = load(spark, sf_dir, "documents", parallel=True)
+    return WF.word_frequency_by_industry(
+        docs, CFG, text_col="text", channel_col="source", top_n=10
+    )

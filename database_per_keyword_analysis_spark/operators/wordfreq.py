@@ -70,3 +70,50 @@ def word_frequency(
         .where(F.col("rn") <= top_n)
         .orderBy(*group_cols, "rn")
     )
+
+
+def word_frequency_by_industry(
+    df: DataFrame,
+    cfg,
+    text_col: str = "text",
+    channel_col: str | None = None,
+    top_n: int = 10,
+    spec: TX.TokenFilterSpec = TX.ENGLISH_SPEC,
+) -> DataFrame:
+    """The reference's exact A5 shape: top-n words per industry PLUS a
+    'Global' any-industry group, multi-label rows counted in every group
+    they belong to (main.py:515-564).
+
+    One-pass formulation: per row build the array of group labels
+    (matched industries + 'Global'), explode it alongside the token
+    stream — no per-industry rescan of the corpus.  Dynamic stopwords
+    (U7): channel usernames are anti-joined away from the token stream.
+    """
+    from . import keywords as K
+
+    flagged = K.categorize(K.clean(df, cfg, text_col, channel_col), cfg, text_col)
+    labels = F.array_compact(
+        F.array(
+            *[
+                F.when(F.col(K.flag_col(i)), F.lit(i))
+                for i in cfg.industries
+            ],
+            F.when(K.any_industry(flagged, cfg), F.lit("Global")),
+        )
+    )
+    labeled = flagged.where(K.any_industry(flagged, cfg)).select(
+        F.explode(labels).alias("industry"), text_col, *( [channel_col] if channel_col else [] )
+    )
+    tok = tokens(labeled, text_col, spec, keep_cols=("industry",))
+    if cfg.stopwords:
+        tok = tok.where(~F.lower(F.col("word")).isin(*[s.lower() for s in cfg.stopwords]))
+    if channel_col:
+        sw = dynamic_stopwords(df, channel_col)
+        tok = tok.join(F.broadcast(sw), F.lower(tok.word) == sw.word, "left_anti")
+    counted = tok.groupBy("industry", "word").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("industry").orderBy(F.desc("cnt"), F.asc("word"))
+    return (
+        counted.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= top_n)
+        .orderBy("industry", "rn")
+    )

@@ -95,3 +95,25 @@ def test_snippet(spark):
     assert out.endswith("...")
     assert "\n" not in out
     assert len(out) == 103
+
+
+def test_word_frequency_by_industry_multilabel(spark):
+    """A multi-label doc's tokens count in BOTH industries and Global."""
+    from database_per_keyword_analysis_spark.config import KeywordConfig
+    from database_per_keyword_analysis_spark.operators import wordfreq as WF
+
+    cfg = KeywordConfig(
+        industry_keywords={"Steel": ["steel"], "Water": ["water"]},
+        stopwords=[],
+    )
+    df = spark.createDataFrame(
+        [(1, "ch1", "steel water blend"), (2, "ch2", "steel only post")],
+        ["doc_id", "src", "text"],
+    )
+    out = WF.word_frequency_by_industry(df, cfg, channel_col="src", top_n=10)
+    got = {(r.industry, r.word): r.cnt for r in out.collect()}
+    assert got[("Steel", "steel")] == 2   # docs 1 and 2
+    assert got[("Water", "steel")] == 1   # doc 1's tokens in Water too
+    assert got[("Global", "steel")] == 2
+    assert got[("Water", "water")] == 1
+    assert ("Steel", "only") in got and ("Water", "only") not in got
