@@ -1176,3 +1176,46 @@ def q_word_frequency_by_industry(spark: SparkSession, sf_dir: str) -> DataFrame:
     return WF.word_frequency_by_industry(
         docs, CFG, text_col="text", channel_col="source", top_n=10
     )
+
+
+def _top_posts_all_sql(cfg: KeywordConfig, k: int = 5) -> str:
+    branches = " UNION ALL ".join(
+        f"SELECT {_sql_quote(i)} AS industry, doc_id, source AS channel, "
+        f"n_chars AS views FROM cleaned WHERE {_contains_any('text', kws)}"
+        for i, kws in cfg.industry_keywords.items()
+    )
+    return (
+        f"WITH {_cleaned_cte(cfg)}, lab AS ({branches}) "
+        "SELECT industry, doc_id, channel, views, rn FROM ("
+        "SELECT industry, doc_id, channel, views, row_number() OVER "
+        "(PARTITION BY industry ORDER BY views DESC, doc_id) AS rn FROM lab) "
+        f"WHERE rn <= {k} ORDER BY industry, rn"
+    )
+
+
+@register("top_posts_per_industry", _top_posts_all_sql(CFG))
+def q_top_posts_per_industry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stats_report's top-posts for ALL industries in one pass
+    (main.py:427 looped per industry → one window over exploded labels)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    docs = load(spark, sf_dir, "documents")
+    flagged = K.categorize(
+        K.clean(docs, CFG, "text", channel_col="source"), CFG, "text"
+    )
+    labels = F.array_compact(
+        F.array(*[F.when(F.col(K.flag_col(i)), F.lit(i)) for i in CFG.industries])
+    )
+    lab = flagged.where(K.any_industry(flagged, CFG)).select(
+        F.explode(labels).alias("industry"),
+        "doc_id",
+        F.col("source").alias("channel"),
+        F.col("n_chars").alias("views"),
+    )
+    w = Window.partitionBy("industry").orderBy(F.desc("views"), F.asc("doc_id"))
+    return (
+        lab.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .orderBy("industry", "rn")
+    )
