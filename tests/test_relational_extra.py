@@ -98,3 +98,15 @@ def test_stateful_state_survives_micro_batches(spark, sf_dir, multi_file_events)
         .collect()
     }
     assert final == want
+
+
+def test_results_invariant_to_partitioning(spark, sf_dir):
+    """The decimal-accumulation convention's core promise: changing the
+    physical partitioning must not change a single bit of the result."""
+    from database_per_keyword_analysis_spark.operators import relational as R
+
+    li = load(spark, sf_dir, "lineitem")
+    base = R.pricing_summary(li).collect()
+    for parts in (1, 7):
+        got = R.pricing_summary(li.repartition(parts)).collect()
+        assert [r.asDict() for r in got] == [r.asDict() for r in base]
