@@ -1219,3 +1219,24 @@ def q_top_posts_per_industry(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 5)
         .orderBy("industry", "rn")
     )
+
+
+@register(
+    "event_funnel",
+    "WITH f AS (SELECT user_id, "
+    "min(ts) FILTER (WHERE event_type = 'view') AS t0, "
+    "min(ts) FILTER (WHERE event_type = 'click') AS t1, "
+    "min(ts) FILTER (WHERE event_type = 'purchase') AS t2 "
+    "FROM events GROUP BY user_id), "
+    "r AS (SELECT CAST(count(*) FILTER (WHERE t0 IS NOT NULL) AS BIGINT) AS n0, "
+    "CAST(count(*) FILTER (WHERE t0 IS NOT NULL AND t1 IS NOT NULL AND t1 > t0) AS BIGINT) AS n1, "
+    "CAST(count(*) FILTER (WHERE t0 IS NOT NULL AND t1 IS NOT NULL AND t1 > t0 "
+    "AND t2 IS NOT NULL AND t2 > t1) AS BIGINT) AS n2 FROM f) "
+    "SELECT 'view' AS stage, n0 AS n_users FROM r "
+    "UNION ALL SELECT 'click', n1 FROM r "
+    "UNION ALL SELECT 'purchase', n2 FROM r",
+)
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view→click→purchase funnel: per-stage user reach with
+    temporal ordering, one conditional-aggregation pass."""
+    return E.funnel_counts(load(spark, sf_dir, "events"))

@@ -130,3 +130,33 @@ def user_activity_pivot(events: DataFrame) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+def funnel_counts(events: DataFrame, stages: tuple[str, ...] = ("view", "click", "purchase")) -> DataFrame:
+    """Ordered-funnel conversion: users whose first stage-k event happens
+    AFTER their first stage-(k-1) event, per stage.
+
+    One aggregation pass: per user, min(ts) per stage via conditional
+    aggregation (no joins, no self-unions); stage reach is then a chain
+    of timestamp comparisons on the per-user row.  Shuffle: one, on
+    user_id, carrying |stages| timestamps per user.
+    """
+    firsts = events.groupBy("user_id").agg(
+        *[
+            F.min(F.when(F.col("event_type") == s, F.col("ts"))).alias(f"t_{i}")
+            for i, s in enumerate(stages)
+        ]
+    )
+    reached = [F.col("t_0").isNotNull()]
+    for i in range(1, len(stages)):
+        reached.append(
+            reached[i - 1] & F.col(f"t_{i}").isNotNull() & (F.col(f"t_{i}") > F.col(f"t_{i-1}"))
+        )
+    agg = firsts.agg(
+        *[F.sum(r.cast("long")).alias(f"n_{i}") for i, r in enumerate(reached)]
+    )
+    stack = ", ".join(f"'{s}', `n_{i}`" for i, s in enumerate(stages))
+    return (
+        agg.selectExpr(f"stack({len(stages)}, {stack}) AS (stage, n_users)")
+        .selectExpr("stage", "CAST(n_users AS BIGINT) AS n_users")
+    )
