@@ -87,3 +87,46 @@ def channel_audit(
     )
     restricted = df.join(F.broadcast(top), channel_col, "left_semi")
     return top_k_per_group(restricted, channel_col, views_col, posts_per_channel, id_col)
+
+
+def stats_report(
+    df,
+    cfg,
+    text_col: str = "text",
+    channel_col: str = "channel_username",
+    views_col: str = "views",
+    id_col: str = "post_id",
+    top_posts_k: int = 20,
+    top_channels_k: int = 15,
+):
+    """The reference's composite reporting object
+    (/root/reference/main.py:385-437): per industry — cleaned slice,
+    count, top-k posts by views, top-k channels by summed views — as a
+    dict per industry.  The DataFrame entries (clean_df / top_posts /
+    top_channels) stay LAZY and share one cleaned/categorized subtree;
+    only `count` is an eager scalar (matching the reference's report
+    shape, main.py:426).  Cache `flagged` upstream if actioning many
+    pieces at once.
+    """
+    from . import keywords as K
+
+    flagged = K.categorize(
+        K.clean(df, cfg, text_col, channel_col), cfg, text_col
+    )
+    report = {}
+    for industry in cfg.industries:
+        sliced = flagged.where(F.col(K.flag_col(industry)))
+        report[industry] = {
+            "clean_df": sliced,
+            "count": sliced.count(),
+            "top_posts": top_k_by(
+                sliced.select(id_col, channel_col, views_col),
+                views_col,
+                top_posts_k,
+                id_col,
+            ),
+            "top_channels": top_channels_by_views(
+                sliced, channel_col, views_col, top_channels_k
+            ),
+        }
+    return report

@@ -63,3 +63,30 @@ def test_channel_audit(posts):
         ("chanB", 3, 1),
         ("chanB", 4, 2),
     }
+
+
+def test_stats_report_composite(spark):
+    from database_per_keyword_analysis_spark.config import KeywordConfig
+    from database_per_keyword_analysis_spark.operators.stats import stats_report
+
+    cfg = KeywordConfig(
+        industry_keywords={"Steel": ["steel"], "Water": ["water"]},
+        channel_blacklist=["spam"],
+    )
+    df = spark.createDataFrame(
+        [
+            (1, "a", 10, "steel up"),
+            (2, "b", 30, "steel water"),
+            (3, "spam", 99, "steel spam"),
+            (4, "b", 5, "water only"),
+        ],
+        ["post_id", "channel_username", "views", "text"],
+    )
+    rep = stats_report(df, cfg)
+    assert set(rep) == {"Steel", "Water"}
+    assert rep["Steel"]["count"] == 2
+    assert rep["Water"]["count"] == 2
+    top = rep["Steel"]["top_posts"].collect()
+    assert [r.post_id for r in top] == [2, 1]  # by views desc
+    ch = rep["Water"]["top_channels"].collect()
+    assert [(r.channel, r.total_views) for r in ch] == [("b", 35)]
