@@ -1240,3 +1240,29 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered view→click→purchase funnel: per-stage user reach with
     temporal ordering, one conditional-aggregation pass."""
     return E.funnel_counts(load(spark, sf_dir, "events"))
+
+
+@register(
+    "stream_view_purchase_join",
+    "SELECT p.user_id, p.event_id AS purchase_id, v.event_id AS view_id, "
+    "p.ts AS purchase_ts, v.ts AS view_ts "
+    "FROM (SELECT * FROM events WHERE event_type = 'view') v "
+    "JOIN (SELECT * FROM events WHERE event_type = 'purchase') p "
+    "ON v.user_id = p.user_id AND v.ts < p.ts "
+    "AND v.ts >= p.ts - INTERVAL 2 HOUR "
+    "ORDER BY purchase_id, view_id",
+)
+def q_stream_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (views before purchases within 2h),
+    watermark-bounded state on both sides; batch-SQL twin as oracle."""
+    from pyspark.sql import functions as F
+
+    joined = SW.view_purchase_stream_join(SW.read_events_stream(spark, sf_dir))
+    out = SW.run_append_to_memory(joined, "q_ss_join")
+    return out.select(
+        "user_id",
+        "purchase_id",
+        "view_id",
+        F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
+        F.col("view_ts").cast("timestamp_ntz").alias("view_ts"),
+    ).orderBy("purchase_id", "view_id")

@@ -137,3 +137,42 @@ def run_update_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(name)
+
+
+def view_purchase_stream_join(
+    events: DataFrame, horizon: str = "2 hours", watermark: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream interval join: each purchase matched to the same
+    user's views in the preceding `horizon`.
+
+    Both sides carry watermarks, and the join condition bounds event-time
+    distance — together they let Spark evict join state once the
+    frontier passes (unbounded-stream safe; without the time bound the
+    state would grow forever).  Works identically on batch frames (the
+    oracle twin).
+    """
+    views = events.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    if events.isStreaming:
+        views = views.withWatermark("view_ts", watermark)
+        purchases = purchases.withWatermark("purchase_ts", watermark)
+    return views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("view_ts") < F.col("purchase_ts"))
+        & (F.col("view_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {horizon}")),
+    ).select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "view_id",
+        "purchase_ts",
+        "view_ts",
+    )

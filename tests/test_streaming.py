@@ -127,3 +127,16 @@ def test_watermark_gates_append_emission(spark):
         assert wm.startswith("2024-01-01T11:40")
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir, batch_events):
+    stream = SW.view_purchase_stream_join(SW.read_events_stream(spark, sf_dir))
+    got = {
+        (r.purchase_id, r.view_id)
+        for r in SW.run_append_to_memory(stream, "t_ssj").collect()
+    }
+    want = {
+        (r.purchase_id, r.view_id)
+        for r in SW.view_purchase_stream_join(batch_events).collect()
+    }
+    assert got == want and len(want) > 0
