@@ -140,3 +140,33 @@ def test_stream_stream_join_matches_batch(spark, sf_dir, batch_events):
         for r in SW.view_purchase_stream_join(batch_events).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_transform_with_state_counts(spark, sf_dir, batch_events):
+    """transformWithStateInPandas running counts == batch groupBy counts
+    (skipped where the API's python deps are absent — see module gate)."""
+    from database_per_keyword_analysis_spark.streaming import transform_state as TS
+
+    if not TS.transform_with_state_available():
+        pytest.skip("google.protobuf unavailable: transformWithState gated off")
+    from pyspark.sql import Window
+
+    out = TS.run_transform_with_state(
+        lambda: TS.running_type_counts(SW.read_events_stream(spark, sf_dir)),
+        spark,
+        "t_tws_test",
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy(F.desc("n_events"))
+    final = {
+        (r.user_id, r.event_type): r.n_events
+        for r in out.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .collect()
+    }
+    want = {
+        (r.user_id, r.event_type): r.n
+        for r in batch_events.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert final == want
