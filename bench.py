@@ -47,6 +47,9 @@ HEADLINE = [
     "multimodal_byte_features",
     "stateful_user_stats",
     "top_channels_salted",
+    "word_frequency_by_industry",
+    "top_posts_per_industry",
+    "event_funnel",
 ]
 
 

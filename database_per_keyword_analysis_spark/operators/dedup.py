@@ -102,7 +102,9 @@ def jaccard_pairs(
 
 
 def minhash_signatures(sh: DataFrame, n_seeds: int = N_SEEDS) -> DataFrame:
-    """S minhashes per doc in one aggregation pass.
+    """S minhashes per doc in one aggregation pass (plus the shingle-set
+    size `n_sh`, free in the same pass — downstream Jaccard needs it, and
+    computing it here avoids re-aggregating the shingle set).
 
     One md5 per shingle, split into two 48-bit halves (a, b); hash i is
     the affine combination a + i·b (all < 2^53 — no overflow, no modulus
@@ -113,6 +115,7 @@ def minhash_signatures(sh: DataFrame, n_seeds: int = N_SEEDS) -> DataFrame:
     a = F.conv(F.substring(h, 1, 12), 16, 10).cast("long")
     b = F.conv(F.substring(h, 13, 12), 16, 10).cast("long")
     aggs = [F.min(a + F.lit(i) * b).alias(f"mh_{i}") for i in range(n_seeds)]
+    aggs.append(F.count(F.lit(1)).alias("n_sh"))
     return sh.groupBy("doc_id").agg(*aggs)
 
 
@@ -157,8 +160,9 @@ def minhash_near_dups(
     candidates — the scale path: shuffles are O(docs·seeds) for
     signatures, O(docs·bands) for banding, O(candidates) for verify."""
     sh = shingles(docs, text_col, n)
-    cand = lsh_candidate_pairs(minhash_signatures(sh, n_seeds), n_seeds, n_bands)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sig = minhash_signatures(sh, n_seeds)
+    cand = lsh_candidate_pairs(sig, n_seeds, n_bands)
+    sizes = sig.select("doc_id", "n_sh")
     # intersection size: doc_a's shingles equi-joined to doc_b's on the
     # composite (doc_b, shingle) key — no per-pair cross product
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
