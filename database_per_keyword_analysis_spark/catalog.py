@@ -657,7 +657,18 @@ def q_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.jaccard_pairs(load(spark, sf_dir, "documents", parallel=True), threshold=0.8)
 
 
-def _minhash_sql() -> str:
+# char-k-gram twin of _DUCK_SHINGLES (k=8, whitespace-normalized text);
+# t[i:i+7] is DuckDB 1-based inclusive slicing = Spark substring(t, i, 8)
+_DUCK_SHINGLES_CHAR = (
+    "toks AS (SELECT doc_id, regexp_replace(trim(text), '\\s+', ' ', 'g') AS t "
+    "FROM documents WHERE text IS NOT NULL), "
+    "sh AS (SELECT DISTINCT doc_id, unnest(list_transform("
+    "generate_series(1, greatest(length(t) - 7, 0)), "
+    "i -> t[i:i+7])) AS shingle FROM toks)"
+)
+
+
+def _minhash_sql(shingles_cte: str = _DUCK_SHINGLES) -> str:
     seeds = D.N_SEEDS
     rows = seeds // D.N_BANDS
     # mirror dedup.minhash_signatures: one md5 per shingle, affine combos
@@ -678,7 +689,7 @@ def _minhash_sql() -> str:
         "JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle GROUP BY 1, 2"
     )
     return (
-        f"WITH {_DUCK_SHINGLES}, "
+        f"WITH {shingles_cte}, "
         f"sig AS (SELECT doc_id, {mins} FROM ({ab}) GROUP BY doc_id), "
         f"bands AS ({bands}), "
         "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
@@ -693,6 +704,19 @@ def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dups (12 seeds, 4×3 bands) with exact verify —
     deterministic md5 minhashing, so the oracle reproduces it exactly."""
     return D.minhash_near_dups(load(spark, sf_dir, "documents", parallel=True), threshold=0.8)
+
+
+@register("minhash_near_dups_char", _minhash_sql(_DUCK_SHINGLES_CHAR))
+def q_minhash_near_dups_char(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-8-gram MinHash-LSH near-dups — the tokenization-insensitive
+    variant (catches dups that word shingles miss when punctuation or
+    spacing shifts token boundaries); same banding + exact verify."""
+    return D.minhash_near_dups(
+        load(spark, sf_dir, "documents", parallel=True),
+        n=8,
+        threshold=0.8,
+        unit="char",
+    )
 
 
 def _simhash_sql() -> str:

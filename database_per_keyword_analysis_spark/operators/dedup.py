@@ -50,10 +50,33 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def shingles(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per doc: (doc_id, shingle)."""
+def shingles(
+    docs: DataFrame, text_col: str = "text", n: int = 3, unit: str = "word"
+) -> DataFrame:
+    """Distinct n-gram shingles per doc: (doc_id, shingle).
+
+    unit='word': n-token windows joined by single spaces (robust to
+    formatting, the usual choice for document-level dedup).
+    unit='char': n-character windows over whitespace-normalized text
+    (catches near-dups that word shingles miss when tokenization shifts —
+    e.g. punctuation glued to words; the scheme used by suffix-array-free
+    substring dedup)."""
+    if unit == "char":
+        t = F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
+        # guard: Spark's sequence(1, 0) DESCENDS instead of returning empty
+        sh = F.expr(
+            f"CASE WHEN length(t) >= {n} THEN "
+            f"transform(sequence(1, length(t) - {n - 1}), "
+            f"i -> substring(t, i, {n})) "
+            "ELSE array() END"
+        )
+        return (
+            docs.where(F.col(text_col).isNotNull())
+            .select("doc_id", t.alias("t"))
+            .select("doc_id", F.explode(sh).alias("shingle"))
+            .distinct()
+        )
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    # guard: Spark's sequence(1, 0) DESCENDS instead of returning empty
     sh = F.expr(
         f"CASE WHEN size(toks) >= {n} THEN "
         f"transform(sequence(1, size(toks) - {n - 1}), "
@@ -155,11 +178,12 @@ def minhash_near_dups(
     threshold: float = 0.8,
     n_seeds: int = N_SEEDS,
     n_bands: int = N_BANDS,
+    unit: str = "word",
 ) -> DataFrame:
     """MinHash-LSH near-dup detection with exact-Jaccard verification of
     candidates — the scale path: shuffles are O(docs·seeds) for
     signatures, O(docs·bands) for banding, O(candidates) for verify."""
-    sh = shingles(docs, text_col, n)
+    sh = shingles(docs, text_col, n, unit)
     sig = minhash_signatures(sh, n_seeds)
     cand = lsh_candidate_pairs(sig, n_seeds, n_bands)
     sizes = sig.select("doc_id", "n_sh")

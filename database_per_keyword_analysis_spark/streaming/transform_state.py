@@ -85,13 +85,9 @@ def running_type_counts(events: DataFrame) -> DataFrame:
 def run_transform_with_state(stream_df_fn, spark, name: str) -> DataFrame:
     """Drive a transformWithState stream with availableNow under the
     RocksDB provider (required by the API; restored after the run)."""
-    key = "spark.sql.streaming.stateStore.providerClass"
-    prev = spark.conf.get(key, None)
-    spark.conf.set(
-        key,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    )
-    try:
+    from .statestore import rocksdb_state_store
+
+    with rocksdb_state_store(spark):
         q = (
             stream_df_fn()
             .writeStream.outputMode("update")
@@ -102,8 +98,3 @@ def run_transform_with_state(stream_df_fn, spark, name: str) -> DataFrame:
         )
         q.awaitTermination()
         return spark.table(name)
-    finally:
-        if prev is not None:
-            spark.conf.set(key, prev)
-        else:
-            spark.conf.unset(key)

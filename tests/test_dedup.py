@@ -52,6 +52,31 @@ def test_minhash_candidates_superset_of_high_jaccard(docs):
     assert got.issubset(jac)  # LSH never invents pairs; verify stage is exact
 
 
+def test_char_shingles_window_and_guard(spark):
+    df = spark.createDataFrame([(1, " ab  cd "), (2, "xy")], "doc_id long, text string")
+    out = {r.doc_id: set() for r in df.collect()}
+    for r in D.shingles(df, n=3, unit="char").collect():
+        out[r.doc_id].add(r.shingle)
+    assert out[1] == {"ab ", "b c", " cd"}  # whitespace normalized, 3-char slide
+    assert out[2] == set()  # shorter than n -> no shingles, row survives nothing
+
+
+def test_char_minhash_finds_unsegmented_dup(spark):
+    """Unsegmented text (no whitespace — CJK-like, or concatenated ids) is
+    a single token, so word shingling yields ZERO shingles and is
+    structurally blind; char 8-grams still see it (J≈0.84 here) — the
+    case the char unit exists for."""
+    base = "thequickbrownfoxjumpsoverthelazydogagainandagaintoday"
+    rows = [(1, base), (2, base.replace("today", "tonight")), (3, "unrelatedtextentirelyoverhere")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert D.jaccard_pairs(df, threshold=0.3).count() == 0  # word unit: blind
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in D.minhash_near_dups(df, n=8, threshold=0.6, unit="char").collect()
+    }
+    assert got == {(1, 2)}
+
+
 def test_simhash_close_for_near_dups(docs):
     hs = {r.doc_id: r.simhash for r in D.simhash(docs).collect()}
     def hamming(a, b):

@@ -142,6 +142,28 @@ def test_stream_stream_join_matches_batch(spark, sf_dir, batch_events):
     assert got == want and len(want) > 0
 
 
+def test_rocksdb_state_store_parity(spark, sf_dir, batch_events):
+    """The same stateful query under RocksDBStateStoreProvider (the
+    at-scale provider: state on disk, changelog checkpoints) must produce
+    exactly the default-provider/batch result — provider choice is a
+    physical knob, never a semantic one."""
+    from database_per_keyword_analysis_spark.streaming.statestore import (
+        rocksdb_state_store,
+    )
+
+    with rocksdb_state_store(spark):
+        stream = SW.run_to_memory(
+            SW.windowed_counts(SW.read_events_stream(spark, sf_dir)), "t_rocks"
+        )
+        cols = ["window_start", "window_end", "n"]
+        assert _rows(SW.windowed_counts(batch_events), cols) == _rows(stream, cols)
+    # conf restored on exit
+    assert (
+        spark.conf.get("spark.sql.streaming.stateStore.providerClass", "default")
+        != "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+
+
 def test_transform_with_state_counts(spark, sf_dir, batch_events):
     """transformWithStateInPandas running counts == batch groupBy counts
     (skipped where the API's python deps are absent — see module gate)."""
