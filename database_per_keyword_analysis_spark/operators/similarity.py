@@ -20,6 +20,7 @@ turning it into an equi-join on bucket id.
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 — resolves pandas_udf type hints under future-annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -36,6 +37,17 @@ def _dot_dec(a: str, b: str) -> Column:
         f"CAST(aggregate(zip_with({a}, {b}, (x, y) -> "
         f"CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS {_DEC})), "
         f"CAST(0 AS {_DEC}), (acc, v) -> CAST(acc + v AS {_DEC})) AS DOUBLE)"
+    )
+
+
+def _dot_dbl(a: str, b: str) -> Column:
+    """Plain double dot product — for the APPROXIMATE tiers only (not
+    oracle-hashed; element order within one row is fixed, so still
+    deterministic run-to-run) at ~3× the speed of the decimal chain."""
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> "
+        f"CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
     )
 
 
@@ -208,44 +220,83 @@ def lsh_bucketed_knn(
 # search — the other classic ANN scale path next to hyperplane LSH.
 # ---------------------------------------------------------------------------
 
+def _kmeans_np(X, k: int, seed: int, max_iter: int = 20, tol: float = 1e-6):
+    """Deterministic Lloyd k-means with kmeans++ seeding on a driver-side
+    numpy sample.  Centroids are k×dim — tiny — so distributed training
+    buys nothing once the sample fixes them."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    n = X.shape[0]
+    # kmeans++ init
+    centers = [X[rng.randint(n)]]
+    d2 = ((X - centers[0]) ** 2).sum(1)
+    for _ in range(1, k):
+        p = d2 / d2.sum() if d2.sum() > 0 else None
+        centers.append(X[rng.choice(n, p=p)])
+        d2 = np.minimum(d2, ((X - centers[-1]) ** 2).sum(1))
+    C = np.stack(centers)
+    for _ in range(max_iter):
+        # argmin ||x-c||^2 = argmin (||c||^2 - 2 x·c); ties -> first index
+        assign = ((C * C).sum(1) - 2.0 * (X @ C.T)).argmin(1)
+        newC = C.copy()
+        for j in range(k):
+            m = assign == j
+            if m.any():  # empty cluster keeps its old centroid
+                newC[j] = X[m].mean(0)
+        shift = float(((newC - C) ** 2).sum())
+        C = newC
+        if shift <= tol:
+            break
+    return C
+
+
 def ivf_index(
     vectors: DataFrame,
     n_lists: int = 16,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 42,
-    train_fraction: float | None = None,
+    max_train: int = 65536,
 ):
     """Build an IVF index: k-means centroids (the coarse quantizer) and
     the vector→list assignment.
 
     Returns (assigned DataFrame with `list_id`, centroids list-of-lists).
 
-    Scale design: centroids are trained on a SAMPLE (`train_fraction`;
-    k-means on 100 TB is neither needed nor possible — n_lists≪N means a
-    few million sampled rows fix the same centroids), assignment is one
-    narrow map over the corpus (no shuffle), and the centroid table is
-    driver-small (n_lists × dim floats) — it broadcasts into the probe
-    join.  Writing `assigned` partitioned by `list_id` gives partition
-    pruning on probes.
+    Scale design: centroids are trained on a deterministic hash-ordered
+    sample of ≤`max_train` rows collected to the driver and fit with
+    numpy Lloyd iterations — k-means on 100 TB is neither needed nor
+    possible; n_lists≪N means a bounded sample fixes the same centroids,
+    and driver-side training avoids ~max_iter distributed jobs (one
+    TakeOrdered scan instead).  Assignment is ONE narrow Arrow-vectorized
+    pass over the corpus (argmin over ||x−c||², no shuffle, no
+    N×n_lists row blow-up), and the centroid table is driver-small
+    (n_lists × dim floats) — it broadcasts into the probe join.  Writing
+    `assigned` partitioned by `list_id` gives partition pruning on probes.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    import numpy as np
 
-    train = vectors if train_fraction is None else vectors.sample(
-        fraction=train_fraction, seed=seed
+    train = (
+        vectors.select(F.col(vec_col))
+        # hash order makes the sample deterministic under ANY partitioning
+        .orderBy(F.xxhash64(F.col(id_col)).asc(), F.col(id_col).asc())
+        .limit(max_train)
+        .collect()
     )
-    feats = train.select(array_to_vector(F.col(vec_col)).alias("features"))
-    model = KMeans(k=n_lists, seed=seed, maxIter=20).fit(feats)
-    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    X = np.stack([np.asarray(r[0], dtype=np.float64) for r in train])
+    C = _kmeans_np(X, n_lists, seed)
+    centroids = [list(map(float, c)) for c in C]
 
-    pred = model.transform(
-        vectors.select(
-            F.col(id_col), F.col(vec_col), array_to_vector(F.col(vec_col)).alias("features")
-        )
-    )
-    assigned = pred.select(
-        id_col, vec_col, F.col("prediction").cast("int").alias("list_id")
+    c2 = (C * C).sum(1)
+
+    @F.pandas_udf("int")
+    def assign(s: pd.Series) -> pd.Series:
+        V = np.stack(s.to_numpy()).astype(np.float64)
+        return pd.Series(((c2 - 2.0 * (V @ C.T)).argmin(1)).astype("int32"))
+
+    assigned = vectors.select(
+        id_col, vec_col, assign(F.col(vec_col)).alias("list_id")
     )
     return assigned, centroids
 
@@ -281,12 +332,16 @@ def ivf_knn(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_emb"),
-        F.sqrt(_dot_dec(vec_col, vec_col)).alias("q_norm"),
+        F.sqrt(_dot_dbl(vec_col, vec_col)).alias("q_norm"),
     )
-    # rank centroids per query by cosine → keep n_probe
+    # rank centroids per query by the ASSIGNMENT metric (euclidean:
+    # min ||q−c||² ⇔ max 2 q·c − ||c||²) → keep n_probe
     qc = (
         q.crossJoin(F.broadcast(cent))
-        .withColumn("c_score", _dot_dec("q_emb", "centroid"))
+        .withColumn(
+            "c_score",
+            2.0 * _dot_dbl("q_emb", "centroid") - _dot_dbl("centroid", "centroid"),
+        )
         .withColumn(
             "c_rank",
             F.row_number().over(
@@ -304,11 +359,11 @@ def ivf_knn(
     scored = (
         cand.join(F.broadcast(qc), "list_id")
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("c_norm", F.sqrt(_dot_dec("c_emb", "c_emb")))
+        .withColumn("c_norm", F.sqrt(_dot_dbl("c_emb", "c_emb")))
         .select(
             "query_id",
             "neighbor_id",
-            (_dot_dec("q_emb", "c_emb") / (F.col("q_norm") * F.col("c_norm"))).alias(
+            (_dot_dbl("q_emb", "c_emb") / (F.col("q_norm") * F.col("c_norm"))).alias(
                 "cosine"
             ),
         )
