@@ -50,6 +50,7 @@ HEADLINE = [
     "word_frequency_by_industry",
     "top_posts_per_industry",
     "event_funnel",
+    "monthly_revenue_rollup",
 ]
 
 

@@ -422,6 +422,25 @@ def q_orders_monthly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "monthly_revenue_rollup",
+    # the oracle computes the months DIRECTLY from raw orders — the Spark
+    # side must reproduce it exactly from the daily rollup
+    "SELECT CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS month, "
+    "count(*) AS n_orders, "
+    "CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue "
+    "FROM orders GROUP BY 1 ORDER BY month",
+)
+def q_monthly_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue answered from the reusable daily rollup — the
+    100 TB pattern for the reference's multi-granularity resamples
+    (main.py:812-816): one raw scan builds day-level DECIMAL partials,
+    every coarser window re-aggregates those (operators/rollup.py)."""
+    from .operators import rollup as RU
+
+    return RU.reaggregate_monthly(RU.daily_order_rollup(load(spark, sf_dir, "orders")))
+
+
+@register(
     "events_json_stats",
     "SELECT event_type, count(*) AS n_events, "
     "CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k, "
