@@ -72,3 +72,29 @@ def test_loader_projection_reaches_scan(spark, sf_dir):
     read = plan.split("ReadSchema:")[1].splitlines()[0]
     assert read.count("l_") == 1  # only l_orderkey read
     assert "GreaterThan(l_orderkey,100)" in plan
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmp_path):
+    """A date-partitioned fact joined to a selectively-filtered dim must
+    scan ONLY the matching partitions — Catalyst's dynamic partition
+    pruning injects the dim's build-side keys into the fact's partition
+    filter at runtime.  At 100 TB this is the difference between reading
+    one month and reading the whole table."""
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "orders_by_month")
+    orders = load(spark, sf_dir, "orders")
+    orders.withColumn(
+        "month", F.date_format("o_orderdate", "yyyy-MM")
+    ).write.partitionBy("month").parquet(p)
+    fact = spark.read.parquet(p)
+    dim = (
+        fact.select("month").distinct()
+        .withColumn("tag", F.substring("month", 1, 4))
+    )
+    joined = fact.join(dim.where(F.col("tag") == "1995"), "month").groupBy(
+        "month"
+    ).count()
+    joined.collect()
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
