@@ -51,6 +51,11 @@ HEADLINE = [
     "top_posts_per_industry",
     "event_funnel",
     "monthly_revenue_rollup",
+    # cosine_near_dups_lsh intentionally NOT in the headline: at the
+    # fixture's 0.4 threshold (far below the >=0.9 near-dup regime the
+    # operator exists for) sign-LSH candidate counts approach all-pairs,
+    # so its timing measures the threshold choice, not the operator; it
+    # stays in queries() (rows-only gate) with subset+recall tests.
 ]
 
 
@@ -67,6 +72,10 @@ def main() -> None:
         # one warmup run (codegen + file-listing + JVM JIT), one measured
         # steady-state run — the number that scales, since at real data
         # sizes per-query constant overheads amortize to nothing.
+        # No System.gc() hints here: forcing GC lets ContextCleaner
+        # destroy plan-cache blocks whose Python handles died with the
+        # warmup run, turning the measured run into a full recompute —
+        # worse noise than the occasional GC pause it was meant to avoid.
         df = qs[name](spark, sf_dir)
         t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()

@@ -810,6 +810,17 @@ def q_cosine_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.cosine_near_dup_pairs(load(spark, sf_dir, "embeddings", parallel=True), threshold=0.4)
 
 
+@register("cosine_near_dups_lsh", None)  # approximate recall → rows-only;
+# output ⊆ exact pairs by construction (exact-cosine verify), recall vs
+# cosine_near_dup_pairs asserted in tests/test_similarity.py
+def q_cosine_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale twin of cosine_near_dup_pairs: sign-LSH bucket self-join for
+    candidates, exact-cosine verify (operators/similarity.py)."""
+    return SIM.cosine_near_dups_lsh(
+        load(spark, sf_dir, "embeddings", parallel=True), threshold=0.4
+    )
+
+
 @register("lsh_bucketed_knn", None)  # approximate → rows-only check
 def q_lsh_bucketed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH approximate top-k (scale path; recall measured in

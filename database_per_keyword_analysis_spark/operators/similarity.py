@@ -127,6 +127,65 @@ def cosine_near_dup_pairs(
     )
 
 
+def cosine_near_dups_lsh(
+    vectors: DataFrame,
+    threshold: float = 0.99,
+    dim: int = 64,
+    n_planes: int = 6,
+    n_tables: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Scale twin of `cosine_near_dup_pairs`: same (vec_a, vec_b, cosine)
+    surface, but the N² cross-join becomes a bucket self-equi-join —
+    candidates are pairs sharing a sign-LSH bucket in ANY table, then
+    verified with the EXACT cosine (so output ⊆ exact output; only
+    recall is approximate, and at near-dup thresholds it is ~1: a
+    cosine-0.99 pair lands in a shared bucket with
+    P = 1-(1-(1-θ/π)^H)^L ≈ 1-0.24^16 for H=6, L=16).
+
+    Pair candidates are deduped as bare id pairs BEFORE embeddings are
+    re-joined, so the distinct shuffle moves ids, not vectors.  The
+    bucket table is cached for the query's lifetime — the self-join
+    reads it twice, and at scale it IS the persisted LSH index (written
+    once, joined many times), not something to recompute per side.  The
+    verify cosine is one Arrow batch pass (numpy), not per-element
+    lambda evaluation over every candidate.
+    """
+    import numpy as np
+
+    withb = vectors.select(
+        F.col(id_col).alias("id"),
+        F.explode(_bucket_array(vec_col, dim, n_planes, n_tables)).alias("bucket"),
+    ).cache()
+    cand = (
+        withb.select(F.col("id").alias("vec_a"), "bucket")
+        .join(withb.select(F.col("id").alias("vec_b"), "bucket"), "bucket")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+
+    @F.pandas_udf("double")
+    def cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        A = np.stack(a.to_numpy()).astype(np.float64)
+        B = np.stack(b.to_numpy()).astype(np.float64)
+        return pd.Series(
+            (A * B).sum(1)
+            / (np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1))
+        )
+
+    a = vectors.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("ea"))
+    b = vectors.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("eb"))
+    return (
+        cand.join(a, "vec_a")
+        .join(b, "vec_b")
+        .select("vec_a", "vec_b", cos(F.col("ea"), F.col("eb")).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
     """Deterministic pseudo-random unit-free hyperplanes via a tiny LCG —
     no numpy dependency at plan-build time, reproducible everywhere."""
@@ -139,6 +198,37 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
             row.append((state / 2**31) * 2.0 - 1.0)
         planes.append(row)
     return planes
+
+
+def _bucket_array(col: str, dim: int, n_planes: int, n_tables: int) -> Column:
+    """Multi-table sign-LSH bucket keys: one 2^n_planes-ary key per table,
+    offset so tables never collide.  All n_tables×n_planes projections
+    are ONE numpy matmul per Arrow batch (a per-plane
+    `aggregate(zip_with(...))` expression chain runs interpreted lambdas
+    — ~5× slower for H·L ≈ 100 planes); the plane matrix is a task-local
+    constant, so the whole bucketing stays a narrow shuffle-free map."""
+    import numpy as np
+
+    P = np.array(
+        [
+            row
+            for t in range(n_tables)
+            for row in _hyperplanes(dim, n_planes, seed=7 + 131 * t)
+        ]
+    )  # (n_tables*n_planes) × dim
+    weights = np.tile(2 ** np.arange(n_planes), n_tables).reshape(
+        n_tables, n_planes
+    )
+    offsets = (np.arange(n_tables) * 2**n_planes).astype(np.int64)
+
+    @F.pandas_udf("array<long>")
+    def buckets(s: pd.Series) -> pd.Series:
+        X = np.stack(s.to_numpy()).astype(np.float64)
+        bits = (X @ P.T > 0).reshape(len(X), n_tables, n_planes)
+        keys = (bits * weights).sum(2) + offsets
+        return pd.Series(list(keys))
+
+    return buckets(F.col(col))
 
 
 def lsh_bucketed_knn(
@@ -163,18 +253,7 @@ def lsh_bucketed_knn(
     """
 
     def buckets(col: str) -> Column:
-        per_table = []
-        for t in range(n_tables):
-            planes = _hyperplanes(dim, n_planes, seed=7 + 131 * t)
-            acc = F.lit(t * (2**n_planes))  # offset keys so tables don't collide
-            for i, p in enumerate(planes):
-                proj = F.expr(
-                    f"aggregate(zip_with({col}, array({', '.join(repr(x) for x in p)}), "
-                    "(x, y) -> CAST(x AS DOUBLE) * y), CAST(0 AS DOUBLE), (a, v) -> a + v)"
-                )
-                acc = acc + F.when(proj > 0, F.lit(2**i)).otherwise(F.lit(0))
-            per_table.append(acc)
-        return F.array(*per_table)
+        return _bucket_array(col, dim, n_planes, n_tables)
 
     q = queries.select(
         F.col(id_col).alias("query_id"),

@@ -79,3 +79,27 @@ def test_ivf_recall_and_shape(spark, sf_dir):
     # deterministic across runs (seeded k-means)
     again = {(r.query_id, r.neighbor_id) for r in SIM.ivf_knn(emb, queries, k=5).collect()}
     assert approx == again
+
+
+def test_cosine_pairs_lsh_subset_and_recall(spark, sf_dir):
+    """The LSH pair tier verifies candidates with the exact cosine, so
+    its output is a SUBSET of the all-pairs result; recall at the
+    fixture's 0.4 threshold (θ≈66°: per-table collision ~6%, 16 tables
+    → ~0.65 theoretical) must clear a conservative floor, and results
+    must be deterministic (fixed hyperplanes)."""
+    emb = load(spark, sf_dir, "embeddings")
+    exact = {
+        (r.vec_a, r.vec_b)
+        for r in SIM.cosine_near_dup_pairs(emb, threshold=0.4).collect()
+    }
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in SIM.cosine_near_dups_lsh(emb, threshold=0.4).collect()
+    }
+    assert got.issubset(exact)
+    assert len(exact) > 0 and len(got) / len(exact) >= 0.3
+    again = {
+        (r.vec_a, r.vec_b)
+        for r in SIM.cosine_near_dups_lsh(emb, threshold=0.4).collect()
+    }
+    assert got == again
