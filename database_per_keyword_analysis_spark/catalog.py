@@ -441,6 +441,21 @@ def q_monthly_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "quarterly_revenue_rollup",
+    "SELECT CAST(date_trunc('quarter', CAST(o_orderdate AS DATE)) AS DATE) AS quarter, "
+    "count(*) AS n_orders, "
+    "CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue "
+    "FROM orders GROUP BY 1 ORDER BY quarter",
+)
+def q_quarterly_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarterly totals from the SAME daily rollup as the monthly query —
+    one raw scan serves every granularity (operators/rollup.py)."""
+    from .operators import rollup as RU
+
+    return RU.reaggregate(RU.daily_order_rollup(load(spark, sf_dir, "orders")), "quarter")
+
+
+@register(
     "events_json_stats",
     "SELECT event_type, count(*) AS n_events, "
     "CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k, "

@@ -38,16 +38,20 @@ def daily_order_rollup(orders: DataFrame) -> DataFrame:
     )
 
 
-def reaggregate_monthly(daily: DataFrame) -> DataFrame:
-    """Month totals from the daily rollup — touches ~30× fewer rows than
-    the raw table per month, with bit-identical results."""
+def reaggregate(daily: DataFrame, unit: str = "month") -> DataFrame:
+    """Coarse totals from the daily rollup — any `date_trunc` unit
+    (week/month/quarter/year) touches the small rollup, never the raw
+    table, with bit-identical results.  One rollup serves every
+    granularity: the whole point of building it."""
     return (
-        daily.groupBy(
-            F.date_trunc("month", F.col("day")).cast("date").alias("month")
-        )
+        daily.groupBy(F.date_trunc(unit, F.col("day")).cast("date").alias(unit))
         .agg(
             F.sum("n_orders").alias("n_orders"),
             F.sum("rev_partial").cast("double").alias("revenue"),
         )
-        .orderBy("month")
+        .orderBy(unit)
     )
+
+
+def reaggregate_monthly(daily: DataFrame) -> DataFrame:
+    return reaggregate(daily, "month")
