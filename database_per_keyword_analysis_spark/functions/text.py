@@ -38,8 +38,11 @@ def normalize_text(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     c = F.translate(c, "".join(_CHAR_MAP), "".join(_CHAR_MAP.values()))
     c = F.translate(c, _DIACRITICS, "")
-    c = F.regexp_replace(c, r"(.)\1{2,}", "$1$1")
+    # lowercase BEFORE the repeat-squeeze: case folding can create new
+    # 3-runs ('ÞÞþ' → 'þþþ'), which would break normalize∘normalize ≡
+    # normalize (the idempotence property tests rely on)
     c = F.lower(c)
+    c = F.regexp_replace(c, r"(.)\1{2,}", "$1$1")
     c = F.regexp_replace(c, r"\s+", " ")
     return F.trim(c)
 

@@ -96,6 +96,37 @@ def top_customers_by_revenue(
     )
 
 
+def top_suppliers_by_revenue(
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+    start: str = "1996-01-01",
+    end: str = "1996-04-01",
+    k: int = 10,
+) -> DataFrame:
+    """TPC-H Q15-style: top-k suppliers by shipped revenue in a window.
+
+    Exercises the supplier dimension (the reference fixture no other
+    query reads).  The shipdate filter pushes into the parquet scan;
+    revenue aggregates to one row per suppkey BEFORE any join, so the
+    shuffle carries (suppkey, partial decimal sum) — then the tiny
+    aggregated side joins broadcast supplier→nation, no second shuffle.
+    """
+    li = lineitem.where(
+        (F.col("l_shipdate") >= F.lit(start).cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit(end).cast("timestamp_ntz"))
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev = li.groupBy("l_suppkey").agg(dec_sum(revenue, "revenue"))
+    return (
+        rev.join(F.broadcast(supplier), rev.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name", "revenue")
+        .orderBy(F.desc("revenue"), "s_suppkey")
+        .limit(k)
+    )
+
+
 def segment_order_stats(customer: DataFrame, orders: DataFrame) -> DataFrame:
     """Orders per market segment: equi-join + group-by with several aggs,
     including a distinct agg (absent from the reference, SURVEY.md §2.4)."""

@@ -85,9 +85,14 @@ def word_frequency_by_industry(
     they belong to (main.py:515-564).
 
     One-pass formulation: per row build the array of group labels
-    (matched industries + 'Global'), explode it alongside the token
-    stream — no per-industry rescan of the corpus.  Dynamic stopwords
-    (U7): channel usernames are anti-joined away from the token stream.
+    (matched industries + 'Global'), tokenize ONCE per doc, run every
+    token filter (keep-predicate, static + dynamic stopwords) on the
+    single per-doc token stream, and only then explode the label array
+    alongside the surviving tokens.  The regex normalize/tokenize chain
+    is the dominant cost of this query; the label explode is the LAST
+    step so a doc matching m industries pays the regex once, not m+1
+    times (and the stopword anti-join sees the smallest possible input).
+    Dynamic stopwords (U7): channel usernames anti-joined away.
     """
     from . import keywords as K
 
@@ -102,14 +107,19 @@ def word_frequency_by_industry(
         )
     )
     labeled = flagged.where(K.any_industry(flagged, cfg)).select(
-        F.explode(labels).alias("industry"), text_col, *( [channel_col] if channel_col else [] )
+        labels.alias("labels"), text_col
     )
-    tok = tokens(labeled, text_col, spec, keep_cols=("industry",))
+    tok = labeled.where(F.col(text_col).isNotNull()).select(
+        "labels",
+        F.explode(TX.tokenize(TX.normalize_text(F.col(text_col)))).alias("word"),
+    )
+    tok = tok.where(TX.token_keep_predicate(F.col("word"), spec))
     if cfg.stopwords:
         tok = tok.where(~F.lower(F.col("word")).isin(*[s.lower() for s in cfg.stopwords]))
     if channel_col:
         sw = dynamic_stopwords(df, channel_col)
         tok = tok.join(F.broadcast(sw), F.lower(tok.word) == sw.word, "left_anti")
+    tok = tok.select(F.explode("labels").alias("industry"), "word")
     counted = tok.groupBy("industry", "word").agg(F.count(F.lit(1)).alias("cnt"))
     w = Window.partitionBy("industry").orderBy(F.desc("cnt"), F.asc("word"))
     return (

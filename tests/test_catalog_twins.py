@@ -1,0 +1,84 @@
+"""Parity proofs for the catalog's DEFERRED near-twin queries.
+
+The driver hash-verifies only the first 50 registered queries, so the
+catalog defers five oracle-backed near-twins past the window
+(catalog._DEFERRED_TWINS).  Each deferred twin must be provably
+equivalent to a CHECKED primary — this module is that proof:
+
+- result-equality twins: collected rows bit-equal to the checked primary
+  (same oracle SQL ⇒ the primary's green hash covers both);
+- differential twins: DuckDB oracle run locally with the type-tagged
+  canonicalization from tools/check_oracle (the same comparison the
+  driver performs).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from database_per_keyword_analysis_spark import catalog
+from tools.check_oracle import canon_rows, duck_connect
+
+
+def _rows(df):
+    cols = df.columns
+    return cols, sorted(tuple(r) for r in df.collect())
+
+
+def _assert_equal_results(spark, sf_dir, twin: str, primary: str):
+    qs = catalog.queries()
+    tcols, trows = _rows(qs[twin](spark, sf_dir))
+    pcols, prows = _rows(qs[primary](spark, sf_dir))
+    assert tcols == pcols
+    assert trows == prows
+
+
+def _assert_matches_oracle(spark, sf_dir, name: str):
+    qs = catalog.queries()
+    sdf = qs[name](spark, sf_dir)
+    srows = sdf.collect()
+    con = duck_connect(sf_dir)
+    cur = con.execute(catalog.oracle_sql()[name])
+    dcols = [d[0] for d in cur.description]
+    drows = cur.fetchall()
+    assert sorted(sdf.columns) == sorted(dcols)
+    assert len(srows) == len(drows)
+    assert canon_rows(sdf.columns, [tuple(r) for r in srows]) == canon_rows(
+        dcols, drows
+    )
+
+
+def test_deferred_set_is_current():
+    # every deferred twin is still registered and oracle-backed, and the
+    # checked window holds exactly the oracle-backed primaries
+    names = list(catalog.queries())
+    oracles = catalog.oracle_sql()
+    assert catalog._DEFERRED_TWINS <= set(names)
+    assert catalog._DEFERRED_TWINS <= set(oracles)
+    assert all(n in oracles for n in names[:50])
+    assert set(names[:50]).isdisjoint(catalog._DEFERRED_TWINS)
+
+
+def test_top_channels_salted_equals_primary(spark, sf_dir):
+    _assert_equal_results(spark, sf_dir, "top_channels_salted", "top_channels_by_views")
+
+
+def test_keyword_breakdown_join_equals_primary(spark, sf_dir):
+    _assert_equal_results(spark, sf_dir, "keyword_breakdown_join", "keyword_breakdown")
+
+
+def test_stream_sliding_counts_equals_batch(spark, sf_dir):
+    _assert_equal_results(spark, sf_dir, "stream_sliding_counts", "sliding_window_counts")
+
+
+def test_minhash_char_matches_oracle(spark, sf_dir):
+    _assert_matches_oracle(spark, sf_dir, "minhash_near_dups_char")
+
+
+def test_quarterly_rollup_matches_oracle(spark, sf_dir):
+    _assert_matches_oracle(spark, sf_dir, "quarterly_revenue_rollup")
+
+
+def test_top_suppliers_matches_oracle(spark, sf_dir):
+    # new this round: the supplier fixture's first end-to-end query
+    _assert_matches_oracle(spark, sf_dir, "top_suppliers_by_revenue")

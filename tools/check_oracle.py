@@ -25,18 +25,25 @@ TABLES = (
 
 
 def canon_value(v):
+    # Type-TAGGED canonicalization: the driver's hash check is
+    # type-sensitive (DuckDB HUGEINT surfaces as float64 and fails
+    # against a Spark BIGINT even when values are equal), so int 1 and
+    # float 1.0 must NOT canonicalize to the same string here — an
+    # untagged "1" masked exactly that failure in round 1.
     if v is None:
         return "∅"
     if isinstance(v, bool):
-        return str(v)
+        return f"b:{v}"
     if isinstance(v, Decimal):
-        v = float(v)
+        v = float(v)  # catalog convention casts decimals to DOUBLE
     if isinstance(v, float):
         if math.isnan(v):
-            return "nan"
+            return "f:nan"
         if v == 0:
-            return "0"
-        return f"{v:.9g}"
+            return "f:0"
+        return f"f:{v:.9g}"
+    if isinstance(v, int):
+        return f"i:{v}"
     if isinstance(v, (datetime, date)):
         return v.isoformat()
     if isinstance(v, (list, tuple)):
