@@ -248,7 +248,9 @@ def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def simhash_pairs(docs: DataFrame, text_col: str = "text", max_hamming: int = 1) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance.  All-pairs xor compare
-    — fine to ~10^4 docs; at scale, block on simhash byte prefixes first."""
+    — correctness baseline; `simhash_pairs_blocked` is the scale twin
+    (bit-identical output, pigeonhole-blocked candidates — parity
+    asserted in tests/test_dedup.py)."""
     s = simhash(docs, text_col)
     a = s.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
     b = s.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
@@ -257,6 +259,64 @@ def simhash_pairs(docs: DataFrame, text_col: str = "text", max_hamming: int = 1)
         .where(F.col("doc_a") < F.col("doc_b"))
         .select(
             "doc_a", "doc_b",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def simhash_pairs_blocked(
+    docs: DataFrame, text_col: str = "text", max_hamming: int = 1
+) -> DataFrame:
+    """Scale twin of `simhash_pairs` — same output, no cross-join.
+
+    Pigeonhole blocking: split the fingerprint into `max_hamming + 1`
+    disjoint bit-bands; two fingerprints within Hamming distance
+    max_hamming differ in at most max_hamming bands, so they agree
+    EXACTLY on at least one — every qualifying pair is a candidate
+    (no recall loss, unlike probabilistic LSH).  Candidates come from a
+    self-equi-join on (band, band_value); the exact Hamming check then
+    filters false candidates, so the result is bit-identical to the
+    all-pairs form.  The shuffle key is the band value — at 100 TB each
+    band bucket holds N/2^w docs on average, and a skewed bucket (many
+    identical fingerprints) means those docs ARE near-dups, so the work
+    is output-bound, not an accident of partitioning.
+    """
+    n_bands = max_hamming + 1
+    base, extra = divmod(SIMHASH_BITS, n_bands)
+    widths = [base + (1 if i < extra else 0) for i in range(n_bands)]
+    offsets = [sum(widths[:i]) for i in range(n_bands)]
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftright(F.col("simhash"), off)
+                .bitwiseAND((1 << w) - 1)
+                .alias("val"),
+            )
+            for i, (off, w) in enumerate(zip(offsets, widths))
+        ]
+    )
+    withb = (
+        simhash(docs, text_col)
+        .select("doc_id", "simhash", F.explode(bands).alias("b"))
+        .select("doc_id", "simhash", "b.band", "b.val")
+    )
+    a = withb.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"), "band", "val"
+    )
+    b = withb.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"), "band", "val"
+    )
+    return (
+        a.join(b, ["band", "val"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "ha", "hb")
+        .distinct()  # a pair can match in several bands; dedup pre-verify
+        .select(
+            "doc_a",
+            "doc_b",
             F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)

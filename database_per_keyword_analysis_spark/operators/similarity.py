@@ -135,6 +135,7 @@ def cosine_near_dups_lsh(
     n_tables: int = 16,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    index_path: str | None = None,
 ) -> DataFrame:
     """Scale twin of `cosine_near_dup_pairs`: same (vec_a, vec_b, cosine)
     surface, but the N² cross-join becomes a bucket self-equi-join —
@@ -146,18 +147,28 @@ def cosine_near_dups_lsh(
 
     Pair candidates are deduped as bare id pairs BEFORE embeddings are
     re-joined, so the distinct shuffle moves ids, not vectors.  The
-    bucket table is cached for the query's lifetime — the self-join
-    reads it twice, and at scale it IS the persisted LSH index (written
-    once, joined many times), not something to recompute per side.  The
-    verify cosine is one Arrow batch pass (numpy), not per-element
-    lambda evaluation over every candidate.
+    (id, bucket) table is read twice by the self-join; it is
+    n_tables×N rows, so it must NOT live in executor memory at scale:
+    with `index_path` set it is written once as a parquet LSH index and
+    both join sides scan the files (the production posture — build the
+    index once, join against it many times); without a path it is
+    persisted DISK_ONLY (spills to local disk, never pins the ~L·N·24 B
+    — 38 GB per 10⁹ vectors at L=16 — in memory the way `.cache()`
+    would).  The verify cosine is one Arrow batch pass (numpy), not
+    per-element lambda evaluation over every candidate.
     """
     import numpy as np
+    from pyspark import StorageLevel
 
     withb = vectors.select(
         F.col(id_col).alias("id"),
         F.explode(_bucket_array(vec_col, dim, n_planes, n_tables)).alias("bucket"),
-    ).cache()
+    )
+    if index_path is not None:
+        withb.write.mode("overwrite").parquet(index_path)
+        withb = vectors.sparkSession.read.parquet(index_path)
+    else:
+        withb = withb.persist(StorageLevel.DISK_ONLY)
     cand = (
         withb.select(F.col("id").alias("vec_a"), "bucket")
         .join(withb.select(F.col("id").alias("vec_b"), "bucket"), "bucket")

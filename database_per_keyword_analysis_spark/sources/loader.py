@@ -124,6 +124,40 @@ def _compatible(got: T.DataType, expected: T.DataType) -> bool:
     return got == expected
 
 
+def _size_bytes(conf_val: str) -> int:
+    """Parse a Spark byte-size conf value ('134217728b', '128MB', '4m')."""
+    s = conf_val.strip().lower().removesuffix("b")
+    units = {"k": 1024, "m": 1024**2, "g": 1024**3, "t": 1024**4}
+    if s and s[-1] in units:
+        return int(float(s[:-1]) * units[s[-1]])
+    return int(s)
+
+
+def _estimated_scan_partitions(df: DataFrame) -> int | None:
+    """Estimate how many partitions the scan under `df` yields, from file
+    sizes and Spark's own split formula (FilePartition.maxSplitBytes) —
+    no job, no plan-to-RDD conversion.  None when the inputs aren't
+    local files we can stat (then the caller must not assume
+    under-splitting)."""
+    try:
+        files = [f.removeprefix("file:") for f in df.inputFiles()]
+    except Exception:
+        return None
+    if not files or any("://" in f for f in files):
+        return None
+    try:
+        sizes = [os.path.getsize(f) for f in files]
+    except OSError:
+        return None
+    conf = df.sparkSession.conf
+    max_part = _size_bytes(conf.get("spark.sql.files.maxPartitionBytes", "128m"))
+    open_cost = _size_bytes(conf.get("spark.sql.files.openCostInBytes", "4m"))
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    bytes_per_core = (sum(sizes) + open_cost * len(sizes)) / max(parallelism, 1)
+    split = max(1, min(max_part, int(max(open_cost, bytes_per_core))))
+    return sum(-(-sz // split) or 1 for sz in sizes)
+
+
 def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Raise partition count to cluster parallelism for CPU-bound
     downstream work when the scan under-splits.
@@ -135,12 +169,17 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     partitions and this is a no-op (checked, not assumed); the
     round-robin shuffle only fires on under-split inputs, where the data
     is by construction small relative to the compute it unlocks.
+    Under-splitting is detected from file sizes + Spark's split formula
+    (`_estimated_scan_partitions`) — a pure metadata computation; the
+    previous `df.rdd.getNumPartitions()` probe forced a full
+    plan-to-RDD conversion per load, measurable overhead at scale.
     Catalyst still pushes filters/pruning through the Repartition node
     into the scan (PushPredicateThroughNonJoin).
     """
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    est = _estimated_scan_partitions(df)
+    if est is None or est >= target:
         return df
     return df.repartition(target)
 

@@ -90,3 +90,25 @@ def test_simhash_pairs(docs):
     got = {(r.doc_a, r.doc_b) for r in D.simhash_pairs(docs, max_hamming=1).collect()}
     assert (1, 2) in got
     assert (1, 4) not in got
+
+
+def test_simhash_pairs_blocked_parity(docs, spark, sf_dir):
+    """Pigeonhole blocking is lossless: blocked output == all-pairs
+    output, on the handcrafted fixture AND the sf0.001 documents table
+    at two Hamming radii."""
+    for max_h in (1, 3):
+        allp = sorted(map(tuple, D.simhash_pairs(docs, max_hamming=max_h).collect()))
+        blocked = sorted(
+            map(tuple, D.simhash_pairs_blocked(docs, max_hamming=max_h).collect())
+        )
+        assert blocked == allp
+
+    from database_per_keyword_analysis_spark.sources import load
+
+    real = load(spark, sf_dir, "documents")
+    allp = sorted(map(tuple, D.simhash_pairs(real, max_hamming=2).collect()))
+    blocked = sorted(
+        map(tuple, D.simhash_pairs_blocked(real, max_hamming=2).collect())
+    )
+    assert blocked == allp
+    assert len(allp) > 0  # fixture contains near-dups; parity isn't vacuous

@@ -37,3 +37,21 @@ def test_missing_column_rejected(spark, sf_dir, tmp_path):
     df.write.parquet(p)
     with pytest.raises(ValueError, match="n_name"):
         load(spark, str(tmp_path), "nation")
+
+
+def test_fan_out_estimator_matches_scan(spark, sf_dir):
+    """_estimated_scan_partitions agrees with the real scan partitioning
+    on fixture files (the RDD probe it replaced is ground truth here),
+    and fan_out raises an under-split scan to cluster parallelism."""
+    from database_per_keyword_analysis_spark.sources.loader import (
+        _estimated_scan_partitions,
+        fan_out,
+    )
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert _estimated_scan_partitions(df) == df.rdd.getNumPartitions()
+    target = spark.sparkContext.defaultParallelism
+    assert fan_out(df).rdd.getNumPartitions() == target
+    # a scan the estimator says is already wide enough passes through
+    # identically (no Repartition node inserted)
+    assert fan_out(df, min_partitions=1) is df
