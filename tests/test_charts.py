@@ -1,0 +1,27 @@
+"""The demo chart layer (charts.py / tools/miniplot.py) writes one valid
+PNG per reference chart family from the oracle-checked feeding queries."""
+
+from __future__ import annotations
+
+import os
+
+import charts
+
+
+def test_render_all_six_families(spark, sf_dir, tmp_path):
+    written = charts.render_all(spark, sf_dir, str(tmp_path))
+    families = {os.path.basename(p).split("_")[0] for p in written}
+    assert families == {"1", "2", "3", "4", "5", "6"}
+    for p in written:
+        assert os.path.getsize(p) > 500
+        with open(p, "rb") as f:
+            assert f.read(8) == b"\x89PNG\r\n\x1a\n"
+
+
+def test_miniplot_empty_inputs(tmp_path):
+    # degenerate data must not crash the rasterizer
+    from tools import miniplot as MP
+
+    MP.barh(str(tmp_path / "empty.png"), [], [], "empty")
+    MP.lines(str(tmp_path / "none.png"), {}, "none")
+    assert os.path.getsize(tmp_path / "empty.png") > 100
