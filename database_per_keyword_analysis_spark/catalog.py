@@ -48,10 +48,10 @@ def register(name: str, oracle: str | None):
 # The driver hash-verifies only the FIRST 50 registered queries, so
 # registration order is a correctness-visibility budget.  Emission order:
 #   1. primary oracle-backed queries (50 of them — exactly the window),
-#   2. deferred near-twins (oracle-backed, but each provably equivalent
-#      to a checked primary via a pytest parity/differential test in
-#      tests/test_catalog_twins.py — re-checking them would burn a slot
-#      a primary needs),
+#   2. deferred oracle-backed queries — near-twins of a checked primary
+#      or supplementary additions, each verified by a pytest parity or
+#      DuckDB-differential test in tests/test_catalog_twins.py instead
+#      (re-checking them would burn a slot a primary needs),
 #   3. rows-only queries (no oracle ⇒ no hash signal to gain).
 _DEFERRED_TWINS = {
     "top_channels_salted",  # identical oracle to top_channels_by_views
@@ -59,6 +59,7 @@ _DEFERRED_TWINS = {
     "stream_sliding_counts",  # streaming twin of sliding_window_counts
     "minhash_near_dups_char",  # same LSH machinery as minhash_near_dups
     "quarterly_revenue_rollup",  # same daily rollup as monthly_revenue_rollup
+    "winnowing_fingerprints",  # supplementary; DuckDB differential in pytest
 }
 
 
@@ -833,6 +834,30 @@ def _simhash_sql() -> str:
 def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit portable SimHash per document."""
     return D.simhash(load(spark, sf_dir, "documents", parallel=True))
+
+
+@register(
+    "winnowing_fingerprints",
+    # winnowing (k=16, w=8): k-gram rolling hashes, per-window minima;
+    # t[i:i+15] is DuckDB 1-based inclusive slicing = substr(t, i, 16)
+    r"WITH base AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t "
+    "FROM documents WHERE text IS NOT NULL), "
+    "b2 AS (SELECT doc_id, t FROM base WHERE length(t) >= 16), "
+    "h AS (SELECT doc_id, unnest(list_transform(generate_series(1, length(t) - 15), "
+    "i -> struct_pack(pos := i, h := CAST('0x' || substr(md5(t[i:i+15]), 1, 12) AS BIGINT)))) AS u "
+    "FROM b2), "
+    "g AS (SELECT doc_id, u.pos AS pos, u.h AS h FROM h), "
+    "m AS (SELECT doc_id, min(h) OVER (PARTITION BY doc_id ORDER BY pos "
+    "ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp FROM g) "
+    "SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fps, fps FROM "
+    "(SELECT doc_id, list_sort(list(DISTINCT fp)) AS fps FROM m GROUP BY doc_id) "
+    "ORDER BY doc_id",
+)
+def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash winnowing fingerprints (SIGMOD'03 MOSS scheme) — the
+    substring-robust fingerprint tier (north-star 'document
+    fingerprinting (rolling hash)')."""
+    return D.winnowing_fingerprints(load(spark, sf_dir, "documents", parallel=True))
 
 
 _DUCK_DOT = (

@@ -266,6 +266,54 @@ def simhash_pairs(docs: DataFrame, text_col: str = "text", max_hamming: int = 1)
     )
 
 
+def winnowing_fingerprints(
+    docs: DataFrame, text_col: str = "text", k: int = 16, w: int = 8
+) -> DataFrame:
+    """Rolling-hash document fingerprints via winnowing (Schleimer,
+    Wilkerson & Aiken, SIGMOD'03 — the MOSS scheme): hash every
+    character k-gram of the whitespace-normalized lowered text, then
+    keep each w-window's minimum hash; the distinct kept hashes are the
+    doc's fingerprint set.  Guarantees any shared substring of length
+    ≥ k + w - 1 contributes a shared fingerprint — the
+    position-robust complement to the whole-doc md5 in
+    `textquality.fingerprints`.
+
+    Distributed shape: explode positions → hash (one md5 per gram, the
+    portable-hash idiom shared with the minhash oracle) → per-doc
+    running window min → collect_set.  One shuffle (by doc_id for the
+    window+agg); the gram explosion never leaves its input partition.
+    Trailing windows shorter than w shrink (same semantics in Spark and
+    DuckDB window frames, so the oracle reproduces it exactly).
+
+    Returns (doc_id, n_fps, fps ARRAY<BIGINT> sorted ascending).
+    """
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    base = (
+        docs.where(F.col(text_col).isNotNull())
+        .select("doc_id", norm.alias("t"))
+        .where(F.length("t") >= k)  # sequence(1, n) needs n ≥ 1
+    )
+    grams = base.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.length("t") - (k - 1))).alias("pos"),
+        "t",
+    ).select(
+        "doc_id",
+        "pos",
+        F.conv(F.substring(F.md5(F.col("t").substr(F.col("pos"), F.lit(k))), 1, 12), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    wspec = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    return (
+        grams.select("doc_id", F.min("h").over(wspec).alias("fp"))
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("fp")).alias("fps"))
+        .select("doc_id", F.size("fps").cast("long").alias("n_fps"), "fps")
+        .orderBy("doc_id")
+    )
+
+
 def simhash_pairs_blocked(
     docs: DataFrame, text_col: str = "text", max_hamming: int = 1
 ) -> DataFrame:

@@ -82,3 +82,7 @@ def test_quarterly_rollup_matches_oracle(spark, sf_dir):
 def test_top_suppliers_matches_oracle(spark, sf_dir):
     # new this round: the supplier fixture's first end-to-end query
     _assert_matches_oracle(spark, sf_dir, "top_suppliers_by_revenue")
+
+
+def test_winnowing_matches_oracle(spark, sf_dir):
+    _assert_matches_oracle(spark, sf_dir, "winnowing_fingerprints")

@@ -112,3 +112,23 @@ def test_simhash_pairs_blocked_parity(docs, spark, sf_dir):
     )
     assert blocked == allp
     assert len(allp) > 0  # fixture contains near-dups; parity isn't vacuous
+
+
+def test_winnowing_shared_substring_guarantee(spark):
+    """Winnowing guarantees: docs sharing a substring of length
+    >= k + w - 1 share at least one fingerprint; disjoint texts share
+    none; and a doc's fingerprint set is position-invariant under a
+    prefix shift of the shared block."""
+    shared = "the quick brown fox jumps over the lazy dog near the river"
+    df = spark.createDataFrame(
+        [
+            (1, "PREFIX AAA " + shared + " SUFFIX ONE"),
+            (2, "totally different opening text " + shared),
+            (3, "no overlap here at all with anything else whatsoever zzz"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: set(r.fps) for r in D.winnowing_fingerprints(df).collect()}
+    assert out[1] & out[2]          # shared block => shared fingerprint
+    assert not (out[1] & out[3])    # disjoint text => disjoint fps
+    assert not (out[2] & out[3])
