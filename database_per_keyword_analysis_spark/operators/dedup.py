@@ -124,19 +124,40 @@ def jaccard_pairs(
     )
 
 
-def minhash_signatures(sh: DataFrame, n_seeds: int = N_SEEDS) -> DataFrame:
+def minhash_signatures(
+    sh: DataFrame, n_seeds: int = N_SEEDS, hasher: str = "md5"
+) -> DataFrame:
     """S minhashes per doc in one aggregation pass (plus the shingle-set
     size `n_sh`, free in the same pass — downstream Jaccard needs it, and
     computing it here avoids re-aggregating the shingle set).
 
-    One md5 per shingle, split into two 48-bit halves (a, b); hash i is
-    the affine combination a + i·b (all < 2^53 — no overflow, no modulus
-    needed) — the classic two-hash minwise scheme, S× cheaper than S
-    independent digests and still portable integer arithmetic for the
-    oracle."""
-    h = F.md5("shingle")
-    a = F.conv(F.substring(h, 1, 12), 16, 10).cast("long")
-    b = F.conv(F.substring(h, 13, 12), 16, 10).cast("long")
+    One base hash per shingle, split into two independent values (a, b);
+    hash i is the affine combination a + i·b (all < 2^53 — no overflow,
+    no modulus needed) — the classic two-hash minwise scheme, S× cheaper
+    than S independent digests.
+
+    ``hasher``:
+      * ``"md5"`` (default) — portable integer arithmetic reproducible
+        in DuckDB, so the registered query is oracle-hash-checkable;
+      * ``"xxhash64"`` — Spark's built-in non-crypto hash, ~3-5× cheaper
+        per shingle; the 100 TB setting where nothing needs to replay
+        the hash in another engine.  Signatures differ from md5's, but
+        the FINAL pair output is identical whenever banding recall holds
+        (the verify stage computes exact Jaccard either way) — asserted
+        in tests/test_dedup.py.
+    """
+    if hasher == "md5":
+        h = F.md5("shingle")
+        a = F.conv(F.substring(h, 1, 12), 16, 10).cast("long")
+        b = F.conv(F.substring(h, 13, 12), 16, 10).cast("long")
+    elif hasher == "xxhash64":
+        # two independent 48-bit values from two seeded xxhash64 calls;
+        # mask to 48 bits so a + i·b stays exact in long arithmetic
+        mask = F.lit((1 << 48) - 1)
+        a = F.xxhash64("shingle").bitwiseAND(mask)
+        b = F.xxhash64("shingle", F.lit(1)).bitwiseAND(mask)
+    else:
+        raise ValueError(f"unknown hasher: {hasher!r}")
     aggs = [F.min(a + F.lit(i) * b).alias(f"mh_{i}") for i in range(n_seeds)]
     aggs.append(F.count(F.lit(1)).alias("n_sh"))
     return sh.groupBy("doc_id").agg(*aggs)
@@ -179,12 +200,16 @@ def minhash_near_dups(
     n_seeds: int = N_SEEDS,
     n_bands: int = N_BANDS,
     unit: str = "word",
+    hasher: str = "md5",
 ) -> DataFrame:
     """MinHash-LSH near-dup detection with exact-Jaccard verification of
     candidates — the scale path: shuffles are O(docs·seeds) for
-    signatures, O(docs·bands) for banding, O(candidates) for verify."""
+    signatures, O(docs·bands) for banding, O(candidates) for verify.
+    ``hasher="xxhash64"`` swaps the per-shingle digest for the cheap
+    built-in hash (see `minhash_signatures`) — same verified output,
+    no oracle replay."""
     sh = shingles(docs, text_col, n, unit)
-    sig = minhash_signatures(sh, n_seeds)
+    sig = minhash_signatures(sh, n_seeds, hasher)
     cand = lsh_candidate_pairs(sig, n_seeds, n_bands)
     sizes = sig.select("doc_id", "n_sh")
     # intersection size: doc_a's shingles equi-joined to doc_b's on the

@@ -132,3 +132,31 @@ def test_winnowing_shared_substring_guarantee(spark):
     assert out[1] & out[2]          # shared block => shared fingerprint
     assert not (out[1] & out[3])    # disjoint text => disjoint fps
     assert not (out[2] & out[3])
+
+
+def test_minhash_xxhash_tier_parity(docs, spark, sf_dir):
+    """The xxhash64 fast tier shares the md5 tier's correctness contract:
+    output ⊆ exact-Jaccard pairs (the verify stage is exact either way)
+    and full recall on strong dups.  Borderline J≈threshold pairs may
+    differ between hashers (banding recall < 1 is the documented LSH
+    trade-off), so equality is only asserted where recall is 1."""
+    from database_per_keyword_analysis_spark.sources import load
+
+    # handcrafted strong dups: identical output
+    md5_out = sorted(map(tuple, D.minhash_near_dups(docs, threshold=0.5).collect()))
+    xx_out = sorted(
+        map(tuple, D.minhash_near_dups(docs, threshold=0.5, hasher="xxhash64").collect())
+    )
+    assert xx_out == md5_out and len(md5_out) > 0
+
+    # real corpus: both tiers ⊆ exact pairs, and neither misses a J≥0.9 pair
+    real = load(spark, sf_dir, "documents")
+    exact = {(r.doc_a, r.doc_b): r.jaccard for r in D.jaccard_pairs(real, threshold=0.8).collect()}
+    strong = {p for p, j in exact.items() if j >= 0.9}
+    for hasher in ("md5", "xxhash64"):
+        got = {
+            (r.doc_a, r.doc_b)
+            for r in D.minhash_near_dups(real, threshold=0.8, hasher=hasher).collect()
+        }
+        assert got <= set(exact)
+        assert strong <= got

@@ -98,3 +98,21 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmp_path):
     joined.collect()
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_top_suppliers_aggregates_before_broadcast_joins(spark, sf_dir):
+    """Q15-style plan contract: shipdate filter pushed to the lineitem
+    scan, partial aggregation BEFORE the only exchange (the shuffle
+    carries (suppkey, partial sum), not raw lineitems), and both
+    dimension joins broadcast — no sort-merge join anywhere."""
+    plan = _plan(spark, sf_dir, "top_suppliers_by_revenue")
+    pushed = plan.split("PushedFilters:")[1].splitlines()[0]
+    assert "l_shipdate" in pushed
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+    # partial agg feeds the exchange: in the top-down tree string the
+    # Exchange (parent) prints before the partial HashAggregate (child)
+    assert "partial_sum" in plan
+    assert plan.index("Exchange hashpartitioning") < plan.index("partial_sum")
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_partkey" not in read and "l_quantity" not in read  # pruned
