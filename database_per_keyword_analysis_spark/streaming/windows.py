@@ -21,35 +21,31 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# Explicit schema for streaming reads (readStream cannot infer), matching
-# sources/loader.py events normalization: ns → µs handled by reading the
-# raw long column.
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as ns long
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
-
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`events` as a stream: parquet-directory source with explicit
-    schema; ts rebuilt exactly as the batch loader does."""
+    """`events` as a stream: parquet-directory source; ts normalized to
+    µs TimestampType exactly as the batch loader does.
+
+    readStream cannot infer schemas, so the schema is taken from a BATCH
+    read of the same file — a footer-only read, no job.  This adapts to
+    however the fixture generation encoded ts: TIMESTAMP(NANOS) surfaces
+    as a ns long (under nanosAsLong) and is rebuilt by integer division;
+    TIMESTAMP(MICROS) surfaces as TimestampNTZ and is cast.  Watermarks
+    require TimestampType (not NTZ); under the UTC session timezone the
+    values are identical to the batch loader's NTZ."""
+    import os
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    static_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
     # FileStreamSource needs a directory; select the single fixture file
     # out of sf_dir with a glob filter.
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(static_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    # TimestampType (not NTZ): watermarks require it; under the UTC
-    # session timezone the values are identical to the batch loader's NTZ.
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(static_schema["ts"].dataType, T.LongType):
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def windowed_counts(
