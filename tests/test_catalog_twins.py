@@ -1,9 +1,10 @@
 """Parity proofs for the catalog's DEFERRED near-twin queries.
 
 The driver hash-verifies only the first 50 registered queries, so the
-catalog defers five oracle-backed near-twins past the window
-(catalog._DEFERRED_TWINS).  Each deferred twin must be provably
-equivalent to a CHECKED primary — this module is that proof:
+catalog defers the oracle-backed machinery-twins in
+catalog._DEFERRED_TWINS past the window (novel machinery stays inside
+it).  Each deferred twin must be provably equivalent to a CHECKED
+primary or independently oracle-verified — this module is that proof:
 
 - result-equality twins: collected rows bit-equal to the checked primary
   (same oracle SQL ⇒ the primary's green hash covers both);
@@ -71,18 +72,17 @@ def test_stream_sliding_counts_equals_batch(spark, sf_dir):
     _assert_equal_results(spark, sf_dir, "stream_sliding_counts", "sliding_window_counts")
 
 
-def test_minhash_char_matches_oracle(spark, sf_dir):
-    _assert_matches_oracle(spark, sf_dir, "minhash_near_dups_char")
-
-
 def test_quarterly_rollup_matches_oracle(spark, sf_dir):
     _assert_matches_oracle(spark, sf_dir, "quarterly_revenue_rollup")
 
 
 def test_top_suppliers_matches_oracle(spark, sf_dir):
-    # new this round: the supplier fixture's first end-to-end query
     _assert_matches_oracle(spark, sf_dir, "top_suppliers_by_revenue")
 
 
-def test_winnowing_matches_oracle(spark, sf_dir):
-    _assert_matches_oracle(spark, sf_dir, "winnowing_fingerprints")
+def test_events_weekly_matches_oracle(spark, sf_dir):
+    _assert_matches_oracle(spark, sf_dir, "events_weekly_counts")
+
+
+def test_orders_monthly_matches_oracle(spark, sf_dir):
+    _assert_matches_oracle(spark, sf_dir, "orders_monthly_counts")
