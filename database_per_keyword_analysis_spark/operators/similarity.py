@@ -348,6 +348,7 @@ def ivf_index(
     id_col: str = "vec_id",
     seed: int = 42,
     max_train: int = 65536,
+    index_path: str | None = None,
 ):
     """Build an IVF index: k-means centroids (the coarse quantizer) and
     the vector→list assignment.
@@ -362,8 +363,13 @@ def ivf_index(
     TakeOrdered scan instead).  Assignment is ONE narrow Arrow-vectorized
     pass over the corpus (argmin over ||x−c||², no shuffle, no
     N×n_lists row blow-up), and the centroid table is driver-small
-    (n_lists × dim floats) — it broadcasts into the probe join.  Writing
-    `assigned` partitioned by `list_id` gives partition pruning on probes.
+    (n_lists × dim floats) — it broadcasts into the probe join.
+
+    With `index_path` set this is the "train once, probe many" seam: the
+    assignment is written as parquet PARTITIONED BY list_id (probes prune
+    to the n_probe lists they touch) plus a tiny centroids parquet, and
+    subsequent `ivf_load`/`ivf_knn(index_path=...)` calls skip training
+    and the per-row assignment UDF entirely — they just scan files.
     """
     import numpy as np
 
@@ -388,7 +394,39 @@ def ivf_index(
     assigned = vectors.select(
         id_col, vec_col, assign(F.col(vec_col)).alias("list_id")
     )
+    if index_path is not None:
+        spark = vectors.sparkSession
+        assigned.write.mode("overwrite").partitionBy("list_id").parquet(
+            index_path + "/assigned"
+        )
+        _centroid_df(spark, centroids).write.mode("overwrite").parquet(
+            index_path + "/centroids"
+        )
+        return ivf_load(spark, index_path, id_col=id_col)
     return assigned, centroids
+
+
+def ivf_load(spark, index_path: str, id_col: str = "vec_id"):
+    """Load a persisted IVF index built by `ivf_index(index_path=...)`.
+    Returns the same (assigned, centroids) pair; `assigned` is a plain
+    parquet scan partitioned by list_id — probing never re-runs training
+    or the assignment UDF."""
+    assigned = spark.read.parquet(index_path + "/assigned")
+    cent = spark.read.parquet(index_path + "/centroids").orderBy("list_id").collect()
+    centroids = [list(r.centroid) for r in cent]
+    return assigned, centroids
+
+
+def ivf_index_exists(spark, index_path: str) -> bool:
+    """True when a complete persisted index (both parquet writes committed)
+    is present at `index_path` on any Hadoop-visible filesystem."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    ok = True
+    for part in ("/assigned", "/centroids"):
+        p = jvm.org.apache.hadoop.fs.Path(index_path + part + "/_SUCCESS")
+        ok = ok and p.getFileSystem(conf).exists(p)
+    return ok
 
 
 def _centroid_df(spark, centroids: list[list[float]]) -> DataFrame:
@@ -406,17 +444,45 @@ def ivf_knn(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 42,
+    index_path: str | None = None,
 ) -> DataFrame:
     """IVF-probed approximate top-k cosine: each query searches only its
     `n_probe` nearest inverted lists instead of the whole corpus —
     compare ~n_probe/n_lists of the candidates of brute force.
 
-    All joins after assignment are equi-joins on `list_id` (shuffle-free
-    on the corpus side when `assigned` is pre-partitioned by list_id);
-    the query→probe-list fan-out is broadcast (|Q|·n_probe rows).
+    With `index_path` set, a persisted index there is REUSED (train once,
+    probe many — no k-means, no assignment pass; the probe is a pruned
+    parquet scan); absent one, the index is built and persisted there for
+    every later call.  Without a path, build is inline (the labeled
+    baseline form).
     """
     spark = vectors.sparkSession
-    assigned, centroids = ivf_index(vectors, n_lists, vec_col, id_col, seed)
+    if index_path is not None and ivf_index_exists(spark, index_path):
+        assigned, centroids = ivf_load(spark, index_path, id_col=id_col)
+    else:
+        assigned, centroids = ivf_index(
+            vectors, n_lists, vec_col, id_col, seed, index_path=index_path
+        )
+    return ivf_probe(
+        assigned, centroids, queries, k, n_probe, vec_col, id_col
+    )
+
+
+def ivf_probe(
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Probe stage of IVF: rank centroids per query, search the n_probe
+    nearest inverted lists.  All joins after assignment are equi-joins on
+    `list_id` (partition-pruned when `assigned` is a parquet index
+    partitioned by list_id); the query→probe-list fan-out is broadcast
+    (|Q|·n_probe rows)."""
+    spark = assigned.sparkSession
     cent = _centroid_df(spark, centroids)
 
     q = queries.select(

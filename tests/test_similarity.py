@@ -103,3 +103,36 @@ def test_cosine_pairs_lsh_subset_and_recall(spark, sf_dir):
         for r in SIM.cosine_near_dups_lsh(emb, threshold=0.4).collect()
     }
     assert got == again
+
+
+def test_ivf_persisted_index_parity(spark, sf_dir, tmp_path):
+    """Train-once/probe-many: results via a freshly built index, via the
+    persisted index on disk (no retraining), and via the inline path are
+    identical; ivf_index_exists gates the rebuild."""
+    from pyspark.sql import functions as F
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    idx = str(tmp_path / "ivf_idx")
+
+    assert not SIM.ivf_index_exists(spark, idx)
+    built = sorted(
+        map(tuple, SIM.ivf_knn(emb, queries, k=3, index_path=idx).collect())
+    )
+    assert SIM.ivf_index_exists(spark, idx)
+
+    # second call loads from parquet — prove it by NOT giving it vectors
+    # it could retrain on (empty frame): probe still works off the index
+    empty = emb.where(F.lit(False))
+    loaded = sorted(
+        map(tuple, SIM.ivf_knn(empty, queries, k=3, index_path=idx).collect())
+    )
+    inline = sorted(map(tuple, SIM.ivf_knn(emb, queries, k=3).collect()))
+    assert built == loaded == inline
+
+    # the persisted assignment is partitioned by list_id (pruned probes)
+    import os
+
+    assert any(
+        name.startswith("list_id=") for name in os.listdir(idx + "/assigned")
+    )
