@@ -82,8 +82,11 @@ def _fallback_normalize(s: pd.Series) -> pd.Series:
     for src, dst in zip("يكؤةۀإأ", "یکوههاا"):
         out = out.str.replace(src, dst, regex=False)
     out = out.str.replace(r"[ًٌٍَُِّْٰ]", "", regex=True)
+    # lower BEFORE the repeat-squeeze, matching text.py:normalize_text —
+    # case folding can create new 3-runs ('AAa' → 'aaa' must squeeze)
+    out = out.str.lower()
     out = out.str.replace(r"(.)\1{2,}", r"\1\1", regex=True)
-    return out.str.lower().str.replace(r"\s+", " ", regex=True).str.strip()
+    return out.str.replace(r"\s+", " ", regex=True).str.strip()
 
 
 @pandas_udf(T.StringType())

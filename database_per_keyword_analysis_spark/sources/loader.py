@@ -133,29 +133,80 @@ def _size_bytes(conf_val: str) -> int:
     return int(s)
 
 
-def _estimated_scan_partitions(df: DataFrame) -> int | None:
-    """Estimate how many partitions the scan under `df` yields, from file
-    sizes and Spark's own split formula (FilePartition.maxSplitBytes) —
-    no job, no plan-to-RDD conversion.  None when the inputs aren't
-    local files we can stat (then the caller must not assume
-    under-splitting)."""
+def _hadoop_file_sizes(spark: SparkSession, uris: list[str]) -> list[int] | None:
+    """File sizes for non-local URIs via the Hadoop FileSystem API
+    (s3a://, hdfs://, abfs://, ...) — a metadata-only getFileStatus per
+    file, no job.  None when any status call fails (then the caller must
+    not assume under-splitting)."""
     try:
-        files = [f.removeprefix("file:") for f in df.inputFiles()]
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        sizes = []
+        for u in uris:
+            p = jvm.org.apache.hadoop.fs.Path(u)
+            sizes.append(int(p.getFileSystem(conf).getFileStatus(p).getLen()))
+        return sizes
     except Exception:
         return None
-    if not files or any("://" in f for f in files):
-        return None
+
+
+def _pack_partitions(sizes: list[int], split: int, open_cost: int) -> int:
+    """Replicate FilePartition.getFilePartitions' greedy packing: split
+    each file into ≤`split`-byte chunks, sort chunks size-descending,
+    then pack sequentially into bins closed when adding the next chunk
+    would exceed `split` (each chunk also carries `open_cost`).  Modeling
+    the packing matters for many-small-file scans, where per-file
+    ceil(size/split) over-counts and would make fan_out skip a needed
+    repartition."""
+    chunks: list[int] = []
+    for sz in sizes:
+        if sz == 0:
+            chunks.append(0)
+        else:
+            full, rem = divmod(sz, split)
+            chunks.extend([split] * full)
+            if rem:
+                chunks.append(rem)
+    chunks.sort(reverse=True)
+    n_parts, current = 0, 0
+    for c in chunks:
+        if current + c > split and current > 0:
+            n_parts += 1
+            current = 0
+        current += c + open_cost
+    return n_parts + (1 if current > 0 else 0)
+
+
+def _estimated_scan_partitions(df: DataFrame) -> int | None:
+    """Estimate how many partitions the scan under `df` yields, from file
+    sizes and Spark's own split-and-pack formula
+    (FilePartition.maxSplitBytes + getFilePartitions) — no job, no
+    plan-to-RDD conversion.  Local paths are stat'ed directly; other
+    filesystems go through the Hadoop FileSystem API.  None only when
+    sizes are unobtainable (then the caller must not assume
+    under-splitting)."""
     try:
-        sizes = [os.path.getsize(f) for f in files]
-    except OSError:
+        files = df.inputFiles()
+    except Exception:
         return None
+    if not files:
+        return None
+    if any("://" in f and not f.startswith("file:") for f in files):
+        sizes = _hadoop_file_sizes(df.sparkSession, files)
+        if sizes is None:
+            return None
+    else:
+        try:
+            sizes = [os.path.getsize(f.removeprefix("file:")) for f in files]
+        except OSError:
+            return None
     conf = df.sparkSession.conf
     max_part = _size_bytes(conf.get("spark.sql.files.maxPartitionBytes", "128m"))
     open_cost = _size_bytes(conf.get("spark.sql.files.openCostInBytes", "4m"))
     parallelism = df.sparkSession.sparkContext.defaultParallelism
     bytes_per_core = (sum(sizes) + open_cost * len(sizes)) / max(parallelism, 1)
     split = max(1, min(max_part, int(max(open_cost, bytes_per_core))))
-    return sum(-(-sz // split) or 1 for sz in sizes)
+    return _pack_partitions(sizes, split, open_cost)
 
 
 def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:

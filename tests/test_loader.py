@@ -55,3 +55,34 @@ def test_fan_out_estimator_matches_scan(spark, sf_dir):
     # a scan the estimator says is already wide enough passes through
     # identically (no Repartition node inserted)
     assert fan_out(df, min_partitions=1) is df
+
+
+def test_fan_out_estimator_many_small_files(spark, tmp_path):
+    """FilePartition PACKS multiple small files into one partition; a
+    per-file ceil(size/split) estimate over-counts and would silently
+    skip a needed repartition.  Parity is asserted against the real scan
+    over 12 tiny files."""
+    from database_per_keyword_analysis_spark.sources.loader import (
+        _estimated_scan_partitions,
+    )
+
+    p = str(tmp_path / "many")
+    spark.range(1200).repartition(12).write.parquet(p)
+    df = spark.read.parquet(p)
+    assert _estimated_scan_partitions(df) == df.rdd.getNumPartitions()
+
+
+def test_hadoop_file_sizes_via_fs_api(spark, sf_dir):
+    """Size probe through the Hadoop FileSystem API (the non-local-path
+    route: s3a/hdfs/abfs) — exercised here via file: URIs against the
+    same LocalFileSystem implementation, checked against os.stat."""
+    import os
+
+    from database_per_keyword_analysis_spark.sources.loader import (
+        _hadoop_file_sizes,
+    )
+
+    local = f"{sf_dir}/documents.parquet"
+    got = _hadoop_file_sizes(spark, ["file://" + os.path.abspath(local)])
+    assert got == [os.path.getsize(local)]
+    assert _hadoop_file_sizes(spark, ["file:///nonexistent/nope.parquet"]) is None

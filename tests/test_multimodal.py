@@ -46,9 +46,49 @@ def test_fake_decode_deterministic(spark, sf_dir):
         assert a[row.doc_id] == (sum(raw) / len(raw), len(raw))
 
 
-def test_real_decode_is_stubbed(spark, sf_dir):
+def test_real_decode_gate(spark, sf_dir):
+    """fake=False raises ONLY when no codec is importable; with PIL
+    present it must run (covered by test_real_decode_with_pil)."""
+    if MM.available_codecs():
+        pytest.skip("codec importable here; real path covered below")
     with pytest.raises(NotImplementedError):
         MM.decode_media(_media(spark, sf_dir), fake=False)
+
+
+def test_real_decode_with_pil(spark, sf_dir):
+    """Real codec path: decode an actual in-memory PNG and check the
+    mean-pixel / pixel-count against known values.  Skips where PIL is
+    not importable (this container); runs wherever deps exist."""
+    codecs = MM.available_codecs()
+    if "image" not in codecs:
+        pytest.skip("PIL not importable in this container")
+    import io
+
+    img = codecs["image"].new("L", (4, 2), color=7)  # 8 px, all value 7
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(buf.getvalue()))],
+        "doc_id long, media_kind string, payload binary",
+    )
+    out = MM.decode_media(df, fake=False).collect()[0]
+    assert out.n_units == 8
+    assert out.mean_byte == pytest.approx(7.0)
+
+
+def test_real_decode_unknown_kind_falls_back_to_byte_proxy(spark):
+    """A kind with no codec (video) must fall back per-row to the byte
+    proxy, not fail the batch — mixed corpora are the normal case."""
+    if not MM.available_codecs():
+        pytest.skip("no codec importable; fake=False raises by contract")
+    payload = bytes([10, 20, 30])
+    df = spark.createDataFrame(
+        [(1, "video", bytearray(payload))],
+        "doc_id long, media_kind string, payload binary",
+    )
+    out = MM.decode_media(df, fake=False).collect()[0]
+    assert out.n_units == 3
+    assert out.mean_byte == pytest.approx(20.0)
 
 
 def test_frame_sampling_spacing(spark, sf_dir):

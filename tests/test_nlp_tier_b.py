@@ -18,6 +18,7 @@ def test_fallback_matches_tier_a_normalizer(spark):
     rows = [
         ("Heeellooo   WORLD",),
         ("كتاب يك",),  # arabic ي/ك → persian ی/ک
+        ("AAa mixed-case run",),  # case folding creates a 3-run: must squeeze to 'aa'
         (None,),
     ]
     df = spark.createDataFrame(rows, ["text"])
