@@ -66,6 +66,7 @@ _DEFERRED_TWINS = {
     "events_weekly_counts",  # same zero-fill bucketing as events_daily_counts
     "orders_monthly_counts",  # same zero-fill bucketing as events_daily_counts
     "top_suppliers_by_revenue",  # same join-agg-topk as top_customers_by_revenue
+    "cosine_dup_groups",  # same cc machinery as minhash_dup_groups
 }
 
 
@@ -929,8 +930,7 @@ def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.knn_bruteforce(emb, emb.where(F.col("vec_id") < 10), k=5)
 
 
-@register(
-    "cosine_near_dup_pairs",
+_COSINE_PAIRS_SQL = (
     "WITH e AS (SELECT vec_id, embedding FROM embeddings) "
     "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
     + _DUCK_DOT.format(a="a.embedding", b="b.embedding")
@@ -940,12 +940,49 @@ def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     "WHERE " + _DUCK_DOT.format(a="a.embedding", b="b.embedding")
     + " / (sqrt(" + _DUCK_DOT.format(a="a.embedding", b="a.embedding")
     + ") * sqrt(" + _DUCK_DOT.format(a="b.embedding", b="b.embedding")
-    + ")) >= 0.4 ORDER BY vec_a, vec_b",
+    + ")) >= 0.4 ORDER BY vec_a, vec_b"
 )
+
+
+@register("cosine_near_dup_pairs", _COSINE_PAIRS_SQL)
 def q_cosine_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (threshold tuned to fixture
     geometry: max pairwise cosine ≈ 0.51)."""
     return SIM.cosine_near_dup_pairs(load(spark, sf_dir, "embeddings", parallel=True), threshold=0.4)
+
+
+@register(
+    "cosine_dup_groups",
+    # transitive closure of the cosine pair list, exactly as
+    # _minhash_groups_sql does for the text tier
+    "WITH RECURSIVE pairs AS (" + _COSINE_PAIRS_SQL + "), "
+    "edges AS (SELECT vec_a AS n, vec_b AS m FROM pairs "
+    "UNION SELECT vec_b AS n, vec_a AS m FROM pairs), "
+    "reach(n, m) AS (SELECT n, n AS m FROM edges "
+    "UNION SELECT e.n, r.m FROM edges e JOIN reach r ON e.m = r.n), "
+    "cc AS (SELECT n AS vec_id, min(m) AS group_id FROM reach GROUP BY n) "
+    "SELECT vec_id, group_id, "
+    "CAST(count(*) OVER (PARTITION BY group_id) AS BIGINT) AS group_size, "
+    "row_number() OVER (PARTITION BY group_id ORDER BY vec_id) AS dup_rank, "
+    "row_number() OVER (PARTITION BY group_id ORDER BY vec_id) > 1 "
+    "AS is_duplicate FROM cc ORDER BY vec_id",
+)
+def q_cosine_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-tier dedup decisions: cosine near-dup pairs ->
+    connected components -> keeper per group.  Same min-label
+    propagation machinery as minhash_dup_groups (operators/dedup.py),
+    applied to the vector pair list — completes keep/drop semantics
+    across the exact, text-LSH, and embedding tiers."""
+    from pyspark.sql import functions as F
+
+    pairs = SIM.cosine_near_dup_pairs(
+        load(spark, sf_dir, "embeddings", parallel=True), threshold=0.4
+    )
+    return (
+        D.dup_groups(pairs, src="vec_a", dst="vec_b")
+        .withColumnRenamed("doc_id", "vec_id")
+        .orderBy("vec_id")
+    )
 
 
 @register("cosine_near_dups_lsh", None)  # approximate recall → rows-only;

@@ -86,3 +86,7 @@ def test_events_weekly_matches_oracle(spark, sf_dir):
 
 def test_orders_monthly_matches_oracle(spark, sf_dir):
     _assert_matches_oracle(spark, sf_dir, "orders_monthly_counts")
+
+
+def test_cosine_dup_groups_matches_oracle(spark, sf_dir):
+    _assert_matches_oracle(spark, sf_dir, "cosine_dup_groups")
