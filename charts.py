@@ -86,6 +86,39 @@ def lines(path, series, title):
     (_mpl_lines if HAVE_MPL else MP.lines)(path, series, title)
 
 
+def _mpl_wordcloud(path, freqs, title):
+    # matplotlib text-scatter; the wordcloud package (used by the
+    # reference, main.py:773-778) is not assumed importable either way
+    import math
+
+    import matplotlib.pyplot as plt
+
+    plt.figure(figsize=(16, 9))
+    ax = plt.gca()
+    ax.axis("off")
+    items = sorted(freqs.items(), key=lambda kv: (-kv[1], kv[0]))[:60]
+    cmax = items[0][1] if items else 1
+    for i, (word, cnt) in enumerate(items):
+        ang = 2.399963 * i
+        r = 0.05 + 0.45 * (i / max(len(items) - 1, 1))
+        ax.text(
+            0.5 + r * math.cos(ang),
+            0.5 + r * math.sin(ang) * 0.6,
+            word,
+            ha="center",
+            va="center",
+            fontsize=8 + 28 * (cnt / (cmax or 1)) ** 0.5,
+            transform=ax.transAxes,
+        )
+    plt.title(title)
+    plt.savefig(path, dpi=300, bbox_inches="tight", pad_inches=0.75)
+    plt.close()
+
+
+def wordcloud(path, freqs, title):
+    (_mpl_wordcloud if HAVE_MPL else MP.wordcloud)(path, freqs, title)
+
+
 def render_all(spark, sf_dir: str, out_dir: str) -> list[str]:
     """Run the six feeding queries and write the six chart families.
     Returns the list of written PNG paths."""
@@ -133,19 +166,25 @@ def render_all(spark, sf_dir: str, out_dir: str) -> list[str]:
         "Top channels by views",
     )
 
-    # 4: word frequency per group (main.py:737-791; bar form — the
-    # wordcloud variant needs the wordcloud package, absent here)
+    # 4: word frequency per group, both reference variants
+    # (main.py:737-791): 4A bar chart + 4B word cloud per group
     rows = qs["word_frequency_by_lang"](spark, sf_dir).collect()
     by_lang: dict[str, list] = {}
     for r in rows:
         by_lang.setdefault(r.lang, []).append(r)
     for lang, rs in sorted(by_lang.items()):
-        rs = sorted(rs, key=lambda r: r.rn)[:20]
+        rs = sorted(rs, key=lambda r: r.rn)
+        top = rs[:20]
         barh(
             out(f"4_wordfreq_{lang}.png"),
-            [r.word for r in rs],
-            [r.cnt for r in rs],
+            [r.word for r in top],
+            [r.cnt for r in top],
             f"Top words: {lang}",
+        )
+        wordcloud(
+            out(f"4_wordcloud_{lang}.png"),
+            {r.word: r.cnt for r in rs},
+            f"Word cloud: {lang}",
         )
 
     # 5: weekly time trend (main.py:793-839)

@@ -12,10 +12,30 @@ def test_render_all_six_families(spark, sf_dir, tmp_path):
     written = charts.render_all(spark, sf_dir, str(tmp_path))
     families = {os.path.basename(p).split("_")[0] for p in written}
     assert families == {"1", "2", "3", "4", "5", "6"}
+    # both chart-4 variants (bar + word cloud, main.py:737-791)
+    names = {os.path.basename(p) for p in written}
+    assert any(n.startswith("4_wordfreq_") for n in names)
+    assert any(n.startswith("4_wordcloud_") for n in names)
     for p in written:
         assert os.path.getsize(p) > 500
         with open(p, "rb") as f:
             assert f.read(8) == b"\x89PNG\r\n\x1a\n"
+
+
+def test_wordcloud_scales_and_places_words(tmp_path):
+    from tools import miniplot as MP
+
+    p = str(tmp_path / "wc.png")
+    freqs = {f"word{i}": 100 - i for i in range(40)}
+    MP.wordcloud(p, freqs, "cloud")
+    assert os.path.getsize(p) > 500
+    with open(p, "rb") as f:
+        assert f.read(8) == b"\x89PNG\r\n\x1a\n"
+    # deterministic: same input renders byte-identical output
+    p2 = str(tmp_path / "wc2.png")
+    MP.wordcloud(p2, dict(freqs), "cloud")
+    assert open(p, "rb").read() == open(p2, "rb").read()
+    MP.wordcloud(str(tmp_path / "empty.png"), {}, "empty")
 
 
 def test_miniplot_empty_inputs(tmp_path):

@@ -166,6 +166,57 @@ def barv(path, labels, values, title, width=1280, height=720):
     c.save(path)
 
 
+def wordcloud(path, freqs, title, width=1280, height=720):
+    """Frequency-scaled word cloud (reference chart 4B shape,
+    main.py:767-790 — `WordCloud.generate_from_frequencies`).
+
+    Deterministic stand-in for the wordcloud package: words sorted by
+    count descending, glyph scale proportional to sqrt(count/max), each
+    placed on an archimedean spiral from the canvas center at the first
+    collision-free spot (same greedy strategy wordcloud itself uses,
+    minus its random orientation/jitter — determinism beats fidelity in
+    a demo layer that must render identically across runs).
+    """
+    c = Canvas(width, height)
+    c.text(24, 16, title, scale=3)
+    items = sorted(freqs.items(), key=lambda kv: (-kv[1], kv[0]))[:100]
+    if not items:
+        c.save(path)
+        return
+    cmax = items[0][1] or 1
+    cx0, cy0 = width // 2, (height + 60) // 2
+    placed: list[tuple[int, int, int, int]] = []
+
+    def collides(x0, y0, x1, y1):
+        if x0 < 8 or y0 < 60 or x1 > width - 8 or y1 > height - 8:
+            return True
+        return any(
+            x0 < px1 + 4 and x1 + 4 > px0 and y0 < py1 + 4 and y1 + 4 > py0
+            for px0, py0, px1, py1 in placed
+        )
+
+    for i, (word, cnt) in enumerate(items):
+        scale = max(1, min(7, round(1 + 6 * (cnt / cmax) ** 0.5)))
+        tw, th = _text_w(word, scale), 7 * scale
+        spot = None
+        # spiral: radius grows ~2px per step, angle from a per-word
+        # golden-ratio offset so successive words fan out evenly
+        for step in range(2400):
+            ang = 2.399963 * (i + step * 0.05)
+            r = 2.0 * step * 0.05
+            x0 = int(cx0 + r * np.cos(ang)) - tw // 2
+            y0 = int(cy0 + r * np.sin(ang) * 0.6) - th // 2
+            if not collides(x0, y0, x0 + tw, y0 + th):
+                spot = (x0, y0)
+                break
+        if spot is None:
+            continue  # canvas full; drop the rarest words
+        x0, y0 = spot
+        placed.append((x0, y0, x0 + tw, y0 + th))
+        c.text(x0, y0, word, color=PALETTE[i % len(PALETTE)], scale=scale)
+    c.save(path)
+
+
 def lines(path, series, title, width=1280, height=720):
     """Multi-series line chart (reference chart 5 shape).
 
