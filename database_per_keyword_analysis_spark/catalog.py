@@ -67,6 +67,8 @@ _DEFERRED_TWINS = {
     "orders_monthly_counts",  # same zero-fill bucketing as events_daily_counts
     "top_suppliers_by_revenue",  # same join-agg-topk as top_customers_by_revenue
     "cosine_dup_groups",  # same cc machinery as minhash_dup_groups
+    "corpus_curation",  # composition of three checked primaries
+    # (doc_quality_metrics + exact_duplicates + minhash_dup_groups)
 }
 
 
@@ -983,6 +985,58 @@ def q_cosine_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("doc_id", "vec_id")
         .orderBy("vec_id")
     )
+
+
+def _curation_sql() -> str:
+    """Oracle for the composed curation decision: quality metrics +
+    exact-dup rank + minhash near-dup components, CASE precedence
+    exact_duplicate > near_duplicate > too_short > high_punctuation —
+    each CTE is the registered (hash-green) oracle of its stage."""
+    fp = r"md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))"
+    return (
+        "WITH RECURSIVE pairs AS (" + _minhash_sql() + "), "
+        "edges AS (SELECT doc_a AS n, doc_b AS m FROM pairs "
+        "UNION SELECT doc_b AS n, doc_a AS m FROM pairs), "
+        "reach(n, m) AS (SELECT n, n AS m FROM edges "
+        "UNION SELECT e.n, r.m FROM edges e JOIN reach r ON e.m = r.n), "
+        "cc AS (SELECT n AS doc_id, min(m) AS group_id FROM reach GROUP BY n), "
+        "nd AS (SELECT doc_id, row_number() OVER "
+        "(PARTITION BY group_id ORDER BY doc_id) > 1 AS near_dup FROM cc), "
+        f"ex AS (SELECT doc_id, row_number() OVER (PARTITION BY {fp} "
+        "ORDER BY doc_id) > 1 AS exact_dup "
+        "FROM documents WHERE text IS NOT NULL), "
+        "q AS (SELECT doc_id, "
+        r"CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) "
+        "AS n_tokens_ws, "
+        r"CAST(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) "
+        "AS DOUBLE) / CAST(length(text) AS DOUBLE) AS punct_ratio "
+        "FROM documents WHERE text IS NOT NULL) "
+        "SELECT q.doc_id, n_tokens_ws, punct_ratio, "
+        "coalesce(ex.exact_dup, false) AS exact_dup, "
+        "coalesce(nd.near_dup, false) AS near_dup, "
+        "CASE WHEN coalesce(ex.exact_dup, false) THEN 'exact_duplicate' "
+        "WHEN coalesce(nd.near_dup, false) THEN 'near_duplicate' "
+        "WHEN n_tokens_ws < 20 THEN 'too_short' "
+        "WHEN punct_ratio > 0.30 THEN 'high_punctuation' END AS drop_reason, "
+        "CASE WHEN coalesce(ex.exact_dup, false) THEN 'exact_duplicate' "
+        "WHEN coalesce(nd.near_dup, false) THEN 'near_duplicate' "
+        "WHEN n_tokens_ws < 20 THEN 'too_short' "
+        "WHEN punct_ratio > 0.30 THEN 'high_punctuation' END IS NULL AS keep "
+        "FROM q LEFT JOIN ex ON q.doc_id = ex.doc_id "
+        "LEFT JOIN nd ON q.doc_id = nd.doc_id ORDER BY q.doc_id"
+    )
+
+
+@register("corpus_curation", _curation_sql())
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end per-document keep/drop decision: quality metrics +
+    exact dedup + minhash near-dup groups composed into one auditable
+    verdict per doc (operators/curation.py) — what a pretraining data
+    pipeline actually consumes; the reference stops at per-slice reports
+    (main.py:385-437)."""
+    from .operators import curation as CUR
+
+    return CUR.curate(load(spark, sf_dir, "documents", parallel=True))
 
 
 @register("cosine_near_dups_lsh", None)  # approximate recall → rows-only;

@@ -90,3 +90,24 @@ def test_orders_monthly_matches_oracle(spark, sf_dir):
 
 def test_cosine_dup_groups_matches_oracle(spark, sf_dir):
     _assert_matches_oracle(spark, sf_dir, "cosine_dup_groups")
+
+
+def test_corpus_curation_matches_oracle(spark, sf_dir):
+    _assert_matches_oracle(spark, sf_dir, "corpus_curation")
+
+
+def test_corpus_curation_decisions_fire(spark, sf_dir):
+    # the fixture corpus must exercise the decision space: kept docs,
+    # duplicate drops, and the reason precedence (a doc that is both a
+    # near-dup and short reports near_duplicate, not too_short)
+    qs = catalog.queries()
+    rows = qs["corpus_curation"](spark, sf_dir).collect()
+    reasons = {r.drop_reason for r in rows}
+    assert None in reasons  # something is kept
+    assert "exact_duplicate" in reasons or "near_duplicate" in reasons
+    for r in rows:
+        if r.exact_dup:
+            assert r.drop_reason == "exact_duplicate"
+        elif r.near_dup:
+            assert r.drop_reason == "near_duplicate"
+        assert r.keep == (r.drop_reason is None)
