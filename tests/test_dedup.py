@@ -5,6 +5,8 @@ hand-built inputs)."""
 from __future__ import annotations
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from database_per_keyword_analysis_spark.operators import dedup as D
 
@@ -206,6 +208,40 @@ def test_connected_components_converges_on_long_path(spark):
     )
     out = {r.doc_id: r.group_id for r in D.connected_components(pairs).collect()}
     assert out == {i: 0 for i in range(10)}
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 14), st.integers(0, 14)).filter(
+            lambda e: e[0] != e[1]
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_connected_components_matches_union_find(spark, edges):
+    """Differential vs a driver-side union-find on random edge lists:
+    the distributed min-propagation must produce exactly the component
+    structure, with group_id = min node id of the component."""
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    expected = {n: min(m for m in parent if find(m) == find(n)) for n in parent}
+
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {r.doc_id: r.group_id for r in D.connected_components(pairs).collect()}
+    assert got == expected
 
 
 def test_dup_groups_keeper_semantics(spark):
