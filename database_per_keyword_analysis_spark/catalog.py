@@ -69,6 +69,7 @@ _DEFERRED_TWINS = {
     "cosine_dup_groups",  # same cc machinery as minhash_dup_groups
     "corpus_curation",  # composition of three checked primaries
     # (doc_quality_metrics + exact_duplicates + minhash_dup_groups)
+    "media_resize",  # same mapInPandas plumbing as multimodal_decode
 }
 
 
@@ -1188,6 +1189,36 @@ def q_video_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return MM.sample_frame_offsets(MM.with_media_payload(docs)).orderBy(
         "doc_id", "frame_s"
+    )
+
+
+@register(
+    "media_resize",
+    # the fake resize is pure integer arithmetic (stride downsample), so
+    # dims and byte counts replay exactly; the binary payload itself is
+    # excluded from the checked projection
+    "WITH m AS (SELECT doc_id, "
+    "CAST(16 + (doc_id % 64) * 16 AS INTEGER) AS in_width, "
+    "CAST(16 + (doc_id % 48) * 16 AS INTEGER) AS in_height, "
+    "octet_length(encode(text)) AS n_bytes "
+    "FROM documents WHERE text IS NOT NULL AND doc_id % 3 = 0), "
+    "s AS (SELECT *, CAST(greatest(1, ceil(in_width / 64.0), "
+    "ceil(in_height / 64.0)) AS INTEGER) AS stride FROM m) "
+    "SELECT doc_id, in_width, in_height, "
+    "CAST(ceil(in_width / CAST(stride AS DOUBLE)) AS INTEGER) AS out_width, "
+    "CAST(ceil(in_height / CAST(stride AS DOUBLE)) AS INTEGER) AS out_height, "
+    "CAST(ceil(n_bytes / CAST(stride AS DOUBLE)) AS BIGINT) AS n_bytes_out "
+    "FROM s ORDER BY doc_id",
+)
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize stage (deterministic stride downsample in this
+    container; PIL thumbnail behind the same mapInPandas signature when
+    importable — operators/multimodal.py:resize_media)."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        MM.resize_media(MM.with_media_payload(docs))
+        .drop("payload")
+        .orderBy("doc_id")
     )
 
 

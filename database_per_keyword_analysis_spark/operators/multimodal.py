@@ -217,6 +217,92 @@ def decode_media(media: DataFrame, *, fake: bool = True) -> DataFrame:
     )
 
 
+_RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("in_width", T.IntegerType()),
+        T.StructField("in_height", T.IntegerType()),
+        T.StructField("out_width", T.IntegerType()),
+        T.StructField("out_height", T.IntegerType()),
+        T.StructField("n_bytes_out", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def resize_media(
+    media: DataFrame, max_w: int = 64, max_h: int = 64, *, fake: bool = True
+) -> DataFrame:
+    """Resize stage for image payloads (brief: decode / feature-extract /
+    resize / frame-sample).  Only ``media_kind == 'image'`` rows are
+    processed; the payload stays binary in → binary out.
+
+    ``fake=True`` (this container): deterministic integer-stride
+    downsample — stride = max(1, ceil(w/max_w), ceil(h/max_h)), output
+    dims = ceil(dim/stride), output payload = every stride-th byte
+    (len = ceil(n/stride)).  Pure arithmetic, so dims and byte counts
+    replay in SQL for the oracle.  ``fake=False``: PIL decode →
+    aspect-preserving thumbnail ≤ (max_w, max_h) → PNG re-encode;
+    payloads PIL cannot parse fall back per-row to the stride fake, and
+    the call raises ``NotImplementedError`` when PIL is absent.  Same
+    Arrow ``mapInPandas`` plumbing either way — at 100 TB this is one
+    projection pass, no shuffle, batches streaming through executors.
+    """
+    if not fake and "image" not in available_codecs():
+        raise NotImplementedError(
+            "real image resize needs PIL; not importable here — use "
+            "fake=True for the deterministic stride downsample"
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import math
+
+        pil = None if fake else available_codecs().get("image")
+        for pdf in it:
+            out_rows = []
+            for doc_id, payload, w, h in zip(
+                pdf["doc_id"], pdf["payload"], pdf["width"], pdf["height"]
+            ):
+                b = bytes(payload)
+                if pil is not None:
+                    try:
+                        img = pil.open(io.BytesIO(b))
+                        img.thumbnail((max_w, max_h))
+                        buf = io.BytesIO()
+                        img.save(buf, format="PNG")
+                        out_rows.append(
+                            (doc_id, w, h, img.width, img.height,
+                             buf.tell(), buf.getvalue())
+                        )
+                        continue
+                    except Exception:
+                        pass  # not a parseable image: stride fallback
+                stride = max(1, math.ceil(w / max_w), math.ceil(h / max_h))
+                out = b[::stride]
+                out_rows.append(
+                    (doc_id, w, h, math.ceil(w / stride),
+                     math.ceil(h / stride), len(out), out)
+                )
+            yield pd.DataFrame(
+                out_rows,
+                columns=[
+                    "doc_id", "in_width", "in_height", "out_width",
+                    "out_height", "n_bytes_out", "payload",
+                ],
+            ).astype({"n_bytes_out": "int64"})
+
+    return (
+        media.where(F.col("media_kind") == "image")
+        .select(
+            "doc_id", "payload",
+            F.col("meta.width").alias("width"),
+            F.col("meta.height").alias("height"),
+        )
+        .mapInPandas(batches, _RESIZE_SCHEMA)
+    )
+
+
 def sample_frame_offsets(
     media: DataFrame, n_samples: int = N_FRAME_SAMPLES
 ) -> DataFrame:

@@ -113,3 +113,51 @@ def test_frame_sampling_spacing(spark, sf_dir):
         ).distinct().collect()
     }
     assert kinds == {"video"}
+
+
+def test_fake_resize_stride_semantics(spark, sf_dir):
+    """Fake resize: stride = max(1, ceil(w/max_w), ceil(h/max_h)); output
+    dims/bytes = ceil(in/stride); payload is every stride-th byte."""
+    import math
+
+    m = _media(spark, sf_dir).where(F.col("doc_id") < 30)
+    src = {r.doc_id: r for r in m.where(F.col("media_kind") == "image").collect()}
+    out = {r.doc_id: r for r in MM.resize_media(m, 64, 64).collect()}
+    assert set(out) == set(src), "resize must cover exactly the image rows"
+    for doc_id, r in out.items():
+        w, h = src[doc_id].meta.width, src[doc_id].meta.height
+        b = bytes(src[doc_id].payload)
+        stride = max(1, math.ceil(w / 64), math.ceil(h / 64))
+        assert (r.in_width, r.in_height) == (w, h)
+        assert r.out_width == math.ceil(w / stride) <= 64
+        assert r.out_height == math.ceil(h / stride) <= 64
+        assert bytes(r.payload) == b[::stride]
+        assert r.n_bytes_out == len(b[::stride])
+
+
+def test_real_resize_gate(spark, sf_dir):
+    if "image" in MM.available_codecs():
+        pytest.skip("PIL importable; real path covered below")
+    with pytest.raises(NotImplementedError):
+        MM.resize_media(_media(spark, sf_dir), fake=False)
+
+
+def test_real_resize_with_pil(spark):
+    """Real path: a 100x40 PNG thumbnails to fit 64x64 preserving aspect
+    (64x25 or 64x26 depending on PIL rounding); output re-encodes as PNG."""
+    codecs = MM.available_codecs()
+    if "image" not in codecs:
+        pytest.skip("PIL not importable in this container")
+    import io
+
+    img = codecs["image"].new("L", (100, 40), color=3)
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(buf.getvalue()), (None, 100, 40, None))],
+        "doc_id long, media_kind string, payload binary, "
+        "meta struct<mime:string,width:int,height:int,duration_s:int>",
+    )
+    out = MM.resize_media(df, 64, 64, fake=False).collect()[0]
+    assert out.out_width == 64 and out.out_height in (25, 26)
+    assert bytes(out.payload)[:8] == b"\x89PNG\r\n\x1a\n"
