@@ -116,3 +116,24 @@ def test_top_suppliers_aggregates_before_broadcast_joins(spark, sf_dir):
     assert plan.index("Exchange hashpartitioning") < plan.index("partial_sum")
     read = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "l_partkey" not in read and "l_quantity" not in read  # pruned
+
+
+def test_corpus_curation_joins_are_hash_not_cartesian(spark, sf_dir):
+    """The curation assembly is equi-joins on doc_id end-to-end — a
+    CartesianProduct or BroadcastNestedLoopJoin anywhere means a stage
+    regressed to all-pairs."""
+    plan = _plan(spark, sf_dir, "corpus_curation")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_media_resize_is_single_pass_no_shuffle(spark, sf_dir):
+    """Resize is one mapInPandas projection pass: no Exchange may appear
+    below it (the final orderBy's range exchange is the only allowed
+    shuffle in the query form)."""
+    from database_per_keyword_analysis_spark.operators import multimodal as MM
+
+    df = MM.resize_media(MM.with_media_payload(load(spark, sf_dir, "documents")))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan
+    assert "Exchange" not in plan
