@@ -1,0 +1,67 @@
+"""Golden test for the corpus-curation verdict (operators/curation.py):
+a hand-built corpus where every decision branch fires, with expected
+outputs reasoned out by hand (the DuckDB differential for the registered
+query lives in tests/test_catalog_twins.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from database_per_keyword_analysis_spark.operators import curation as CUR
+
+_BASE = (
+    "steel demand keeps rising across asia while water infrastructure "
+    "projects expand and iron ore shipments arrive at ports every single "
+    "week bringing fresh supply to regional mills and refineries alike "
+    "during the busy spring construction season"
+)  # 36 tokens, all 3-gram shingles unique
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, _BASE),                       # keeper of the dup group
+        (2, "  " + _BASE.replace("  ", " ") + " "),  # exact after normalize
+        (3, _BASE.replace("season", "quarter")),     # near-dup of 1 (J≈0.91)
+        (4, "tiny doc with only six tokens"),        # too_short (<20)
+        (5, "a completely different report about maritime logistics and "
+            "container routing discusses harbor capacity customs clearance "
+            "scheduling berth allocation and crane throughput optimization "
+            "for the northern corridor trade"),      # clean keep
+        (6, None),                                   # NULL: excluded
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_golden_curation_decisions(corpus):
+    out = {r.doc_id: r for r in CUR.curate(corpus).collect()}
+    assert set(out) == {1, 2, 3, 4, 5}  # NULL text never surfaces
+
+    # keeper of the duplicate group survives; copies drop with the
+    # highest-precedence reason each
+    assert out[1].keep and out[1].drop_reason is None
+    assert out[2].drop_reason == "exact_duplicate" and not out[2].keep
+    assert out[3].drop_reason == "near_duplicate" and not out[3].keep
+    assert out[4].drop_reason == "too_short" and not out[4].keep
+    assert out[5].keep and out[5].drop_reason is None
+
+    # flags stay independently auditable alongside the verdict
+    assert out[2].exact_dup and not out[1].exact_dup
+    assert out[3].near_dup and not out[3].exact_dup
+    assert out[4].n_tokens_ws == 6
+
+
+def test_precedence_near_dup_beats_too_short(spark):
+    # two near-identical SHORT docs: the non-keeper must report
+    # near_duplicate (higher precedence), the keeper too_short
+    a = "alpha beta gamma delta epsilon zeta"
+    rows = [(1, a), (2, a + " eta")]
+    out = {
+        r.doc_id: r
+        for r in CUR.curate(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            near_threshold=0.5,
+        ).collect()
+    }
+    assert out[1].drop_reason == "too_short"
+    assert out[2].drop_reason == "near_duplicate"
