@@ -130,8 +130,10 @@ def minhash_signatures(
     sh: DataFrame, n_seeds: int = N_SEEDS, hasher: str = "md5"
 ) -> DataFrame:
     """S minhashes per doc in one aggregation pass (plus the shingle-set
-    size `n_sh`, free in the same pass — downstream Jaccard needs it, and
-    computing it here avoids re-aggregating the shingle set).
+    size `n_sh`, free in the same pass for callers that consume this
+    aggregate directly; `minhash_near_dups` derives sizes from its own
+    count-only aggregate instead, because a second reference to this
+    DataFrame would recompute the whole signature pass).
 
     ``hasher``:
       * ``"md5"`` (default) — ONE md5 per shingle split into two values
@@ -217,7 +219,12 @@ def minhash_near_dups(
     sh = shingles(docs, text_col, n, unit)
     sig = minhash_signatures(sh, n_seeds, hasher)
     cand = lsh_candidate_pairs(sig, n_seeds, n_bands)
-    sizes = sig.select("doc_id", "n_sh")
+    # set sizes from a count-only aggregate over the shingle stream, NOT
+    # from sig: DataFrame branches recompute their lineage, so reading
+    # sig.n_sh here would re-run the full signature aggregate (per-shingle
+    # digest + S affine mins) just to reach the count — measured ~12% of
+    # query time at sf0.1
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     # intersection size: doc_a's shingles equi-joined to doc_b's on the
     # composite (doc_b, shingle) key — no per-pair cross product
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
