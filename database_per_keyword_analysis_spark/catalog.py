@@ -70,6 +70,7 @@ _DEFERRED_TWINS = {
     "corpus_curation",  # composition of three checked primaries
     # (doc_quality_metrics + exact_duplicates + minhash_dup_groups)
     "media_resize",  # same mapInPandas plumbing as multimodal_decode
+    "curation_summary",  # groupBy rollup of corpus_curation's verdict
 }
 
 
@@ -1038,6 +1039,46 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import curation as CUR
 
     return CUR.curate(load(spark, sf_dir, "documents", parallel=True))
+
+
+def _curation_summary_sql() -> str:
+    """Wrap the per-doc verdict as one more CTE (`sel`) and aggregate —
+    the pipeline's dashboard number: how much survives, dropped why."""
+    body = _curation_sql().replace(" ORDER BY q.doc_id", "")
+    ctes, sep, final_select = body.partition("SELECT q.doc_id")
+    assert sep, "curation SQL shape changed"
+    return (
+        ctes.rstrip()
+        + ", sel AS ("
+        + sep
+        + final_select
+        + ") SELECT coalesce(drop_reason, 'kept') AS outcome, "
+        "CAST(count(*) AS BIGINT) AS n_docs, "
+        "avg(CAST(n_tokens_ws AS DOUBLE)) AS avg_tokens "
+        "FROM sel GROUP BY coalesce(drop_reason, 'kept') ORDER BY outcome"
+    )
+
+
+@register("curation_summary", _curation_summary_sql())
+def q_curation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation outcomes rolled up per reason (kept / exact_duplicate /
+    near_duplicate / too_short / high_punctuation): doc counts and mean
+    token length — the survival dashboard over corpus_curation."""
+    from pyspark.sql import functions as F
+
+    from .operators import curation as CUR
+
+    verdict = CUR.curate(load(spark, sf_dir, "documents", parallel=True))
+    return (
+        verdict.groupBy(
+            F.coalesce("drop_reason", F.lit("kept")).alias("outcome")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.avg(F.col("n_tokens_ws").cast("double")).alias("avg_tokens"),
+        )
+        .orderBy("outcome")
+    )
 
 
 @register("cosine_near_dups_lsh", None)  # approximate recall → rows-only;
