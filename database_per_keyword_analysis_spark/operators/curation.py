@@ -28,6 +28,17 @@ from . import dedup as D
 from . import textquality as TQ
 
 
+def apply_curation(docs: DataFrame, verdict: DataFrame) -> DataFrame:
+    """Filter a corpus to its kept documents: semi-join `docs` against the
+    keep side of a `curate` verdict on doc_id.  Keeps every original
+    column; the join is an equi-join on the id (broadcast or shuffle as
+    the optimizer prefers), so applying a verdict to a 100 TB corpus is
+    one co-partitioned pass."""
+    return docs.join(
+        verdict.where(F.col("keep")).select("doc_id"), "doc_id", "left_semi"
+    )
+
+
 def curate(
     docs: DataFrame,
     text_col: str = "text",

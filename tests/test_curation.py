@@ -51,6 +51,13 @@ def test_golden_curation_decisions(corpus):
     assert out[4].n_tokens_ws == 6
 
 
+def test_apply_curation_keeps_only_keepers(corpus):
+    verdict = CUR.curate(corpus)
+    kept = CUR.apply_curation(corpus, verdict)
+    assert kept.columns == corpus.columns
+    assert {r.doc_id for r in kept.collect()} == {1, 5}
+
+
 def test_precedence_near_dup_beats_too_short(spark):
     # two near-identical SHORT docs: the non-keeper must report
     # near_duplicate (higher precedence), the keeper too_short
