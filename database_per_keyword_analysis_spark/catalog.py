@@ -71,6 +71,7 @@ _DEFERRED_TWINS = {
     # (doc_quality_metrics + exact_duplicates + minhash_dup_groups)
     "media_resize",  # same mapInPandas plumbing as multimodal_decode
     "curation_summary",  # groupBy rollup of corpus_curation's verdict
+    "winnowing_pairs",  # fp self-join over checked winnowing_fingerprints
 }
 
 
@@ -903,6 +904,41 @@ def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     substring-robust fingerprint tier (north-star 'document
     fingerprinting (rolling hash)')."""
     return D.winnowing_fingerprints(load(spark, sf_dir, "documents", parallel=True))
+
+
+def _winnowing_pairs_sql() -> str:
+    """MOSS report stage over the winnowing CTE: self-equi-join on
+    fingerprint (df-capped), shared-count threshold, overlap vs the
+    smaller fingerprint set."""
+    wf = _REGISTRY["winnowing_fingerprints"][1].replace(" ORDER BY doc_id", "")
+    ctes, sep, final = wf.partition("SELECT doc_id, CAST(len(fps)")
+    assert sep, "winnowing SQL shape changed"
+    return (
+        ctes.rstrip()
+        + ", wf AS ("
+        + sep
+        + final
+        + "), e AS (SELECT doc_id, unnest(fps) AS fp FROM wf), "
+        "e2 AS (SELECT e.doc_id, e.fp FROM e JOIN (SELECT fp FROM e "
+        "GROUP BY fp HAVING count(*) <= 1000) ok ON e.fp = ok.fp), "
+        "p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        "CAST(count(*) AS BIGINT) AS n_shared FROM e2 a JOIN e2 b "
+        "ON a.fp = b.fp AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+        "SELECT doc_a, doc_b, n_shared, CAST(n_shared AS DOUBLE) / "
+        "CAST(least(wa.n_fps, wb.n_fps) AS DOUBLE) AS overlap "
+        "FROM p JOIN wf wa ON p.doc_a = wa.doc_id "
+        "JOIN wf wb ON p.doc_b = wb.doc_id "
+        "WHERE n_shared >= 8 ORDER BY doc_a, doc_b"
+    )
+
+
+@register("winnowing_pairs", _winnowing_pairs_sql())
+def q_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-substring candidate pairs (MOSS report stage): docs sharing
+    ≥8 winnowing fingerprints with the overlap coefficient — catches
+    copied PASSAGES between otherwise-different docs, which whole-doc
+    tiers (minhash/simhash) dilute away (operators/dedup.py:winnowing_pairs)."""
+    return D.winnowing_pairs(load(spark, sf_dir, "documents", parallel=True))
 
 
 _DUCK_DOT = (

@@ -352,6 +352,74 @@ def winnowing_fingerprints(
     )
 
 
+def winnowing_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 16,
+    w: int = 8,
+    min_shared: int = 8,
+    max_df: int | None = 1000,
+    index_path: str | None = None,
+) -> DataFrame:
+    """Shared-substring candidate pairs from winnowing fingerprints —
+    the MOSS report stage (SIGMOD'03 §4): docs sharing ≥ `min_shared`
+    fingerprints, with the overlap coefficient
+    n_shared / min(|fps_a|, |fps_b|).
+
+    Scale design: candidates come from a self-equi-join on fingerprint
+    (never all-pairs).  `max_df` drops fingerprints present in more than
+    that many docs before the join — MOSS's own guard against
+    boilerplate substrings, which otherwise turn one hot fingerprint
+    into a df² join blowup (on the fixture corpus noise pairs share ≤6
+    fps and true near-dups ≥8, so the default threshold separates
+    cleanly).  The fingerprint table is materialized once — to parquet
+    when `index_path` is set (build once, query many, the
+    similarity-index seam), else via localCheckpoint — because five
+    downstream references would otherwise recompute the per-gram md5
+    pass each.
+    """
+    fps = winnowing_fingerprints(docs, text_col, k, w)
+    if index_path is not None:
+        fps.write.mode("overwrite").parquet(index_path)
+        fps = docs.sparkSession.read.parquet(index_path)
+    else:
+        fps = fps.localCheckpoint()
+    ex = fps.select("doc_id", F.explode("fps").alias("fp"))
+    if max_df is not None:
+        ok = (
+            ex.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") <= max_df)
+            .select("fp")
+        )
+        ex = ex.join(ok, "fp")
+    a = ex.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = ex.select(F.col("doc_id").alias("doc_b"), "fp")
+    shared = (
+        a.join(b, "fp")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+    sa = fps.select(F.col("doc_id").alias("doc_a"), F.col("n_fps").alias("na"))
+    sb = fps.select(F.col("doc_id").alias("doc_b"), F.col("n_fps").alias("nb"))
+    return (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            (
+                F.col("n_shared").cast("double")
+                / F.least("na", "nb").cast("double")
+            ).alias("overlap"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 def simhash_pairs_blocked(
     docs: DataFrame, text_col: str = "text", max_hamming: int = 1
 ) -> DataFrame:

@@ -210,6 +210,36 @@ def test_connected_components_converges_on_long_path(spark):
     assert out == {i: 0 for i in range(10)}
 
 
+def test_winnowing_pairs_finds_shared_passage(spark):
+    """A long passage copied between otherwise-different docs must pair
+    via the fingerprint join; whole-doc minhash at 0.8 would miss it."""
+    passage = (
+        "the quarterly safety inspection checklist requires every valve "
+        "flange and gasket to be photographed and logged before restart"
+    )
+    rows = [
+        (1, "unrelated preamble about harvest yields. " + passage),
+        (2, passage + " appended notes on a completely different topic here"),
+        (3, "totally independent text with no copied passage inside it at all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r.doc_a, r.doc_b): r for r in D.winnowing_pairs(docs, min_shared=3).collect()}
+    assert (1, 2) in out
+    assert all(3 not in pair for pair in out)
+    assert 0 < out[(1, 2)].overlap <= 1.0
+
+
+def test_winnowing_pairs_df_cap_drops_boilerplate(spark):
+    """With max_df=1, a fingerprint present in 2+ docs is boilerplate and
+    must not generate candidates — the skew guard is observable."""
+    text = "identical boilerplate sentence repeated across both documents"
+    docs = spark.createDataFrame(
+        [(1, text), (2, text)], "doc_id long, text string"
+    )
+    assert D.winnowing_pairs(docs, min_shared=1, max_df=1).count() == 0
+    assert D.winnowing_pairs(docs, min_shared=1, max_df=None).count() == 1
+
+
 @settings(max_examples=5, deadline=None)
 @given(
     edges=st.lists(
