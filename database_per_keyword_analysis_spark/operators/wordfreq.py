@@ -28,8 +28,17 @@ from ..functions import text as TX
 def dynamic_stopwords(df: DataFrame, channel_col: str) -> DataFrame:
     """Distinct lowered channel names and their '@name' forms as a
     one-column ('word') stopword DataFrame (U7; main.py:448-453)."""
-    base = df.select(F.lower(F.col(channel_col)).alias("word")).distinct()
-    return base.unionByName(base.select(F.concat(F.lit("@"), "word").alias("word")))
+    # one distinct pass, both name forms exploded from it — a union of two
+    # references to the distinct would scan and shuffle the corpus twice
+    return (
+        df.select(F.lower(F.col(channel_col)).alias("word"))
+        .distinct()
+        .select(
+            F.explode(
+                F.array(F.col("word"), F.concat(F.lit("@"), F.col("word")))
+            ).alias("word")
+        )
+    )
 
 
 def tokens(
