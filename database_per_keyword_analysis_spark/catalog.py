@@ -72,6 +72,7 @@ _DEFERRED_TWINS = {
     "media_resize",  # same mapInPandas plumbing as multimodal_decode
     "curation_summary",  # groupBy rollup of corpus_curation's verdict
     "winnowing_pairs",  # fp self-join over checked winnowing_fingerprints
+    "decontamination_check",  # cross-corpus variant of the same fp join
 }
 
 
@@ -930,6 +931,47 @@ def _winnowing_pairs_sql() -> str:
         "JOIN wf wb ON p.doc_b = wb.doc_id "
         "WHERE n_shared >= 8 ORDER BY doc_a, doc_b"
     )
+
+
+def _decontamination_sql() -> str:
+    """Cross-corpus contamination oracle: winnowing CTE split into
+    corpus/probe sides (doc_id % 20), df-capped equi-join on fingerprint,
+    overlap vs the probe fingerprint count."""
+    wf = _REGISTRY["winnowing_fingerprints"][1].replace(" ORDER BY doc_id", "")
+    ctes, sep, final = wf.partition("SELECT doc_id, CAST(len(fps)")
+    assert sep, "winnowing SQL shape changed"
+    return (
+        ctes.rstrip()
+        + ", wf AS ("
+        + sep
+        + final
+        + "), ce0 AS (SELECT doc_id AS corpus_doc, unnest(fps) AS fp "
+        "FROM wf WHERE doc_id % 20 <> 0), "
+        "ok AS (SELECT fp FROM ce0 GROUP BY fp HAVING count(*) <= 1000), "
+        "ce AS (SELECT ce0.corpus_doc, ce0.fp FROM ce0 JOIN ok ON ce0.fp = ok.fp), "
+        "pe AS (SELECT doc_id AS probe_doc, unnest(fps) AS fp FROM wf "
+        "WHERE doc_id % 20 = 0), "
+        "p AS (SELECT corpus_doc, probe_doc, CAST(count(*) AS BIGINT) AS n_shared "
+        "FROM ce JOIN pe ON ce.fp = pe.fp GROUP BY 1, 2) "
+        "SELECT corpus_doc, probe_doc, n_shared, CAST(n_shared AS DOUBLE) / "
+        "CAST(wp.n_fps AS DOUBLE) AS overlap "
+        "FROM p JOIN wf wp ON p.probe_doc = wp.doc_id "
+        "WHERE n_shared >= 8 ORDER BY corpus_doc, probe_doc"
+    )
+
+
+@register("decontamination_check", _decontamination_sql())
+def q_decontamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining decontamination pass: which corpus docs leak passages
+    of a held-out probe/benchmark set (every 20th doc here), via
+    cross-corpus winnowing fingerprint overlap
+    (operators/dedup.py:decontamination_pairs)."""
+    from pyspark.sql import functions as F
+
+    docs = load(spark, sf_dir, "documents", parallel=True)
+    probe = docs.where(F.col("doc_id") % 20 == 0)
+    corpus = docs.where(F.col("doc_id") % 20 != 0)
+    return D.decontamination_pairs(corpus, probe)
 
 
 @register("winnowing_pairs", _winnowing_pairs_sql())

@@ -420,6 +420,63 @@ def winnowing_pairs(
     )
 
 
+def decontamination_pairs(
+    corpus: DataFrame,
+    probe: DataFrame,
+    text_col: str = "text",
+    k: int = 16,
+    w: int = 8,
+    min_shared: int = 8,
+    max_df: int | None = 1000,
+) -> DataFrame:
+    """Cross-corpus contamination check: corpus docs sharing ≥
+    `min_shared` winnowing fingerprints with any probe doc — the
+    decontamination pass a pretraining pipeline runs against its eval
+    benchmarks before training.  Returns (corpus_doc, probe_doc,
+    n_shared, overlap) with overlap = n_shared / |probe fps| (the probe
+    side is the thing being leaked, so its fingerprint count is the
+    denominator).
+
+    Scale design: identical to `winnowing_pairs` — candidates from an
+    equi-join on fingerprint, `max_df` capping hot boilerplate
+    fingerprints on the CORPUS side (the big side; probe/benchmark sets
+    are small and typically broadcast by the optimizer).  The probe
+    fingerprint table is corpus-independent, so at 100 TB it is computed
+    once per benchmark suite and reused across corpus shards.
+    """
+    cf = winnowing_fingerprints(corpus, text_col, k, w).localCheckpoint()
+    pf = winnowing_fingerprints(probe, text_col, k, w).localCheckpoint()
+    ce = cf.select(F.col("doc_id").alias("corpus_doc"), F.explode("fps").alias("fp"))
+    if max_df is not None:
+        ok = (
+            ce.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") <= max_df)
+            .select("fp")
+        )
+        ce = ce.join(ok, "fp")
+    pe = pf.select(F.col("doc_id").alias("probe_doc"), F.explode("fps").alias("fp"))
+    shared = (
+        ce.join(pe, "fp")
+        .groupBy("corpus_doc", "probe_doc")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+    psz = pf.select(F.col("doc_id").alias("probe_doc"), F.col("n_fps").alias("np"))
+    return (
+        shared.join(psz, "probe_doc")
+        .select(
+            "corpus_doc",
+            "probe_doc",
+            "n_shared",
+            (F.col("n_shared").cast("double") / F.col("np").cast("double")).alias(
+                "overlap"
+            ),
+        )
+        .orderBy("corpus_doc", "probe_doc")
+    )
+
+
 def simhash_pairs_blocked(
     docs: DataFrame, text_col: str = "text", max_hamming: int = 1
 ) -> DataFrame:

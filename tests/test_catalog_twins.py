@@ -108,6 +108,10 @@ def test_winnowing_pairs_matches_oracle(spark, sf_dir):
     _assert_matches_oracle(spark, sf_dir, "winnowing_pairs")
 
 
+def test_decontamination_check_matches_oracle(spark, sf_dir):
+    _assert_matches_oracle(spark, sf_dir, "decontamination_check")
+
+
 def test_corpus_curation_decisions_fire(spark, sf_dir):
     # the fixture corpus must exercise the decision space: kept docs,
     # duplicate drops, and the reason precedence (a doc that is both a

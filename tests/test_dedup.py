@@ -229,6 +229,26 @@ def test_winnowing_pairs_finds_shared_passage(spark):
     assert 0 < out[(1, 2)].overlap <= 1.0
 
 
+def test_decontamination_finds_planted_leak(spark):
+    """A benchmark passage planted inside one corpus doc must surface as
+    a (corpus_doc, probe_doc) hit; clean corpus docs must not."""
+    bench = (
+        "question seven asks the candidate to derive the closed form of "
+        "the recurrence and prove its asymptotic growth rate rigorously"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (101, "training text that embeds the benchmark: " + bench),
+            (102, "entirely clean training document with original content only"),
+        ],
+        "doc_id long, text string",
+    )
+    probe = spark.createDataFrame([(9001, bench)], "doc_id long, text string")
+    out = D.decontamination_pairs(corpus, probe, min_shared=3).collect()
+    assert {(r.corpus_doc, r.probe_doc) for r in out} == {(101, 9001)}
+    assert all(r.overlap > 0.5 for r in out)
+
+
 def test_winnowing_pairs_df_cap_drops_boilerplate(spark):
     """With max_df=1, a fingerprint present in 2+ docs is boilerplate and
     must not generate candidates — the skew guard is observable."""
