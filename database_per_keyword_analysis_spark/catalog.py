@@ -73,6 +73,7 @@ _DEFERRED_TWINS = {
     "curation_summary",  # groupBy rollup of corpus_curation's verdict
     "winnowing_pairs",  # fp self-join over checked winnowing_fingerprints
     "decontamination_check",  # cross-corpus variant of the same fp join
+    "token_budget_sample",  # arithmetic over checked doc_quality counts
 }
 
 
@@ -1134,6 +1135,31 @@ def _curation_summary_sql() -> str:
         "CAST(count(*) AS BIGINT) AS n_docs, "
         "avg(CAST(n_tokens_ws AS DOUBLE)) AS avg_tokens "
         "FROM sel GROUP BY coalesce(drop_reason, 'kept') ORDER BY outcome"
+    )
+
+
+@register(
+    "token_budget_sample",
+    # deterministic Bernoulli-by-hash subsample to ~10k tokens; u is the
+    # doc's uniform draw, identical arithmetic on both engines
+    r"WITH counted AS (SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), "
+    r"'\s+')) AS INTEGER) AS n_tokens_ws FROM documents WHERE text IS NOT NULL), "
+    "t AS (SELECT sum(CAST(n_tokens_ws AS BIGINT)) AS total_tokens FROM counted), "
+    "s AS (SELECT c.doc_id, c.n_tokens_ws, "
+    "CAST('0x' || substr(md5(CAST(c.doc_id AS VARCHAR)), 1, 12) AS BIGINT) "
+    "/ 281474976710656.0 AS u, t.total_tokens FROM counted c CROSS JOIN t) "
+    "SELECT doc_id, n_tokens_ws, u FROM s "
+    "WHERE u < least(1.0, 10000.0 / CAST(greatest(total_tokens, 1) AS DOUBLE)) "
+    "ORDER BY doc_id",
+)
+def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subsample the corpus to ≈10k total tokens deterministically
+    (hash-threshold Bernoulli — the scale-safe budget sampler,
+    operators/curation.py:token_budget_sample)."""
+    from .operators import curation as CUR
+
+    return CUR.token_budget_sample(
+        load(spark, sf_dir, "documents", parallel=True), budget_tokens=10_000
     )
 
 

@@ -28,6 +28,56 @@ from . import dedup as D
 from . import textquality as TQ
 
 
+def token_budget_sample(
+    docs: DataFrame,
+    budget_tokens: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic subsample of a corpus to ≈ `budget_tokens` total
+    tokens: keep each doc with probability budget/total via a uniform
+    hash of its id (md5-derived, the repo's portable-hash idiom), so the
+    same corpus and budget always select the same docs.
+
+    Scale design: the exact way to hit a budget — global sort by hash +
+    running token sum — serializes an unbounded window on one partition,
+    so this uses hash-threshold Bernoulli instead: one map-side token
+    count, one scalar total (broadcast via cross join, not collected),
+    one filter.  Expected kept tokens = budget exactly; the realized
+    total concentrates within O(sqrt) sampling noise, the right trade at
+    100 TB where the "budget" is itself a target, not an invariant.
+    Returns (doc_id, n_tokens_ws, u) for the kept docs, u being the
+    doc's uniform draw (audit column: kept ⇔ u < budget/total).
+    """
+    n = TQ.ws_token_count(F.col(text_col))
+    counted = docs.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("doc_id"), n.alias("n_tokens_ws")
+    )
+    total = counted.agg(
+        F.sum(F.col("n_tokens_ws").cast("long")).alias("total_tokens")
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10)
+        .cast("long")
+        .cast("double")
+        / F.lit(float(2**48))
+    )
+    return (
+        counted.crossJoin(F.broadcast(total))
+        .withColumn("u", u)
+        .where(
+            F.col("u")
+            < F.least(
+                F.lit(1.0),
+                F.lit(float(budget_tokens))
+                / F.greatest(F.col("total_tokens"), F.lit(1)).cast("double"),
+            )
+        )
+        .select("doc_id", "n_tokens_ws", "u")
+        .orderBy("doc_id")
+    )
+
+
 def apply_curation(docs: DataFrame, verdict: DataFrame) -> DataFrame:
     """Filter a corpus to its kept documents: semi-join `docs` against the
     keep side of a `curate` verdict on doc_id.  Keeps every original

@@ -58,6 +58,23 @@ def test_apply_curation_keeps_only_keepers(corpus):
     assert {r.doc_id for r in kept.collect()} == {1, 5}
 
 
+def test_token_budget_sample_determinism_and_budget(corpus):
+    # a budget >= the corpus keeps everything; u is a valid uniform draw
+    full = CUR.token_budget_sample(corpus, budget_tokens=10**9).collect()
+    assert {r.doc_id for r in full} == {1, 2, 3, 4, 5}
+    assert all(0.0 <= r.u < 1.0 for r in full)
+    total = sum(r.n_tokens_ws for r in full)
+    # threshold p = 0.8: keeps exactly the docs whose deterministic draw
+    # is below it (ids 1, 2, 4 on this corpus), a strict non-empty subset
+    budget = int(total * 0.8)
+    part1 = CUR.token_budget_sample(corpus, budget_tokens=budget).collect()
+    part2 = CUR.token_budget_sample(corpus, budget_tokens=budget).collect()
+    assert [tuple(r) for r in part1] == [tuple(r) for r in part2]  # deterministic
+    kept = {r.doc_id for r in part1}
+    assert kept == {r.doc_id for r in full if r.u < budget / total}
+    assert 0 < len(kept) < len(full)
+
+
 def test_precedence_near_dup_beats_too_short(spark):
     # two near-identical SHORT docs: the non-keeper must report
     # near_duplicate (higher precedence), the keeper too_short
