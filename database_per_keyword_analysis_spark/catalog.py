@@ -74,6 +74,7 @@ _DEFERRED_TWINS = {
     "winnowing_pairs",  # fp self-join over checked winnowing_fingerprints
     "decontamination_check",  # cross-corpus variant of the same fp join
     "token_budget_sample",  # arithmetic over checked doc_quality counts
+    "winnowing_dup_groups",  # same cc machinery over winnowing_pairs
 }
 
 
@@ -932,6 +933,36 @@ def _winnowing_pairs_sql() -> str:
         "JOIN wf wb ON p.doc_b = wb.doc_id "
         "WHERE n_shared >= 8 ORDER BY doc_a, doc_b"
     )
+
+
+def _winnowing_groups_sql() -> str:
+    """Transitive closure of the winnowing pair list (recursive CTE),
+    min-reachable-id components with keeper semantics — mirrors
+    _minhash_groups_sql over the passage-sharing pair tier."""
+    return (
+        "WITH RECURSIVE pairs AS ("
+        + _winnowing_pairs_sql().replace(" ORDER BY doc_a, doc_b", "")
+        + "), "
+        "edges AS (SELECT doc_a AS n, doc_b AS m FROM pairs "
+        "UNION SELECT doc_b AS n, doc_a AS m FROM pairs), "
+        "reach(n, m) AS (SELECT n, n AS m FROM edges "
+        "UNION SELECT e.n, r.m FROM edges e JOIN reach r ON e.m = r.n), "
+        "cc AS (SELECT n AS doc_id, min(m) AS group_id FROM reach GROUP BY n) "
+        "SELECT doc_id, group_id, "
+        "CAST(count(*) OVER (PARTITION BY group_id) AS BIGINT) AS group_size, "
+        "row_number() OVER (PARTITION BY group_id ORDER BY doc_id) AS dup_rank, "
+        "row_number() OVER (PARTITION BY group_id ORDER BY doc_id) > 1 "
+        "AS is_duplicate FROM cc ORDER BY doc_id"
+    )
+
+
+@register("winnowing_dup_groups", _winnowing_groups_sql())
+def q_winnowing_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copied-passage clusters: winnowing pairs -> connected components
+    -> keeper per group — the passage tier's dedup decisions, same
+    machinery as minhash_dup_groups/cosine_dup_groups."""
+    pairs = D.winnowing_pairs(load(spark, sf_dir, "documents", parallel=True))
+    return D.dup_groups(pairs).orderBy("doc_id")
 
 
 def _decontamination_sql() -> str:

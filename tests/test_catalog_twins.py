@@ -116,6 +116,10 @@ def test_token_budget_sample_matches_oracle(spark, sf_dir):
     _assert_matches_oracle(spark, sf_dir, "token_budget_sample")
 
 
+def test_winnowing_dup_groups_matches_oracle(spark, sf_dir):
+    _assert_matches_oracle(spark, sf_dir, "winnowing_dup_groups")
+
+
 def test_corpus_curation_decisions_fire(spark, sf_dir):
     # the fixture corpus must exercise the decision space: kept docs,
     # duplicate drops, and the reason precedence (a doc that is both a
