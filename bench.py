@@ -51,6 +51,15 @@ HEADLINE = [
     "top_posts_per_industry",
     "event_funnel",
     "monthly_revenue_rollup",
+    # round-3 additions (round-3 advice item 3): passage-tier dedup,
+    # curation composition, decontamination, budget sampling, and the
+    # embedding-tier group machinery.
+    "winnowing_pairs",
+    "winnowing_dup_groups",
+    "corpus_curation",
+    "decontamination_check",
+    "token_budget_sample",
+    "cosine_dup_groups",
     # cosine_near_dups_lsh intentionally NOT in the headline: at the
     # fixture's 0.4 threshold (far below the >=0.9 near-dup regime the
     # operator exists for) sign-LSH candidate counts approach all-pairs,
@@ -94,20 +103,35 @@ def main() -> None:
         timings[name] = sorted(samples)[len(samples) // 2]
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "cold_queries": cold,
-                "spread": spread,
-                "iters": iters,
-                "sf": float(sf),
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "cold_queries": cold,
+        "spread": spread,
+        "iters": iters,
+        "sf": float(sf),
+    }
+    line = json.dumps(payload)
+    # The driver snapshots a bounded TAIL of stdout; round 3's line grew
+    # past it and the recorded artifact failed to parse.  Belt and
+    # braces: persist the full payload to a file the driver can read,
+    # and print a compact headline (no per-query spread/cold detail)
+    # LAST so the tail always contains one parseable JSON line.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_LOCAL.json"), "w") as f:
+        f.write(line + "\n")
+    print(line)
+    compact = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "iters": iters,
+        "sf": float(sf),
+    }
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

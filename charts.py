@@ -88,7 +88,12 @@ def lines(path, series, title):
 
 def _mpl_wordcloud(path, freqs, title):
     # matplotlib text-scatter; the wordcloud package (used by the
-    # reference, main.py:773-778) is not assumed importable either way
+    # reference, main.py:773-778) is not assumed importable either way.
+    # Top 100 words (reference WordCloud max_words=100, main.py:774 —
+    # same cap as tools/miniplot.py so both backends render the same
+    # content), placed greedily on an archimedean spiral at the first
+    # collision-free spot (the same strategy as miniplot's backend,
+    # with text extents estimated from fontsize).
     import math
 
     import matplotlib.pyplot as plt
@@ -96,18 +101,44 @@ def _mpl_wordcloud(path, freqs, title):
     plt.figure(figsize=(16, 9))
     ax = plt.gca()
     ax.axis("off")
-    items = sorted(freqs.items(), key=lambda kv: (-kv[1], kv[0]))[:60]
+    items = sorted(freqs.items(), key=lambda kv: (-kv[1], kv[0]))[:100]
     cmax = items[0][1] if items else 1
+    placed: list[tuple[float, float, float, float]] = []
+
+    def collides(x0, y0, x1, y1):
+        if x0 < 0.01 or y0 < 0.01 or x1 > 0.99 or y1 > 0.99:
+            return True
+        return any(
+            x0 < px1 and x1 > px0 and y0 < py1 and y1 > py0
+            for px0, py0, px1, py1 in placed
+        )
+
     for i, (word, cnt) in enumerate(items):
-        ang = 2.399963 * i
-        r = 0.05 + 0.45 * (i / max(len(items) - 1, 1))
+        fs = 8 + 28 * (cnt / (cmax or 1)) ** 0.5
+        # figure is 16x9 in = 1152x648 pt; glyph ~0.55*fs pt wide
+        w = 0.55 * fs * max(len(word), 1) / 1152
+        h = 1.3 * fs / 648
+        spot = None
+        for step in range(2400):
+            ang = 2.399963 * (i + step * 0.05)
+            r = 0.0008 * step
+            cx = 0.5 + r * math.cos(ang)
+            cy = 0.5 + r * math.sin(ang) * 0.6
+            x0, y0 = cx - w / 2, cy - h / 2
+            if not collides(x0, y0, x0 + w, y0 + h):
+                spot = (cx, cy)
+                break
+        if spot is None:
+            continue  # canvas full; drop the rarest words
+        cx, cy = spot
+        placed.append((cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2))
         ax.text(
-            0.5 + r * math.cos(ang),
-            0.5 + r * math.sin(ang) * 0.6,
+            cx,
+            cy,
             word,
             ha="center",
             va="center",
-            fontsize=8 + 28 * (cnt / (cmax or 1)) ** 0.5,
+            fontsize=fs,
             transform=ax.transAxes,
         )
     plt.title(title)

@@ -54,10 +54,13 @@ def register(name: str, oracle: str | None):
 #      (re-checking them would burn a slot a primary needs),
 #   3. rows-only queries (no oracle ⇒ no hash signal to gain).
 #   Per round-2 advice, genuinely NOVEL machinery stays inside the
-#   window (winnowing_fingerprints, minhash_near_dups_char,
-#   minhash_dup_groups); only machinery-twins of a checked primary are
-#   deferred, each with a pytest result-equality or DuckDB-differential
-#   proof in tests/test_catalog_twins.py.
+#   window; only machinery-twins of a checked primary are deferred,
+#   each with a pytest result-equality or DuckDB-differential proof in
+#   tests/test_catalog_twins.py.  Round-4 rotation (round-3 advice
+#   item 2): the round-3 novel compositions corpus_curation /
+#   winnowing_pairs / decontamination_check moved INTO the window so
+#   the driver verifies them independently at least once; three
+#   long-stable machinery-twins moved out in exchange.
 _DEFERRED_TWINS = {
     "top_channels_salted",  # identical oracle to top_channels_by_views
     "keyword_breakdown_join",  # identical oracle to keyword_breakdown
@@ -67,14 +70,15 @@ _DEFERRED_TWINS = {
     "orders_monthly_counts",  # same zero-fill bucketing as events_daily_counts
     "top_suppliers_by_revenue",  # same join-agg-topk as top_customers_by_revenue
     "cosine_dup_groups",  # same cc machinery as minhash_dup_groups
-    "corpus_curation",  # composition of three checked primaries
-    # (doc_quality_metrics + exact_duplicates + minhash_dup_groups)
     "media_resize",  # same mapInPandas plumbing as multimodal_decode
     "curation_summary",  # groupBy rollup of corpus_curation's verdict
-    "winnowing_pairs",  # fp self-join over checked winnowing_fingerprints
-    "decontamination_check",  # cross-corpus variant of the same fp join
     "token_budget_sample",  # arithmetic over checked doc_quality counts
     "winnowing_dup_groups",  # same cc machinery over winnowing_pairs
+    # round-4 demotions (each r1-r3 driver-green, machinery still
+    # covered by an in-window primary):
+    "minhash_near_dups_char",  # same banded LSH as minhash_near_dups
+    "stream_session_counts",  # streaming twin of sessionize_events
+    "top_posts_per_industry",  # same rank-per-group as channel_audit
 }
 
 
@@ -885,11 +889,14 @@ def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash(load(spark, sf_dir, "documents", parallel=True))
 
 
-@register(
-    "winnowing_fingerprints",
-    # winnowing (k=16, w=8): k-gram rolling hashes, per-window minima;
-    # t[i:i+15] is DuckDB 1-based inclusive slicing = substr(t, i, 16)
-    r"WITH base AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t "
+# Shared winnowing CTE chain (k=16, w=8): k-gram rolling hashes,
+# per-window minima, per-doc distinct sorted fingerprint list.  All four
+# winnowing-family oracles are assembled from these fragments (no
+# post-hoc string surgery on registered SQL — a rewording of one oracle
+# cannot silently change the others).
+# t[i:i+15] is DuckDB 1-based inclusive slicing = substr(t, i, 16).
+_WINNOWING_CTE_BODY = (
+    r"base AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t "
     "FROM documents WHERE text IS NOT NULL), "
     "b2 AS (SELECT doc_id, t FROM base WHERE length(t) >= 16), "
     "h AS (SELECT doc_id, unnest(list_transform(generate_series(1, length(t) - 15), "
@@ -897,41 +904,68 @@ def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     "FROM b2), "
     "g AS (SELECT doc_id, u.pos AS pos, u.h AS h FROM h), "
     "m AS (SELECT doc_id, min(h) OVER (PARTITION BY doc_id ORDER BY pos "
-    "ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp FROM g) "
-    "SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fps, fps FROM "
-    "(SELECT doc_id, list_sort(list(DISTINCT fp)) AS fps FROM m GROUP BY doc_id) "
-    "ORDER BY doc_id",
+    "ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp FROM g), "
+    "wf AS (SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fps, fps FROM "
+    "(SELECT doc_id, list_sort(list(DISTINCT fp)) AS fps FROM m GROUP BY doc_id))"
 )
+
+# MOSS report stage over wf: df-capped self-equi-join on fingerprint,
+# shared-count threshold, overlap vs the smaller fingerprint set.
+_WINNOWING_PAIRS_BODY = (
+    "e AS (SELECT doc_id, unnest(fps) AS fp FROM wf), "
+    "e2 AS (SELECT e.doc_id, e.fp FROM e JOIN (SELECT fp FROM e "
+    "GROUP BY fp HAVING count(*) <= 1000) ok ON e.fp = ok.fp), "
+    "p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+    "CAST(count(*) AS BIGINT) AS n_shared FROM e2 a JOIN e2 b "
+    "ON a.fp = b.fp AND a.doc_id < b.doc_id GROUP BY 1, 2)"
+)
+
+_WINNOWING_PAIRS_SELECT = (
+    "SELECT doc_a, doc_b, n_shared, CAST(n_shared AS DOUBLE) / "
+    "CAST(least(wa.n_fps, wb.n_fps) AS DOUBLE) AS overlap "
+    "FROM p JOIN wf wa ON p.doc_a = wa.doc_id "
+    "JOIN wf wb ON p.doc_b = wb.doc_id "
+    "WHERE n_shared >= 8"
+)
+
+
+def _winnowing_fps_sql() -> str:
+    """Per-doc fingerprint digest in a canonicalizer-safe schema: the
+    raw ARRAY<BIGINT> column broke the driver's pandas sort (round-3
+    red row), so the registered projection digests the sorted list to
+    md5(csv) — same value-identity signal, scalar columns only.  The
+    array-returning form stays available to library callers via
+    operators.dedup.winnowing_fingerprints."""
+    return (
+        "WITH " + _WINNOWING_CTE_BODY
+        + " SELECT doc_id, n_fps, md5(array_to_string(fps, ',')) AS fps_md5 "
+        "FROM wf ORDER BY doc_id"
+    )
+
+
+@register("winnowing_fingerprints", _winnowing_fps_sql())
 def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash winnowing fingerprints (SIGMOD'03 MOSS scheme) — the
     substring-robust fingerprint tier (north-star 'document
-    fingerprinting (rolling hash)')."""
-    return D.winnowing_fingerprints(load(spark, sf_dir, "documents", parallel=True))
+    fingerprinting (rolling hash)').  Registered projection digests the
+    fingerprint array to md5 so the driver oracle can hash it; the
+    library API (operators/dedup.py:winnowing_fingerprints) returns the
+    raw sorted ARRAY<BIGINT>."""
+    from pyspark.sql import functions as F
+
+    fps = D.winnowing_fingerprints(load(spark, sf_dir, "documents", parallel=True))
+    return fps.select(
+        "doc_id",
+        "n_fps",
+        F.md5(F.concat_ws(",", F.col("fps").cast("array<string>"))).alias("fps_md5"),
+    )
 
 
 def _winnowing_pairs_sql() -> str:
-    """MOSS report stage over the winnowing CTE: self-equi-join on
-    fingerprint (df-capped), shared-count threshold, overlap vs the
-    smaller fingerprint set."""
-    wf = _REGISTRY["winnowing_fingerprints"][1].replace(" ORDER BY doc_id", "")
-    ctes, sep, final = wf.partition("SELECT doc_id, CAST(len(fps)")
-    assert sep, "winnowing SQL shape changed"
+    """MOSS report stage over the shared winnowing CTE chain."""
     return (
-        ctes.rstrip()
-        + ", wf AS ("
-        + sep
-        + final
-        + "), e AS (SELECT doc_id, unnest(fps) AS fp FROM wf), "
-        "e2 AS (SELECT e.doc_id, e.fp FROM e JOIN (SELECT fp FROM e "
-        "GROUP BY fp HAVING count(*) <= 1000) ok ON e.fp = ok.fp), "
-        "p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
-        "CAST(count(*) AS BIGINT) AS n_shared FROM e2 a JOIN e2 b "
-        "ON a.fp = b.fp AND a.doc_id < b.doc_id GROUP BY 1, 2) "
-        "SELECT doc_a, doc_b, n_shared, CAST(n_shared AS DOUBLE) / "
-        "CAST(least(wa.n_fps, wb.n_fps) AS DOUBLE) AS overlap "
-        "FROM p JOIN wf wa ON p.doc_a = wa.doc_id "
-        "JOIN wf wb ON p.doc_b = wb.doc_id "
-        "WHERE n_shared >= 8 ORDER BY doc_a, doc_b"
+        "WITH " + _WINNOWING_CTE_BODY + ", " + _WINNOWING_PAIRS_BODY
+        + " " + _WINNOWING_PAIRS_SELECT + " ORDER BY doc_a, doc_b"
     )
 
 
@@ -940,9 +974,8 @@ def _winnowing_groups_sql() -> str:
     min-reachable-id components with keeper semantics — mirrors
     _minhash_groups_sql over the passage-sharing pair tier."""
     return (
-        "WITH RECURSIVE pairs AS ("
-        + _winnowing_pairs_sql().replace(" ORDER BY doc_a, doc_b", "")
-        + "), "
+        "WITH RECURSIVE " + _WINNOWING_CTE_BODY + ", " + _WINNOWING_PAIRS_BODY
+        + ", pairs AS (" + _WINNOWING_PAIRS_SELECT + "), "
         "edges AS (SELECT doc_a AS n, doc_b AS m FROM pairs "
         "UNION SELECT doc_b AS n, doc_a AS m FROM pairs), "
         "reach(n, m) AS (SELECT n, n AS m FROM edges "
@@ -969,15 +1002,9 @@ def _decontamination_sql() -> str:
     """Cross-corpus contamination oracle: winnowing CTE split into
     corpus/probe sides (doc_id % 20), df-capped equi-join on fingerprint,
     overlap vs the probe fingerprint count."""
-    wf = _REGISTRY["winnowing_fingerprints"][1].replace(" ORDER BY doc_id", "")
-    ctes, sep, final = wf.partition("SELECT doc_id, CAST(len(fps)")
-    assert sep, "winnowing SQL shape changed"
     return (
-        ctes.rstrip()
-        + ", wf AS ("
-        + sep
-        + final
-        + "), ce0 AS (SELECT doc_id AS corpus_doc, unnest(fps) AS fp "
+        "WITH " + _WINNOWING_CTE_BODY
+        + ", ce0 AS (SELECT doc_id AS corpus_doc, unnest(fps) AS fp "
         "FROM wf WHERE doc_id % 20 <> 0), "
         "ok AS (SELECT fp FROM ce0 GROUP BY fp HAVING count(*) <= 1000), "
         "ce AS (SELECT ce0.corpus_doc, ce0.fp FROM ce0 JOIN ok ON ce0.fp = ok.fp), "
@@ -1099,14 +1126,16 @@ def q_cosine_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _curation_sql() -> str:
-    """Oracle for the composed curation decision: quality metrics +
-    exact-dup rank + minhash near-dup components, CASE precedence
-    exact_duplicate > near_duplicate > too_short > high_punctuation —
-    each CTE is the registered (hash-green) oracle of its stage."""
+def _curation_ctes() -> str:
+    """Shared CTE chain for the composed curation decision: quality
+    metrics + exact-dup rank + minhash near-dup components — each CTE is
+    the registered (hash-green) oracle of its stage.  Emitted WITHOUT
+    the leading WITH RECURSIVE so both the per-doc verdict and its
+    summary rollup assemble from the same fragments (no post-hoc string
+    surgery)."""
     fp = r"md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))"
     return (
-        "WITH RECURSIVE pairs AS (" + _minhash_sql() + "), "
+        "pairs AS (" + _minhash_sql() + "), "
         "edges AS (SELECT doc_a AS n, doc_b AS m FROM pairs "
         "UNION SELECT doc_b AS n, doc_a AS m FROM pairs), "
         "reach(n, m) AS (SELECT n, n AS m FROM edges "
@@ -1122,20 +1151,34 @@ def _curation_sql() -> str:
         "AS n_tokens_ws, "
         r"CAST(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) "
         "AS DOUBLE) / CAST(length(text) AS DOUBLE) AS punct_ratio "
-        "FROM documents WHERE text IS NOT NULL) "
-        "SELECT q.doc_id, n_tokens_ws, punct_ratio, "
-        "coalesce(ex.exact_dup, false) AS exact_dup, "
-        "coalesce(nd.near_dup, false) AS near_dup, "
-        "CASE WHEN coalesce(ex.exact_dup, false) THEN 'exact_duplicate' "
-        "WHEN coalesce(nd.near_dup, false) THEN 'near_duplicate' "
-        "WHEN n_tokens_ws < 20 THEN 'too_short' "
-        "WHEN punct_ratio > 0.30 THEN 'high_punctuation' END AS drop_reason, "
-        "CASE WHEN coalesce(ex.exact_dup, false) THEN 'exact_duplicate' "
-        "WHEN coalesce(nd.near_dup, false) THEN 'near_duplicate' "
-        "WHEN n_tokens_ws < 20 THEN 'too_short' "
-        "WHEN punct_ratio > 0.30 THEN 'high_punctuation' END IS NULL AS keep "
-        "FROM q LEFT JOIN ex ON q.doc_id = ex.doc_id "
-        "LEFT JOIN nd ON q.doc_id = nd.doc_id ORDER BY q.doc_id"
+        "FROM documents WHERE text IS NOT NULL)"
+    )
+
+
+# CASE precedence exact_duplicate > near_duplicate > too_short >
+# high_punctuation (operators/curation.py:DROP_PRECEDENCE).
+_CURATION_SELECT = (
+    "SELECT q.doc_id, n_tokens_ws, punct_ratio, "
+    "coalesce(ex.exact_dup, false) AS exact_dup, "
+    "coalesce(nd.near_dup, false) AS near_dup, "
+    "CASE WHEN coalesce(ex.exact_dup, false) THEN 'exact_duplicate' "
+    "WHEN coalesce(nd.near_dup, false) THEN 'near_duplicate' "
+    "WHEN n_tokens_ws < 20 THEN 'too_short' "
+    "WHEN punct_ratio > 0.30 THEN 'high_punctuation' END AS drop_reason, "
+    "CASE WHEN coalesce(ex.exact_dup, false) THEN 'exact_duplicate' "
+    "WHEN coalesce(nd.near_dup, false) THEN 'near_duplicate' "
+    "WHEN n_tokens_ws < 20 THEN 'too_short' "
+    "WHEN punct_ratio > 0.30 THEN 'high_punctuation' END IS NULL AS keep "
+    "FROM q LEFT JOIN ex ON q.doc_id = ex.doc_id "
+    "LEFT JOIN nd ON q.doc_id = nd.doc_id"
+)
+
+
+def _curation_sql() -> str:
+    """Per-doc keep/drop verdict oracle."""
+    return (
+        "WITH RECURSIVE " + _curation_ctes() + " " + _CURATION_SELECT
+        + " ORDER BY q.doc_id"
     )
 
 
@@ -1154,15 +1197,10 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _curation_summary_sql() -> str:
     """Wrap the per-doc verdict as one more CTE (`sel`) and aggregate —
     the pipeline's dashboard number: how much survives, dropped why."""
-    body = _curation_sql().replace(" ORDER BY q.doc_id", "")
-    ctes, sep, final_select = body.partition("SELECT q.doc_id")
-    assert sep, "curation SQL shape changed"
     return (
-        ctes.rstrip()
-        + ", sel AS ("
-        + sep
-        + final_select
-        + ") SELECT coalesce(drop_reason, 'kept') AS outcome, "
+        "WITH RECURSIVE " + _curation_ctes()
+        + ", sel AS (" + _CURATION_SELECT + ") "
+        "SELECT coalesce(drop_reason, 'kept') AS outcome, "
         "CAST(count(*) AS BIGINT) AS n_docs, "
         "avg(CAST(n_tokens_ws AS DOUBLE)) AS avg_tokens "
         "FROM sel GROUP BY coalesce(drop_reason, 'kept') ORDER BY outcome"

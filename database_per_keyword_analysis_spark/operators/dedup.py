@@ -547,6 +547,7 @@ def connected_components(
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = 50,
+    shortcut_after: int = 2,
 ) -> DataFrame:
     """Connected components over an undirected pair list via iterative
     min-label propagation to a fixed point.  Returns (doc_id, group_id)
@@ -557,12 +558,25 @@ def connected_components(
     edge list joined to current labels on the neighbor id) plus a
     min-aggregate — no driver-side graph, no collect.  Lineage is cut
     with localCheckpoint per iteration so plans stay O(1) deep.
-    Iterations needed = graph diameter; near-dup components are small
-    dense clusters (diameter ≤ a few hops), so this converges in 2-4
-    rounds in practice — the regime where min-propagation beats the
-    O(log² n) large-star/small-star scheme (Kiveris et al., "Connected
-    Components in MapReduce", SoCC'14) on constant factors.  The driver
-    loop's only action per round is a scalar changed-count aggregate.
+    Near-dup components are small dense clusters (diameter ≤ a few
+    hops), so plain propagation converges in 2-4 rounds — the regime
+    where min-propagation beats the O(log² n) large-star/small-star
+    scheme (Kiveris et al., "Connected Components in MapReduce",
+    SoCC'14) on constant factors.  The driver loop's only action per
+    round is a scalar changed-count aggregate.
+
+    Adversarial-diameter guard: plain propagation needs diameter
+    iterations, so a long-chain graph (diameter d) would cost d shuffle
+    rounds.  From iteration `shortcut_after` on, each round also
+    applies a pointer-jumping shortcut — label(n) <- label(label(n)) —
+    which is sound (label(n) is always a node reachable from n, so its
+    label is too) and halves the remaining distance-to-root each round,
+    bounding total iterations at shortcut_after + O(log d) instead of
+    O(d).  Common dense-cluster inputs converge before the shortcut
+    kicks in and pay nothing extra.
+
+    The number of iterations actually run is recorded on the function
+    itself (`connected_components.last_iterations`) for tests/telemetry.
     """
     # materialize the pair list ONCE before symmetrizing: the union
     # references `pairs` twice, and without this the entire upstream
@@ -576,25 +590,43 @@ def connected_components(
         .localCheckpoint()
     )
     labels = edges.select("n").distinct().withColumn("label", F.col("n"))
-    for _ in range(max_iter):
+    iterations = 0
+    for it in range(max_iter):
         nbr_min = (
             edges.join(labels.withColumnRenamed("n", "m"), "m")
             .groupBy("n")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
-            labels.join(nbr_min, "n", "left")
-            .select(
-                "n",
-                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
-                (F.col("nbr_label") < F.col("label")).alias("changed"),
-            )
-            .localCheckpoint()
+        prop = labels.withColumnRenamed("label", "old").join(nbr_min, "n", "left").select(
+            "n",
+            "old",
+            F.least(F.col("old"), F.coalesce("nbr_label", "old")).alias("lab"),
         )
+        if it >= shortcut_after:
+            # pointer jumping: fetch label(label(n)) and take the min.
+            # lab is always a node id present in `labels` (reachable
+            # from n), so the left join is total in practice; left
+            # keeps the row if a stale label ever misses.
+            lol = prop.select(F.col("n").alias("j"), F.col("lab").alias("lab2"))
+            prop = (
+                prop.join(lol, prop["lab"] == lol["j"], "left")
+                .select(
+                    "n",
+                    "old",
+                    F.least(F.col("lab"), F.coalesce("lab2", "lab")).alias("lab"),
+                )
+            )
+        new_labels = prop.select(
+            "n",
+            F.col("lab").alias("label"),
+            (F.col("lab") < F.col("old")).alias("changed"),
+        ).localCheckpoint()
         changed = new_labels.where(F.col("changed")).limit(1).count()
         labels = new_labels.drop("changed")
+        iterations = it + 1
         if changed == 0:
             break
+    connected_components.last_iterations = iterations
     return labels.select(F.col("n").alias("doc_id"), F.col("label").alias("group_id"))
 
 

@@ -177,13 +177,10 @@ def _pack_partitions(sizes: list[int], split: int, open_cost: int) -> int:
     return n_parts + (1 if current > 0 else 0)
 
 
-def _estimated_scan_partitions(df: DataFrame) -> int | None:
-    """Estimate how many partitions the scan under `df` yields, from file
-    sizes and Spark's own split-and-pack formula
-    (FilePartition.maxSplitBytes + getFilePartitions) — no job, no
-    plan-to-RDD conversion.  Local paths are stat'ed directly; other
-    filesystems go through the Hadoop FileSystem API.  None only when
-    sizes are unobtainable (then the caller must not assume
+def _scan_file_sizes(df: DataFrame) -> list[int] | None:
+    """Byte sizes of the files under `df`'s scan — a pure metadata
+    lookup (os.stat locally, Hadoop getFileStatus for s3a/hdfs/abfs).
+    None when sizes are unobtainable (then the caller must not assume
     under-splitting)."""
     try:
         files = df.inputFiles()
@@ -192,14 +189,25 @@ def _estimated_scan_partitions(df: DataFrame) -> int | None:
     if not files:
         return None
     if any("://" in f and not f.startswith("file:") for f in files):
-        sizes = _hadoop_file_sizes(df.sparkSession, files)
-        if sizes is None:
-            return None
-    else:
-        try:
-            sizes = [os.path.getsize(f.removeprefix("file:")) for f in files]
-        except OSError:
-            return None
+        return _hadoop_file_sizes(df.sparkSession, files)
+    try:
+        return [os.path.getsize(f.removeprefix("file:")) for f in files]
+    except OSError:
+        return None
+
+
+def _estimated_scan_partitions(
+    df: DataFrame, sizes: list[int] | None = None
+) -> int | None:
+    """Estimate how many partitions the scan under `df` yields, from file
+    sizes and Spark's own split-and-pack formula
+    (FilePartition.maxSplitBytes + getFilePartitions) — no job, no
+    plan-to-RDD conversion; the previous `df.rdd.getNumPartitions()`
+    probe forced a full plan-to-RDD conversion per load."""
+    if sizes is None:
+        sizes = _scan_file_sizes(df)
+    if not sizes:
+        return None
     conf = df.sparkSession.conf
     max_part = _size_bytes(conf.get("spark.sql.files.maxPartitionBytes", "128m"))
     open_cost = _size_bytes(conf.get("spark.sql.files.openCostInBytes", "4m"))
@@ -209,7 +217,25 @@ def _estimated_scan_partitions(df: DataFrame) -> int | None:
     return _pack_partitions(sizes, split, open_cost)
 
 
-def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+# Below this input size the round-robin shuffle costs more than the
+# parallelism it unlocks: measured at sf0.1 (0.59 MB documents,
+# local[32]) fan-out made EVERY consumer slower — doc_fingerprints
+# 0.28→0.69 s, word_frequency 0.85→1.10 s, even shingle-heavy
+# minhash_near_dups 1.62→2.05 s — because the extra stage + 32-task
+# scheduling is a fixed ~0.2-0.4 s cost while the single-threaded
+# compute it displaces is itself sub-second.  Compute scales linearly
+# with bytes while the overhead stays fixed, so a size floor is the
+# right gate; 2 MiB sits above the sf0.1 fixtures and safely below the
+# regime where single-threaded text work reaches multi-second cost
+# (≈2.7 s/MB measured for the heaviest shingling path).
+FAN_OUT_MIN_BYTES = 2 * 1024**2
+
+
+def fan_out(
+    df: DataFrame,
+    min_partitions: int | None = None,
+    min_bytes: int = FAN_OUT_MIN_BYTES,
+) -> DataFrame:
     """Raise partition count to cluster parallelism for CPU-bound
     downstream work when the scan under-splits.
 
@@ -218,18 +244,21 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     operator downstream (regex matching, shingling, vector math) would
     run single-threaded.  At 100 TB a scan naturally yields ≫ cores
     partitions and this is a no-op (checked, not assumed); the
-    round-robin shuffle only fires on under-split inputs, where the data
-    is by construction small relative to the compute it unlocks.
+    round-robin shuffle only fires on under-split inputs LARGE enough
+    that the unlocked parallelism beats the shuffle's fixed cost
+    (`min_bytes`, see FAN_OUT_MIN_BYTES) — tiny inputs finish faster
+    single-threaded than the repartition stage alone would take.
     Under-splitting is detected from file sizes + Spark's split formula
-    (`_estimated_scan_partitions`) — a pure metadata computation; the
-    previous `df.rdd.getNumPartitions()` probe forced a full
-    plan-to-RDD conversion per load, measurable overhead at scale.
+    (`_estimated_scan_partitions`) — a pure metadata computation.
     Catalyst still pushes filters/pruning through the Repartition node
     into the scan (PushPredicateThroughNonJoin).
     """
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
-    est = _estimated_scan_partitions(df)
+    sizes = _scan_file_sizes(df)
+    if sizes is None or sum(sizes) < min_bytes:
+        return df
+    est = _estimated_scan_partitions(df, sizes)
     if est is None or est >= target:
         return df
     return df.repartition(target)

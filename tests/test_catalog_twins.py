@@ -120,6 +120,22 @@ def test_winnowing_dup_groups_matches_oracle(spark, sf_dir):
     _assert_matches_oracle(spark, sf_dir, "winnowing_dup_groups")
 
 
+# round-4 demotions (driver-green r1-r3; machinery covered in-window by
+# minhash_near_dups / sessionize_events / channel_audit respectively)
+
+
+def test_minhash_near_dups_char_matches_oracle(spark, sf_dir):
+    _assert_matches_oracle(spark, sf_dir, "minhash_near_dups_char")
+
+
+def test_stream_session_counts_matches_oracle(spark, sf_dir):
+    _assert_matches_oracle(spark, sf_dir, "stream_session_counts")
+
+
+def test_top_posts_per_industry_matches_oracle(spark, sf_dir):
+    _assert_matches_oracle(spark, sf_dir, "top_posts_per_industry")
+
+
 def test_corpus_curation_decisions_fire(spark, sf_dir):
     # the fixture corpus must exercise the decision space: kept docs,
     # duplicate drops, and the reason precedence (a doc that is both a

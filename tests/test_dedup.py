@@ -210,6 +210,21 @@ def test_connected_components_converges_on_long_path(spark):
     assert out == {i: 0 for i in range(10)}
 
 
+def test_connected_components_path_graph_iterations_bounded(spark):
+    # adversarial diameter: a 100-node path (diameter 99).  Plain
+    # min-propagation would need ~99 shuffle rounds; the pointer-jumping
+    # shortcut (active from iteration `shortcut_after`) halves the
+    # remaining distance-to-root per round, so the bound is
+    # shortcut_after + O(log2 d) + a fixed-point-confirmation round.
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(99)], "doc_a long, doc_b long"
+    )
+    out = {r.doc_id: r.group_id for r in D.connected_components(pairs).collect()}
+    assert out == {i: 0 for i in range(100)}
+    iters = D.connected_components.last_iterations
+    assert iters <= 12, f"expected O(log d) convergence, took {iters} iterations"
+
+
 def test_winnowing_pairs_finds_shared_passage(spark):
     """A long passage copied between otherwise-different docs must pair
     via the fingerprint join; whole-doc minhash at 0.8 would miss it."""

@@ -51,10 +51,15 @@ def test_fan_out_estimator_matches_scan(spark, sf_dir):
     df = spark.read.parquet(f"{sf_dir}/documents.parquet")
     assert _estimated_scan_partitions(df) == df.rdd.getNumPartitions()
     target = spark.sparkContext.defaultParallelism
-    assert fan_out(df).rdd.getNumPartitions() == target
+    # min_bytes=0 forces the decision down to the partition estimate
+    assert fan_out(df, min_bytes=0).rdd.getNumPartitions() == target
     # a scan the estimator says is already wide enough passes through
     # identically (no Repartition node inserted)
-    assert fan_out(df, min_partitions=1) is df
+    assert fan_out(df, min_partitions=1, min_bytes=0) is df
+    # the size floor: a tiny input (fixture documents ≪ FAN_OUT_MIN_BYTES)
+    # passes through untouched — the shuffle would cost more than the
+    # parallelism it unlocks (measured at sf0.1, see loader.py)
+    assert fan_out(df) is df
 
 
 def test_fan_out_estimator_many_small_files(spark, tmp_path):

@@ -44,6 +44,67 @@ def test_full_pipeline_runs_and_is_array(spark):
     assert "quick" in out[0].toks
 
 
+def test_real_hazm_branch_with_injected_backend(monkeypatch):
+    """The non-fallback hazm branch never executes in this container
+    (hazm absent), so inject a minimal stand-in hazm module and drive
+    each UDF's underlying batch function directly — the exact code the
+    Arrow worker runs — so the real-branch dispatch (normalizer /
+    word_tokenize / POS tag filter / lemmatizer + '#'-split) executes
+    deterministically instead of never.  When a real hazm is installed
+    the other tests exercise it end-to-end through Spark."""
+    import sys
+    import types
+
+    import pandas as pd
+
+    fake = types.ModuleType("hazm")
+
+    class Normalizer:
+        def __init__(self, persian_numbers=False):
+            self.persian_numbers = persian_numbers
+
+        def normalize(self, s):
+            return "N:" + s
+
+    class Lemmatizer:
+        def lemmatize(self, t):
+            return {"رفتم": "رفت#رو"}.get(t, t)
+
+    class POSTagger:
+        def __init__(self, model):
+            self.model = model
+
+        def tag(self, toks):
+            tags = {"book": "N", "red": "AJ", "quickly": "ADV", "run": "V"}
+            return [(t, tags.get(t, "N")) for t in toks]
+
+    fake.Normalizer = Normalizer
+    fake.Lemmatizer = Lemmatizer
+    fake.POSTagger = POSTagger
+    fake.word_tokenize = lambda s: s.split("|")
+
+    monkeypatch.setitem(sys.modules, "hazm", fake)
+    NB._hazm.cache_clear()
+    NB._pos_tagger.cache_clear()
+    try:
+        avail = NB.tier_b_available()
+        assert all(avail.values()), f"real branch not engaged: {avail}"
+        norm = NB.normalize_b.func(pd.Series(["x", None]))
+        assert list(norm) == ["N:x", "N:"]  # None → fillna("") → normalize
+        toks = NB.tokenize_b.func(pd.Series(["a|b"]))
+        assert list(toks)[0] == ["a", "b"]  # hazm tokenizer, not regex
+        kept = NB.pos_keep_nouns_adjectives.func(
+            pd.Series([["book", "red", "quickly", "run"]])
+        )
+        assert list(kept)[0] == ["book", "red"]  # N*/AJ* kept, ADV/V dropped
+        lems = NB.lemmatize_b.func(pd.Series([["رفتم", "plain"]]))
+        assert list(lems)[0] == ["رفت", "plain"]  # lemmatize + '#'-split
+    finally:
+        # never leak the stand-in into other tests' lazy singletons
+        NB._hazm.cache_clear()
+        NB._pos_tagger.cache_clear()
+
+
 def test_pos_fallback_keeps_all(spark):
     if NB.tier_b_available()["pos_tagger"]:
         return  # real tagger present: nothing to assert about fallback

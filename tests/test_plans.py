@@ -127,6 +127,17 @@ def test_corpus_curation_joins_are_hash_not_cartesian(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_winnowing_family_joins_are_equi_not_cartesian(spark, sf_dir):
+    """Passage-tier candidates must come from fingerprint equi-joins
+    (df-capped self-join / corpus-probe join) — a CartesianProduct or
+    BroadcastNestedLoopJoin means the MOSS report stage regressed to
+    all-pairs, which cannot survive 100 TB."""
+    for name in ("winnowing_pairs", "decontamination_check"):
+        plan = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
 def test_media_resize_is_single_pass_no_shuffle(spark, sf_dir):
     """Resize is one mapInPandas projection pass: no Exchange may appear
     below it (the final orderBy's range exchange is the only allowed
