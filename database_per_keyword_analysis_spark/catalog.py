@@ -79,6 +79,16 @@ _DEFERRED_TWINS = {
     "minhash_near_dups_char",  # same banded LSH as minhash_near_dups
     "stream_session_counts",  # streaming twin of sessionize_events
     "top_posts_per_industry",  # same rank-per-group as channel_audit
+    # second round-4 demotion batch, freeing slots for the novel
+    # repetition_flags / pii_redaction / stratified_sample additions:
+    "debug_keyword_posts",  # predicate composition of top_posts/channel_audit
+    "part_type_distincts",  # distinct-agg over the join machinery of
+    #   revenue_by_nation; countDistinct also in segment_order_stats
+    "orders_status_union",  # unionByName; UNION ALL machinery also the
+    #   spine of the generated industry_counts oracle branches
+    # round-4 additions awaiting a future rotation (hash-threshold
+    # machinery composition of the checked token_budget_sample):
+    "source_mixture_sample",
 }
 
 
@@ -711,6 +721,116 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TQ.fingerprints(load(spark, sf_dir, "documents", parallel=True)).orderBy("doc_id")
 
 
+def _repetition_sql() -> str:
+    """DuckDB mirror of operators/textquality.py:repetition_metrics — the
+    n-gram builds and count arithmetic reproduced with list lambdas so
+    every ratio is the same exact integer division on both engines."""
+
+    def cnts(arr: str) -> str:
+        return (
+            f"list_transform(list_distinct({arr}), "
+            f"d -> len(list_filter({arr}, x -> x = d)))"
+        )
+
+    return (
+        r"WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') "
+        "AS l FROM documents WHERE text IS NOT NULL), "
+        "b AS (SELECT doc_id, l, len(l) AS n, "
+        "list_transform(range(1, greatest(len(l), 1)), i -> l[i] || ' ' || l[i+1]) "
+        "AS big, "
+        "list_transform(range(1, greatest(len(l) - 1, 1)), "
+        "i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]) AS tri FROM t), "
+        "m AS (SELECT doc_id, n, "
+        f"CAST(list_max({cnts('l')}) AS DOUBLE) / CAST(n AS DOUBLE) "
+        "AS max_token_frac, "
+        f"CASE WHEN len(big) > 0 THEN CAST(list_max({cnts('big')}) AS DOUBLE) "
+        "/ CAST(len(big) AS DOUBLE) ELSE 0.0 END AS top_bigram_frac, "
+        "CASE WHEN len(tri) > 0 THEN CAST(len(tri) - "
+        f"len(list_filter({cnts('tri')}, c -> c = 1)) AS DOUBLE) "
+        "/ CAST(len(tri) AS DOUBLE) ELSE 0.0 END AS dup_trigram_frac FROM b) "
+        "SELECT doc_id, n AS n_tokens_ws, max_token_frac, top_bigram_frac, "
+        "dup_trigram_frac, (max_token_frac > 0.20 OR top_bigram_frac > 0.18 "
+        "OR dup_trigram_frac > 0.30) AS repetitive FROM m ORDER BY doc_id"
+    )
+
+
+@register("repetition_flags", _repetition_sql())
+def q_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document — the
+    repeated-content tier the LLM-pipeline brief's 'quality scoring'
+    calls for beyond length/punct ratios
+    (operators/textquality.py:repetition_metrics)."""
+    from .sources import fan_out
+
+    # force fan-out past the loader's size floor: the per-row n-gram
+    # sort+aggregate work (~1 ms/doc) dwarfs the repartition's fixed
+    # cost even on a sub-MiB scan (6.1 s single-task → 0.6 s fanned)
+    docs = fan_out(load(spark, sf_dir, "documents"), min_bytes=0)
+    return TQ.repetition_metrics(docs).orderBy("doc_id")
+
+
+from .operators import pii as PII  # noqa: E402
+
+# The fixtures carry no real PII, so the registered query plants a
+# deterministic synthetic contact line per document (built from columns
+# both engines see identically) and redacts THAT — giving the oracle
+# nonzero counts and a varying digest to hash.  Library callers run
+# PII.redact_pii on their raw corpus directly.
+_PII_SYNTH_SQL = (
+    "text || ' contact ' || source || '@example.com or 555-' || "
+    "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+)
+
+
+def _pii_sql() -> str:
+    email, phone, ip = PII.EMAIL_PATTERN, PII.PHONE_PATTERN, PII.IPV4_PATTERN
+    red = (
+        "regexp_replace(regexp_replace(regexp_replace(t, '" + email
+        + "', '<EMAIL>', 'g'), '" + phone + "', '<PHONE>', 'g'), '"
+        + ip + "', '<IP>', 'g')"
+    )
+    return (
+        "WITH synth AS (SELECT doc_id, " + _PII_SYNTH_SQL + " AS t "
+        "FROM documents WHERE text IS NOT NULL) "
+        "SELECT doc_id, "
+        "CAST(len(regexp_extract_all(t, '" + email + "')) AS INTEGER) AS n_emails, "
+        "CAST(len(regexp_extract_all(t, '" + phone + "')) AS INTEGER) AS n_phones, "
+        "CAST(len(regexp_extract_all(t, '" + ip + "')) AS INTEGER) AS n_ips, "
+        "md5(" + red + ") AS redacted_md5 FROM synth ORDER BY doc_id"
+    )
+
+
+@register("pii_redaction", _pii_sql())
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub audit over a synthetic-contact corpus: per-doc email/
+    phone/IP counts + md5 of the redacted text
+    (operators/pii.py:redact_pii)."""
+    from pyspark.sql import functions as F
+
+    docs = load(spark, sf_dir, "documents", parallel=True)
+    synth = docs.where(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact "),
+            F.col("source"),
+            F.lit("@example.com or 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    return (
+        PII.redact_pii(synth)
+        .select(
+            "doc_id",
+            "n_emails",
+            "n_phones",
+            "n_ips",
+            F.md5(F.col("redacted")).alias("redacted_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Dedup + similarity search (north-star extensions, SURVEY.md §2.11).
 # ---------------------------------------------------------------------------
@@ -1067,8 +1187,19 @@ def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 neighbors for query vectors (vec_id < 10)."""
     from pyspark.sql import functions as F
 
-    emb = load(spark, sf_dir, "embeddings", parallel=True)
+    emb = _load_emb(spark, sf_dir)
     return SIM.knn_bruteforce(emb, emb.where(F.col("vec_id") < 10), k=5)
+
+
+def _load_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings with FORCED fan-out: the all-pairs / brute-force
+    queries burn ~10 ms of interpreted higher-order-function arithmetic
+    per vector pair-block, so even the sub-MiB fixture scan must spread
+    across cores (the loader's size floor is calibrated for scan-bound
+    text work and would leave these single-task: 58 s → ~3 s at sf0.1)."""
+    from .sources import fan_out
+
+    return fan_out(load(spark, sf_dir, "embeddings"), min_bytes=0)
 
 
 _COSINE_PAIRS_SQL = (
@@ -1089,7 +1220,7 @@ _COSINE_PAIRS_SQL = (
 def q_cosine_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (threshold tuned to fixture
     geometry: max pairwise cosine ≈ 0.51)."""
-    return SIM.cosine_near_dup_pairs(load(spark, sf_dir, "embeddings", parallel=True), threshold=0.4)
+    return SIM.cosine_near_dup_pairs(_load_emb(spark, sf_dir), threshold=0.4)
 
 
 @register(
@@ -1116,9 +1247,7 @@ def q_cosine_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     across the exact, text-LSH, and embedding tiers."""
     from pyspark.sql import functions as F
 
-    pairs = SIM.cosine_near_dup_pairs(
-        load(spark, sf_dir, "embeddings", parallel=True), threshold=0.4
-    )
+    pairs = SIM.cosine_near_dup_pairs(_load_emb(spark, sf_dir), threshold=0.4)
     return (
         D.dup_groups(pairs, src="vec_a", dst="vec_b")
         .withColumnRenamed("doc_id", "vec_id")
@@ -1252,6 +1381,88 @@ def q_curation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("outcome")
     )
+
+
+_HASH_U_SQL = (
+    "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) "
+    "/ 281474976710656.0"
+)
+
+
+def _stratified_sample_sql(n: int, margin: float) -> str:
+    """Mirror of operators/curation.py:stratified_sample — same hash
+    order, same deterministic prefilter threshold, same window rank."""
+    return (
+        "WITH base AS (SELECT source AS stratum, doc_id, "
+        "md5(CAST(doc_id AS VARCHAR)) AS u_hex, " + _HASH_U_SQL + " AS u "
+        "FROM documents WHERE source IS NOT NULL), "
+        "c AS (SELECT stratum, count(*) AS n_stratum FROM base GROUP BY stratum), "
+        "f AS (SELECT b.* FROM base b JOIN c USING (stratum) "
+        f"WHERE u < least(1.0, {margin * n!r} / CAST(n_stratum AS DOUBLE))), "
+        "r AS (SELECT stratum, doc_id, row_number() OVER "
+        "(PARTITION BY stratum ORDER BY u_hex, doc_id) AS rk FROM f) "
+        f"SELECT stratum, doc_id, rk FROM r WHERE rk <= {n} "
+        "ORDER BY stratum, rk"
+    )
+
+
+@register("stratified_sample", _stratified_sample_sql(5, 4.0))
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-quota stratified sample: 5 docs per source by smallest
+    md5(id) — deterministic uniform draw per stratum with the
+    count-bounded prefilter (operators/curation.py:stratified_sample)."""
+    from .operators import curation as CUR
+
+    return CUR.stratified_sample(
+        load(spark, sf_dir, "documents", parallel=True), n_per_stratum=5
+    )
+
+
+# Exact-binary-representable weights: the normalized ratios and quota
+# arithmetic are then bit-identical double ops on both engines.
+_MIX_WEIGHTS = {"src0": 0.5, "src3": 0.25, "src7": 0.125, "src12": 0.125}
+_MIX_TARGET = 60
+
+
+def _mixture_sample_sql() -> str:
+    vals = ", ".join(
+        f"({_sql_quote(s)}, {w!r})" for s, w in sorted(_MIX_WEIGHTS.items())
+    )
+    return (
+        "WITH base AS (SELECT source AS stratum, doc_id, " + _HASH_U_SQL + " AS u "
+        "FROM documents WHERE source IS NOT NULL), "
+        "c AS (SELECT stratum, count(*) AS n_stratum FROM base GROUP BY stratum), "
+        f"w(stratum, wt) AS (VALUES {vals}), "
+        "j AS (SELECT b.stratum, b.doc_id, b.u, "
+        f"least(1.0, w.wt * {float(_MIX_TARGET)!r} / CAST(c.n_stratum AS DOUBLE)) "
+        "AS accept_ratio FROM base b JOIN c USING (stratum) JOIN w USING (stratum)) "
+        "SELECT stratum, doc_id, u, accept_ratio FROM j WHERE u < accept_ratio "
+        "ORDER BY stratum, doc_id"
+    )
+
+
+@register("source_mixture_sample", _mixture_sample_sql())
+def q_source_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample the corpus to a target source mixture (50/25/12.5/12.5
+    over four sources, ≈60 docs) — the epoch-mixing sampler
+    (operators/curation.py:mixture_sample)."""
+    from .operators import curation as CUR
+
+    return CUR.mixture_sample(
+        load(spark, sf_dir, "documents", parallel=True),
+        weights=_MIX_WEIGHTS,
+        target_docs=_MIX_TARGET,
+    )
+
+
+@register("semantic_dedup", None)  # k-means cluster scoping → approximate
+# (cross-cluster pairs missed by design); within-cluster pair subset +
+# recall vs the exact cosine tier asserted in tests/test_similarity.py
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (arXiv:2303.09540): k-means cluster scoping + in-cluster
+    cosine pairs + connected-components keeper decision over embeddings
+    (operators/similarity.py:semantic_dedup)."""
+    return SIM.semantic_dedup(_load_emb(spark, sf_dir), threshold=0.4)
 
 
 @register("cosine_near_dups_lsh", None)  # approximate recall → rows-only;

@@ -21,11 +21,24 @@ hash shuffle.  No stage is all-pairs; no stage collects.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from . import dedup as D
 from . import textquality as TQ
+
+
+def uniform_hash(c: Column) -> Column:
+    """Deterministic uniform draw in [0, 1) from a column: the first 48
+    bits of md5 (the repo's portable-hash idiom — identical in Spark,
+    DuckDB, and Python) scaled to a fraction.  The basis of every
+    deterministic sampler here: same input ⇒ same draw, any engine."""
+    return (
+        F.conv(F.substring(F.md5(c.cast("string")), 1, 12), 16, 10)
+        .cast("long")
+        .cast("double")
+        / F.lit(float(2**48))
+    )
 
 
 def token_budget_sample(
@@ -56,12 +69,7 @@ def token_budget_sample(
     total = counted.agg(
         F.sum(F.col("n_tokens_ws").cast("long")).alias("total_tokens")
     )
-    u = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10)
-        .cast("long")
-        .cast("double")
-        / F.lit(float(2**48))
-    )
+    u = uniform_hash(F.col("doc_id"))
     return (
         counted.crossJoin(F.broadcast(total))
         .withColumn("u", u)
@@ -75,6 +83,102 @@ def token_budget_sample(
         )
         .select("doc_id", "n_tokens_ws", "u")
         .orderBy("doc_id")
+    )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    n_per_stratum: int,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    prefilter_margin: float = 4.0,
+) -> DataFrame:
+    """Exact-quota stratified sample: the `n_per_stratum` documents with
+    the smallest md5(id) per stratum — a uniform without-replacement
+    draw that is fully deterministic (same corpus ⇒ same sample, any
+    partitioning, any engine).  Returns (stratum, doc_id, rk) with
+    rk = 1..n the within-stratum sample order.
+
+    Scale design: the naive form is one window sort per stratum — a
+    shuffle on the stratum key where a hot stratum sorts ALL its rows to
+    keep n.  The prefilter bounds that: a per-stratum count (map-side
+    partial agg) sets a hash threshold of `prefilter_margin · n / count`,
+    and only the ~margin·n surviving rows per stratum reach the window
+    sort.  The cut is deterministic, so the oracle applies the same
+    threshold; it is lossless with overwhelming probability
+    (P[Binomial(count, margin·n/count) < n] ≤ e^{-n(margin-1)²/2margin},
+    ~1e-25 at n=50, margin=4), and `tests/` pin prefiltered ==
+    unprefiltered on the fixtures.  Set prefilter_margin=None to skip
+    the cut (tiny corpora / exactness proofs).
+    """
+    base = docs.where(F.col(stratum_col).isNotNull()).select(
+        F.col(stratum_col).alias("stratum"),
+        F.col(id_col).alias("doc_id"),
+        F.md5(F.col(id_col).cast("string")).alias("u_hex"),
+        uniform_hash(F.col(id_col)).alias("u"),
+    )
+    if prefilter_margin is not None:
+        counts = base.groupBy("stratum").agg(F.count(F.lit(1)).alias("n_stratum"))
+        base = base.join(counts, "stratum").where(
+            F.col("u")
+            < F.least(
+                F.lit(1.0),
+                F.lit(prefilter_margin * n_per_stratum)
+                / F.col("n_stratum").cast("double"),
+            )
+        )
+    w = Window.partitionBy("stratum").orderBy("u_hex", "doc_id")
+    return (
+        base.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= n_per_stratum)
+        .select("stratum", "doc_id", "rk")
+        .orderBy("stratum", "rk")
+    )
+
+
+def mixture_sample(
+    docs: DataFrame,
+    weights: dict[str, float],
+    target_docs: int,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Resample a corpus toward a target source mixture: stratum `s`
+    contributes ≈ target_docs · weight_s documents (weights are
+    normalized; strata absent from `weights` contribute nothing).  The
+    per-stratum acceptance ratio is min(1, quota/count) — an
+    undersized stratum keeps everything rather than upsampling, the
+    standard epoch-mixing convention for pretraining corpora.
+
+    Returns (stratum, doc_id, u, accept_ratio) for the kept documents.
+
+    Scale design: same hash-threshold Bernoulli machinery as
+    `token_budget_sample`, applied per group — one map-side count
+    aggregate over strata, one equi-join of that tiny table back
+    (broadcast when #strata is small), one filter.  No global sort, no
+    per-stratum windows, no collect.
+    """
+    total_w = sum(weights.values()) or 1.0
+    wmap = F.create_map(
+        *[x for k, v in sorted(weights.items()) for x in (F.lit(k), F.lit(v / total_w))]
+    )
+    base = docs.where(F.col(stratum_col).isNotNull()).select(
+        F.col(stratum_col).alias("stratum"),
+        F.col(id_col).alias("doc_id"),
+        uniform_hash(F.col(id_col)).alias("u"),
+    )
+    counts = base.groupBy("stratum").agg(F.count(F.lit(1)).alias("n_stratum"))
+    return (
+        base.join(counts, "stratum")
+        .withColumn("quota", wmap[F.col("stratum")] * F.lit(float(target_docs)))
+        .where(F.col("quota").isNotNull())
+        .withColumn(
+            "accept_ratio",
+            F.least(F.lit(1.0), F.col("quota") / F.col("n_stratum").cast("double")),
+        )
+        .where(F.col("u") < F.col("accept_ratio"))
+        .select("stratum", "doc_id", "u", "accept_ratio")
+        .orderBy("stratum", "doc_id")
     )
 
 
@@ -95,6 +199,7 @@ def curate(
     min_tokens: int = 20,
     max_punct_ratio: float = 0.30,
     near_threshold: float = 0.8,
+    max_dup_trigram_frac: float | None = None,
 ) -> DataFrame:
     """Per-document curation decision over a corpus.
 
@@ -104,33 +209,48 @@ def curate(
     Duplicate KEEPERS (rank 1 in their group) are kept — only the
     non-keeper members of a duplicate group are dropped, so applying the
     decision never loses content, it only removes redundancy.
+
+    With `max_dup_trigram_frac` set, the Gopher repetition rule
+    (textquality.repetition_metrics) joins the verdict as a final
+    'repetitive' drop reason — lowest precedence, same zero-shuffle
+    metrics pass folded in by one more co-partitioned doc_id join.
     """
     quality = TQ.quality_metrics(docs, text_col).select(
         "doc_id", "n_tokens_ws", "punct_ratio"
     )
+    if max_dup_trigram_frac is not None:
+        rep = TQ.repetition_metrics(docs, text_col).select(
+            "doc_id", "dup_trigram_frac"
+        )
+        quality = quality.join(rep, "doc_id", "left")
     exact = D.exact_duplicates(docs, text_col).select(
         "doc_id", F.col("is_duplicate").alias("exact_dup")
     )
     near = D.minhash_dup_groups(docs, text_col, threshold=near_threshold).select(
         "doc_id", F.col("is_duplicate").alias("near_dup")
     )
+    carry = ["doc_id", "n_tokens_ws", "punct_ratio"]
+    if max_dup_trigram_frac is not None:
+        carry.append("dup_trigram_frac")
+    reason = (
+        F.when(F.col("exact_dup"), F.lit("exact_duplicate"))
+        .when(F.col("near_dup"), F.lit("near_duplicate"))
+        .when(F.col("n_tokens_ws") < min_tokens, F.lit("too_short"))
+        .when(F.col("punct_ratio") > max_punct_ratio, F.lit("high_punctuation"))
+    )
+    if max_dup_trigram_frac is not None:
+        reason = reason.when(
+            F.col("dup_trigram_frac") > max_dup_trigram_frac, F.lit("repetitive")
+        )
     return (
         quality.join(exact, "doc_id", "left")
         .join(near, "doc_id", "left")
         .select(
-            "doc_id",
-            "n_tokens_ws",
-            "punct_ratio",
+            *carry,
             F.coalesce("exact_dup", F.lit(False)).alias("exact_dup"),
             F.coalesce("near_dup", F.lit(False)).alias("near_dup"),
         )
-        .withColumn(
-            "drop_reason",
-            F.when(F.col("exact_dup"), F.lit("exact_duplicate"))
-            .when(F.col("near_dup"), F.lit("near_duplicate"))
-            .when(F.col("n_tokens_ws") < min_tokens, F.lit("too_short"))
-            .when(F.col("punct_ratio") > max_punct_ratio, F.lit("high_punctuation")),
-        )
+        .withColumn("drop_reason", reason)
         .withColumn("keep", F.col("drop_reason").isNull())
         .orderBy("doc_id")
     )

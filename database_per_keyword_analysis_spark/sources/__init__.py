@@ -1,1 +1,1 @@
-from .loader import SCHEMAS, TABLES, load, register_views  # noqa: F401
+from .loader import SCHEMAS, TABLES, fan_out, load, register_views  # noqa: F401

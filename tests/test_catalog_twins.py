@@ -136,6 +136,31 @@ def test_top_posts_per_industry_matches_oracle(spark, sf_dir):
     _assert_matches_oracle(spark, sf_dir, "top_posts_per_industry")
 
 
+# second round-4 demotion batch (driver-green r1-r3; freed slots for the
+# novel repetition_flags / pii_redaction / stratified_sample queries):
+# predicate-composition, distinct-agg-over-join, and unionByName
+# machinery each stay covered in-window (top_posts/channel_audit,
+# revenue_by_nation+segment_order_stats, industry_counts oracle spine)
+
+
+def test_debug_keyword_posts_matches_oracle(spark, sf_dir):
+    _assert_matches_oracle(spark, sf_dir, "debug_keyword_posts")
+
+
+def test_part_type_distincts_matches_oracle(spark, sf_dir):
+    _assert_matches_oracle(spark, sf_dir, "part_type_distincts")
+
+
+def test_orders_status_union_matches_oracle(spark, sf_dir):
+    _assert_matches_oracle(spark, sf_dir, "orders_status_union")
+
+
+def test_source_mixture_sample_matches_oracle(spark, sf_dir):
+    # round-4 addition registered past the window (hash-threshold
+    # composition of the checked token_budget_sample machinery)
+    _assert_matches_oracle(spark, sf_dir, "source_mixture_sample")
+
+
 def test_corpus_curation_decisions_fire(spark, sf_dir):
     # the fixture corpus must exercise the decision space: kept docs,
     # duplicate drops, and the reason precedence (a doc that is both a

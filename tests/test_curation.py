@@ -89,3 +89,27 @@ def test_precedence_near_dup_beats_too_short(spark):
     }
     assert out[1].drop_reason == "too_short"
     assert out[2].drop_reason == "near_duplicate"
+
+
+def test_curate_repetition_rule_optional(spark):
+    from pyspark.sql import functions as F
+
+    base = " ".join(f"w{i}" for i in range(25))  # 25 distinct tokens
+    rep = " ".join(["spam ham"] * 13)  # 26 tokens, all trigrams duplicated
+    docs = spark.createDataFrame(
+        [(1, base), (2, rep)], ["doc_id", "text"]
+    )
+    # default: rule off, both docs keep (long enough, clean, no dups)
+    off = {r.doc_id: r for r in CUR.curate(docs).collect()}
+    assert off[1].keep and off[2].keep
+    assert "dup_trigram_frac" not in CUR.curate(docs).columns
+    # rule on: the repetitive doc drops with the new lowest-precedence reason
+    on = {r.doc_id: r for r in CUR.curate(docs, max_dup_trigram_frac=0.5).collect()}
+    assert on[1].keep
+    assert not on[2].keep and on[2].drop_reason == "repetitive"
+    # precedence: an exact duplicate that is ALSO repetitive reports the dup
+    docs2 = spark.createDataFrame(
+        [(1, rep), (2, rep)], ["doc_id", "text"]
+    )
+    d2 = {r.doc_id: r for r in CUR.curate(docs2, max_dup_trigram_frac=0.5).collect()}
+    assert d2[2].drop_reason == "exact_duplicate"

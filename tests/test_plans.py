@@ -148,3 +148,40 @@ def test_media_resize_is_single_pass_no_shuffle(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" in plan or "MapInPandas" in plan
     assert "Exchange" not in plan
+
+
+def test_repetition_and_pii_are_single_pass_no_shuffle(spark, sf_dir):
+    # both are pure projection operators: n-gram/regex work happens in
+    # the scan stage, no aggregation exchange anywhere
+    for name in ("repetition_flags", "pii_redaction"):
+        df = catalog.queries()[name](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, name
+
+
+def test_stratified_sample_has_no_cartesian_and_bounded_shuffles(spark, sf_dir):
+    df = catalog.queries()["stratified_sample"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # count agg + count join + window partition: nothing beyond 3 hash
+    # exchanges (the prefilter is the point — the window sort must not
+    # pull the whole stratum)
+    assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_semantic_dedup_pairs_join_is_equi_on_list_id(spark, sf_dir):
+    from database_per_keyword_analysis_spark.operators import similarity as SIM
+    from database_per_keyword_analysis_spark.sources import load
+
+    # inspect the pair stage (pre-CC): the in-cluster compare must be an
+    # equi-join on list_id, never a cartesian over the corpus
+    emb = load(spark, sf_dir, "embeddings")
+    assigned, _ = SIM.ivf_index(emb, n_lists=4)
+    from pyspark.sql import functions as F
+
+    a = assigned.select("list_id", F.col("vec_id").alias("vec_a"))
+    b = assigned.select("list_id", F.col("vec_id").alias("vec_b"))
+    pairs = a.join(b, "list_id").where(F.col("vec_a") < F.col("vec_b"))
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan

@@ -1,0 +1,210 @@
+"""Unit tests for the round-4 training-pipeline additions: Gopher-style
+repetition metrics, PII redaction, stratified / mixture sampling, and
+SemDeDup semantic dedup."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from database_per_keyword_analysis_spark.operators import curation as CUR
+from database_per_keyword_analysis_spark.operators import pii as PII
+from database_per_keyword_analysis_spark.operators import similarity as SIM
+from database_per_keyword_analysis_spark.operators import textquality as TQ
+
+
+# ---------------------------------------------------------------------------
+# repetition_metrics
+# ---------------------------------------------------------------------------
+
+def test_repetition_metrics_known_values(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "hello"), (3, "x x x x"), (4, None)],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in TQ.repetition_metrics(docs).collect()}
+    assert set(rows) == {1, 2, 3}  # null text dropped
+    r1 = rows[1]  # tokens a,b,a,b,c
+    assert r1.n_tokens_ws == 5
+    assert r1.max_token_frac == pytest.approx(2 / 5)
+    # bigrams: 'a b','b a','a b','b c' -> top 2/4
+    assert r1.top_bigram_frac == pytest.approx(0.5)
+    # trigrams 'a b a','b a b','a b c' all distinct
+    assert r1.dup_trigram_frac == 0.0
+    assert r1.repetitive  # max_token_frac 0.4 > 0.20
+    r2 = rows[2]  # single token: no bigrams/trigrams, fracs defined as 0
+    assert (r2.n_tokens_ws, r2.top_bigram_frac, r2.dup_trigram_frac) == (1, 0.0, 0.0)
+    assert r2.max_token_frac == 1.0
+    r3 = rows[3]  # maximally repetitive
+    assert r3.max_token_frac == 1.0
+    assert r3.top_bigram_frac == 1.0  # 'x x' ×3 of 3
+    assert r3.dup_trigram_frac == 1.0  # 'x x x' ×2, no singletons
+    assert r3.repetitive
+
+
+def test_repetition_metrics_clean_text_not_flagged(spark):
+    docs = spark.createDataFrame(
+        [(1, "one two three four five six seven eight nine ten")],
+        ["doc_id", "text"],
+    )
+    r = TQ.repetition_metrics(docs).collect()[0]
+    assert r.max_token_frac == pytest.approx(0.1)
+    assert r.top_bigram_frac == pytest.approx(1 / 9)
+    assert r.dup_trigram_frac == 0.0
+    assert not r.repetitive
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+def test_redact_pii_all_families(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "mail bob@x.io or alice.smith@corp.example.org, call 555-1234, host 10.0.0.1"),
+            (2, "no pii here at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in PII.redact_pii(docs).collect()}
+    r1 = rows[1]
+    assert (r1.n_emails, r1.n_phones, r1.n_ips) == (2, 1, 1)
+    assert "<EMAIL>" in r1.redacted and "<PHONE>" in r1.redacted and "<IP>" in r1.redacted
+    for leaked in ("bob@x.io", "alice.smith@corp.example.org", "555-1234", "10.0.0.1"):
+        assert leaked not in r1.redacted
+    r2 = rows[2]
+    assert (r2.n_emails, r2.n_phones, r2.n_ips) == (0, 0, 0)
+    assert r2.redacted == "no pii here at all"  # untouched
+
+
+def test_redact_pii_counts_audit_original_not_rewritten(spark):
+    # the replacement tags must not be re-counted by a later family
+    docs = spark.createDataFrame([(1, "a@b.co 555-0000 1.2.3.4")], ["doc_id", "text"])
+    r = PII.redact_pii(docs).collect()[0]
+    assert (r.n_emails, r.n_phones, r.n_ips) == (1, 1, 1)
+    assert r.redacted == "<EMAIL> <PHONE> <IP>"
+
+
+# ---------------------------------------------------------------------------
+# stratified_sample
+# ---------------------------------------------------------------------------
+
+def _strata_docs(spark):
+    rows = [("a", i) for i in range(20)] + [("b", 100 + i) for i in range(3)]
+    return spark.createDataFrame(rows, ["source", "doc_id"])
+
+
+def test_stratified_sample_exact_quota_and_undersized_stratum(spark):
+    out = CUR.stratified_sample(_strata_docs(spark), n_per_stratum=4).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r.stratum, []).append(r)
+    assert len(by["a"]) == 4  # exact quota
+    assert len(by["b"]) == 3  # undersized stratum keeps everything
+    assert sorted(r.rk for r in by["a"]) == [1, 2, 3, 4]
+    assert sorted(r.rk for r in by["b"]) == [1, 2, 3]
+
+
+def test_stratified_sample_custom_column_names(spark):
+    docs = spark.createDataFrame(
+        [("x", i) for i in range(8)], ["grp", "item_id"]
+    )
+    out = CUR.stratified_sample(
+        docs, 2, stratum_col="grp", id_col="item_id"
+    ).collect()
+    assert len(out) == 2 and all(r.stratum == "x" for r in out)
+
+
+def test_stratified_sample_prefilter_is_lossless_and_deterministic(spark):
+    docs = _strata_docs(spark)
+    with_pf = CUR.stratified_sample(docs, 4).collect()
+    without_pf = CUR.stratified_sample(docs, 4, prefilter_margin=None).collect()
+    assert sorted(map(tuple, with_pf)) == sorted(map(tuple, without_pf))
+    again = CUR.stratified_sample(docs, 4).collect()
+    assert sorted(map(tuple, with_pf)) == sorted(map(tuple, again))
+
+
+# ---------------------------------------------------------------------------
+# mixture_sample
+# ---------------------------------------------------------------------------
+
+def test_mixture_sample_ratios_and_absent_strata(spark):
+    rows = (
+        [("a", i) for i in range(100)]
+        + [("b", 1000)]
+        + [("c", 2000 + i) for i in range(10)]
+    )
+    docs = spark.createDataFrame(rows, ["source", "doc_id"])
+    out = CUR.mixture_sample(docs, weights={"a": 0.5, "b": 0.5}, target_docs=4)
+    rows = out.collect()
+    assert {r.stratum for r in rows} <= {"a", "b"}  # 'c' has no weight -> dropped
+    ratios = {r.stratum: r.accept_ratio for r in rows}
+    assert ratios.get("a", 0.02) == pytest.approx(2 / 100)
+    # undersized stratum: quota 2 > count 1 -> keep all (ratio clamps to 1)
+    assert ratios["b"] == 1.0
+    assert sum(1 for r in rows if r.stratum == "b") == 1
+    for r in rows:
+        assert r.u < r.accept_ratio  # the acceptance rule, verbatim
+
+
+def test_mixture_sample_is_deterministic(spark):
+    docs = spark.createDataFrame([("a", i) for i in range(50)], ["source", "doc_id"])
+    a = CUR.mixture_sample(docs, {"a": 1.0}, target_docs=10).collect()
+    b = CUR.mixture_sample(docs, {"a": 1.0}, target_docs=10).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+# ---------------------------------------------------------------------------
+# semantic_dedup
+# ---------------------------------------------------------------------------
+
+def _planted_vectors(spark):
+    import random
+
+    rng = random.Random(7)
+
+    def jitter(base, eps):
+        return [x + rng.uniform(-eps, eps) for x in base]
+
+    e1 = [1.0, 0.0, 0.0, 0.0]
+    e2 = [0.0, 1.0, 0.0, 0.0]
+    e3 = [0.0, 0.0, 1.0, 0.0]
+    rows = (
+        [(i, jitter(e1, 1e-3)) for i in range(4)]
+        + [(10 + i, jitter(e2, 1e-3)) for i in range(3)]
+        + [(20, e3)]
+    )
+    return spark.createDataFrame(rows, ["vec_id", "embedding"]).withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    )
+
+
+def test_semantic_dedup_groups_planted_clusters(spark):
+    vecs = _planted_vectors(spark)
+    out = SIM.semantic_dedup(vecs, threshold=0.99, n_lists=3).collect()
+    groups = {}
+    for r in out:
+        groups.setdefault(r.group_id, set()).add(r.vec_id)
+    # the two planted near-identical clusters come out whole; the
+    # singleton has no pair and does not appear
+    assert sorted(len(g) for g in groups.values()) == [3, 4]
+    assert {0, 1, 2, 3} in groups.values()
+    assert {10, 11, 12} in groups.values()
+    keepers = [r for r in out if not r.is_duplicate]
+    assert {r.vec_id for r in keepers} == {0, 10}  # smallest id per group
+
+
+def test_semantic_dedup_nodes_subset_of_exact_tier(spark, sf_dir):
+    from database_per_keyword_analysis_spark.sources import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    sem = SIM.semantic_dedup(emb, threshold=0.4, n_lists=4)
+    exact_pairs = SIM.cosine_near_dup_pairs(emb, threshold=0.4)
+    sem_nodes = {r.vec_id for r in sem.collect()}
+    exact_nodes = {r.vec_a for r in exact_pairs.collect()} | {
+        r.vec_b for r in exact_pairs.collect()
+    }
+    # cluster scoping only removes pairs -> node set can only shrink
+    assert sem_nodes <= exact_nodes
+    if exact_nodes:
+        assert len(sem_nodes) / len(exact_nodes) >= 0.5  # recall floor
