@@ -1063,6 +1063,19 @@ def _winnowing_fps_sql() -> str:
     )
 
 
+def _load_docs_fanned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents with FORCED fan-out for the winnowing family: the
+    per-gram md5 pass (~285 rolling hashes per doc) runs BEFORE the
+    first shuffle, so scan parallelism bounds it; on the sub-floor
+    fixture scan forcing the repartition halves the pipeline
+    (winnowing_pairs 5.1 -> 2.5 s at sf0.1).  The minhash family is
+    NOT fanned: its cheaper per-row work measured slower with the
+    extra stage (see sources/loader.py FAN_OUT_MIN_BYTES)."""
+    from .sources import fan_out
+
+    return fan_out(load(spark, sf_dir, "documents"), min_bytes=0)
+
+
 @register("winnowing_fingerprints", _winnowing_fps_sql())
 def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash winnowing fingerprints (SIGMOD'03 MOSS scheme) — the
@@ -1073,7 +1086,7 @@ def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw sorted ARRAY<BIGINT>."""
     from pyspark.sql import functions as F
 
-    fps = D.winnowing_fingerprints(load(spark, sf_dir, "documents", parallel=True))
+    fps = D.winnowing_fingerprints(_load_docs_fanned(spark, sf_dir))
     return fps.select(
         "doc_id",
         "n_fps",
@@ -1114,7 +1127,7 @@ def q_winnowing_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Copied-passage clusters: winnowing pairs -> connected components
     -> keeper per group — the passage tier's dedup decisions, same
     machinery as minhash_dup_groups/cosine_dup_groups."""
-    pairs = D.winnowing_pairs(load(spark, sf_dir, "documents", parallel=True))
+    pairs = D.winnowing_pairs(_load_docs_fanned(spark, sf_dir))
     return D.dup_groups(pairs).orderBy("doc_id")
 
 
@@ -1147,7 +1160,7 @@ def q_decontamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/dedup.py:decontamination_pairs)."""
     from pyspark.sql import functions as F
 
-    docs = load(spark, sf_dir, "documents", parallel=True)
+    docs = _load_docs_fanned(spark, sf_dir)
     probe = docs.where(F.col("doc_id") % 20 == 0)
     corpus = docs.where(F.col("doc_id") % 20 != 0)
     return D.decontamination_pairs(corpus, probe)
@@ -1159,7 +1172,7 @@ def q_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≥8 winnowing fingerprints with the overlap coefficient — catches
     copied PASSAGES between otherwise-different docs, which whole-doc
     tiers (minhash/simhash) dilute away (operators/dedup.py:winnowing_pairs)."""
-    return D.winnowing_pairs(load(spark, sf_dir, "documents", parallel=True))
+    return D.winnowing_pairs(_load_docs_fanned(spark, sf_dir))
 
 
 _DUCK_DOT = (
