@@ -807,7 +807,9 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/pii.py:redact_pii)."""
     from pyspark.sql import functions as F
 
-    docs = load(spark, sf_dir, "documents", parallel=True)
+    # forced fan-out: three regexp_extract_all + three regexp_replace
+    # passes per row dominate the sub-floor scan
+    docs = _load_docs_fanned(spark, sf_dir)
     synth = docs.where(F.col("text").isNotNull()).select(
         "doc_id",
         F.concat(
