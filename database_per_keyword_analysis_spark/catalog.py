@@ -89,6 +89,11 @@ _DEFERRED_TWINS = {
     # round-4 additions awaiting a future rotation (hash-threshold
     # machinery composition of the checked token_budget_sample):
     "source_mixture_sample",
+    # third round-4 demotion batch, freeing slots for the novel
+    # line_dedup / unigram_lm_scores additions:
+    "video_frame_samples",  # same mapInPandas plumbing as multimodal_decode
+    "cosine_near_dup_pairs",  # same all-pairs decimal-cosine machinery as
+    #   knn_bruteforce (which stays in-window)
 }
 
 
@@ -721,6 +726,26 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TQ.fingerprints(load(spark, sf_dir, "documents", parallel=True)).orderBy("doc_id")
 
 
+@register(
+    "unigram_lm_scores",
+    r"WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) "
+    "AS token FROM documents WHERE text IS NOT NULL), "
+    "tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token), "
+    "cfw AS (SELECT doc_id, tf, sum(tf) OVER (PARTITION BY token) AS cf FROM tf), "
+    "pd AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens, "
+    "sum(tf * ln(CAST(cf AS DOUBLE))) AS s FROM cfw GROUP BY doc_id), "
+    "tot AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS n FROM pd) "
+    "SELECT doc_id, n_tokens, round(ln(n) - s / n_tokens, 6) AS avg_nll "
+    "FROM pd, tot ORDER BY doc_id",
+)
+def q_unigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained unigram LM perplexity-style quality score (CCNet /
+    KenLM tier; north-star text analysis).  avg_nll = mean(-ln(cf/N))
+    over a doc's tokens, computed as ln(N) - sum(tf·ln cf)/n_tokens so
+    the corpus total attaches as a broadcast scalar."""
+    return TQ.unigram_lm_scores(load(spark, sf_dir, "documents", parallel=True))
+
+
 def _repetition_sql() -> str:
     """DuckDB mirror of operators/textquality.py:repetition_metrics — the
     n-gram builds and count arithmetic reproduced with list lambdas so
@@ -872,6 +897,41 @@ _DUCK_JACCARD_TAIL = (
 def q_exact_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup by normalized-text fingerprint (keeper = lowest id)."""
     return D.exact_duplicates(load(spark, sf_dir, "documents", parallel=True))
+
+
+@register(
+    "line_dedup",
+    r"WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks "
+    "FROM documents WHERE text IS NOT NULL), "
+    "c AS (SELECT doc_id, list_transform(range(0, CAST(ceil(len(toks)/3.0) AS BIGINT), 1), "
+    "i -> array_to_string(toks[i*3+1 : i*3+3], ' ')) AS lines FROM t), "
+    "e AS (SELECT doc_id, unnest(lines) AS line, "
+    "unnest(range(1, len(lines)+1, 1)) AS pos FROM c), "
+    "h AS (SELECT doc_id, pos, line, md5(line) AS line_h FROM e), "
+    "b AS (SELECT line_h FROM (SELECT line_h, count(DISTINCT doc_id) AS nd "
+    "FROM h GROUP BY line_h) WHERE nd >= 2), "
+    "kept AS (SELECT h.* FROM h ANTI JOIN b USING (line_h)), "
+    "tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines FROM h GROUP BY doc_id), "
+    "ka AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept, "
+    "md5(string_agg(line, chr(10) ORDER BY pos)) AS clean_md5 FROM kept GROUP BY doc_id) "
+    "SELECT tot.doc_id, n_lines, "
+    "coalesce(n_kept, CAST(0 AS BIGINT)) AS n_kept, "
+    "n_lines - coalesce(n_kept, CAST(0 AS BIGINT)) AS n_removed, "
+    "coalesce(clean_md5, md5('')) AS clean_md5 "
+    "FROM tot LEFT JOIN ka USING (doc_id) ORDER BY doc_id",
+)
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style boilerplate line removal: any pseudo-line (3-token chunk;
+    fixtures carry no newlines) shared by >=2 distinct docs is dropped
+    from every doc; per-doc kept/removed counts + md5 of the cleaned
+    reconstruction.  Reference N/A (no dedup in main.py)."""
+    from pyspark.sql import functions as F
+
+    docs = load(spark, sf_dir, "documents", parallel=True)
+    lined = docs.where(F.col("text").isNotNull()).select(
+        "doc_id", D.token_line_chunks("text", 3).alias("lines")
+    )
+    return D.line_dedup(lined)
 
 
 @register(

@@ -651,6 +651,86 @@ def dup_groups(
     )
 
 
+def token_line_chunks(text_col: str = "text", k: int = 3) -> F.Column:
+    """Re-wrap a one-line document into pseudo-lines of ``k`` whitespace
+    tokens each (``array<string>``).
+
+    Real corpora carry newline structure and would pass
+    ``F.split(text, '\\n')`` straight to :func:`line_dedup`; the test
+    fixtures are single-line word streams, so this deterministic
+    re-wrapping supplies line structure both engines can reproduce
+    (DuckDB mirror: ``list_transform(range(...), i -> array_to_string(
+    toks[i*k+1 : i*k+k], ' '))``)."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_chunks = F.ceil(F.size(toks) / F.lit(float(k))).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(toks, i * k + 1, k), " "),
+    )
+
+
+def line_dedup(
+    docs: DataFrame,
+    lines_col: str = "lines",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+) -> DataFrame:
+    """C4-style boilerplate line removal (Raffel et al. 2020 §2.2:
+    drop any line occurring in more than one document; reference N/A —
+    no dedup of any kind in /root/reference/main.py).
+
+    A line appearing in >= ``min_docs`` *distinct* documents is
+    boilerplate (nav bars, cookie banners, license headers) and is
+    removed from every document.  Returns one row per input document:
+    (id, n_lines, n_kept, n_removed, clean_md5) where clean_md5 is the
+    md5 of the kept lines re-joined in original order by '\\n'.
+
+    Scale shape (100 TB): line text leaves its scan partition only as a
+    16-byte md5; the distinct-(hash, doc) pass then the per-hash count
+    are both map-side-combining aggregates; the boilerplate set after
+    the >= min_docs filter is small relative to the corpus (it is by
+    definition the shared tail), so AQE turns the anti-join into a
+    broadcast.  No driver collect anywhere.
+    """
+    lines = docs.select(
+        id_col, F.posexplode(lines_col).alias("pos", "line")
+    ).withColumn("line_h", F.md5(F.col("line")))
+    boiler = (
+        lines.select("line_h", id_col)
+        .distinct()
+        .groupBy("line_h")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+        .select("line_h")
+    )
+    kept = lines.join(boiler, "line_h", "left_anti")
+    totals = lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_lines"))
+    kept_agg = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            )
+        ).alias("clean_md5"),
+    )
+    zero = F.lit(0).cast("long")
+    return (
+        totals.join(kept_agg, id_col, "left")
+        .select(
+            id_col,
+            "n_lines",
+            F.coalesce("n_kept", zero).alias("n_kept"),
+            (F.col("n_lines") - F.coalesce("n_kept", zero)).alias("n_removed"),
+            F.coalesce("clean_md5", F.md5(F.lit(""))).alias("clean_md5"),
+        )
+        .orderBy(id_col)
+    )
+
+
 def minhash_dup_groups(
     docs: DataFrame,
     text_col: str = "text",

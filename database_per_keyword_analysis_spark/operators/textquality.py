@@ -9,7 +9,7 @@ tiny aggregation (the per-language rollups).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny per-language marker lexicons for the n-gram/stopword language-ID
@@ -198,6 +198,64 @@ def repetition_metrics(docs: DataFrame, text_col: str = "text") -> DataFrame:
         (F.col("max_token_frac") > 0.20)
         | (F.col("top_bigram_frac") > 0.18)
         | (F.col("dup_trigram_frac") > 0.30),
+    )
+
+
+def unigram_lm_scores(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-trained unigram LM negative log-likelihood per document —
+    the unigram tier of the CCNet / KenLM perplexity-bucket quality
+    signal (Wenzek et al. 2020): documents of improbable tokens (junk,
+    boilerplate codes, wrong-language residue) score high, fluent text
+    scores low.  Reference N/A (no LM scoring in /root/reference).
+
+    Returns (id, n_tokens, avg_nll) where
+    ``avg_nll = ln(N) - sum(tf·ln(cf)) / n_tokens`` — algebraically
+    ``mean(-ln(cf/N))`` over tokens, but with the corpus total N split
+    out additively so it can be attached as a broadcast scalar AFTER
+    the per-document aggregation instead of joined into the token
+    stream.
+
+    Scale shape (100 TB): one tokenize pass -> per-(doc, token) counts
+    (map-side combine); corpus frequencies attached by a window over
+    token (one shuffle of the tf table, which is already far smaller
+    than the corpus); per-doc reduce; the one-row total N is computed
+    from the per-DOC frame (n_docs rows, localCheckpointed so its
+    lineage is not recomputed for the scalar) and cross-joined back as
+    a broadcast.  No token-stream self-join, no driver collect.
+    """
+    toks = docs.where(F.col(text_col).isNotNull()).select(
+        id_col,
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias(
+            "token"
+        ),
+    )
+    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    cfw = tf.withColumn(
+        "cf", F.sum("tf").over(Window.partitionBy("token"))
+    )
+    per_doc = (
+        cfw.groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.sum(
+                F.col("tf") * F.log(F.col("cf").cast("double"))
+            ).alias("_s_lncf"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    total = per_doc.agg(F.sum("n_tokens").cast("double").alias("_n"))
+    return (
+        per_doc.crossJoin(F.broadcast(total))
+        .select(
+            id_col,
+            "n_tokens",
+            F.round(
+                F.log(F.col("_n")) - F.col("_s_lncf") / F.col("n_tokens"), 6
+            ).alias("avg_nll"),
+        )
+        .orderBy(id_col)
     )
 
 

@@ -161,6 +161,19 @@ def test_source_mixture_sample_matches_oracle(spark, sf_dir):
     _assert_matches_oracle(spark, sf_dir, "source_mixture_sample")
 
 
+def test_video_frame_samples_matches_oracle(spark, sf_dir):
+    # third round-4 demotion batch (driver-green r1-r3; freed slots for
+    # line_dedup / unigram_lm_scores): same mapInPandas plumbing as the
+    # in-window multimodal_decode
+    _assert_matches_oracle(spark, sf_dir, "video_frame_samples")
+
+
+def test_cosine_near_dup_pairs_matches_oracle(spark, sf_dir):
+    # same all-pairs decimal-cosine machinery as the in-window
+    # knn_bruteforce
+    _assert_matches_oracle(spark, sf_dir, "cosine_near_dup_pairs")
+
+
 def test_corpus_curation_decisions_fire(spark, sf_dir):
     # the fixture corpus must exercise the decision space: kept docs,
     # duplicate drops, and the reason precedence (a doc that is both a

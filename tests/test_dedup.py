@@ -328,3 +328,61 @@ def test_minhash_dup_groups_end_to_end(docs):
     assert set(out) == {1, 2, 3}
     assert all(r.group_id == 1 for r in out.values())
     assert not out[1].is_duplicate and out[2].is_duplicate and out[3].is_duplicate
+
+
+# ---------------------------------------------------------------------------
+# C4-style line-level boilerplate dedup
+# ---------------------------------------------------------------------------
+
+
+def test_token_line_chunks_with_remainder(spark):
+    df = spark.createDataFrame([(1, "a b c d e f g")], "doc_id long, text string")
+    out = df.select(D.token_line_chunks("text", 3).alias("lines")).first().lines
+    assert out == ["a b c", "d e f", "g"]
+
+
+def test_line_dedup_removes_shared_lines_preserves_order(spark):
+    from pyspark.sql import functions as F
+    import hashlib
+
+    rows = [
+        (1, ["intro one", "COOKIE BANNER", "body alpha"]),
+        (2, ["COOKIE BANNER", "body beta"]),
+        (3, ["body gamma", "unique line"]),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lines array<string>")
+    out = {r.doc_id: r for r in D.line_dedup(docs).collect()}
+    # "COOKIE BANNER" appears in docs 1 and 2 -> boilerplate, removed
+    assert (out[1].n_lines, out[1].n_kept, out[1].n_removed) == (3, 2, 1)
+    assert (out[2].n_lines, out[2].n_kept, out[2].n_removed) == (2, 1, 1)
+    assert (out[3].n_lines, out[3].n_kept, out[3].n_removed) == (2, 2, 0)
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    assert out[1].clean_md5 == md5("intro one\nbody alpha")  # original order
+    assert out[3].clean_md5 == md5("body gamma\nunique line")
+
+
+def test_line_dedup_fully_boilerplate_doc_keeps_row(spark):
+    import hashlib
+
+    rows = [(1, ["x y"]), (2, ["x y"]), (3, ["x y", "own line"])]
+    docs = spark.createDataFrame(rows, "doc_id long, lines array<string>")
+    out = {r.doc_id: r for r in D.line_dedup(docs).collect()}
+    assert out[1].n_kept == 0 and out[1].n_removed == 1
+    assert out[1].clean_md5 == hashlib.md5(b"").hexdigest()
+    assert out[3].n_kept == 1
+
+
+def test_line_dedup_min_docs_threshold(spark):
+    rows = [(1, ["shared"]), (2, ["shared"]), (3, ["other"])]
+    docs = spark.createDataFrame(rows, "doc_id long, lines array<string>")
+    strict = {r.doc_id: r.n_removed for r in D.line_dedup(docs, min_docs=3).collect()}
+    assert strict == {1: 0, 2: 0, 3: 0}  # needs 3 distinct docs, only 2 share
+
+
+def test_line_dedup_repeat_within_one_doc_not_boilerplate(spark):
+    # min_docs counts DISTINCT documents: a line repeated inside a single
+    # doc is repetition (the Gopher metrics' business), not boilerplate
+    rows = [(1, ["dup", "dup", "solo"]), (2, ["other"])]
+    docs = spark.createDataFrame(rows, "doc_id long, lines array<string>")
+    out = {r.doc_id: r for r in D.line_dedup(docs).collect()}
+    assert out[1].n_removed == 0 and out[1].n_kept == 3

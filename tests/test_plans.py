@@ -185,3 +185,18 @@ def test_semantic_dedup_pairs_join_is_equi_on_list_id(spark, sf_dir):
     pairs = a.join(b, "list_id").where(F.col("vec_a") < F.col("vec_b"))
     plan = pairs._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_line_dedup_and_lm_joins_are_hash_not_cartesian(spark, sf_dir):
+    """line_dedup's boilerplate anti-join and reassembly join are
+    equi-joins on (line_h, doc_id); unigram_lm's only cross join is the
+    broadcast one-row corpus total.  A CartesianProduct or a
+    non-broadcast nested-loop anywhere means a stage regressed to
+    all-pairs."""
+    for name in ("line_dedup", "unigram_lm_scores"):
+        plan = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+    # unigram_lm: the scalar total must attach as a BROADCAST nested
+    # loop (one row), never a shuffled one
+    plan = _plan(spark, sf_dir, "unigram_lm_scores")
+    assert plan.count("BroadcastNestedLoopJoin") <= 1

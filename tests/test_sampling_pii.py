@@ -208,3 +208,41 @@ def test_semantic_dedup_nodes_subset_of_exact_tier(spark, sf_dir):
     assert sem_nodes <= exact_nodes
     if exact_nodes:
         assert len(sem_nodes) / len(exact_nodes) >= 0.5  # recall floor
+
+
+# ---------------------------------------------------------------------------
+# Corpus-trained unigram LM quality scores (CCNet/KenLM tier)
+# ---------------------------------------------------------------------------
+
+
+def test_unigram_lm_known_values(spark):
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in TQ.unigram_lm_scores(docs).collect()}
+    # corpus: N=5, cf(a)=2, cf(b)=2, cf(c)=1
+    n = 5.0
+    exp1 = (2 * -math.log(2 / n) + 1 * -math.log(2 / n)) / 3
+    exp2 = (1 * -math.log(2 / n) + 1 * -math.log(1 / n)) / 2
+    assert out[1].n_tokens == 3 and out[2].n_tokens == 2
+    assert abs(out[1].avg_nll - round(exp1, 6)) < 1e-9
+    assert abs(out[2].avg_nll - round(exp2, 6)) < 1e-9
+
+
+def test_unigram_lm_rare_tokens_score_higher(spark):
+    # a doc of corpus-rare tokens must score above a doc of common ones
+    rows = [(i, "common words common words") for i in range(1, 9)]
+    rows.append((99, "zxqv jkwy"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.avg_nll for r in TQ.unigram_lm_scores(docs).collect()}
+    assert out[99] > out[1]
+
+
+def test_unigram_lm_null_text_excluded(spark):
+    docs = spark.createDataFrame(
+        [(1, "x y"), (2, None)], "doc_id long, text string"
+    )
+    out = TQ.unigram_lm_scores(docs).collect()
+    assert [r.doc_id for r in out] == [1]
