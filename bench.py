@@ -69,6 +69,8 @@ HEADLINE = [
     "semantic_dedup",
     "line_dedup",
     "unigram_lm_scores",
+    "sequence_packing",
+    "dsir_weights",
     # cosine_near_dups_lsh intentionally NOT in the headline: at the
     # fixture's 0.4 threshold (far below the >=0.9 near-dup regime the
     # operator exists for) sign-LSH candidate counts approach all-pairs,

@@ -94,6 +94,12 @@ _DEFERRED_TWINS = {
     "video_frame_samples",  # same mapInPandas plumbing as multimodal_decode
     "cosine_near_dup_pairs",  # same all-pairs decimal-cosine machinery as
     #   knn_bruteforce (which stays in-window)
+    # fourth round-4 demotion batch, freeing slots for the novel
+    # sequence_packing / dsir_weights additions:
+    "customer_nation_cube",  # same grouping-sets aggregate machinery as
+    #   order_priority_rollup, over the join spine of revenue_by_nation
+    "customers_with_open_orders",  # same semi-join machinery as
+    #   channel_audit (which stays in-window)
 }
 
 
@@ -1528,6 +1534,68 @@ def q_source_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         weights=_MIX_WEIGHTS,
         target_docs=_MIX_TARGET,
     )
+
+
+@register(
+    "sequence_packing",
+    r"WITH q AS (SELECT doc_id, source AS stream, "
+    r"CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens "
+    "FROM documents WHERE text IS NOT NULL), "
+    "c AS (SELECT doc_id, stream, n_tokens, "
+    "sum(n_tokens) OVER (PARTITION BY stream ORDER BY doc_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM q) "
+    "SELECT doc_id, stream, n_tokens, "
+    "cum - n_tokens AS start_offset, "
+    "CAST(floor((cum - n_tokens) / 256.0) AS BIGINT) AS seq_first, "
+    "CAST(floor((cum - 1) / 256.0) AS BIGINT) AS seq_last, "
+    "CAST(floor((cum - 1) / 256.0) AS BIGINT) > "
+    "CAST(floor((cum - n_tokens) / 256.0) AS BIGINT) AS spans_boundary "
+    "FROM c ORDER BY doc_id",
+)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style training-sequence packing plan (256-token sequences,
+    packed per source stream): each doc's offset and sequence span in
+    its stream's token concatenation
+    (operators/curation.py:pack_sequences)."""
+    from .operators import curation as CUR
+
+    return CUR.pack_sequences(
+        load(spark, sf_dir, "documents", parallel=True), seq_len=256
+    )
+
+
+@register(
+    "dsir_weights",
+    r"WITH tok AS (SELECT doc_id, lang, "
+    r"unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token "
+    "FROM documents WHERE text IS NOT NULL), "
+    "f AS (SELECT doc_id, lang, "
+    "CAST('0x' || substr(md5(token), 1, 12) AS BIGINT) % 4096 AS bucket FROM tok), "
+    "rstat AS (SELECT bucket, count(*) AS r_cnt FROM f GROUP BY bucket), "
+    "tstat AS (SELECT bucket, count(*) AS t_cnt FROM f WHERE lang = 'en' "
+    "GROUP BY bucket), "
+    "stats AS (SELECT r.bucket, r_cnt, coalesce(t_cnt, 0) AS t_cnt, "
+    "ln(coalesce(t_cnt, 0) + 1.0) - ln(r_cnt + 1.0) AS term "
+    "FROM rstat r LEFT JOIN tstat t ON r.bucket = t.bucket), "
+    "scal AS (SELECT CAST(sum(t_cnt) AS DOUBLE) AS tt, "
+    "CAST(sum(r_cnt) AS DOUBLE) AS rt FROM stats), "
+    "df AS (SELECT doc_id, bucket, count(*) AS tf FROM f GROUP BY 1, 2), "
+    "pd AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens, "
+    "sum(tf * term) AS s FROM df JOIN stats USING (bucket) GROUP BY doc_id) "
+    "SELECT doc_id, n_tokens, "
+    "round(s - n_tokens * (ln(tt + 4096) - ln(rt + 4096)), 6) AS log_ratio "
+    "FROM pd, scal ORDER BY doc_id",
+)
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights toward an in-domain target (here: the
+    lang='en' slice) over 4096 hashed-unigram buckets with add-one
+    smoothing (operators/curation.py:dsir_weights)."""
+    from pyspark.sql import functions as F
+
+    from .operators import curation as CUR
+
+    docs = load(spark, sf_dir, "documents", parallel=True)
+    return CUR.dsir_weights(docs, docs.where(F.col("lang") == "en"))
 
 
 @register("semantic_dedup", None)  # k-means cluster scoping → approximate

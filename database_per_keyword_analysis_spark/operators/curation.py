@@ -254,3 +254,139 @@ def curate(
         .withColumn("keep", F.col("drop_reason").isNull())
         .orderBy("doc_id")
     )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int = 2048,
+    text_col: str = "text",
+    stream_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """GPT-style sequence-packing plan: concatenate documents in
+    deterministic (id) order within each stream and cut fixed
+    ``seq_len``-token training sequences; a document may straddle a
+    cut (standard causal-LM packing — no padding, no document gets
+    lost).  Reference N/A (no training-batch assembly in
+    /root/reference/main.py).
+
+    Returns one row per document:
+    (id, stream, n_tokens, start_offset, seq_first, seq_last,
+    spans_boundary) where start_offset is the document's position in
+    its stream's token concatenation and seq_first/seq_last are the
+    first/last sequence indices it lands in.
+
+    Scale shape (100 TB): the prefix-sum window partitions by STREAM —
+    each stream packs independently and in parallel, which is exactly
+    how real pipelines shard packing (per source / per input shard);
+    stream granularity is the parallelism knob.  One hash shuffle on
+    stream, one in-partition sort, zero joins.
+    """
+    n = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long")
+    w = (
+        Window.partitionBy("stream")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        docs.where(F.col(text_col).isNotNull())
+        .select(id_col, F.col(stream_col).alias("stream"), n.alias("n_tokens"))
+        .withColumn("cum", F.sum("n_tokens").over(w))
+        .select(
+            id_col,
+            "stream",
+            "n_tokens",
+            (F.col("cum") - F.col("n_tokens")).alias("start_offset"),
+            F.floor((F.col("cum") - F.col("n_tokens")) / seq_len).alias("seq_first"),
+            F.floor((F.col("cum") - 1) / seq_len).alias("seq_last"),
+        )
+        .withColumn("spans_boundary", F.col("seq_last") > F.col("seq_first"))
+        .orderBy(id_col)
+    )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every raw
+    document by how much more likely its hashed-unigram features are
+    under a TARGET distribution (e.g. wiki-like, in-domain) than under
+    the raw corpus, for importance resampling toward the target domain.
+    Reference N/A.
+
+    Returns (id, n_tokens, log_ratio): log_ratio =
+    Σ_tokens [ln p̂_target(b) − ln p̂_raw(b)] with add-one smoothing
+    over ``n_buckets`` hashed buckets; positive ⇒ more target-like.
+
+    Scale shape (100 TB): token→bucket hashing is the portable md5
+    idiom (48-bit prefix, identical in DuckDB); the two bucket
+    histograms are map-side-combining aggregates onto ≤ n_buckets
+    rows, localCheckpointed so the per-bucket term table and its
+    scalar totals share one computation; the scoring join broadcasts
+    that tiny table into the per-(doc, bucket) counts.  The smoothing
+    normalizers separate additively — ln((t+1)/(T+B)) − ln((r+1)/(R+B))
+    = [ln(t+1) − ln(r+1)] − [ln(T+B) − ln(R+B)] — so the corpus totals
+    attach as a broadcast scalar AFTER the per-doc reduce, never
+    joining the token stream.  No collect anywhere.
+    """
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("token")), 1, 12), 16, 10)
+        .cast("long") % n_buckets
+    ).alias("bucket")
+
+    def feats(df: DataFrame, *cols) -> DataFrame:
+        toks = df.where(F.col(text_col).isNotNull()).select(
+            *cols,
+            F.explode(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+            ).alias("token"),
+        )
+        return toks.select(*cols, bucket)
+
+    rstat = feats(docs).groupBy("bucket").agg(F.count(F.lit(1)).alias("r_cnt"))
+    tstat = feats(target).groupBy("bucket").agg(F.count(F.lit(1)).alias("t_cnt"))
+    stats = (
+        rstat.join(tstat, "bucket", "left")
+        .select(
+            "bucket",
+            "r_cnt",
+            F.coalesce("t_cnt", F.lit(0)).alias("t_cnt"),
+        )
+        .withColumn(
+            "term",
+            F.log(F.col("t_cnt").cast("double") + 1.0)
+            - F.log(F.col("r_cnt").cast("double") + 1.0),
+        )
+        .localCheckpoint(eager=False)
+    )
+    scal = stats.agg(
+        F.sum("t_cnt").cast("double").alias("_t_total"),
+        F.sum("r_cnt").cast("double").alias("_r_total"),
+    )
+    docfeat = feats(docs, id_col).groupBy(id_col, "bucket").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    per_doc = docfeat.join(F.broadcast(stats), "bucket").groupBy(id_col).agg(
+        F.sum("tf").cast("long").alias("n_tokens"),
+        F.sum(F.col("tf") * F.col("term")).alias("_s"),
+    )
+    b = float(n_buckets)
+    return (
+        per_doc.crossJoin(F.broadcast(scal))
+        .select(
+            id_col,
+            "n_tokens",
+            F.round(
+                F.col("_s")
+                - F.col("n_tokens")
+                * (F.log(F.col("_t_total") + b) - F.log(F.col("_r_total") + b)),
+                6,
+            ).alias("log_ratio"),
+        )
+        .orderBy(id_col)
+    )

@@ -174,6 +174,18 @@ def test_cosine_near_dup_pairs_matches_oracle(spark, sf_dir):
     _assert_matches_oracle(spark, sf_dir, "cosine_near_dup_pairs")
 
 
+def test_customer_nation_cube_matches_oracle(spark, sf_dir):
+    # fourth round-4 demotion batch (driver-green r1-r3; freed slots for
+    # sequence_packing / dsir_weights): same grouping-sets machinery as
+    # the in-window order_priority_rollup over revenue_by_nation's spine
+    _assert_matches_oracle(spark, sf_dir, "customer_nation_cube")
+
+
+def test_customers_with_open_orders_matches_oracle(spark, sf_dir):
+    # same semi-join machinery as the in-window channel_audit
+    _assert_matches_oracle(spark, sf_dir, "customers_with_open_orders")
+
+
 def test_corpus_curation_decisions_fire(spark, sf_dir):
     # the fixture corpus must exercise the decision space: kept docs,
     # duplicate drops, and the reason precedence (a doc that is both a

@@ -246,3 +246,82 @@ def test_unigram_lm_null_text_excluded(spark):
     )
     out = TQ.unigram_lm_scores(docs).collect()
     assert [r.doc_id for r in out] == [1]
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (GPT-style training-batch assembly plan)
+# ---------------------------------------------------------------------------
+
+
+def test_pack_sequences_offsets_and_spans(spark):
+    from database_per_keyword_analysis_spark.operators import curation as CUR
+
+    rows = [
+        (1, "a b c d", "s1"),        # 4 tokens, offsets 0-3
+        (2, "e f g", "s1"),          # 3 tokens, offsets 4-6 -> spans 5-boundary
+        (3, "h i", "s1"),            # offsets 7-8
+        (10, "x y z", "s2"),         # independent stream restarts at 0
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.doc_id: r for r in CUR.pack_sequences(docs, seq_len=5).collect()}
+    assert (out[1].start_offset, out[1].seq_first, out[1].seq_last) == (0, 0, 0)
+    assert not out[1].spans_boundary
+    # doc 2 occupies offsets 4..6: starts in seq 0, ends in seq 1
+    assert (out[2].start_offset, out[2].seq_first, out[2].seq_last) == (4, 0, 1)
+    assert out[2].spans_boundary
+    assert (out[3].start_offset, out[3].seq_first, out[3].seq_last) == (7, 1, 1)
+    assert (out[10].start_offset, out[10].seq_first) == (0, 0)
+
+
+def test_pack_sequences_no_token_lost(spark):
+    # every stream's last doc ends exactly at the stream's total tokens
+    from database_per_keyword_analysis_spark.operators import curation as CUR
+
+    rows = [(i, " ".join(["t"] * (i % 7 + 1)), f"s{i % 3}") for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = CUR.pack_sequences(docs, seq_len=4).collect()
+    by_stream = {}
+    for r in out:
+        by_stream.setdefault(r.stream, []).append(r)
+    for rs in by_stream.values():
+        rs.sort(key=lambda r: r.doc_id)
+        # offsets are contiguous: each start = previous start + previous len
+        acc = 0
+        for r in rs:
+            assert r.start_offset == acc
+            acc += r.n_tokens
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights
+# ---------------------------------------------------------------------------
+
+
+def test_dsir_target_like_docs_score_higher(spark):
+    from pyspark.sql import functions as F
+
+    from database_per_keyword_analysis_spark.operators import curation as CUR
+
+    rows = [(i, "alpha beta gamma delta", "en") for i in range(1, 9)]
+    rows += [(i, "zork quux blarg frotz", "xx") for i in range(20, 28)]
+    rows.append((99, "alpha beta zork quux", "xx"))  # mixed
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {
+        r.doc_id: r.log_ratio
+        for r in CUR.dsir_weights(docs, docs.where(F.col("lang") == "en")).collect()
+    }
+    assert out[1] > out[99] > out[20]  # target > mixed > off-target
+
+
+def test_dsir_deterministic_and_total(spark):
+    from pyspark.sql import functions as F
+
+    from database_per_keyword_analysis_spark.operators import curation as CUR
+
+    rows = [(i, f"w{i % 5} w{i % 3}", "en" if i % 2 else "de") for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    tgt = docs.where(F.col("lang") == "en")
+    a = sorted(tuple(r) for r in CUR.dsir_weights(docs, tgt).collect())
+    b = sorted(tuple(r) for r in CUR.dsir_weights(docs, tgt).collect())
+    assert a == b
+    assert len(a) == 20  # every raw doc scored, target subset or not
