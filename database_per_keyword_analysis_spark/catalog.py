@@ -100,6 +100,10 @@ _DEFERRED_TWINS = {
     #   order_priority_rollup, over the join spine of revenue_by_nation
     "customers_with_open_orders",  # same semi-join machinery as
     #   channel_audit (which stays in-window)
+    # round-4 supplementary addition, deferred at birth: TPC-H Q3 shape,
+    # same filtered-fact-join + agg + top-k machinery as the in-window
+    # revenue_by_nation / top_customers_by_revenue
+    "shipping_priority",
 }
 
 
@@ -329,6 +333,29 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "lineitem"),
         load(spark, sf_dir, "nation"),
         load(spark, sf_dir, "region"),
+    )
+
+
+@register(
+    "shipping_priority",
+    "SELECT l_orderkey, o_orderdate, o_orderpriority, "
+    + _dsum("l_extendedprice * (1 - l_discount)", "revenue")
+    + " FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+    "JOIN customer ON o_custkey = c_custkey "
+    "WHERE c_mktsegment = 'BUILDING' "
+    "AND o_orderdate < TIMESTAMP '1998-01-01' "
+    "AND l_shipdate > TIMESTAMP '1998-01-01' "
+    "GROUP BY 1, 2, 3 ORDER BY revenue DESC, l_orderkey LIMIT 10",
+)
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style: top-10 unshipped BUILDING-segment orders by
+    revenue (operators/relational.py:shipping_priority).  Deferred
+    twin: same filtered-fact-join + agg + top-k machinery as the
+    in-window revenue_by_nation / top_customers_by_revenue."""
+    return R.shipping_priority(
+        load(spark, sf_dir, "customer"),
+        load(spark, sf_dir, "orders"),
+        load(spark, sf_dir, "lineitem"),
     )
 
 

@@ -127,6 +127,41 @@ def top_suppliers_by_revenue(
     )
 
 
+def shipping_priority(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    segment: str = "BUILDING",
+    cutoff: str = "1998-01-01",
+    k: int = 10,
+) -> DataFrame:
+    """TPC-H Q3-style shipping priority: top-k unshipped orders by
+    revenue for one market segment (orders placed before `cutoff`,
+    lineitems shipping after it).
+
+    Both fact scans are date-filtered BEFORE any join (the predicates
+    push into the parquet scans); the segment-filtered customer key set
+    broadcasts into orders, and the one shuffle join is
+    lineitem⋈orders on orderkey — the same fact-to-fact-then-broadcast
+    shape as revenue_by_nation."""
+    cut = F.lit(cutoff).cast("timestamp_ntz")
+    cust = customer.where(F.col("c_mktsegment") == segment).select("c_custkey")
+    o = (
+        orders.where(F.col("o_orderdate") < cut)
+        .join(F.broadcast(cust), orders.o_custkey == F.col("c_custkey"))
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    )
+    li = lineitem.where(F.col("l_shipdate") > cut)
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dec_sum(revenue, "revenue"))
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(k)
+    )
+
+
 def segment_order_stats(customer: DataFrame, orders: DataFrame) -> DataFrame:
     """Orders per market segment: equi-join + group-by with several aggs,
     including a distinct agg (absent from the reference, SURVEY.md §2.4)."""

@@ -174,6 +174,13 @@ def test_cosine_near_dup_pairs_matches_oracle(spark, sf_dir):
     _assert_matches_oracle(spark, sf_dir, "cosine_near_dup_pairs")
 
 
+def test_shipping_priority_matches_oracle(spark, sf_dir):
+    # round-4 supplementary TPC-H Q3 shape, deferred at birth: same
+    # filtered-fact-join + agg + top-k machinery as revenue_by_nation /
+    # top_customers_by_revenue
+    _assert_matches_oracle(spark, sf_dir, "shipping_priority")
+
+
 def test_customer_nation_cube_matches_oracle(spark, sf_dir):
     # fourth round-4 demotion batch (driver-green r1-r3; freed slots for
     # sequence_packing / dsir_weights): same grouping-sets machinery as
