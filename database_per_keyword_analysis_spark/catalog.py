@@ -957,10 +957,16 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style boilerplate line removal: any pseudo-line (3-token chunk;
     fixtures carry no newlines) shared by >=2 distinct docs is dropped
     from every doc; per-doc kept/removed counts + md5 of the cleaned
-    reconstruction.  Reference N/A (no dedup in main.py)."""
+    reconstruction.  Reference N/A (no dedup in main.py).
+
+    Fanned scan: the per-line chunk+md5 pass runs before the first
+    shuffle, so scan parallelism bounds it — same reasoning as the
+    winnowing family (_load_docs_fanned); forcing the repartition cuts
+    the query 3.9 -> 2.7 s at sf0.1 (the remainder is fixed stage
+    overhead: 2 explode passes + 4 shuffle boundaries)."""
     from pyspark.sql import functions as F
 
-    docs = load(spark, sf_dir, "documents", parallel=True)
+    docs = _load_docs_fanned(spark, sf_dir)
     lined = docs.where(F.col("text").isNotNull()).select(
         "doc_id", D.token_line_chunks("text", 3).alias("lines")
     )

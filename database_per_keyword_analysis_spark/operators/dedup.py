@@ -722,31 +722,40 @@ def line_dedup(
         .groupBy("line_h")
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .where(F.col("n_docs") >= min_docs)
-        .select("line_h")
+        .select("line_h", F.lit(True).alias("bp"))
     )
-    kept = lines.join(boiler, "line_h", "left_anti")
-    totals = lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_lines"))
-    kept_agg = kept.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_kept"),
-        F.md5(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
-                    lambda s: s["line"],
-                ),
-                "\n",
-            )
-        ).alias("clean_md5"),
-    )
-    zero = F.lit(0).cast("long")
+    # one LEFT join marks boilerplate lines; ONE groupBy then produces
+    # totals, kept count, and the ordered reassembly together (a
+    # conditional collect_list skips nulls, i.e. the marked lines) —
+    # the exploded line stream is computed twice (boilerplate census +
+    # this pass), never three times, and deliberately NOT checkpointed:
+    # it is larger than the corpus (same recompute-vs-materialize call
+    # as the minhash shingle stream, SCALE.md §Dedup).
+    flagged = lines.join(boiler, "line_h", "left")
+    kept_struct = F.when(F.col("bp").isNull(), F.struct("pos", "line"))
     return (
-        totals.join(kept_agg, id_col, "left")
+        flagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.when(F.col("bp").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(kept_struct)),
+                        lambda s: s["line"],
+                    ),
+                    "\n",
+                )
+            ).alias("clean_md5"),
+        )
         .select(
             id_col,
             "n_lines",
-            F.coalesce("n_kept", zero).alias("n_kept"),
-            (F.col("n_lines") - F.coalesce("n_kept", zero)).alias("n_removed"),
-            F.coalesce("clean_md5", F.md5(F.lit(""))).alias("clean_md5"),
+            "n_kept",
+            (F.col("n_lines") - F.col("n_kept")).alias("n_removed"),
+            "clean_md5",
         )
         .orderBy(id_col)
     )
