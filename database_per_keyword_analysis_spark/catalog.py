@@ -104,6 +104,9 @@ _DEFERRED_TWINS = {
     # same filtered-fact-join + agg + top-k machinery as the in-window
     # revenue_by_nation / top_customers_by_revenue
     "shipping_priority",
+    # bigram tier of the in-window unigram_lm_scores (same plan shape,
+    # bigram features), deferred at birth
+    "bigram_lm_scores",
 }
 
 
@@ -777,6 +780,27 @@ def q_unigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     over a doc's tokens, computed as ln(N) - sum(tf·ln cf)/n_tokens so
     the corpus total attaches as a broadcast scalar."""
     return TQ.unigram_lm_scores(load(spark, sf_dir, "documents", parallel=True))
+
+
+@register(
+    "bigram_lm_scores",
+    r"WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') "
+    "AS toks FROM documents WHERE text IS NOT NULL), "
+    "g AS (SELECT doc_id, unnest(list_transform(range(1, len(toks), 1), "
+    "i -> toks[i] || ' ' || toks[i+1])) AS token FROM t WHERE len(toks) >= 2), "
+    "tf AS (SELECT doc_id, token, count(*) AS tf FROM g GROUP BY doc_id, token), "
+    "cfw AS (SELECT doc_id, tf, sum(tf) OVER (PARTITION BY token) AS cf FROM tf), "
+    "pd AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams, "
+    "sum(tf * ln(CAST(cf AS DOUBLE))) AS s FROM cfw GROUP BY doc_id), "
+    "tot AS (SELECT CAST(sum(n_bigrams) AS DOUBLE) AS n FROM pd) "
+    "SELECT doc_id, n_bigrams, round(ln(n) - s / n_bigrams, 6) AS avg_nll "
+    "FROM pd, tot ORDER BY doc_id",
+)
+def q_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM quality tier (operators/textquality.py:bigram_lm_scores).
+    Deferred twin: same tf → token-window cf → broadcast-scalar plan
+    as the in-window unigram_lm_scores, over bigram features."""
+    return TQ.bigram_lm_scores(load(spark, sf_dir, "documents", parallel=True))
 
 
 def _repetition_sql() -> str:

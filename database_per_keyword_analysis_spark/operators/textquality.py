@@ -259,6 +259,52 @@ def unigram_lm_scores(
     )
 
 
+def bigram_lm_scores(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Bigram tier of :func:`unigram_lm_scores`: mean negative
+    log-likelihood of a doc's token BIGRAMS under the corpus bigram
+    distribution — sharper than the unigram tier at spotting scrambled
+    or templated text whose individual tokens are common but whose
+    transitions are not.  Same plan shape (tf → token-window cf →
+    per-doc reduce → broadcast scalar), scoring n−1 bigrams per
+    n-token doc; docs with < 2 tokens are excluded (no bigram to
+    score)."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    bigrams = F.expr(
+        "transform(sequence(1, size(toks) - 1), "
+        "i -> concat(toks[i-1], ' ', toks[i]))"
+    )
+    grams = (
+        docs.where(F.col(text_col).isNotNull())
+        .select(id_col, toks.alias("toks"))
+        .where(F.size("toks") >= 2)
+        .select(id_col, F.explode(bigrams).alias("token"))
+    )
+    tf = grams.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    cfw = tf.withColumn("cf", F.sum("tf").over(Window.partitionBy("token")))
+    per_doc = (
+        cfw.groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("long").alias("n_bigrams"),
+            F.sum(F.col("tf") * F.log(F.col("cf").cast("double"))).alias("_s"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    total = per_doc.agg(F.sum("n_bigrams").cast("double").alias("_n"))
+    return (
+        per_doc.crossJoin(F.broadcast(total))
+        .select(
+            id_col,
+            "n_bigrams",
+            F.round(
+                F.log(F.col("_n")) - F.col("_s") / F.col("n_bigrams"), 6
+            ).alias("avg_nll"),
+        )
+        .orderBy(id_col)
+    )
+
+
 def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Deterministic document fingerprint: md5 of the whitespace-normalized
     lowered text (north-star 'document fingerprinting').  md5 is identical

@@ -208,3 +208,9 @@ def test_corpus_curation_decisions_fire(spark, sf_dir):
         elif r.near_dup:
             assert r.drop_reason == "near_duplicate"
         assert r.keep == (r.drop_reason is None)
+
+
+def test_bigram_lm_scores_matches_oracle(spark, sf_dir):
+    # bigram tier of the in-window unigram_lm_scores (same tf ->
+    # token-window cf -> broadcast-scalar plan), deferred at birth
+    _assert_matches_oracle(spark, sf_dir, "bigram_lm_scores")

@@ -325,3 +325,19 @@ def test_dsir_deterministic_and_total(spark):
     b = sorted(tuple(r) for r in CUR.dsir_weights(docs, tgt).collect())
     assert a == b
     assert len(a) == 20  # every raw doc scored, target subset or not
+
+
+def test_bigram_lm_known_values(spark):
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "b a"), (3, "x")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in TQ.bigram_lm_scores(docs).collect()}
+    # bigrams: doc1 = [a b, b a, a b], doc2 = [b a]; doc3 has none
+    # corpus: N=4, cf("a b")=2, cf("b a")=2
+    assert set(out) == {1, 2}
+    assert out[1].n_bigrams == 3 and out[2].n_bigrams == 1
+    exp = -math.log(2 / 4.0)
+    assert abs(out[1].avg_nll - round(exp, 6)) < 1e-9
+    assert abs(out[2].avg_nll - round(exp, 6)) < 1e-9
