@@ -107,6 +107,9 @@ _DEFERRED_TWINS = {
     # bigram tier of the in-window unigram_lm_scores (same plan shape,
     # bigram features), deferred at birth
     "bigram_lm_scores",
+    # per-source rollup composition of the checked doc_quality_metrics /
+    # exact_duplicates / unigram_lm_scores tiers, deferred at birth
+    "source_quality_report",
 }
 
 
@@ -1653,6 +1656,44 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents", parallel=True)
     return CUR.dsir_weights(docs, docs.where(F.col("lang") == "en"))
+
+
+@register(
+    "source_quality_report",
+    r"WITH q AS (SELECT doc_id, source, "
+    r"CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) AS n_tok, "
+    r"CAST(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS DOUBLE)"
+    " / CAST(length(text) AS DOUBLE) AS punct "
+    "FROM documents WHERE text IS NOT NULL), "
+    r"e AS (SELECT doc_id, "
+    r"row_number() OVER (PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) "
+    "ORDER BY doc_id) > 1 AS is_dup "
+    "FROM documents WHERE text IS NOT NULL), "
+    r"tok AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token "
+    "FROM documents WHERE text IS NOT NULL), "
+    "tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token), "
+    "cfw AS (SELECT doc_id, tf, sum(tf) OVER (PARTITION BY token) AS cf FROM tf), "
+    "pd AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens, "
+    "sum(tf * ln(CAST(cf AS DOUBLE))) AS s FROM cfw GROUP BY doc_id), "
+    "tot AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS n FROM pd), "
+    "lm AS (SELECT doc_id, round(ln(n) - s / n_tokens, 6) AS avg_nll FROM pd, tot) "
+    "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+    "round(avg(n_tok), 6) AS avg_tokens, "
+    "round(avg(punct), 6) AS avg_punct_ratio, "
+    "CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dups, "
+    "round(avg(avg_nll), 6) AS avg_nll "
+    "FROM q JOIN e USING (doc_id) JOIN lm USING (doc_id) "
+    "GROUP BY source ORDER BY source",
+)
+def q_source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus health rollup: counts, mean length, punct
+    ratio, exact-dup share, mean unigram NLL
+    (operators/curation.py:source_quality_report).  Deferred twin:
+    composition of the in-window doc_quality_metrics /
+    exact_duplicates / unigram_lm_scores tiers."""
+    from .operators import curation as CUR
+
+    return CUR.source_quality_report(load(spark, sf_dir, "documents", parallel=True))
 
 
 @register("semantic_dedup", None)  # k-means cluster scoping → approximate

@@ -390,3 +390,45 @@ def dsir_weights(
         )
         .orderBy(id_col)
     )
+
+
+def source_quality_report(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-source corpus health rollup — the dashboard a curation run
+    starts from: document counts, mean length, punctuation ratio,
+    exact-duplicate share, and mean unigram-LM NLL per `source`.
+    Composes three independent per-doc tiers (quality metrics, exact
+    dedup, LM scoring) with doc_id equi-joins, then one small groupBy
+    on source.  Reference parity: the closest thing main.py has is the
+    per-industry report loop; this is that idea over curation signals.
+
+    Scale shape: each tier is the already-documented per-doc pass; the
+    assembly joins co-partition on doc_id after one hash shuffle; the
+    final aggregate reduces to n_sources rows map-side.
+    """
+    q = TQ.quality_metrics(docs, text_col).select(
+        id_col, "n_tokens_ws", "punct_ratio"
+    )
+    e = D.exact_duplicates(docs, text_col).select(
+        id_col, F.col("is_duplicate").alias("exact_dup")
+    )
+    lm = TQ.unigram_lm_scores(docs, text_col, id_col).select(id_col, "avg_nll")
+    return (
+        docs.where(F.col(text_col).isNotNull())
+        .select(id_col, "source")
+        .join(q, id_col)
+        .join(e, id_col)
+        .join(lm, id_col)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_tokens_ws"), 6).alias("avg_tokens"),
+            F.round(F.avg("punct_ratio"), 6).alias("avg_punct_ratio"),
+            F.sum(F.when(F.col("exact_dup"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_exact_dups"),
+            F.round(F.avg("avg_nll"), 6).alias("avg_nll"),
+        )
+        .orderBy("source")
+    )

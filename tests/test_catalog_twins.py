@@ -214,3 +214,9 @@ def test_bigram_lm_scores_matches_oracle(spark, sf_dir):
     # bigram tier of the in-window unigram_lm_scores (same tf ->
     # token-window cf -> broadcast-scalar plan), deferred at birth
     _assert_matches_oracle(spark, sf_dir, "bigram_lm_scores")
+
+
+def test_source_quality_report_matches_oracle(spark, sf_dir):
+    # per-source rollup composition of the checked doc_quality_metrics /
+    # exact_duplicates / unigram_lm_scores tiers, deferred at birth
+    _assert_matches_oracle(spark, sf_dir, "source_quality_report")
