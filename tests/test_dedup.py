@@ -386,3 +386,44 @@ def test_line_dedup_repeat_within_one_doc_not_boilerplate(spark):
     docs = spark.createDataFrame(rows, "doc_id long, lines array<string>")
     out = {r.doc_id: r for r in D.line_dedup(docs).collect()}
     assert out[1].n_removed == 0 and out[1].n_kept == 3
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    corpora=st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc", "dd", "ee"]),
+                 min_size=1, max_size=6),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_line_dedup_matches_python_reference(spark, corpora):
+    """Differential vs a driver-side pure-Python implementation on
+    random small corpora drawn from a 5-line vocabulary (guaranteeing
+    cross-doc collisions): counts and reconstruction hashes must agree
+    exactly."""
+    import hashlib
+    from collections import defaultdict
+
+    docs = [(i, lines) for i, lines in enumerate(corpora)]
+    line_docs = defaultdict(set)
+    for i, lines in docs:
+        for ln in lines:
+            line_docs[ln].add(i)
+    boiler = {ln for ln, ds in line_docs.items() if len(ds) >= 2}
+    expected = {}
+    for i, lines in docs:
+        kept = [ln for ln in lines if ln not in boiler]
+        expected[i] = (
+            len(lines),
+            len(kept),
+            len(lines) - len(kept),
+            hashlib.md5("\n".join(kept).encode()).hexdigest(),
+        )
+
+    df = spark.createDataFrame(docs, "doc_id long, lines array<string>")
+    got = {
+        r.doc_id: (r.n_lines, r.n_kept, r.n_removed, r.clean_md5)
+        for r in D.line_dedup(df).collect()
+    }
+    assert got == expected
