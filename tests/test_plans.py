@@ -200,3 +200,22 @@ def test_line_dedup_and_lm_joins_are_hash_not_cartesian(spark, sf_dir):
     # loop (one row), never a shuffled one
     plan = _plan(spark, sf_dir, "unigram_lm_scores")
     assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_sequence_packing_single_shuffle_no_joins(spark, sf_dir):
+    """Packing is one hash exchange on the stream key + an in-partition
+    sort — any join node or second hash exchange means the prefix-sum
+    regressed to something that can't pack streams independently."""
+    plan = _plan(spark, sf_dir, "sequence_packing")
+    assert "Join" not in plan, plan[:1500]
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_dsir_stats_join_is_broadcast(spark, sf_dir):
+    """The per-bucket term table must BROADCAST into the (doc, bucket)
+    counts — a sort-merge join there would shuffle the token-derived
+    table on a 4096-value key (hot buckets, pointless at any scale)."""
+    plan = _plan(spark, sf_dir, "dsir_weights")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
