@@ -776,3 +776,63 @@ def minhash_dup_groups(
     return dup_groups(
         minhash_near_dups(docs, text_col, n, threshold, n_seeds, n_bands, unit, hasher)
     )
+
+
+def apply_decontamination(
+    corpus: DataFrame,
+    probe: DataFrame,
+    text_col: str = "text",
+    min_overlap: float = 0.5,
+    **pair_kwargs,
+) -> DataFrame:
+    """Drop contaminated documents from a training corpus: any corpus
+    doc whose winnowing-fingerprint overlap with SOME probe/benchmark
+    doc reaches ``min_overlap`` (see :func:`decontamination_pairs`) is
+    removed; everything else passes through with all columns intact.
+
+    The flagged-doc set is an aggregate of the candidate-bounded pair
+    list — tiny relative to the corpus — so the anti-join broadcasts.
+    Composes with `curation.apply_curation` (dedup/quality first, then
+    decontaminate, in either order)."""
+    flagged = (
+        decontamination_pairs(corpus, probe, text_col, **pair_kwargs)
+        .where(F.col("overlap") >= min_overlap)
+        .select(F.col("corpus_doc").alias("doc_id"))
+        .distinct()
+    )
+    return corpus.join(flagged, "doc_id", "left_anti")
+
+
+def line_dedup_clean(
+    docs: DataFrame,
+    lines_col: str = "lines",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Apply form of :func:`line_dedup`: returns (id, clean_lines) with
+    boilerplate lines removed and original order preserved — the column
+    a pipeline writes back out, where `line_dedup` is the audit report.
+    Same plan shape (hash-only census, broadcast-friendly left join,
+    one conditional reassembly groupBy)."""
+    lines = docs.select(
+        id_col, F.posexplode(lines_col).alias("pos", "line")
+    ).withColumn("line_h", F.md5(F.col("line")))
+    boiler = (
+        lines.select("line_h", id_col)
+        .distinct()
+        .groupBy("line_h")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+        .select("line_h", F.lit(True).alias("bp"))
+    )
+    kept_struct = F.when(F.col("bp").isNull(), F.struct("pos", "line"))
+    return (
+        lines.join(boiler, "line_h", "left")
+        .groupBy(id_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)), lambda s: s["line"]
+            ).alias("clean_lines")
+        )
+        .orderBy(id_col)
+    )

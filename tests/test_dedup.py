@@ -427,3 +427,32 @@ def test_line_dedup_matches_python_reference(spark, corpora):
         for r in D.line_dedup(df).collect()
     }
     assert got == expected
+
+
+def test_line_dedup_clean_returns_cleaned_lines(spark):
+    rows = [
+        (1, ["keep one", "SHARED", "keep two"]),
+        (2, ["SHARED", "other"]),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lines array<string>")
+    out = {r.doc_id: r.clean_lines for r in D.line_dedup_clean(docs).collect()}
+    assert out[1] == ["keep one", "keep two"]
+    assert out[2] == ["other"]
+
+
+def test_apply_decontamination_drops_leaked_doc(spark):
+    passage = "the quick brown fox jumps over the lazy dog and keeps running fast"
+    corpus = spark.createDataFrame(
+        [
+            (1, passage + " extra tail words here"),
+            (2, "completely unrelated training document about databases"),
+        ],
+        "doc_id long, text string",
+    )
+    probe = spark.createDataFrame([(100, passage)], "doc_id long, text string")
+    kept = D.apply_decontamination(
+        corpus, probe, min_overlap=0.3, min_shared=2, max_df=None
+    )
+    ids = {r.doc_id for r in kept.collect()}
+    assert ids == {2}  # the leaked doc is gone, columns intact
+    assert set(kept.columns) == {"doc_id", "text"}
