@@ -1250,12 +1250,31 @@ def _winnowing_groups_sql() -> str:
     )
 
 
+def _winnow_index_path(sf_dir: str) -> str:
+    """Persisted winnowing-fingerprint index path for an sf_dir, keyed
+    on corpus identity + (k, w) — the build-once/query-many seam shared
+    by winnowing_pairs and winnowing_dup_groups (same seam as the
+    persisted IVF index)."""
+    import hashlib
+    import os
+
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|k=16|w=8".encode()
+    ).hexdigest()[:12]
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".cache", "winnow", key,
+    )
+
+
 @register("winnowing_dup_groups", _winnowing_groups_sql())
 def q_winnowing_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Copied-passage clusters: winnowing pairs -> connected components
     -> keeper per group — the passage tier's dedup decisions, same
     machinery as minhash_dup_groups/cosine_dup_groups."""
-    pairs = D.winnowing_pairs(_load_docs_fanned(spark, sf_dir))
+    pairs = D.winnowing_pairs(
+        _load_docs_fanned(spark, sf_dir), index_path=_winnow_index_path(sf_dir)
+    )
     return D.dup_groups(pairs).orderBy("doc_id")
 
 
@@ -1299,8 +1318,15 @@ def q_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared-substring candidate pairs (MOSS report stage): docs sharing
     ≥8 winnowing fingerprints with the overlap coefficient — catches
     copied PASSAGES between otherwise-different docs, which whole-doc
-    tiers (minhash/simhash) dilute away (operators/dedup.py:winnowing_pairs)."""
-    return D.winnowing_pairs(_load_docs_fanned(spark, sf_dir))
+    tiers (minhash/simhash) dilute away (operators/dedup.py:winnowing_pairs).
+
+    Build-once/query-many: the fingerprint index persists under
+    .cache/winnow keyed on sf_dir — the FIRST call builds it, every
+    later call (including winnowing_dup_groups, which shares the key)
+    skips the per-gram hash pass and scans parquet."""
+    return D.winnowing_pairs(
+        _load_docs_fanned(spark, sf_dir), index_path=_winnow_index_path(sf_dir)
+    )
 
 
 _DUCK_DOT = (

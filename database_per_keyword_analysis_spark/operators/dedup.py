@@ -352,6 +352,15 @@ def winnowing_fingerprints(
     )
 
 
+def _parquet_index_exists(spark, path: str) -> bool:
+    """True when a committed parquet index (_SUCCESS present) exists at
+    `path` on any Hadoop-visible filesystem."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path + "/_SUCCESS")
+    return p.getFileSystem(conf).exists(p)
+
+
 def winnowing_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -380,8 +389,14 @@ def winnowing_pairs(
     """
     fps = winnowing_fingerprints(docs, text_col, k, w)
     if index_path is not None:
-        fps.write.mode("overwrite").parquet(index_path)
-        fps = docs.sparkSession.read.parquet(index_path)
+        # build once / query many: a committed index (parquet _SUCCESS)
+        # is REUSED — later calls skip the whole gram-hash pass, same
+        # seam as the persisted IVF index.  Callers key the path on the
+        # corpus identity + (k, w); a changed corpus needs a new key.
+        spark = docs.sparkSession
+        if not _parquet_index_exists(spark, index_path):
+            fps.write.mode("overwrite").parquet(index_path)
+        fps = spark.read.parquet(index_path)
     else:
         fps = fps.localCheckpoint()
     ex = fps.select("doc_id", F.explode("fps").alias("fp"))

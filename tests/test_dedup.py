@@ -456,3 +456,30 @@ def test_apply_decontamination_drops_leaked_doc(spark):
     ids = {r.doc_id for r in kept.collect()}
     assert ids == {2}  # the leaked doc is gone, columns intact
     assert set(kept.columns) == {"doc_id", "text"}
+
+
+def test_winnowing_pairs_persisted_index_reused_and_equal(spark, tmp_path):
+    """index_path semantics: first call builds the parquet index, the
+    second call REUSES it (no rebuild — mtime of _SUCCESS unchanged),
+    and both match the checkpoint-path results exactly."""
+    import os
+
+    passage = " ".join(f"w{i}" for i in range(40))
+    rows = [
+        (1, passage + " tail one"),
+        (2, passage + " other tail"),
+        (3, "unrelated words entirely different from the shared passage"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = str(tmp_path / "winnow_idx")
+
+    base = sorted(tuple(r) for r in D.winnowing_pairs(docs, min_shared=2).collect())
+    first = sorted(
+        tuple(r) for r in D.winnowing_pairs(docs, min_shared=2, index_path=idx).collect()
+    )
+    stamp = os.path.getmtime(os.path.join(idx, "_SUCCESS"))
+    second = sorted(
+        tuple(r) for r in D.winnowing_pairs(docs, min_shared=2, index_path=idx).collect()
+    )
+    assert first == base == second
+    assert os.path.getmtime(os.path.join(idx, "_SUCCESS")) == stamp  # no rebuild
