@@ -40,6 +40,7 @@ HEADLINE = [
     "doc_fingerprints",
     "exact_duplicates",
     "minhash_near_dups",
+    "minhash_near_dups_fast",
     "knn_bruteforce",
     "ivf_knn",
     "customer_nation_cube",

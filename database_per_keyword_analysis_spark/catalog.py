@@ -1722,6 +1722,25 @@ def q_source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CUR.source_quality_report(load(spark, sf_dir, "documents", parallel=True))
 
 
+@register("minhash_near_dups_fast", None)  # xxhash64 tier: Spark's
+# built-in non-crypto hash is not replayable in DuckDB → rows-only;
+# subset-exactness + recall floor vs the md5 oracle tier asserted in
+# tests/test_dedup.py (test_minhash_xxhash_tier_parity)
+def q_minhash_near_dups_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB minhash tier: 24 INDEPENDENT xxhash64 seeds / 8 bands
+    (i.i.d. banding math holds, unlike the md5-affine oracle tier) at
+    ~3-5x less hash work per shingle — the configuration a real
+    deployment runs, registered so the driver sees its row count and
+    the bench times it (operators/dedup.py:minhash_signatures)."""
+    return D.minhash_near_dups(
+        load(spark, sf_dir, "documents", parallel=True),
+        threshold=0.8,
+        n_seeds=24,
+        n_bands=8,
+        hasher="xxhash64",
+    )
+
+
 @register("semantic_dedup", None)  # k-means cluster scoping → approximate
 # (cross-cluster pairs missed by design); within-cluster pair subset +
 # recall vs the exact cosine tier asserted in tests/test_similarity.py
