@@ -560,6 +560,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 42,
+    index_path: str | None = None,
 ) -> DataFrame:
     """Semantic dedup decision per vector: cluster the corpus with the
     IVF coarse quantizer (deterministic k-means, `ivf_index`), compare
@@ -585,9 +586,16 @@ def semantic_dedup(
     """
     from . import dedup as DD
 
-    assigned, _ = ivf_index(
-        vectors, n_lists=n_lists, vec_col=vec_col, id_col=id_col, seed=seed
-    )
+    spark = vectors.sparkSession
+    if index_path is not None and ivf_index_exists(spark, index_path):
+        # cluster-once/dedup-many: reuse a committed IVF index (same
+        # persistence seam as ivf_knn) — no k-means, no assignment UDF
+        assigned, _ = ivf_load(spark, index_path, id_col=id_col)
+    else:
+        assigned, _ = ivf_index(
+            vectors, n_lists=n_lists, vec_col=vec_col, id_col=id_col,
+            seed=seed, index_path=index_path,
+        )
     a = assigned.select(
         "list_id",
         F.col(id_col).alias("vec_a"),
