@@ -121,3 +121,54 @@ def test_golden_multilabel_and_global(posts):
     assert [r.post_id for r in both] == [3]
     n_global = flagged.where(K.any_industry(flagged, CFG)).count()
     assert n_global == 4
+
+
+# ---------------------------------------------------------------------------
+# Golden curation pipeline (round-4 composition): raw docs -> curate ->
+# apply -> boilerplate line removal -> sequence packing, end to end.
+# ---------------------------------------------------------------------------
+
+CURATION_ROWS = [
+    # (doc_id, text, source): a keeper, its exact duplicate, a short doc,
+    # and two clean docs sharing a boilerplate line
+    (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon", "s1"),
+    (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon", "s1"),  # exact dup of 1
+    (3, "too short", "s1"),
+    (4, "COOKIE BANNER here first unique body four one two three four five "
+        "six seven eight nine ten eleven twelve thirteen", "s2"),
+    (5, "COOKIE BANNER here first unique body five aa bb cc dd ee ff gg hh "
+        "ii jj kk ll mm", "s2"),
+]
+
+
+def test_golden_curation_to_packing_pipeline(spark):
+    from database_per_keyword_analysis_spark.operators import curation as CUR
+    from database_per_keyword_analysis_spark.operators import dedup as D
+
+    docs = spark.createDataFrame(CURATION_ROWS, "doc_id long, text string, source string")
+
+    # 1. curate: doc 2 dropped as exact dup (1 is the keeper), 3 too short
+    verdict = CUR.curate(docs, min_tokens=5)
+    v = {r.doc_id: r for r in verdict.collect()}
+    assert v[1].keep and v[4].keep and v[5].keep
+    assert v[2].drop_reason == "exact_duplicate"
+    assert v[3].drop_reason == "too_short"
+
+    kept = CUR.apply_curation(docs, verdict)
+    assert {r.doc_id for r in kept.collect()} == {1, 4, 5}
+
+    # 2. boilerplate line removal on the survivors (3-token pseudo-lines):
+    # docs 4 and 5 share their leading chunks, which must vanish
+    lined = kept.select("doc_id", D.token_line_chunks("text", 3).alias("lines"))
+    cleaned = {r.doc_id: r for r in D.line_dedup(lined).collect()}
+    assert cleaned[1].n_removed == 0
+    assert cleaned[4].n_removed >= 1 and cleaned[5].n_removed >= 1
+
+    # 3. pack the survivors into 8-token training sequences per source
+    packed = {r.doc_id: r for r in CUR.pack_sequences(kept, seq_len=8).collect()}
+    assert packed[1].start_offset == 0 and packed[1].seq_first == 0
+    assert packed[1].seq_last == 2  # 20 tokens / 8 per seq
+    assert packed[4].stream == "s2" and packed[4].start_offset == 0
+    assert packed[5].start_offset == packed[4].n_tokens  # contiguous stream
