@@ -110,6 +110,10 @@ _DEFERRED_TWINS = {
     # per-source rollup composition of the checked doc_quality_metrics /
     # exact_duplicates / unigram_lm_scores tiers, deferred at birth
     "source_quality_report",
+    # streaming lift of the checked doc_quality_metrics + pii_redaction
+    # projections (append-mode plumbing covered by stream_dedup_count),
+    # deferred at birth
+    "stream_quality_gate",
 }
 
 
@@ -1793,6 +1797,42 @@ def q_lsh_bucketed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 from .streaming import windows as SW  # noqa: E402
+
+
+def _stream_quality_gate_sql() -> str:
+    email, phone, ip = PII.EMAIL_PATTERN, PII.PHONE_PATTERN, PII.IPV4_PATTERN
+    red = (
+        "regexp_replace(regexp_replace(regexp_replace(text, '" + email
+        + "', '<EMAIL>', 'g'), '" + phone + "', '<PHONE>', 'g'), '"
+        + ip + "', '<IP>', 'g')"
+    )
+    return (
+        "WITH g AS (SELECT doc_id, lang, source, "
+        r"CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) AS n_tokens_ws, "
+        r"CAST(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS DOUBLE)"
+        " / CAST(length(text) AS DOUBLE) AS punct_ratio, "
+        + red + " AS redacted, "
+        "CAST(len(regexp_extract_all(text, '" + email + "')) "
+        "+ len(regexp_extract_all(text, '" + phone + "')) "
+        "+ len(regexp_extract_all(text, '" + ip + "')) AS INTEGER) AS n_redactions "
+        "FROM documents WHERE text IS NOT NULL) "
+        "SELECT * FROM g WHERE n_tokens_ws >= 20 AND punct_ratio <= 0.30 "
+        "ORDER BY doc_id"
+    )
+
+
+@register("stream_quality_gate", _stream_quality_gate_sql())
+def q_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming curation gate: quality-filter + PII-scrub a document
+    STREAM (stateless projections, append mode, no state store) —
+    filter training data on ingest
+    (streaming/curation.py:stream_quality_gate).  Driven availableNow;
+    the oracle is the batch-SQL twin, so batch/stream parity is the
+    correctness contract, like the other §2.10 rows."""
+    from .streaming import curation as SC
+
+    stream = SC.stream_quality_gate(SC.read_documents_stream(spark, sf_dir))
+    return SW.run_append_to_memory(stream, "q_stream_quality_gate").orderBy("doc_id")
 
 
 @register(

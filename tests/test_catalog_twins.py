@@ -220,3 +220,9 @@ def test_source_quality_report_matches_oracle(spark, sf_dir):
     # per-source rollup composition of the checked doc_quality_metrics /
     # exact_duplicates / unigram_lm_scores tiers, deferred at birth
     _assert_matches_oracle(spark, sf_dir, "source_quality_report")
+
+
+def test_stream_quality_gate_matches_oracle(spark, sf_dir):
+    # streaming lift of the checked quality/PII projections (append-mode
+    # plumbing covered by stream_dedup_count), deferred at birth
+    _assert_matches_oracle(spark, sf_dir, "stream_quality_gate")

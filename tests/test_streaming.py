@@ -215,3 +215,21 @@ def test_parquet_sink_exactly_once(spark, sf_dir, batch_events, tmp_path):
     assert sorted(r.event_id for r in got.collect()) == sorted(
         r.event_id for r in purchases(batch_events).collect()
     )
+
+
+def test_stream_quality_gate_batch_parity(spark, sf_dir):
+    """The streaming curation gate must produce exactly the rows its
+    batch form produces over the same fixture (stateless projections —
+    parity is structural, not approximate)."""
+    from database_per_keyword_analysis_spark.streaming import curation as SC
+    from database_per_keyword_analysis_spark.streaming import windows as SWm
+
+    batch = SC.stream_quality_gate(load(spark, sf_dir, "documents"))
+    stream = SWm.run_append_to_memory(
+        SC.stream_quality_gate(SC.read_documents_stream(spark, sf_dir)),
+        "t_quality_gate",
+    )
+    cols = batch.columns
+    assert sorted(tuple(r[c] for c in cols) for r in batch.collect()) == sorted(
+        tuple(r[c] for c in cols) for r in stream.collect()
+    )
