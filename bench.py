@@ -47,6 +47,7 @@ HEADLINE = [
     "order_price_quantiles",
     "multimodal_byte_features",
     "stateful_user_stats",
+    "stream_quality_gate",
     "top_channels_salted",
     "word_frequency_by_industry",
     "top_posts_per_industry",
