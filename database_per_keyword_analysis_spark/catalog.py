@@ -114,6 +114,9 @@ _DEFERRED_TWINS = {
     # projections (append-mode plumbing covered by stream_dedup_count),
     # deferred at birth
     "stream_quality_gate",
+    # same sequence/slice/posexplode machinery as line_dedup's chunker,
+    # deferred at birth
+    "document_chunks",
 }
 
 
@@ -1724,6 +1727,32 @@ def q_source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import curation as CUR
 
     return CUR.source_quality_report(load(spark, sf_dir, "documents", parallel=True))
+
+
+@register(
+    "document_chunks",
+    r"WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks "
+    "FROM documents WHERE text IS NOT NULL), "
+    "c AS (SELECT doc_id, "
+    "list_transform(range(0, CAST(ceil(greatest(len(toks) - 8, 1) / 24.0) AS BIGINT), 1), "
+    "i -> array_to_string(toks[i*24+1 : i*24+32], ' ')) AS chunks FROM t), "
+    "e AS (SELECT doc_id, unnest(chunks) AS chunk_text, "
+    "unnest(range(0, len(chunks), 1)) AS chunk_id FROM c) "
+    "SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id, chunk_text, "
+    r"CAST(len(regexp_split_to_array(chunk_text, '\s+')) AS BIGINT) AS n_tokens "
+    "FROM e ORDER BY doc_id, chunk_id",
+)
+def q_document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 32-token chunks with 8-token overlap (stride 24) —
+    the context-window splitting pre-step
+    (operators/curation.py:chunk_documents).  Deferred twin: same
+    sequence/slice/posexplode machinery as the in-window line_dedup's
+    chunker."""
+    from .operators import curation as CUR
+
+    return CUR.chunk_documents(
+        load(spark, sf_dir, "documents", parallel=True), chunk_tokens=32, overlap=8
+    )
 
 
 @register("minhash_near_dups_fast", None)  # xxhash64 tier: Spark's

@@ -432,3 +432,46 @@ def source_quality_report(
         )
         .orderBy("source")
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 512,
+    overlap: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into overlapping fixed-size token chunks — the
+    standard pre-step for context-window-bounded training and RAG
+    indexing (complement of :func:`pack_sequences`, which concatenates
+    SHORT docs; this splits LONG ones).  Chunk i covers tokens
+    [i·stride, i·stride + chunk_tokens) with stride =
+    chunk_tokens − overlap, so consecutive chunks share `overlap`
+    tokens and no token is dropped.
+
+    Returns (id, chunk_id, chunk_text, n_tokens) — one row per chunk,
+    chunk_id 0-based in document order.
+
+    Scale shape: pure per-row transform (split + slices) then one
+    posexplode — map-side only, zero shuffle; chunk boundaries depend
+    only on the row, so the pass parallelizes with the scan."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_chunks = F.ceil(
+        F.greatest(F.size(toks) - F.lit(overlap), F.lit(1)) / F.lit(float(stride))
+    ).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(toks, i * stride + 1, chunk_tokens), " "),
+    )
+    return (
+        docs.where(F.col(text_col).isNotNull())
+        .select(id_col, F.posexplode(chunks).alias("chunk_id", "chunk_text"))
+        .withColumn(
+            "n_tokens",
+            F.size(F.split(F.col("chunk_text"), r"\s+")).cast("long"),
+        )
+        .orderBy(id_col, "chunk_id")
+    )

@@ -226,3 +226,9 @@ def test_stream_quality_gate_matches_oracle(spark, sf_dir):
     # streaming lift of the checked quality/PII projections (append-mode
     # plumbing covered by stream_dedup_count), deferred at birth
     _assert_matches_oracle(spark, sf_dir, "stream_quality_gate")
+
+
+def test_document_chunks_matches_oracle(spark, sf_dir):
+    # same sequence/slice/posexplode machinery as line_dedup's chunker,
+    # deferred at birth
+    _assert_matches_oracle(spark, sf_dir, "document_chunks")

@@ -341,3 +341,37 @@ def test_bigram_lm_known_values(spark):
     exp = -math.log(2 / 4.0)
     assert abs(out[1].avg_nll - round(exp, 6)) < 1e-9
     assert abs(out[2].avg_nll - round(exp, 6)) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Overlapping document chunking
+# ---------------------------------------------------------------------------
+
+
+def test_chunk_documents_overlap_and_coverage(spark):
+    from database_per_keyword_analysis_spark.operators import curation as CUR
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(1, 11)))], "doc_id long, text string"
+    )
+    out = [r.chunk_text for r in CUR.chunk_documents(docs, 6, 2).collect()]
+    # stride 4: [t1..t6], [t5..t10] — 2-token overlap, full coverage
+    assert out == ["t1 t2 t3 t4 t5 t6", "t5 t6 t7 t8 t9 t10"]
+
+
+def test_chunk_documents_short_doc_single_chunk(spark):
+    from database_per_keyword_analysis_spark.operators import curation as CUR
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    out = CUR.chunk_documents(docs, 512, 64).collect()
+    assert len(out) == 1 and out[0].chunk_text == "a b c" and out[0].n_tokens == 3
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    import pytest as _pytest
+
+    from database_per_keyword_analysis_spark.operators import curation as CUR
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        CUR.chunk_documents(docs, 8, 8)
