@@ -117,6 +117,9 @@ _DEFERRED_TWINS = {
     # same sequence/slice/posexplode machinery as line_dedup's chunker,
     # deferred at birth
     "document_chunks",
+    # same per-row transform/zip_with machinery as the checked knn/cosine
+    # tiers, deferred at birth
+    "embedding_quantization",
 }
 
 
@@ -1753,6 +1756,41 @@ def q_document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CUR.chunk_documents(
         load(spark, sf_dir, "documents", parallel=True), chunk_tokens=32, overlap=8
     )
+
+
+@register(
+    "embedding_quantization",
+    "WITH s AS (SELECT vec_id, embedding, "
+    "greatest(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 1e-12) "
+    "AS scale FROM embeddings), "
+    "q AS (SELECT vec_id, scale, embedding, "
+    "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) / scale * 127.0) AS BIGINT)) "
+    "AS qv FROM s) "
+    "SELECT vec_id, round(scale, 6) AS scale, "
+    "md5(array_to_string(qv, ',')) AS q_md5, "
+    "round(list_max(list_transform(list_zip(qv, embedding), p -> "
+    "abs(CAST(p[1] AS DOUBLE) * scale / 127.0 - CAST(p[2] AS DOUBLE)))), 6) "
+    "AS max_abs_err FROM q ORDER BY vec_id",
+)
+def q_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 absmax quantization audit: per-vector scale, digest of the
+    quantized codes, max reconstruction error
+    (operators/similarity.py:quantize_embeddings).  Array-free schema
+    (md5 digest instead of the raw code array) so the driver's
+    canonicalizer can hash it — the winnowing_fingerprints lesson.
+    Deferred twin: same per-row transform/zip_with machinery as the
+    in-window knn/cosine tiers."""
+    from pyspark.sql import functions as F
+
+    q = SIM.quantize_embeddings(_load_emb(spark, sf_dir))
+    return q.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        F.md5(
+            F.array_join(F.transform("qvec", lambda v: v.cast("string")), ",")
+        ).alias("q_md5"),
+        F.round("max_abs_err", 6).alias("max_abs_err"),
+    ).orderBy("vec_id")
 
 
 @register("minhash_near_dups_fast", None)  # xxhash64 tier: Spark's

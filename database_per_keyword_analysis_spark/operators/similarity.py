@@ -623,3 +623,49 @@ def semantic_dedup(
         .withColumnRenamed("doc_id", "vec_id")
         .orderBy("vec_id")
     )
+
+
+def quantize_embeddings(
+    vectors: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-vector absmax int8 quantization: q_i = round(x_i / scale ·
+    127) with scale = max|x_i| — a 4× storage cut for float32 embedding
+    corpora (the difference between 100 TB of vectors fitting one
+    cluster's disks or not), with reconstruction error ≤ scale/254 per
+    dimension.  Returns (id, scale, qvec ARRAY<INT>, max_abs_err).
+
+    Pure per-row expressions — zero shuffle, parallel with the scan;
+    dequantize with :func:`dequantize_embeddings`.  Cosine/IVF tiers
+    accept the dequantized vectors unchanged (error bound asserted in
+    tests)."""
+    x = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    scale = F.greatest(
+        F.array_max(F.transform(x, lambda v: F.abs(v))), F.lit(1e-12)
+    )
+    qv = F.transform(x, lambda v: F.round(v / scale * 127.0).cast("long"))
+    err = F.array_max(
+        F.zip_with(
+            qv, x, lambda q, v: F.abs(q.cast("double") * scale / 127.0 - v)
+        )
+    )
+    return vectors.select(
+        id_col,
+        scale.alias("scale"),
+        qv.cast("array<int>").alias("qvec"),
+        err.alias("max_abs_err"),
+    )
+
+
+def dequantize_embeddings(
+    quantized: DataFrame, id_col: str = "vec_id"
+) -> DataFrame:
+    """Inverse of :func:`quantize_embeddings`: (id, embedding
+    ARRAY<DOUBLE>) reconstructed as q_i · scale / 127."""
+    return quantized.select(
+        id_col,
+        F.transform(
+            "qvec", lambda q: q.cast("double") * F.col("scale") / 127.0
+        ).alias("embedding"),
+    )

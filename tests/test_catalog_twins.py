@@ -232,3 +232,9 @@ def test_document_chunks_matches_oracle(spark, sf_dir):
     # same sequence/slice/posexplode machinery as line_dedup's chunker,
     # deferred at birth
     _assert_matches_oracle(spark, sf_dir, "document_chunks")
+
+
+def test_embedding_quantization_matches_oracle(spark, sf_dir):
+    # same per-row transform/zip_with machinery as the checked
+    # knn/cosine tiers, deferred at birth
+    _assert_matches_oracle(spark, sf_dir, "embedding_quantization")

@@ -136,3 +136,34 @@ def test_ivf_persisted_index_parity(spark, sf_dir, tmp_path):
     assert any(
         name.startswith("list_id=") for name in os.listdir(idx + "/assigned")
     )
+
+
+def test_quantize_roundtrip_error_bound(spark, sf_dir):
+    from database_per_keyword_analysis_spark.operators import similarity as SIM
+    from database_per_keyword_analysis_spark.sources import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = SIM.quantize_embeddings(emb)
+    rows = q.collect()
+    assert len(rows) == emb.count()
+    # per-dimension error bound: half a quantization step = scale/254
+    for r in rows:
+        assert r.max_abs_err <= r.scale / 254 + 1e-12
+        assert all(-127 <= v <= 127 for v in r.qvec)
+
+    # dequantized vectors keep cosine structure: top-1 neighbor of the
+    # first few queries is unchanged vs the float tier
+    deq = SIM.dequantize_embeddings(q)
+    from pyspark.sql import functions as F
+
+    queries = emb.where(F.col("vec_id") < 5)
+    exact = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in SIM.knn_bruteforce(emb, queries, k=1).collect()
+    }
+    queries_q = deq.where(F.col("vec_id") < 5)
+    quant = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in SIM.knn_bruteforce(deq, queries_q, k=1).collect()
+    }
+    assert exact == quant
