@@ -120,6 +120,9 @@ _DEFERRED_TWINS = {
     # same per-row transform/zip_with machinery as the checked knn/cosine
     # tiers, deferred at birth
     "embedding_quantization",
+    # unigram_lm_scores + order_price_quantiles' exact-percentile
+    # machinery composed, deferred at birth
+    "lm_quality_buckets",
 }
 
 
@@ -1756,6 +1759,31 @@ def q_document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CUR.chunk_documents(
         load(spark, sf_dir, "documents", parallel=True), chunk_tokens=32, overlap=8
     )
+
+
+@register(
+    "lm_quality_buckets",
+    r"WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) "
+    "AS token FROM documents WHERE text IS NOT NULL), "
+    "tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token), "
+    "cfw AS (SELECT doc_id, tf, sum(tf) OVER (PARTITION BY token) AS cf FROM tf), "
+    "pd AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens, "
+    "sum(tf * ln(CAST(cf AS DOUBLE))) AS s FROM cfw GROUP BY doc_id), "
+    "tot AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS n FROM pd), "
+    "sc AS (SELECT doc_id, n_tokens, round(ln(n) - s / n_tokens, 6) AS avg_nll "
+    "FROM pd, tot), "
+    "cuts AS (SELECT quantile_cont(avg_nll, 0.3333333333333333) AS t1, "
+    "quantile_cont(avg_nll, 0.6666666666666666) AS t2 FROM sc) "
+    "SELECT doc_id, n_tokens, avg_nll, "
+    "CASE WHEN avg_nll <= t1 THEN 'head' WHEN avg_nll <= t2 THEN 'middle' "
+    "ELSE 'tail' END AS bucket FROM sc, cuts ORDER BY doc_id",
+)
+def q_lm_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet perplexity buckets: head/middle/tail terciles by unigram
+    NLL (operators/textquality.py:lm_quality_buckets).  Deferred twin:
+    unigram_lm_scores + the exact-percentile machinery of
+    order_price_quantiles, composed."""
+    return TQ.lm_quality_buckets(load(spark, sf_dir, "documents", parallel=True))
 
 
 @register(

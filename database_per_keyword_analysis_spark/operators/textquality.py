@@ -305,6 +305,44 @@ def bigram_lm_scores(
     )
 
 
+def lm_quality_buckets(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """CCNet's perplexity buckets (Wenzek et al. 2020 §4.3): split the
+    corpus into head / middle / tail terciles by unigram-LM NLL —
+    pipelines keep the head, resample the middle, drop or down-weight
+    the tail.  Returns (id, n_tokens, avg_nll, bucket).
+
+    Scale shape: tercile THRESHOLDS come from one exact-percentile
+    aggregate over the per-doc score frame (n_docs rows, not tokens)
+    and attach as a broadcast scalar — no global ntile sort of the
+    corpus; the bucket label is then a scan-stage CASE."""
+    scores = unigram_lm_scores(docs, text_col, id_col).localCheckpoint(
+        eager=False
+    )
+    cuts = scores.agg(
+        F.expr(
+            "percentile(avg_nll, array(0.3333333333333333, "
+            "0.6666666666666666))"
+        ).alias("_cuts")
+    ).select(
+        F.col("_cuts")[0].alias("_t1"), F.col("_cuts")[1].alias("_t2")
+    )
+    return (
+        scores.crossJoin(F.broadcast(cuts))
+        .select(
+            id_col,
+            "n_tokens",
+            "avg_nll",
+            F.when(F.col("avg_nll") <= F.col("_t1"), F.lit("head"))
+            .when(F.col("avg_nll") <= F.col("_t2"), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
+        )
+        .orderBy(id_col)
+    )
+
+
 def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Deterministic document fingerprint: md5 of the whitespace-normalized
     lowered text (north-star 'document fingerprinting').  md5 is identical

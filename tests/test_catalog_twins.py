@@ -238,3 +238,9 @@ def test_embedding_quantization_matches_oracle(spark, sf_dir):
     # same per-row transform/zip_with machinery as the checked
     # knn/cosine tiers, deferred at birth
     _assert_matches_oracle(spark, sf_dir, "embedding_quantization")
+
+
+def test_lm_quality_buckets_matches_oracle(spark, sf_dir):
+    # unigram_lm_scores + exact-percentile machinery composed, deferred
+    # at birth
+    _assert_matches_oracle(spark, sf_dir, "lm_quality_buckets")

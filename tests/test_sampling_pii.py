@@ -375,3 +375,23 @@ def test_chunk_documents_rejects_bad_overlap(spark):
     docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with _pytest.raises(ValueError):
         CUR.chunk_documents(docs, 8, 8)
+
+
+def test_lm_quality_buckets_terciles(spark):
+    rows = [(i, f"common common w{i % 11} w{i % 7} w{i}", "en") for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = TQ.lm_quality_buckets(docs).collect()
+    counts = {}
+    for r in out:
+        counts[r.bucket] = counts.get(r.bucket, 0) + 1
+    assert set(counts) == {"head", "middle", "tail"}
+    # threshold bucketing: equal scores always share a bucket (ties
+    # make exact tercile balance impossible — that is the semantics)
+    by_score: dict[float, set] = {}
+    for r in out:
+        by_score.setdefault(r.avg_nll, set()).add(r.bucket)
+    assert all(len(b) == 1 for b in by_score.values())
+    # buckets are monotone in avg_nll
+    order = {"head": 0, "middle": 1, "tail": 2}
+    rs = sorted(out, key=lambda r: r.avg_nll)
+    assert [order[r.bucket] for r in rs] == sorted(order[r.bucket] for r in rs)
