@@ -123,6 +123,11 @@ _DEFERRED_TWINS = {
     # unigram_lm_scores + order_price_quantiles' exact-percentile
     # machinery composed, deferred at birth
     "lm_quality_buckets",
+    # dsir_weights + exact-percentile machinery composed, deferred at birth
+    "dsir_resample",
+    # full-outer-join over the checked exact-dup fingerprint, deferred
+    # at birth
+    "corpus_diff",
 }
 
 
@@ -1759,6 +1764,95 @@ def q_document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CUR.chunk_documents(
         load(spark, sf_dir, "documents", parallel=True), chunk_tokens=32, overlap=8
     )
+
+
+_DSIR_CORE = (
+    r"tok AS (SELECT doc_id, lang, "
+    r"unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token "
+    "FROM documents WHERE text IS NOT NULL), "
+    "f AS (SELECT doc_id, lang, "
+    "CAST('0x' || substr(md5(token), 1, 12) AS BIGINT) % 4096 AS bucket FROM tok), "
+    "rstat AS (SELECT bucket, count(*) AS r_cnt FROM f GROUP BY bucket), "
+    "tstat AS (SELECT bucket, count(*) AS t_cnt FROM f WHERE lang = 'en' "
+    "GROUP BY bucket), "
+    "stats AS (SELECT r.bucket, r_cnt, coalesce(t_cnt, 0) AS t_cnt, "
+    "ln(coalesce(t_cnt, 0) + 1.0) - ln(r_cnt + 1.0) AS term "
+    "FROM rstat r LEFT JOIN tstat t ON r.bucket = t.bucket), "
+    "scal AS (SELECT CAST(sum(t_cnt) AS DOUBLE) AS tt, "
+    "CAST(sum(r_cnt) AS DOUBLE) AS rt FROM stats), "
+    "df AS (SELECT doc_id, bucket, count(*) AS tf FROM f GROUP BY 1, 2), "
+    "pd AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens, "
+    "sum(tf * term) AS s FROM df JOIN stats USING (bucket) GROUP BY doc_id), "
+    "w AS (SELECT doc_id, n_tokens, "
+    "round(s - n_tokens * (ln(tt + 4096) - ln(rt + 4096)), 6) AS log_ratio "
+    "FROM pd, scal)"
+)
+
+
+@register(
+    "dsir_resample",
+    "WITH " + _DSIR_CORE + ", "
+    "cut AS (SELECT quantile_cont(log_ratio, 0.75) AS c FROM w) "
+    "SELECT doc_id, n_tokens, log_ratio FROM w, cut "
+    "WHERE log_ratio >= c ORDER BY doc_id",
+)
+def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR execution step: keep the top-25% most target-like documents
+    by importance weight (operators/curation.py:dsir_resample).
+    Deferred twin: dsir_weights + the exact-percentile machinery,
+    composed."""
+    from pyspark.sql import functions as F
+
+    from .operators import curation as CUR
+
+    docs = load(spark, sf_dir, "documents", parallel=True)
+    return CUR.dsir_resample(
+        docs, docs.where(F.col("lang") == "en"), keep_fraction=0.25
+    )
+
+
+@register(
+    "corpus_diff",
+    # synthetic second snapshot derived deterministically from the fixture:
+    # docs %17==0 vanish, %13==0 are new-only, %7==0 change text
+    "WITH old AS (SELECT doc_id, text FROM documents "
+    "WHERE text IS NOT NULL AND doc_id % 13 <> 0), "
+    "new AS (SELECT doc_id, "
+    "CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text "
+    "FROM documents WHERE text IS NOT NULL AND doc_id % 17 <> 0), "
+    r"o AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) "
+    "AS fp_old FROM old), "
+    r"n AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) "
+    "AS fp_new FROM new) "
+    "SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, "
+    "CASE WHEN o.doc_id IS NULL THEN 'added' "
+    "WHEN n.doc_id IS NULL THEN 'removed' "
+    "WHEN fp_old <> fp_new THEN 'changed' ELSE 'unchanged' END AS status "
+    "FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id ORDER BY doc_id",
+)
+def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff between two corpus versions — added / removed /
+    changed / unchanged per doc by normalized-text fingerprint
+    (operators/curation.py:corpus_diff), over a deterministic synthetic
+    second snapshot of the fixture.  Deferred twin: full-outer-join
+    machinery over the checked exact_duplicates fingerprint."""
+    from pyspark.sql import functions as F
+
+    from .operators import curation as CUR
+
+    docs = load(spark, sf_dir, "documents", parallel=True).where(
+        F.col("text").isNotNull()
+    )
+    old = docs.where(F.col("doc_id") % 13 != 0).select("doc_id", "text")
+    new = docs.where(F.col("doc_id") % 17 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return CUR.corpus_diff(old, new)
 
 
 @register(

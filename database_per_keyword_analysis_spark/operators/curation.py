@@ -475,3 +475,72 @@ def chunk_documents(
         )
         .orderBy(id_col, "chunk_id")
     )
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Snapshot diff between two corpus versions: (id, status) with
+    status ∈ added / removed / changed / unchanged, where `changed`
+    means the id survives but its normalized-text fingerprint moved —
+    the audit a versioned data pipeline runs between crawl snapshots.
+
+    Scale shape: each side reduces to (id, fingerprint) in its scan
+    stage (text never shuffles); the full-outer equi-join on id
+    co-partitions after one hash shuffle per side; output is one row
+    per id."""
+    def fp(df: DataFrame, alias: str) -> DataFrame:
+        return df.where(F.col(text_col).isNotNull()).select(
+            id_col, D.fingerprint_col(text_col).alias(alias)
+        )
+
+    o = fp(old, "fp_old")
+    n = fp(new, "fp_new")
+    return (
+        o.join(n, id_col, "full_outer")
+        .select(
+            id_col,
+            F.when(F.col("fp_old").isNull(), F.lit("added"))
+            .when(F.col("fp_new").isNull(), F.lit("removed"))
+            .when(F.col("fp_old") != F.col("fp_new"), F.lit("changed"))
+            .otherwise(F.lit("unchanged"))
+            .alias("status"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def dsir_resample(
+    docs: DataFrame,
+    target: DataFrame,
+    keep_fraction: float = 0.25,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Execution step of DSIR: keep the ``keep_fraction`` of documents
+    with the highest importance weights (:func:`dsir_weights`), ties
+    broken by id — deterministic top-fraction selection toward the
+    target domain.
+
+    Scale shape: the cut threshold is one exact-percentile aggregate
+    over the per-doc WEIGHT frame (docs rows), broadcast back — no
+    global sort; the filter is then a scan-stage comparison.  Returns
+    the kept (id, n_tokens, log_ratio) rows."""
+    w = dsir_weights(docs, target, text_col, id_col, n_buckets).localCheckpoint(
+        eager=False
+    )
+    cut = w.agg(
+        F.expr(
+            f"percentile(log_ratio, {1.0 - keep_fraction!r})"
+        ).alias("_cut")
+    )
+    return (
+        w.crossJoin(F.broadcast(cut))
+        .where(F.col("log_ratio") >= F.col("_cut"))
+        .select(id_col, "n_tokens", "log_ratio")
+        .orderBy(id_col)
+    )

@@ -244,3 +244,14 @@ def test_lm_quality_buckets_matches_oracle(spark, sf_dir):
     # unigram_lm_scores + exact-percentile machinery composed, deferred
     # at birth
     _assert_matches_oracle(spark, sf_dir, "lm_quality_buckets")
+
+
+def test_dsir_resample_matches_oracle(spark, sf_dir):
+    # dsir_weights + exact-percentile machinery composed, deferred at birth
+    _assert_matches_oracle(spark, sf_dir, "dsir_resample")
+
+
+def test_corpus_diff_matches_oracle(spark, sf_dir):
+    # full-outer-join machinery over the checked exact-dup fingerprint,
+    # deferred at birth
+    _assert_matches_oracle(spark, sf_dir, "corpus_diff")

@@ -395,3 +395,34 @@ def test_lm_quality_buckets_terciles(spark):
     order = {"head": 0, "middle": 1, "tail": 2}
     rs = sorted(out, key=lambda r: r.avg_nll)
     assert [order[r.bucket] for r in rs] == sorted(order[r.bucket] for r in rs)
+
+
+def test_corpus_diff_statuses(spark):
+    from database_per_keyword_analysis_spark.operators import curation as CUR
+
+    old = spark.createDataFrame(
+        [(1, "same text"), (2, "will change"), (3, "will vanish")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "same  TEXT"), (2, "changed now"), (4, "brand new")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.status for r in CUR.corpus_diff(old, new).collect()}
+    # fingerprint normalizes case+whitespace -> doc 1 unchanged
+    assert out == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_dsir_resample_keeps_top_fraction(spark):
+    from pyspark.sql import functions as F
+
+    from database_per_keyword_analysis_spark.operators import curation as CUR
+
+    rows = [(i, "alpha beta gamma", "en") for i in range(8)]
+    rows += [(i, "zork quux blarg", "xx") for i in range(100, 108)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    kept = CUR.dsir_resample(
+        docs, docs.where(F.col("lang") == "en"), keep_fraction=0.5
+    ).collect()
+    ids = {r.doc_id for r in kept}
+    assert ids == set(range(8))  # exactly the target-like half survives
