@@ -128,6 +128,9 @@ _DEFERRED_TWINS = {
     # full-outer-join over the checked exact-dup fingerprint, deferred
     # at birth
     "corpus_diff",
+    # count/countDistinct aggregate machinery (segment_order_stats,
+    # industry_counts), deferred at birth
+    "orders_profile",
 }
 
 
@@ -1764,6 +1767,30 @@ def q_document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CUR.chunk_documents(
         load(spark, sf_dir, "documents", parallel=True), chunk_tokens=32, overlap=8
     )
+
+
+_ORDERS_COLS = (
+    "o_custkey o_orderdate o_orderkey o_orderpriority o_orderstatus o_totalprice"
+).split()
+
+
+@register(
+    "orders_profile",
+    " UNION ALL ".join(
+        f'SELECT \'{c}\' AS "column", CAST(count(*) AS BIGINT) AS n_rows, '
+        f"CAST(count(*) - count({c}) AS BIGINT) AS n_nulls, "
+        f"CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct FROM orders"
+        for c in _ORDERS_COLS
+    )
+    + ' ORDER BY "column"',
+)
+def q_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style table profile of `orders`: per-column row / null /
+    exact-distinct counts in one aggregation pass
+    (operators/relational.py:profile_table).  Deferred twin: count /
+    countDistinct aggregate machinery checked in-window by
+    segment_order_stats and industry_counts."""
+    return R.profile_table(load(spark, sf_dir, "orders"))
 
 
 _DSIR_CORE = (

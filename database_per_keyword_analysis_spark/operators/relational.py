@@ -357,3 +357,39 @@ def order_price_quantiles(orders: DataFrame) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+def profile_table(df: DataFrame) -> DataFrame:
+    """ANALYZE-style table profile: one row per column with
+    (column, n_rows, n_nulls, n_distinct) — the quick health check a
+    pipeline runs on every new snapshot.  Min/max are deliberately
+    omitted: their string rendering is engine-specific (Java vs DuckDB
+    double/timestamp formatting), the counts are not.
+
+    One aggregation pass computes every statistic (count + null count +
+    exact distinct per column in a single agg — map-side partial for
+    the counts, expand for the distincts), then a `stack` pivots the
+    single row to long form.  At profiling cardinality (#columns rows)
+    this is one job regardless of table size."""
+    aggs = [F.count(F.lit(1)).alias("__n_rows")]
+    for c in df.columns:
+        aggs.append(F.count(F.col(c)).alias(f"__nn_{c}"))
+        aggs.append(F.countDistinct(F.col(c)).alias(f"__nd_{c}"))
+    row = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', __n_rows - __nn_{c}, __nd_{c}" for c in df.columns
+    )
+    return (
+        row.selectExpr(
+            "__n_rows",
+            f"stack({len(df.columns)}, {stack_args}) "
+            "AS (column, n_nulls, n_distinct)",
+        )
+        .select(
+            "column",
+            F.col("__n_rows").alias("n_rows"),
+            "n_nulls",
+            "n_distinct",
+        )
+        .orderBy("column")
+    )

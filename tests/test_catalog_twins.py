@@ -255,3 +255,8 @@ def test_corpus_diff_matches_oracle(spark, sf_dir):
     # full-outer-join machinery over the checked exact-dup fingerprint,
     # deferred at birth
     _assert_matches_oracle(spark, sf_dir, "corpus_diff")
+
+
+def test_orders_profile_matches_oracle(spark, sf_dir):
+    # count/countDistinct aggregate machinery, deferred at birth
+    _assert_matches_oracle(spark, sf_dir, "orders_profile")

@@ -110,3 +110,14 @@ def test_results_invariant_to_partitioning(spark, sf_dir):
     for parts in (1, 7):
         got = R.pricing_summary(li.repartition(parts)).collect()
         assert [r.asDict() for r in got] == [r.asDict() for r in base]
+
+
+def test_profile_table_counts(spark):
+    from database_per_keyword_analysis_spark.operators import relational as R
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "b")], "k long, v string"
+    )
+    out = {r.column: r for r in R.profile_table(df).collect()}
+    assert out["k"].n_rows == 3 and out["k"].n_nulls == 0 and out["k"].n_distinct == 2
+    assert out["v"].n_nulls == 1 and out["v"].n_distinct == 2
