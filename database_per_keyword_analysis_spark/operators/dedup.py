@@ -851,3 +851,60 @@ def line_dedup_clean(
         )
         .orderBy(id_col)
     )
+
+
+def build_fingerprint_index(
+    docs: DataFrame, index_path: str, text_col: str = "text"
+) -> None:
+    """Persist the corpus's exact-dedup fingerprint set as a parquet
+    index — the standing state an INCREMENTAL ingest dedups against.
+    Stores distinct (fingerprint, keeper_id) with keeper_id = the
+    smallest doc_id carrying that fingerprint."""
+    (
+        docs.where(F.col(text_col).isNotNull())
+        .select(fingerprint_col(text_col).alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keeper_id"))
+        .write.mode("overwrite")
+        .parquet(index_path)
+    )
+
+
+def incremental_exact_dedup(
+    new_docs: DataFrame, index_path: str, text_col: str = "text"
+) -> DataFrame:
+    """Ingest-time exact dedup: label a NEW batch against the persisted
+    corpus fingerprint index (build_fingerprint_index) without touching
+    the corpus itself.  Returns (doc_id, fingerprint, is_duplicate,
+    dup_of): duplicates of an INDEXED doc point at its keeper_id;
+    duplicates WITHIN the new batch point at the batch's smallest id;
+    the rest are novel.
+
+    Scale shape: the index scan is (fingerprint, keeper) — never
+    corpus text; the probe is one equi-join on fingerprint (AQE
+    broadcasts a small batch side) plus the batch's own window rank.
+    This is the streaming-ingest complement of `exact_duplicates`,
+    which re-ranks a whole corpus."""
+    spark = new_docs.sparkSession
+    idx = spark.read.parquet(index_path)
+    batch = new_docs.where(F.col(text_col).isNotNull()).select(
+        "doc_id", fingerprint_col(text_col).alias("fingerprint")
+    )
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    batch = batch.withColumn("batch_min", F.min("doc_id").over(w))
+    return (
+        batch.join(idx, "fingerprint", "left")
+        .select(
+            "doc_id",
+            "fingerprint",
+            (
+                F.col("keeper_id").isNotNull()
+                | (F.col("doc_id") != F.col("batch_min"))
+            ).alias("is_duplicate"),
+            F.coalesce(
+                "keeper_id",
+                F.when(F.col("doc_id") != F.col("batch_min"), F.col("batch_min")),
+            ).alias("dup_of"),
+        )
+        .orderBy("doc_id")
+    )

@@ -483,3 +483,26 @@ def test_winnowing_pairs_persisted_index_reused_and_equal(spark, tmp_path):
     )
     assert first == base == second
     assert os.path.getmtime(os.path.join(idx, "_SUCCESS")) == stamp  # no rebuild
+
+
+def test_incremental_exact_dedup_against_index(spark, tmp_path):
+    idx = str(tmp_path / "fp_idx")
+    corpus = spark.createDataFrame(
+        [(1, "known document one"), (2, "known document two")],
+        "doc_id long, text string",
+    )
+    D.build_fingerprint_index(corpus, idx)
+    batch = spark.createDataFrame(
+        [
+            (10, "Known  Document one"),   # dup of indexed 1 (normalized)
+            (11, "a brand new document"),  # novel
+            (12, "a brand new document"),  # in-batch dup of 11
+            (13, "another novel one"),     # novel
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in D.incremental_exact_dedup(batch, idx).collect()}
+    assert out[10].is_duplicate and out[10].dup_of == 1
+    assert not out[11].is_duplicate and out[11].dup_of is None
+    assert out[12].is_duplicate and out[12].dup_of == 11
+    assert not out[13].is_duplicate and out[13].dup_of is None
