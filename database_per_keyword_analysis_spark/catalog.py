@@ -131,6 +131,21 @@ _DEFERRED_TWINS = {
     # count/countDistinct aggregate machinery (segment_order_stats,
     # industry_counts), deferred at birth
     "orders_profile",
+    # fifth round-4 demotion batch, freeing slots for the novel
+    # bm25_search / cohort_retention additions (each r1-r3 driver-green;
+    # machinery still covered by an in-window primary):
+    "doc_fingerprints",  # pure md5 column expressions; the same
+    #   fingerprint expression is the in-window exact_duplicates' key
+    "multimodal_decode",  # same Arrow mapInPandas plumbing as the
+    #   in-window multimodal_byte_features (media_resize and
+    #   video_frame_samples already deferred on the same grounds)
+    # round-4 additions deferred at birth:
+    "event_anomalies",  # same window-frame machinery as the in-window
+    #   running_order_totals (rowsBetween frame aggregates), over the
+    #   daily-count table of the checked events_daily_counts
+    "vocab_coverage",  # TakeOrdered top-n (word_frequency machinery) +
+    #   bounded prefix-sum window (sequence_packing machinery) +
+    #   broadcast total scalar (unigram_lm_scores machinery)
 }
 
 
@@ -2573,3 +2588,126 @@ def q_stream_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
         F.col("view_ts").cast("timestamp_ntz").alias("view_ts"),
     ).orderBy("purchase_id", "view_id")
+
+
+# ---------------------------------------------------------------------------
+# Ranked retrieval / behavioral analytics (round-4 additions).
+# ---------------------------------------------------------------------------
+
+from .operators import search as SRCH  # noqa: E402
+
+_BM25_TERMS = SRCH.DEFAULT_QUERY
+_DUCK_LM_TOKS = (
+    r"SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) "
+    "AS token FROM documents WHERE text IS NOT NULL"
+)
+
+
+def _bm25_sql(terms=_BM25_TERMS, top_k: int = 15) -> str:
+    in_list = ", ".join(_sql_quote(t) for t in sorted(terms))
+    return (
+        f"WITH tok AS ({_DUCK_LM_TOKS}), "
+        "dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id), "
+        "stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl), "
+        f"tf AS (SELECT doc_id, token, count(*) AS tf FROM tok "
+        f"WHERE token IN ({in_list}) GROUP BY doc_id, token), "
+        "idf AS (SELECT token, ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) AS idf "
+        "FROM (SELECT token, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df "
+        "FROM tf GROUP BY token), stats), "
+        # float-expression parity with operators/search.py:bm25_search:
+        # (1.2 + 1) and (0.25 + 0.75*dl/avgdl) are written exactly as the
+        # Spark side folds them so both engines run the same IEEE ops
+        "contrib AS (SELECT tf.doc_id, CAST(idf.idf * (tf.tf * (1.2 + 1)) / "
+        "(tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) "
+        "AS DECIMAL(38,18)) AS term_score "
+        "FROM tf JOIN idf USING (token) JOIN dl USING (doc_id), stats) "
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms, "
+        "round(CAST(sum(term_score) AS DOUBLE), 6) AS score "
+        f"FROM contrib GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT {top_k}"
+    )
+
+
+@register("bm25_search", _bm25_sql())
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval over `documents` for a fixed query-term
+    set: the relevance-ranking form of the reference's keyword
+    containment filters (main.py:283-288 matches; this RANKS).
+    Decimal-accumulated per-doc sums keep the score oracle-stable."""
+    return SRCH.bm25_search(load(spark, sf_dir, "documents", parallel=True))
+
+
+def _vocab_coverage_sql(top_n: int = 100) -> str:
+    return (
+        f"WITH tok AS ({_DUCK_LM_TOKS}), "
+        "c AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token), "
+        "tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM c), "
+        "top AS (SELECT token, cnt, row_number() OVER (ORDER BY cnt DESC, token) "
+        f"AS rank FROM c ORDER BY cnt DESC, token LIMIT {top_n}) "
+        "SELECT rank, token, CAST(cnt AS BIGINT) AS cnt, "
+        "round(sum(cnt) OVER (ORDER BY cnt DESC, token "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / total, 6) "
+        "AS coverage FROM top, tot ORDER BY rank"
+    )
+
+
+@register("vocab_coverage", _vocab_coverage_sql())
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage curve: top-100 tokens with cumulative
+    token-stream coverage (tokenizer-budget diagnostic).  Deferred at
+    birth: TakeOrdered + bounded prefix-sum + broadcast-scalar
+    machinery, each covered by an in-window primary."""
+    df = SRCH.vocab_coverage(load(spark, sf_dir, "documents", parallel=True))
+    from pyspark.sql import functions as F
+
+    return df.select("rank", "token", F.col("cnt").cast("long").alias("cnt"), "coverage")
+
+
+@register(
+    "cohort_retention",
+    "WITH firsts AS (SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) "
+    "AS cohort_week FROM events GROUP BY user_id), "
+    "active AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) "
+    "AS week FROM events), "
+    "cells AS (SELECT cohort_week, "
+    "CAST(datediff('day', cohort_week, week) / 7 AS INTEGER) AS week_offset, "
+    "CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users "
+    "FROM active a JOIN firsts f ON a.user_id = f.user_id "
+    "GROUP BY cohort_week, week_offset) "
+    "SELECT cohort_week, week_offset, n_users, "
+    "round(n_users / CAST(first_value(n_users) OVER "
+    "(PARTITION BY cohort_week ORDER BY week_offset) AS DOUBLE), 6) "
+    "AS retention FROM cells ORDER BY cohort_week, week_offset",
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention matrix over `events` (growth analytics;
+    the natural extension of the reference's time-bucketed counts,
+    main.py:812-816)."""
+    return E.cohort_retention(load(spark, sf_dir, "events"))
+
+
+@register(
+    "event_anomalies",
+    "WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, "
+    "count(*) AS cnt FROM events GROUP BY event_type, CAST(ts AS DATE)), "
+    # exact INTEGER frame sums -> engine-order-independent doubles
+    # (operators/events.py:event_anomalies documents why no stddev_samp)
+    "w AS (SELECT event_type, day, cnt, "
+    "CAST(count(cnt) OVER fr AS DOUBLE) AS n, "
+    "CAST(sum(cnt) OVER fr AS DOUBLE) AS s1, "
+    "CAST(sum(cnt * cnt) OVER fr AS DOUBLE) AS s2 FROM daily "
+    "WINDOW fr AS (PARTITION BY event_type ORDER BY day "
+    "ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)), "
+    "z AS (SELECT event_type, day, cnt, "
+    "CASE WHEN n >= 3 AND (s2 - n * (s1 / n) * (s1 / n)) / (n - 1) > 0 "
+    "THEN (CAST(cnt AS DOUBLE) - s1 / n) / "
+    "sqrt((s2 - n * (s1 / n) * (s1 / n)) / (n - 1)) END AS zval FROM w) "
+    "SELECT event_type, day, CAST(cnt AS BIGINT) AS cnt, "
+    "round(zval, 6) AS zscore, abs(round(zval, 6)) > 2.0 AS is_anomaly "
+    "FROM z ORDER BY event_type, day",
+)
+def q_event_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily per-event-type count anomalies: trailing-7-day z-score
+    flags (monitoring surface).  Deferred at birth: rowsBetween frame
+    machinery of running_order_totals over the daily-count table of
+    events_daily_counts."""
+    return E.event_anomalies(load(spark, sf_dir, "events"))

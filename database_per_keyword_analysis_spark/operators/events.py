@@ -160,3 +160,99 @@ def funnel_counts(events: DataFrame, stages: tuple[str, ...] = ("view", "click",
         agg.selectExpr(f"stack({len(stages)}, {stack}) AS (stage, n_users)")
         .selectExpr("stage", "CAST(n_users AS BIGINT) AS n_users")
     )
+
+
+def cohort_retention(events: DataFrame) -> DataFrame:
+    """Weekly cohort-retention matrix (absent from the reference — the
+    natural growth form of its time-bucketed counts, main.py:812-816):
+    users are cohorted by the week of their FIRST event; for each
+    (cohort_week, week_offset) cell, how many of that cohort were
+    active, and what fraction of the cohort size that is.
+
+    Returns (cohort_week DATE, week_offset INT, n_users, retention) —
+    retention = n_users / the cohort's offset-0 cell, rounded to 6.
+
+    Scale shape: first-event week via one groupBy(user) aggregate; the
+    distinct (user, active-week) pairs join it ON user_id — both sides
+    are keyed and shuffled by user_id, so AQE co-partitions the join and
+    hot users skew-split; the cohort base size attaches per cohort row
+    with a window `first` over week_offset (the matrix is
+    n_weeks × n_offsets rows — tiny — by then).  No driver collects.
+    """
+    firsts = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    active = events.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("week")
+    ).distinct()
+    cells = (
+        active.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (F.datediff("week", "cohort_week") / 7).cast("int").alias(
+                "week_offset"
+            ),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+    base = Window.partitionBy("cohort_week").orderBy("week_offset")
+    return (
+        cells.withColumn(
+            "retention",
+            F.round(
+                F.col("n_users")
+                / F.first("n_users").over(base).cast("double"),
+                6,
+            ),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+def event_anomalies(events: DataFrame, z_threshold: float = 2.0) -> DataFrame:
+    """Daily event-count anomaly detection per event_type: each day's
+    count is z-scored against its own trailing 7-day window (absent from
+    the reference, which only plots raw daily counts, main.py:812-816).
+
+    Returns (event_type, day, cnt, zscore, is_anomaly); zscore/flag are
+    NULL for days with fewer than 3 trailing observations or zero
+    variance.  The trailing mean/variance are computed from explicit
+    INTEGER sum / sum-of-squares window aggregates — NOT stddev_samp —
+    because integer sums are exact and therefore independent of the
+    order the engine combines frame rows in (Spark iterates the frame,
+    DuckDB uses segment trees; float accumulation order would differ in
+    the low bits, and stddev implementations differ outright).  All
+    float math is derived from the exact integer sums, so the oracle
+    SQL computes bit-identical doubles.
+
+    Scale shape: the daily-count aggregate is the only corpus-sized
+    shuffle; the window runs over the (event_type, day) frame, which is
+    n_types × n_days rows.
+    """
+    daily = events.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-7, -1)
+    )
+    c = F.col("cnt").cast("double")
+    n = F.count("cnt").over(w).cast("double")
+    s1 = F.sum("cnt").over(w).cast("double")
+    s2 = F.sum(F.col("cnt") * F.col("cnt")).over(w).cast("double")
+    mean = s1 / n
+    var = (s2 - n * mean * mean) / (n - 1)
+    z = F.when((n >= 3) & (var > 0), (c - mean) / F.sqrt(var))
+    return (
+        daily.select(
+            "event_type",
+            "day",
+            "cnt",
+            F.round(z, 6).alias("zscore"),
+            (F.abs(F.round(z, 6)) > z_threshold).alias("is_anomaly"),
+        )
+        .orderBy("event_type", "day")
+    )

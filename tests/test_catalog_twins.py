@@ -260,3 +260,27 @@ def test_corpus_diff_matches_oracle(spark, sf_dir):
 def test_orders_profile_matches_oracle(spark, sf_dir):
     # count/countDistinct aggregate machinery, deferred at birth
     _assert_matches_oracle(spark, sf_dir, "orders_profile")
+
+
+def test_doc_fingerprints_matches_oracle(spark, sf_dir):
+    # round-4 demotion: pure md5 column expressions (the in-window
+    # exact_duplicates groups by the same fingerprint expression)
+    _assert_matches_oracle(spark, sf_dir, "doc_fingerprints")
+
+
+def test_multimodal_decode_matches_oracle(spark, sf_dir):
+    # round-4 demotion: same Arrow mapInPandas plumbing as the
+    # in-window multimodal_byte_features
+    _assert_matches_oracle(spark, sf_dir, "multimodal_decode")
+
+
+def test_event_anomalies_matches_oracle(spark, sf_dir):
+    # deferred at birth: rowsBetween frame machinery of
+    # running_order_totals over events_daily_counts' daily table
+    _assert_matches_oracle(spark, sf_dir, "event_anomalies")
+
+
+def test_vocab_coverage_matches_oracle(spark, sf_dir):
+    # deferred at birth: TakeOrdered + bounded prefix-sum + broadcast
+    # total scalar
+    _assert_matches_oracle(spark, sf_dir, "vocab_coverage")

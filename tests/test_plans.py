@@ -219,3 +219,23 @@ def test_dsir_stats_join_is_broadcast(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bm25_joins_are_broadcast_or_equi(spark, sf_dir):
+    """BM25's |q|-row idf table must BROADCAST into the postings tf
+    table, and the only nested-loop joins are the two one-row corpus
+    stat scalars — anything else means the scoring join regressed to a
+    shuffle of the token stream or an all-pairs plan."""
+    plan = _plan(spark, sf_dir, "bm25_search")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+
+
+def test_cohort_retention_joins_are_equi(spark, sf_dir):
+    """The cohort join is an equi-join on user_id (both sides keyed by
+    user) — a CartesianProduct or nested loop means the cohort
+    attachment regressed to all-pairs."""
+    plan = _plan(spark, sf_dir, "cohort_retention")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -1,0 +1,140 @@
+"""Unit tests for ranked retrieval (BM25), vocabulary coverage, cohort
+retention, and event anomaly detection (round-4 additions)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+from pyspark.sql import Row
+
+from database_per_keyword_analysis_spark.operators import events as E
+from database_per_keyword_analysis_spark.operators import search as SRCH
+
+
+def _bm25_expected(tf, dl, idf, avgdl, k1=1.2, b=0.75):
+    return idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+
+def test_bm25_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="hash hash join x"),
+            Row(doc_id=2, text="join y z"),
+            Row(doc_id=3, text="a b c d"),
+            Row(doc_id=4, text=None),
+        ]
+    )
+    out = SRCH.bm25_search(docs, query_terms=("hash", "join"), top_k=10)
+    rows = {r.doc_id: r for r in out.collect()}
+    # doc 3 matches nothing, doc 4 is null text
+    assert set(rows) == {1, 2}
+    n_docs, avgdl = 3.0, (4 + 3 + 4) / 3.0
+    idf_hash = math.log(1 + (n_docs - 1 + 0.5) / (1 + 0.5))
+    idf_join = math.log(1 + (n_docs - 2 + 0.5) / (2 + 0.5))
+    exp1 = _bm25_expected(2, 4, idf_hash, avgdl) + _bm25_expected(
+        1, 4, idf_join, avgdl
+    )
+    exp2 = _bm25_expected(1, 3, idf_join, avgdl)
+    assert rows[1].n_terms == 2 and rows[2].n_terms == 1
+    assert rows[1].score == round(exp1, 6)
+    assert rows[2].score == round(exp2, 6)
+    # ranked: doc 1 (two matching terms, one rare) above doc 2
+    assert [r.doc_id for r in out.collect()] == [1, 2]
+
+
+def test_bm25_tie_break_is_doc_id(spark):
+    # identical docs -> identical scores; the top_k cut must be by id
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text="hash join") for i in (5, 3, 9, 1)]
+    )
+    out = SRCH.bm25_search(docs, query_terms=("hash",), top_k=2)
+    assert [r.doc_id for r in out.collect()] == [1, 3]
+
+
+def test_vocab_coverage_curve(spark):
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a a a b b c"),
+            Row(doc_id=2, text="a b d"),
+        ]
+    )
+    out = SRCH.vocab_coverage(docs, top_n=3).collect()
+    # counts: a=4, b=3, c=1, d=1 (total 9); top-3 breaks the c/d tie by token
+    assert [(r.rank, r.token, r.cnt) for r in out] == [
+        (1, "a", 4),
+        (2, "b", 3),
+        (3, "c", 1),
+    ]
+    assert [r.coverage for r in out] == [
+        round(4 / 9, 6),
+        round(7 / 9, 6),
+        round(8 / 9, 6),
+    ]
+    # coverage is monotone nondecreasing and bounded by 1
+    cov = [r.coverage for r in out]
+    assert cov == sorted(cov) and cov[-1] <= 1.0
+
+
+def _ts(day, hour=12):
+    return dt.datetime(2024, 1, day, hour)
+
+
+def test_cohort_retention_hand_computed(spark):
+    # 2024-01-01 is a Monday; weeks W0=Jan 1, W1=Jan 8
+    events = spark.createDataFrame(
+        [
+            Row(event_id=1, ts=_ts(1), user_id=1, event_type="view"),
+            Row(event_id=2, ts=_ts(9), user_id=1, event_type="view"),
+            Row(event_id=3, ts=_ts(2), user_id=2, event_type="view"),
+            Row(event_id=4, ts=_ts(8), user_id=3, event_type="view"),
+        ]
+    )
+    out = E.cohort_retention(events).collect()
+    w0, w1 = dt.date(2024, 1, 1), dt.date(2024, 1, 8)
+    got = {(r.cohort_week, r.week_offset): (r.n_users, r.retention) for r in out}
+    # cohort W0: users 1,2 at offset 0; user 1 retained at offset 1
+    # cohort W1: user 3 only
+    assert got == {
+        (w0, 0): (2, 1.0),
+        (w0, 1): (1, 0.5),
+        (w1, 0): (1, 1.0),
+    }
+
+
+def test_event_anomalies_flags_spike(spark):
+    counts = [4, 6, 5, 4, 6, 5, 4, 6, 50]
+    rows = []
+    eid = 0
+    for day, c in enumerate(counts, start=1):
+        for _ in range(c):
+            eid += 1
+            rows.append(
+                Row(event_id=eid, ts=_ts(day), user_id=1, event_type="view")
+            )
+    out = E.event_anomalies(spark.createDataFrame(rows)).collect()
+    by_day = {r.day.day: r for r in out}
+    # first three days: fewer than 3 trailing observations -> NULL
+    for d in (1, 2, 3):
+        assert by_day[d].zscore is None and by_day[d].is_anomaly is None
+    # steady days are not anomalous
+    assert by_day[8].is_anomaly is False
+    # the spike day z-scores against trailing mean ~5 with small variance
+    spike = by_day[9]
+    assert spike.is_anomaly is True and spike.zscore > 10
+    # hand-check: trailing window = days 2..8
+    trail = counts[1:8]
+    n = len(trail)
+    mean = sum(trail) / n
+    var = (sum(c * c for c in trail) - n * mean * mean) / (n - 1)
+    assert spike.zscore == round((50 - mean) / math.sqrt(var), 6)
+
+
+def test_event_anomalies_null_on_zero_variance(spark):
+    rows = [
+        Row(event_id=i * 10 + j, ts=_ts(i), user_id=1, event_type="view")
+        for i in range(1, 9)
+        for j in range(3)  # constant 3/day -> zero trailing variance
+    ]
+    out = E.event_anomalies(spark.createDataFrame(rows)).collect()
+    assert all(r.zscore is None and r.is_anomaly is None for r in out[3:])
