@@ -73,11 +73,13 @@ HEADLINE = [
     "unigram_lm_scores",
     "sequence_packing",
     "dsir_weights",
-    # round-4 second batch: ranked retrieval and behavioral analytics.
+    # round-4 second batch: ranked retrieval, behavioral analytics,
+    # and the ExactSubstr passage-dedup tier.
     "bm25_search",
     "vocab_coverage",
     "cohort_retention",
     "event_anomalies",
+    "duplicated_spans",
     # cosine_near_dups_lsh intentionally NOT in the headline: at the
     # fixture's 0.4 threshold (far below the >=0.9 near-dup regime the
     # operator exists for) sign-LSH candidate counts approach all-pairs,

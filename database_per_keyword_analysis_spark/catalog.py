@@ -146,6 +146,11 @@ _DEFERRED_TWINS = {
     "vocab_coverage",  # TakeOrdered top-n (word_frequency machinery) +
     #   bounded prefix-sum window (sequence_packing machinery) +
     #   broadcast total scalar (unigram_lm_scores machinery)
+    # sixth round-4 demotion, freeing a slot for the novel
+    # duplicated_spans (ExactSubstr) addition:
+    "jaccard_near_dups",  # exact-Jaccard machinery is executed INSIDE
+    #   the in-window minhash_near_dups (its candidate-verify stage
+    #   computes the same intersection/union on the same shingle sets)
 }
 
 
@@ -2711,3 +2716,32 @@ def q_event_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     machinery of running_order_totals over the daily-count table of
     events_daily_counts."""
     return E.event_anomalies(load(spark, sf_dir, "events"))
+
+
+@register(
+    "duplicated_spans",
+    r"WITH base AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') "
+    "AS toks FROM documents WHERE text IS NOT NULL), "
+    "b2 AS (SELECT doc_id, toks FROM base WHERE len(toks) >= 8), "
+    "wins AS (SELECT doc_id, unnest(generate_series(1, len(toks) - 7)) AS pos, toks "
+    "FROM b2), "
+    "h AS (SELECT doc_id, pos, CAST('0x' || substr(md5(array_to_string("
+    "toks[pos:pos+7], ' ')), 1, 12) AS BIGINT) AS h FROM wins), "
+    "dup AS (SELECT h FROM h GROUP BY h HAVING count(DISTINCT doc_id) >= 2), "
+    "hits AS (SELECT doc_id, pos FROM h JOIN dup USING (h)), "
+    "fl AS (SELECT doc_id, pos, CASE WHEN pos > coalesce(lag(pos) OVER "
+    "(PARTITION BY doc_id ORDER BY pos), -1000000000) + 8 THEN 1 ELSE 0 END "
+    "AS brk FROM hits), "
+    "isl AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM fl) "
+    "SELECT doc_id, CAST(min(pos) AS INTEGER) AS span_start, "
+    "CAST(max(pos) + 7 AS INTEGER) AS span_end, "
+    "CAST(max(pos) + 7 - min(pos) + 1 AS INTEGER) AS span_tokens, "
+    "CAST(count(*) AS BIGINT) AS n_windows "
+    "FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start",
+)
+def q_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr duplicated-passage extraction (Lee et al. 2022):
+    maximal token spans whose every 8-token window appears in >= 2
+    docs — the exact tier beside the probabilistic winnowing tier."""
+    return D.duplicated_spans(_load_docs_fanned(spark, sf_dir))

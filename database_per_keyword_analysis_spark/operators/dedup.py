@@ -908,3 +908,95 @@ def incremental_exact_dedup(
         )
         .orderBy("doc_id")
     )
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """EXACT duplicated-passage extraction (the ExactSubstr tier of
+    Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"): find, per document, the maximal token spans whose every
+    `width`-token window also appears in at least `min_docs - 1` OTHER
+    documents.  Winnowing is the probabilistic passage tier; this is
+    the exact one — a suffix-array-free formulation of the same
+    guarantee for duplicates of length ≥ width tokens.
+
+    Returns (id, span_start, span_end, span_tokens, n_windows): 1-based
+    token positions of each maximal span, produced by gaps-and-islands
+    merging of overlapping/adjacent duplicated windows (windows at
+    positions p and q coalesce when q ≤ p + width).
+
+    Distributed shape: the per-window hash pass stays inside the scan
+    partition (explode of an in-row sequence, one md5 per window — the
+    portable-hash idiom of the winnowing/minhash family); the
+    cross-doc window-frequency aggregate and the hit semi-join ship
+    (hash, id, pos) only, never text; span merging is a lag + running
+    sum window per doc over the HIT positions (already sparse).  All
+    arithmetic is integer, so the oracle reproduces it exactly.
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    base = (
+        docs.where(F.col(text_col).isNotNull())
+        .select(id_col, toks.alias("toks"))
+        .where(F.size("toks") >= width)
+    )
+    wins = base.select(
+        id_col,
+        F.explode(
+            F.sequence(F.lit(1), F.size("toks") - (width - 1))
+        ).alias("pos"),
+        "toks",
+    ).select(
+        id_col,
+        "pos",
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(" ", F.slice("toks", F.col("pos"), F.lit(width)))),
+                1,
+                12,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h"),
+    )
+    dup = (
+        wins.groupBy("h")
+        .agg(F.countDistinct(id_col).alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("h")
+    )
+    hits = wins.join(dup, "h").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    flagged = hits.withColumn(
+        "brk",
+        (
+            F.col("pos")
+            > F.coalesce(F.lag("pos").over(w), F.lit(-1_000_000_000)) + width
+        ).cast("int"),
+    )
+    islands = flagged.withColumn(
+        "island",
+        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        islands.groupBy(id_col, "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + (width - 1)).alias("span_end"),
+            F.count(F.lit(1)).cast("long").alias("n_windows"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+            "n_windows",
+        )
+        .orderBy(id_col, "span_start")
+    )

@@ -284,3 +284,9 @@ def test_vocab_coverage_matches_oracle(spark, sf_dir):
     # deferred at birth: TakeOrdered + bounded prefix-sum + broadcast
     # total scalar
     _assert_matches_oracle(spark, sf_dir, "vocab_coverage")
+
+
+def test_jaccard_near_dups_matches_oracle(spark, sf_dir):
+    # round-4 demotion: exact-Jaccard machinery runs inside the
+    # in-window minhash_near_dups' candidate-verify stage
+    _assert_matches_oracle(spark, sf_dir, "jaccard_near_dups")

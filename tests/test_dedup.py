@@ -506,3 +506,50 @@ def test_incremental_exact_dedup_against_index(spark, tmp_path):
     assert not out[11].is_duplicate and out[11].dup_of is None
     assert out[12].is_duplicate and out[12].dup_of == 11
     assert not out[13].is_duplicate and out[13].dup_of is None
+
+
+def test_duplicated_spans_merges_maximal(spark):
+    # docs 1/2 share a 10-token passage at different offsets; with
+    # width=8 that is 3 overlapping duplicated windows -> ONE span each
+    shared = "a b c d e f g h i j"
+    df = spark.createDataFrame(
+        [
+            (1, shared + " unique1 tail here"),
+            (2, "pre pre2 " + shared + " post"),
+            (3, "totally different tokens with no overlap at all ok"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = D.duplicated_spans(df).collect()
+    got = {(r.doc_id): (r.span_start, r.span_end, r.span_tokens, r.n_windows) for r in out}
+    assert got == {1: (1, 10, 10, 3), 2: (3, 12, 10, 3)}
+
+
+def test_duplicated_spans_disjoint_islands(spark):
+    # two shared 8-token passages separated by unique middles -> two
+    # spans per doc, not one merged blob
+    p1 = "q w e r t y u i"
+    p2 = "z x c v b n m l"
+    df = spark.createDataFrame(
+        [
+            (1, p1 + " mid1 mid2 mid3 " + p2),
+            (2, p1 + " other filler words here " + p2),
+        ],
+        ["doc_id", "text"],
+    )
+    out = D.duplicated_spans(df).collect()
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
+    assert per_doc[1] == [(1, 8), (12, 19)]
+    assert per_doc[2] == [(1, 8), (13, 20)]
+
+
+def test_duplicated_spans_ignores_within_doc_repeats(spark):
+    # a doc repeating ITS OWN passage is not cross-doc duplication
+    p = "r1 r2 r3 r4 r5 r6 r7 r8"
+    df = spark.createDataFrame(
+        [(1, p + " " + p), (2, "nothing shared with that doc at all ok here")],
+        ["doc_id", "text"],
+    )
+    assert D.duplicated_spans(df).count() == 0

@@ -239,3 +239,12 @@ def test_cohort_retention_joins_are_equi(spark, sf_dir):
     plan = _plan(spark, sf_dir, "cohort_retention")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_duplicated_spans_joins_are_equi(spark, sf_dir):
+    """The hit join ships (hash, doc, pos) through an equi-join on the
+    window hash — a CartesianProduct/nested-loop means the ExactSubstr
+    tier regressed to all-pairs; text must never reach the exchange."""
+    plan = _plan(spark, sf_dir, "duplicated_spans")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
