@@ -151,6 +151,10 @@ _DEFERRED_TWINS = {
     "jaccard_near_dups",  # exact-Jaccard machinery is executed INSIDE
     #   the in-window minhash_near_dups (its candidate-verify stage
     #   computes the same intersection/union on the same shingle sets)
+    # apply form of the in-window duplicated_spans composed with
+    # line_dedup_clean's anti-join/reassembly machinery, deferred at
+    # birth:
+    "clean_duplicated_spans",
 }
 
 
@@ -2745,3 +2749,47 @@ def q_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     maximal token spans whose every 8-token window appears in >= 2
     docs — the exact tier beside the probabilistic winnowing tier."""
     return D.duplicated_spans(_load_docs_fanned(spark, sf_dir))
+
+
+@register(
+    "clean_duplicated_spans",
+    # same CTE chain as duplicated_spans up to `isl`, then position-level
+    # removal + ordered reassembly (list_sort over (pos, token) structs)
+    r"WITH base AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') "
+    "AS toks FROM documents WHERE text IS NOT NULL), "
+    "tok AS (SELECT doc_id, unnest(generate_series(1, len(toks))) AS pos, toks "
+    "FROM base), "
+    "tokens AS (SELECT doc_id, pos, toks[pos] AS token FROM tok), "
+    "b2 AS (SELECT doc_id, toks FROM base WHERE len(toks) >= 8), "
+    "wins AS (SELECT doc_id, unnest(generate_series(1, len(toks) - 7)) AS pos, toks "
+    "FROM b2), "
+    "h AS (SELECT doc_id, pos, CAST('0x' || substr(md5(array_to_string("
+    "toks[pos:pos+7], ' ')), 1, 12) AS BIGINT) AS h FROM wins), "
+    "dup AS (SELECT h FROM h GROUP BY h HAVING count(DISTINCT doc_id) >= 2), "
+    "hits AS (SELECT doc_id, pos FROM h JOIN dup USING (h)), "
+    "fl AS (SELECT doc_id, pos, CASE WHEN pos > coalesce(lag(pos) OVER "
+    "(PARTITION BY doc_id ORDER BY pos), -1000000000) + 8 THEN 1 ELSE 0 END "
+    "AS brk FROM hits), "
+    "isl AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM fl), "
+    "spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e FROM isl "
+    "GROUP BY doc_id, island), "
+    "drops AS (SELECT doc_id, unnest(generate_series(s, e)) AS pos FROM spans), "
+    "kept AS (SELECT t.doc_id, t.pos, t.token FROM tokens t "
+    "LEFT JOIN drops d ON t.doc_id = d.doc_id AND t.pos = d.pos "
+    "WHERE d.pos IS NULL), "
+    "counts AS (SELECT doc_id, count(*) AS n_orig FROM tokens GROUP BY doc_id) "
+    "SELECT k.doc_id, "
+    "array_to_string(list_transform(list_sort(list(struct_pack(pos := k.pos, "
+    "token := k.token))), s -> s.token), ' ') AS clean_text, "
+    "CAST(count(*) AS BIGINT) AS n_tokens, "
+    "CAST(c.n_orig - count(*) AS BIGINT) AS n_removed "
+    "FROM kept k JOIN counts c ON k.doc_id = c.doc_id "
+    "GROUP BY k.doc_id, c.n_orig ORDER BY k.doc_id",
+)
+def q_clean_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply form of duplicated_spans (ExactSubstr removal policy):
+    token streams rebuilt without any cross-doc duplicated passage.
+    Deferred at birth: duplicated_spans' window machinery + the
+    line_dedup_clean anti-join/reassembly machinery composed."""
+    return D.remove_duplicated_spans(_load_docs_fanned(spark, sf_dir))

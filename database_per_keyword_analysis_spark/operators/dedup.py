@@ -1000,3 +1000,67 @@ def duplicated_spans(
         )
         .orderBy(id_col, "span_start")
     )
+
+
+def remove_duplicated_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Apply form of :func:`duplicated_spans` (ExactSubstr's "remove
+    every duplicated substring" policy, Lee et al. 2022 §3.1): rebuild
+    each document's token stream with every duplicated span's tokens
+    cut out.  Returns (id, clean_text, n_tokens, n_removed) — docs with
+    no duplicated span pass through with n_removed = 0; docs whose
+    ENTIRE stream is duplicated come out empty and are dropped (a
+    pipeline deletes fully-boilerplate docs rather than keeping "").
+
+    Scale shape: spans explode to at most (span length) (id, pos) drop
+    rows — already sparse; the drop-list anti-join is equi on
+    (id, pos), so it co-partitions with the token stream's doc key;
+    reassembly is the line_dedup_clean groupBy (array_sort over
+    (pos, token) structs).  Text crosses exactly two shuffles (token
+    reassembly + its count), both keyed by doc.
+    """
+    spans = duplicated_spans(docs, text_col, id_col, width, min_docs)
+    drop = spans.select(
+        id_col,
+        F.explode(
+            F.sequence(F.col("span_start"), F.col("span_end"))
+        ).alias("pos"),
+    )
+    toks = (
+        docs.where(F.col(text_col).isNotNull())
+        .select(
+            id_col,
+            F.posexplode(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+            ).alias("pos0", "token"),
+        )
+        .select(id_col, (F.col("pos0") + 1).alias("pos"), "token")
+    )
+    kept = toks.join(drop, [id_col, "pos"], "left_anti")
+    n_orig = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n_orig"))
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "token"))),
+                    lambda s: s["token"],
+                ),
+            ).alias("clean_text"),
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        )
+        .join(n_orig, id_col)
+        .select(
+            id_col,
+            "clean_text",
+            "n_tokens",
+            (F.col("_n_orig") - F.col("n_tokens")).cast("long").alias("n_removed"),
+        )
+        .orderBy(id_col)
+    )

@@ -290,3 +290,9 @@ def test_jaccard_near_dups_matches_oracle(spark, sf_dir):
     # round-4 demotion: exact-Jaccard machinery runs inside the
     # in-window minhash_near_dups' candidate-verify stage
     _assert_matches_oracle(spark, sf_dir, "jaccard_near_dups")
+
+
+def test_clean_duplicated_spans_matches_oracle(spark, sf_dir):
+    # deferred at birth: duplicated_spans windows + line_dedup_clean
+    # anti-join/reassembly composed
+    _assert_matches_oracle(spark, sf_dir, "clean_duplicated_spans")

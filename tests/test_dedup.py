@@ -553,3 +553,23 @@ def test_duplicated_spans_ignores_within_doc_repeats(spark):
         ["doc_id", "text"],
     )
     assert D.duplicated_spans(df).count() == 0
+
+
+def test_remove_duplicated_spans_round_trip(spark):
+    shared = "a b c d e f g h i j"
+    df = spark.createDataFrame(
+        [
+            (1, shared + " unique1 tail here"),
+            (2, "pre pre2 " + shared + " post"),
+            (3, "totally different tokens with no overlap at all ok"),
+            (4, shared),  # fully duplicated -> empty -> dropped
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in D.remove_duplicated_spans(df).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1].clean_text == "unique1 tail here"
+    assert out[2].clean_text == "pre pre2 post"
+    assert out[1].n_removed == 10 and out[2].n_removed == 10
+    assert out[3].clean_text.startswith("totally different")
+    assert out[3].n_removed == 0
