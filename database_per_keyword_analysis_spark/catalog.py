@@ -155,6 +155,10 @@ _DEFERRED_TWINS = {
     # line_dedup_clean's anti-join/reassembly machinery, deferred at
     # birth:
     "clean_duplicated_spans",
+    # foreachBatch lift of the checked exact_duplicates semantics
+    # (batch plumbing is the novelty; retry idempotence + cross-batch
+    # dedup pytest-proven), deferred at birth:
+    "stream_ingest_dedup",
 }
 
 
@@ -2793,3 +2797,39 @@ def q_clean_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     Deferred at birth: duplicated_spans' window machinery + the
     line_dedup_clean anti-join/reassembly machinery composed."""
     return D.remove_duplicated_spans(_load_docs_fanned(spark, sf_dir))
+
+
+@register(
+    "stream_ingest_dedup",
+    r"WITH f AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) "
+    "AS fingerprint FROM documents WHERE text IS NOT NULL), "
+    "w AS (SELECT doc_id, fingerprint, min(doc_id) OVER (PARTITION BY fingerprint) "
+    "AS bmin FROM f) "
+    "SELECT doc_id, fingerprint, doc_id <> bmin AS is_duplicate, "
+    "CASE WHEN doc_id <> bmin THEN bmin END AS dup_of FROM w ORDER BY doc_id",
+)
+def q_stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-path exact dedup as a STREAM: documents arrive through a
+    foreachBatch gate that labels each micro-batch against the
+    persisted fingerprint index and appends the novel fingerprints
+    (streaming/ingest.py).  Deferred at birth: foreachBatch lift of the
+    checked exact_duplicates semantics; retry idempotence and
+    cross-batch dedup are proven in tests/test_streaming.py."""
+    import tempfile
+
+    from .streaming import curation as SCUR
+    from .streaming import ingest as ING
+
+    base = tempfile.mkdtemp(prefix="ingest_dedup_")
+    ING.run_ingest_dedup(
+        SCUR.read_documents_stream(spark, sf_dir),
+        index_path=f"{base}/index",
+        output_path=f"{base}/out",
+        checkpoint_dir=f"{base}/ckpt",
+    )
+    return (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(f"{base}/out")
+        .select("doc_id", "fingerprint", "is_duplicate", "dup_of")
+        .orderBy("doc_id")
+    )

@@ -886,25 +886,38 @@ def incremental_exact_dedup(
     This is the streaming-ingest complement of `exact_duplicates`,
     which re-ranks a whole corpus."""
     spark = new_docs.sparkSession
-    idx = spark.read.parquet(index_path)
+    # recursive lookup reads a flat index AND the per-batch delta layout
+    # the streaming ingester writes (streaming/ingest.py); the min-agg
+    # collapses any fingerprint duplicated across deltas (or by a
+    # retried batch) so a probe row can never fan out in the join
+    idx = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(index_path)
+        .groupBy("fingerprint")
+        .agg(F.min("keeper_id").alias("keeper_id"))
+    )
     batch = new_docs.where(F.col(text_col).isNotNull()).select(
         "doc_id", fingerprint_col(text_col).alias("fingerprint")
     )
     w = Window.partitionBy("fingerprint").orderBy("doc_id")
     batch = batch.withColumn("batch_min", F.min("doc_id").over(w))
+    # a document is never a duplicate of ITSELF: when the index already
+    # holds this doc's own fingerprint keyed to this doc (a re-ingest,
+    # or a retried streaming batch probing its own just-written delta,
+    # streaming/ingest.py), the self-reference must not flag it — that
+    # is what makes the foreachBatch retry path idempotent
+    raw_dup = F.coalesce(
+        "keeper_id",
+        F.when(F.col("doc_id") != F.col("batch_min"), F.col("batch_min")),
+    )
+    dup_of = F.when(raw_dup != F.col("doc_id"), raw_dup)
     return (
         batch.join(idx, "fingerprint", "left")
         .select(
             "doc_id",
             "fingerprint",
-            (
-                F.col("keeper_id").isNotNull()
-                | (F.col("doc_id") != F.col("batch_min"))
-            ).alias("is_duplicate"),
-            F.coalesce(
-                "keeper_id",
-                F.when(F.col("doc_id") != F.col("batch_min"), F.col("batch_min")),
-            ).alias("dup_of"),
+            dup_of.isNotNull().alias("is_duplicate"),
+            dup_of.alias("dup_of"),
         )
         .orderBy("doc_id")
     )

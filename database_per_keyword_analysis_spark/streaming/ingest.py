@@ -1,0 +1,93 @@
+"""Streaming ingest dedup: `foreachBatch` + a persisted fingerprint
+index.
+
+The batch operators give the pieces — `dedup.build_fingerprint_index`
+(standing corpus state) and `dedup.incremental_exact_dedup` (label one
+batch against it).  This module wires them into the arrival path with
+Structured Streaming's `foreachBatch`, the API for streaming writes
+that need batch-only operations (arbitrary joins against persisted
+state, multi-sink output): each micro-batch is labeled against the
+index, the labeled rows land in the output, and the batch's NOVEL
+fingerprints are appended to the index so later batches dedup against
+them.
+
+Exactly-once without a transaction log: every write is an OVERWRITE of
+a directory derived from the micro-batch id (`batch=<id>/`).  A batch
+retried after a crash rewrites the same directories with the same
+content — idempotent — while the checkpoint guarantees each input file
+is assigned to exactly one batch id.  The index reader
+(`incremental_exact_dedup`) collapses duplicate fingerprints across
+delta directories by min(keeper_id), so even a torn half-written
+directory can only lose, never corrupt, and the rewrite repairs it.
+
+Scale shape: state is the fingerprint index — (fingerprint, keeper_id)
+pairs on object storage, partitioned by arrival batch; it is read as a
+hash-side of one equi-join per micro-batch and never lives on the heap
+(this is the RocksDB-free variant of stateful dedup for EXACT
+fingerprints, where `dropDuplicatesWithinWatermark` would bound state
+by time and we want it unbounded).  Compaction of many small deltas
+into a new base is a plain batch rewrite of the index directory.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+
+
+def ingest_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    index_path: str,
+    output_path: str,
+    text_col: str = "text",
+) -> None:
+    """Process ONE micro-batch: label against the index, overwrite this
+    batch's output and index-delta directories (idempotent on retry)."""
+    labeled = D.incremental_exact_dedup(batch_df, index_path, text_col)
+    # deterministic content for a given input set -> safe to rewrite
+    labeled.write.mode("overwrite").parquet(
+        os.path.join(output_path, f"batch={batch_id}")
+    )
+    novel = (
+        labeled.where(~F.col("is_duplicate"))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keeper_id"))
+    )
+    novel.write.mode("overwrite").parquet(
+        os.path.join(index_path, f"batch={batch_id}")
+    )
+
+
+def run_ingest_dedup(
+    docs_stream: DataFrame,
+    index_path: str,
+    output_path: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+) -> None:
+    """Drain the document stream through the ingest-dedup gate with an
+    availableNow trigger (process-everything-then-stop; the same query
+    runs continuously without the trigger)."""
+    os.makedirs(index_path, exist_ok=True)
+    # bootstrap an empty index so the first batch's probe join resolves
+    spark = docs_stream.sparkSession
+    if not os.listdir(index_path):
+        spark.createDataFrame(
+            [], "fingerprint string, keeper_id bigint"
+        ).write.mode("overwrite").parquet(os.path.join(index_path, "base"))
+    q = (
+        docs_stream.writeStream.foreachBatch(
+            lambda df, bid: ingest_batch(
+                df, bid, index_path, output_path, text_col
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -296,3 +296,8 @@ def test_clean_duplicated_spans_matches_oracle(spark, sf_dir):
     # deferred at birth: duplicated_spans windows + line_dedup_clean
     # anti-join/reassembly composed
     _assert_matches_oracle(spark, sf_dir, "clean_duplicated_spans")
+
+
+def test_stream_ingest_dedup_matches_oracle(spark, sf_dir):
+    # deferred at birth: foreachBatch lift of exact_duplicates semantics
+    _assert_matches_oracle(spark, sf_dir, "stream_ingest_dedup")

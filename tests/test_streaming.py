@@ -233,3 +233,91 @@ def test_stream_quality_gate_batch_parity(spark, sf_dir):
     assert sorted(tuple(r[c] for c in cols) for r in batch.collect()) == sorted(
         tuple(r[c] for c in cols) for r in stream.collect()
     )
+
+
+def test_ingest_dedup_cross_batch_and_retry(spark, tmp_path):
+    """foreachBatch ingest gate (streaming/ingest.py): batch 2's copies
+    of batch-1 docs must be flagged against the persisted index, and
+    re-running a batch id (crash retry) must leave index and output
+    byte-identical (overwrite idempotence)."""
+    from database_per_keyword_analysis_spark.streaming import ingest as ING
+
+    index, out = str(tmp_path / "idx"), str(tmp_path / "out")
+    import os
+
+    os.makedirs(index)
+    spark.createDataFrame(
+        [], "fingerprint string, keeper_id bigint"
+    ).write.mode("overwrite").parquet(os.path.join(index, "base"))
+
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta"), (3, "alpha   BETA ")],
+        ["doc_id", "text"],
+    )
+    ING.ingest_batch(b1, 0, index, out)
+    lab1 = {
+        r.doc_id: r
+        for r in spark.read.parquet(f"{out}/batch=0").collect()
+    }
+    # within-batch dup: doc 3 normalizes to doc 1's fingerprint
+    assert not lab1[1].is_duplicate and lab1[3].is_duplicate
+    assert lab1[3].dup_of == 1
+
+    # batch 2: one copy of an indexed doc, one novel doc
+    b2 = spark.createDataFrame(
+        [(10, "gamma delta"), (11, "fresh text")], ["doc_id", "text"]
+    )
+    ING.ingest_batch(b2, 1, index, out)
+    lab2 = {
+        r.doc_id: r
+        for r in spark.read.parquet(f"{out}/batch=1").collect()
+    }
+    assert lab2[10].is_duplicate and lab2[10].dup_of == 2  # via the INDEX
+    assert not lab2[11].is_duplicate
+
+    # retry batch 1 (same id, same data): index content unchanged
+    def index_rows():
+        return sorted(
+            map(
+                tuple,
+                spark.read.option("recursiveFileLookup", "true")
+                .parquet(index)
+                .collect(),
+            )
+        )
+
+    before = index_rows()
+    ING.ingest_batch(b2, 1, index, out)
+    assert index_rows() == before
+    lab2b = {
+        r.doc_id: r
+        for r in spark.read.parquet(f"{out}/batch=1").collect()
+    }
+    assert {k: (v.is_duplicate, v.dup_of) for k, v in lab2b.items()} == {
+        k: (v.is_duplicate, v.dup_of) for k, v in lab2.items()
+    }
+
+
+def test_ingest_dedup_stream_end_to_end(spark, sf_dir, tmp_path):
+    """run_ingest_dedup over the fixture stream equals the batch
+    exact_duplicates labeling (single availableNow batch, empty index)."""
+    from database_per_keyword_analysis_spark.operators import dedup as D
+    from database_per_keyword_analysis_spark.sources import load
+    from database_per_keyword_analysis_spark.streaming import curation as SCUR
+    from database_per_keyword_analysis_spark.streaming import ingest as ING
+
+    ING.run_ingest_dedup(
+        SCUR.read_documents_stream(spark, sf_dir),
+        index_path=str(tmp_path / "idx"),
+        output_path=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    got = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(str(tmp_path / "out"))
+        .select("doc_id", "fingerprint", "is_duplicate")
+    )
+    exp = D.exact_duplicates(load(spark, sf_dir, "documents")).select(
+        "doc_id", "fingerprint", "is_duplicate"
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exp.collect()))
