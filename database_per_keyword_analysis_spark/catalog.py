@@ -159,6 +159,9 @@ _DEFERRED_TWINS = {
     # (batch plumbing is the novelty; retry idempotence + cross-batch
     # dedup pytest-proven), deferred at birth:
     "stream_ingest_dedup",
+    # broadcast-join + ordered-reassembly machinery (line_dedup_clean)
+    # over vocab_coverage's TakeOrdered vocabulary, deferred at birth:
+    "encode_documents",
 }
 
 
@@ -2832,4 +2835,45 @@ def q_stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(f"{base}/out")
         .select("doc_id", "fingerprint", "is_duplicate", "dup_of")
         .orderBy("doc_id")
+    )
+
+
+@register(
+    "encode_documents",
+    # ids digest to md5(csv) — the winnowing_fingerprints convention
+    # keeps the registered schema canonicalizer-safe (scalar columns);
+    # the ARRAY<INT> form stays available to library callers
+    r"WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) "
+    "AS token FROM documents WHERE text IS NOT NULL), "
+    "c AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token), "
+    "vocab AS (SELECT token, row_number() OVER (ORDER BY cnt DESC, token) AS tok_id "
+    "FROM c ORDER BY cnt DESC, token LIMIT 100), "
+    "pt AS (SELECT doc_id, unnest(generate_series(1, len(toks))) AS pos, toks "
+    "FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks "
+    "FROM documents WHERE text IS NOT NULL)), "
+    "enc AS (SELECT p.doc_id, p.pos, coalesce(v.tok_id, 0) AS tok_id "
+    "FROM (SELECT doc_id, pos, toks[pos] AS token FROM pt) p "
+    "LEFT JOIN vocab v ON p.token = v.token) "
+    "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
+    "CAST(count(*) FILTER (WHERE tok_id = 0) AS BIGINT) AS n_oov, "
+    "md5(array_to_string(list_transform(list_sort(list(struct_pack(pos := pos, "
+    "tok_id := tok_id))), s -> s.tok_id), ',')) AS ids_md5 "
+    "FROM enc GROUP BY doc_id ORDER BY doc_id",
+)
+def q_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocab-id document encoding (vocab_coverage's vocabulary applied):
+    the induction -> encode -> pack_sequences assembly chain's middle
+    step.  Deferred at birth: broadcast-join + ordered-reassembly
+    machinery of line_dedup_clean over vocab_coverage's TakeOrdered
+    vocabulary."""
+    from pyspark.sql import functions as F
+
+    enc = SRCH.encode_documents(load(spark, sf_dir, "documents", parallel=True))
+    return enc.select(
+        "doc_id",
+        "n_tokens",
+        "n_oov",
+        F.md5(F.concat_ws(",", F.col("ids").cast("array<string>"))).alias(
+            "ids_md5"
+        ),
     )

@@ -158,3 +158,61 @@ def vocab_coverage(
         )
         .orderBy("rank")
     )
+
+
+def encode_documents(
+    docs: DataFrame,
+    vocab_size: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenizer application: encode each document against the induced
+    top-`vocab_size` vocabulary (the one `vocab_coverage` ranks) —
+    token i gets id = its vocabulary rank, out-of-vocabulary tokens get
+    id 0.  Returns (id, n_tokens, n_oov, ids ARRAY<INT>) in original
+    token order — the step between vocabulary induction and
+    `curation.pack_sequences` in a training-data assembly line.
+
+    Scale shape: the vocabulary reduces to vocab_size rows (TakeOrdered
+    over distributed counts) and BROADCASTS into the token stream — the
+    encode join never shuffles the corpus; ordered reassembly is the
+    line_dedup_clean groupBy (array_sort over (pos, id) structs), one
+    doc-keyed shuffle.
+    """
+    counts = _tokens(docs, text_col, id_col).groupBy("token").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    vocab = (
+        counts.orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(vocab_size)
+        .select(
+            "token",
+            F.row_number()
+            .over(Window.orderBy(F.desc("cnt"), F.asc("token")))
+            .alias("tok_id"),
+        )
+    )
+    toks = (
+        docs.where(F.col(text_col).isNotNull())
+        .select(
+            id_col,
+            F.posexplode(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+            ).alias("pos", "token"),
+        )
+    )
+    enc = toks.join(F.broadcast(vocab), "token", "left").select(
+        id_col, "pos", F.coalesce("tok_id", F.lit(0)).alias("tok_id")
+    )
+    return (
+        enc.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum((F.col("tok_id") == 0).cast("long")).alias("n_oov"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok_id"))),
+                lambda s: s["tok_id"],
+            ).alias("ids"),
+        )
+        .orderBy(id_col)
+    )

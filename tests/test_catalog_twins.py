@@ -301,3 +301,9 @@ def test_clean_duplicated_spans_matches_oracle(spark, sf_dir):
 def test_stream_ingest_dedup_matches_oracle(spark, sf_dir):
     # deferred at birth: foreachBatch lift of exact_duplicates semantics
     _assert_matches_oracle(spark, sf_dir, "stream_ingest_dedup")
+
+
+def test_encode_documents_matches_oracle(spark, sf_dir):
+    # deferred at birth: broadcast vocab join + line_dedup_clean
+    # reassembly over vocab_coverage's TakeOrdered vocabulary
+    _assert_matches_oracle(spark, sf_dir, "encode_documents")

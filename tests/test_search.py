@@ -138,3 +138,18 @@ def test_event_anomalies_null_on_zero_variance(spark):
     ]
     out = E.event_anomalies(spark.createDataFrame(rows)).collect()
     assert all(r.zscore is None and r.is_anomaly is None for r in out[3:])
+
+
+def test_encode_documents_round_trip(spark):
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a a b c"),
+            Row(doc_id=2, text="b oovword a"),
+        ]
+    )
+    # counts: a=3, b=2, c=1, oovword=1 -> vocab_size=3 keeps a,b,c
+    # (c beats oovword on the token tie-break)
+    out = {r.doc_id: r for r in SRCH.encode_documents(docs, vocab_size=3).collect()}
+    assert out[1].ids == [1, 1, 2, 3] and out[1].n_oov == 0
+    assert out[2].ids == [2, 0, 1] and out[2].n_oov == 1
+    assert out[2].n_tokens == 3
