@@ -248,3 +248,13 @@ def test_duplicated_spans_joins_are_equi(spark, sf_dir):
     plan = _plan(spark, sf_dir, "duplicated_spans")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_encode_vocab_join_is_broadcast(spark, sf_dir):
+    """The vocab_size-row vocabulary must BROADCAST into the token
+    stream — a SortMergeJoin there would shuffle the whole exploded
+    corpus on the token key for a dictionary that fits in one packet."""
+    plan = _plan(spark, sf_dir, "encode_documents")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
