@@ -82,6 +82,7 @@ HEADLINE = [
     "duplicated_spans",
     "stream_ingest_dedup",
     "encode_documents",
+    "bm25_search_indexed",
     # cosine_near_dups_lsh intentionally NOT in the headline: at the
     # fixture's 0.4 threshold (far below the >=0.9 near-dup regime the
     # operator exists for) sign-LSH candidate counts approach all-pairs,

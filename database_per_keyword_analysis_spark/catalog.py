@@ -162,6 +162,9 @@ _DEFERRED_TWINS = {
     # broadcast-join + ordered-reassembly machinery (line_dedup_clean)
     # over vocab_coverage's TakeOrdered vocabulary, deferred at birth:
     "encode_documents",
+    # result-identical twin of bm25_search answered from the persisted
+    # postings index (same oracle SQL), deferred at birth:
+    "bm25_search_indexed",
 }
 
 
@@ -2877,3 +2880,37 @@ def q_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ids_md5"
         ),
     )
+
+
+def _postings_index_path(sf_dir: str) -> str:
+    """Persisted BM25 postings-index path keyed on corpus identity —
+    the build-once/query-many seam shared with the IVF and winnowing
+    indexes."""
+    import hashlib
+    import os
+
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|postings".encode()
+    ).hexdigest()[:12]
+    return os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "..", ".cache", f"bm25_{key}")
+
+
+@register("bm25_search_indexed", _bm25_sql())
+def q_bm25_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bm25_search answered from the PERSISTED inverted index
+    (build_postings_index → bm25_probe): the first call builds the
+    postings/doclens/stats parquet under .cache, every later call is a
+    pure index probe that never reads the corpus text.  Deferred at
+    birth: result-identical twin of the in-window bm25_search (same
+    oracle SQL; parity also pytest-asserted)."""
+    import os
+
+    from .operators import search as SRCH2
+
+    path = _postings_index_path(sf_dir)
+    if not os.path.exists(os.path.join(path, "stats", "_SUCCESS")):
+        SRCH2.build_postings_index(
+            load(spark, sf_dir, "documents", parallel=True), path
+        )
+    return SRCH2.bm25_probe(spark, path)

@@ -75,14 +75,28 @@ def bm25_search(
     """
     toks = _tokens(docs, text_col, id_col)
     dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
-    stats = dl.agg(
-        F.count(F.lit(1)).cast("double").alias("n_docs"),
-        F.avg("dl").alias("avgdl"),
-    )
     tf = (
         toks.where(F.col("token").isin(*query_terms))
         .groupBy(id_col, "token")
         .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return _bm25_score(tf, dl, id_col, k1, b, top_k)
+
+
+def _bm25_score(
+    tf: DataFrame,
+    dl: DataFrame,
+    id_col: str,
+    k1: float,
+    b: float,
+    top_k: int,
+) -> DataFrame:
+    """Scoring dataflow shared by the in-plan form (bm25_search) and
+    the persisted-index probe (bm25_probe): tf = (id, token, tf)
+    already filtered to the query terms, dl = (id, dl)."""
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
     )
     df_t = tf.groupBy("token").agg(
         F.countDistinct(id_col).cast("double").alias("df")
@@ -122,6 +136,56 @@ def bm25_search(
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(top_k)
     )
+
+
+def build_postings_index(
+    docs: DataFrame,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Materialize the inverted index bm25_search's docstring promises:
+    postings (id, token, tf), doc lengths (id, dl), and corpus stats
+    (n_docs, avgdl) as parquet under `index_path` — built ONCE from one
+    tokenize pass, probed per query by :func:`bm25_probe`.  At cluster
+    scale the postings write would add `.bucketBy(token)` so probe
+    filters prune files; plain parquet already gets row-group pruning
+    from the token predicate pushdown (asserted in test_plans)."""
+    toks = _tokens(docs, text_col, id_col)
+    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    tf.write.mode("overwrite").parquet(f"{index_path}/postings")
+    spark = docs.sparkSession
+    dl = (
+        spark.read.parquet(f"{index_path}/postings")
+        .groupBy(id_col)
+        .agg(F.sum("tf").alias("dl"))
+    )
+    dl.write.mode("overwrite").parquet(f"{index_path}/doclens")
+    spark.read.parquet(f"{index_path}/doclens").agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    ).write.mode("overwrite").parquet(f"{index_path}/stats")
+
+
+def bm25_probe(
+    spark,
+    index_path: str,
+    query_terms: tuple[str, ...] = DEFAULT_QUERY,
+    id_col: str = "doc_id",
+    k1: float = K1,
+    b: float = B,
+    top_k: int = 15,
+) -> DataFrame:
+    """Query the persisted postings index (build_postings_index): the
+    token IN-filter pushes into the postings parquet scan, so a probe
+    touches O(matching postings) — the corpus text is never read.
+    Result-identical to bm25_search over the same corpus (parity
+    pytest-asserted)."""
+    tf = spark.read.parquet(f"{index_path}/postings").where(
+        F.col("token").isin(*query_terms)
+    )
+    dl = spark.read.parquet(f"{index_path}/doclens")
+    return _bm25_score(tf, dl, id_col, k1, b, top_k)
 
 
 def vocab_coverage(

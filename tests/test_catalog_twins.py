@@ -307,3 +307,7 @@ def test_encode_documents_matches_oracle(spark, sf_dir):
     # deferred at birth: broadcast vocab join + line_dedup_clean
     # reassembly over vocab_coverage's TakeOrdered vocabulary
     _assert_matches_oracle(spark, sf_dir, "encode_documents")
+
+
+def test_bm25_indexed_equals_primary(spark, sf_dir):
+    _assert_equal_results(spark, sf_dir, "bm25_search_indexed", "bm25_search")

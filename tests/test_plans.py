@@ -258,3 +258,11 @@ def test_encode_vocab_join_is_broadcast(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bm25_probe_pushes_token_filter_to_index_scan(spark, sf_dir):
+    """The probe's token IN-filter must reach the postings parquet scan
+    (row-group pruning) — a post-scan filter would read the whole
+    postings table per query."""
+    plan = _plan(spark, sf_dir, "bm25_search_indexed")
+    assert "PushedFilters: [In(token" in plan

@@ -153,3 +153,19 @@ def test_encode_documents_round_trip(spark):
     assert out[1].ids == [1, 1, 2, 3] and out[1].n_oov == 0
     assert out[2].ids == [2, 0, 1] and out[2].n_oov == 1
     assert out[2].n_tokens == 3
+
+
+def test_bm25_probe_matches_in_plan_search(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="hash hash join x"),
+            Row(doc_id=2, text="join y z"),
+            Row(doc_id=3, text="hash a b c d join"),
+        ]
+    )
+    SRCH.build_postings_index(docs, str(tmp_path / "idx"))
+    probe = SRCH.bm25_probe(
+        spark, str(tmp_path / "idx"), query_terms=("hash", "join")
+    ).collect()
+    direct = SRCH.bm25_search(docs, query_terms=("hash", "join")).collect()
+    assert sorted(map(tuple, probe)) == sorted(map(tuple, direct))
