@@ -1686,7 +1686,7 @@ def q_source_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sum(n_tokens) OVER (PARTITION BY stream ORDER BY doc_id "
     "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM q) "
     "SELECT doc_id, stream, n_tokens, "
-    "cum - n_tokens AS start_offset, "
+    "CAST(cum - n_tokens AS BIGINT) AS start_offset, "
     "CAST(floor((cum - n_tokens) / 256.0) AS BIGINT) AS seq_first, "
     "CAST(floor((cum - 1) / 256.0) AS BIGINT) AS seq_last, "
     "CAST(floor((cum - 1) / 256.0) AS BIGINT) > "
