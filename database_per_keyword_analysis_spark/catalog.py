@@ -2740,9 +2740,12 @@ def q_event_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     "wins AS (SELECT doc_id, unnest(generate_series(1, len(toks) - 7)) AS pos, toks "
     "FROM b2), "
     "h AS (SELECT doc_id, pos, CAST('0x' || substr(md5(array_to_string("
-    "toks[pos:pos+7], ' ')), 1, 12) AS BIGINT) AS h FROM wins), "
-    "dup AS (SELECT h FROM h GROUP BY h HAVING count(DISTINCT doc_id) >= 2), "
-    "hits AS (SELECT doc_id, pos FROM h JOIN dup USING (h)), "
+    "toks[pos:pos+7], ' ')), 1, 12) AS BIGINT) AS h1, "
+    "CAST('0x' || substr(md5(array_to_string("
+    "toks[pos:pos+7], ' ')), 13, 12) AS BIGINT) AS h2 FROM wins), "
+    "dup AS (SELECT h1, h2 FROM h GROUP BY h1, h2 "
+    "HAVING count(DISTINCT doc_id) >= 2), "
+    "hits AS (SELECT doc_id, pos FROM h JOIN dup USING (h1, h2)), "
     "fl AS (SELECT doc_id, pos, CASE WHEN pos > coalesce(lag(pos) OVER "
     "(PARTITION BY doc_id ORDER BY pos), -1000000000) + 8 THEN 1 ELSE 0 END "
     "AS brk FROM hits), "
@@ -2774,9 +2777,12 @@ def q_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     "wins AS (SELECT doc_id, unnest(generate_series(1, len(toks) - 7)) AS pos, toks "
     "FROM b2), "
     "h AS (SELECT doc_id, pos, CAST('0x' || substr(md5(array_to_string("
-    "toks[pos:pos+7], ' ')), 1, 12) AS BIGINT) AS h FROM wins), "
-    "dup AS (SELECT h FROM h GROUP BY h HAVING count(DISTINCT doc_id) >= 2), "
-    "hits AS (SELECT doc_id, pos FROM h JOIN dup USING (h)), "
+    "toks[pos:pos+7], ' ')), 1, 12) AS BIGINT) AS h1, "
+    "CAST('0x' || substr(md5(array_to_string("
+    "toks[pos:pos+7], ' ')), 13, 12) AS BIGINT) AS h2 FROM wins), "
+    "dup AS (SELECT h1, h2 FROM h GROUP BY h1, h2 "
+    "HAVING count(DISTINCT doc_id) >= 2), "
+    "hits AS (SELECT doc_id, pos FROM h JOIN dup USING (h1, h2)), "
     "fl AS (SELECT doc_id, pos, CASE WHEN pos > coalesce(lag(pos) OVER "
     "(PARTITION BY doc_id ORDER BY pos), -1000000000) + 8 THEN 1 ELSE 0 END "
     "AS brk FROM hits), "

@@ -950,6 +950,15 @@ def duplicated_spans(
     (hash, id, pos) only, never text; span merging is a lag + running
     sum window per doc over the HIT positions (already sparse).  All
     arithmetic is integer, so the oracle reproduces it exactly.
+
+    Hash width: the window key is a COMPOSITE of two 48-bit md5 halves
+    (the winnowing idiom above), 96 bits total.  This tier is the
+    EXACT one, so collision mass matters at corpus scale: a 100 TB
+    corpus is ~1e13 token windows, and birthday mass n²/2m is
+    (1e13)²/2^97 ≈ 6e-4 expected colliding pairs — negligible, where a
+    single 48-bit key would be past certain collision at ~2e7 windows
+    and would silently delete non-duplicated text via
+    :func:`remove_duplicated_spans`.
     """
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     base = (
@@ -957,6 +966,7 @@ def duplicated_spans(
         .select(id_col, toks.alias("toks"))
         .where(F.size("toks") >= width)
     )
+    digest = F.md5(F.concat_ws(" ", F.slice("toks", F.col("pos"), F.lit(width))))
     wins = base.select(
         id_col,
         F.explode(
@@ -966,25 +976,16 @@ def duplicated_spans(
     ).select(
         id_col,
         "pos",
-        F.conv(
-            F.substring(
-                F.md5(F.concat_ws(" ", F.slice("toks", F.col("pos"), F.lit(width)))),
-                1,
-                12,
-            ),
-            16,
-            10,
-        )
-        .cast("long")
-        .alias("h"),
+        F.conv(F.substring(digest, 1, 12), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring(digest, 13, 12), 16, 10).cast("long").alias("h2"),
     )
     dup = (
-        wins.groupBy("h")
+        wins.groupBy("h1", "h2")
         .agg(F.countDistinct(id_col).alias("nd"))
         .where(F.col("nd") >= min_docs)
-        .select("h")
+        .select("h1", "h2")
     )
-    hits = wins.join(dup, "h").select(id_col, "pos")
+    hits = wins.join(dup, ["h1", "h2"]).select(id_col, "pos")
     w = Window.partitionBy(id_col).orderBy("pos")
     flagged = hits.withColumn(
         "brk",
