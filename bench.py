@@ -61,7 +61,13 @@ HEADLINE = [
     "corpus_curation",
     "decontamination_check",
     "token_budget_sample",
-    "cosine_dup_groups",
+    # cosine_dup_groups (all-pairs exact tier) was demoted from the
+    # headline in round 5: it is the DuckDB-oracle baseline, quadratic
+    # by construction and now size-gated (operators/scale.py:
+    # assert_all_pairs_safe) — semantic_dedup below is the embedding
+    # dedup decision path that gets benched, with the same keep/drop
+    # schema and a recall proof against the exact tier in
+    # tests/test_similarity.py.
     # round-4 additions: repetition quality tier, PII scrub, the two
     # samplers, and SemDeDup cluster-scoped embedding dedup.
     "repetition_flags",

@@ -1441,7 +1441,10 @@ _COSINE_PAIRS_SQL = (
 @register("cosine_near_dup_pairs", _COSINE_PAIRS_SQL)
 def q_cosine_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (threshold tuned to fixture
-    geometry: max pairwise cosine ≈ 0.51)."""
+    geometry: max pairwise cosine ≈ 0.51).  ORACLE-ONLY duty (sf ≤
+    0.1): all-pairs exact baseline, size-gated at
+    scale.ALL_PAIRS_DEFAULT_CAP — the registered decision path at
+    scale is semantic_dedup."""
     return SIM.cosine_near_dup_pairs(_load_emb(spark, sf_dir), threshold=0.4)
 
 
@@ -1466,7 +1469,9 @@ def q_cosine_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     connected components -> keeper per group.  Same min-label
     propagation machinery as minhash_dup_groups (operators/dedup.py),
     applied to the vector pair list — completes keep/drop semantics
-    across the exact, text-LSH, and embedding tiers."""
+    across the exact, text-LSH, and embedding tiers.  ORACLE-ONLY duty
+    (sf ≤ 0.1): built on the size-gated all-pairs tier; semantic_dedup
+    is the decision path benched as the embedding-dedup headline."""
     from pyspark.sql import functions as F
 
     pairs = SIM.cosine_near_dup_pairs(_load_emb(spark, sf_dir), threshold=0.4)

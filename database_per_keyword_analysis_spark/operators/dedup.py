@@ -98,11 +98,25 @@ def _jaccard(inter: F.Column, na: F.Column, nb: F.Column) -> F.Column:
 
 
 def jaccard_pairs(
-    docs: DataFrame, text_col: str = "text", n: int = 3, threshold: float = 0.8
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_rows: int | None = -1,
 ) -> DataFrame:
     """Exact n-gram-Jaccard near-dup pairs (doc_a < doc_b, jaccard ≥
-    threshold).  Exact but joins every doc pair sharing a shingle — use
-    `minhash_near_dups` past ~10^6 docs."""
+    threshold).  ORACLE tier: joins every doc pair sharing a shingle
+    (worst-case quadratic on common shingles), size-gated by
+    ``max_rows`` (default ``scale.ALL_PAIRS_DEFAULT_CAP``; ``None``
+    opts out) — the scale decision path is `minhash_near_dups`
+    (banded LSH)."""
+    from .scale import ALL_PAIRS_DEFAULT_CAP, assert_all_pairs_safe
+
+    if max_rows == -1:
+        max_rows = ALL_PAIRS_DEFAULT_CAP
+    assert_all_pairs_safe(
+        docs, "jaccard_pairs", max_rows, scale_alternative="minhash_near_dups"
+    )
     sh = shingles(docs, text_col, n)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")

@@ -82,3 +82,36 @@ def write_bucketed(
         .sortBy(*keys)
         .saveAsTable(table)
     )
+
+
+# Rows above which an all-pairs (O(N²)) oracle-tier operator refuses to
+# build its plan.  100k rows is far above every fixture SF (sf0.1 ships
+# 5k embeddings / 5k documents) and far below anything a cluster run
+# would point at; the scale tiers (banded MinHash, sign-LSH, SemDeDup)
+# take over there.
+ALL_PAIRS_DEFAULT_CAP = 100_000
+
+
+def assert_all_pairs_safe(
+    df: DataFrame,
+    op: str,
+    cap: int | None = ALL_PAIRS_DEFAULT_CAP,
+    scale_alternative: str = "",
+) -> None:
+    """Size gate in front of an all-pairs construct: the exact
+    cosine/jaccard tiers exist as DuckDB-replayable ORACLE baselines
+    (sf ≤ 0.1 duty) and are quadratic by construction — at 100× data
+    they are dead plans, so running one there is always a mistake, not
+    a choice.  The check is an early-stop count (``limit(cap+1)``), one
+    cheap bounded job before the quadratic stage is even constructed.
+    Pass ``cap=None`` to opt out explicitly.
+    """
+    if cap is None:
+        return
+    n = df.limit(cap + 1).count()
+    if n > cap:
+        alt = f"; use {scale_alternative} at scale" if scale_alternative else ""
+        raise ValueError(
+            f"{op}: all-pairs oracle tier refused over >{cap:,} rows "
+            f"(input has at least {n:,}){alt}, or raise max_rows explicitly"
+        )

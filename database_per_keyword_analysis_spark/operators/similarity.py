@@ -24,6 +24,8 @@ import pandas as pd  # noqa: F401 — resolves pandas_udf type hints under futur
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .scale import ALL_PAIRS_DEFAULT_CAP, assert_all_pairs_safe
+
 # 28,12 leaves precision headroom: decimal(28,12)+decimal(28,12) →
 # decimal(29,12), re-cast in the merge so the accumulator type is stable
 # (at precision 38 Spark would instead SHRINK the scale, breaking the
@@ -104,9 +106,15 @@ def cosine_near_dup_pairs(
     threshold: float = 0.99,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    max_rows: int | None = ALL_PAIRS_DEFAULT_CAP,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (vec_a < vec_b, cosine ≥
-    threshold).  All-pairs form — the LSH tier replaces it at scale.
+    threshold).  All-pairs ORACLE tier (sf ≤ 0.1 duty): quadratic by
+    construction, size-gated by ``max_rows`` (default
+    ``scale.ALL_PAIRS_DEFAULT_CAP``) so it cannot be pointed at a
+    cluster-scale table by accident.  The decision-path tiers at scale
+    are `semantic_dedup` (cluster-scoped, same keep/drop schema) and
+    `cosine_near_dups_lsh` (sign-LSH candidates, subset-exact).
 
     Two-phase scoring: the O(N²) candidate filter runs on the plain
     DOUBLE dot (whole-stage-codegen arithmetic) with a 1e-9 margin, and
@@ -118,6 +126,10 @@ def cosine_near_dup_pairs(
     ~1/40 the cost (decimal aggregate interpretation dominated the
     all-pairs pass: 220 s → ~6 s for the dup-groups composition at
     sf0.1)."""
+    assert_all_pairs_safe(
+        vectors, "cosine_near_dup_pairs", max_rows,
+        scale_alternative="semantic_dedup / cosine_near_dups_lsh",
+    )
     a = vectors.select(
         F.col(id_col).alias("vec_a"),
         F.col(vec_col).alias("ea"),

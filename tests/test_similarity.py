@@ -167,3 +167,30 @@ def test_quantize_roundtrip_error_bound(spark, sf_dir):
         for r in SIM.knn_bruteforce(deq, queries_q, k=1).collect()
     }
     assert exact == quant
+
+
+def test_all_pairs_tiers_refuse_at_scale(spark, sf_dir):
+    # The exact all-pairs tiers are oracle baselines: quadratic by
+    # construction, so pointing one at a cluster-scale table is always
+    # a mistake.  The guard must trip BEFORE the crossJoin runs — over
+    # a cap-exceeding input the ValueError arrives in bounded time.
+    import pytest
+
+    from database_per_keyword_analysis_spark.operators import dedup as D
+    from database_per_keyword_analysis_spark.operators import similarity as SIM
+
+    big = spark.range(200).selectExpr(
+        "id AS vec_id", "array(CAST(id + 1 AS DOUBLE)) AS embedding"
+    )
+    with pytest.raises(ValueError, match="all-pairs oracle tier refused"):
+        SIM.cosine_near_dup_pairs(big, threshold=0.9, max_rows=100)
+    docs = spark.range(200).selectExpr("id AS doc_id", "'a b c d' AS text")
+    with pytest.raises(ValueError, match="all-pairs oracle tier refused"):
+        D.jaccard_pairs(docs, max_rows=100)
+    # under the cap both build and the cosine tier still evaluates
+    small = big.where("vec_id < 50")
+    assert SIM.cosine_near_dup_pairs(small, threshold=0.9, max_rows=100).count() >= 0
+    # cap=None is the explicit opt-out
+    assert (
+        SIM.cosine_near_dup_pairs(big, threshold=1.01, max_rows=None).count() == 0
+    )
