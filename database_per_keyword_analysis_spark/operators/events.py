@@ -213,8 +213,19 @@ def cohort_retention(events: DataFrame) -> DataFrame:
 
 def event_anomalies(events: DataFrame, z_threshold: float = 2.0) -> DataFrame:
     """Daily event-count anomaly detection per event_type: each day's
-    count is z-scored against its own trailing 7-day window (absent from
-    the reference, which only plots raw daily counts, main.py:812-816).
+    count is z-scored against its trailing window of the 7 PRECEDING
+    OBSERVED days (absent from the reference, which only plots raw
+    daily counts, main.py:812-816).
+
+    Frame semantics — trailing 7 ROWS, not 7 calendar days: days with
+    zero events produce no row in the daily-count table, so for a
+    sparse event type the frame reaches back further than one calendar
+    week (the baseline is "the last 7 days this type was active").
+    This is deliberate: zero-days carry no variance information for
+    burst detection, and the row frame keeps Spark and the oracle on
+    identical inputs.  A calendar-week baseline instead wants the
+    zero-filled (event_type, day) spine of `events_daily_counts`
+    composed in front of this operator.
 
     Returns (event_type, day, cnt, zscore, is_anomaly); zscore/flag are
     NULL for days with fewer than 3 trailing observations or zero
