@@ -100,10 +100,6 @@ _DEFERRED_TWINS = {
     #   order_priority_rollup, over the join spine of revenue_by_nation
     "customers_with_open_orders",  # same semi-join machinery as
     #   channel_audit (which stays in-window)
-    # round-4 supplementary addition, deferred at birth: TPC-H Q3 shape,
-    # same filtered-fact-join + agg + top-k machinery as the in-window
-    # revenue_by_nation / top_customers_by_revenue
-    "shipping_priority",
     # bigram tier of the in-window unigram_lm_scores (same plan shape,
     # bigram features), deferred at birth
     "bigram_lm_scores",
@@ -114,9 +110,6 @@ _DEFERRED_TWINS = {
     # projections (append-mode plumbing covered by stream_dedup_count),
     # deferred at birth
     "stream_quality_gate",
-    # same sequence/slice/posexplode machinery as line_dedup's chunker,
-    # deferred at birth
-    "document_chunks",
     # same per-row transform/zip_with machinery as the checked knn/cosine
     # tiers, deferred at birth
     "embedding_quantization",
@@ -125,9 +118,6 @@ _DEFERRED_TWINS = {
     "lm_quality_buckets",
     # dsir_weights + exact-percentile machinery composed, deferred at birth
     "dsir_resample",
-    # full-outer-join over the checked exact-dup fingerprint, deferred
-    # at birth
-    "corpus_diff",
     # count/countDistinct aggregate machinery (segment_order_stats,
     # industry_counts), deferred at birth
     "orders_profile",
@@ -139,32 +129,37 @@ _DEFERRED_TWINS = {
     "multimodal_decode",  # same Arrow mapInPandas plumbing as the
     #   in-window multimodal_byte_features (media_resize and
     #   video_frame_samples already deferred on the same grounds)
-    # round-4 additions deferred at birth:
-    "event_anomalies",  # same window-frame machinery as the in-window
-    #   running_order_totals (rowsBetween frame aggregates), over the
-    #   daily-count table of the checked events_daily_counts
-    "vocab_coverage",  # TakeOrdered top-n (word_frequency machinery) +
-    #   bounded prefix-sum window (sequence_packing machinery) +
-    #   broadcast total scalar (unigram_lm_scores machinery)
     # sixth round-4 demotion, freeing a slot for the novel
     # duplicated_spans (ExactSubstr) addition:
     "jaccard_near_dups",  # exact-Jaccard machinery is executed INSIDE
     #   the in-window minhash_near_dups (its candidate-verify stage
     #   computes the same intersection/union on the same shingle sets)
-    # apply form of the in-window duplicated_spans composed with
-    # line_dedup_clean's anti-join/reassembly machinery, deferred at
-    # birth:
-    "clean_duplicated_spans",
-    # foreachBatch lift of the checked exact_duplicates semantics
-    # (batch plumbing is the novelty; retry idempotence + cross-batch
-    # dedup pytest-proven), deferred at birth:
-    "stream_ingest_dedup",
-    # broadcast-join + ordered-reassembly machinery (line_dedup_clean)
-    # over vocab_coverage's TakeOrdered vocabulary, deferred at birth:
-    "encode_documents",
-    # result-identical twin of bm25_search answered from the persisted
-    # postings index (same oracle SQL), deferred at birth:
-    "bm25_search_indexed",
+    # ROUND-5 ROTATION (round-4 advice item 3): the round-4
+    # deferred-at-birth novel queries (stream_ingest_dedup,
+    # encode_documents, bm25_search_indexed, vocab_coverage,
+    # event_anomalies, clean_duplicated_spans, shipping_priority,
+    # document_chunks, corpus_diff) move INTO the window for their
+    # first driver verification; these nine long-stable primaries
+    # (each driver-green r1-r4) move out, each with a DuckDB
+    # differential in tests/test_catalog_twins.py:
+    "top_channels_by_views",  # groupBy-sum + ordered top-k; also the
+    #   base of the deferred top_channels_salted result-equality twin
+    "segment_order_stats",  # count/avg/countDistinct agg; machinery in
+    #   the in-window order_priority_rollup / industry_counts
+    "customers_without_orders",  # anti-join; semi/anti machinery in
+    #   the in-window channel_audit
+    "nation_region_setops",  # intersect/except; UNION machinery in the
+    #   generated industry_counts oracle spine
+    "events_json_stats",  # get_json_object/from_json projections +
+    #   groupBy count (events_daily_counts machinery)
+    "asof_last_view_before_purchase",  # union + last-value window; the
+    #   in-window running_order_totals keeps frame windows checked
+    "sliding_window_counts",  # overlapping-bucket explode + groupBy;
+    #   base of the deferred stream_sliding_counts equality twin
+    "user_activity_pivot",  # pivot aggregate (conditional-count
+    #   machinery of the in-window keyword_breakdown)
+    "language_id",  # pure scalar expression scoring; expression
+    #   machinery in the in-window doc_quality_metrics
 }
 
 

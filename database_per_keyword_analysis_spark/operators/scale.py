@@ -115,3 +115,67 @@ def assert_all_pairs_safe(
             f"{op}: all-pairs oracle tier refused over >{cap:,} rows "
             f"(input has at least {n:,}){alt}, or raise max_rows explicitly"
         )
+
+
+def _index_table_name(path: str) -> str:
+    """Deterministic catalog table name for a persisted index path —
+    the bucketed layout's metadata (bucket count/columns) lives in the
+    session catalog, so every session re-registers the same external
+    table over the same files."""
+    import hashlib
+
+    return "idx_" + hashlib.md5(path.encode()).hexdigest()[:16]
+
+
+def write_bucketed_index(
+    df: DataFrame, path: str, keys: list[str], n_buckets: int
+) -> str:
+    """Persist an index table hash-bucketed (and sorted) by `keys` at an
+    EXTERNAL location: the 100 TB layout for persisted probe-side
+    indexes (round-4 advice item 6).  A plain-parquet index makes every
+    probe join shuffle both sides on the key; a bucketed one lets the
+    probe's equi-join/aggregation on `keys` run with NO Exchange on the
+    index side, and an IN/= filter on the bucket key prunes to the
+    matching buckets (SelectedBucketsCount in the scan).
+
+    Returns the catalog table name.  The data is ordinary parquet on
+    disk — `spark.read.parquet(path)` still works anywhere (correct,
+    just shuffle-bearing); the bucket METADATA lives in the catalog, so
+    a fresh session recovers the exchange-free plan by re-registering
+    via :func:`read_bucketed_index` (a DDL statement, no data rewrite).
+    """
+    spark = df.sparkSession
+    table = _index_table_name(path)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .option("path", path)
+        .bucketBy(n_buckets, *keys)
+        .sortBy(*keys)
+        .saveAsTable(table)
+    )
+    return table
+
+
+def read_bucketed_index(
+    spark,
+    path: str,
+    keys: list[str],
+    n_buckets: int,
+    schema_ddl: str,
+) -> DataFrame:
+    """Open a bucketed index written by :func:`write_bucketed_index`,
+    re-registering the external table when this session has not seen it
+    (cross-session durability: files + one CREATE TABLE, no rewrite).
+    `schema_ddl` is the column list, e.g. ``"token STRING, tf BIGINT"``.
+    """
+    table = _index_table_name(path)
+    if not spark.catalog.tableExists(table):
+        cluster = ", ".join(keys)
+        spark.sql(
+            f"CREATE TABLE {table} ({schema_ddl}) USING PARQUET "
+            f"CLUSTERED BY ({cluster}) SORTED BY ({cluster}) "
+            f"INTO {n_buckets} BUCKETS LOCATION '{path}'"
+        )
+    return spark.table(table)

@@ -311,3 +311,46 @@ def test_encode_documents_matches_oracle(spark, sf_dir):
 
 def test_bm25_indexed_equals_primary(spark, sf_dir):
     _assert_equal_results(spark, sf_dir, "bm25_search_indexed", "bm25_search")
+
+
+# --- round-5 rotation: nine r1-r4 driver-green primaries moved out of
+# the hash window so the round-4 deferred-at-birth novel queries get
+# their first driver verification; each keeps a DuckDB differential
+# here (the same comparison the driver performs).
+
+
+def test_top_channels_by_views_matches_oracle(spark, sf_dir):
+    _assert_matches_oracle(spark, sf_dir, "top_channels_by_views")
+
+
+def test_segment_order_stats_matches_oracle(spark, sf_dir):
+    _assert_matches_oracle(spark, sf_dir, "segment_order_stats")
+
+
+def test_customers_without_orders_matches_oracle(spark, sf_dir):
+    _assert_matches_oracle(spark, sf_dir, "customers_without_orders")
+
+
+def test_nation_region_setops_matches_oracle(spark, sf_dir):
+    _assert_matches_oracle(spark, sf_dir, "nation_region_setops")
+
+
+def test_events_json_stats_matches_oracle(spark, sf_dir):
+    _assert_matches_oracle(spark, sf_dir, "events_json_stats")
+
+
+def test_asof_last_view_matches_oracle(spark, sf_dir):
+    _assert_matches_oracle(spark, sf_dir, "asof_last_view_before_purchase")
+
+
+def test_sliding_window_counts_matches_oracle(spark, sf_dir):
+    # also re-grounds the stream_sliding_counts equality twin's chain
+    _assert_matches_oracle(spark, sf_dir, "sliding_window_counts")
+
+
+def test_user_activity_pivot_matches_oracle(spark, sf_dir):
+    _assert_matches_oracle(spark, sf_dir, "user_activity_pivot")
+
+
+def test_language_id_matches_oracle(spark, sf_dir):
+    _assert_matches_oracle(spark, sf_dir, "language_id")
