@@ -163,15 +163,21 @@ def read_bucketed_index(
     path: str,
     keys: list[str],
     n_buckets: int,
-    schema_ddl: str,
+    schema_ddl: str | None = None,
 ) -> DataFrame:
     """Open a bucketed index written by :func:`write_bucketed_index`,
     re-registering the external table when this session has not seen it
     (cross-session durability: files + one CREATE TABLE, no rewrite).
-    `schema_ddl` is the column list, e.g. ``"token STRING, tf BIGINT"``.
-    """
+    `schema_ddl` is the column list, e.g. ``"token STRING, tf BIGINT"``;
+    omitted, it is derived from the parquet footer (one cheap metadata
+    read at registration time only)."""
     table = _index_table_name(path)
     if not spark.catalog.tableExists(table):
+        if schema_ddl is None:
+            schema = spark.read.parquet(path).schema
+            schema_ddl = ", ".join(
+                f"{f.name} {f.dataType.simpleString()}" for f in schema.fields
+            )
         cluster = ", ".join(keys)
         spark.sql(
             f"CREATE TABLE {table} ({schema_ddl}) USING PARQUET "

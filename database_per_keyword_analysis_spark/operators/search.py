@@ -143,28 +143,59 @@ def build_postings_index(
     index_path: str,
     text_col: str = "text",
     id_col: str = "doc_id",
+    n_buckets: int | None = None,
 ) -> None:
     """Materialize the inverted index bm25_search's docstring promises:
     postings (id, token, tf), doc lengths (id, dl), and corpus stats
     (n_docs, avgdl) as parquet under `index_path` — built ONCE from one
-    tokenize pass, probed per query by :func:`bm25_probe`.  At cluster
-    scale the postings write would add `.bucketBy(token)` so probe
-    filters prune files; plain parquet already gets row-group pruning
-    from the token predicate pushdown (asserted in test_plans)."""
+    tokenize pass, probed per query by :func:`bm25_probe`.
+
+    ``n_buckets`` selects the 100 TB layout: postings persist
+    hash-bucketed and sorted by `token` (scale.write_bucketed_index),
+    so a probe's token IN-filter prunes to the matching buckets
+    (SelectedBucketsCount in the scan) and the per-token df aggregate
+    runs with no Exchange on the postings side.  Plain parquet
+    (default) still gets row-group pruning from the token predicate
+    pushdown (asserted in test_plans)."""
+    from .scale import write_bucketed_index
+
     toks = _tokens(docs, text_col, id_col)
     tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
-    tf.write.mode("overwrite").parquet(f"{index_path}/postings")
     spark = docs.sparkSession
-    dl = (
-        spark.read.parquet(f"{index_path}/postings")
-        .groupBy(id_col)
-        .agg(F.sum("tf").alias("dl"))
-    )
+    if n_buckets is not None:
+        write_bucketed_index(
+            tf.select("token", id_col, "tf"),
+            f"{index_path}/postings", ["token"], n_buckets,
+        )
+        posted = _open_postings(spark, index_path, id_col, n_buckets)
+    else:
+        tf.write.mode("overwrite").parquet(f"{index_path}/postings")
+        posted = spark.read.parquet(f"{index_path}/postings")
+    dl = posted.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     dl.write.mode("overwrite").parquet(f"{index_path}/doclens")
     spark.read.parquet(f"{index_path}/doclens").agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         F.avg("dl").alias("avgdl"),
     ).write.mode("overwrite").parquet(f"{index_path}/stats")
+
+
+def _open_postings(
+    spark, index_path: str, id_col: str, n_buckets: int | None
+) -> DataFrame:
+    """Open the postings table in its written layout: bucketed catalog
+    table (re-registered in a fresh session — one DDL, no rewrite) when
+    `n_buckets` is set, plain parquet scan otherwise."""
+    from .scale import read_bucketed_index
+
+    if n_buckets is None:
+        return spark.read.parquet(f"{index_path}/postings")
+    return read_bucketed_index(
+        spark,
+        f"{index_path}/postings",
+        ["token"],
+        n_buckets,
+        f"token STRING, {id_col} BIGINT, tf BIGINT",
+    )
 
 
 def bm25_probe(
@@ -175,13 +206,16 @@ def bm25_probe(
     k1: float = K1,
     b: float = B,
     top_k: int = 15,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Query the persisted postings index (build_postings_index): the
     token IN-filter pushes into the postings parquet scan, so a probe
     touches O(matching postings) — the corpus text is never read.
-    Result-identical to bm25_search over the same corpus (parity
-    pytest-asserted)."""
-    tf = spark.read.parquet(f"{index_path}/postings").where(
+    Pass the index's `n_buckets` to probe the bucketed layout: the
+    IN-filter then prunes whole buckets and the df aggregate skips its
+    Exchange.  Result-identical to bm25_search over the same corpus
+    (parity pytest-asserted)."""
+    tf = _open_postings(spark, index_path, id_col, n_buckets).where(
         F.col("token").isin(*query_terms)
     )
     dl = spark.read.parquet(f"{index_path}/doclens")

@@ -374,6 +374,7 @@ def ivf_index(
     seed: int = 42,
     max_train: int = 65536,
     index_path: str | None = None,
+    n_buckets: int | None = None,
 ):
     """Build an IVF index: k-means centroids (the coarse quantizer) and
     the vector→list assignment.
@@ -395,6 +396,13 @@ def ivf_index(
     to the n_probe lists they touch) plus a tiny centroids parquet, and
     subsequent `ivf_load`/`ivf_knn(index_path=...)` calls skip training
     and the per-row assignment UDF entirely — they just scan files.
+
+    `n_buckets` (with `index_path`) selects the BUCKETED layout
+    instead: assignments hash-bucketed and sorted by list_id
+    (scale.write_bucketed_index), so semantic_dedup's self-equi-join on
+    list_id runs with NO Exchange on either side and a list_id filter
+    prunes whole buckets — the 100 TB probe layout.  Load it back with
+    the same `n_buckets`.
     """
     import numpy as np
 
@@ -420,23 +428,42 @@ def ivf_index(
         id_col, vec_col, assign(F.col(vec_col)).alias("list_id")
     )
     if index_path is not None:
+        from .scale import write_bucketed_index
+
         spark = vectors.sparkSession
-        assigned.write.mode("overwrite").partitionBy("list_id").parquet(
-            index_path + "/assigned"
-        )
+        if n_buckets is not None:
+            write_bucketed_index(
+                assigned.select("list_id", id_col, vec_col),
+                index_path + "/assigned", ["list_id"], n_buckets,
+            )
+        else:
+            assigned.write.mode("overwrite").partitionBy("list_id").parquet(
+                index_path + "/assigned"
+            )
         _centroid_df(spark, centroids).write.mode("overwrite").parquet(
             index_path + "/centroids"
         )
-        return ivf_load(spark, index_path, id_col=id_col)
+        return ivf_load(spark, index_path, id_col=id_col, n_buckets=n_buckets)
     return assigned, centroids
 
 
-def ivf_load(spark, index_path: str, id_col: str = "vec_id"):
+def ivf_load(
+    spark, index_path: str, id_col: str = "vec_id", n_buckets: int | None = None
+):
     """Load a persisted IVF index built by `ivf_index(index_path=...)`.
     Returns the same (assigned, centroids) pair; `assigned` is a plain
     parquet scan partitioned by list_id — probing never re-runs training
-    or the assignment UDF."""
-    assigned = spark.read.parquet(index_path + "/assigned")
+    or the assignment UDF.  Pass the index's `n_buckets` to open the
+    bucketed layout (re-registered per session, exchange-free list_id
+    joins)."""
+    if n_buckets is not None:
+        from .scale import read_bucketed_index
+
+        assigned = read_bucketed_index(
+            spark, index_path + "/assigned", ["list_id"], n_buckets
+        )
+    else:
+        assigned = spark.read.parquet(index_path + "/assigned")
     cent = spark.read.parquet(index_path + "/centroids").orderBy("list_id").collect()
     centroids = [list(r.centroid) for r in cent]
     return assigned, centroids
@@ -573,6 +600,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     seed: int = 42,
     index_path: str | None = None,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Semantic dedup decision per vector: cluster the corpus with the
     IVF coarse quantizer (deterministic k-means, `ivf_index`), compare
@@ -602,11 +630,13 @@ def semantic_dedup(
     if index_path is not None and ivf_index_exists(spark, index_path):
         # cluster-once/dedup-many: reuse a committed IVF index (same
         # persistence seam as ivf_knn) — no k-means, no assignment UDF
-        assigned, _ = ivf_load(spark, index_path, id_col=id_col)
+        assigned, _ = ivf_load(
+            spark, index_path, id_col=id_col, n_buckets=n_buckets
+        )
     else:
         assigned, _ = ivf_index(
             vectors, n_lists=n_lists, vec_col=vec_col, id_col=id_col,
-            seed=seed, index_path=index_path,
+            seed=seed, index_path=index_path, n_buckets=n_buckets,
         )
     a = assigned.select(
         "list_id",

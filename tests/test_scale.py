@@ -85,3 +85,76 @@ def test_bucketed_join_is_exchange_free(spark, sf_dir, bucketed_tables):
     assert "Exchange" in plan2
     # and the bucketed join returns the right row count
     assert joined.count() == o2.join(c2, "custkey").count()
+
+
+def test_bucketed_postings_index_probe(spark, sf_dir, tmp_path):
+    # round-4 advice item 6: persisted indexes in the bucketed layout.
+    from database_per_keyword_analysis_spark.operators import search as SRCH
+
+    docs = load(spark, sf_dir, "documents")
+    idx = str(tmp_path / "bm25_bucketed")
+    SRCH.build_postings_index(docs, idx, n_buckets=8)
+
+    # probe parity with the in-plan scorer
+    probe = SRCH.bm25_probe(spark, idx, n_buckets=8)
+    direct = SRCH.bm25_search(docs)
+    assert sorted(map(tuple, probe.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+    # the bucketed layout removes the Exchange under the per-token df
+    # aggregate and prunes buckets on the token IN-filter
+    posted = SRCH._open_postings(spark, idx, "doc_id", 8)
+    agg_plan = (
+        posted.groupBy("token").count()
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in agg_plan, agg_plan[:2000]
+    # the probe shape (token IN-filter + per-token aggregate) keeps the
+    # bucketed scan alive (a filter-only plan has no distribution
+    # requirement, so the planner auto-disables bucketing there), and
+    # the IN-filter then prunes whole buckets
+    scan_plan = (
+        posted.where(F.col("token").isin("data", "model"))
+        .groupBy("token").count()
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SelectedBucketsCount" in scan_plan, scan_plan[:2000]
+    assert "Exchange" not in scan_plan
+
+    # a fresh catalog (dropped table) re-registers from files — no
+    # rewrite, same exchange-free plan
+    table = SC._index_table_name(f"{idx}/postings")
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    posted2 = SRCH._open_postings(spark, idx, "doc_id", 8)
+    plan2 = (
+        posted2.groupBy("token").count()
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan2
+
+
+def test_bucketed_ivf_self_join_exchange_free(spark, sf_dir, tmp_path):
+    from database_per_keyword_analysis_spark.operators import similarity as SIM
+
+    emb = load(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "ivf_bucketed")
+    assigned, cents = SIM.ivf_index(emb, n_lists=4, index_path=idx, n_buckets=8)
+    a = assigned.select("list_id", F.col("vec_id").alias("vec_a"))
+    b = assigned.select("list_id", F.col("vec_id").alias("vec_b"))
+    plan = (
+        a.hint("merge").join(b, "list_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # semantic_dedup's candidate join shape: both sides the bucketed
+    # index -> no Exchange on either
+    assert "Exchange" not in plan, plan[:2000]
+
+    # bucketed semantic_dedup decisions equal the plain-layout tier
+    plain = SIM.semantic_dedup(emb, threshold=0.4, n_lists=4)
+    bucketed = SIM.semantic_dedup(
+        emb, threshold=0.4, n_lists=4, index_path=idx, n_buckets=8
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, bucketed.collect())
+    )
