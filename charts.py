@@ -36,6 +36,37 @@ except ImportError:
 
 from tools import miniplot as MP
 
+try:
+    import arabic_reshaper
+    from bidi.algorithm import get_display
+
+    HAS_RESHAPER = True
+except ImportError:
+    HAS_RESHAPER = False
+
+
+def make_rtl_readable(text, _reshape=None, _display=None):
+    """RTL label shim — port of the reference's reshape-if-available
+    pattern (`make_farsi_text_readable`, /root/reference/main.py:76-84):
+    matplotlib draws Arabic-script text with isolated glyph forms in
+    logical order, so Persian labels need arabic-reshaper (contextual
+    forms) + python-bidi (visual order) when those libs exist, and must
+    pass through UNCHANGED when they don't.  `_reshape`/`_display` are
+    test seams (the injected-backend idiom of functions/nlp_tier_b)."""
+    reshape = _reshape if _reshape is not None else (
+        arabic_reshaper.reshape if HAS_RESHAPER else None
+    )
+    display = _display if _display is not None else (
+        get_display if HAS_RESHAPER else None
+    )
+    if reshape is None or display is None:
+        return text
+    return display(reshape(text))
+
+
+def _rtl_labels(labels):
+    return [make_rtl_readable(str(x)) for x in labels]
+
 
 def _mpl_barh(path, labels, values, title):
     import matplotlib.pyplot as plt
@@ -75,15 +106,20 @@ def _mpl_lines(path, series, title):
 
 
 def barh(path, labels, values, title):
-    (_mpl_barh if HAVE_MPL else MP.barh)(path, labels, values, title)
+    (_mpl_barh if HAVE_MPL else MP.barh)(
+        path, _rtl_labels(labels), values, make_rtl_readable(title)
+    )
 
 
 def barv(path, labels, values, title):
-    (_mpl_barv if HAVE_MPL else MP.barv)(path, labels, values, title)
+    (_mpl_barv if HAVE_MPL else MP.barv)(
+        path, _rtl_labels(labels), values, make_rtl_readable(title)
+    )
 
 
 def lines(path, series, title):
-    (_mpl_lines if HAVE_MPL else MP.lines)(path, series, title)
+    series = {make_rtl_readable(str(k)): v for k, v in series.items()}
+    (_mpl_lines if HAVE_MPL else MP.lines)(path, series, make_rtl_readable(title))
 
 
 def _mpl_wordcloud(path, freqs, title):
@@ -147,7 +183,10 @@ def _mpl_wordcloud(path, freqs, title):
 
 
 def wordcloud(path, freqs, title):
-    (_mpl_wordcloud if HAVE_MPL else MP.wordcloud)(path, freqs, title)
+    freqs = {make_rtl_readable(str(k)): v for k, v in freqs.items()}
+    (_mpl_wordcloud if HAVE_MPL else MP.wordcloud)(
+        path, freqs, make_rtl_readable(title)
+    )
 
 
 def render_all(spark, sf_dir: str, out_dir: str) -> list[str]:

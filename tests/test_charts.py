@@ -45,3 +45,38 @@ def test_miniplot_empty_inputs(tmp_path):
     MP.barh(str(tmp_path / "empty.png"), [], [], "empty")
     MP.lines(str(tmp_path / "none.png"), {}, "none")
     assert os.path.getsize(tmp_path / "empty.png") > 100
+
+
+def test_rtl_label_shim():
+    # reference parity: make_farsi_text_readable (main.py:76-84) —
+    # reshape+bidi when the libs exist, byte-identical pass-through
+    # when they don't.
+    import charts
+
+    persian = "سنگ آهن"  # "سنگ آهن"
+    # this container has neither lib: pass-through, same object content
+    assert not charts.HAS_RESHAPER
+    assert charts.make_rtl_readable(persian) == persian
+    assert charts.make_rtl_readable("plain english") == "plain english"
+
+    # injected backends (the nlp_tier_b idiom) exercise the real branch:
+    # contextual reshape then visual reordering
+    def fake_reshape(t):
+        return t.replace("س", "ﺷ")  # isolated -> initial form
+
+    def fake_display(t):
+        return t[::-1]
+
+    out = charts.make_rtl_readable(
+        persian, _reshape=fake_reshape, _display=fake_display
+    )
+    assert out == fake_display(fake_reshape(persian))
+    assert out != persian
+
+    # the chart entry points route labels through the shim without
+    # breaking rendering (miniplot backend, real PNG)
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "rtl.png")
+        charts.barh(p, [persian, "other"], [3, 1], persian)
+        assert os.path.getsize(p) > 0
