@@ -2010,13 +2010,16 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|lists=16|seed=42".encode()
+        f"{os.path.abspath(sf_dir)}|lists=16|seed=42|b{_IVF_BUCKETS}".encode()
     ).hexdigest()[:12]
     idx = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         ".cache", "ivf", key,
     )
-    return SIM.semantic_dedup(_load_emb(spark, sf_dir), threshold=0.4, index_path=idx)
+    return SIM.semantic_dedup(
+        _load_emb(spark, sf_dir), threshold=0.4, index_path=idx,
+        n_buckets=_IVF_BUCKETS,
+    )
 
 
 @register("cosine_near_dups_lsh", None)  # approximate recall → rows-only;
@@ -2425,10 +2428,15 @@ def q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import similarity as SIM
 
     emb = load(spark, sf_dir, "embeddings", parallel=True)
-    key = hashlib.md5(f"{os.path.abspath(sf_dir)}|lists=16|seed=42".encode()).hexdigest()[:12]
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|lists=16|seed=42|b{_IVF_BUCKETS}".encode()
+    ).hexdigest()[:12]
     idx = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                        ".cache", "ivf", key)
-    return SIM.ivf_knn(emb, emb.where(F.col("vec_id") < 10), k=5, index_path=idx)
+    return SIM.ivf_knn(
+        emb, emb.where(F.col("vec_id") < 10), k=5, index_path=idx,
+        n_buckets=_IVF_BUCKETS,
+    )
 
 
 @register(
@@ -2913,20 +2921,31 @@ def _postings_index_path(sf_dir: str) -> str:
     import os
 
     key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|postings".encode()
+        f"{os.path.abspath(sf_dir)}|postings|b{_BM25_BUCKETS}".encode()
     ).hexdigest()[:12]
     return os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "..", ".cache", f"bm25_{key}")
 
 
+# the registered probe runs the BUCKETED index layout (round-4 advice
+# item 6): token IN-filter prunes buckets, df aggregate is
+# Exchange-free on the postings side (plan pinned in test_scale.py)
+_BM25_BUCKETS = 8
+
+# shared IVF index layout for the registered semantic_dedup / ivf_knn:
+# bucketed by list_id (exchange-free candidate self-join, bucket-pruned
+# probes); both queries key the same .cache/ivf index
+_IVF_BUCKETS = 8
+
+
 @register("bm25_search_indexed", _bm25_sql())
 def q_bm25_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """bm25_search answered from the PERSISTED inverted index
-    (build_postings_index → bm25_probe): the first call builds the
-    postings/doclens/stats parquet under .cache, every later call is a
-    pure index probe that never reads the corpus text.  Deferred at
-    birth: result-identical twin of the in-window bm25_search (same
-    oracle SQL; parity also pytest-asserted)."""
+    (build_postings_index → bm25_probe), in the bucketed-by-token
+    layout: the first call builds postings/doclens/stats under .cache,
+    every later call is a pure bucket-pruned index probe that never
+    reads the corpus text.  Result-identical twin of the in-window
+    bm25_search (same oracle SQL; parity also pytest-asserted)."""
     import os
 
     from .operators import search as SRCH2
@@ -2934,6 +2953,7 @@ def q_bm25_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _postings_index_path(sf_dir)
     if not os.path.exists(os.path.join(path, "stats", "_SUCCESS")):
         SRCH2.build_postings_index(
-            load(spark, sf_dir, "documents", parallel=True), path
+            load(spark, sf_dir, "documents", parallel=True), path,
+            n_buckets=_BM25_BUCKETS,
         )
-    return SRCH2.bm25_probe(spark, path)
+    return SRCH2.bm25_probe(spark, path, n_buckets=_BM25_BUCKETS)

@@ -497,6 +497,7 @@ def ivf_knn(
     id_col: str = "vec_id",
     seed: int = 42,
     index_path: str | None = None,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """IVF-probed approximate top-k cosine: each query searches only its
     `n_probe` nearest inverted lists instead of the whole corpus —
@@ -506,14 +507,18 @@ def ivf_knn(
     probe many — no k-means, no assignment pass; the probe is a pruned
     parquet scan); absent one, the index is built and persisted there for
     every later call.  Without a path, build is inline (the labeled
-    baseline form).
+    baseline form).  `n_buckets` selects the bucketed index layout
+    (list_id bucket pruning instead of directory-partition pruning).
     """
     spark = vectors.sparkSession
     if index_path is not None and ivf_index_exists(spark, index_path):
-        assigned, centroids = ivf_load(spark, index_path, id_col=id_col)
+        assigned, centroids = ivf_load(
+            spark, index_path, id_col=id_col, n_buckets=n_buckets
+        )
     else:
         assigned, centroids = ivf_index(
-            vectors, n_lists, vec_col, id_col, seed, index_path=index_path
+            vectors, n_lists, vec_col, id_col, seed,
+            index_path=index_path, n_buckets=n_buckets,
         )
     return ivf_probe(
         assigned, centroids, queries, k, n_probe, vec_col, id_col

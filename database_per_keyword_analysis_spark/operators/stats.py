@@ -105,20 +105,28 @@ def stats_report(
     dict per industry.  The DataFrame entries (clean_df / top_posts /
     top_channels) stay LAZY and share one cleaned/categorized subtree;
     only `count` is an eager scalar (matching the reference's report
-    shape, main.py:426).  Cache `flagged` upstream if actioning many
-    pieces at once.
+    shape, main.py:426) — and ALL industry counts come from ONE
+    conditional-sum aggregation pass over the shared subtree (the
+    industry_counts shape), not a per-industry job.  Cache `flagged`
+    upstream if actioning many pieces at once.
     """
     from . import keywords as K
 
     flagged = K.categorize(
         K.clean(df, cfg, text_col, channel_col), cfg, text_col
     )
+    counts_row = flagged.agg(
+        *[
+            F.sum(F.col(K.flag_col(i)).cast("long")).alias(K.flag_col(i))
+            for i in cfg.industries
+        ]
+    ).collect()[0]
     report = {}
     for industry in cfg.industries:
         sliced = flagged.where(F.col(K.flag_col(industry)))
         report[industry] = {
             "clean_df": sliced,
-            "count": sliced.count(),
+            "count": int(counts_row[K.flag_col(industry)] or 0),
             "top_posts": top_k_by(
                 sliced.select(id_col, channel_col, views_col),
                 views_col,

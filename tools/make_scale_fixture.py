@@ -1,0 +1,67 @@
+"""Derive a 10x documents fixture from sf0.1 for the scaling-curve
+measurement (round-4 advice item 5): .cache/scale_sf1/documents.parquet.
+
+Replica 0 is the sf0.1 corpus verbatim; replicas 1-9 offset doc_id by
+10M*i and prefix every token with "r{i}" — so replicas are
+CONTENT-DISJOINT (no shared shingles/fingerprints/lines across
+replicas) while each replica keeps the original's INTERNAL dup/near-dup
+structure intact.  That is the scaling shape that matters: duplicate
+GROUP COUNT grows 10x with N, group SIZES and similarity geometry stay
+fixed — so connected-components round counts should track cluster
+diameter (unchanged), not N, and the hash-shuffle families should grow
+~linearly.  A naive 10x copy instead welds every doc into a 10-clique,
+which measures a different (and unrealistic) problem.
+
+Usage: python tools/make_scale_fixture.py [src_sf_dir] [out_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from database_per_keyword_analysis_spark.session import get_spark  # noqa: E402
+
+N_REPLICAS = 10
+ID_STRIDE = 10_000_000
+
+
+def build(src_sf_dir: str, out_dir: str) -> str:
+    spark = get_spark("make-scale-fixture")
+    docs = spark.read.parquet(os.path.join(src_sf_dir, "documents.parquet"))
+    rep = docs.crossJoin(
+        spark.range(N_REPLICAS).select(F.col("id").cast("int").alias("rep"))
+    )
+    tagged = rep.select(
+        (F.col("doc_id") + F.col("rep").cast("long") * ID_STRIDE).alias("doc_id"),
+        F.when(F.col("rep") == 0, F.col("text")).otherwise(
+            # prefix every whitespace token: replicas share no vocabulary
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.split(F.col("text"), r"\s+"),
+                    lambda t: F.concat(F.lit("r"), F.col("rep").cast("string"),
+                                       F.lit("_"), t),
+                ),
+            )
+        ).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    out = os.path.join(out_dir, "documents.parquet")
+    tagged.repartition(32).write.mode("overwrite").parquet(out)
+    return out
+
+
+if __name__ == "__main__":
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    dst = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".cache", "scale_sf1",
+    )
+    print(build(src, dst))
