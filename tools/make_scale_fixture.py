@@ -2,15 +2,23 @@
 measurement (round-4 advice item 5): .cache/scale_sf1/documents.parquet.
 
 Replica 0 is the sf0.1 corpus verbatim; replicas 1-9 offset doc_id by
-10M*i and prefix every token with "r{i}" — so replicas are
-CONTENT-DISJOINT (no shared shingles/fingerprints/lines across
-replicas) while each replica keeps the original's INTERNAL dup/near-dup
-structure intact.  That is the scaling shape that matters: duplicate
-GROUP COUNT grows 10x with N, group SIZES and similarity geometry stay
-fixed — so connected-components round counts should track cluster
-diameter (unchanged), not N, and the hash-shuffle families should grow
-~linearly.  A naive 10x copy instead welds every doc into a 10-clique,
-which measures a different (and unrealistic) problem.
+10M*i and apply a per-replica Caesar rotation of the a-z alphabet to
+the text — so replicas are CONTENT-DISJOINT (no shared shingles /
+char-gram fingerprints / lines across replicas) while each replica
+keeps the original's INTERNAL dup/near-dup structure EXACTLY (a
+character bijection preserves token lengths, repetition patterns, and
+every within-replica similarity relation).  That is the scaling shape
+that matters: duplicate GROUP COUNT grows 10x with N, group SIZES and
+similarity geometry stay fixed — so connected-components round counts
+should track cluster diameter (unchanged), not N, and the hash-shuffle
+families should grow ~linearly.
+
+Two rejected designs, for the record: a naive 10x copy welds every doc
+into a 10-clique (measures an unrealistic problem), and per-token
+"r{i}_" PREFIXING injects the same 3-char substring every ~6 chars —
+which floods the char-k-gram winnowing space with mid-frequency
+fingerprints and blew winnowing_pairs up 40x instead of 10x (measured;
+the prefix, not the operator, was the super-linearity).
 
 Usage: python tools/make_scale_fixture.py [src_sf_dir] [out_dir]
 """
@@ -33,22 +41,21 @@ ID_STRIDE = 10_000_000
 def build(src_sf_dir: str, out_dir: str) -> str:
     spark = get_spark("make-scale-fixture")
     docs = spark.read.parquet(os.path.join(src_sf_dir, "documents.parquet"))
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    rot = 26 // N_REPLICAS or 1
+    text = F.col("text")
+    for i in range(1, N_REPLICAS):
+        shift = (i * rot) % 26
+        text = F.when(
+            F.col("rep") == i,
+            F.translate(F.col("text"), alpha, alpha[shift:] + alpha[:shift]),
+        ).otherwise(text)
     rep = docs.crossJoin(
         spark.range(N_REPLICAS).select(F.col("id").cast("int").alias("rep"))
     )
     tagged = rep.select(
         (F.col("doc_id") + F.col("rep").cast("long") * ID_STRIDE).alias("doc_id"),
-        F.when(F.col("rep") == 0, F.col("text")).otherwise(
-            # prefix every whitespace token: replicas share no vocabulary
-            F.concat_ws(
-                " ",
-                F.transform(
-                    F.split(F.col("text"), r"\s+"),
-                    lambda t: F.concat(F.lit("r"), F.col("rep").cast("string"),
-                                       F.lit("_"), t),
-                ),
-            )
-        ).alias("text"),
+        text.alias("text"),
         "lang",
         "source",
         "n_chars",
