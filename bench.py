@@ -89,6 +89,16 @@ HEADLINE = [
     "stream_ingest_dedup",
     "encode_documents",
     "bm25_search_indexed",
+    # round-5 additions: the quality/cleaning/contamination tiers, the
+    # sparse-similarity index join, batching economics, and the Q19-style
+    # disjunctive-pushdown exercise.
+    "quality_classifier",
+    "c4_rule_filter",
+    "ngram_contamination",
+    "tfidf_doc_pairs",
+    "length_bucket_batches",
+    "disjunctive_revenue",
+    "forecast_revenue",
     # cosine_near_dups_lsh intentionally NOT in the headline: at the
     # fixture's 0.4 threshold (far below the >=0.9 near-dup regime the
     # operator exists for) sign-LSH candidate counts approach all-pairs,

@@ -160,6 +160,30 @@ _DEFERRED_TWINS = {
     #   machinery of the in-window keyword_breakdown)
     "language_id",  # pure scalar expression scoring; expression
     #   machinery in the in-window doc_quality_metrics
+    # ROUND-5 ROTATION, second batch: six novel round-5 queries
+    # (quality_classifier, c4_rule_filter, ngram_contamination,
+    # tfidf_doc_pairs, length_bucket_batches, disjunctive_revenue)
+    # move INTO the window; these six long-stable primaries (each
+    # driver-green r1-r4 / r4) move out, each with a DuckDB
+    # differential in tests/test_catalog_twins.py:
+    "top_posts",  # ordered top-k with tie-break; machinery in the
+    #   in-window top_customers_by_revenue / channel_audit
+    "word_frequency_by_lang",  # same explode→count→rank as the
+    #   in-window word_frequency_by_industry (which adds dynamic
+    #   stopwords on top)
+    "monthly_revenue_rollup",  # zero-fill spine machinery in the
+    #   in-window events_daily_counts; quarterly twin already deferred
+    "running_order_totals",  # frame-window machinery in the in-window
+    #   event_anomalies (trailing frame) / sessionize_events
+    "stream_tumbling_counts",  # streaming tumbling-window machinery;
+    #   in-window streaming coverage stays via stateful_user_stats,
+    #   stream_view_purchase_join, stream_dedup_count,
+    #   stream_ingest_dedup
+    "cohort_retention",  # conditional-count pivot machinery of the
+    #   in-window keyword_breakdown / event_funnel
+    # round-5 deferred-at-birth: pure filter-agg machinery of the
+    # in-window pricing_summary / disjunctive_revenue
+    "forecast_revenue",
 }
 
 
@@ -2957,3 +2981,257 @@ def q_bm25_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_buckets=_BM25_BUCKETS,
         )
     return SRCH2.bm25_probe(spark, path, n_buckets=_BM25_BUCKETS)
+
+
+# ---------------------------------------------------------------------------
+# Round-5 additions: quality classifier, C4 rule filter, n-gram
+# contamination, sparse TF-IDF similarity, length-bucketed batching,
+# and the TPC-H Q19/Q6-style predicate-pushdown pair.
+# ---------------------------------------------------------------------------
+
+_N_WS_SQL = r"len(regexp_split_to_array(trim(text), '\s+'))"
+_MWL_SQL = (
+    r"CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) / "
+    f"CAST({_N_WS_SQL} AS DOUBLE)"
+)
+_STOP_RATIO_SQL = (
+    f"CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), "
+    f"x -> x IN ({_STOP_IN}))) AS DOUBLE) / CAST({_N_WS_SQL} AS DOUBLE)"
+)
+_PUNCT_RATIO_SQL = (
+    r"CAST(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) "
+    "AS DOUBLE) / CAST(length(text) AS DOUBLE)"
+)
+
+
+def _quality_classifier_sql() -> str:
+    """Mirror of operators/textquality.py:quality_classifier — weights
+    and feature expressions generated from the SAME constants, logit
+    arithmetic in the same left-associated order (exact IEEE ops)."""
+    w = TQ.QUALITY_WEIGHTS
+    cap = TQ.QUALITY_LEN_CAP
+    return (
+        "WITH m AS (SELECT doc_id, "
+        f"{_N_WS_SQL} AS n_ws, {_MWL_SQL} AS mwl, "
+        f"{_STOP_RATIO_SQL} AS stop_ratio, {_PUNCT_RATIO_SQL} AS punct "
+        "FROM documents WHERE text IS NOT NULL), "
+        f"z AS (SELECT doc_id, {w['bias']!r} + "
+        f"{w['len']!r} * (CAST(least(n_ws, {cap}) AS DOUBLE) / {float(cap)!r}) + "
+        f"{w['stop']!r} * stop_ratio + "
+        f"{w['punct']!r} * punct + "
+        f"{w['wordlen']!r} * (abs(mwl - 4.5) / 4.5) AS logit FROM m) "
+        "SELECT doc_id, logit, "
+        "round(1.0 / (1.0 + exp(-logit)), 6) AS quality_score, "
+        "logit > 0 AS keep FROM z ORDER BY doc_id"
+    )
+
+
+@register("quality_classifier", _quality_classifier_sql())
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-weight logistic document-quality classifier (fastText-proxy
+    serving tier; operators/textquality.py:quality_classifier) — the
+    trained-model slot of a curation pipeline with frozen deterministic
+    weights.  Zero-shuffle projection."""
+    return TQ.quality_classifier(load(spark, sf_dir, "documents", parallel=True))
+
+
+def _c4_rule_filter_sql() -> str:
+    lo, hi = TQ.C4_MEAN_WORD_LEN_RANGE
+    markers = ", ".join(_sql_quote(m) for m in TQ.C4_MARKER_TERMS)
+    return (
+        "WITH b AS (SELECT doc_id, "
+        f"{_N_WS_SQL} AS n_tok, {_MWL_SQL} AS mwl, "
+        f"len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), "
+        f"x -> x IN ({markers}))) > 0 AS has_marker, "
+        f"{_PUNCT_RATIO_SQL} > {TQ.C4_MAX_SYMBOL_RATIO!r} AS symbol_heavy "
+        "FROM documents WHERE text IS NOT NULL) "
+        f"SELECT doc_id, n_tok < {TQ.C4_MIN_TOKENS} AS too_short, "
+        f"n_tok > {TQ.C4_MAX_TOKENS} AS too_long, "
+        f"(mwl < {lo!r} OR mwl > {hi!r}) AS bad_word_len, "
+        "has_marker, symbol_heavy, "
+        f"NOT (n_tok < {TQ.C4_MIN_TOKENS} OR n_tok > {TQ.C4_MAX_TOKENS} "
+        f"OR mwl < {lo!r} OR mwl > {hi!r} OR has_marker OR symbol_heavy) "
+        "AS keep FROM b ORDER BY doc_id"
+    )
+
+
+@register("c4_rule_filter", _c4_rule_filter_sql())
+def q_c4_rule_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/DataComp-style rule-based cleaning verdict per document
+    (operators/textquality.py:c4_rule_filter): per-rule booleans plus
+    the composite keep — all exact-arithmetic comparisons, zero
+    shuffle."""
+    return TQ.c4_rule_filter(load(spark, sf_dir, "documents", parallel=True))
+
+
+_CONTAM_N = 5
+_CONTAM_PCT = 5
+
+
+def _ngram_contamination_sql() -> str:
+    n = _CONTAM_N
+    return (
+        r"WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') "
+        "AS toks FROM documents WHERE text IS NOT NULL), "
+        f"g AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - {n - 2}), "
+        f"i -> md5(array_to_string(toks[i:i+{n - 1}], ' ')))) AS fp "
+        f"FROM t WHERE len(toks) >= {n}), "
+        "bench AS (SELECT DISTINCT fp FROM g WHERE doc_id % 20 = 0), "
+        "c AS (SELECT doc_id, fp FROM g WHERE doc_id % 20 <> 0), "
+        "a AS (SELECT c.doc_id, count(*) AS n_grams, "
+        "CAST(coalesce(sum(CASE WHEN b.fp IS NOT NULL THEN 1 END), 0) AS BIGINT) "
+        "AS n_hits FROM c LEFT JOIN bench b ON c.fp = b.fp GROUP BY c.doc_id) "
+        "SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams, n_hits, "
+        "CAST(n_hits AS DOUBLE) / CAST(n_grams AS DOUBLE) AS contamination, "
+        f"100 * n_hits >= {_CONTAM_PCT} * n_grams AS contaminated "
+        "FROM a ORDER BY doc_id"
+    )
+
+
+@register("ngram_contamination", _ngram_contamination_sql())
+def q_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3/PaLM-style eval decontamination measure: per corpus doc,
+    the fraction of its word 5-grams found anywhere in the benchmark
+    subset (every 20th doc — the decontamination_check probe
+    convention); verdict at ≥5% is an all-integer comparison
+    (operators/dedup.py:ngram_contamination)."""
+    from pyspark.sql import functions as F
+
+    docs = _load_docs_fanned(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 20 == 0)
+    corpus = docs.where(F.col("doc_id") % 20 != 0)
+    return D.ngram_contamination(
+        corpus, bench, n=_CONTAM_N, threshold_pct=_CONTAM_PCT
+    )
+
+
+_TFIDF_THRESHOLD = 0.5
+_TFIDF_MAX_DF = 100
+
+
+def _tfidf_doc_pairs_sql() -> str:
+    return (
+        r"WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) "
+        "AS token FROM documents WHERE text IS NOT NULL), "
+        "tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token), "
+        "dft AS (SELECT token, count(*) AS df FROM tf GROUP BY token), "
+        "nd AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents "
+        "WHERE text IS NOT NULL), "
+        "w AS (SELECT doc_id, token, CAST(CAST(tf AS DOUBLE) * "
+        "(ln((n_docs + 1.0) / (df + 1.0)) + 1.0) AS DECIMAL(18,6)) AS w "
+        f"FROM tf JOIN dft USING (token) CROSS JOIN nd WHERE df <= {_TFIDF_MAX_DF}), "
+        "norms AS (SELECT doc_id, sqrt(CAST(sum(w * w) AS DOUBLE)) AS norm "
+        "FROM w GROUP BY doc_id), "
+        "d AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        "CAST(sum(a.w * b.w) AS DOUBLE) AS dot FROM w a JOIN w b "
+        "ON a.token = b.token AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+        "SELECT doc_a, doc_b, round(dot / (na.norm * nb.norm), 6) AS cosine "
+        "FROM d JOIN norms na ON d.doc_a = na.doc_id "
+        "JOIN norms nb ON d.doc_b = nb.doc_id "
+        f"WHERE round(dot / (na.norm * nb.norm), 6) >= {_TFIDF_THRESHOLD!r} "
+        "ORDER BY doc_a, doc_b"
+    )
+
+
+@register("tfidf_doc_pairs", _tfidf_doc_pairs_sql())
+def q_tfidf_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF cosine near-duplicate pairs via the inverted-index
+    self-join (operators/search.py:tfidf_doc_pairs) — the lexical
+    Σdf² similarity join, df-capped; weights quantized to DECIMAL so
+    every sum is order-independent."""
+    from .operators import search as SRCH3
+
+    return SRCH3.tfidf_doc_pairs(
+        _load_docs_fanned(spark, sf_dir),
+        threshold=_TFIDF_THRESHOLD,
+        max_df=_TFIDF_MAX_DF,
+    )
+
+
+def _length_bucket_sql(batch_size: int, n_shards: int) -> str:
+    from .operators import curation as CURX
+
+    cases = " ".join(
+        f"WHEN n_tokens <= {cap} THEN {cap}"
+        for cap in CURX.LENGTH_BUCKETS
+    )
+    top = CURX.LENGTH_BUCKETS[-1]
+    return (
+        r"WITH b AS (SELECT doc_id, "
+        f"{_N_WS_SQL} AS n_tokens, md5(CAST(doc_id AS VARCHAR)) AS h "
+        "FROM documents WHERE text IS NOT NULL), "
+        f"b2 AS (SELECT doc_id, n_tokens, h, CASE {cases} ELSE {top} END "
+        "AS bucket_cap, "
+        f"CAST('0x' || substr(h, 1, 12) AS BIGINT) % {n_shards} AS shard FROM b), "
+        "r AS (SELECT bucket_cap, shard, n_tokens, "
+        "CAST(floor((row_number() OVER (PARTITION BY bucket_cap, shard "
+        f"ORDER BY h, doc_id) - 1) / {float(batch_size)!r}) AS BIGINT) AS batch_id "
+        "FROM b2) "
+        "SELECT bucket_cap, shard, batch_id, count(*) AS n_docs, "
+        "CAST(max(n_tokens) AS BIGINT) AS batch_max, "
+        "CAST(sum(n_tokens) AS BIGINT) AS sum_tokens, "
+        "CAST(count(*) * CAST(max(n_tokens) AS BIGINT) - "
+        "CAST(sum(n_tokens) AS BIGINT) AS DOUBLE) / "
+        "CAST(count(*) * CAST(max(n_tokens) AS BIGINT) AS DOUBLE) "
+        "AS padding_frac "
+        "FROM r GROUP BY bucket_cap, shard, batch_id "
+        "ORDER BY bucket_cap, shard, batch_id"
+    )
+
+
+@register("length_bucket_batches", _length_bucket_sql(8, 8))
+def q_length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed training-batch plan with per-batch padding
+    economics (operators/curation.py:length_bucket_batches) — sharded
+    deterministic shuffle inside each power-of-two bucket, the
+    pack_sequences-style parallel-window idiom."""
+    from .operators import curation as CUR5
+
+    return CUR5.length_bucket_batches(
+        load(spark, sf_dir, "documents", parallel=True),
+        batch_size=8,
+        n_shards=8,
+    )
+
+
+def _disjunctive_sql() -> str:
+    branches = " OR ".join(
+        f"(p_brand = {_sql_quote(brand)} AND p_size BETWEEN 1 AND {mx} "
+        f"AND l_quantity BETWEEN {qlo!r} AND {qhi!r})"
+        for brand, mx, (qlo, qhi) in R.DISJUNCTIVE_BRANCHES
+    )
+    return (
+        "SELECT count(*) AS n_lineitems, "
+        + _dsum("l_extendedprice * (1 - l_discount)", "revenue")
+        + " FROM lineitem JOIN part ON l_partkey = p_partkey "
+        f"WHERE {branches}"
+    )
+
+
+@register("disjunctive_revenue", _disjunctive_sql())
+def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-style OR-of-ANDs discounted revenue across the
+    part⋈lineitem join (operators/relational.py:disjunctive_revenue) —
+    the classic disjunctive predicate-pushdown exercise; broadcast dim,
+    decimal-accumulated revenue."""
+    return R.disjunctive_revenue(
+        load(spark, sf_dir, "lineitem", parallel=True),
+        load(spark, sf_dir, "part"),
+    )
+
+
+@register(
+    "forecast_revenue",
+    "SELECT count(*) AS n_lineitems, "
+    + _dsum("l_extendedprice * l_discount", "revenue")
+    + " FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01' "
+    "AND l_shipdate < TIMESTAMP '1998-01-01' "
+    "AND l_discount BETWEEN 0.04 AND 0.06 AND l_quantity < 24.0",
+)
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-style scan→filter→scalar-agg revenue forecast
+    (operators/relational.py:forecast_revenue).  Deferred twin: pure
+    filter-agg machinery of the in-window pricing_summary /
+    disjunctive_revenue, DuckDB differential in
+    tests/test_catalog_twins.py."""
+    return R.forecast_revenue(load(spark, sf_dir, "lineitem", parallel=True))

@@ -544,3 +544,85 @@ def dsir_resample(
         .select(id_col, "n_tokens", "log_ratio")
         .orderBy(id_col)
     )
+
+
+# Fixed length-bucket boundaries (powers of two).  A shared literal list
+# — NOT ceil(log2(n)) — because log2 at exact powers of two is a
+# libm-boundary hazard (ln(64)/ln(2) can land either side of 6.0 per
+# engine); a CASE over literals is exact everywhere.
+LENGTH_BUCKETS = [16, 32, 64, 128, 256, 512, 1024]
+
+
+def length_bucket_batches(
+    docs: DataFrame,
+    batch_size: int = 8,
+    n_shards: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Length-bucketed training-batch plan: assign each document to a
+    power-of-two length bucket, deterministically shuffle within the
+    bucket (md5 order), split into fixed-size batches, and report each
+    batch's padding economics — the batching step a training-data
+    pipeline runs so sequence padding is bounded by the bucket width
+    instead of the global max length.  Returns one row per batch:
+    (bucket_cap, shard, batch_id, n_docs, batch_max, sum_tokens,
+    padding_frac) where padding_frac = (n_docs·batch_max − sum_tokens)
+    / (n_docs·batch_max) — exact integer arithmetic, then one exact
+    division.
+
+    Scale design: a single window per (bucket, shard) — the shard key
+    (md5 of the id, mod `n_shards`) splits each bucket's global sort
+    into `n_shards` independent, deterministic partitions, exactly
+    `pack_sequences`' per-stream parallel-packing idiom: no bucket ever
+    serializes onto one task, and raising n_shards with the cluster
+    keeps every window partition-sized.  Docs above the top bucket cap
+    land in the top bucket (documented clamp)."""
+    n = TQ.ws_token_count(F.col(text_col))
+    bucket = F.lit(LENGTH_BUCKETS[-1])
+    for cap in reversed(LENGTH_BUCKETS):
+        bucket = F.when(F.col("n_tokens") <= cap, F.lit(cap)).otherwise(bucket)
+    h = F.md5(F.col(id_col).cast("string"))
+    base = (
+        docs.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("doc_id"), n.alias("n_tokens"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            bucket.alias("bucket_cap"),
+            h.alias("_h"),
+            (
+                F.conv(F.substring(h, 1, 12), 16, 10).cast("long")
+                % n_shards
+            ).alias("shard"),
+        )
+    )
+    w = Window.partitionBy("bucket_cap", "shard").orderBy("_h", "doc_id")
+    batched = base.select(
+        "bucket_cap",
+        "shard",
+        "n_tokens",
+        F.floor((F.row_number().over(w) - 1) / batch_size).alias("batch_id"),
+    )
+    return (
+        batched.groupBy("bucket_cap", "shard", "batch_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("n_tokens").cast("long").alias("batch_max"),
+            F.sum("n_tokens").cast("long").alias("sum_tokens"),
+        )
+        .select(
+            "bucket_cap",
+            "shard",
+            "batch_id",
+            "n_docs",
+            "batch_max",
+            "sum_tokens",
+            (
+                (F.col("n_docs") * F.col("batch_max") - F.col("sum_tokens"))
+                .cast("double")
+                / (F.col("n_docs") * F.col("batch_max")).cast("double")
+            ).alias("padding_frac"),
+        )
+        .orderBy("bucket_cap", "shard", "batch_id")
+    )

@@ -506,6 +506,84 @@ def decontamination_pairs(
     )
 
 
+def ngram_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    n: int = 5,
+    threshold_pct: int = 5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document n-gram overlap contamination score (the GPT-3 /
+    PaLM-style eval-decontamination measure): for each corpus doc, the
+    fraction of its word `n`-grams (by position) that appear anywhere in
+    the benchmark set.  Complements `decontamination_pairs` (which
+    reports WHICH probe doc leaks); this reports HOW MUCH of each corpus
+    doc is benchmark material, the quantity training pipelines threshold
+    on.  Returns (doc_id, n_grams, n_hits, contamination, contaminated)
+    where contamination = n_hits / n_grams and contaminated ⇔
+    100·n_hits ≥ threshold_pct·n_grams — an all-integer comparison, so
+    the verdict is exact on every engine.
+
+    Scale design: the benchmark n-gram set is benchmark-sized (millions
+    of rows, not corpus-sized) — distinct fingerprints, broadcast into
+    the corpus-side explode so the hit test is a map-side semi-join with
+    NO shuffle of corpus n-grams; the only shuffle is the per-doc count
+    re-aggregation on (already well-distributed) doc_id.  The benchmark
+    table is corpus-independent: built once per eval suite, reused
+    across every corpus shard.  Fingerprints are full-md5 (128-bit) —
+    no birthday collisions at corpus scale (cf. the 96-bit ExactSubstr
+    key, operators/dedup.py:duplicated_spans).
+    """
+    def grams(df: DataFrame, out_id: str) -> DataFrame:
+        toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        exploded = (
+            df.where(F.col(text_col).isNotNull())
+            .select(F.col(id_col).alias(out_id), toks.alias("_toks"))
+            .where(F.size("_toks") >= n)
+            .select(
+                out_id,
+                F.explode(
+                    F.transform(
+                        F.sequence(
+                            F.lit(1), F.size("_toks") - F.lit(n - 1)
+                        ),
+                        lambda i: F.array_join(
+                            F.slice(F.col("_toks"), i, n), " "
+                        ),
+                    )
+                ).alias("_gram"),
+            )
+        )
+        return exploded.select(out_id, F.md5("_gram").alias("fp"))
+    bench_fps = grams(benchmark, "_bid").select("fp").distinct()
+    corpus_grams = grams(corpus, "doc_id")
+    hits = (
+        corpus_grams.join(
+            F.broadcast(bench_fps.withColumn("_hit", F.lit(1))),
+            "fp",
+            "left",
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias("n_hits"),
+        )
+    )
+    return hits.select(
+        "doc_id",
+        "n_grams",
+        "n_hits",
+        (F.col("n_hits").cast("double") / F.col("n_grams").cast("double")).alias(
+            "contamination"
+        ),
+        (
+            F.lit(100) * F.col("n_hits")
+            >= F.lit(threshold_pct) * F.col("n_grams")
+        ).alias("contaminated"),
+    ).orderBy("doc_id")
+
+
 def simhash_pairs_blocked(
     docs: DataFrame, text_col: str = "text", max_hamming: int = 1
 ) -> DataFrame:

@@ -393,3 +393,77 @@ def profile_table(df: DataFrame) -> DataFrame:
         )
         .orderBy("column")
     )
+
+
+# TPC-H Q19-style disjunctive predicate branches:
+# (brand, max p_size, quantity range) — OR-of-ANDs across the join.
+DISJUNCTIVE_BRANCHES = [
+    ("Brand#12", 15, (1.0, 11.0)),
+    ("Brand#23", 25, (10.0, 20.0)),
+    ("Brand#3", 35, (20.0, 30.0)),
+]
+
+
+def disjunctive_revenue(
+    lineitem: DataFrame, part: DataFrame
+) -> DataFrame:
+    """TPC-H Q19-style discounted-revenue query: an OR of AND-groups
+    mixing part-side (brand, size) and lineitem-side (quantity)
+    predicates across an equi-join.  Returns one row
+    (n_lineitems, revenue).
+
+    Scale design: the reason Q19 is a classic optimizer test — the
+    per-side CONJUNCTS of the disjunction must still push down.  The
+    part-side OR (brand+size branches) prunes the dimension before the
+    join (and `part` stays broadcast-sized); the lineitem-side
+    quantity disjunction (1..30 overall) pushes to the parquet scan as
+    a range residual.  The final predicate re-checks the full
+    OR-of-ANDs post-join; revenue accumulates in DECIMAL (module
+    convention)."""
+    joined = lineitem.join(
+        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+    )
+    branch_preds = []
+    for brand, max_size, (qlo, qhi) in DISJUNCTIVE_BRANCHES:
+        branch_preds.append(
+            (F.col("p_brand") == brand)
+            & (F.col("p_size").between(1, max_size))
+            & (F.col("l_quantity").between(qlo, qhi))
+        )
+    pred = branch_preds[0]
+    for p in branch_preds[1:]:
+        pred = pred | p
+    return joined.where(pred).agg(
+        F.count(F.lit(1)).alias("n_lineitems"),
+        dec_sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+        ),
+    )
+
+
+def forecast_revenue(
+    lineitem: DataFrame,
+    year: int = 1997,
+    discount_band: tuple[float, float] = (0.04, 0.06),
+    max_quantity: float = 24.0,
+) -> DataFrame:
+    """TPC-H Q6-style revenue-change forecast: sum(extendedprice ·
+    discount) over one shipping year, a discount band, and a quantity
+    cap.  Returns one row (n_lineitems, revenue).
+
+    Scale shape: pure scan→filter→scalar-agg — every predicate reaches
+    the parquet scan (min/max row-group pruning on l_shipdate), the
+    aggregate is map-side partial; no join, no wide shuffle."""
+    li = lineitem.where(
+        (F.col("l_shipdate") >= F.lit(f"{year}-01-01").cast("timestamp_ntz"))
+        & (
+            F.col("l_shipdate")
+            < F.lit(f"{year + 1}-01-01").cast("timestamp_ntz")
+        )
+        & F.col("l_discount").between(*discount_band)
+        & (F.col("l_quantity") < max_quantity)
+    )
+    return li.agg(
+        F.count(F.lit(1)).alias("n_lineitems"),
+        dec_sum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"),
+    )

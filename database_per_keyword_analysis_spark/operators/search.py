@@ -314,3 +314,94 @@ def encode_documents(
         )
         .orderBy(id_col)
     )
+
+
+def tfidf_doc_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    max_df: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sparse TF-IDF cosine document similarity via inverted-index
+    self-join — the LEXICAL near-duplicate scale path, complementing the
+    dense-embedding tiers (operators/similarity.py) and the shingle
+    tiers (minhash/winnowing): pairs of documents whose tf-idf vectors
+    (smooth idf, ln((N+1)/(df+1)) + 1, sklearn's convention) have cosine
+    ≥ `threshold`.  Returns (doc_a, doc_b, cosine) with doc_a < doc_b,
+    cosine rounded to 6 places.
+
+    Exactness: per-term weights are quantized to DECIMAL(18,6) once, so
+    the pair dot products and per-doc norms are EXACT decimal sums —
+    independent of partial-aggregation order, hash-identical to a
+    sequential oracle (the knn_bruteforce/bm25 convention).
+
+    Scale design: this is a similarity join on the INVERTED index, not
+    an all-pairs product — cost Σ_t df(t)², bounded by dropping terms
+    with df > `max_df` (which is simultaneously the skew guard for hot
+    tokens and a no-op for the score: df≈N terms carry idf≈ln(1)+1 and
+    appear in the norms of both sides, so high-df terms contribute
+    little discrimination; the winnowing family's df-cap argument,
+    operators/dedup.py:winnowing_pairs).  The join shuffles (token,
+    doc, weight) triples — never document text — and partitions by
+    token, so at 100 TB it is one bucketable equi-join plus a pair-keyed
+    re-aggregation.
+    """
+    toks = _tokens(docs, text_col, id_col)
+    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = docs.where(F.col(text_col).isNotNull()).agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs")
+    )
+    df_t = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    # quantize tf·idf ONCE; every downstream sum is exact decimal.
+    # localCheckpoint: the weight table feeds three consumers (norms and
+    # both join sides) — without it the tf/df subtree runs three times
+    # (house idiom, cf. lm_quality_buckets / dsir_resample)
+    weights = (
+        tf.join(df_t.where(F.col("df") <= max_df), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "token",
+            (
+                F.col("tf").cast("double")
+                * (
+                    F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0))
+                    + F.lit(1.0)
+                )
+            )
+            .cast("decimal(18,6)")
+            .alias("w"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    norms = weights.groupBy(id_col).agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w")).cast("double")).alias("norm")
+    )
+    a = weights.select(
+        F.col(id_col).alias("doc_a"), "token", F.col("w").alias("wa")
+    )
+    b = weights.select(
+        F.col(id_col).alias("doc_b"), "token", F.col("w").alias("wb")
+    )
+    dots = (
+        a.join(b, "token")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).cast("double").alias("dot"))
+    )
+    na = norms.select(F.col(id_col).alias("doc_a"), F.col("norm").alias("na"))
+    nb = norms.select(F.col(id_col).alias("doc_b"), F.col("norm").alias("nb"))
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias(
+                "cosine"
+            ),
+        )
+        .where(F.col("cosine") >= threshold)
+        .orderBy("doc_a", "doc_b")
+    )

@@ -351,3 +351,123 @@ def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.where(F.col(text_col).isNotNull()).select(
         "doc_id", F.md5(norm).alias("fingerprint")
     )
+
+
+# Fixed linear quality model (fastText-proxy tier).  Every weight and
+# cutoff is binary-representable (k/2^m), so the logit is a fixed tree of
+# IEEE-exact +,*,/ ops over exact-rational features — bit-identical on
+# Spark and DuckDB; only the sigmoid touches libm (exp) and that column
+# is rounded.  The feature set mirrors published quality classifiers
+# (CCNet / DataComp-LM document-level features): length, stopword
+# density, punctuation density, word-length shape.
+QUALITY_WEIGHTS = {
+    "bias": -0.5,
+    "len": 2.0,  # · min(n_tokens, 512)/512  — longer docs score higher
+    "stop": 4.0,  # · stopword_ratio          — natural prose marker
+    "punct": -8.0,  # · punct_ratio           — symbol soup penalized
+    "wordlen": -1.0,  # · |mean_word_len - 4.5| / 4.5 — shape deviation
+}
+QUALITY_LEN_CAP = 512
+
+
+def quality_classifier(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Document quality classifier: a fixed-weight logistic model over
+    the `quality_metrics` features (the deterministic stand-in for a
+    trained fastText/linear quality scorer — same serving plan, frozen
+    weights).  Returns (doc_id, logit, quality_score, keep) where
+    keep ⇔ logit > 0 (an exact-arithmetic comparison: no float-boundary
+    flakiness between engines, see QUALITY_WEIGHTS).
+
+    Scale shape: a pure projection over the metrics scan — zero shuffle,
+    whole-stage codegen end to end.  At 100 TB this is one map pass;
+    swapping in trained weights is a literal change, the plan is
+    unchanged."""
+    w = QUALITY_WEIGHTS
+    m = quality_metrics(docs, text_col)
+    len_feat = (
+        F.least(F.col("n_tokens_ws"), F.lit(QUALITY_LEN_CAP)).cast("double")
+        / F.lit(float(QUALITY_LEN_CAP))
+    )
+    wordlen_dev = F.abs(F.col("mean_word_len") - F.lit(4.5)) / F.lit(4.5)
+    logit = (
+        F.lit(w["bias"])
+        + F.lit(w["len"]) * len_feat
+        + F.lit(w["stop"]) * F.col("stopword_ratio")
+        + F.lit(w["punct"]) * F.col("punct_ratio")
+        + F.lit(w["wordlen"]) * wordlen_dev
+    )
+    return (
+        m.select(id_col, logit.alias("logit"))
+        .select(
+            id_col,
+            "logit",
+            F.round(
+                F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("logit"))), 6
+            ).alias("quality_score"),
+            (F.col("logit") > 0).alias("keep"),
+        )
+        .orderBy(id_col)
+    )
+
+
+# C4-style heuristic cleaning rules (Raffel et al. 2020 §2.2, adapted to
+# token-level rules because the fixture corpus is single-line).  Marker
+# terms use the fixture vocabulary the way C4's "javascript"/"lorem
+# ipsum" markers target web boilerplate.
+C4_MIN_TOKENS = 12
+C4_MAX_TOKENS = 4096
+C4_MEAN_WORD_LEN_RANGE = (2.0, 10.0)
+C4_MARKER_TERMS = ["lorem", "javascript", "cookie"]
+C4_MAX_SYMBOL_RATIO = 0.25
+
+
+def c4_rule_filter(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """C4/DataComp rule-based cleaning verdict: per-document boolean for
+    each heuristic rule plus the composite keep flag.  All comparisons
+    are on exact integers or exact-rational doubles — deterministic
+    across engines.  Returns (doc_id, too_short, too_long, bad_word_len,
+    has_marker, symbol_heavy, keep).
+
+    Scale shape: pure projection, zero shuffle; rules are scan-stage
+    predicates so a downstream `WHERE keep` lets Catalyst push the whole
+    verdict into the file scan."""
+    c = F.col(text_col)
+    toks = F.split(F.trim(c), r"\s+")
+    n_tok = F.size(toks)
+    mean_wl = (
+        F.length(F.regexp_replace(c, r"\s+", "")).cast("double")
+        / n_tok.cast("double")
+    )
+    lowered = F.split(F.lower(F.trim(c)), r"\s+")
+    has_marker = F.size(
+        F.filter(lowered, lambda t: t.isin(*C4_MARKER_TERMS))
+    ) > 0
+    n_sym = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    symbol_heavy = (
+        n_sym.cast("double") / F.length(c).cast("double")
+    ) > F.lit(C4_MAX_SYMBOL_RATIO)
+    lo, hi = C4_MEAN_WORD_LEN_RANGE
+    verdict = docs.where(c.isNotNull()).select(
+        id_col,
+        (n_tok < F.lit(C4_MIN_TOKENS)).alias("too_short"),
+        (n_tok > F.lit(C4_MAX_TOKENS)).alias("too_long"),
+        ((mean_wl < F.lit(lo)) | (mean_wl > F.lit(hi))).alias("bad_word_len"),
+        has_marker.alias("has_marker"),
+        symbol_heavy.alias("symbol_heavy"),
+    )
+    return verdict.select(
+        "*",
+        (
+            ~(
+                F.col("too_short")
+                | F.col("too_long")
+                | F.col("bad_word_len")
+                | F.col("has_marker")
+                | F.col("symbol_heavy")
+            )
+        ).alias("keep"),
+    ).orderBy(id_col)

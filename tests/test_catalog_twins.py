@@ -354,3 +354,34 @@ def test_user_activity_pivot_matches_oracle(spark, sf_dir):
 
 def test_language_id_matches_oracle(spark, sf_dir):
     _assert_matches_oracle(spark, sf_dir, "language_id")
+
+
+# ---- round-5 second rotation batch: demoted primaries + forecast ----
+
+
+def test_top_posts_matches_oracle(spark, sf_dir):
+    _assert_matches_oracle(spark, sf_dir, "top_posts")
+
+
+def test_word_frequency_by_lang_matches_oracle(spark, sf_dir):
+    _assert_matches_oracle(spark, sf_dir, "word_frequency_by_lang")
+
+
+def test_monthly_revenue_rollup_matches_oracle(spark, sf_dir):
+    _assert_matches_oracle(spark, sf_dir, "monthly_revenue_rollup")
+
+
+def test_running_order_totals_matches_oracle(spark, sf_dir):
+    _assert_matches_oracle(spark, sf_dir, "running_order_totals")
+
+
+def test_stream_tumbling_counts_matches_oracle(spark, sf_dir):
+    _assert_matches_oracle(spark, sf_dir, "stream_tumbling_counts")
+
+
+def test_cohort_retention_matches_oracle(spark, sf_dir):
+    _assert_matches_oracle(spark, sf_dir, "cohort_retention")
+
+
+def test_forecast_revenue_matches_oracle(spark, sf_dir):
+    _assert_matches_oracle(spark, sf_dir, "forecast_revenue")

@@ -266,3 +266,46 @@ def test_bm25_probe_pushes_token_filter_to_index_scan(spark, sf_dir):
     postings table per query."""
     plan = _plan(spark, sf_dir, "bm25_search_indexed")
     assert "PushedFilters: [In(token" in plan
+
+
+def test_round5_projections_have_no_aggregation_exchange(spark, sf_dir):
+    # quality_classifier / c4_rule_filter are scan-stage projections:
+    # the only exchanges allowed are the loader fan-out and final sort
+    for name in ["quality_classifier", "c4_rule_filter"]:
+        plan = _plan(spark, sf_dir, name)
+        assert "Exchange hashpartitioning" not in plan, name
+
+
+def test_ngram_contamination_broadcasts_benchmark_set(spark, sf_dir):
+    # the benchmark fingerprint set must be the BROADCAST side so corpus
+    # n-grams never shuffle for the hit test
+    plan = _plan(spark, sf_dir, "ngram_contamination")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tfidf_pairs_is_index_join_not_all_pairs(spark, sf_dir):
+    # the similarity join runs on the inverted index (token equi-join),
+    # never as an all-pairs product
+    plan = _plan(spark, sf_dir, "tfidf_doc_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_disjunctive_revenue_splits_predicates_per_side(spark, sf_dir):
+    # Q19's point: per-side conjuncts of the OR-of-ANDs must reach each
+    # scan, and the dimension must broadcast
+    plan = _plan(spark, sf_dir, "disjunctive_revenue")
+    assert "BroadcastHashJoin" in plan
+    li_scan = [l for l in plan.splitlines()
+               if "FileScan" in l and "lineitem" in l][0]
+    assert "l_quantity" in li_scan  # quantity disjunction pushed to scan
+    part_scan = [l for l in plan.splitlines()
+                 if "FileScan" in l and "part.parquet" in l][0]
+    assert "p_brand" in part_scan  # brand/size disjunction pushed to scan
+
+
+def test_forecast_revenue_pushes_all_filters(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "forecast_revenue")
+    pushed = plan.split("PushedFilters:")[1].splitlines()[0]
+    assert "l_shipdate" in pushed and "l_discount" in pushed

@@ -1,0 +1,225 @@
+"""Golden tests for the round-5 operators: quality classifier, C4 rule
+filter, n-gram contamination, sparse TF-IDF pairs, length-bucketed
+batching, and the Q19/Q6-style relational pair.  Hand-reasoned expected
+values; the sf0.01 DuckDB differentials for the registered queries run
+via tools/check_oracle and the driver."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from database_per_keyword_analysis_spark.operators import curation as CUR
+from database_per_keyword_analysis_spark.operators import dedup as D
+from database_per_keyword_analysis_spark.operators import relational as R
+from database_per_keyword_analysis_spark.operators import search as SRCH
+from database_per_keyword_analysis_spark.operators import textquality as TQ
+
+
+# ---------------------------------------------------------------- quality
+
+
+def test_quality_classifier_logit_matches_hand_computation(spark):
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat")], "doc_id long, text string"
+    )
+    row = TQ.quality_classifier(docs).collect()[0]
+    # features by hand: 6 tokens, 2 stopword hits ("the" x2), 0 punct,
+    # 17 non-space chars
+    w = TQ.QUALITY_WEIGHTS
+    logit = (
+        w["bias"]
+        + w["len"] * (6 / 512)
+        + w["stop"] * (2 / 6)
+        + w["punct"] * 0.0
+        + w["wordlen"] * (abs(17 / 6 - 4.5) / 4.5)
+    )
+    assert row.logit == pytest.approx(logit, abs=1e-12)
+    assert row.quality_score == pytest.approx(
+        round(1 / (1 + math.exp(-logit)), 6), abs=1e-9
+    )
+    assert row.keep == (logit > 0)
+
+
+def test_quality_classifier_prefers_natural_prose(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the report is a summary of the quarterly results and "
+                "the outlook is stable in the region"),
+            (2, "@@@ ### $$$ %%% ^^^ &&& *** ((( ))) !!!"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in TQ.quality_classifier(docs).collect()}
+    assert out[1].quality_score > out[2].quality_score
+    assert out[1].keep and not out[2].keep
+
+
+# ---------------------------------------------------------------- c4
+
+
+def test_c4_rules_fire_individually(spark):
+    long_words = " ".join(["pneumonoultramicroscopic"] * 15)
+    docs = spark.createDataFrame(
+        [
+            (1, "only five tokens right here"),           # too_short
+            (2, "please enable javascript " + "word " * 12),  # marker
+            (3, long_words),                              # bad_word_len
+            (4, "{}[]()!! " * 14),                        # symbol_heavy
+            (5, "a perfectly ordinary sentence with enough plain tokens "
+                "to pass every configured heuristic rule easily today"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in TQ.c4_rule_filter(docs).collect()}
+    assert out[1].too_short and not out[1].keep
+    assert out[2].has_marker and not out[2].keep
+    assert out[3].bad_word_len and not out[3].keep
+    assert out[4].symbol_heavy and not out[4].keep
+    assert out[5].keep
+    assert not any(
+        out[5][c]
+        for c in ["too_short", "too_long", "bad_word_len", "has_marker",
+                  "symbol_heavy"]
+    )
+
+
+# ------------------------------------------------------------ contamination
+
+
+def test_ngram_contamination_counts_positional_hits(spark):
+    bench = spark.createDataFrame(
+        [(100, "a b c d e f")], "doc_id long, text string"
+    )  # benchmark 5-grams: {a b c d e, b c d e f}
+    corpus = spark.createDataFrame(
+        [
+            (1, "a b c d e x y z w q"),  # 6 grams, 1 hit (position 1)
+            (2, "p q r s t u"),          # 2 grams, 0 hits
+            (3, "too few"),              # <5 tokens: excluded
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in D.ngram_contamination(corpus, bench).collect()}
+    assert set(out) == {1, 2}
+    assert (out[1].n_grams, out[1].n_hits) == (6, 1)
+    assert out[1].contamination == pytest.approx(1 / 6)
+    assert out[1].contaminated  # 100*1 >= 5*6
+    assert (out[2].n_grams, out[2].n_hits) == (2, 0)
+    assert not out[2].contaminated
+
+
+def test_ngram_contamination_duplicate_positions_all_count(spark):
+    bench = spark.createDataFrame(
+        [(100, "a b c d e")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [(1, "a b c d e a b c d e")], "doc_id long, text string"
+    )  # grams at positions 1 and 6 both equal "a b c d e"
+    row = D.ngram_contamination(corpus, bench).collect()[0]
+    assert row.n_grams == 6 and row.n_hits == 2
+
+
+# ---------------------------------------------------------------- tfidf
+
+
+def test_tfidf_identical_docs_cosine_one(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    pairs = SRCH.tfidf_doc_pairs(docs, threshold=0.5).collect()
+    assert [(r.doc_a, r.doc_b, r.cosine) for r in pairs] == [(1, 2, 1.0)]
+
+
+def test_tfidf_df_cap_drops_ubiquitous_terms(spark):
+    # "common" appears in every doc; with max_df=2 it cannot create pairs
+    docs = spark.createDataFrame(
+        [(1, "common alpha"), (2, "common beta"), (3, "common gamma")],
+        "doc_id long, text string",
+    )
+    assert SRCH.tfidf_doc_pairs(docs, threshold=0.01, max_df=2).count() == 0
+
+
+# ---------------------------------------------------------------- batching
+
+
+def test_length_bucket_batches_invariants(spark):
+    rows = [(i, " ".join(["tok"] * n)) for i, n in enumerate(
+        [5, 10, 16, 17, 30, 33, 64, 65, 100, 120, 130, 250, 260, 300] + [20] * 30
+    )]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = CUR.length_bucket_batches(docs, batch_size=4, n_shards=2).collect()
+    # every doc lands in exactly one batch
+    assert sum(r.n_docs for r in out) == len(rows)
+    for r in out:
+        assert r.bucket_cap in CUR.LENGTH_BUCKETS
+        assert 1 <= r.n_docs <= 4
+        assert r.batch_max <= r.bucket_cap
+        assert r.sum_tokens <= r.n_docs * r.batch_max
+        expect = (r.n_docs * r.batch_max - r.sum_tokens) / (
+            r.n_docs * r.batch_max
+        )
+        assert r.padding_frac == pytest.approx(expect, abs=1e-12)
+    # deterministic: second run bit-identical
+    again = CUR.length_bucket_batches(docs, batch_size=4, n_shards=2).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_length_bucket_clamps_to_top_bucket(spark):
+    docs = spark.createDataFrame(
+        [(1, " ".join(["t"] * 2000))], "doc_id long, text string"
+    )
+    out = CUR.length_bucket_batches(docs).collect()
+    assert len(out) == 1 and out[0].bucket_cap == CUR.LENGTH_BUCKETS[-1]
+
+
+# ---------------------------------------------------------------- relational
+
+
+def test_disjunctive_revenue_golden(spark):
+    part = spark.createDataFrame(
+        [
+            (1, "Brand#12", 10),   # branch 1 if 1<=qty<=11
+            (2, "Brand#12", 40),   # size out of range: never matches
+            (3, "Brand#23", 20),   # branch 2 if 10<=qty<=20
+            (4, "Brand#9", 5),     # brand not in any branch
+        ],
+        "p_partkey long, p_brand string, p_size int",
+    )
+    li = spark.createDataFrame(
+        [
+            (1, 5.0, 100.0, 0.0),    # branch 1 hit: +100
+            (1, 20.0, 100.0, 0.0),   # qty out of branch-1 range
+            (2, 5.0, 100.0, 0.0),    # size excluded
+            (3, 15.0, 200.0, 0.5),   # branch 2 hit: +100
+            (4, 15.0, 100.0, 0.0),   # brand excluded
+        ],
+        "l_partkey long, l_quantity double, l_extendedprice double, "
+        "l_discount double",
+    )
+    row = R.disjunctive_revenue(li, part).collect()[0]
+    assert row.n_lineitems == 2
+    assert row.revenue == pytest.approx(200.0)
+
+
+def test_forecast_revenue_golden(spark):
+    li = spark.createDataFrame(
+        [
+            ("1997-06-01", 0.05, 10.0, 1000.0),  # hit: +50
+            ("1997-06-01", 0.09, 10.0, 1000.0),  # discount out of band
+            ("1997-06-01", 0.05, 30.0, 1000.0),  # quantity too large
+            ("1998-06-01", 0.05, 10.0, 1000.0),  # wrong year
+        ],
+        "ship string, l_discount double, l_quantity double, "
+        "l_extendedprice double",
+    ).select(
+        F.col("ship").cast("timestamp_ntz").alias("l_shipdate"),
+        "l_discount",
+        "l_quantity",
+        "l_extendedprice",
+    )
+    row = R.forecast_revenue(li, year=1997).collect()[0]
+    assert row.n_lineitems == 1
+    assert row.revenue == pytest.approx(50.0)
