@@ -1378,13 +1378,18 @@ def q_decontamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pretraining decontamination pass: which corpus docs leak passages
     of a held-out probe/benchmark set (every 20th doc here), via
     cross-corpus winnowing fingerprint overlap
-    (operators/dedup.py:decontamination_pairs)."""
+    (operators/dedup.py:decontamination_pairs).  Probes the SAME
+    persisted .cache/winnow index winnowing_pairs builds (identical
+    (k, w)), so after the first build no call recomputes the gram-hash
+    pass."""
     from pyspark.sql import functions as F
 
     docs = _load_docs_fanned(spark, sf_dir)
+    path = _winnow_index_path(sf_dir)
+    D.winnowing_index(docs, path)  # ensure built (no-op when committed)
     probe = docs.where(F.col("doc_id") % 20 == 0)
     corpus = docs.where(F.col("doc_id") % 20 != 0)
-    return D.decontamination_pairs(corpus, probe)
+    return D.decontamination_pairs(corpus, probe, index_path=path)
 
 
 @register("winnowing_pairs", _winnowing_pairs_sql())

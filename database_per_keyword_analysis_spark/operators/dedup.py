@@ -375,6 +375,28 @@ def _parquet_index_exists(spark, path: str) -> bool:
     return p.getFileSystem(conf).exists(p)
 
 
+def winnowing_index(
+    docs: DataFrame,
+    index_path: str,
+    text_col: str = "text",
+    k: int = 16,
+    w: int = 8,
+) -> DataFrame:
+    """Build-or-read the persisted winnowing fingerprint index: a
+    committed parquet index (`_SUCCESS` present) is REUSED — later
+    calls skip the whole gram-hash pass, the same build-once/query-many
+    seam as the persisted IVF/BM25 indexes.  Callers key the path on
+    corpus identity + (k, w); a changed corpus needs a new key.  Shared
+    by `winnowing_pairs`, `winnowing_dup_groups`, and
+    `decontamination_pairs`."""
+    spark = docs.sparkSession
+    if not _parquet_index_exists(spark, index_path):
+        winnowing_fingerprints(docs, text_col, k, w).write.mode(
+            "overwrite"
+        ).parquet(index_path)
+    return spark.read.parquet(index_path)
+
+
 def winnowing_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -401,18 +423,10 @@ def winnowing_pairs(
     downstream references would otherwise recompute the per-gram md5
     pass each.
     """
-    fps = winnowing_fingerprints(docs, text_col, k, w)
     if index_path is not None:
-        # build once / query many: a committed index (parquet _SUCCESS)
-        # is REUSED — later calls skip the whole gram-hash pass, same
-        # seam as the persisted IVF index.  Callers key the path on the
-        # corpus identity + (k, w); a changed corpus needs a new key.
-        spark = docs.sparkSession
-        if not _parquet_index_exists(spark, index_path):
-            fps.write.mode("overwrite").parquet(index_path)
-        fps = spark.read.parquet(index_path)
+        fps = winnowing_index(docs, index_path, text_col, k, w)
     else:
-        fps = fps.localCheckpoint()
+        fps = winnowing_fingerprints(docs, text_col, k, w).localCheckpoint()
     ex = fps.select("doc_id", F.explode("fps").alias("fp"))
     if max_df is not None:
         ok = (
@@ -457,6 +471,7 @@ def decontamination_pairs(
     w: int = 8,
     min_shared: int = 8,
     max_df: int | None = 1000,
+    index_path: str | None = None,
 ) -> DataFrame:
     """Cross-corpus contamination check: corpus docs sharing ≥
     `min_shared` winnowing fingerprints with any probe doc — the
@@ -471,10 +486,21 @@ def decontamination_pairs(
     fingerprints on the CORPUS side (the big side; probe/benchmark sets
     are small and typically broadcast by the optimizer).  The probe
     fingerprint table is corpus-independent, so at 100 TB it is computed
-    once per benchmark suite and reused across corpus shards.
+    once per benchmark suite and reused across corpus shards.  When
+    `index_path` names a committed `winnowing_index` covering BOTH
+    sides (the caller's contract), each side's fingerprints come from a
+    doc_id semi-join against the index instead of recomputing the
+    gram-hash pass — the corpus is never rescanned for a new benchmark
+    suite, the exact seam the incremental-ingest dedup uses.
     """
-    cf = winnowing_fingerprints(corpus, text_col, k, w).localCheckpoint()
-    pf = winnowing_fingerprints(probe, text_col, k, w).localCheckpoint()
+    if index_path is not None:
+        spark = corpus.sparkSession
+        idx = spark.read.parquet(index_path)
+        cf = idx.join(corpus.select("doc_id"), "doc_id", "semi")
+        pf = idx.join(probe.select("doc_id"), "doc_id", "semi").localCheckpoint()
+    else:
+        cf = winnowing_fingerprints(corpus, text_col, k, w).localCheckpoint()
+        pf = winnowing_fingerprints(probe, text_col, k, w).localCheckpoint()
     ce = cf.select(F.col("doc_id").alias("corpus_doc"), F.explode("fps").alias("fp"))
     if max_df is not None:
         ok = (
