@@ -223,3 +223,74 @@ def test_forecast_revenue_golden(spark):
     row = R.forecast_revenue(li, year=1997).collect()[0]
     assert row.n_lineitems == 1
     assert row.revenue == pytest.approx(50.0)
+
+
+# ------------------------------------------------------------- rebalance
+
+
+def test_alpha_rebalance_flattens_head(spark):
+    rows = [(i, "text", "big") for i in range(100)] + [
+        (1000 + i, "text", "small") for i in range(25)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = CUR.alpha_power_rebalance(docs, target_docs=30)
+    kept = out.collect()
+    ratios = {r.stratum: r.accept_ratio for r in kept}
+    # w = (10, 5)/15; accept = w*target/n: big 10/15*30/100=0.2, small 0.4
+    assert ratios["big"] == pytest.approx(0.2)
+    assert ratios["small"] == pytest.approx(0.4)
+    # alpha=0.5 sampling-rate ratio = sqrt(100/25) = 2x, vs 1x natural
+    assert ratios["small"] / ratios["big"] == pytest.approx(2.0)
+    for r in kept:
+        assert r.u < r.accept_ratio
+
+
+# ---------------------------------------------------------------- funnel
+
+
+def test_curation_funnel_accounting(spark):
+    base = ("steel demand keeps rising across asia while water projects "
+            "expand and iron ore shipments arrive weekly bringing fresh "
+            "supply to regional mills and refineries alike today")
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),                       # exact duplicate of 1
+            (3, "short doc"),                # too_short
+            (4, "@@ ## $$ %% ^^ && ** (( )) !! ?? ;; :: ++ == -- __ "
+                "[[ ]] {{ }} << >>"),        # punctuation-heavy
+        ],
+        "doc_id long, text string",
+    )
+    out = CUR.curation_funnel(docs).collect()
+    assert [r.stage for r in out] == CUR.CURATION_FUNNEL_STAGES
+    assert out[0].n_in == 4                  # everything enters stage 1
+    assert out[0].n_dropped == 1             # doc 2
+    for prev, nxt in zip(out, out[1:]):
+        assert prev.n_out == nxt.n_in        # conservation between stages
+        assert nxt.n_out == nxt.n_in - nxt.n_dropped
+    assert out[-1].n_out == 4 - sum(r.n_dropped for r in out)
+
+
+# ---------------------------------------------------------------- keeper
+
+
+def test_quality_keeper_prefers_high_quality_member(spark):
+    base = ("steel demand keeps rising across asia while water "
+            "infrastructure projects expand and iron ore shipments arrive "
+            "at ports every single week bringing fresh supply to regional "
+            "mills and refineries alike during the busy spring "
+            "construction season")
+    degraded = base.replace("season", "@@@@@@")  # punct-heavy near-dup
+    docs = spark.createDataFrame(
+        [(1, degraded), (2, base), (3, degraded)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in CUR.quality_keeper_selection(docs).collect()}
+    assert set(out) == {1, 2, 3}
+    assert len({r.group_id for r in out.values()}) == 1
+    # doc 2 (clean) wins the keeper election even though doc 1 has the
+    # smaller id — quality beats id
+    assert all(r.keeper_id == 2 for r in out.values())
+    assert out[2].keep and not out[1].keep and not out[3].keep
+    assert out[2].quality_score > out[1].quality_score
