@@ -184,6 +184,14 @@ _DEFERRED_TWINS = {
     # round-5 deferred-at-birth: pure filter-agg machinery of the
     # in-window pricing_summary / disjunctive_revenue
     "forecast_revenue",
+    # round-5 deferred-at-birth compositions (each a DuckDB differential
+    # in tests/test_catalog_twins.py):
+    "alpha_mixture_sample",  # hash-threshold Bernoulli machinery of the
+    #   checked token_budget_sample / source_mixture_sample
+    "curation_funnel",  # conditional-count + stack over the checked
+    #   corpus_curation verdict (curation_summary / orders_profile idiom)
+    "quality_keeper_selection",  # checked minhash_dup_groups +
+    #   quality_classifier + rank-per-group (channel_audit) composed
 }
 
 
@@ -3240,3 +3248,116 @@ def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     disjunctive_revenue, DuckDB differential in
     tests/test_catalog_twins.py."""
     return R.forecast_revenue(load(spark, sf_dir, "lineitem", parallel=True))
+
+
+_ALPHA_TARGET = 200
+
+
+def _alpha_rebalance_sql() -> str:
+    return (
+        "WITH base AS (SELECT source AS stratum, doc_id, " + _HASH_U_SQL + " AS u "
+        "FROM documents WHERE source IS NOT NULL), "
+        "c AS (SELECT stratum, count(*) AS n_stratum FROM base GROUP BY stratum), "
+        "w AS (SELECT stratum, n_stratum, sqrt(CAST(n_stratum AS DOUBLE)) AS w_raw "
+        "FROM c), "
+        "d AS (SELECT CAST(sum(CAST(w_raw AS DECIMAL(28,12))) AS DOUBLE) AS denom "
+        "FROM w), "
+        "r AS (SELECT stratum, least(1.0, w_raw / denom * "
+        f"{float(_ALPHA_TARGET)!r} / n_stratum) AS accept_ratio "
+        "FROM w CROSS JOIN d) "
+        "SELECT b.stratum, b.doc_id, b.u, r.accept_ratio "
+        "FROM base b JOIN r USING (stratum) WHERE b.u < r.accept_ratio "
+        "ORDER BY stratum, doc_id"
+    )
+
+
+@register("alpha_mixture_sample", _alpha_rebalance_sql())
+def q_alpha_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature (alpha=0.5) source rebalancing — per-stratum accept
+    ratio computed from corpus counts, XLM-R style
+    (operators/curation.py:alpha_power_rebalance).  Deferred twin: same
+    hash-threshold Bernoulli machinery as the checked
+    token_budget_sample / source_mixture_sample; DuckDB differential in
+    tests/test_catalog_twins.py."""
+    from .operators import curation as CUR6
+
+    return CUR6.alpha_power_rebalance(
+        load(spark, sf_dir, "documents", parallel=True),
+        target_docs=_ALPHA_TARGET,
+    )
+
+
+def _curation_funnel_sql() -> str:
+    from .operators import curation as CUR6
+
+    stages = CUR6.CURATION_FUNNEL_STAGES
+    cs = ", ".join(
+        "CAST(sum(CASE WHEN drop_reason = "
+        f"{_sql_quote(s)} THEN 1 ELSE 0 END) AS BIGINT) AS c{i}"
+        for i, s in enumerate(stages)
+    )
+    rows = []
+    prior = "0"
+    for i, s in enumerate(stages):
+        n_in = f"total - ({prior})"
+        prior = f"{prior} + c{i}"
+        n_out = f"total - ({prior})"
+        rows.append(
+            f"SELECT {i + 1} AS stage_idx, {_sql_quote(s)} AS stage, "
+            f"{n_in} AS n_in, c{i} AS n_dropped, {n_out} AS n_out FROM s"
+        )
+    return (
+        "WITH RECURSIVE " + _curation_ctes() + ", "
+        "sel AS (" + _CURATION_SELECT + "), "
+        f"s AS (SELECT count(*) AS total, {cs} FROM sel) "
+        + " UNION ALL ".join(rows)
+        + " ORDER BY stage_idx"
+    )
+
+
+@register("curation_funnel", _curation_funnel_sql())
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survival funnel over the curation cascade: per precedence stage,
+    docs entering / dropped / surviving
+    (operators/curation.py:curation_funnel).  Deferred twin: one
+    conditional-count aggregate + stack over the checked
+    corpus_curation verdict (curation_summary machinery); DuckDB
+    differential in tests/test_catalog_twins.py."""
+    from .operators import curation as CUR6
+
+    return CUR6.curation_funnel(load(spark, sf_dir, "documents", parallel=True))
+
+
+def _quality_keeper_sql() -> str:
+    return (
+        "WITH RECURSIVE pairs AS (" + _minhash_sql() + "), "
+        "edges AS (SELECT doc_a AS n, doc_b AS m FROM pairs "
+        "UNION SELECT doc_b AS n, doc_a AS m FROM pairs), "
+        "reach(n, m) AS (SELECT n, n AS m FROM edges "
+        "UNION SELECT e.n, r.m FROM edges e JOIN reach r ON e.m = r.n), "
+        "g AS (SELECT n AS doc_id, min(m) AS group_id FROM reach GROUP BY n), "
+        "qc AS (" + _quality_classifier_sql() + "), "
+        "j AS (SELECT g.doc_id, g.group_id, qc.quality_score "
+        "FROM g JOIN qc ON g.doc_id = qc.doc_id) "
+        "SELECT doc_id, group_id, quality_score, "
+        "first_value(doc_id) OVER (PARTITION BY group_id "
+        "ORDER BY quality_score DESC, doc_id) AS keeper_id, "
+        "doc_id = first_value(doc_id) OVER (PARTITION BY group_id "
+        "ORDER BY quality_score DESC, doc_id) AS keep "
+        "FROM j ORDER BY doc_id"
+    )
+
+
+@register("quality_keeper_selection", _quality_keeper_sql())
+def q_quality_keeper_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup keeper election: each minhash near-dup group
+    keeps its highest-quality member
+    (operators/curation.py:quality_keeper_selection).  Deferred twin:
+    composition of the checked minhash_dup_groups, quality_classifier,
+    and rank-per-group (channel_audit) machinery; DuckDB differential
+    in tests/test_catalog_twins.py."""
+    from .operators import curation as CUR6
+
+    return CUR6.quality_keeper_selection(
+        load(spark, sf_dir, "documents", parallel=True)
+    )

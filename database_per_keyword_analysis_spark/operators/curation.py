@@ -626,3 +626,141 @@ def length_bucket_batches(
         )
         .orderBy("bucket_cap", "shard", "batch_id")
     )
+
+
+def alpha_power_rebalance(
+    docs: DataFrame,
+    target_docs: int,
+    alpha: float = 0.5,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-based source rebalancing (the multilingual-sampling
+    rule of XLM-R / mT5): stratum `s` is sampled with probability share
+    ∝ n_s^alpha, flattening the head and up-weighting the tail relative
+    to natural frequency.  Returns (stratum, doc_id, u, accept_ratio)
+    for the kept docs — `mixture_sample` with the weight vector
+    COMPUTED from corpus counts instead of given.
+
+    Exactness: at the default alpha=0.5 the power is `sqrt` (IEEE
+    correctly-rounded, bit-identical across engines — generic pow(x,a)
+    is a libm hazard and other alphas are documented approximate); the
+    normalizing denominator sums per-stratum sqrt weights in DECIMAL so
+    it is independent of aggregation order.
+
+    Scale shape: one map-side stratum count, one #strata-row weight
+    table broadcast back, one scan-stage hash-threshold filter — the
+    token_budget_sample / mixture_sample machinery."""
+    base = docs.where(F.col(stratum_col).isNotNull()).select(
+        F.col(stratum_col).alias("stratum"),
+        F.col(id_col).alias("doc_id"),
+        uniform_hash(F.col(id_col)).alias("u"),
+    )
+    counts = base.groupBy("stratum").agg(F.count(F.lit(1)).alias("n_stratum"))
+    if alpha == 0.5:
+        w_raw = F.sqrt(F.col("n_stratum").cast("double"))
+    else:  # cross-engine bit-exactness not guaranteed off the sqrt path
+        w_raw = F.pow(F.col("n_stratum").cast("double"), F.lit(alpha))
+    wtab = counts.select("stratum", "n_stratum", w_raw.alias("w_raw"))
+    denom = wtab.agg(
+        F.sum(F.col("w_raw").cast("decimal(28,12)")).cast("double").alias("denom")
+    )
+    rates = (
+        wtab.crossJoin(F.broadcast(denom))
+        .select(
+            "stratum",
+            F.least(
+                F.lit(1.0),
+                F.col("w_raw")
+                / F.col("denom")
+                * F.lit(float(target_docs))
+                / F.col("n_stratum"),
+            ).alias("accept_ratio"),
+        )
+    )
+    return (
+        base.join(F.broadcast(rates), "stratum")
+        .where(F.col("u") < F.col("accept_ratio"))
+        .select("stratum", "doc_id", "u", "accept_ratio")
+        .orderBy("stratum", "doc_id")
+    )
+
+
+# Funnel stage order = curate()'s drop_reason precedence; shared with the
+# generated oracle so the two cannot desynchronize.
+CURATION_FUNNEL_STAGES = [
+    "exact_duplicate",
+    "near_duplicate",
+    "too_short",
+    "high_punctuation",
+]
+
+
+def curation_funnel(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stage-by-stage survival accounting over the curation cascade —
+    the funnel report every production pipeline publishes: for each
+    stage (in drop-precedence order) how many docs entered, were
+    dropped there, and survived.  Returns (stage_idx, stage, n_in,
+    n_dropped, n_out) with n_out(i) = n_in(i+1); all-integer arithmetic.
+
+    Scale shape: one conditional-count aggregate over the curate()
+    verdict collapses the corpus to a single row; the per-stage rows
+    unfold driver-free via `stack` with the cumulative arithmetic inline
+    (the orders_profile idiom) — no window, no second pass."""
+    v = curate(docs, text_col)
+    aggs = [F.count(F.lit(1)).alias("_total")] + [
+        F.sum(F.when(F.col("drop_reason") == s, 1).otherwise(0))
+        .cast("long")
+        .alias(f"_c{i}")
+        for i, s in enumerate(CURATION_FUNNEL_STAGES)
+    ]
+    row = v.agg(*aggs)
+    args = []
+    prior = "0"
+    for i, s in enumerate(CURATION_FUNNEL_STAGES):
+        n_in = f"_total - ({prior})"
+        prior = f"{prior} + _c{i}"
+        n_out = f"_total - ({prior})"
+        args.append(f"{i + 1}, '{s}', {n_in}, _c{i}, {n_out}")
+    return (
+        row.selectExpr(
+            f"stack({len(CURATION_FUNNEL_STAGES)}, {', '.join(args)}) "
+            "AS (stage_idx, stage, n_in, n_dropped, n_out)"
+        )
+        .orderBy("stage_idx")
+    )
+
+
+def quality_keeper_selection(
+    docs: DataFrame, text_col: str = "text", near_threshold: float = 0.8
+) -> DataFrame:
+    """Quality-aware duplicate-keeper selection: within each minhash
+    near-dup group keep the HIGHEST-quality member (quality_classifier
+    score, ties by doc_id) instead of the smallest id — the refinement
+    real pipelines apply so dedup keeps the best copy, not an arbitrary
+    one.  Returns (doc_id, group_id, quality_score, keeper_id, keep)
+    for every grouped doc; ungrouped docs are unaffected by dedup and
+    not emitted.
+
+    Scale shape: the group table is pair-graph-sized (dup members only,
+    << corpus), the quality join is doc_id-co-partitioned, and keeper
+    election is one first_value window per group — group sizes are
+    cluster-diameter-bounded, so no window partition is hot."""
+    groups = D.minhash_dup_groups(
+        docs, text_col, threshold=near_threshold
+    ).select("doc_id", "group_id")
+    q = TQ.quality_classifier(docs, text_col).select("doc_id", "quality_score")
+    j = groups.join(q, "doc_id")
+    w = Window.partitionBy("group_id").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    return (
+        j.select(
+            "doc_id",
+            "group_id",
+            "quality_score",
+            F.first("doc_id").over(w).alias("keeper_id"),
+        )
+        .withColumn("keep", F.col("doc_id") == F.col("keeper_id"))
+        .orderBy("doc_id")
+    )

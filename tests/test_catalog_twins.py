@@ -385,3 +385,15 @@ def test_cohort_retention_matches_oracle(spark, sf_dir):
 
 def test_forecast_revenue_matches_oracle(spark, sf_dir):
     _assert_matches_oracle(spark, sf_dir, "forecast_revenue")
+
+
+def test_alpha_mixture_sample_matches_oracle(spark, sf_dir):
+    _assert_matches_oracle(spark, sf_dir, "alpha_mixture_sample")
+
+
+def test_curation_funnel_matches_oracle(spark, sf_dir):
+    _assert_matches_oracle(spark, sf_dir, "curation_funnel")
+
+
+def test_quality_keeper_selection_matches_oracle(spark, sf_dir):
+    _assert_matches_oracle(spark, sf_dir, "quality_keeper_selection")
