@@ -309,3 +309,13 @@ def test_forecast_revenue_pushes_all_filters(spark, sf_dir):
     plan = _plan(spark, sf_dir, "forecast_revenue")
     pushed = plan.split("PushedFilters:")[1].splitlines()[0]
     assert "l_shipdate" in pushed and "l_discount" in pushed
+
+
+def test_decontamination_probes_persisted_winnow_index(spark, sf_dir):
+    # after the shared .cache/winnow index is committed, the registered
+    # decontamination query must READ it (doc_id semi-joins) instead of
+    # re-running the gram-hash fingerprint pass
+    plan = _plan(spark, sf_dir, "decontamination_check")
+    assert ".cache/winnow" in plan or "winnow" in plan
+    # both sides come from the index: two semi-joins, no per-gram md5
+    assert plan.count("LeftSemi") >= 2
