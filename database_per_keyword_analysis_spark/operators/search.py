@@ -405,3 +405,101 @@ def tfidf_doc_pairs(
         .where(F.col("cosine") >= threshold)
         .orderBy("doc_a", "doc_b")
     )
+
+
+def update_postings_index(
+    new_docs: DataFrame,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    assert_new_ids: bool = True,
+) -> None:
+    """Append-only incremental maintenance of a plain-layout postings
+    index (build_postings_index): tokenize ONLY the new documents,
+    append their postings and doc-lengths as delta files, and refresh
+    the (tiny) corpus stats — the corpus already indexed is never
+    re-read, the exact seam `incremental_exact_dedup` uses for its
+    fingerprint index.
+
+    Contract: `new_docs` carries doc_ids not yet in the index (append-
+    only corpus); with `assert_new_ids` (default) that is verified with
+    one semi-join count against the existing doclens — cheap relative
+    to the tokenize pass, and it turns silent double-indexing into an
+    error.  Parquet append = delta files in place: probes see base +
+    deltas in one scan with no bookkeeping; run
+    :func:`compact_postings_index` when small files accumulate.
+    Incremental maintenance targets the PLAIN layout — a bucketed base
+    (n_buckets) must stay rebuild-only/compact-to-bucketed, because
+    appended files would not carry its bucket metadata.
+
+    Not atomic across the three writes (postings append → doclens
+    append → stats overwrite); on a partial failure re-run compaction
+    from the surviving postings, which re-derives doclens and stats.
+    """
+    spark = new_docs.sparkSession
+    if assert_new_ids:
+        existing = spark.read.parquet(f"{index_path}/doclens").select(id_col)
+        n_old = (
+            new_docs.select(id_col).join(existing, id_col, "semi").count()
+        )
+        if n_old:
+            raise ValueError(
+                f"update_postings_index: {n_old} doc_ids already indexed "
+                f"under {index_path} (append-only contract)"
+            )
+    toks = _tokens(new_docs, text_col, id_col)
+    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    tf = tf.localCheckpoint()  # one tokenize pass feeds both appends
+    tf.select(id_col, "token", "tf").write.mode("append").parquet(
+        f"{index_path}/postings"
+    )
+    tf.groupBy(id_col).agg(F.sum("tf").alias("dl")).write.mode(
+        "append"
+    ).parquet(f"{index_path}/doclens")
+    spark.read.parquet(f"{index_path}/doclens").agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    ).write.mode("overwrite").parquet(f"{index_path}/stats")
+
+
+def compact_postings_index(
+    spark,
+    index_path: str,
+    id_col: str = "doc_id",
+    n_buckets: int | None = None,
+    n_files: int = 8,
+) -> None:
+    """Compact an incrementally-grown postings index: rewrite base +
+    delta files into one fresh layout (plain `n_files`-file parquet, or
+    the bucketed-by-token 100 TB layout when `n_buckets` is set), then
+    atomically swap directories.  Doc-lengths and stats re-derive from
+    the compacted postings, so compaction is also the recovery path
+    after a partially-failed update.  The write-new-then-rename dance
+    is the local form of the pointer-swap a distributed store would do
+    — readers never observe a half-written index."""
+    import os
+    import shutil
+
+    from .scale import write_bucketed_index
+
+    posted = spark.read.parquet(f"{index_path}/postings")
+    tmp = f"{index_path}/postings__compact"
+    if n_buckets is not None:
+        write_bucketed_index(
+            posted.select("token", id_col, "tf"), tmp, ["token"], n_buckets
+        )
+    else:
+        posted.repartition(n_files).write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(f"{index_path}/postings")
+    os.rename(tmp, f"{index_path}/postings")
+    posted2 = _open_postings(spark, index_path, id_col, n_buckets)
+    posted2.groupBy(id_col).agg(F.sum("tf").alias("dl")).write.mode(
+        "overwrite"
+    ).parquet(f"{index_path}/doclens__compact_tmp")
+    # doclens is derived state: rewrite via tmp+rename as well
+    shutil.rmtree(f"{index_path}/doclens")
+    os.rename(f"{index_path}/doclens__compact_tmp", f"{index_path}/doclens")
+    spark.read.parquet(f"{index_path}/doclens").agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    ).write.mode("overwrite").parquet(f"{index_path}/stats")

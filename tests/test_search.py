@@ -169,3 +169,72 @@ def test_bm25_probe_matches_in_plan_search(spark, tmp_path):
     ).collect()
     direct = SRCH.bm25_search(docs, query_terms=("hash", "join")).collect()
     assert sorted(map(tuple, probe)) == sorted(map(tuple, direct))
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_incremental_postings_update_matches_full_build(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=i, text=t)
+            for i, t in enumerate(
+                ["hash join window", "hash hash stream", "join stream x",
+                 "window y z hash", "stream stream join hash", "a b c",
+                 "hash window", "join join join"]
+            )
+        ]
+    )
+    first, second = docs.where("doc_id < 4"), docs.where("doc_id >= 4")
+    path = str(tmp_path / "idx")
+    SRCH.build_postings_index(first, path)
+    SRCH.update_postings_index(second, path)
+    probe = SRCH.bm25_probe(spark, path, query_terms=("hash", "join"), top_k=10)
+    full = SRCH.bm25_search(docs, query_terms=("hash", "join"), top_k=10)
+    assert _rows(probe) == _rows(full)
+
+
+def test_incremental_update_rejects_existing_ids(spark, tmp_path):
+    import pytest as _pytest
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="hash join"), Row(doc_id=2, text="stream")]
+    )
+    path = str(tmp_path / "idx")
+    SRCH.build_postings_index(docs, path)
+    with _pytest.raises(ValueError, match="already indexed"):
+        SRCH.update_postings_index(docs.where("doc_id = 1"), path)
+
+
+def test_compaction_preserves_results_plain_and_bucketed(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=i, text=t)
+            for i, t in enumerate(
+                ["hash join window", "hash hash stream", "join stream x",
+                 "window y z hash", "stream stream join hash"]
+            )
+        ]
+    )
+    path = str(tmp_path / "idx")
+    SRCH.build_postings_index(docs.where("doc_id < 3"), path)
+    SRCH.update_postings_index(docs.where("doc_id >= 3"), path)
+    before = _rows(
+        SRCH.bm25_probe(spark, path, query_terms=("hash", "join"), top_k=10)
+    )
+    SRCH.compact_postings_index(spark, path)  # plain relayout
+    import os
+
+    assert not os.path.exists(f"{path}/postings__compact")
+    after_plain = _rows(
+        SRCH.bm25_probe(spark, path, query_terms=("hash", "join"), top_k=10)
+    )
+    assert after_plain == before
+    SRCH.compact_postings_index(spark, path, n_buckets=4)  # bucketed relayout
+    after_bucketed = _rows(
+        SRCH.bm25_probe(
+            spark, path, query_terms=("hash", "join"), top_k=10, n_buckets=4
+        )
+    )
+    assert after_bucketed == before
