@@ -91,3 +91,64 @@ def run_ingest_dedup(
         .start()
     )
     q.awaitTermination()
+
+
+def index_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Add ONE micro-batch of documents to a streaming-maintained BM25
+    postings index: tokenize only the batch, overwrite its
+    `batch=<id>/` postings and doclens partitions (idempotent on retry
+    — the ingest-dedup exactly-once idiom), then refresh the tiny stats
+    table from the doclens union.  Doc_ids are append-only across the
+    stream (the checkpoint assigns each input file to exactly one
+    batch, so a retry rewrites the same ids into the same directory)."""
+    from ..operators.search import _tokens
+
+    spark = batch_df.sparkSession
+    toks = _tokens(batch_df, text_col, id_col)
+    tf = (
+        toks.groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()
+    )
+    tf.select(id_col, "token", "tf").write.mode("overwrite").parquet(
+        os.path.join(index_path, "postings", f"batch={batch_id}")
+    )
+    tf.groupBy(id_col).agg(F.sum("tf").alias("dl")).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(index_path, "doclens", f"batch={batch_id}"))
+    spark.read.parquet(os.path.join(index_path, "doclens")).agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    ).write.mode("overwrite").parquet(os.path.join(index_path, "stats"))
+
+
+def run_streaming_index(
+    docs_stream: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Maintain the BM25 postings index from a document stream:
+    foreachBatch -> :func:`index_batch`, availableNow trigger (drain
+    then stop; continuous without it).  The maintained index lives in
+    the batch-partitioned delta layout — `bm25_probe` reads it directly
+    (the partition column is projected away), and
+    `search.compact_postings_index` converts it to the flat or bucketed
+    base layout once the stream quiesces (after which batch-mode
+    `update_postings_index` appends apply)."""
+    q = (
+        docs_stream.writeStream.foreachBatch(
+            lambda df, bid: index_batch(df, bid, index_path, text_col, id_col)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

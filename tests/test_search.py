@@ -238,3 +238,59 @@ def test_compaction_preserves_results_plain_and_bucketed(spark, tmp_path):
         )
     )
     assert after_bucketed == before
+
+
+def test_streaming_index_maintenance_matches_batch(spark, tmp_path):
+    """run_streaming_index over a multi-file doc stream (one file per
+    micro-batch) == bm25_search over the union; retries are idempotent;
+    compaction converts the streamed layout to the flat base."""
+    from database_per_keyword_analysis_spark.streaming import ingest as ING
+
+    texts = ["hash join window", "hash hash stream", "join stream x",
+             "window y z hash", "stream stream join hash", "q r s"]
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+    src = str(tmp_path / "src")
+    docs.where("doc_id < 3").coalesce(1).write.mode("append").parquet(src)
+    docs.where("doc_id >= 3").coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    idx = str(tmp_path / "idx")
+    ING.run_streaming_index(stream, idx, str(tmp_path / "ckpt"))
+    expected = _rows(SRCH.bm25_search(docs, query_terms=("hash", "join"), top_k=10))
+    got = _rows(SRCH.bm25_probe(spark, idx, query_terms=("hash", "join"), top_k=10))
+    assert got == expected
+
+    # retry idempotence: re-running a batch id with ITS original input
+    # set (read back from the index partition — file-to-batch assignment
+    # order is the checkpoint's, not ours to assume) rewrites identical
+    # state
+    b1_ids = [
+        r.doc_id
+        for r in spark.read.parquet(f"{idx}/doclens/batch=1").collect()
+    ]
+    ING.index_batch(docs.where(docs.doc_id.isin(b1_ids)), 1, idx)
+    assert _rows(
+        SRCH.bm25_probe(spark, idx, query_terms=("hash", "join"), top_k=10)
+    ) == expected
+
+    # compact the batch-partitioned layout to the flat base, then a
+    # batch-mode incremental append still composes
+    SRCH.compact_postings_index(spark, idx)
+    assert _rows(
+        SRCH.bm25_probe(spark, idx, query_terms=("hash", "join"), top_k=10)
+    ) == expected
+    more = spark.createDataFrame([Row(doc_id=100, text="hash hash hash")])
+    SRCH.update_postings_index(more, idx)
+    full = _rows(
+        SRCH.bm25_search(
+            docs.unionByName(more), query_terms=("hash", "join"), top_k=10
+        )
+    )
+    assert _rows(
+        SRCH.bm25_probe(spark, idx, query_terms=("hash", "join"), top_k=10)
+    ) == full
