@@ -192,6 +192,15 @@ _DEFERRED_TWINS = {
     #   corpus_curation verdict (curation_summary / orders_profile idiom)
     "quality_keeper_selection",  # checked minhash_dup_groups +
     #   quality_classifier + rank-per-group (channel_audit) composed
+    # ROUND-5 ROTATION, third batch: the novel media_phash_fingerprints
+    # (perceptual-hash multimodal dedup tier) moves INTO the window;
+    # simhash_fingerprints (driver-green r1-r4, same
+    # bit-vector-fingerprint family) moves out on a DuckDB differential:
+    "simhash_fingerprints",
+    # deferred-at-birth: composition of the in-window
+    # media_phash_fingerprints with the simhash tier's pigeonhole
+    # banding (hamming_pairs_blocked); DuckDB differential
+    "media_phash_dups",
 }
 
 
@@ -3360,4 +3369,86 @@ def q_quality_keeper_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return CUR6.quality_keeper_selection(
         load(spark, sf_dir, "documents", parallel=True)
+    )
+
+
+def _phash_cte() -> str:
+    """Byte-signal aHash oracle: np.array_split chunking and the
+    integer cross-multiplied bit test reproduced over ascii codes
+    (fixture payloads are UTF-8 of ASCII text, so byte i == ascii of
+    char i); 64-bit value assembled in HUGEINT then wrapped to the
+    signed BIGINT Spark emits."""
+    bits_expr = (
+        "list_transform(range(0, 64), i -> "
+        "CASE WHEN list_sum(cs[(i*(n//64) + least(i, n%64) + 1):"
+        "(i*(n//64) + least(i, n%64) + (n//64) + "
+        "CASE WHEN i < n%64 THEN 1 ELSE 0 END)]) * n "
+        "> total * ((n//64) + CASE WHEN i < n%64 THEN 1 ELSE 0 END) "
+        "THEN CAST(1 AS HUGEINT) << i ELSE CAST(0 AS HUGEINT) END)"
+    )
+    return (
+        "codes AS (SELECT doc_id, "
+        "CASE WHEN doc_id % 3 = 0 THEN 'image' "
+        "WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_kind, "
+        "list_transform(range(1, length(text) + 1), "
+        "i -> ascii(substr(text, i, 1))) AS cs "
+        "FROM documents WHERE text IS NOT NULL), "
+        "st AS (SELECT doc_id, media_kind, cs, len(cs) AS n, "
+        "list_sum(cs) AS total FROM codes), "
+        f"vv AS (SELECT doc_id, media_kind, coalesce(list_sum({bits_expr}), 0) "
+        "AS v FROM st), "
+        "ph AS (SELECT doc_id, media_kind, "
+        "CAST(CASE WHEN v >= CAST(1 AS HUGEINT) << 63 "
+        "THEN v - (CAST(1 AS HUGEINT) << 64) ELSE v END AS BIGINT) AS phash "
+        "FROM vv)"
+    )
+
+
+@register(
+    "media_phash_fingerprints",
+    "WITH " + _phash_cte() + " SELECT doc_id, media_kind, phash FROM ph "
+    "ORDER BY doc_id",
+)
+def q_media_phash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit perceptual aHash per media payload
+    (operators/multimodal.py:perceptual_hash, byte-signal tier in this
+    container; PIL 8x8 thumbnail when importable) — the image-dedup
+    fingerprint, bit decisions in exact integer arithmetic so the
+    oracle reproduces them bit-for-bit through the Arrow mapInPandas
+    stage."""
+    from .operators import multimodal as MM
+
+    return MM.perceptual_hash(
+        MM.with_media_payload(load(spark, sf_dir, "documents", parallel=True))
+    ).orderBy("doc_id")
+
+
+_PHASH_MAX_HAMMING = 6
+
+
+@register(
+    "media_phash_dups",
+    "WITH " + _phash_cte() + " SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+    "CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming "
+    "FROM ph a JOIN ph b ON a.doc_id < b.doc_id "
+    f"WHERE bit_count(xor(a.phash, b.phash)) <= {_PHASH_MAX_HAMMING} "
+    "ORDER BY doc_a, doc_b",
+)
+def q_media_phash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-duplicate media pairs: aHash ->
+    pigeonhole-blocked Hamming join, exact recall without an all-pairs
+    product (operators/multimodal.py:media_phash_dups,
+    operators/dedup.py:hamming_pairs_blocked).  Deferred twin:
+    composition of the in-window media_phash_fingerprints and the
+    simhash tier's banding machinery; the oracle's all-pairs join is
+    DuckDB-side only."""
+    from pyspark.sql import functions as F
+
+    from .operators import multimodal as MM
+
+    return MM.media_phash_dups(
+        MM.with_media_payload(load(spark, sf_dir, "documents", parallel=True)),
+        max_hamming=_PHASH_MAX_HAMMING,
+    ).select(
+        "doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming")
     )

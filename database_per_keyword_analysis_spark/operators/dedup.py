@@ -610,6 +610,60 @@ def ngram_contamination(
     ).orderBy("doc_id")
 
 
+def hamming_pairs_blocked(
+    fps: DataFrame,
+    fp_col: str,
+    bits: int,
+    max_hamming: int = 1,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Generic pigeonhole-blocked Hamming join over an (id, fingerprint)
+    table — the machinery of `simhash_pairs_blocked` factored for any
+    64-bit-or-narrower fingerprint column (simhash, perceptual aHash):
+    split into `max_hamming + 1` disjoint bit-bands, candidates from a
+    self-equi-join on (band, value) — exact recall, no all-pairs — then
+    the exact popcount check.  Returns (doc_a, doc_b, hamming)."""
+    n_bands = max_hamming + 1
+    base, extra = divmod(bits, n_bands)
+    widths = [base + (1 if i < extra else 0) for i in range(n_bands)]
+    offsets = [sum(widths[:i]) for i in range(n_bands)]
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftright(F.col("_fp"), off)
+                .bitwiseAND((1 << w) - 1 if w < 64 else -1)
+                .alias("val"),
+            )
+            for i, (off, w) in enumerate(zip(offsets, widths))
+        ]
+    )
+    withb = (
+        fps.select(F.col(id_col).alias("doc_id"), F.col(fp_col).alias("_fp"))
+        .select("doc_id", "_fp", F.explode(bands).alias("b"))
+        .select("doc_id", "_fp", "b.band", "b.val")
+    )
+    a = withb.select(
+        F.col("doc_id").alias("doc_a"), F.col("_fp").alias("ha"), "band", "val"
+    )
+    b = withb.select(
+        F.col("doc_id").alias("doc_b"), F.col("_fp").alias("hb"), "band", "val"
+    )
+    return (
+        a.join(b, ["band", "val"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "ha", "hb")
+        .distinct()
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 def simhash_pairs_blocked(
     docs: DataFrame, text_col: str = "text", max_hamming: int = 1
 ) -> DataFrame:

@@ -322,3 +322,111 @@ def sample_frame_offsets(
         )
         .select("doc_id", "duration_s", F.col("frame_s").cast("int").alias("frame_s"))
     )
+
+
+_PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_kind", T.StringType()),
+        T.StructField("phash", T.LongType()),
+    ]
+)
+
+PHASH_BITS = 64
+
+
+def perceptual_hash(media: DataFrame, *, fake: bool = True) -> DataFrame:
+    """64-bit average-hash (aHash) per media payload — the standard
+    perceptual fingerprint for image near-dup detection: bit b is set
+    iff region b's mean intensity exceeds the global mean, so the hash
+    survives re-encoding, mild crops, and brightness shifts that break
+    exact digests.
+
+    ``fake=True`` (this container): the SAME aHash construction over
+    the raw byte signal — payload split into 64 contiguous chunks, bit
+    = chunk mean > global byte mean (deterministic, codec-free; empty
+    chunks read as 0).  ``fake=False``: images decode via PIL to an 8×8
+    grayscale thumbnail (the canonical aHash); kinds without a codec
+    fall back per-row to the byte-chunk form, and the call raises
+    ``NotImplementedError`` only when no codec imports at all —
+    `decode_media`'s exact gating pattern.
+
+    Scale shape: one Arrow `mapInPandas` projection, zero shuffle;
+    payload bytes are pruned from the output."""
+    if not fake and not available_codecs():
+        raise NotImplementedError(
+            "real perceptual hashing needs PIL; not importable here — "
+            "use fake=True for the byte-signal aHash"
+        )
+    use_real = not fake
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        import numpy as np
+
+        codecs = available_codecs() if use_real else {}
+
+        def byte_ahash(b: bytes) -> int:
+            if not b:
+                return 0
+            arr = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
+            n, total = len(arr), int(arr.sum())
+            chunks = np.array_split(arr, PHASH_BITS)
+            v = 0
+            for i, c in enumerate(chunks):
+                # chunk mean > global mean, as EXACT integer
+                # cross-multiplication (sum_c/len_c > total/n ⇔
+                # sum_c·n > total·len_c) — bit decisions never touch
+                # floats, so the DuckDB oracle reproduces them exactly
+                if c.size and int(c.sum()) * n > total * len(c):
+                    v |= 1 << i
+            return v - (1 << 64) if v >= (1 << 63) else v
+
+        def image_ahash(b: bytes) -> int:
+            img = codecs["image"].open(io.BytesIO(b)).convert("L").resize((8, 8))
+            arr = np.asarray(img, dtype=np.float64).ravel()
+            gmean = float(arr.mean())
+            v = 0
+            for i, px in enumerate(arr):
+                if px > gmean:
+                    v |= 1 << i
+            return v - (1 << 64) if v >= (1 << 63) else v
+
+        for pdf in it:
+            hashes = []
+            for kind, payload in zip(pdf["media_kind"], pdf["payload"]):
+                b = bytes(payload)
+                if use_real and kind == "image" and "image" in codecs:
+                    hashes.append(image_ahash(b))
+                else:
+                    hashes.append(byte_ahash(b))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_kind": pdf["media_kind"],
+                    "phash": pd.Series(hashes, dtype="int64"),
+                }
+            )
+
+    return media.select("doc_id", "media_kind", "payload").mapInPandas(
+        batches, _PHASH_SCHEMA
+    )
+
+
+def media_phash_dups(media: DataFrame, max_hamming: int = 2, *, fake: bool = True) -> DataFrame:
+    """Perceptual near-duplicate media pairs: aHash fingerprints →
+    pigeonhole-blocked Hamming join (operators/dedup.py:
+    hamming_pairs_blocked — the simhash tier's exact-recall blocking,
+    no all-pairs product).  Returns (doc_a, doc_b, hamming) with
+    hamming ≤ `max_hamming` — the image-dedup tier of the multimodal
+    column, feeding the same dup_groups/keeper machinery as the text
+    tiers."""
+    from .dedup import hamming_pairs_blocked
+
+    return hamming_pairs_blocked(
+        perceptual_hash(media, fake=fake),
+        fp_col="phash",
+        bits=PHASH_BITS,
+        max_hamming=max_hamming,
+    )

@@ -397,3 +397,11 @@ def test_curation_funnel_matches_oracle(spark, sf_dir):
 
 def test_quality_keeper_selection_matches_oracle(spark, sf_dir):
     _assert_matches_oracle(spark, sf_dir, "quality_keeper_selection")
+
+
+def test_simhash_fingerprints_matches_oracle(spark, sf_dir):
+    _assert_matches_oracle(spark, sf_dir, "simhash_fingerprints")
+
+
+def test_media_phash_dups_matches_oracle(spark, sf_dir):
+    _assert_matches_oracle(spark, sf_dir, "media_phash_dups")

@@ -161,3 +161,63 @@ def test_real_resize_with_pil(spark):
     out = MM.resize_media(df, 64, 64, fake=False).collect()[0]
     assert out.out_width == 64 and out.out_height in (25, 26)
     assert bytes(out.payload)[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+def _media_rows(spark, rows):
+    return spark.createDataFrame(
+        [(i, "image", bytearray(b)) for i, b in rows],
+        "doc_id long, media_kind string, payload binary",
+    )
+
+
+def test_perceptual_hash_byte_ahash_hand_checked(spark):
+    # payload of 128 bytes: first half zeros, second half 255s ->
+    # chunks 0-31 mean 0 (< global 127.5, bits clear), 32-63 mean 255
+    # (> global, bits set) -> phash = bits 32..63 set
+    b = bytes([0] * 64 + [255] * 64)
+    out = MM.perceptual_hash(_media_rows(spark, [(1, b)])).collect()[0]
+    expected = sum(1 << i for i in range(32, 64))
+    expected = expected - (1 << 64) if expected >= (1 << 63) else expected
+    assert out.phash == expected
+
+
+def test_perceptual_hash_empty_payload_is_zero(spark):
+    out = MM.perceptual_hash(_media_rows(spark, [(1, b"")])).collect()[0]
+    assert out.phash == 0
+
+
+def test_phash_dups_blocked_equals_brute_force(spark):
+    import itertools
+
+    base = bytes(range(256)) * 4
+    near = bytearray(base)
+    near[10] = 255          # perturb one chunk's mean
+    far = bytes(reversed(base))
+    rows = [(1, base), (2, bytes(near)), (3, far), (4, base)]
+    media = _media_rows(spark, rows)
+    got = [
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in MM.media_phash_dups(media, max_hamming=4).collect()
+    ]
+    # brute force over the same hashes
+    hashes = {
+        r.doc_id: r.phash for r in MM.perceptual_hash(media).collect()
+    }
+    exp = sorted(
+        (a, b, bin((hashes[a] ^ hashes[b]) & (2**64 - 1)).count("1"))
+        for a, b in itertools.combinations(sorted(hashes), 2)
+        if bin((hashes[a] ^ hashes[b]) & (2**64 - 1)).count("1") <= 4
+    )
+    assert sorted(got) == exp
+    pairs = {(a, b) for a, b, _ in got}
+    assert (1, 4) in pairs          # identical payloads: hamming 0
+    assert (1, 2) in pairs          # single-chunk perturbation stays near
+    assert (1, 3) not in pairs      # reversed signal lands far
+
+
+def test_phash_real_gate_raises_without_codecs(spark):
+    media = _media_rows(spark, [(1, b"abc")])
+    if MM.available_codecs():
+        pytest.skip("codecs present; gate not reachable")
+    with pytest.raises(NotImplementedError):
+        MM.perceptual_hash(media, fake=False)
