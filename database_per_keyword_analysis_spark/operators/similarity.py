@@ -417,16 +417,7 @@ def ivf_index(
     C = _kmeans_np(X, n_lists, seed)
     centroids = [list(map(float, c)) for c in C]
 
-    c2 = (C * C).sum(1)
-
-    @F.pandas_udf("int")
-    def assign(s: pd.Series) -> pd.Series:
-        V = np.stack(s.to_numpy()).astype(np.float64)
-        return pd.Series(((c2 - 2.0 * (V @ C.T)).argmin(1)).astype("int32"))
-
-    assigned = vectors.select(
-        id_col, vec_col, assign(F.col(vec_col)).alias("list_id")
-    )
+    assigned = ivf_assign(vectors, centroids, vec_col, id_col)
     if index_path is not None:
         from .scale import write_bucketed_index
 
@@ -445,6 +436,71 @@ def ivf_index(
         )
         return ivf_load(spark, index_path, id_col=id_col, n_buckets=n_buckets)
     return assigned, centroids
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Assign vectors to their nearest centroid (the IVF coarse
+    quantizer): argmin ||x−c||² over the given centroid set, one
+    Arrow-vectorized pass, no shuffle.  Shared by the initial build
+    (`ivf_index`) and incremental maintenance (`ivf_add`) so both paths
+    quantize identically."""
+    import numpy as np
+
+    C = np.asarray(centroids, dtype=np.float64)
+    c2 = (C * C).sum(1)
+
+    @F.pandas_udf("int")
+    def assign(s: pd.Series) -> pd.Series:
+        V = np.stack(s.to_numpy()).astype(np.float64)
+        return pd.Series(((c2 - 2.0 * (V @ C.T)).argmin(1)).astype("int32"))
+
+    return vectors.select(
+        id_col, vec_col, assign(F.col(vec_col)).alias("list_id")
+    )
+
+
+def ivf_add(
+    new_vectors: DataFrame,
+    index_path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    assert_new_ids: bool = True,
+) -> None:
+    """Incremental IVF maintenance: quantize ONLY the new vectors
+    against the PERSISTED centroids (the quantizer stays frozen — the
+    FAISS `add` convention; retrain = rebuild when drift accumulates)
+    and append them into the list_id-partitioned assignment layout.
+    Probes see old + new vectors with no bookkeeping: appends land as
+    extra files inside the matching `list_id=` partitions, so partition
+    pruning keeps working.  Targets the PLAIN partitioned layout — a
+    bucketed index (n_buckets) stays rebuild-only, the
+    update_postings_index rule.
+
+    With `assert_new_ids` (default) an id semi-join against the
+    existing assignment turns silent double-insertion into an error —
+    the append-only contract shared with the postings/fingerprint
+    index maintainers."""
+    spark = new_vectors.sparkSession
+    assigned, centroids = ivf_load(spark, index_path, id_col=id_col)
+    if assert_new_ids:
+        n_old = (
+            new_vectors.select(id_col)
+            .join(assigned.select(id_col), id_col, "semi")
+            .count()
+        )
+        if n_old:
+            raise ValueError(
+                f"ivf_add: {n_old} vec_ids already indexed under "
+                f"{index_path} (append-only contract)"
+            )
+    ivf_assign(new_vectors, centroids, vec_col, id_col).write.mode(
+        "append"
+    ).partitionBy("list_id").parquet(index_path + "/assigned")
 
 
 def ivf_load(

@@ -194,3 +194,43 @@ def test_all_pairs_tiers_refuse_at_scale(spark, sf_dir):
     assert (
         SIM.cosine_near_dup_pairs(big, threshold=1.01, max_rows=None).count() == 0
     )
+
+
+def test_ivf_add_extends_index_with_frozen_quantizer(spark, sf_dir, tmp_path):
+    vectors = load(spark, sf_dir, "embeddings")
+    first = vectors.where("vec_id % 2 = 0")
+    second = vectors.where("vec_id % 2 = 1")
+    path = str(tmp_path / "ivf")
+    SIM.ivf_index(first, n_lists=4, index_path=path)
+    _, centroids = SIM.ivf_load(spark, path)
+    SIM.ivf_add(second, path)
+
+    # the stored assignment == assigning the FULL corpus against the
+    # frozen centroids (quantizer unchanged by the add)
+    assigned, centroids2 = SIM.ivf_load(spark, path)
+    assert centroids2 == centroids
+    got = sorted(
+        (r.vec_id, r.list_id)
+        for r in assigned.select("vec_id", "list_id").collect()
+    )
+    exp = sorted(
+        (r.vec_id, r.list_id)
+        for r in SIM.ivf_assign(vectors, centroids).collect()
+    )
+    assert got == exp
+
+    # probes now see both halves: every returned neighbor set over the
+    # grown index can include odd ids
+    out = SIM.ivf_knn(
+        vectors, vectors.where("vec_id < 3"), k=5, n_lists=4, index_path=path
+    )
+    ids = {r.neighbor_id for r in out.collect()}
+    assert any(i % 2 == 1 for i in ids)
+
+
+def test_ivf_add_rejects_existing_ids(spark, sf_dir, tmp_path):
+    vectors = load(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivf")
+    SIM.ivf_index(vectors.where("vec_id < 20"), n_lists=2, index_path=path)
+    with pytest.raises(ValueError, match="already indexed"):
+        SIM.ivf_add(vectors.where("vec_id < 5"), path)
