@@ -99,6 +99,8 @@ HEADLINE = [
     "length_bucket_batches",
     "disjunctive_revenue",
     "forecast_revenue",
+    "media_phash_dups",
+    "alpha_mixture_sample",
     # cosine_near_dups_lsh intentionally NOT in the headline: at the
     # fixture's 0.4 threshold (far below the >=0.9 near-dup regime the
     # operator exists for) sign-LSH candidate counts approach all-pairs,

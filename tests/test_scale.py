@@ -158,3 +158,55 @@ def test_bucketed_ivf_self_join_exchange_free(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, plain.collect())) == sorted(
         map(tuple, bucketed.collect())
     )
+
+
+def test_zorder_key_interleaves_and_orders(spark):
+    from database_per_keyword_analysis_spark.operators import scale as SC
+
+    df = spark.createDataFrame(
+        [(x, y) for x in range(4) for y in range(4)], "x long, y long"
+    )
+    out = {(r.x, r.y): r.zorder_key for r in SC.zorder_key(df, ["x", "y"], bits=2).collect()}
+    # corners: (min,min) lowest, (max,max) highest; key is deterministic
+    assert out[(0, 0)] == 0
+    assert out[(3, 3)] == max(out.values())
+    # Morton property on the quantized grid: x bits land in even
+    # positions, y bits in odd — (3,0) = 0b0101, (0,3) = 0b1010
+    assert out[(3, 0)] == 0b0101
+    assert out[(0, 3)] == 0b1010
+
+
+def test_zorder_layout_clusters_both_dimensions(spark, tmp_path):
+    """Per-file min/max spans of BOTH keyed columns shrink vs an
+    unclustered single-key sort — the data-skipping property."""
+    import pyarrow.parquet as pq
+
+    from database_per_keyword_analysis_spark.operators import scale as SC
+
+    n = 4096
+    df = spark.range(n).select(
+        (F.col("id") % 64).alias("x"),
+        (F.col("id") / 64).cast("long").alias("y"),
+        F.col("id").alias("payload"),
+    )
+    zpath = str(tmp_path / "zordered")
+    SC.write_zordered(df, zpath, ["x", "y"], n_files=8)
+
+    def file_spans(path, col):
+        import glob
+        spans = []
+        for f in glob.glob(f"{path}/*.parquet"):
+            t = pq.read_table(f, columns=[col])
+            vals = t.column(col).to_pylist()
+            spans.append(max(vals) - min(vals))
+        return spans
+
+    # an x-only sort clusters x perfectly but leaves y spanning its full
+    # range in every file; z-order bounds BOTH
+    xpath = str(tmp_path / "xsorted")
+    df.repartitionByRange(8, "x").sortWithinPartitions("x").write.parquet(xpath)
+    z_y = sum(file_spans(zpath, "y")) / 8
+    x_y = sum(file_spans(xpath, "y")) / 8
+    assert z_y < x_y * 0.7  # y-dimension span shrinks materially
+    z_x = sum(file_spans(zpath, "x")) / 8
+    assert z_x < 64  # x stays clustered too (full range is 64)
