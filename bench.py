@@ -101,6 +101,9 @@ HEADLINE = [
     "forecast_revenue",
     "media_phash_dups",
     "alpha_mixture_sample",
+    # binned range join (the non-equi BETWEEN join re-expressed as a
+    # bin-keyed equi-join; operators/rangejoin.py)
+    "purchases_in_event_bursts",
     # cosine_near_dups_lsh intentionally NOT in the headline: at the
     # fixture's 0.4 threshold (far below the >=0.9 near-dup regime the
     # operator exists for) sign-LSH candidate counts approach all-pairs,

@@ -201,6 +201,13 @@ _DEFERRED_TWINS = {
     # media_phash_fingerprints with the simhash tier's pigeonhole
     # banding (hamming_pairs_blocked); DuckDB differential
     "media_phash_dups",
+    # ROUND-5 ROTATION, fourth batch: the novel purchases_in_event_bursts
+    # (binned range join, operators/rangejoin.py) moves INTO the window;
+    # sessionize_events (driver-green r1-r4) moves out — the new query's
+    # gap_intervals stage IS the same gap-sessionization machinery,
+    # generalized to a caller-chosen key; DuckDB differential in
+    # tests/test_catalog_twins.py:
+    "sessionize_events",
 }
 
 
@@ -708,6 +715,58 @@ def q_events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization, 30-min idle timeout (§2.10 batch analog)."""
     return E.sessionize(load(spark, sf_dir, "events"), gap_minutes=30)
+
+
+@register(
+    "purchases_in_event_bursts",
+    # bursts: 10-min-gap sessions per non-purchase event_type; purchases
+    # range-joined into every burst window containing their ts.  The
+    # prefix window-sum is CAST (DuckDB HUGEINT hazard, header rule).
+    "WITH g AS (SELECT event_type, ts, event_id, "
+    "CASE WHEN lag(ts) OVER w IS NULL OR epoch_us(ts) - epoch_us(lag(ts) OVER w) "
+    "> 600000000 THEN 1 ELSE 0 END AS is_new "
+    "FROM events WHERE event_type <> 'purchase' "
+    "WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)), "
+    "s AS (SELECT event_type, ts, CAST(sum(is_new) OVER (PARTITION BY event_type "
+    "ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+    "AS BIGINT) AS burst_id FROM g), "
+    "b AS (SELECT event_type, burst_id, min(ts) AS burst_start, "
+    "max(ts) AS burst_end, count(*) AS n_burst_events FROM s "
+    "GROUP BY event_type, burst_id) "
+    "SELECT b.event_type, b.burst_id, b.burst_start, b.burst_end, "
+    "b.n_burst_events, count(*) AS n_purchases "
+    "FROM b JOIN events p ON p.event_type = 'purchase' "
+    "AND p.ts >= b.burst_start AND p.ts <= b.burst_end "
+    "GROUP BY b.event_type, b.burst_id, b.burst_start, b.burst_end, b.n_burst_events "
+    "ORDER BY b.event_type, b.burst_id",
+)
+def q_purchases_in_event_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join, §2.3 gap-row extension: purchases falling
+    inside per-type activity bursts.  The oracle's BETWEEN join is
+    non-equi; the Spark side runs the binned equi-join strategy
+    (operators/rangejoin.py) — exactly-once pair emission, no
+    nested-loop/cartesian (pinned in tests/test_plans.py)."""
+    from pyspark.sql import functions as F
+
+    from .operators import rangejoin as RJ
+
+    ev = load(spark, sf_dir, "events")
+    bursts = RJ.gap_intervals(
+        ev.where(F.col("event_type") != "purchase"), "event_type", gap_minutes=10
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", F.col("ts").alias("p_ts")
+    )
+    joined = RJ.binned_range_join(
+        purchases, bursts, "p_ts", "burst_start", "burst_end", bin_minutes=60
+    )
+    return (
+        joined.groupBy(
+            "event_type", "burst_id", "burst_start", "burst_end", "n_burst_events"
+        )
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+        .orderBy("event_type", "burst_id")
+    )
 
 
 @register(

@@ -1,0 +1,106 @@
+"""Binned range (interval) join: point ∈ [start, end] without a cartesian.
+
+Spark has no native range-join optimization: a raw
+``points JOIN intervals ON p BETWEEN s AND e`` has no equi key, so the
+planner emits BroadcastNestedLoopJoin (small side) or CartesianProduct —
+O(|P|·|I|) comparisons either way, dead at 100 TB. This module maps both
+sides onto fixed-width time bins so the join becomes a hash / sort-merge
+EQUI-join on bin id:
+
+  * each interval is exploded to every bin it overlaps
+    (``(end-start)/width + 1`` rows — bounded fanout; pick a width near
+    the median interval length so the expansion stays ~2×);
+  * each point lands in exactly ONE bin, so every matched
+    (point, interval) pair is emitted exactly once — no post-join dedup;
+  * the exact containment predicate filters within the bin.
+
+At scale both sides shuffle ONCE on ``_bin`` (plus any ``extra_keys``,
+which further shard hot bins); AQE's skew-join handles a pathological
+bin. Overlapping intervals are fully supported — a point inside k
+intervals yields k rows, exactly as the non-equi semantics require.
+
+Reference parity: the reference (a pandas monolith, /root/reference/
+main.py) has no interval join; this is a §2.3 gap-row extension in the
+same spirit as the as-of join (operators/events.py:77).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+BIN_COL = "_bin"
+
+
+def binned_range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    *,
+    bin_minutes: int = 60,
+    extra_keys: tuple[str, ...] = (),
+    inclusive_end: bool = True,
+) -> DataFrame:
+    """Inner-join `points` to every interval containing them.
+
+    `point_col` / `start_col` / `end_col` are timestamp columns; all
+    other column names must be disjoint between the two inputs (except
+    `extra_keys`, which must exist on both sides and join as additional
+    equi keys — the interval copy is dropped from the output).
+
+    Bin arithmetic runs in integer microseconds (exact — no float
+    boundary drift against an oracle's BETWEEN).
+    """
+    width = bin_minutes * 60_000_000
+    p_us = F.unix_micros(F.col(point_col).cast("timestamp"))
+    s_us = F.unix_micros(F.col(start_col).cast("timestamp"))
+    e_us = F.unix_micros(F.col(end_col).cast("timestamp"))
+    # integral floor-div (timestamps are post-epoch in every fixture;
+    # `cast long` after `/` truncates toward zero = floor for positives)
+    binned_i = intervals.withColumn(
+        BIN_COL,
+        F.explode(F.sequence((s_us / width).cast("long"), (e_us / width).cast("long"))),
+    )
+    binned_p = points.withColumn(BIN_COL, (p_us / width).cast("long"))
+    cond = binned_p[BIN_COL] == binned_i[BIN_COL]
+    for k in extra_keys:
+        cond = cond & (binned_p[k] == binned_i[k])
+    upper = (p_us <= e_us) if inclusive_end else (p_us < e_us)
+    joined = binned_p.join(binned_i, cond).where((p_us >= s_us) & upper)
+    drop = [binned_i[BIN_COL]] + [binned_i[k] for k in extra_keys]
+    return joined.drop(binned_p[BIN_COL]).drop(*drop)
+
+
+def gap_intervals(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    gap_minutes: int = 10,
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """Gap-based interval build, generalized from sessionize
+    (operators/events.py:45): a burst breaks when `key_col`'s stream is
+    idle longer than `gap_minutes`.
+
+    Returns (key_col, burst_id, burst_start, burst_end, n_burst_events).
+    Partitioned by `key_col` — at scale that is the natural shard key of
+    the interval source (device, sensor, type); the range join itself is
+    what must never go all-pairs.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    prev_us = F.lag(us).over(w)
+    is_new = (prev_us.isNull() | ((us - prev_us) > gap_minutes * 60_000_000)).cast("int")
+    with_ids = df.select(
+        key_col,
+        ts_col,
+        tiebreak,
+        F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("burst_id"),
+    )
+    return with_ids.groupBy(key_col, "burst_id").agg(
+        F.min(ts_col).alias("burst_start"),
+        F.max(ts_col).alias("burst_end"),
+        F.count(F.lit(1)).alias("n_burst_events"),
+    )

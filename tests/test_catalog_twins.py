@@ -405,3 +405,11 @@ def test_simhash_fingerprints_matches_oracle(spark, sf_dir):
 
 def test_media_phash_dups_matches_oracle(spark, sf_dir):
     _assert_matches_oracle(spark, sf_dir, "media_phash_dups")
+
+
+# round-5 rotation, fourth batch (driver-green r1-r4; its gap-session
+# machinery now runs in-window inside purchases_in_event_bursts):
+
+
+def test_sessionize_events_matches_oracle(spark, sf_dir):
+    _assert_matches_oracle(spark, sf_dir, "sessionize_events")

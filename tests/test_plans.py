@@ -319,3 +319,11 @@ def test_decontamination_probes_persisted_winnow_index(spark, sf_dir):
     assert ".cache/winnow" in plan or "winnow" in plan
     # both sides come from the index: two semi-joins, no per-gram md5
     assert plan.count("LeftSemi") >= 2
+
+
+def test_range_join_is_binned_equi_join(spark, sf_dir):
+    # the BETWEEN semantics must run as a bin-keyed equi-join; a non-equi
+    # plan (nested-loop / cartesian) would be O(|P|*|I|) at scale
+    plan = _plan(spark, sf_dir, "purchases_in_event_bursts")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

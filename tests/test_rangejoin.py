@@ -1,0 +1,128 @@
+"""Binned range join: semantics vs a naive non-equi join, exactly-once
+pair emission, boundary behavior, and the no-cartesian plan property."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from database_per_keyword_analysis_spark.operators import rangejoin as RJ
+
+
+def _ts(minute: float):
+    return dt.datetime(2024, 1, 1, 0, 0) + dt.timedelta(minutes=minute)
+
+
+def _fixtures(spark):
+    # overlapping intervals, an interval spanning many bins, a
+    # zero-length interval, and points on every boundary
+    intervals = spark.createDataFrame(
+        [
+            ("a", 1, _ts(0), _ts(30)),
+            ("a", 2, _ts(20), _ts(200)),  # overlaps 1, spans 4 hour-bins
+            ("b", 1, _ts(50), _ts(50)),  # zero-length
+        ],
+        "key string, iid int, s timestamp, e timestamp",
+    )
+    points = spark.createDataFrame(
+        [
+            ("a", 10, _ts(0)),  # on start boundary
+            ("a", 11, _ts(30)),  # on 1's end AND inside 2
+            ("a", 12, _ts(199.5)),
+            ("a", 13, _ts(200)),  # on 2's end boundary
+            ("a", 14, _ts(201)),  # outside all
+            ("b", 15, _ts(50)),  # inside the zero-length interval
+            ("c", 16, _ts(25)),  # key with no intervals (extra_keys case)
+        ],
+        "key string, pid int, p timestamp",
+    )
+    return points, intervals
+
+
+def _naive(points, intervals, inclusive_end=True, keys=False):
+    out = points.crossJoin(intervals.select("iid", "s", "e", intervals["key"].alias("ikey")))
+    cond = (F.col("p") >= F.col("s")) & (
+        (F.col("p") <= F.col("e")) if inclusive_end else (F.col("p") < F.col("e"))
+    )
+    if keys:
+        cond = cond & (F.col("key") == F.col("ikey"))
+    return sorted(out.where(cond).select("pid", "iid").collect())
+
+
+def test_matches_naive_inclusive(spark):
+    points, intervals = _fixtures(spark)
+    got = RJ.binned_range_join(
+        points.drop("key"), intervals.drop("key"), "p", "s", "e", bin_minutes=60
+    )
+    assert sorted(got.select("pid", "iid").collect()) == _naive(points, intervals)
+
+
+def test_matches_naive_exclusive_end(spark):
+    points, intervals = _fixtures(spark)
+    got = RJ.binned_range_join(
+        points.drop("key"),
+        intervals.drop("key"),
+        "p",
+        "s",
+        "e",
+        bin_minutes=60,
+        inclusive_end=False,
+    )
+    assert sorted(got.select("pid", "iid").collect()) == _naive(
+        points, intervals, inclusive_end=False
+    )
+
+
+def test_exactly_once_even_when_interval_spans_many_bins(spark):
+    points, intervals = _fixtures(spark)
+    # tiny bins force interval 2 to explode into >30 bin rows; each
+    # matched pair must still appear exactly once
+    got = RJ.binned_range_join(
+        points.drop("key"), intervals.drop("key"), "p", "s", "e", bin_minutes=5
+    )
+    rows = got.select("pid", "iid").collect()
+    assert len(rows) == len(set(rows))
+    assert sorted(rows) == _naive(points, intervals)
+
+
+def test_extra_keys_shard_the_join(spark):
+    points, intervals = _fixtures(spark)
+    got = RJ.binned_range_join(
+        points, intervals, "p", "s", "e", bin_minutes=60, extra_keys=("key",)
+    )
+    assert sorted(got.select("pid", "iid").collect()) == _naive(
+        points, intervals, keys=True
+    )
+    # the interval-side key copy is dropped: one `key` column remains
+    assert got.columns.count("key") == 1
+
+
+def test_plan_is_equi_join_not_nested_loop(spark):
+    points, intervals = _fixtures(spark)
+    got = RJ.binned_range_join(
+        points.drop("key"), intervals.drop("key"), "p", "s", "e", bin_minutes=60
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_gap_intervals_basic(spark):
+    ev = spark.createDataFrame(
+        [
+            ("x", 1, _ts(0)),
+            ("x", 2, _ts(5)),
+            ("x", 3, _ts(30)),  # >10 min gap -> new burst
+            ("y", 4, _ts(0)),
+        ],
+        "key string, event_id int, ts timestamp",
+    )
+    got = {
+        (r.key, r.burst_id): (r.burst_start, r.burst_end, r.n_burst_events)
+        for r in RJ.gap_intervals(ev, "key", gap_minutes=10).collect()
+    }
+    assert got == {
+        ("x", 1): (_ts(0), _ts(5), 2),
+        ("x", 2): (_ts(30), _ts(30), 1),
+        ("y", 1): (_ts(0), _ts(0), 1),
+    }
