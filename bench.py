@@ -104,6 +104,10 @@ HEADLINE = [
     # binned range join (the non-equi BETWEEN join re-expressed as a
     # bin-keyed equi-join; operators/rangejoin.py)
     "purchases_in_event_bursts",
+    # write-path primitives: SCD1 MERGE (anti-join + union) and SCD2
+    # validity-interval history (operators/merge.py)
+    "customer_upsert_merge",
+    "order_priority_history",
     # cosine_near_dups_lsh intentionally NOT in the headline: at the
     # fixture's 0.4 threshold (far below the >=0.9 near-dup regime the
     # operator exists for) sign-LSH candidate counts approach all-pairs,

@@ -208,6 +208,16 @@ _DEFERRED_TWINS = {
     # generalized to a caller-chosen key; DuckDB differential in
     # tests/test_catalog_twins.py:
     "sessionize_events",
+    # ROUND-5 ROTATION, fifth batch: the novel customer_upsert_merge
+    # (SCD1 MERGE) and order_priority_history (SCD2 intervals) move INTO
+    # the window (operators/merge.py — write-path primitives the
+    # read-only reference lacks); two long-stable primaries move out on
+    # DuckDB differentials:
+    "order_price_quantiles",  # exact-percentile window machinery also
+    #   proven by the deferred lm_quality_buckets / dsir_resample
+    #   differentials; frame windows stay in-window via event_anomalies
+    "winnowing_fingerprints",  # the in-window winnowing_pairs computes
+    #   the same fingerprint stage internally before its index join
 }
 
 
@@ -2366,6 +2376,95 @@ def q_customer_nation_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.customer_nation_cube(
         load(spark, sf_dir, "customer"), load(spark, sf_dir, "nation")
     )
+
+
+@register(
+    "customer_upsert_merge",
+    # MERGE semantics spelled out relationally: matched keys leave base
+    # (anti-join) and re-enter from the changeset unless delete-flagged.
+    # The changeset is derived deterministically from customer itself.
+    "WITH changes AS ("
+    "SELECT c_custkey, c_name || ' *' AS c_name, c_nationkey, "
+    "c_acctbal + 100.0 AS c_acctbal, c_mktsegment, "
+    "(c_custkey % 53 = 0) AS is_delete "
+    "FROM customer WHERE c_custkey % 10 = 0 OR c_custkey % 53 = 0 "
+    "UNION ALL "
+    "SELECT 10000 + c_custkey, 'NEW CUSTOMER', 0, 0.0, 'NEWSEG', false "
+    "FROM customer WHERE c_custkey % 97 = 0) "
+    "SELECT * FROM ("
+    "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment "
+    "FROM customer WHERE c_custkey NOT IN (SELECT c_custkey FROM changes) "
+    "UNION ALL "
+    "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment "
+    "FROM changes WHERE NOT is_delete) "
+    "ORDER BY c_custkey",
+)
+def q_customer_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-type-1 MERGE (update + insert + delete) as one anti-join +
+    union (operators/merge.py:merge_upsert) — a write-path primitive the
+    read-only reference lacks.  The changeset (updates %10, deletes %53,
+    inserts %97 with shifted keys) is synthesized from customer so the
+    oracle replays it exactly."""
+    from pyspark.sql import functions as F
+
+    from .operators import merge as M
+
+    cust = load(spark, sf_dir, "customer")
+    key = F.col("c_custkey")
+    upd = cust.where((key % 10 == 0) | (key % 53 == 0)).select(
+        "c_custkey",
+        F.concat("c_name", F.lit(" *")).alias("c_name"),
+        "c_nationkey",
+        (F.col("c_acctbal") + F.lit(100.0)).alias("c_acctbal"),
+        "c_mktsegment",
+        (key % 53 == 0).alias("is_delete"),
+    )
+    ins = cust.where(key % 97 == 0).select(
+        (key + 10000).alias("c_custkey"),
+        F.lit("NEW CUSTOMER").alias("c_name"),
+        F.lit(0).cast("int").alias("c_nationkey"),
+        F.lit(0.0).alias("c_acctbal"),
+        F.lit("NEWSEG").alias("c_mktsegment"),
+        F.lit(False).alias("is_delete"),
+    )
+    merged = M.merge_upsert(cust, upd.unionByName(ins), ["c_custkey"], delete_col="is_delete")
+    return merged.orderBy("c_custkey")
+
+
+@register(
+    "order_priority_history",
+    # SCD-type-2 dimension build from the orders change log: per-customer
+    # priority runs with half-open validity.  The prefix window-sum is
+    # CAST (DuckDB HUGEINT hazard, header rule).
+    "WITH lg AS (SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority, "
+    "CASE WHEN row_number() OVER w = 1 OR lag(o_orderpriority) OVER w "
+    "IS DISTINCT FROM o_orderpriority THEN 1 ELSE 0 END AS is_open "
+    "FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)), "
+    "runs AS (SELECT o_custkey, o_orderdate, o_orderpriority, "
+    "CAST(sum(is_open) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run FROM lg), "
+    "hist AS (SELECT o_custkey, run, min(o_orderdate) AS valid_from, "
+    "min(o_orderpriority) AS o_orderpriority, count(*) AS n_observations "
+    "FROM runs GROUP BY o_custkey, run) "
+    "SELECT o_custkey, valid_from, o_orderpriority, n_observations, "
+    "lead(valid_from) OVER w2 AS valid_to, "
+    "lead(valid_from) OVER w2 IS NULL AS is_current "
+    "FROM hist WINDOW w2 AS (PARTITION BY o_custkey ORDER BY valid_from, run) "
+    "ORDER BY o_custkey, valid_from, n_observations",
+)
+def q_order_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-type-2 history (operators/merge.py:scd2_history): per-customer
+    o_orderpriority validity intervals with consecutive-duplicate
+    collapse; one window shuffle on the business key."""
+    from .operators import merge as M
+
+    log = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey", "o_orderpriority"
+    )
+    hist = M.scd2_history(
+        log, ["o_custkey"], "o_orderdate", ["o_orderpriority"], "o_orderkey"
+    )
+    return hist.orderBy("o_custkey", "valid_from", "n_observations")
 
 
 @register("approx_order_stats", None)  # sketch-based → rows-only check;

@@ -413,3 +413,15 @@ def test_media_phash_dups_matches_oracle(spark, sf_dir):
 
 def test_sessionize_events_matches_oracle(spark, sf_dir):
     _assert_matches_oracle(spark, sf_dir, "sessionize_events")
+
+
+# round-5 rotation, fifth batch (driver-green r1-r4; slots freed for the
+# novel customer_upsert_merge / order_priority_history MERGE/SCD2 pair):
+
+
+def test_order_price_quantiles_matches_oracle(spark, sf_dir):
+    _assert_matches_oracle(spark, sf_dir, "order_price_quantiles")
+
+
+def test_winnowing_fingerprints_matches_oracle(spark, sf_dir):
+    _assert_matches_oracle(spark, sf_dir, "winnowing_fingerprints")

@@ -1,0 +1,142 @@
+"""MERGE/upsert (SCD1), partition-pruned parquet merge, SCD2 history."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+from pyspark.sql import functions as F
+
+from database_per_keyword_analysis_spark.operators import merge as M
+
+
+def _base(spark):
+    return spark.createDataFrame(
+        [(1, "a", 10.0, "2024-01"), (2, "b", 20.0, "2024-01"), (3, "c", 30.0, "2024-02")],
+        "k int, v string, amt double, part string",
+    )
+
+
+def test_merge_update_insert_delete(spark):
+    base = _base(spark)
+    changes = spark.createDataFrame(
+        [
+            (2, "B2", 22.0, "2024-01", False),  # update
+            (4, "d", 40.0, "2024-02", False),  # insert
+            (3, None, 0.0, "2024-02", True),  # delete
+        ],
+        "k int, v string, amt double, part string, is_delete boolean",
+    )
+    got = {
+        r.k: (r.v, r.amt)
+        for r in M.merge_upsert(base, changes, ["k"], delete_col="is_delete").collect()
+    }
+    assert got == {1: ("a", 10.0), 2: ("B2", 22.0), 4: ("d", 40.0)}
+
+
+def test_merge_without_delete_col(spark):
+    base = _base(spark)
+    changes = spark.createDataFrame(
+        [(1, "A", 11.0, "2024-01")], "k int, v string, amt double, part string"
+    )
+    got = {r.k: r.v for r in M.merge_upsert(base, changes, ["k"]).collect()}
+    assert got == {1: "A", 2: "b", 3: "c"}
+
+
+def test_merge_preserves_base_column_order(spark):
+    base = _base(spark)
+    changes = spark.createDataFrame(
+        [(9, "2024-01", "z", 1.0)], "k int, part string, v string, amt double"
+    )
+    merged = M.merge_upsert(base, changes, ["k"])
+    assert merged.columns == base.columns
+
+
+def test_merge_into_parquet_rewrites_only_touched_partitions(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    _base(spark).write.partitionBy("part").parquet(path)
+
+    def files_of(part):
+        d = os.path.join(path, f"part={part}")
+        return sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+
+    before_jan, before_feb = files_of("2024-01"), files_of("2024-02")
+    changes = spark.createDataFrame(
+        [(2, "B2", 22.0, "2024-01", False)],
+        "k int, v string, amt double, part string, is_delete boolean",
+    )
+    M.merge_into_parquet(spark, path, changes, ["k"], "part", delete_col="is_delete")
+    # untouched partition's files are byte-identical (never rewritten)
+    assert files_of("2024-02") == before_feb
+    assert files_of("2024-01") != before_jan
+    got = {r.k: r.v for r in spark.read.parquet(path).collect()}
+    assert got == {1: "a", 2: "B2", 3: "c"}
+
+
+def test_merge_plan_is_single_anti_join(spark):
+    base = _base(spark)
+    changes = spark.createDataFrame(
+        [(1, "A", 11.0, "2024-01")], "k int, v string, amt double, part string"
+    )
+    plan = (
+        M.merge_upsert(base, changes, ["k"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "LeftAnti" in plan
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+
+
+def _d(s):
+    return dt.date.fromisoformat(s)
+
+
+def test_scd2_collapses_runs_and_builds_intervals(spark):
+    log = spark.createDataFrame(
+        [
+            (1, _d("2024-01-01"), 100, "P1"),
+            (1, _d("2024-01-05"), 101, "P1"),  # same value -> same run
+            (1, _d("2024-02-01"), 102, "P2"),  # flip
+            (1, _d("2024-03-01"), 103, "P1"),  # flip back -> NEW run of P1
+            (2, _d("2024-01-02"), 104, "P9"),
+        ],
+        "key int, ts date, seq int, val string",
+    )
+    hist = M.scd2_history(log, ["key"], "ts", ["val"], "seq")
+    rows = sorted(
+        (r.key, r.valid_from, r.val, r.valid_to, r.is_current, r.n_observations)
+        for r in hist.collect()
+    )
+    assert rows == [
+        (1, _d("2024-01-01"), "P1", _d("2024-02-01"), False, 2),
+        (1, _d("2024-02-01"), "P2", _d("2024-03-01"), False, 1),
+        (1, _d("2024-03-01"), "P1", None, True, 1),
+        (2, _d("2024-01-02"), "P9", None, True, 1),
+    ]
+
+
+def test_scd2_same_day_double_flip_is_deterministic(spark):
+    # two runs open on the same date; `_run` tie-break keeps lead() stable
+    log = spark.createDataFrame(
+        [
+            (1, _d("2024-01-01"), 1, "A"),
+            (1, _d("2024-01-01"), 2, "B"),
+            (1, _d("2024-01-01"), 3, "A"),
+        ],
+        "key int, ts date, seq int, val string",
+    )
+    hist = M.scd2_history(log, ["key"], "ts", ["val"], "seq")
+    rows = sorted((r.val, r.is_current) for r in hist.collect())
+    assert rows == [("A", False), ("A", True), ("B", False)]
+    assert hist.where(F.col("is_current")).count() == 1
+
+
+def test_scd2_null_tracked_values(spark):
+    log = spark.createDataFrame(
+        [(1, _d("2024-01-01"), 1, None), (1, _d("2024-01-02"), 2, None), (1, _d("2024-01-03"), 3, "X")],
+        "key int, ts date, seq int, val string",
+    )
+    hist = M.scd2_history(log, ["key"], "ts", ["val"], "seq")
+    # NULL==NULL collapses (eqNullSafe), NULL->X opens a run
+    assert hist.count() == 2

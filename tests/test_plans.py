@@ -327,3 +327,18 @@ def test_range_join_is_binned_equi_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "purchases_in_event_bursts")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_merge_is_anti_join_union_not_per_row(spark, sf_dir):
+    # MERGE runs as one key-shuffled anti-join + union; never a
+    # nested-loop or a per-key subquery loop
+    plan = _plan(spark, sf_dir, "customer_upsert_merge")
+    assert "LeftAnti" in plan
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+
+
+def test_scd2_reuses_one_sort_for_both_windows(spark, sf_dir):
+    # the run-detection lag/sum windows share (key, ts, tiebreak) order:
+    # exactly one exchange on the business key feeds them
+    plan = _plan(spark, sf_dir, "order_priority_history")
+    assert plan.count("Exchange hashpartitioning(o_custkey") <= 2
