@@ -95,6 +95,7 @@ HEADLINE = [
     "quality_classifier",
     "c4_rule_filter",
     "ngram_contamination",
+    "bloom_contamination",
     "tfidf_doc_pairs",
     "length_bucket_batches",
     "disjunctive_revenue",

@@ -218,6 +218,13 @@ _DEFERRED_TWINS = {
     #   differentials; frame windows stay in-window via event_anomalies
     "winnowing_fingerprints",  # the in-window winnowing_pairs computes
     #   the same fingerprint stage internally before its index join
+    # ROUND-5 ROTATION, sixth batch: the novel bloom_contamination
+    # (packed-bitset Bloom probe, a genuinely new membership-test
+    # machinery) moves INTO the window; bm25_search (driver-green r4)
+    # moves out — the in-window bm25_search_indexed executes the same
+    # tokenize/df/idf/score pipeline through the persisted-index probe
+    # path; DuckDB differential in tests/test_catalog_twins.py:
+    "bm25_search",
 }
 
 
@@ -3282,6 +3289,59 @@ def q_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.where(F.col("doc_id") % 20 != 0)
     return D.ngram_contamination(
         corpus, bench, n=_CONTAM_N, threshold_pct=_CONTAM_PCT
+    )
+
+
+def _bloom_contamination_sql() -> str:
+    n = _CONTAM_N
+    k = D.BLOOM_K_HASHES
+
+    def pos(j: int) -> str:
+        return f"CAST(('0x' || substr(fp, {1 + 4 * j}, 4)) AS BIGINT)"
+
+    in_tests = " AND ".join(
+        f"{pos(j)} IN (SELECT pos FROM bpos)" for j in range(k)
+    )
+    pos_list = ", ".join(pos(j) for j in range(k))
+    return (
+        r"WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') "
+        "AS toks FROM documents WHERE text IS NOT NULL), "
+        f"g AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - {n - 2}), "
+        f"i -> md5(array_to_string(toks[i:i+{n - 1}], ' ')))) AS fp "
+        f"FROM t WHERE len(toks) >= {n}), "
+        f"bpos AS (SELECT DISTINCT unnest([{pos_list}]) AS pos "
+        "FROM g WHERE doc_id % 20 = 0), "
+        "c AS (SELECT doc_id, fp FROM g WHERE doc_id % 20 <> 0), "
+        f"h AS (SELECT doc_id, ({in_tests}) AS hit FROM c), "
+        "a AS (SELECT doc_id, count(*) AS n_grams, "
+        "CAST(coalesce(sum(CASE WHEN hit THEN 1 END), 0) AS BIGINT) "
+        "AS n_bloom_hits FROM h GROUP BY doc_id) "
+        "SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams, n_bloom_hits, "
+        "CAST(n_bloom_hits AS DOUBLE) / CAST(n_grams AS DOUBLE) "
+        "AS bloom_contamination, "
+        f"100 * n_bloom_hits >= {_CONTAM_PCT} * n_grams AS flagged "
+        "FROM a ORDER BY doc_id"
+    )
+
+
+@register("bloom_contamination", _bloom_contamination_sql())
+def q_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-probe decontamination tier
+    (operators/dedup.py:bloom_contamination): the benchmark subset's
+    5-gram set is compressed to a 64 Kibit / 8 KiB Bloom filter (k=3
+    md5-derived bit positions), and the corpus probe is a pure
+    map-side bit-test expression — no join, no broadcast table, one
+    doc_id shuffle.  The DuckDB oracle replays the identical position
+    arithmetic relationally (bit-set membership ≡ position-set
+    membership), so even the false positives match bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    docs = _load_docs_fanned(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 20 == 0)
+    corpus = docs.where(F.col("doc_id") % 20 != 0)
+    words = D.bloom_filter_build(bench, n=_CONTAM_N)
+    return D.bloom_contamination(
+        corpus, words, n=_CONTAM_N, threshold_pct=_CONTAM_PCT
     )
 
 

@@ -532,6 +532,31 @@ def decontamination_pairs(
     )
 
 
+def _word_gram_fps(
+    df: DataFrame, text_col: str, id_col: str, out_id: str, n: int
+) -> DataFrame:
+    """One row per positional word `n`-gram: (out_id, fp) with
+    fp = md5 of the space-joined gram — full 128 bits, portable to
+    DuckDB/Python byte-for-byte.  Pure narrow ops (split + transform +
+    explode), no shuffle."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    exploded = (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias(out_id), toks.alias("_toks"))
+        .where(F.size("_toks") >= n)
+        .select(
+            out_id,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_toks") - F.lit(n - 1)),
+                    lambda i: F.array_join(F.slice(F.col("_toks"), i, n), " "),
+                )
+            ).alias("_gram"),
+        )
+    )
+    return exploded.select(out_id, F.md5("_gram").alias("fp"))
+
+
 def ngram_contamination(
     corpus: DataFrame,
     benchmark: DataFrame,
@@ -561,29 +586,10 @@ def ngram_contamination(
     no birthday collisions at corpus scale (cf. the 96-bit ExactSubstr
     key, operators/dedup.py:duplicated_spans).
     """
-    def grams(df: DataFrame, out_id: str) -> DataFrame:
-        toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-        exploded = (
-            df.where(F.col(text_col).isNotNull())
-            .select(F.col(id_col).alias(out_id), toks.alias("_toks"))
-            .where(F.size("_toks") >= n)
-            .select(
-                out_id,
-                F.explode(
-                    F.transform(
-                        F.sequence(
-                            F.lit(1), F.size("_toks") - F.lit(n - 1)
-                        ),
-                        lambda i: F.array_join(
-                            F.slice(F.col("_toks"), i, n), " "
-                        ),
-                    )
-                ).alias("_gram"),
-            )
-        )
-        return exploded.select(out_id, F.md5("_gram").alias("fp"))
-    bench_fps = grams(benchmark, "_bid").select("fp").distinct()
-    corpus_grams = grams(corpus, "doc_id")
+    bench_fps = _word_gram_fps(benchmark, text_col, id_col, "_bid", n).select(
+        "fp"
+    ).distinct()
+    corpus_grams = _word_gram_fps(corpus, text_col, id_col, "doc_id", n)
     hits = (
         corpus_grams.join(
             F.broadcast(bench_fps.withColumn("_hit", F.lit(1))),
@@ -607,6 +613,121 @@ def ngram_contamination(
             F.lit(100) * F.col("n_hits")
             >= F.lit(threshold_pct) * F.col("n_grams")
         ).alias("contaminated"),
+    ).orderBy("doc_id")
+
+
+BLOOM_M_BITS = 1 << 16  # 16-bit positions = 4 md5 hex chars, no modulo
+BLOOM_K_HASHES = 3
+
+
+def _bloom_positions(fp_col: F.Column, k_hashes: int) -> list[F.Column]:
+    """`k` independent 16-bit bit positions from one md5 hex digest:
+    position j is hex chars [4j+1, 4j+4] — exactly 16 bits each, so no
+    modulo and no bias; md5's 32 hex chars bound k_hashes ≤ 8."""
+    return [
+        F.conv(F.substring(fp_col, 1 + 4 * j, 4), 16, 10).cast("int")
+        for j in range(k_hashes)
+    ]
+
+
+def bloom_filter_build(
+    benchmark: DataFrame,
+    text_col: str = "text",
+    n: int = 5,
+    k_hashes: int = BLOOM_K_HASHES,
+    id_col: str = "doc_id",
+) -> list[int]:
+    """Build a 64 Kibit Bloom filter over the benchmark's word n-grams,
+    returned as 1024 packed signed int64 words (Spark SQL has no
+    unsigned long; bit 63 wraps negative, which the probe's `>>`/`&`
+    arithmetic handles transparently).
+
+    The distinct-position collect is bounded by BLOOM_M_BITS (≤ 65536
+    ints) regardless of benchmark size — the same bounded-collect
+    contract as the IVF centroid load (operators/similarity.py).  At
+    100 TB the filter is built once per eval suite (benchmark-sized
+    work, corpus-independent) and shipped to every probe task as an
+    8 KiB literal — vs. broadcasting the full benchmark fingerprint set
+    (GBs for a large suite) as `ngram_contamination` does.  The price
+    is per-gram false positives at a known rate
+    (1 - e^{-k·n_grams/m})^k; `ngram_contamination` stays the exact
+    tier."""
+    pos_rows = (
+        _word_gram_fps(benchmark, text_col, id_col, "_bid", n)
+        .select(
+            F.explode(
+                F.array(*_bloom_positions(F.col("fp"), k_hashes))
+            ).alias("pos")
+        )
+        .distinct()
+        .collect()
+    )
+    words = [0] * (BLOOM_M_BITS // 64)
+    for r in pos_rows:
+        words[r["pos"] >> 6] |= 1 << (r["pos"] & 63)
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+
+def bloom_contamination(
+    corpus: DataFrame,
+    bloom_words: list[int],
+    text_col: str = "text",
+    n: int = 5,
+    k_hashes: int = BLOOM_K_HASHES,
+    threshold_pct: int = 5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Bloom-probe contamination score: like `ngram_contamination` but
+    the benchmark membership test is k bit-tests against the packed
+    filter from `bloom_filter_build` — a pure map-side JVM expression
+    with NO join and NO broadcast table.  Returns (doc_id, n_grams,
+    n_bloom_hits, bloom_contamination, flagged); `flagged` is the
+    all-integer comparison 100·hits ≥ pct·grams.  Bloom semantics
+    guarantee n_bloom_hits ≥ the exact tier's n_hits (no false
+    negatives); tests/test_dedup.py pins the superset property and the
+    fixture false-positive rate.
+
+    Scale design: the only shuffle is the final doc_id re-aggregation;
+    the corpus n-gram stream never leaves its input partition.  The
+    1024-word filter rides in the plan as one array literal (8 KiB),
+    so a 1000-executor probe has zero build-side traffic."""
+    pos_cols = _bloom_positions(F.col("fp"), k_hashes)
+    grams = (
+        _word_gram_fps(corpus, text_col, id_col, "doc_id", n)
+        .select(
+            "doc_id",
+            *[p.alias(f"_p{j}") for j, p in enumerate(pos_cols)],
+        )
+        .withColumn("_bloom", F.lit(bloom_words))
+    )
+    bit_tests = [
+        f"((element_at(_bloom, CAST(_p{j} / 64 AS INT) + 1)"
+        f" >> (_p{j} % 64)) & 1) = 1"
+        for j in range(k_hashes)
+    ]
+    hit = F.expr(" AND ".join(bit_tests))
+    agg = (
+        grams.select("doc_id", hit.alias("_hit"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.coalesce(
+                F.sum(F.when(F.col("_hit"), 1)), F.lit(0)
+            ).cast("long").alias("n_bloom_hits"),
+        )
+    )
+    return agg.select(
+        "doc_id",
+        "n_grams",
+        "n_bloom_hits",
+        (
+            F.col("n_bloom_hits").cast("double")
+            / F.col("n_grams").cast("double")
+        ).alias("bloom_contamination"),
+        (
+            F.lit(100) * F.col("n_bloom_hits")
+            >= F.lit(threshold_pct) * F.col("n_grams")
+        ).alias("flagged"),
     ).orderBy("doc_id")
 
 

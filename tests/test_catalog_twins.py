@@ -425,3 +425,9 @@ def test_order_price_quantiles_matches_oracle(spark, sf_dir):
 
 def test_winnowing_fingerprints_matches_oracle(spark, sf_dir):
     _assert_matches_oracle(spark, sf_dir, "winnowing_fingerprints")
+
+
+# round-5 sixth-batch demotion (bloom_contamination took the slot);
+# bm25_search_indexed (in-window) also proves result-equality above
+def test_bm25_search_matches_oracle(spark, sf_dir):
+    _assert_matches_oracle(spark, sf_dir, "bm25_search")

@@ -284,6 +284,16 @@ def test_ngram_contamination_broadcasts_benchmark_set(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_bloom_contamination_probe_is_joinless(spark, sf_dir):
+    # the Bloom tier's whole point vs ngram_contamination: membership is
+    # a literal bit-test expression, so the probe plan has NO join of
+    # any kind and no broadcast table — only the doc_id re-aggregation
+    # shuffles
+    plan = _plan(spark, sf_dir, "bloom_contamination")
+    assert "Join" not in plan
+    assert "BroadcastExchange" not in plan
+
+
 def test_tfidf_pairs_is_index_join_not_all_pairs(spark, sf_dir):
     # the similarity join runs on the inverted index (token equi-join),
     # never as an all-pairs product

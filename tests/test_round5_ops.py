@@ -121,6 +121,61 @@ def test_ngram_contamination_duplicate_positions_all_count(spark):
     assert row.n_grams == 6 and row.n_hits == 2
 
 
+def test_bloom_filter_build_matches_python_bit_math(spark):
+    bench = spark.createDataFrame(
+        [(100, "a b c d e f")], "doc_id long, text string"
+    )  # grams: {a b c d e, b c d e f}
+    words = D.bloom_filter_build(bench)
+    assert len(words) == D.BLOOM_M_BITS // 64
+    import hashlib
+
+    expected = [0] * (D.BLOOM_M_BITS // 64)
+    for gram in ("a b c d e", "b c d e f"):
+        h = hashlib.md5(gram.encode()).hexdigest()
+        for j in range(D.BLOOM_K_HASHES):
+            p = int(h[4 * j : 4 * j + 4], 16)
+            expected[p >> 6] |= 1 << (p & 63)
+    expected = [w - (1 << 64) if w >= (1 << 63) else w for w in expected]
+    assert words == expected
+
+
+def test_bloom_contamination_superset_of_exact(spark):
+    # Bloom membership has no false negatives: per doc,
+    # n_bloom_hits >= the exact tier's n_hits, and every exact hit is a
+    # bloom hit.  On this tiny filter load the FPR is ~0, so the counts
+    # coincide.
+    bench = spark.createDataFrame(
+        [(100, "a b c d e f")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "a b c d e x y z w q"),  # 6 grams, 1 true hit
+            (2, "p q r s t u"),          # 2 grams, 0 hits
+        ],
+        "doc_id long, text string",
+    )
+    exact = {r.doc_id: r for r in D.ngram_contamination(corpus, bench).collect()}
+    words = D.bloom_filter_build(bench)
+    bloom = {r.doc_id: r for r in D.bloom_contamination(corpus, words).collect()}
+    assert set(bloom) == set(exact)
+    for did in exact:
+        assert bloom[did].n_grams == exact[did].n_grams
+        assert bloom[did].n_bloom_hits >= exact[did].n_hits
+        if exact[did].contaminated:
+            assert bloom[did].flagged
+    # at 2 bench grams / 65536 bits the filter is ~empty: exact equality
+    assert bloom[1].n_bloom_hits == 1 and bloom[2].n_bloom_hits == 0
+    assert bloom[1].flagged and not bloom[2].flagged
+
+
+def test_bloom_contamination_empty_filter_zero_hits(spark):
+    corpus = spark.createDataFrame(
+        [(1, "a b c d e f")], "doc_id long, text string"
+    )
+    out = D.bloom_contamination(corpus, [0] * (D.BLOOM_M_BITS // 64)).collect()
+    assert out[0].n_bloom_hits == 0 and not out[0].flagged
+
+
 # ---------------------------------------------------------------- tfidf
 
 
