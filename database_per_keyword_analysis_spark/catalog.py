@@ -63,6 +63,8 @@ def register(name: str, oracle: str | None):
 #   long-stable machinery-twins moved out in exchange.
 _DEFERRED_TWINS = {
     "top_channels_salted",  # identical oracle to top_channels_by_views
+    "revenue_by_nation_salted",  # identical oracle to revenue_by_nation
+    #   (salted_join tier; result-equality + plan proofs in pytest)
     "keyword_breakdown_join",  # identical oracle to keyword_breakdown
     "stream_sliding_counts",  # streaming twin of sliding_window_counts
     "quarterly_revenue_rollup",  # same daily rollup as monthly_revenue_rollup
@@ -454,6 +456,55 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "lineitem"),
         load(spark, sf_dir, "nation"),
         load(spark, sf_dir, "region"),
+    )
+
+
+@register(
+    "revenue_by_nation_salted",
+    "SELECT n_name, "
+    + _dsum("l_extendedprice * (1 - l_discount)", "revenue")
+    + " FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+    "JOIN customer ON o_custkey = c_custkey "
+    "JOIN nation ON c_nationkey = n_nationkey "
+    "JOIN region ON n_regionkey = r_regionkey "
+    "WHERE r_name = 'ASIA' GROUP BY n_name ORDER BY revenue DESC, n_name",
+)
+def q_revenue_by_nation_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe twin of revenue_by_nation: the fact-fact
+    lineitem⋈orders join runs through operators/scale.py:salted_join
+    (big side salted by whole-row hash, orders replicated across 16
+    salts) — the explicit-salt tier of the skew ladder for when the
+    probe side outgrows broadcast and AQE can't see the skew.  Oracle
+    identical to revenue_by_nation; result bit-identical because the
+    DECIMAL revenue sum is order-independent."""
+    from pyspark.sql import functions as F
+
+    from .operators import scale as SC
+    from .operators.relational import dec_sum
+
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    dims = (
+        customer.join(
+            F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+        )
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .where(F.col("r_name") == "ASIA")
+        .select("c_custkey", "n_name")
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_custkey"
+    )
+    joined = SC.salted_join(
+        load(spark, sf_dir, "lineitem"), orders, on=["l_orderkey"]
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        joined.join(F.broadcast(dims), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("n_name")
+        .agg(dec_sum(revenue, "revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
     )
 
 

@@ -69,6 +69,42 @@ def salted_count(
     return partial.groupBy(*keys).agg(F.sum("__partial").cast("long").alias(alias))
 
 
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    n_salts: int = DEFAULT_SALTS,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe shuffle equi-join: the big (skewed) side gets the
+    deterministic whole-row-hash salt, the small side is replicated
+    across all `n_salts` salt values (explode of a 0..n-1 sequence),
+    and the join runs on keys+salt — a hot key's rows spread over
+    `n_salts` tasks instead of one straggler.
+
+    Result-identical to ``big.join(small, on, how)`` for how ∈
+    {inner, left}: each big-side row meets exactly the one small-side
+    replica carrying its salt.  The price is n_salts× small-side
+    shuffle volume, so this is the middle tier of the skew ladder:
+    broadcast when the small side fits (operators/relational.py's dims),
+    AQE skew-split when runtime stats can see the skew, explicit salt
+    when the small side is too big to broadcast AND the partitioning
+    must be controlled (e.g. feeding a bucketed writer).  The
+    deterministic salt (never ``rand()``) keeps task retries idempotent
+    and oracle comparisons exact — same contract as `salted_sum`.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    replicated = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return (
+        with_salt(big, n_salts)
+        .join(replicated, [*on, "__salt"], how)
+        .drop("__salt")
+    )
+
+
 def write_bucketed(
     df: DataFrame, table: str, keys: list[str], n_buckets: int = 32
 ) -> None:

@@ -64,6 +64,12 @@ def test_top_channels_salted_equals_primary(spark, sf_dir):
     _assert_equal_results(spark, sf_dir, "top_channels_salted", "top_channels_by_views")
 
 
+def test_revenue_by_nation_salted_equals_primary(spark, sf_dir):
+    _assert_equal_results(
+        spark, sf_dir, "revenue_by_nation_salted", "revenue_by_nation"
+    )
+
+
 def test_keyword_breakdown_join_equals_primary(spark, sf_dir):
     _assert_equal_results(spark, sf_dir, "keyword_breakdown_join", "keyword_breakdown")
 

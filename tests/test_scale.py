@@ -37,6 +37,58 @@ def test_salt_is_deterministic(spark, sf_dir):
     assert len(set(a)) > 1  # actually spreads
 
 
+def test_salted_join_inner_matches_plain(spark):
+    # many-to-many + unmatched keys on both sides: each (big, small)
+    # match pair must appear exactly once
+    big = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c"), (3, "d"), (None, "n")],
+        "k int, v string",
+    )
+    small = spark.createDataFrame(
+        [(1, "x"), (1, "y"), (2, "z"), (4, "w"), (None, "m")],
+        "k int, u string",
+    )
+    plain = sorted(
+        (r.k, r.v, r.u) for r in big.join(small, ["k"]).collect()
+    )
+    salted = sorted(
+        (r.k, r.v, r.u) for r in SC.salted_join(big, small, ["k"]).collect()
+    )
+    assert salted == plain and len(plain) == 5
+
+
+def test_salted_join_left_preserves_unmatched(spark):
+    big = spark.createDataFrame(
+        [(1, "a"), (3, "d"), (None, "n")], "k int, v string"
+    )
+    small = spark.createDataFrame([(1, "x")], "k int, u string")
+    plain = sorted(
+        ((r.k, r.v, r.u) for r in big.join(small, ["k"], "left").collect()),
+        key=repr,
+    )
+    salted = sorted(
+        (
+            (r.k, r.v, r.u)
+            for r in SC.salted_join(big, small, ["k"], how="left").collect()
+        ),
+        key=repr,
+    )
+    assert salted == plain
+    with pytest.raises(ValueError):
+        SC.salted_join(big, small, ["k"], how="full")
+
+
+def test_salted_join_spreads_hot_key(spark):
+    # one hot key, rows differing elsewhere: the salt must spread them
+    big = spark.createDataFrame(
+        [(1, i) for i in range(200)], "k int, v int"
+    )
+    salts = {
+        r["__salt"] for r in SC.with_salt(big, 16).select("__salt").collect()
+    }
+    assert len(salts) > 8  # hot key's rows land in many salt lanes
+
+
 def test_salted_plan_has_two_stage_agg(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     plan = (
