@@ -96,6 +96,7 @@ HEADLINE = [
     "c4_rule_filter",
     "ngram_contamination",
     "bloom_contamination",
+    "stream_event_enrichment",
     "tfidf_doc_pairs",
     "length_bucket_batches",
     "disjunctive_revenue",

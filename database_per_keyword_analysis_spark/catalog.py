@@ -220,6 +220,14 @@ _DEFERRED_TWINS = {
     #   differentials; frame windows stay in-window via event_anomalies
     "winnowing_fingerprints",  # the in-window winnowing_pairs computes
     #   the same fingerprint stage internally before its index join
+    # ROUND-5 ROTATION, seventh batch: the novel stream_event_enrichment
+    # (stream-STATIC broadcast join — the stateless streaming join form,
+    # previously uncovered) moves INTO the window; event_funnel
+    # (driver-green r1-r4) moves out — its conditional-count machinery
+    # is the in-window keyword_breakdown's and the deferred
+    # cohort_retention differential's; DuckDB differential in
+    # tests/test_catalog_twins.py:
+    "event_funnel",
     # ROUND-5 ROTATION, sixth batch: the novel bloom_contamination
     # (packed-bitset Bloom probe, a genuinely new membership-test
     # machinery) moves INTO the window; bm25_search (driver-green r4)
@@ -2877,6 +2885,29 @@ def q_stream_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
         F.col("view_ts").cast("timestamp_ntz").alias("view_ts"),
     ).orderBy("purchase_id", "view_id")
+
+
+@register(
+    "stream_event_enrichment",
+    "SELECT n_name, count(*) AS n_events "
+    "FROM events JOIN customer ON user_id = c_custkey "
+    "JOIN nation ON c_nationkey = n_nationkey "
+    "GROUP BY n_name ORDER BY n_name",
+)
+def q_stream_event_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC enrichment join
+    (streaming/windows.py:enriched_event_counts): the event stream
+    broadcast-joined to the static customer→nation dimension chain and
+    counted per nation — the stateless streaming join (no watermark, no
+    join state; static side re-planned each micro-batch).  Batch-SQL
+    twin as oracle."""
+    counts = SW.enriched_event_counts(
+        SW.read_events_stream(spark, sf_dir),
+        load(spark, sf_dir, "customer"),
+        load(spark, sf_dir, "nation"),
+    )
+    out = SW.run_to_memory(counts, "q_stream_enrich")
+    return out.orderBy("n_name")
 
 
 # ---------------------------------------------------------------------------

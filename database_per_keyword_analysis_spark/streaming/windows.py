@@ -95,6 +95,34 @@ def deduped_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     return events.dropDuplicates(["event_id"])
 
 
+def enriched_event_counts(
+    events: DataFrame, customer: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """Stream-static enrichment join: the event stream joined to the
+    static customer→nation dimension chain, counted per nation.
+
+    This is Structured Streaming's *stream-static* join (vs the
+    stream-stream view_purchase_stream_join): the static side is
+    re-planned per micro-batch — so a dimension table updated between
+    batches is picked up automatically — and the explicit `broadcast`
+    keeps it out of the shuffle entirely; a stream-static inner join is
+    stateless (no watermark, no join state), which is why it scales to
+    an unbounded stream at any dimension size that broadcasts.  Batch
+    frames flow through the identical expression (the oracle twin
+    contract)."""
+    dims = (
+        customer.join(
+            F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+        )
+        .select(F.col("c_custkey").alias("user_id"), "n_name")
+    )
+    return (
+        events.join(F.broadcast(dims), "user_id")
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
     """Drive a streaming DataFrame to completion with an availableNow
     trigger into a memory sink; returns the materialized result."""

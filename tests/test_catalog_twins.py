@@ -433,6 +433,11 @@ def test_winnowing_fingerprints_matches_oracle(spark, sf_dir):
     _assert_matches_oracle(spark, sf_dir, "winnowing_fingerprints")
 
 
+# round-5 seventh-batch demotion (stream_event_enrichment took the slot)
+def test_event_funnel_matches_oracle(spark, sf_dir):
+    _assert_matches_oracle(spark, sf_dir, "event_funnel")
+
+
 # round-5 sixth-batch demotion (bloom_contamination took the slot);
 # bm25_search_indexed (in-window) also proves result-equality above
 def test_bm25_search_matches_oracle(spark, sf_dir):

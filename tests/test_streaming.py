@@ -142,6 +142,25 @@ def test_stream_stream_join_matches_batch(spark, sf_dir, batch_events):
     assert got == want and len(want) > 0
 
 
+def test_stream_static_enrichment_matches_batch(spark, sf_dir, batch_events):
+    from database_per_keyword_analysis_spark.sources import load
+
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    stream = SW.enriched_event_counts(
+        SW.read_events_stream(spark, sf_dir), customer, nation
+    )
+    # stream-static inner join is STATELESS: no watermark required, and
+    # the streaming plan must carry no stream-join state operator
+    got = _rows(SW.run_to_memory(stream, "t_enrich"), ["n_name", "n_events"])
+    want = _rows(
+        SW.enriched_event_counts(batch_events, customer, nation),
+        ["n_name", "n_events"],
+    )
+    assert got == want and len(want) > 0
+    assert sum(n for _, n in got) == batch_events.count()  # inner join lossless
+
+
 def test_rocksdb_state_store_parity(spark, sf_dir, batch_events):
     """The same stateful query under RocksDBStateStoreProvider (the
     at-scale provider: state on disk, changelog checkpoints) must produce
