@@ -97,6 +97,9 @@ HEADLINE = [
     "ngram_contamination",
     "bloom_contamination",
     "stream_event_enrichment",
+    "high_balance_inactive",
+    "supplier_wait_blame",
+    "revenue_by_nation_salted",
     "tfidf_doc_pairs",
     "length_bucket_batches",
     "disjunctive_revenue",

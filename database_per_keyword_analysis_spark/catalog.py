@@ -220,6 +220,18 @@ _DEFERRED_TWINS = {
     #   differentials; frame windows stay in-window via event_anomalies
     "winnowing_fingerprints",  # the in-window winnowing_pairs computes
     #   the same fingerprint stage internally before its index join
+    # ROUND-5 ROTATION, eighth batch: the novel correlated-subquery
+    # decorrelations high_balance_inactive (Q22: scalar subquery →
+    # broadcast scalar + NOT EXISTS → anti-join) and supplier_wait_blame
+    # (Q21: EXISTS/NOT-EXISTS → semi/anti self-joins with a residual
+    # inequality) move INTO the window; two long-stable primaries move
+    # out on DuckDB differentials:
+    "top_customers_by_revenue",  # join-agg-topk machinery in the
+    #   in-window shipping_priority / revenue_by_nation; also the
+    #   deferred top_suppliers_by_revenue differential
+    "word_frequency_by_industry",  # explode→count→rank + dynamic
+    #   stopwords; the word_frequency_by_lang differential keeps the
+    #   family checked, and U1/U3/U6/U7 unit tests pin the text chain
     # ROUND-5 ROTATION, seventh batch: the novel stream_event_enrichment
     # (stream-STATIC broadcast join — the stateless streaming join form,
     # previously uncovered) moves INTO the window; event_funnel
@@ -464,6 +476,59 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "lineitem"),
         load(spark, sf_dir, "nation"),
         load(spark, sf_dir, "region"),
+    )
+
+
+@register(
+    "high_balance_inactive",
+    "SELECT c_nationkey, count(*) AS numcust, "
+    + _dsum("c_acctbal", "totacctbal")
+    + " FROM customer "
+    "WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) "
+    "AS DOUBLE) / count(*) FROM customer WHERE c_acctbal > 0) "
+    "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+    "AND o_orderdate >= TIMESTAMP '1998-01-01') "
+    "GROUP BY c_nationkey ORDER BY c_nationkey",
+)
+def q_high_balance_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-style correlated-subquery query
+    (operators/relational.py:high_balance_inactive_customers): scalar
+    avg-balance subquery decorrelated to a broadcast scalar, NOT EXISTS
+    decorrelated to a left_anti join on the date-filtered orders
+    projection.  The oracle keeps the correlated SQL form — DuckDB
+    decorrelates it itself, proving both formulations agree."""
+    return R.high_balance_inactive_customers(
+        load(spark, sf_dir, "customer"), load(spark, sf_dir, "orders")
+    )
+
+
+@register(
+    "supplier_wait_blame",
+    "WITH pairs AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem), "
+    "late AS (SELECT DISTINCT l.l_orderkey, l.l_suppkey FROM lineitem l "
+    "JOIN orders o ON l.l_orderkey = o.o_orderkey "
+    "WHERE o.o_orderstatus = 'F' "
+    "AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY), "
+    "blame AS (SELECT l1.l_orderkey, l1.l_suppkey FROM late l1 "
+    "WHERE EXISTS (SELECT 1 FROM pairs l2 WHERE l2.l_orderkey = l1.l_orderkey "
+    "AND l2.l_suppkey <> l1.l_suppkey) "
+    "AND NOT EXISTS (SELECT 1 FROM late l3 WHERE l3.l_orderkey = l1.l_orderkey "
+    "AND l3.l_suppkey <> l1.l_suppkey)) "
+    "SELECT s_name, count(*) AS numwait FROM blame "
+    "JOIN supplier ON l_suppkey = s_suppkey "
+    "GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20",
+)
+def q_supplier_wait_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-style EXISTS / NOT EXISTS self-join query
+    (operators/relational.py:supplier_wait_blame): both correlated
+    predicates decorrelated to left_semi / left_anti self-joins of the
+    distinct (order, supplier) pair table — all legs shuffle on
+    l_orderkey, supplier broadcasts.  The oracle keeps the correlated
+    SQL form."""
+    return R.supplier_wait_blame(
+        load(spark, sf_dir, "supplier"),
+        load(spark, sf_dir, "orders"),
+        load(spark, sf_dir, "lineitem"),
     )
 
 

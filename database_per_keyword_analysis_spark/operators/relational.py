@@ -196,6 +196,112 @@ def customers_with_open_orders(customer: DataFrame, orders: DataFrame) -> DataFr
     )
 
 
+def high_balance_inactive_customers(
+    customer: DataFrame, orders: DataFrame, cutoff: str = "1998-01-01"
+) -> DataFrame:
+    """TPC-H Q22-style 'global sales opportunity': per nation, the count
+    and total balance of customers whose account balance exceeds the
+    average positive balance (a correlated scalar subquery in the SQL
+    formulation) and who placed no order since `cutoff` (NOT EXISTS).
+
+    Decorrelated Spark-first: the scalar subquery becomes a 1-row
+    aggregate cross-joined in as a broadcast scalar (zero shuffle — the
+    decorrelation Catalyst itself applies to uncorrelated scalar
+    subqueries), and NOT EXISTS becomes a left_anti join against the
+    date-filtered orders projection (predicate pushed to the orders
+    scan, only o_custkey shipped).  The threshold is an exact DECIMAL
+    sum cast to double, divided by the count — bit-identical on any
+    engine, so the > comparison is oracle-stable.
+    """
+    thresh = customer.where(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_bal")
+    )
+    recent = orders.where(F.col("o_orderdate") >= F.lit(cutoff).cast("timestamp")).select(
+        "o_custkey"
+    )
+    return (
+        customer.crossJoin(F.broadcast(thresh))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, F.col("c_custkey") == recent.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dec_sum(F.col("c_acctbal"), "totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+def supplier_wait_blame(
+    supplier: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    late_days: int = 90,
+    k: int = 20,
+) -> DataFrame:
+    """TPC-H Q21-style 'suppliers who kept orders waiting': for finished
+    ('F') orders, count per supplier the multi-supplier orders where
+    that supplier was the ONLY late one (shipped more than `late_days`
+    after the order date) — EXISTS(another supplier in the order) AND
+    NOT EXISTS(another LATE supplier in the order) in SQL.
+
+    Decorrelated Spark-first: both correlated EXISTS predicates become
+    self-joins of the (l_orderkey, l_suppkey) pair table — a left_semi
+    against all pairs and a left_anti against the late pairs, each an
+    equi-join on l_orderkey with the supplier inequality as a join
+    residual.  All three legs shuffle on the SAME key (l_orderkey), so
+    the exchanges reuse one partitioning; the pair tables are DISTINCT
+    projections (two longs per row — the text/price columns never
+    shuffle), and the supplier dimension broadcasts into the final
+    count.  Deterministic top-k tie-break on s_name.
+    """
+    pairs = lineitem.select("l_orderkey", "l_suppkey").distinct()
+    late = (
+        lineitem.join(
+            orders.where(F.col("o_orderstatus") == "F"),
+            lineitem.l_orderkey == orders.o_orderkey,
+        )
+        .where(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {late_days} DAYS")
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    other = pairs.select(
+        F.col("l_orderkey").alias("b_orderkey"),
+        F.col("l_suppkey").alias("b_suppkey"),
+    )
+    other_late = late.select(
+        F.col("l_orderkey").alias("x_orderkey"),
+        F.col("l_suppkey").alias("x_suppkey"),
+    )
+    blame = (
+        late.join(
+            other,
+            (late.l_orderkey == other.b_orderkey)
+            & (late.l_suppkey != other.b_suppkey),
+            "left_semi",
+        )
+        .join(
+            other_late,
+            (F.col("l_orderkey") == other_late.x_orderkey)
+            & (F.col("l_suppkey") != other_late.x_suppkey),
+            "left_anti",
+        )
+    )
+    return (
+        blame.join(F.broadcast(supplier), blame.l_suppkey == supplier.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(k)
+    )
+
+
 def order_priority_rollup(orders: DataFrame) -> DataFrame:
     """ROLLUP over (status, priority) — the reference's per-industry +
     "Global" dual reporting (main.py:516-564) expressed as a grouping set.

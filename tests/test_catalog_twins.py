@@ -433,6 +433,16 @@ def test_winnowing_fingerprints_matches_oracle(spark, sf_dir):
     _assert_matches_oracle(spark, sf_dir, "winnowing_fingerprints")
 
 
+# round-5 eighth-batch demotions (high_balance_inactive and
+# supplier_wait_blame took the slots)
+def test_top_customers_by_revenue_matches_oracle(spark, sf_dir):
+    _assert_matches_oracle(spark, sf_dir, "top_customers_by_revenue")
+
+
+def test_word_frequency_by_industry_matches_oracle(spark, sf_dir):
+    _assert_matches_oracle(spark, sf_dir, "word_frequency_by_industry")
+
+
 # round-5 seventh-batch demotion (stream_event_enrichment took the slot)
 def test_event_funnel_matches_oracle(spark, sf_dir):
     _assert_matches_oracle(spark, sf_dir, "event_funnel")

@@ -284,6 +284,22 @@ def test_ngram_contamination_broadcasts_benchmark_set(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_correlated_decorrelations_avoid_cartesian(spark, sf_dir):
+    # Q22: the scalar subquery must surface as a 1-row broadcast (a
+    # BroadcastNestedLoopJoin over a single-row side is fine; a
+    # CartesianProduct is not) and NOT EXISTS as a hash LeftAnti.
+    plan = _plan(spark, sf_dir, "high_balance_inactive")
+    assert "CartesianProduct" not in plan
+    assert "LeftAnti" in plan
+    # Q21: both EXISTS legs must be hash/sort-merge equi-joins on
+    # l_orderkey with the supplier inequality as a residual — never a
+    # nested-loop over the fact table.
+    plan = _plan(spark, sf_dir, "supplier_wait_blame")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
 def test_bloom_contamination_probe_is_joinless(spark, sf_dir):
     # the Bloom tier's whole point vs ngram_contamination: membership is
     # a literal bit-test expression, so the probe plan has NO join of

@@ -121,3 +121,68 @@ def test_profile_table_counts(spark):
     out = {r.column: r for r in R.profile_table(df).collect()}
     assert out["k"].n_rows == 3 and out["k"].n_nulls == 0 and out["k"].n_distinct == 2
     assert out["v"].n_nulls == 1 and out["v"].n_distinct == 2
+
+
+# ---------------------------------------------------------- Q21/Q22 shapes
+
+
+def test_high_balance_inactive_threshold_and_anti(spark):
+    import datetime as dt
+
+    customer = spark.createDataFrame(
+        [
+            (1, "a", 10, 100.0, "B"),   # above avg(60), recent order -> out
+            (2, "b", 10, 80.0, "B"),    # above avg, old order only -> in
+            (3, "c", 20, 0.0, "B"),     # excluded from avg, below -> out
+            (4, "d", 20, -5.0, "B"),    # negative: excluded from avg -> out
+            (5, "e", 20, 120.0, "B"),   # above avg, no orders -> in
+        ],
+        "c_custkey long, c_name string, c_nationkey long, c_acctbal double, "
+        "c_mktsegment string",
+    )
+    orders = spark.createDataFrame(
+        [
+            (100, 1, dt.datetime(1999, 1, 1)),  # recent: disqualifies cust 1
+            (101, 2, dt.datetime(1997, 1, 1)),  # old: cust 2 still inactive
+        ],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp",
+    )
+    # avg positive balance = (100 + 80 + 120) / 3 = 100; the comparison
+    # is strict, so only 120.0 clears the threshold
+    out = {r.c_nationkey: r for r in
+           R.high_balance_inactive_customers(customer, orders).collect()}
+    assert set(out) == {20}
+    assert out[20].numcust == 1 and out[20].totacctbal == 120.0
+
+
+def test_supplier_wait_blame_sole_late_only(spark):
+    import datetime as dt
+
+    d0 = dt.datetime(1995, 1, 1)
+    late_ship = dt.datetime(1995, 6, 1)   # > 90 days after d0
+    ok_ship = dt.datetime(1995, 1, 15)
+    supplier = spark.createDataFrame(
+        [(1, "S1", 0, 0.0), (2, "S2", 0, 0.0), (3, "S3", 0, 0.0)],
+        "s_suppkey long, s_name string, s_nationkey long, s_acctbal double",
+    )
+    orders = spark.createDataFrame(
+        [(10, "F", d0), (11, "F", d0), (12, "F", d0), (13, "O", d0)],
+        "o_orderkey long, o_orderstatus string, o_orderdate timestamp",
+    )
+    rows = [
+        # order 10: S1 late, S2 on time -> S1 blamed
+        (10, 1, late_ship), (10, 2, ok_ship),
+        # order 11: S1 and S2 both late -> nobody blamed
+        (11, 1, late_ship), (11, 2, late_ship),
+        # order 12: S3 late but sole supplier -> not blamed (no EXISTS)
+        (12, 3, late_ship),
+        # order 13: not 'F' status -> ignored entirely
+        (13, 1, late_ship), (13, 2, ok_ship),
+    ]
+    lineitem = spark.createDataFrame(
+        [(o, s, s, ts) for (o, s, ts) in rows],
+        "l_orderkey long, l_suppkey long, l_linenumber long, l_shipdate timestamp",
+    )
+    out = {r.s_name: r.numwait for r in
+           R.supplier_wait_blame(supplier, orders, lineitem).collect()}
+    assert out == {"S1": 1}
