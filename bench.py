@@ -100,6 +100,8 @@ HEADLINE = [
     "high_balance_inactive",
     "supplier_wait_blame",
     "revenue_by_nation_salted",
+    "order_price_histogram",
+    "orders_constraint_checks",
     "tfidf_doc_pairs",
     "length_bucket_batches",
     "disjunctive_revenue",

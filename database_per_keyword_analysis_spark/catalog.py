@@ -220,6 +220,18 @@ _DEFERRED_TWINS = {
     #   differentials; frame windows stay in-window via event_anomalies
     "winnowing_fingerprints",  # the in-window winnowing_pairs computes
     #   the same fingerprint stage internally before its index join
+    # Deequ-style constraint suite, deferred at birth: conditional-agg
+    # + anti-join + stack composition of in-window-checked machinery;
+    # DuckDB differential in tests/test_catalog_twins.py:
+    "orders_constraint_checks",
+    # ROUND-5 ROTATION, ninth batch: the novel order_price_histogram
+    # (equi-depth bucketing via broadcast percentile boundaries — the
+    # scale-safe ntile replacement) moves INTO the window;
+    # stratified_sample (driver-green r4-r5) moves out — its
+    # hash-threshold Bernoulli machinery carries THREE deferred
+    # differentials (token_budget_sample, source_mixture_sample,
+    # alpha_mixture_sample) plus its own below:
+    "stratified_sample",
     # ROUND-5 ROTATION, eighth batch: the novel correlated-subquery
     # decorrelations high_balance_inactive (Q22: scalar subquery →
     # broadcast scalar + NOT EXISTS → anti-join) and supplier_wait_blame
@@ -530,6 +542,72 @@ def q_supplier_wait_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "orders"),
         load(spark, sf_dir, "lineitem"),
     )
+
+
+@register(
+    "orders_constraint_checks",
+    "WITH m AS (SELECT count(*) - count(DISTINCT o_orderkey) AS pk_dup, "
+    "coalesce(sum(CASE WHEN o_orderdate IS NULL THEN 1 END), 0) AS null_date, "
+    "coalesce(sum(CASE WHEN o_totalprice < 0 THEN 1 END), 0) AS neg_price, "
+    "coalesce(sum(CASE WHEN o_orderstatus NOT IN ('F','O','P') THEN 1 END), 0) "
+    "AS bad_status FROM orders), "
+    "f AS (SELECT count(*) AS fk_orphans FROM orders o WHERE NOT EXISTS "
+    "(SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) "
+    "SELECT check_name, CAST(violations AS BIGINT) AS violations, "
+    "violations = 0 AS passed FROM ("
+    "SELECT 'fk_customer_exists' AS check_name, fk_orphans AS violations FROM f "
+    "UNION ALL SELECT 'orderdate_not_null', null_date FROM m "
+    "UNION ALL SELECT 'pk_orderkey_unique', pk_dup FROM m "
+    "UNION ALL SELECT 'status_in_domain', bad_status FROM m "
+    "UNION ALL SELECT 'totalprice_nonnegative', neg_price FROM m"
+    ") ORDER BY check_name",
+)
+def q_orders_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style constraint validation over the orders snapshot
+    (operators/relational.py:orders_constraint_checks): PK uniqueness,
+    completeness, domain/range checks in one aggregate pass + a
+    left_anti FK probe; all-integer verdicts.  Deferred at birth: the
+    machinery is the conditional-agg (industry_counts/orders_profile)
+    + anti-join (channel_audit) + stack (curation_funnel) composition,
+    each checked in-window; DuckDB differential in
+    tests/test_catalog_twins.py."""
+    return R.orders_constraint_checks(
+        load(spark, sf_dir, "orders"), load(spark, sf_dir, "customer")
+    )
+
+
+_HIST_BUCKETS = 10
+
+
+def _order_price_histogram_sql() -> str:
+    qs = ", ".join(str(i / _HIST_BUCKETS) for i in range(1, _HIST_BUCKETS))
+    return (
+        f"WITH b AS (SELECT quantile_cont(o_totalprice, [{qs}]) AS bounds "
+        "FROM orders), "
+        "r AS (SELECT o_totalprice AS v, "
+        "CAST(1 + len(list_filter(bounds, x -> o_totalprice > x)) AS INT) "
+        "AS bucket FROM orders, b WHERE o_totalprice IS NOT NULL) "
+        "SELECT bucket, count(*) AS n_rows, min(v) AS lo, max(v) AS hi "
+        "FROM r GROUP BY bucket ORDER BY bucket"
+    )
+
+
+@register("order_price_histogram", _order_price_histogram_sql())
+def q_order_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram of order prices
+    (operators/relational.py:equi_depth_histogram): exact percentile
+    boundaries broadcast as one array, bucket assignment a map-side
+    expression — the scale-safe form of ntile-over-everything.  DuckDB
+    replays it with quantile_cont (bit-identical interpolation, the
+    order_price_quantiles-proven family)."""
+    from pyspark.sql import functions as F
+
+    df = R.equi_depth_histogram(
+        load(spark, sf_dir, "orders"), "o_totalprice", _HIST_BUCKETS
+    )
+    return df.select(
+        F.col("bucket").cast("int").alias("bucket"), "n_rows", "lo", "hi"
+    ).orderBy("bucket")
 
 
 @register(

@@ -465,6 +465,112 @@ def order_price_quantiles(orders: DataFrame) -> DataFrame:
     )
 
 
+def equi_depth_histogram(
+    df: DataFrame,
+    value_col: str,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Equi-depth (equal-frequency) histogram WITHOUT the classic
+    global-ntile window: exact percentile boundaries are computed by
+    the distributed `percentile` aggregate (the oracle-proven
+    quantile machinery of `order_price_quantiles`), broadcast as one
+    (n_buckets-1)-double array, and each row's bucket is the map-side
+    expression 1 + |{b : value > b}|.  A global
+    ``ntile() OVER (ORDER BY value)`` would funnel every row through
+    ONE task — dead at 100 TB; this form's only shuffles are the
+    percentile aggregate's and the n_buckets-group count.
+
+    Ties that straddle a boundary land in the lower bucket on every
+    engine (strict `>` against bit-identical boundaries), so counts
+    are deterministic even though duplicate-heavy data makes the
+    depths approximate — the documented equi-depth trade-off.
+    Returns (bucket, n_rows, lo, hi) ordered by bucket."""
+    v = F.col(value_col)
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = df.agg(
+        F.expr(
+            f"percentile({value_col}, array({', '.join(map(str, qs))}))"
+        ).alias("_bounds")
+    )
+    bucket = F.lit(1) + F.size(
+        F.filter(F.col("_bounds"), lambda b: v > b)
+    )
+    return (
+        df.where(v.isNotNull())
+        .crossJoin(F.broadcast(bounds))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min(v).alias("lo"),
+            F.max(v).alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def orders_constraint_checks(
+    orders: DataFrame, customer: DataFrame
+) -> DataFrame:
+    """Deequ-style declarative data-quality validation: one row per
+    constraint with its violation count and pass verdict — the gate a
+    pipeline runs before promoting a new snapshot.  Constraints:
+    primary-key uniqueness, column completeness, value-domain and
+    range checks (one multi-conditional aggregate pass over the fact),
+    and referential integrity (a left_anti probe against the dimension
+    — streamed, never a collected key set).  All counts are integers,
+    so verdicts are exact on every engine.
+
+    Scale: the four column checks share ONE aggregate scan (count +
+    countDistinct + conditional sums); the FK check is the only join
+    and ships o_custkey alone.  Both reductions end in 1-row frames
+    cross-joined broadcast-style, then unpivoted via `stack` — output
+    size is #constraints, independent of data size."""
+    m = orders.agg(
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("pk_dup"),
+        F.coalesce(
+            F.sum(F.when(F.col("o_orderdate").isNull(), 1)), F.lit(0)
+        ).alias("null_date"),
+        F.coalesce(
+            F.sum(F.when(F.col("o_totalprice") < 0, 1)), F.lit(0)
+        ).alias("neg_price"),
+        F.coalesce(
+            F.sum(
+                F.when(~F.col("o_orderstatus").isin("F", "O", "P"), 1)
+            ),
+            F.lit(0),
+        ).alias("bad_status"),
+    )
+    fk = (
+        orders.select("o_custkey")
+        .join(
+            customer.select("c_custkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("fk_orphans"))
+    )
+    return (
+        m.crossJoin(fk)
+        .select(
+            F.expr(
+                "stack(5, "
+                "'fk_customer_exists', fk_orphans, "
+                "'orderdate_not_null', null_date, "
+                "'pk_orderkey_unique', pk_dup, "
+                "'status_in_domain', bad_status, "
+                "'totalprice_nonnegative', neg_price"
+                ") AS (check_name, violations)"
+            )
+        )
+        .select(
+            "check_name",
+            F.col("violations").cast("long").alias("violations"),
+            (F.col("violations") == 0).alias("passed"),
+        )
+        .orderBy("check_name")
+    )
+
+
 def profile_table(df: DataFrame) -> DataFrame:
     """ANALYZE-style table profile: one row per column with
     (column, n_rows, n_nulls, n_distinct) — the quick health check a

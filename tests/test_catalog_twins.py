@@ -433,6 +433,16 @@ def test_winnowing_fingerprints_matches_oracle(spark, sf_dir):
     _assert_matches_oracle(spark, sf_dir, "winnowing_fingerprints")
 
 
+# deferred-at-birth Deequ-style constraint suite
+def test_orders_constraint_checks_matches_oracle(spark, sf_dir):
+    _assert_matches_oracle(spark, sf_dir, "orders_constraint_checks")
+
+
+# round-5 ninth-batch demotion (order_price_histogram took the slot)
+def test_stratified_sample_matches_oracle(spark, sf_dir):
+    _assert_matches_oracle(spark, sf_dir, "stratified_sample")
+
+
 # round-5 eighth-batch demotions (high_balance_inactive and
 # supplier_wait_blame took the slots)
 def test_top_customers_by_revenue_matches_oracle(spark, sf_dir):

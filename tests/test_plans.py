@@ -284,6 +284,14 @@ def test_ngram_contamination_broadcasts_benchmark_set(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_equi_depth_histogram_has_no_global_window(spark, sf_dir):
+    # the whole point vs ntile: no Window operator (which would force
+    # every row through one task); boundaries arrive as a broadcast
+    plan = _plan(spark, sf_dir, "order_price_histogram")
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row bounds broadcast
+
+
 def test_correlated_decorrelations_avoid_cartesian(spark, sf_dir):
     # Q22: the scalar subquery must surface as a 1-row broadcast (a
     # BroadcastNestedLoopJoin over a single-row side is fine; a

@@ -186,3 +186,43 @@ def test_supplier_wait_blame_sole_late_only(spark):
     out = {r.s_name: r.numwait for r in
            R.supplier_wait_blame(supplier, orders, lineitem).collect()}
     assert out == {"S1": 1}
+
+
+def test_equi_depth_histogram_uniform_and_ties(spark):
+    df = spark.createDataFrame([(float(i),) for i in range(1, 101)], "v double")
+    out = {r.bucket: r for r in R.equi_depth_histogram(df, "v", 4).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert all(out[b].n_rows == 25 for b in out)
+    assert out[1].lo == 1.0 and out[4].hi == 100.0
+    assert out[1].hi < out[2].lo  # buckets are disjoint value ranges
+    # all-ties degenerate case: everything lands in bucket 1
+    ties = spark.createDataFrame([(7.0,)] * 20, "v double")
+    trow = R.equi_depth_histogram(ties, "v", 4).collect()
+    assert len(trow) == 1 and trow[0].bucket == 1 and trow[0].n_rows == 20
+
+
+def test_constraint_checks_catch_injected_violations(spark):
+    import datetime as dt
+
+    orders = spark.createDataFrame(
+        [
+            (1, 10, "F", 5.0, dt.datetime(1995, 1, 1)),
+            (1, 10, "O", 5.0, dt.datetime(1995, 1, 2)),   # duplicate PK
+            (2, 99, "P", 5.0, dt.datetime(1995, 1, 3)),   # orphan custkey
+            (3, 10, "X", -1.0, None),  # bad status, negative, null date
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp",
+    )
+    customer = spark.createDataFrame([(10,)], "c_custkey long")
+    out = {
+        r.check_name: (r.violations, r.passed)
+        for r in R.orders_constraint_checks(orders, customer).collect()
+    }
+    assert out == {
+        "fk_customer_exists": (1, False),
+        "orderdate_not_null": (1, False),
+        "pk_orderkey_unique": (1, False),
+        "status_in_domain": (1, False),
+        "totalprice_nonnegative": (1, False),
+    }
