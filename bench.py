@@ -102,6 +102,7 @@ HEADLINE = [
     "revenue_by_nation_salted",
     "order_price_histogram",
     "orders_constraint_checks",
+    "fuzzy_customer_pairs",
     "tfidf_doc_pairs",
     "length_bucket_batches",
     "disjunctive_revenue",

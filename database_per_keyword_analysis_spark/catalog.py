@@ -220,6 +220,13 @@ _DEFERRED_TWINS = {
     #   differentials; frame windows stay in-window via event_anomalies
     "winnowing_fingerprints",  # the in-window winnowing_pairs computes
     #   the same fingerprint stage internally before its index join
+    # ROUND-5 ROTATION, tenth batch: the novel fuzzy_customer_pairs
+    # (q-gram-blocked Levenshtein entity resolution) moves INTO the
+    # window; doc_quality_metrics (driver-green r1-r4) moves out — the
+    # in-window quality_classifier computes the same feature
+    # expressions as its model inputs; DuckDB differential in
+    # tests/test_catalog_twins.py:
+    "doc_quality_metrics",
     # Deequ-style constraint suite, deferred at birth: conditional-agg
     # + anti-join + stack composition of in-window-checked machinery;
     # DuckDB differential in tests/test_catalog_twins.py:
@@ -573,6 +580,49 @@ def q_orders_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_catalog_twins.py."""
     return R.orders_constraint_checks(
         load(spark, sf_dir, "orders"), load(spark, sf_dir, "customer")
+    )
+
+
+_FUZZY_Q = 3
+_FUZZY_MAX_DF = 20
+_FUZZY_MAX_ED = 1
+
+
+def _fuzzy_customer_pairs_sql() -> str:
+    q, df_, ed = _FUZZY_Q, _FUZZY_MAX_DF, _FUZZY_MAX_ED
+    return (
+        "WITH g AS (SELECT c_custkey AS id, c_name AS name, "
+        f"unnest(list_transform(range(1, len(c_name) - {q - 2}), "
+        f"i -> substr(c_name, i, {q}))) AS gram "
+        f"FROM customer WHERE len(c_name) >= {q}), "
+        "gd AS (SELECT DISTINCT id, name, gram FROM g), "
+        f"rare AS (SELECT gram FROM gd GROUP BY gram HAVING count(*) <= {df_}), "
+        "cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b, "
+        "a.name AS name_a, b.name AS name_b "
+        "FROM gd a JOIN rare r ON a.gram = r.gram "
+        "JOIN gd b ON b.gram = r.gram WHERE a.id < b.id) "
+        "SELECT id_a, id_b, name_a, name_b, "
+        "CAST(levenshtein(name_a, name_b) AS INT) AS edit_dist "
+        f"FROM cand WHERE levenshtein(name_a, name_b) <= {ed} "
+        "ORDER BY id_a, id_b"
+    )
+
+
+@register("fuzzy_customer_pairs", _fuzzy_customer_pairs_sql())
+def q_fuzzy_customer_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution fuzzy self-join
+    (operators/dedup.py:fuzzy_string_pairs): customers whose names
+    share a rare positional 3-gram (df ≤ 20 — the winnowing-style
+    boilerplate cap) and sit within Levenshtein distance 1.  Blocking
+    AND the edit-distance verify replay identically in DuckDB, so the
+    oracle is exact."""
+    return D.fuzzy_string_pairs(
+        load(spark, sf_dir, "customer"),
+        "c_custkey",
+        "c_name",
+        q=_FUZZY_Q,
+        max_df=_FUZZY_MAX_DF,
+        max_ed=_FUZZY_MAX_ED,
     )
 
 

@@ -731,6 +731,78 @@ def bloom_contamination(
     ).orderBy("doc_id")
 
 
+def fuzzy_string_pairs(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    q: int = 3,
+    max_df: int = 20,
+    max_ed: int = 1,
+) -> DataFrame:
+    """Entity-resolution fuzzy self-join: pairs of records whose
+    `name_col` values share at least one RARE positional q-gram
+    (document frequency ≤ `max_df`) and are within Levenshtein
+    distance `max_ed`.  Returns (id_a, id_b, name_a, name_b, edit_dist)
+    with id_a < id_b, deterministically ordered.
+
+    The blocked-candidates-then-verify shape (the record-linkage
+    standard since Gravano et al., VLDB'01): candidates come from an
+    equi-join on gram — never all-pairs — and the `max_df` cap plays
+    the same role as winnowing's (operators/dedup.py:winnowing_pairs):
+    a boilerplate gram shared by every record would otherwise create a
+    df² candidate blowup, and grams that common cannot discriminate
+    anyway.  Only candidates pay the O(len²) edit-distance DP, JVM-side
+    (`F.levenshtein`, identical integer metric in DuckDB — the oracle
+    replays blocking AND verify exactly).  At 100 TB the gram join
+    buckets on gram and ships (id, name) pairs only; for long strings
+    swap the raw name for a bounded fingerprint prefix before pairing.
+
+    Note the contract is the BLOCKED join, not all pairs within
+    `max_ed`: a pair sharing no rare gram is invisible by design
+    (recall rises with `max_df`; the deterministic definition is what
+    makes the oracle exact)."""
+    # rename in a SEPARATE projection: aliasing name_col to "name" and
+    # referencing it inside the transform lambda within one select would
+    # resolve as a LateralColumnAliasReference, which higher-order
+    # functions reject (internal error on Spark 4.1)
+    base = df.where(F.length(name_col) >= q).select(
+        F.col(id_col).alias("id"), F.col(name_col).alias("name")
+    )
+    grams = base.select(
+        "id",
+        "name",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("name") - (q - 1)),
+                lambda i: F.substring(F.col("name"), i, F.lit(q)),
+            )
+        ).alias("gram"),
+    ).distinct()
+    rare = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= max_df)
+        .select("gram")
+    )
+    a = grams.join(rare, "gram").select(
+        F.col("id").alias("id_a"), F.col("name").alias("name_a"), "gram"
+    )
+    b = grams.join(rare, "gram").select(
+        F.col("id").alias("id_b"), F.col("name").alias("name_b"), "gram"
+    )
+    cand = (
+        a.join(b, "gram")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "name_a", "name_b")
+        .distinct()
+    )
+    return (
+        cand.withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
+        .where(F.col("edit_dist") <= max_ed)
+        .orderBy("id_a", "id_b")
+    )
+
+
 def hamming_pairs_blocked(
     fps: DataFrame,
     fp_col: str,

@@ -433,6 +433,12 @@ def test_winnowing_fingerprints_matches_oracle(spark, sf_dir):
     _assert_matches_oracle(spark, sf_dir, "winnowing_fingerprints")
 
 
+# round-5 tenth-batch demotion (fuzzy_customer_pairs took the slot;
+# the in-window quality_classifier computes the same feature exprs)
+def test_doc_quality_metrics_matches_oracle(spark, sf_dir):
+    _assert_matches_oracle(spark, sf_dir, "doc_quality_metrics")
+
+
 # deferred-at-birth Deequ-style constraint suite
 def test_orders_constraint_checks_matches_oracle(spark, sf_dir):
     _assert_matches_oracle(spark, sf_dir, "orders_constraint_checks")

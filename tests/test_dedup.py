@@ -573,3 +573,35 @@ def test_remove_duplicated_spans_round_trip(spark):
     assert out[1].n_removed == 10 and out[2].n_removed == 10
     assert out[3].clean_text.startswith("totally different")
     assert out[3].n_removed == 0
+
+
+def test_fuzzy_string_pairs_blocking_and_verify(spark):
+    rows = [
+        (1, "johnathan smith"),
+        (2, "jonathan smith"),    # ed=1 from 1, shares rare grams
+        (3, "jonathan smyth"),    # ed=1 from 2, ed=2 from 1
+        (4, "completely other"),  # no rare gram shared, far anyway
+        (5, "xy"),                # shorter than q: excluded entirely
+    ]
+    df = spark.createDataFrame(rows, "id long, name string")
+    out = {
+        (r.id_a, r.id_b): r.edit_dist
+        for r in D.fuzzy_string_pairs(df, "id", "name", max_ed=1).collect()
+    }
+    assert (1, 2) in out and out[(1, 2)] == 1
+    assert (2, 3) in out and out[(2, 3)] == 1
+    assert (1, 3) not in out  # ed=2 > max_ed: verify stage filters it
+    assert not any(4 in p or 5 in p for p in out)
+
+
+def test_fuzzy_string_pairs_df_cap_drops_boilerplate_grams(spark):
+    # every name shares the 'aaa' boilerplate; with max_df below the
+    # corpus size those grams cannot form candidates, so only the pair
+    # sharing a RARE gram ('bcd'/'cde' in ids 1-2) survives blocking
+    rows = [(i, "aaaaa") for i in range(1, 10)] + [
+        (100, "aabcde"),
+        (101, "aabcdf"),
+    ]
+    df = spark.createDataFrame(rows, "id long, name string")
+    out = D.fuzzy_string_pairs(df, "id", "name", max_df=5, max_ed=1).collect()
+    assert {(r.id_a, r.id_b) for r in out} == {(100, 101)}

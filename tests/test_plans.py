@@ -308,6 +308,15 @@ def test_correlated_decorrelations_avoid_cartesian(spark, sf_dir):
     assert "LeftSemi" in plan and "LeftAnti" in plan
 
 
+def test_fuzzy_pairs_is_gram_join_not_all_pairs(spark, sf_dir):
+    # candidates must come from the rare-gram equi-join; the O(len^2)
+    # levenshtein DP runs only on candidate rows, never as a join
+    # condition over a cross product
+    plan = _plan(spark, sf_dir, "fuzzy_customer_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_bloom_contamination_probe_is_joinless(spark, sf_dir):
     # the Bloom tier's whole point vs ngram_contamination: membership is
     # a literal bit-test expression, so the probe plan has NO join of
