@@ -103,6 +103,7 @@ HEADLINE = [
     "order_price_histogram",
     "orders_constraint_checks",
     "fuzzy_customer_pairs",
+    "events_value_locf",
     "tfidf_doc_pairs",
     "length_bucket_batches",
     "disjunctive_revenue",

@@ -220,6 +220,14 @@ _DEFERRED_TWINS = {
     #   differentials; frame windows stay in-window via event_anomalies
     "winnowing_fingerprints",  # the in-window winnowing_pairs computes
     #   the same fingerprint stage internally before its index join
+    # ROUND-5 ROTATION, eleventh batch: the novel events_value_locf
+    # (ignore-nulls LOCF window over a dense spine × keys grid) moves
+    # INTO the window; events_daily_counts (driver-green r1-r4) moves
+    # out — the new query BUILDS the same min/max→sequence→explode
+    # zero-fill spine internally, and the weekly/monthly twins keep
+    # their differentials; DuckDB differential in
+    # tests/test_catalog_twins.py:
+    "events_daily_counts",
     # ROUND-5 ROTATION, tenth batch: the novel fuzzy_customer_pairs
     # (q-gram-blocked Levenshtein entity resolution) moves INTO the
     # window; doc_quality_metrics (driver-green r1-r4) moves out — the
@@ -885,6 +893,36 @@ from .operators import events as E  # noqa: E402
 def q_events_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily event counts, zero-filled spine (A7 'D'; main.py:812-816)."""
     return TU.bucketed_counts(load(spark, sf_dir, "events"), "ts", "day")
+
+
+@register(
+    "events_value_locf",
+    "WITH d AS (SELECT event_type, user_id, CAST(ts AS DATE) AS day, "
+    "CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS obs_value "
+    "FROM events GROUP BY 1, 2, 3), "
+    "b AS (SELECT min(day) AS lo, max(day) AS hi FROM d), "
+    "s AS (SELECT CAST(unnest(range(CAST(lo AS TIMESTAMP), "
+    "CAST(hi AS TIMESTAMP) + INTERVAL 1 DAY, INTERVAL 1 DAY)) AS DATE) "
+    "AS day FROM b), "
+    "k AS (SELECT DISTINCT event_type, user_id FROM events), "
+    "sp AS (SELECT k.event_type, k.user_id, s.day FROM k, s), "
+    "j AS (SELECT sp.event_type, sp.user_id, sp.day, d.obs_value FROM sp "
+    "LEFT JOIN d ON sp.event_type = d.event_type "
+    "AND sp.user_id = d.user_id AND sp.day = d.day) "
+    "SELECT event_type, user_id, day, "
+    "last_value(obs_value IGNORE NULLS) OVER (PARTITION BY event_type, user_id "
+    "ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+    "AS value_locf, obs_value IS NOT NULL AS observed "
+    "FROM j ORDER BY event_type, user_id, day",
+)
+def q_events_value_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(event_type, user) daily series gap-filled with
+    last-observation-carried-forward (operators/events.py:
+    daily_value_locf): dense spine × keys, exact DECIMAL daily means,
+    ignore-nulls last over per-series windows — ~14k of the fixture's
+    22.5k grid days are gaps, ~13k LOCF-filled, so the imputation path
+    is genuinely exercised."""
+    return E.daily_value_locf(load(spark, sf_dir, "events"))
 
 
 @register(

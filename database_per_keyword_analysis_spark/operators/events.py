@@ -267,3 +267,51 @@ def event_anomalies(events: DataFrame, z_threshold: float = 2.0) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+def daily_value_locf(events: DataFrame) -> DataFrame:
+    """Gap-filled per-entity daily series with last-observation-carried-
+    forward: for each (event_type, user_id) series, the exact daily mean
+    value on observed days and the most recent earlier observation on
+    gap days — the standard imputation for sparse telemetry before
+    feature extraction.  Days before a series' first observation stay
+    NULL (nothing to carry).  Returns (event_type, user_id, day,
+    value_locf, observed) ordered deterministically.
+
+    Spark-first shape: the dense day spine is generated with
+    sequence/explode from a 1-row min/max aggregate (never collected),
+    cross-joined with the distinct key set (both sides tiny relative to
+    the fact), left-joined to the observed daily means, and filled with
+    ``F.last(ignorenulls=True)`` over a per-series ordered window — the
+    ignore-nulls frame window Spark evaluates in one pass per series.
+    At scale the window parallelism is the series-key cardinality
+    (users × types — millions in production), the same per-key
+    independence as sessionize/pack_sequences; the daily mean is the
+    DECIMAL-sum/count idiom, so every engine computes bit-identical
+    values and LOCF copies them unchanged."""
+    day = F.to_date("ts")
+    daily = events.groupBy("event_type", "user_id", day.alias("day")).agg(
+        (
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("obs_value")
+    )
+    lo_hi = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    spine = lo_hi.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("day")
+    )
+    keys = events.select("event_type", "user_id").distinct()
+    grid = keys.crossJoin(F.broadcast(spine))
+    j = grid.join(daily, ["event_type", "user_id", "day"], "left")
+    w = (
+        Window.partitionBy("event_type", "user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return j.select(
+        "event_type",
+        "user_id",
+        "day",
+        F.last("obs_value", ignorenulls=True).over(w).alias("value_locf"),
+        F.col("obs_value").isNotNull().alias("observed"),
+    ).orderBy("event_type", "user_id", "day")

@@ -433,6 +433,12 @@ def test_winnowing_fingerprints_matches_oracle(spark, sf_dir):
     _assert_matches_oracle(spark, sf_dir, "winnowing_fingerprints")
 
 
+# round-5 eleventh-batch demotion (events_value_locf took the slot;
+# it builds the same zero-fill spine internally)
+def test_events_daily_counts_matches_oracle(spark, sf_dir):
+    _assert_matches_oracle(spark, sf_dir, "events_daily_counts")
+
+
 # round-5 tenth-batch demotion (fuzzy_customer_pairs took the slot;
 # the in-window quality_classifier computes the same feature exprs)
 def test_doc_quality_metrics_matches_oracle(spark, sf_dir):

@@ -41,3 +41,33 @@ def test_asof_strictly_earlier(spark):
     assert out[2] == t0
     assert out[3] == t0
     assert out[4] is None
+
+
+def test_daily_value_locf_fills_gaps_not_leading_nulls(spark):
+    import datetime as dt
+    from database_per_keyword_analysis_spark.operators.events import daily_value_locf
+
+    rows = [
+        # user 1: observed day 1 (two events -> mean), gap day 2, observed day 3
+        (1, "click", dt.datetime(2024, 1, 1, 5), 10.0),
+        (1, "click", dt.datetime(2024, 1, 1, 9), 20.0),
+        (1, "click", dt.datetime(2024, 1, 3, 5), 7.0),
+        # user 2: first observation day 2 -> day 1 must stay NULL
+        (2, "click", dt.datetime(2024, 1, 2, 5), 5.0),
+    ]
+    ev = spark.createDataFrame(
+        [(i, ts, uid, et, v, None) for i, (uid, et, ts, v) in enumerate(rows)],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = {
+        (r.user_id, str(r.day)): (r.value_locf, r.observed)
+        for r in daily_value_locf(ev).collect()
+    }
+    assert len(out) == 6  # 2 series x 3 spine days
+    assert out[(1, "2024-01-01")] == (15.0, True)   # exact mean of 10, 20
+    assert out[(1, "2024-01-02")] == (15.0, False)  # gap carried forward
+    assert out[(1, "2024-01-03")] == (7.0, True)    # new observation wins
+    assert out[(2, "2024-01-01")] == (None, False)  # before first obs: NULL
+    assert out[(2, "2024-01-02")] == (5.0, True)
+    assert out[(2, "2024-01-03")] == (5.0, False)
