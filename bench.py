@@ -104,6 +104,7 @@ HEADLINE = [
     "orders_constraint_checks",
     "fuzzy_customer_pairs",
     "events_value_locf",
+    "events_variant_stats",
     "tfidf_doc_pairs",
     "length_bucket_batches",
     "disjunctive_revenue",

@@ -220,6 +220,14 @@ _DEFERRED_TWINS = {
     #   differentials; frame windows stay in-window via event_anomalies
     "winnowing_fingerprints",  # the in-window winnowing_pairs computes
     #   the same fingerprint stage internally before its index join
+    # ROUND-5 ROTATION, twelfth batch: the novel events_variant_stats
+    # (Spark 4 VARIANT parse-once/probe-many JSON path) moves INTO the
+    # window; decontamination_check (driver-green r4-r5) moves out —
+    # the in-window winnowing_pairs exercises the same persisted-index
+    # semi-join probe path (plan guard at tests/test_plans.py pins the
+    # index semi-joins); DuckDB differential in
+    # tests/test_catalog_twins.py:
+    "decontamination_check",
     # ROUND-5 ROTATION, eleventh batch: the novel events_value_locf
     # (ignore-nulls LOCF window over a dense spine × keys grid) moves
     # INTO the window; events_daily_counts (driver-green r1-r4) moves
@@ -1004,6 +1012,24 @@ def q_quarterly_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON props extraction + per-type stats (§2.8 gap row)."""
     return E.json_props_stats(load(spark, sf_dir, "events"))
+
+
+@register(
+    "events_variant_stats",
+    "SELECT event_type, count(*) AS n_events, "
+    "CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k, "
+    "CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k, "
+    "CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k, "
+    + _dsum("value", "sum_value")
+    + " FROM events GROUP BY event_type ORDER BY event_type",
+)
+def q_events_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT tier of events_json_stats
+    (operators/events.py:variant_props_stats): parse_json once,
+    variant_get typed probes — one parse per row instead of one per
+    extracted field.  Same oracle as events_json_stats (the contract is
+    result identity across the two extraction paths)."""
+    return E.variant_props_stats(load(spark, sf_dir, "events"))
 
 
 @register(

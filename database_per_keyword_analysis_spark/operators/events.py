@@ -42,6 +42,31 @@ def json_props_stats(events: DataFrame) -> DataFrame:
     )
 
 
+def variant_props_stats(events: DataFrame) -> DataFrame:
+    """`json_props_stats` on Spark 4's VARIANT path: `parse_json` once
+    into the binary variant encoding, then `variant_get` typed field
+    extraction — the semi-structured plan Spark 4 prefers over repeated
+    `get_json_object` string re-parsing (each get_json_object call
+    re-parses the JSON text; a variant column parses ONCE and every
+    extraction is a cheap binary probe — the difference between 1 and k
+    parses per row for k extracted fields at 100 TB).  Identical
+    result contract to `json_props_stats`, which is the oracle twin."""
+    v = F.parse_json(F.col("props"))
+    k = F.variant_get(v, "$.k", "long")
+    return (
+        events.select("event_type", k.alias("k"), "value")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            dec_sum(F.col("value"), "sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Batch sessionization: a session breaks when a user is idle longer
     than `gap_minutes` (the batch analog of streaming session_window;

@@ -433,6 +433,15 @@ def test_winnowing_fingerprints_matches_oracle(spark, sf_dir):
     _assert_matches_oracle(spark, sf_dir, "winnowing_fingerprints")
 
 
+# round-5 twelfth-batch demotion (events_variant_stats took the slot)
+def test_decontamination_check_matches_oracle(spark, sf_dir):
+    _assert_matches_oracle(spark, sf_dir, "decontamination_check")
+
+
+def test_variant_stats_equals_json_stats(spark, sf_dir):
+    _assert_equal_results(spark, sf_dir, "events_variant_stats", "events_json_stats")
+
+
 # round-5 eleventh-batch demotion (events_value_locf took the slot;
 # it builds the same zero-fill spine internally)
 def test_events_daily_counts_matches_oracle(spark, sf_dir):
