@@ -105,6 +105,7 @@ HEADLINE = [
     "fuzzy_customer_pairs",
     "events_value_locf",
     "events_variant_stats",
+    "documents_jsonl_scan",
     "tfidf_doc_pairs",
     "length_bucket_batches",
     "disjunctive_revenue",

@@ -220,6 +220,15 @@ _DEFERRED_TWINS = {
     #   differentials; frame windows stay in-window via event_anomalies
     "winnowing_fingerprints",  # the in-window winnowing_pairs computes
     #   the same fingerprint stage internally before its index join
+    # ROUND-5 ROTATION, thirteenth batch: the novel documents_jsonl_scan
+    # (custom Python DataSource connector, Spark 4 API — new source
+    # machinery; its oracle reads the same jsonl bytes with DuckDB
+    # read_json, so the connector's parsing itself is checked) moves
+    # INTO the window; multimodal_byte_features (driver-green r1-r4)
+    # moves out — the in-window media_phash_fingerprints exercises the
+    # same Arrow mapInPandas plumbing, and the decode/resize/frame
+    # twins were already deferred on differentials:
+    "multimodal_byte_features",
     # ROUND-5 ROTATION, twelfth batch: the novel events_variant_stats
     # (Spark 4 VARIANT parse-once/probe-many JSON path) moves INTO the
     # window; decontamination_check (driver-green r4-r5) moves out —
@@ -3460,6 +3469,57 @@ def q_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.concat_ws(",", F.col("ids").cast("array<string>"))).alias(
             "ids_md5"
         ),
+    )
+
+
+def _jsonl_cache_path(sf_dir: str) -> str:
+    """Cache dir for the jsonl connector fixture, keyed on corpus
+    identity (the persisted-index idiom)."""
+    import hashlib
+    import os
+
+    key = hashlib.md5(f"{os.path.abspath(sf_dir)}|jsonl".encode()).hexdigest()[:12]
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".cache",
+        f"jsonl_{key}",
+    )
+
+
+# the driver's correctness gate always runs at sf0.01, so the STATIC
+# oracle SQL reads the sf0.01-keyed cache the Spark side writes there
+_JSONL_ORACLE_GLOB = _jsonl_cache_path("/root/testdata/sf0.01") + "/part-*"
+
+
+@register(
+    "documents_jsonl_scan",
+    f"SELECT doc_id, source, n_chars FROM read_json('{_JSONL_ORACLE_GLOB}', "
+    "format='newline_delimited', columns={'doc_id': 'BIGINT', "
+    "'source': 'VARCHAR', 'n_chars': 'BIGINT'}) ORDER BY doc_id",
+)
+def q_documents_jsonl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource scan (sources/pyds.py, Spark 4
+    `pyspark.sql.datasource` API): the documents projection round-trips
+    through a line-delimited JSON drop and is read back via the
+    jsonl_repair connector — one partition per file, corrupt lines
+    skipped, schema-named projection at the source.  The DuckDB oracle
+    reads the SAME jsonl files with read_json, so the check covers the
+    connector's parsing itself, not just the projection."""
+    import os
+
+    path = _jsonl_cache_path(sf_dir)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        load(spark, sf_dir, "documents").select(
+            "doc_id", "source", "n_chars"
+        ).repartition(4).write.mode("overwrite").json(path)
+    from .sources import pyds
+
+    pyds.register(spark)
+    return (
+        spark.read.format("jsonl_repair")
+        .schema("doc_id long, source string, n_chars long")
+        .load(path)
+        .orderBy("doc_id")
     )
 
 

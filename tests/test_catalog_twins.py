@@ -433,6 +433,11 @@ def test_winnowing_fingerprints_matches_oracle(spark, sf_dir):
     _assert_matches_oracle(spark, sf_dir, "winnowing_fingerprints")
 
 
+# round-5 thirteenth-batch demotion (documents_jsonl_scan took the slot)
+def test_multimodal_byte_features_matches_oracle(spark, sf_dir):
+    _assert_matches_oracle(spark, sf_dir, "multimodal_byte_features")
+
+
 # round-5 twelfth-batch demotion (events_variant_stats took the slot)
 def test_decontamination_check_matches_oracle(spark, sf_dir):
     _assert_matches_oracle(spark, sf_dir, "decontamination_check")

@@ -129,3 +129,45 @@ def test_entry2_csv_to_keyword_pipeline(spark, scratch):
     # alpha/steel survives; beta/water survives; spamchan blacklisted;
     # football row noise-filtered; bad-date row dropped at load
     assert got == {"Steel": 1, "Water": 1}
+
+
+# ------------------------------------------------- Python DataSource API
+
+
+def test_jsonl_repair_source_skips_corrupt_and_projects(spark, tmp_path):
+    import json
+
+    from database_per_keyword_analysis_spark.sources import pyds
+
+    pyds.register(spark)
+    d = tmp_path / "drop"
+    d.mkdir()
+    (d / "a.jsonl").write_text(
+        '{"doc_id": 1, "source": "web", "n_chars": 100}\n'
+        "CORRUPT {{{\n"
+        '{"doc_id": 2, "n_chars": 200}\n'  # missing field -> NULL
+        "[1,2,3]\n"  # non-object -> skipped
+        "\n"
+    )
+    (d / "b.jsonl").write_text('{"doc_id": 3, "source": "x", "n_chars": 300}\n')
+    (d / "_meta").write_text("ignored sidecar\n")
+    df = (
+        spark.read.format("jsonl_repair")
+        .schema("doc_id long, source string, n_chars long")
+        .load(str(d))
+    )
+    assert df.rdd.getNumPartitions() == 2  # one per data file, sidecar skipped
+    rows = [tuple(r) for r in df.orderBy("doc_id").collect()]
+    assert rows == [(1, "web", 100), (2, None, 200), (3, "x", 300)]
+
+
+def test_jsonl_repair_source_requires_schema(spark, tmp_path):
+    import pytest as _pytest
+
+    from database_per_keyword_analysis_spark.sources import pyds
+
+    pyds.register(spark)
+    p = tmp_path / "x.jsonl"
+    p.write_text('{"a": 1}\n')
+    with _pytest.raises(Exception, match="schema|inference"):
+        spark.read.format("jsonl_repair").load(str(p)).collect()
