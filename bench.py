@@ -106,6 +106,7 @@ HEADLINE = [
     "events_value_locf",
     "events_variant_stats",
     "documents_jsonl_scan",
+    "approx_top_words",
     "tfidf_doc_pairs",
     "length_bucket_batches",
     "disjunctive_revenue",

@@ -2828,6 +2828,18 @@ def q_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("approx_top_words", None)  # sketch output cannot hash-match a
+# different engine → rows-only; exactness-when-vocab-fits pytest-pinned
+def q_approx_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitters tier of word frequency
+    (operators/wordfreq.py:approx_top_tokens): Spark 4's approx_top_k
+    sketch aggregate — one bounded mergeable sketch per partition
+    instead of O(|vocab|) partial counts.  Exactly equal to the exact
+    tier whenever the vocabulary fits the tracked slots (holds on the
+    fixtures; tests/test_text.py pins it)."""
+    return WF.approx_top_tokens(load(spark, sf_dir, "documents", parallel=True))
+
+
 @register("word_frequency_tier_b", None)  # environment-dependent (hazm
 # models), like the reference itself (main.py:478-481) → rows-only check
 def q_word_frequency_tier_b(spark: SparkSession, sf_dir: str) -> DataFrame:

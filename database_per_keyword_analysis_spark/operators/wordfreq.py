@@ -136,3 +136,45 @@ def word_frequency_by_industry(
         .where(F.col("rn") <= top_n)
         .orderBy("industry", "rn")
     )
+
+
+def approx_top_tokens(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 50,
+    max_items_tracked: int = 10_000,
+    spec: TX.TokenFilterSpec = TX.ENGLISH_SPEC,
+) -> DataFrame:
+    """Heavy-hitters tier of word_frequency: global top-k tokens via
+    Spark 4's `approx_top_k` sketch aggregate instead of the exact
+    groupBy(word).count() + rank.  The sketch is fixed-size
+    (`max_items_tracked` slots) and mergeable, so the shuffle carries
+    ONE sketch per partition regardless of vocabulary size — at 100 TB
+    the exact path shuffles O(|vocab|) partial counts per executor
+    while this ships a bounded structure (the classic space-saving /
+    frequent-items trade: counts are exact only while the vocabulary
+    fits the tracked slots, approximate above — the standard serving
+    tier for trending-terms dashboards).
+
+    Returns (word, n, rank) ordered by rank.  Rows-only by design (a
+    sketch result cannot hash-match another engine's); the pytest
+    contract asserts exact agreement with `word_frequency` whenever
+    |vocab| ≤ max_items_tracked (the sketch is provably exact there)
+    — which holds on the fixtures.
+
+    Ties: approx_top_k breaks count-ties by its internal order, so for
+    a DETERMINISTIC result the caller keeps k strictly below any tied
+    band or consumes (word, n) unordered; the test compares as a
+    mapping, and rank is recomputed here with a (n desc, word) sort
+    for stability."""
+    toks = tokens(df, text_col, spec)
+    sketch = toks.agg(
+        F.expr(f"approx_top_k(word, {k}, {max_items_tracked})").alias("top")
+    )
+    flat = sketch.select(F.explode("top").alias("e")).select(
+        F.col("e.item").alias("word"), F.col("e.count").cast("long").alias("n")
+    )
+    w = Window.orderBy(F.desc("n"), "word")
+    return flat.select("word", "n", F.row_number().over(w).alias("rank")).orderBy(
+        "rank"
+    )

@@ -117,3 +117,31 @@ def test_word_frequency_by_industry_multilabel(spark):
     assert got[("Global", "steel")] == 2
     assert got[("Water", "water")] == 1
     assert ("Steel", "only") in got and ("Water", "only") not in got
+
+
+def test_approx_top_tokens_exact_when_vocab_fits(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from database_per_keyword_analysis_spark.operators import wordfreq as WF
+    from database_per_keyword_analysis_spark.sources import load
+
+    docs = load(spark, sf_dir, "documents")
+    out = WF.approx_top_tokens(docs, k=30).collect()
+    assert len(out) == 30
+    assert [r.rank for r in out] == list(range(1, 31))
+    exact = {
+        r.word: r.n
+        for r in WF.tokens(docs)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # vocab fits the 10k tracked slots -> every reported count is EXACT
+    assert len(exact) < 10_000
+    for r in out:
+        assert exact[r.word] == r.n
+    # and nothing heavier was missed: the k-th reported count bounds the
+    # counts of all unreported words (ties may swap word identity only)
+    floor = min(r.n for r in out)
+    reported = {r.word for r in out}
+    assert all(n <= floor for w, n in exact.items() if w not in reported)
