@@ -19,6 +19,9 @@ schema-named fields are materialized (projection at the source).  A
 Python source is Arrow-batched by the runtime but still pays Python
 parse cost per line — it is the connector of last resort by design;
 once landed, data should be compacted to parquet (`sources/sinks.py`).
+Both reader and writer address `path` with plain `open()`/`os` calls:
+the contract is a filesystem every task can see (NFS/FUSE-mounted
+object store on a cluster; local disk on local[n]).
 """
 
 from __future__ import annotations
@@ -27,11 +30,24 @@ import glob
 import json
 import os
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    IsNotNull,
+    LessThan,
+    LessThanOrEqual,
+    WriterCommitMessage,
+)
 
 
 class JsonlRepairDataSource(DataSource):
-    """`spark.read.format("jsonl_repair").schema(...).load(path)`."""
+    """`spark.read.format("jsonl_repair").schema(...).load(path)` /
+    `df.write.format("jsonl_repair").mode(...).save(path)`."""
 
     @classmethod
     def name(cls) -> str:
@@ -48,6 +64,12 @@ class JsonlRepairDataSource(DataSource):
     def reader(self, schema) -> "JsonlRepairReader":
         return JsonlRepairReader(self.options, schema)
 
+    def writer(self, schema, overwrite: bool) -> "JsonlRepairWriter":
+        return JsonlRepairWriter(self.options, schema, overwrite)
+
+
+_PUSHABLE = (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual)
+
 
 class JsonlRepairReader(DataSourceReader):
     def __init__(self, options, schema):
@@ -55,6 +77,42 @@ class JsonlRepairReader(DataSourceReader):
         if not self.path:
             raise ValueError("jsonl_repair: load(path) is required")
         self.field_names = [f.name for f in schema.fields]
+        self._preds: list = []
+
+    def pushFilters(self, filters):
+        """Accept simple comparison filters on top-level fields and apply
+        them DURING the Python parse — rows failing a pushed predicate
+        are dropped before crossing the Arrow boundary to the JVM, which
+        at 100 TB is the difference between shipping the drop and
+        shipping the selection.  Anything else (nested paths, IN,
+        string matchers, nulls) is returned to Spark to evaluate above
+        the scan — correctness never depends on what gets pushed."""
+        remaining = []
+        for f in filters:
+            if isinstance(f, _PUSHABLE) and len(f.attribute) == 1:
+                self._preds.append((f.attribute[0], type(f).__name__, f.value))
+            elif isinstance(f, IsNotNull) and len(f.attribute) == 1:
+                self._preds.append((f.attribute[0], "IsNotNull", None))
+            else:
+                remaining.append(f)
+        return remaining
+
+    def _keep(self, obj: dict) -> bool:
+        for name, op, val in self._preds:
+            v = obj.get(name)
+            if v is None:
+                return False  # comparisons and IsNotNull all reject NULL
+            if op == "EqualTo" and not v == val:
+                return False
+            if op == "GreaterThan" and not v > val:
+                return False
+            if op == "GreaterThanOrEqual" and not v >= val:
+                return False
+            if op == "LessThan" and not v < val:
+                return False
+            if op == "LessThanOrEqual" and not v <= val:
+                return False
+        return True
 
     def partitions(self):
         if os.path.isdir(self.path):
@@ -79,9 +137,57 @@ class JsonlRepairReader(DataSourceReader):
                     continue  # repair: skip corrupt lines
                 if not isinstance(obj, dict):
                     continue
+                if not self._keep(obj):
+                    continue
                 yield tuple(obj.get(n) for n in self.field_names)
 
 
+class JsonlRepairWriter(DataSourceWriter):
+    """One jsonl file per task, written atomically: each task writes to
+    a `.inprogress` name and renames on success, `commit` stamps
+    `_SUCCESS` (same completion marker the parquet sinks use), `abort`
+    leaves only `.inprogress` litter that the next overwrite clears.
+    NULL fields are emitted as JSON null so the reader round-trips
+    them."""
+
+    def __init__(self, options, schema, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl_repair: save(path) is required")
+        self.field_names = [f.name for f in schema.fields]
+        # driver-side: prepare the directory before tasks launch
+        os.makedirs(self.path, exist_ok=True)
+        if overwrite:
+            for f in glob.glob(os.path.join(self.path, "*")):
+                if os.path.isfile(f):
+                    os.remove(f)
+
+    def write(self, iterator) -> WriterCommitMessage:
+        import uuid
+
+        name = f"part-{uuid.uuid4().hex}.jsonl"
+        tmp = os.path.join(self.path, name + ".inprogress")
+        n = 0
+        with open(tmp, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                obj = {k: row[i] for i, k in enumerate(self.field_names)}
+                fh.write(json.dumps(obj, ensure_ascii=False) + "\n")
+                n += 1
+        os.replace(tmp, os.path.join(self.path, name))
+        return WriterCommitMessage()
+
+    def commit(self, messages) -> None:
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as fh:
+            fh.write("")
+
+    def abort(self, messages) -> None:
+        pass  # uncommitted .inprogress files are cleared by overwrite
+
+
 def register(spark) -> None:
-    """Idempotently register the source with a session."""
+    """Idempotently register the source with a session.  Also enables
+    Python-source filter pushdown (runtime-settable SQL conf): a reader
+    that implements pushFilters() is an ERROR with the conf off, and a
+    vanilla session (the driver's) has it off by default."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(JsonlRepairDataSource)

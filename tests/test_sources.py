@@ -171,3 +171,66 @@ def test_jsonl_repair_source_requires_schema(spark, tmp_path):
     p.write_text('{"a": 1}\n')
     with _pytest.raises(Exception, match="schema|inference"):
         spark.read.format("jsonl_repair").load(str(p)).collect()
+
+
+def test_jsonl_repair_writer_roundtrip(spark, tmp_path):
+    from database_per_keyword_analysis_spark.sources import pyds
+
+    pyds.register(spark)
+    d = str(tmp_path / "out")
+    df = spark.createDataFrame(
+        [(1, "web", 100), (2, None, 200), (3, "x", 300)],
+        "doc_id long, source string, n_chars long",
+    ).repartition(2)
+    df.write.format("jsonl_repair").mode("overwrite").save(d)
+    import glob as g
+    import os
+
+    assert os.path.exists(os.path.join(d, "_SUCCESS"))
+    files = g.glob(os.path.join(d, "part-*.jsonl"))
+    assert len(files) == 2  # one file per task
+    back = (
+        spark.read.format("jsonl_repair")
+        .schema("doc_id long, source string, n_chars long")
+        .load(d)
+    )
+    rows = sorted(tuple(r) for r in back.collect())
+    assert rows == [(1, "web", 100), (2, None, 200), (3, "x", 300)]
+    # overwrite clears previous files
+    df.limit(1).repartition(1).write.format("jsonl_repair").mode(
+        "overwrite"
+    ).save(d)
+    assert len(g.glob(os.path.join(d, "part-*.jsonl"))) == 1
+
+
+def test_jsonl_repair_reader_pushes_filters(spark, tmp_path):
+    from database_per_keyword_analysis_spark.sources import pyds
+
+    pyds.register(spark)
+    d = tmp_path / "drop"
+    d.mkdir()
+    (d / "a.jsonl").write_text(
+        '{"doc_id": 1, "n_chars": 100}\n'
+        '{"doc_id": 2, "n_chars": 200}\n'
+        '{"doc_id": 3, "n_chars": null}\n'
+        '{"doc_id": 4, "n_chars": 300}\n'
+    )
+    df = (
+        spark.read.format("jsonl_repair")
+        .schema("doc_id long, n_chars long")
+        .load(str(d))
+        .where("n_chars > 100")
+    )
+    # the comparison reaches the Python reader: Spark trusts the pushed
+    # filters and drops the post-scan Filter node entirely
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Filter " not in plan
+    assert sorted(r.doc_id for r in df.collect()) == [2, 4]  # NULL rejected
+    # unsupported predicate (IN) still evaluates correctly above the scan
+    df2 = (
+        spark.read.format("jsonl_repair")
+        .schema("doc_id long, n_chars long")
+        .load(str(d))
+        .where("doc_id IN (1, 3)")
+    )
+    assert sorted(r.doc_id for r in df2.collect()) == [1, 3]
