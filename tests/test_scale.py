@@ -262,3 +262,65 @@ def test_zorder_layout_clusters_both_dimensions(spark, tmp_path):
     assert z_y < x_y * 0.7  # y-dimension span shrinks materially
     z_x = sum(file_spans(zpath, "x")) / 8
     assert z_x < 64  # x stays clustered too (full range is 64)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    big=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 100)),
+        min_size=0,
+        max_size=25,
+    ),
+    small=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 100)),
+        min_size=0,
+        max_size=10,
+    ),
+)
+def test_salted_join_equals_plain_join_property(spark, big, small):
+    """Property: salted_join ≡ plain join for arbitrary key multisets
+    (duplicates on both sides, missing keys, empty frames)."""
+    bdf = spark.createDataFrame(big + [(None, -1)], "k int, v int")
+    sdf = spark.createDataFrame(small + [(None, -2)], "k int, u int")
+    for how in ("inner", "left"):
+        plain = sorted(
+            ((r.k, r.v, r.u) for r in bdf.join(sdf, ["k"], how).collect()),
+            key=repr,
+        )
+        salted = sorted(
+            (
+                (r.k, r.v, r.u)
+                for r in SC.salted_join(bdf, sdf, ["k"], n_salts=4, how=how).collect()
+            ),
+            key=repr,
+        )
+        assert salted == plain, how
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    values=st.lists(
+        st.floats(-1e6, 1e6, allow_nan=False, width=32),
+        min_size=1,
+        max_size=60,
+    ),
+    n_buckets=st.sampled_from([2, 4, 7]),
+)
+def test_equi_depth_histogram_properties(spark, values, n_buckets):
+    """Properties: bucket counts sum to row count; buckets are disjoint
+    ordered value ranges; every bucket label is in [1, n_buckets]."""
+    from database_per_keyword_analysis_spark.operators import relational as R
+
+    df = spark.createDataFrame([(float(v),) for v in values], "v double")
+    out = sorted(
+        R.equi_depth_histogram(df, "v", n_buckets).collect(),
+        key=lambda r: r.bucket,
+    )
+    assert sum(r.n_rows for r in out) == len(values)
+    assert all(1 <= r.bucket <= n_buckets for r in out)
+    for a, b in zip(out, out[1:]):
+        assert a.hi <= b.lo  # ranges ordered and non-overlapping
