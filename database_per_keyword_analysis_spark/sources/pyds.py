@@ -41,8 +41,37 @@ from pyspark.sql.datasource import (
     IsNotNull,
     LessThan,
     LessThanOrEqual,
+    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
+
+
+def _data_files(path: str) -> list[str]:
+    """Sorted data files under `path` (sidecars like _SUCCESS and hidden
+    files excluded); a plain file path is its own single-element list."""
+    if os.path.isdir(path):
+        return sorted(
+            f
+            for f in glob.glob(os.path.join(path, "*"))
+            if os.path.isfile(f) and not os.path.basename(f).startswith(("_", "."))
+        )
+    return [path]
+
+
+def _parse_file(path: str, field_names):
+    """Repair-on-read line parse shared by the batch and stream readers."""
+    with open(path, "r", encoding="utf-8", errors="replace") as fh:
+        for line in fh:
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                obj = json.loads(line)
+            except ValueError:
+                continue  # repair: skip corrupt lines
+            if not isinstance(obj, dict):
+                continue
+            yield obj
 
 
 class JsonlRepairDataSource(DataSource):
@@ -66,6 +95,9 @@ class JsonlRepairDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool) -> "JsonlRepairWriter":
         return JsonlRepairWriter(self.options, schema, overwrite)
+
+    def simpleStreamReader(self, schema) -> "JsonlStreamReader":
+        return JsonlStreamReader(self.options, schema)
 
 
 _PUSHABLE = (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual)
@@ -115,31 +147,65 @@ class JsonlRepairReader(DataSourceReader):
         return True
 
     def partitions(self):
-        if os.path.isdir(self.path):
-            files = sorted(
-                f
-                for f in glob.glob(os.path.join(self.path, "*"))
-                if os.path.isfile(f) and not os.path.basename(f).startswith(("_", "."))
-            )
-        else:
-            files = [self.path]
-        return [InputPartition(f) for f in files]
+        return [InputPartition(f) for f in _data_files(self.path)]
 
     def read(self, partition):
-        with open(partition.value, "r", encoding="utf-8", errors="replace") as fh:
-            for line in fh:
-                line = line.strip()
-                if not line:
-                    continue
-                try:
-                    obj = json.loads(line)
-                except ValueError:
-                    continue  # repair: skip corrupt lines
-                if not isinstance(obj, dict):
-                    continue
-                if not self._keep(obj):
-                    continue
+        for obj in _parse_file(partition.value, self.field_names):
+            if self._keep(obj):
                 yield tuple(obj.get(n) for n in self.field_names)
+
+
+class JsonlStreamReader(SimpleDataSourceStreamReader):
+    """The same drop as an UNBOUNDED stream: each micro-batch picks up
+    the data files that appeared since the last committed offset.
+
+    Offsets are the sorted list of already-processed file names — exact
+    (no timestamp races: a file is either in the set or not) and
+    replayable (`readBetweenOffsets` re-reads exactly the files a
+    recovering batch owned, the exactly-once contract Structured
+    Streaming needs from a source).  Files are assumed immutable once
+    visible — the atomic-rename convention `JsonlRepairWriter` follows;
+    in-progress files (dot/underscore-prefixed or `.inprogress`) are
+    invisible to `_data_files`.  The offset grows with the file count:
+    fine for a drop directory rotated by compaction (the documented
+    lifecycle — land, compact to parquet, clear); for an ever-growing
+    path a high-water-mark naming scheme belongs in the source, not
+    this reader."""
+
+    def __init__(self, options, schema):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl_repair: load(path) is required")
+        self.field_names = [f.name for f in schema.fields]
+
+    def initialOffset(self) -> dict:
+        return {"seen": []}
+
+    def _rows(self, files):
+        # a LIST ITERATOR, not a generator: the runtime's prefetch cache
+        # shallow-copies the iterator (list iterators pickle-copy,
+        # generators don't) and probes empty batches with next()
+        # (expecting StopIteration, which a bare list doesn't raise).
+        # Simple stream readers materialize on the driver by design —
+        # per-batch volume is the new-files delta, not the corpus.
+        return iter(
+            [
+                tuple(obj.get(n) for n in self.field_names)
+                for f in files
+                for obj in _parse_file(f, self.field_names)
+            ]
+        )
+
+    def read(self, start: dict):
+        current = _data_files(self.path)
+        seen = set(start.get("seen", []))
+        new = [f for f in current if f not in seen]
+        end = {"seen": sorted(seen | set(new))}
+        return self._rows(new), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        owned = sorted(set(end.get("seen", [])) - set(start.get("seen", [])))
+        return self._rows(owned)
 
 
 class JsonlRepairWriter(DataSourceWriter):

@@ -234,3 +234,36 @@ def test_jsonl_repair_reader_pushes_filters(spark, tmp_path):
         .where("doc_id IN (1, 3)")
     )
     assert sorted(r.doc_id for r in df2.collect()) == [1, 3]
+
+
+def test_jsonl_repair_stream_reads_only_new_files(spark, tmp_path):
+    from database_per_keyword_analysis_spark.sources import pyds
+
+    pyds.register(spark)
+    d = tmp_path / "drop"
+    d.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    (d / "a.jsonl").write_text('{"doc_id": 1}\n{"doc_id": 2}\nBAD\n')
+
+    def run_once():
+        q = (
+            spark.readStream.format("jsonl_repair")
+            .schema("doc_id long")
+            .load(str(d))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted(r.doc_id for r in spark.read.parquet(out).collect())
+
+    assert run_once() == [1, 2]  # corrupt line repaired away
+    (d / "b.jsonl").write_text('{"doc_id": 3}\n')
+    # same checkpoint: the second run appends ONLY the new file's rows —
+    # no duplicates of 1/2 means file a was not re-read
+    assert run_once() == [1, 2, 3]
+    # nothing new: empty batch, still no re-read
+    assert run_once() == [1, 2, 3]
