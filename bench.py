@@ -107,6 +107,7 @@ HEADLINE = [
     "events_variant_stats",
     "documents_jsonl_scan",
     "approx_top_words",
+    "stream_jsonl_counts",
     "tfidf_doc_pairs",
     "length_bucket_batches",
     "disjunctive_revenue",

@@ -252,6 +252,11 @@ _DEFERRED_TWINS = {
     # expressions as its model inputs; DuckDB differential in
     # tests/test_catalog_twins.py:
     "doc_quality_metrics",
+    # streaming-connector ingest composition, deferred at birth: the
+    # stream reader's offset/recovery semantics are pytest-pinned and
+    # the batch connector twin documents_jsonl_scan is in-window;
+    # DuckDB differential in tests/test_catalog_twins.py:
+    "stream_jsonl_counts",
     # Deequ-style constraint suite, deferred at birth: conditional-agg
     # + anti-join + stack composition of in-window-checked machinery;
     # DuckDB differential in tests/test_catalog_twins.py:
@@ -3533,6 +3538,45 @@ def q_documents_jsonl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load(path)
         .orderBy("doc_id")
     )
+
+
+@register(
+    "stream_jsonl_counts",
+    f"SELECT source, count(*) AS n_docs FROM read_json('{_JSONL_ORACLE_GLOB}', "
+    "format='newline_delimited', columns={'doc_id': 'BIGINT', "
+    "'source': 'VARCHAR', 'n_chars': 'BIGINT'}) "
+    "GROUP BY source ORDER BY source",
+)
+def q_stream_jsonl_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The jsonl drop consumed as a STREAM through the custom
+    connector's SimpleDataSourceStreamReader (sources/pyds.py), counted
+    per source in complete mode — the landing-zone ingest shape (drop
+    directory → streaming source → aggregate).  Deferred at birth: the
+    stream reader's offset/recovery semantics are pytest-pinned
+    (tests/test_sources.py) and the batch connector twin
+    documents_jsonl_scan is in-window; DuckDB differential in
+    tests/test_catalog_twins.py."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    path = _jsonl_cache_path(sf_dir)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        load(spark, sf_dir, "documents").select(
+            "doc_id", "source", "n_chars"
+        ).repartition(4).write.mode("overwrite").json(path)
+    from .sources import pyds
+
+    pyds.register(spark)
+    counts = (
+        spark.readStream.format("jsonl_repair")
+        .schema("doc_id long, source string, n_chars long")
+        .load(path)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    out = SW.run_to_memory(counts, "q_stream_jsonl_counts")
+    return out.orderBy("source")
 
 
 def _postings_index_path(sf_dir: str) -> str:

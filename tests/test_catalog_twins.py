@@ -459,6 +459,11 @@ def test_doc_quality_metrics_matches_oracle(spark, sf_dir):
     _assert_matches_oracle(spark, sf_dir, "doc_quality_metrics")
 
 
+# deferred-at-birth streaming-connector ingest composition
+def test_stream_jsonl_counts_matches_oracle(spark, sf_dir):
+    _assert_matches_oracle(spark, sf_dir, "stream_jsonl_counts")
+
+
 # deferred-at-birth Deequ-style constraint suite
 def test_orders_constraint_checks_matches_oracle(spark, sf_dir):
     _assert_matches_oracle(spark, sf_dir, "orders_constraint_checks")
