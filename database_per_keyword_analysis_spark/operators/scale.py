@@ -226,6 +226,49 @@ def read_bucketed_index(
 ZORDER_BITS = 16
 
 
+def compact_parquet_dir(
+    spark,
+    path: str,
+    target_file_mb: int = 128,
+    sort_within_by: list[str] | None = None,
+) -> int:
+    """Small-files compaction for a parquet directory: rewrite to
+    ceil(current_bytes / target_file_mb) files and atomically swap —
+    the maintenance pass every streaming/incremental sink needs, since
+    per-micro-batch and per-delta writes accumulate files whose
+    open/footer/scheduling overhead eventually dominates scans (the
+    classic small-files problem; at 100 TB an uncompacted drop of
+    million-file directories takes longer to LIST than to read).
+
+    File count derives from the directory's actual on-disk bytes (a
+    metadata walk, no data read); `sort_within_by` optionally
+    re-clusters rows within each output file for row-group data
+    skipping (the lightweight cousin of `write_zordered`).  The
+    write-new-then-rename swap means readers never observe a
+    half-compacted directory — same contract as
+    `compact_postings_index`.  Returns the output file count."""
+    import math
+    import os
+    import shutil
+
+    n_bytes = sum(
+        os.path.getsize(os.path.join(path, f))
+        for f in os.listdir(path)
+        if os.path.isfile(os.path.join(path, f)) and not f.startswith(("_", "."))
+    )
+    n_files = max(1, math.ceil(n_bytes / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    if sort_within_by:
+        df = df.repartition(n_files).sortWithinPartitions(*sort_within_by)
+    else:
+        df = df.coalesce(n_files)
+    tmp = path.rstrip("/") + "__compact"
+    df.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return n_files
+
+
 def zorder_key(
     df: DataFrame, cols: list[str], bits: int = ZORDER_BITS
 ) -> DataFrame:

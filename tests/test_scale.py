@@ -324,3 +324,37 @@ def test_equi_depth_histogram_properties(spark, values, n_buckets):
     assert all(1 <= r.bucket <= n_buckets for r in out)
     for a, b in zip(out, out[1:]):
         assert a.hi <= b.lo  # ranges ordered and non-overlapping
+
+
+def test_compact_parquet_dir_reduces_files_preserves_data(spark, tmp_path):
+    import glob as g
+    import os
+
+    path = str(tmp_path / "many")
+    spark.range(10_000).withColumn("v", F.col("id") * 2).repartition(
+        40
+    ).write.parquet(path)
+    before_files = g.glob(os.path.join(path, "part-*"))
+    assert len(before_files) == 40
+    before = sorted((r.id, r.v) for r in spark.read.parquet(path).collect())
+    n = SC.compact_parquet_dir(spark, path, target_file_mb=128)
+    after_files = g.glob(os.path.join(path, "part-*"))
+    assert len(after_files) == n == 1  # tiny data -> one target file
+    assert not os.path.exists(path + "__compact")  # swap completed
+    after = sorted((r.id, r.v) for r in spark.read.parquet(path).collect())
+    assert after == before
+
+
+def test_compact_parquet_dir_sorted_reclusters(spark, tmp_path):
+    import os
+
+    path = str(tmp_path / "clustered")
+    spark.range(5_000).withColumn(
+        "k", (F.col("id") * 7919) % 100
+    ).repartition(16).write.parquet(path)
+    SC.compact_parquet_dir(spark, path, target_file_mb=128, sort_within_by=["k"])
+    rows = spark.read.parquet(path).collect()
+    assert sorted(r.id for r in rows) == list(range(5_000))
+    # single output file sorted by k -> reading preserves cluster order
+    ks = [r.k for r in spark.read.parquet(path).collect()]
+    assert ks == sorted(ks)
