@@ -108,6 +108,7 @@ HEADLINE = [
     "documents_jsonl_scan",
     "approx_top_words",
     "stream_jsonl_counts",
+    "price_quantity_corr",
     "tfidf_doc_pairs",
     "length_bucket_batches",
     "disjunctive_revenue",

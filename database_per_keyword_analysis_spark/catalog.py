@@ -252,6 +252,10 @@ _DEFERRED_TWINS = {
     # expressions as its model inputs; DuckDB differential in
     # tests/test_catalog_twins.py:
     "doc_quality_metrics",
+    # oracle-exact Pearson correlation, deferred at birth: moment-sum
+    # DECIMAL accumulation is pricing_summary's checked machinery;
+    # DuckDB differential in tests/test_catalog_twins.py:
+    "price_quantity_corr",
     # streaming-connector ingest composition, deferred at birth: the
     # stream reader's offset/recovery semantics are pytest-pinned and
     # the batch connector twin documents_jsonl_scan is in-window;
@@ -653,6 +657,45 @@ def q_fuzzy_customer_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         q=_FUZZY_Q,
         max_df=_FUZZY_MAX_DF,
         max_ed=_FUZZY_MAX_ED,
+    )
+
+
+@register(
+    "price_quantity_corr",
+    "WITH m AS (SELECT l_returnflag, count(*) AS n, "
+    "sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS sx, "
+    "sum(CAST(l_quantity AS DECIMAL(28,6))) AS sy, "
+    "sum(CAST(l_extendedprice * l_quantity AS DECIMAL(28,6))) AS sxy, "
+    "sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,6))) AS sxx, "
+    "sum(CAST(l_quantity * l_quantity AS DECIMAL(28,6))) AS syy "
+    "FROM lineitem GROUP BY l_returnflag) "
+    "SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows, "
+    "CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) "
+    "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0 "
+    "AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) "
+    "- CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0 THEN "
+    "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) "
+    "- CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) "
+    "/ sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) "
+    "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) "
+    "* (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) "
+    "- CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) "
+    "ELSE NULL END AS corr_xy "
+    "FROM m ORDER BY l_returnflag",
+)
+def q_price_quantity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-exact Pearson correlation of price vs quantity per return
+    flag (operators/relational.py:grouped_pearson_corr): DECIMAL moment
+    sums + a single identical double formula on both engines, so the
+    float hash matches (built-in corr cannot — combine-order
+    dependent).  Deferred at birth: moment-sum aggregation is the
+    checked DECIMAL-accumulation machinery of pricing_summary; DuckDB
+    differential in tests/test_catalog_twins.py."""
+    return R.grouped_pearson_corr(
+        load(spark, sf_dir, "lineitem", parallel=True),
+        "l_extendedprice",
+        "l_quantity",
+        ["l_returnflag"],
     )
 
 

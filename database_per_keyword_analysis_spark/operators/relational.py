@@ -571,6 +571,60 @@ def orders_constraint_checks(
     )
 
 
+def grouped_pearson_corr(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_cols: list[str],
+) -> DataFrame:
+    """Pearson correlation per group with ORACLE-EXACT arithmetic: the
+    five moment sums (n, Σx, Σy, Σxy, Σx², Σy²) accumulate as DECIMAL
+    (order-independent, partitioning-invariant), and the textbook
+    formula (n·Σxy − Σx·Σy) / √((n·Σx² − Σx²̂)(n·Σy² − Σy²̂)) evaluates
+    once in double — identical IEEE operations over bit-identical
+    inputs on every engine, so even the float result hash-matches
+    DuckDB (built-in `corr`'s streaming co-moment accumulation cannot:
+    its result depends on combine order).  Per-row products stay exact
+    in double while x·y carries ≤ 15 significant digits (cents-scale
+    prices squared ≈ 12 digits — fine; re-scale inputs first beyond
+    that).
+
+    Scale: one partial-aggregatable groupBy — moment sums combine
+    map-side, shuffle volume is O(groups × 6 decimals).  Degenerate
+    groups (zero variance) return NULL like the built-in."""
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+
+    def dsum(expr: F.Column, alias: str) -> F.Column:
+        return F.sum(expr.cast("decimal(28,6)")).alias(alias)
+
+    m = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("_n"),
+        dsum(x, "_sx"),
+        dsum(y, "_sy"),
+        dsum(x * y, "_sxy"),
+        dsum(x * x, "_sxx"),
+        dsum(y * y, "_syy"),
+    )
+    n = F.col("_n").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    syy = F.col("_syy").cast("double")
+    cov = n * sxy - sx * sy
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    corr = F.when(
+        (vx > 0) & (vy > 0), cov / F.sqrt(vx * vy)
+    ).otherwise(F.lit(None))
+    return m.select(
+        *group_cols,
+        F.col("_n").alias("n_rows"),
+        corr.alias("corr_xy"),
+    ).orderBy(*group_cols)
+
+
 def profile_table(df: DataFrame) -> DataFrame:
     """ANALYZE-style table profile: one row per column with
     (column, n_rows, n_nulls, n_distinct) — the quick health check a

@@ -459,6 +459,11 @@ def test_doc_quality_metrics_matches_oracle(spark, sf_dir):
     _assert_matches_oracle(spark, sf_dir, "doc_quality_metrics")
 
 
+# deferred-at-birth oracle-exact Pearson correlation
+def test_price_quantity_corr_matches_oracle(spark, sf_dir):
+    _assert_matches_oracle(spark, sf_dir, "price_quantity_corr")
+
+
 # deferred-at-birth streaming-connector ingest composition
 def test_stream_jsonl_counts_matches_oracle(spark, sf_dir):
     _assert_matches_oracle(spark, sf_dir, "stream_jsonl_counts")

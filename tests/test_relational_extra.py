@@ -226,3 +226,26 @@ def test_constraint_checks_catch_injected_violations(spark):
         "status_in_domain": (1, False),
         "totalprice_nonnegative": (1, False),
     }
+
+
+def test_grouped_pearson_corr_matches_builtin_and_handles_degenerate(spark):
+    rows = [("a", float(i), float(2 * i + 1)) for i in range(1, 50)]
+    rows += [("b", float(i), float(100 - 3 * i)) for i in range(1, 40)]
+    rows += [("c", 5.0, float(i)) for i in range(1, 10)]  # zero x-variance
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    out = {r.g: r for r in R.grouped_pearson_corr(df, "x", "y", ["g"]).collect()}
+    assert out["a"].corr_xy == pytest.approx(1.0, abs=1e-12)
+    assert out["b"].corr_xy == pytest.approx(-1.0, abs=1e-12)
+    assert out["c"].corr_xy is None  # degenerate like the built-in
+    # note: the BUILT-IN corr raises DIVIDE_BY_ZERO on the degenerate
+    # group under ANSI mode — ours returns NULL; cross-check on the
+    # well-defined groups only
+    builtin = {
+        r.g: r.c
+        for r in df.where("g <> 'c'")
+        .groupBy("g")
+        .agg(F.corr("x", "y").alias("c"))
+        .collect()
+    }
+    for g in ("a", "b"):
+        assert out[g].corr_xy == pytest.approx(builtin[g], abs=1e-9)
