@@ -249,3 +249,34 @@ def test_grouped_pearson_corr_matches_builtin_and_handles_degenerate(spark):
     }
     for g in ("a", "b"):
         assert out[g].corr_xy == pytest.approx(builtin[g], abs=1e-9)
+
+
+def test_new_operators_tolerate_empty_inputs(spark):
+    """Degenerate-input contract: empty frames flow through to empty
+    results, never to planner or runtime errors."""
+    from database_per_keyword_analysis_spark.operators import dedup as D
+    from database_per_keyword_analysis_spark.operators.events import (
+        daily_value_locf,
+    )
+
+    assert R.equi_depth_histogram(
+        spark.createDataFrame([], "v double"), "v", 4
+    ).collect() == []
+    assert D.fuzzy_string_pairs(
+        spark.createDataFrame([], "id long, name string"), "id", "name"
+    ).collect() == []
+    assert daily_value_locf(
+        spark.createDataFrame(
+            [],
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        )
+    ).collect() == []
+    assert R.high_balance_inactive_customers(
+        spark.createDataFrame([], "c_custkey long, c_nationkey long, c_acctbal double"),
+        spark.createDataFrame([], "o_orderkey long, o_custkey long, o_orderdate timestamp"),
+    ).collect() == []
+    assert R.grouped_pearson_corr(
+        spark.createDataFrame([], "g string, x double, y double"),
+        "x", "y", ["g"],
+    ).collect() == []
