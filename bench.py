@@ -109,6 +109,7 @@ HEADLINE = [
     "approx_top_words",
     "stream_jsonl_counts",
     "price_quantity_corr",
+    "bigram_collocations",
     "tfidf_doc_pairs",
     "length_bucket_batches",
     "disjunctive_revenue",

@@ -252,6 +252,10 @@ _DEFERRED_TWINS = {
     # expressions as its model inputs; DuckDB differential in
     # tests/test_catalog_twins.py:
     "doc_quality_metrics",
+    # PMI collocations, deferred at birth: explode→count→join machinery
+    # of the checked word-frequency family; DuckDB differential in
+    # tests/test_catalog_twins.py:
+    "bigram_collocations",
     # oracle-exact Pearson correlation, deferred at birth: moment-sum
     # DECIMAL accumulation is pricing_summary's checked machinery;
     # DuckDB differential in tests/test_catalog_twins.py:
@@ -2873,6 +2877,45 @@ def q_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ST.finalize_cumulative(out)
         .select("user_id", "n_events", "max_value")
         .orderBy("user_id")
+    )
+
+
+_PMI_MIN_COUNT = 5
+_PMI_K = 50
+
+
+def _bigram_collocations_sql() -> str:
+    return (
+        f"WITH t AS (SELECT {_DUCK_TOKS} AS toks FROM documents "
+        "WHERE text IS NOT NULL), "
+        "p AS (SELECT toks[i] AS w1, toks[i + 1] AS w2 FROM t, "
+        "unnest(range(1, len(toks))) AS r(i) WHERE len(toks) >= 2), "
+        "u AS (SELECT w, count(*) AS wc FROM "
+        "(SELECT unnest(toks) AS w FROM t) GROUP BY w), "
+        "b AS (SELECT w1, w2, count(*) AS pair_count FROM p GROUP BY w1, w2 "
+        f"HAVING count(*) >= {_PMI_MIN_COUNT}), "
+        "n AS (SELECT count(*) AS nt FROM p) "
+        "SELECT w1, w2, CAST(pair_count AS BIGINT) AS pair_count, "
+        "round(ln(CAST(pair_count * nt AS DOUBLE) "
+        "/ CAST(u1.wc * u2.wc AS DOUBLE)), 6) AS pmi "
+        "FROM b JOIN u u1 ON b.w1 = u1.w JOIN u u2 ON b.w2 = u2.w, n "
+        f"ORDER BY pmi DESC, w1, w2 LIMIT {_PMI_K}"
+    )
+
+
+@register("bigram_collocations", _bigram_collocations_sql())
+def q_bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocation extraction over the documents corpus
+    (operators/wordfreq.py:bigram_collocations): integer counts, exact
+    double ratio, single ln rounded to 6 (the unigram_lm convention).
+    Deferred at birth: explode→count→join machinery of the checked
+    word-frequency family plus the broadcast-normalizer idiom of
+    unigram_lm_scores; DuckDB differential in
+    tests/test_catalog_twins.py."""
+    return WF.bigram_collocations(
+        load(spark, sf_dir, "documents", parallel=True),
+        min_count=_PMI_MIN_COUNT,
+        k=_PMI_K,
     )
 
 

@@ -178,3 +178,77 @@ def approx_top_tokens(
     return flat.select("word", "n", F.row_number().over(w).alias("rank")).orderBy(
         "rank"
     )
+
+
+def bigram_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 50,
+) -> DataFrame:
+    """Collocation extraction by pointwise mutual information: top-k
+    adjacent word pairs ranked by
+    PMI = ln(c_xy · N / (c_x · c_y)) among pairs seen ≥ `min_count`
+    times — the classic corpus-linguistics signal for multiword
+    expressions, and the feature pipelines use to decide which bigrams
+    deserve vocabulary slots.  Returns (w1, w2, pair_count, pmi)
+    ordered by (pmi desc, w1, w2).
+
+    Exactness: all counts are integers, the ratio is exact in double
+    (products ≤ ~1e10 carry well under 53 bits), and the single ln is
+    rounded to 6 decimals — the unigram_lm_scores convention that
+    absorbs last-ulp libm differences between engines.
+
+    Scale: token and bigram counts are partial-aggregatable groupBys
+    (shuffle O(vocab + bigram-vocab), never the token stream);
+    `min_count` prunes the bigram table BEFORE the two unigram joins;
+    the unigram count table broadcasts (vocab-sized).  Adjacency comes
+    from the raw normalize/tokenize stream (no stopword filter — PMI
+    needs true adjacency, and filtering first would fabricate
+    neighbors)."""
+    toks = df.where(F.col(text_col).isNotNull()).select(
+        TX.tokenize(TX.normalize_text(F.col(text_col))).alias("_toks")
+    )
+    # bigrams in a SEPARATE projection (lateral-alias + HOF hazard)
+    pairs = toks.where(F.size("_toks") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("_toks") - 1),
+                lambda i: F.struct(
+                    F.element_at("_toks", i).alias("w1"),
+                    F.element_at("_toks", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("_p")
+    ).select("_p.w1", "_p.w2")
+    uni = (
+        toks.select(F.explode("_toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    big = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .where(F.col("pair_count") >= min_count)
+    )
+    n_total = pairs.agg(F.count(F.lit(1)).alias("_n"))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("wc").alias("_c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("wc").alias("_c2"))
+    scored = (
+        big.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "w1",
+            "w2",
+            "pair_count",
+            F.round(
+                F.log(
+                    (F.col("pair_count") * F.col("_n")).cast("double")
+                    / (F.col("_c1") * F.col("_c2")).cast("double")
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), "w1", "w2").limit(k)

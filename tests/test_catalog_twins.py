@@ -459,6 +459,11 @@ def test_doc_quality_metrics_matches_oracle(spark, sf_dir):
     _assert_matches_oracle(spark, sf_dir, "doc_quality_metrics")
 
 
+# deferred-at-birth PMI collocations
+def test_bigram_collocations_matches_oracle(spark, sf_dir):
+    _assert_matches_oracle(spark, sf_dir, "bigram_collocations")
+
+
 # deferred-at-birth oracle-exact Pearson correlation
 def test_price_quantity_corr_matches_oracle(spark, sf_dir):
     _assert_matches_oracle(spark, sf_dir, "price_quantity_corr")

@@ -145,3 +145,22 @@ def test_approx_top_tokens_exact_when_vocab_fits(spark, sf_dir):
     floor = min(r.n for r in out)
     reported = {r.word for r in out}
     assert all(n <= floor for w, n in exact.items() if w not in reported)
+
+
+def test_bigram_collocations_pmi_math_and_min_count(spark):
+    import math
+
+    from database_per_keyword_analysis_spark.operators import wordfreq as WF
+
+    # 'new york' always together (5x); 'the the' frequent singles
+    docs = [("new york " * 5).strip()] + ["the cat", "the dog", "the fish"]
+    df = spark.createDataFrame([(t,) for t in docs], "text string")
+    out = {(r.w1, r.w2): r for r in
+           WF.bigram_collocations(df, min_count=2, k=10).collect()}
+    # bigrams: doc1 has 9 pairs: 5x(new,york) + 4x(york,new); others 1 each
+    assert ("new", "york") in out and ("york", "new") in out
+    assert ("the", "cat") not in out  # below min_count
+    r = out[("new", "york")]
+    n_total = 9 + 3
+    expected = round(math.log(5 * n_total / (5 * 5)), 6)
+    assert r.pair_count == 5 and r.pmi == pytest.approx(expected, abs=1e-6)
