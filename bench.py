@@ -110,6 +110,7 @@ HEADLINE = [
     "stream_jsonl_counts",
     "price_quantity_corr",
     "bigram_collocations",
+    "bpe_merges",
     "tfidf_doc_pairs",
     "length_bucket_batches",
     "disjunctive_revenue",

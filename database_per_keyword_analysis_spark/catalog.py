@@ -2919,6 +2919,22 @@ def q_bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("bpe_merges", None)  # iterative (merge k+1 depends on state
+# after merge k) — not expressible as one SQL statement; exact-match
+# differential vs a pure-Python reference BPE in tests/test_bpe.py
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training (operators/bpe.py): the ordered merge
+    table learned from the corpus word-frequency table — corpus-sized
+    work is ONE word-count shuffle, the merge rounds iterate over the
+    vocab-sized table with scalar-only driver collects (the CC
+    contract)."""
+    from .operators import bpe as B
+
+    return B.bpe_merges_df(
+        load(spark, sf_dir, "documents", parallel=True), n_merges=10
+    )
+
+
 @register("approx_top_words", None)  # sketch output cannot hash-match a
 # different engine → rows-only; exactness-when-vocab-fits pytest-pinned
 def q_approx_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,156 @@
+"""Byte-pair-encoding merge induction (Sennrich et al. 2016) as a Spark
+pipeline stage — the tokenizer-TRAINING step upstream of the engine's
+vocabulary induction / encoding / packing chain (operators/search.py:
+vocab_coverage → encode_documents → curation.pack_sequences).
+
+Absent from the reference (no subword machinery at all); designed
+Spark-first around the observation real BPE trainers exploit: merges are
+learned from the WORD-FREQUENCY table, not the token stream.  The only
+corpus-sized work is therefore one groupBy(word) count — after that the
+working set is vocab-sized (thousands of rows), and the K merge rounds
+iterate over THAT:
+
+  round k:  explode adjacent symbol pairs per word (weighted by word
+            count) → groupBy(pair) sum → top-1 with deterministic
+            tie-break → ONE scalar collect (the CC per-round contract:
+            driver actions are O(1) rows, never data) → apply the merge
+            to every word's symbol array with a left-to-right greedy
+            fold (higher-order `aggregate`, JVM-side) → localCheckpoint
+            to truncate lineage (the CC idiom).
+
+At 100 TB the word-count shuffle is the same partial-aggregatable
+reduction `word_frequency` runs; rounds cost K × (vocab-sized job +
+scalar collect), independent of corpus size.  The driver loop is
+inherent to BPE (merge k+1 depends on the table state after merge k) and
+bounded by `n_merges`.
+
+Determinism: integer counts; best pair ordered by (count desc, left,
+right); within-word application is the standard greedy left-to-right
+simultaneous pass (overlapping occurrences: 'aaa' + (a,a) → [aa, a]).
+Exact-match differential against a pure-Python reference implementation
+in tests/test_bpe.py; the registered query is rows-only (iterative —
+not expressible as one SQL statement for the DuckDB oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Row
+from pyspark.sql import functions as F
+
+END_OF_WORD = "</w>"
+
+
+def word_symbol_table(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """(word, n, symbols) — the vocab-sized training table: Tier-A
+    normalize/tokenize, corpus word counts, each word split to
+    single-character symbols plus the Sennrich end-of-word marker."""
+    from ..functions import text as TX
+
+    toks = df.where(F.col(text_col).isNotNull()).select(
+        F.explode(TX.tokenize(TX.normalize_text(F.col(text_col)))).alias("word")
+    )
+    counts = toks.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+    return counts.select(
+        "word",
+        "n",
+        F.concat(
+            F.split(F.col("word"), ""),  # one element per character
+            F.array(F.lit(END_OF_WORD)),
+        ).alias("symbols"),
+    )
+
+
+def _pair_counts(words: DataFrame) -> DataFrame:
+    """(left, right, pair_count): adjacent symbol pairs weighted by word
+    frequency — all adjacent index pairs, overlaps included (Sennrich's
+    counting)."""
+    pairs = words.where(F.size("symbols") >= 2).select(
+        "n",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("symbols") - 1),
+                lambda i: F.struct(
+                    F.element_at("symbols", i).alias("left"),
+                    F.element_at("symbols", i + 1).alias("right"),
+                ),
+            )
+        ).alias("_p"),
+    )
+    return pairs.groupBy("_p.left", "_p.right").agg(
+        F.sum("n").cast("long").alias("pair_count")
+    )
+
+
+def _apply_merge(symbols: F.Column, left: str, right: str) -> F.Column:
+    """Greedy left-to-right simultaneous merge of adjacent (left, right)
+    into one symbol — a JVM-side fold over the symbol array."""
+    merged = left + right
+    return F.aggregate(
+        symbols,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (s == F.lit(right)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 30,
+    min_pair_count: int = 2,
+) -> tuple[list[Row], DataFrame]:
+    """Learn up to `n_merges` BPE merges.  Returns (merges, words):
+    merges is the ordered list of Row(merge_rank, left, right, merged,
+    pair_count) — the artifact a tokenizer serializes — and words is the
+    final (word, n, symbols) table after all merges.  Stops early when
+    the best pair's count drops below `min_pair_count` (merging
+    singletons learns noise)."""
+    words = word_symbol_table(df, text_col).localCheckpoint()
+    merges: list[Row] = []
+    for rank in range(1, n_merges + 1):
+        best = (
+            _pair_counts(words)
+            .orderBy(F.desc("pair_count"), "left", "right")
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["pair_count"] < min_pair_count:
+            break
+        b = best[0]
+        merges.append(
+            Row(
+                merge_rank=rank,
+                left=b["left"],
+                right=b["right"],
+                merged=b["left"] + b["right"],
+                pair_count=b["pair_count"],
+            )
+        )
+        words = words.withColumn(
+            "symbols", _apply_merge(F.col("symbols"), b["left"], b["right"])
+        ).localCheckpoint()
+    return merges, words
+
+
+def bpe_merges_df(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 30,
+    min_pair_count: int = 2,
+) -> DataFrame:
+    """The learned merge table as a DataFrame (merge_rank, left, right,
+    merged, pair_count), ordered by merge_rank — the `queries()` form."""
+    spark = df.sparkSession
+    merges, _ = bpe_train(df, text_col, n_merges, min_pair_count)
+    schema = "merge_rank int, left string, right string, merged string, pair_count long"
+    if not merges:
+        return spark.createDataFrame([], schema)
+    return spark.createDataFrame(merges, schema).orderBy("merge_rank")

@@ -1,0 +1,77 @@
+"""BPE merge induction: classic-example behavior + an exact-match
+differential against a pure-Python reference implementation (the
+oracle strategy for iterative operators that one SQL statement cannot
+express)."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from database_per_keyword_analysis_spark.operators import bpe as B
+from database_per_keyword_analysis_spark.sources import load
+
+
+def _py_bpe(word_counts: dict[str, int], n_merges: int, min_pair_count: int = 2):
+    """Reference BPE (Sennrich et al. 2016): same tie-break (count desc,
+    then lexicographic pair) and the same greedy left-to-right
+    simultaneous merge."""
+    symbols = {w: list(w) + [B.END_OF_WORD] for w in word_counts}
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pc: Counter = Counter()
+        for w, c in word_counts.items():
+            s = symbols[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += c
+        if not pc:
+            break
+        (left, right), cnt = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if cnt < min_pair_count:
+            break
+        merges.append((rank, left, right, left + right, cnt))
+        merged = left + right
+        for w, s in symbols.items():
+            out: list[str] = []
+            for sym in s:
+                if out and out[-1] == left and sym == right:
+                    out[-1] = merged
+                else:
+                    out.append(sym)
+            symbols[w] = out
+    return merges, symbols
+
+
+def test_bpe_classic_example(spark):
+    df = spark.createDataFrame(
+        [("low lower lowest low low",), ("new newer newest new",)],
+        "text string",
+    )
+    merges, words = B.bpe_train(df, n_merges=8)
+    final = {r.word: r.symbols for r in words.collect()}
+    # 'low' occurs 3x -> fully merged into one unit; 'er' learned as a
+    # shared suffix of lower/newer
+    assert final["low"] == ["low</w>"]
+    assert final["lower"][-1] == "er</w>"
+    assert final["newer"][-1] == "er</w>"
+    assert any(m.merged == "er" for m in merges)
+
+
+def test_bpe_matches_python_reference_on_fixture(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").limit(120)
+    base = B.word_symbol_table(docs)
+    word_counts = {r.word: r.n for r in base.select("word", "n").collect()}
+    want_merges, want_symbols = _py_bpe(word_counts, n_merges=12)
+    merges, words = B.bpe_train(docs, n_merges=12)
+    got = [(m.merge_rank, m.left, m.right, m.merged, m.pair_count) for m in merges]
+    assert got == want_merges  # exact sequence, counts included
+    got_symbols = {r.word: r.symbols for r in words.collect()}
+    assert got_symbols == want_symbols  # every word's final segmentation
+
+
+def test_bpe_stops_below_min_pair_count(spark):
+    # all words unique singletons: every pair count is 1 -> no merges
+    df = spark.createDataFrame([("ab cd ef",)], "text string")
+    merges, _ = B.bpe_train(df, n_merges=5, min_pair_count=2)
+    assert merges == []
