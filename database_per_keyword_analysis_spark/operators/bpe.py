@@ -154,3 +154,70 @@ def bpe_merges_df(
     if not merges:
         return spark.createDataFrame([], schema)
     return spark.createDataFrame(merges, schema).orderBy("merge_rank")
+
+
+def bpe_encode(
+    df: DataFrame,
+    words: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a trained BPE model: encode each document into subword
+    tokens using the word→segmentation table `bpe_train` produced.
+
+    The efficient apply form real tokenizers compile to: instead of
+    re-running K merge folds per document, the (vocab-sized) final
+    segmentation table broadcast-joins onto the exploded token stream —
+    one lookup per token (the encode_documents idiom) — and
+    out-of-vocabulary words fall back to character symbols (their
+    correct zero-merge segmentation: merges were learned only from
+    in-vocab adjacencies).  Positions re-assemble per document with an
+    ordered collect_list window, and the per-doc subword arrays flatten
+    in order.  Returns (id_col, n_words, n_subwords, subwords).
+
+    Scale: the corpus-side work is explode + broadcast-join + one
+    groupBy(id) reassembly — the same plan family as encode_documents,
+    plan-safe at any corpus size; the broadcast payload is the
+    segmentation table (vocab-sized)."""
+    from pyspark.sql import Window
+    from ..functions import text as TX
+
+    toks = (
+        df.where(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.posexplode(
+                TX.tokenize(TX.normalize_text(F.col(text_col)))
+            ).alias("_pos", "word"),
+        )
+    )
+    seg = words.select("word", F.col("symbols").alias("_seg"))
+    oov = F.concat(
+        F.split(F.col("word"), ""), F.array(F.lit(END_OF_WORD))
+    )
+    looked = toks.join(F.broadcast(seg), "word", "left").select(
+        id_col,
+        "_pos",
+        F.coalesce(F.col("_seg"), oov).alias("_syms"),
+    )
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("_pos")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        looked.select(
+            id_col,
+            F.collect_list(F.col("_syms")).over(w).alias("_all"),
+            F.row_number().over(Window.partitionBy(id_col).orderBy("_pos")).alias("_rn"),
+        )
+        .where(F.col("_rn") == 1)
+        .select(
+            id_col,
+            F.size("_all").cast("long").alias("n_words"),
+            F.flatten("_all").alias("subwords"),
+        )
+        .withColumn("n_subwords", F.size("subwords").cast("long"))
+        .select(id_col, "n_words", "n_subwords", "subwords")
+        .orderBy(id_col)
+    )

@@ -75,3 +75,23 @@ def test_bpe_stops_below_min_pair_count(spark):
     df = spark.createDataFrame([("ab cd ef",)], "text string")
     merges, _ = B.bpe_train(df, n_merges=5, min_pair_count=2)
     assert merges == []
+
+
+def test_bpe_encode_roundtrip_and_oov(spark):
+    train = spark.createDataFrame(
+        [("low lower lowest low low",), ("new newer newest new",)],
+        "text string",
+    )
+    _, words = B.bpe_train(train, n_merges=8)
+    docs = spark.createDataFrame(
+        [(1, "low lower"), (2, "zebra low")],  # zebra is OOV
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in B.bpe_encode(docs, words).collect()}
+    assert out[1].n_words == 2
+    # concatenating subwords reconstructs each word + end marker
+    joined = "".join(out[1].subwords)
+    assert joined == "low" + B.END_OF_WORD + "lower" + B.END_OF_WORD
+    # OOV falls back to character symbols
+    assert out[2].subwords[: 5 + 1] == list("zebra") + [B.END_OF_WORD]
+    assert out[2].n_subwords == 6 + 1  # 'zebra'+marker, 'low</w>' merged unit
