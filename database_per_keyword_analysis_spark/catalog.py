@@ -3605,25 +3605,25 @@ def _jsonl_cache_path(sf_dir: str) -> str:
     )
 
 
-# the driver's correctness gate always runs at sf0.01, so the STATIC
-# oracle SQL reads the sf0.01-keyed cache the Spark side writes there
-_JSONL_ORACLE_GLOB = _jsonl_cache_path("/root/testdata/sf0.01") + "/part-*"
-
-
+# the byte-level read_json cross-check lives in pytest
+# (tests/test_sources.py: duckdb parses the same jsonl bytes); the
+# REGISTERED oracle reads the parquet view so it is valid regardless of
+# whether the driver executes the Spark side (which writes the jsonl
+# cache) or the oracle first — the roundtrip is lossless by contract
 @register(
     "documents_jsonl_scan",
-    f"SELECT doc_id, source, n_chars FROM read_json('{_JSONL_ORACLE_GLOB}', "
-    "format='newline_delimited', columns={'doc_id': 'BIGINT', "
-    "'source': 'VARCHAR', 'n_chars': 'BIGINT'}) ORDER BY doc_id",
+    "SELECT doc_id, source, n_chars FROM documents ORDER BY doc_id",
 )
 def q_documents_jsonl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom Python DataSource scan (sources/pyds.py, Spark 4
     `pyspark.sql.datasource` API): the documents projection round-trips
     through a line-delimited JSON drop and is read back via the
     jsonl_repair connector — one partition per file, corrupt lines
-    skipped, schema-named projection at the source.  The DuckDB oracle
-    reads the SAME jsonl files with read_json, so the check covers the
-    connector's parsing itself, not just the projection."""
+    skipped, schema-named projection at the source.  The oracle is the
+    parquet view (roundtrip losslessness IS the contract; order-proof
+    vs the driver's spark/oracle execution order), and the byte-level
+    DuckDB read_json parse of the same jsonl files is cross-checked in
+    tests/test_sources.py."""
     import os
 
     path = _jsonl_cache_path(sf_dir)
@@ -3644,9 +3644,7 @@ def q_documents_jsonl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_jsonl_counts",
-    f"SELECT source, count(*) AS n_docs FROM read_json('{_JSONL_ORACLE_GLOB}', "
-    "format='newline_delimited', columns={'doc_id': 'BIGINT', "
-    "'source': 'VARCHAR', 'n_chars': 'BIGINT'}) "
+    "SELECT source, count(*) AS n_docs FROM documents "
     "GROUP BY source ORDER BY source",
 )
 def q_stream_jsonl_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

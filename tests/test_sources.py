@@ -267,3 +267,36 @@ def test_jsonl_repair_stream_reads_only_new_files(spark, tmp_path):
     assert run_once() == [1, 2, 3]
     # nothing new: empty batch, still no re-read
     assert run_once() == [1, 2, 3]
+
+
+def test_jsonl_connector_parse_matches_duckdb_read_json(spark, tmp_path):
+    """Byte-level cross-engine check: DuckDB's read_json over the SAME
+    jsonl files the connector reads must agree row-for-row (the
+    parsing-layer differential the registered view-based oracle
+    deliberately does not depend on)."""
+    import duckdb
+
+    from database_per_keyword_analysis_spark.sources import pyds
+
+    pyds.register(spark)
+    d = str(tmp_path / "out")
+    spark.createDataFrame(
+        [(1, "web", 100), (2, "x", 200), (3, None, 300)],
+        "doc_id long, source string, n_chars long",
+    ).repartition(2).write.format("jsonl_repair").mode("overwrite").save(d)
+    got = sorted(
+        tuple(r)
+        for r in spark.read.format("jsonl_repair")
+        .schema("doc_id long, source string, n_chars long")
+        .load(d)
+        .collect()
+    )
+    want = sorted(
+        duckdb.sql(
+            f"SELECT doc_id, source, n_chars FROM read_json('{d}/part-*', "
+            "format='newline_delimited', columns={'doc_id': 'BIGINT', "
+            "'source': 'VARCHAR', 'n_chars': 'BIGINT'})"
+        ).fetchall(),
+        key=repr,
+    )
+    assert got == sorted(want, key=repr)
