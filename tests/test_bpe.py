@@ -95,3 +95,33 @@ def test_bpe_encode_roundtrip_and_oov(spark):
     # OOV falls back to character symbols
     assert out[2].subwords[: 5 + 1] == list("zebra") + [B.END_OF_WORD]
     assert out[2].n_subwords == 6 + 1  # 'zebra'+marker, 'low</w>' merged unit
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    words=st.lists(
+        st.text(alphabet="abcd", min_size=1, max_size=5),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_bpe_matches_python_reference_random(spark, words):
+    """Property differential: on arbitrary small corpora the Spark
+    merge sequence and final segmentations must equal the pure-Python
+    reference exactly.  Word counts are taken from word_symbol_table so
+    both sides see the identical post-normalization vocabulary
+    (normalize squeezes 3+ char runs, so raw strings would diverge)."""
+    df = spark.createDataFrame([(" ".join(words),)], "text string")
+    base = B.word_symbol_table(df)
+    word_counts = {r.word: r.n for r in base.select("word", "n").collect()}
+    if not word_counts:
+        return
+    want_merges, want_symbols = _py_bpe(word_counts, n_merges=6)
+    merges, out_words = B.bpe_train(df, n_merges=6)
+    got = [(m.merge_rank, m.left, m.right, m.merged, m.pair_count) for m in merges]
+    assert got == want_merges
+    assert {r.word: r.symbols for r in out_words.collect()} == want_symbols
