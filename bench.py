@@ -111,6 +111,7 @@ HEADLINE = [
     "price_quantity_corr",
     "bigram_collocations",
     "bpe_merges",
+    "session_burst_overlaps",
     "tfidf_doc_pairs",
     "length_bucket_batches",
     "disjunctive_revenue",

@@ -252,6 +252,11 @@ _DEFERRED_TWINS = {
     # expressions as its model inputs; DuckDB differential in
     # tests/test_catalog_twins.py:
     "doc_quality_metrics",
+    # interval-overlap join, deferred at birth: bin machinery of the
+    # in-window purchases_in_event_bursts + the exactly-once
+    # first-shared-bin emission (unit-tested); DuckDB differential in
+    # tests/test_catalog_twins.py:
+    "session_burst_overlaps",
     # PMI collocations, deferred at birth: explode→count→join machinery
     # of the checked word-frequency family; DuckDB differential in
     # tests/test_catalog_twins.py:
@@ -1160,6 +1165,75 @@ def q_purchases_in_event_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_purchases"))
         .orderBy("event_type", "burst_id")
+    )
+
+
+@register(
+    "session_burst_overlaps",
+    # user sessions (30-min gap) overlap-joined to per-type activity
+    # bursts (10-min gap), aggregated per event type: pair count and
+    # exact integer-µs total overlap.  Prefix window-sums CAST (HUGEINT
+    # hazard, header rule).
+    "WITH sg AS (SELECT user_id, ts, event_id, "
+    "CASE WHEN lag(ts) OVER w IS NULL OR epoch_us(ts) - epoch_us(lag(ts) OVER w) "
+    "> 1800000000 THEN 1 ELSE 0 END AS is_new "
+    "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+    "ss AS (SELECT user_id, ts, CAST(sum(is_new) OVER (PARTITION BY user_id "
+    "ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+    "AS BIGINT) AS session_id FROM sg), "
+    "sess AS (SELECT user_id, session_id, min(ts) AS session_start, "
+    "max(ts) AS session_end FROM ss GROUP BY user_id, session_id), "
+    "bg AS (SELECT event_type, ts, event_id, "
+    "CASE WHEN lag(ts) OVER w IS NULL OR epoch_us(ts) - epoch_us(lag(ts) OVER w) "
+    "> 600000000 THEN 1 ELSE 0 END AS is_new "
+    "FROM events WHERE event_type <> 'purchase' "
+    "WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)), "
+    "bs AS (SELECT event_type, ts, CAST(sum(is_new) OVER (PARTITION BY event_type "
+    "ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+    "AS BIGINT) AS burst_id FROM bg), "
+    "b AS (SELECT event_type, burst_id, min(ts) AS burst_start, "
+    "max(ts) AS burst_end FROM bs GROUP BY event_type, burst_id) "
+    "SELECT b.event_type, count(*) AS n_pairs, "
+    "CAST(sum(epoch_us(least(sess.session_end, b.burst_end)) "
+    "- epoch_us(greatest(sess.session_start, b.burst_start))) AS BIGINT) "
+    "AS total_overlap_us "
+    "FROM sess JOIN b ON sess.session_start <= b.burst_end "
+    "AND b.burst_start <= sess.session_end "
+    "GROUP BY b.event_type ORDER BY b.event_type",
+)
+def q_session_burst_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×interval OVERLAP join
+    (operators/rangejoin.py:binned_interval_overlap): user sessions
+    intersecting per-type activity bursts, per-type pair count + exact
+    integer-µs overlap mass.  The oracle joins non-equi; the Spark side
+    uses the binned equi-join with exactly-once emission in the
+    intersection's first bin (no DISTINCT).  Deferred at birth: the bin
+    machinery is the in-window purchases_in_event_bursts'; DuckDB
+    differential in tests/test_catalog_twins.py."""
+    from pyspark.sql import functions as F
+
+    from .operators import events as EV
+    from .operators import rangejoin as RJ
+
+    ev = load(spark, sf_dir, "events")
+    sess = (
+        EV.sessionize(ev)
+        .select("user_id", "session_id", "session_start", "session_end")
+    )
+    bursts = RJ.gap_intervals(
+        ev.where(F.col("event_type") != "purchase"), "event_type", gap_minutes=10
+    ).select("event_type", "burst_id", "burst_start", "burst_end")
+    joined = RJ.binned_interval_overlap(
+        sess, bursts, "session_start", "session_end",
+        "burst_start", "burst_end", bin_minutes=60,
+    )
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("overlap_us").cast("long").alias("total_overlap_us"),
+        )
+        .orderBy("event_type")
     )
 
 

@@ -104,3 +104,54 @@ def gap_intervals(
         F.max(ts_col).alias("burst_end"),
         F.count(F.lit(1)).alias("n_burst_events"),
     )
+
+
+def binned_interval_overlap(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    *,
+    bin_minutes: int = 60,
+) -> DataFrame:
+    """Interval×interval OVERLAP join without a cartesian: pairs where
+    ``[l_start, l_end]`` and ``[r_start, r_end]`` intersect (inclusive;
+    overlap ⇔ max(starts) ≤ min(ends)).
+
+    Both sides explode to their covered bins and equi-join on bin id —
+    but an overlapping pair shares EVERY bin the intersection spans, so
+    naive binning would duplicate pairs and need an expensive DISTINCT
+    over the full output.  The exactly-once trick: emit a pair only in
+    the bin containing ``max(l_start, r_start)`` — the intersection's
+    first bin, which both sides necessarily cover — so each overlapping
+    pair survives in exactly one joined row and no dedup runs at all.
+    All other column names must be disjoint between the inputs.
+
+    Scale: one shuffle per side on bin id (fanout = interval length /
+    bin width, same knob as `binned_range_join`); the emission
+    predicate and the exact overlap check are per-row integer-µs
+    arithmetic inside the join.  Adds `overlap_us` (BIGINT, exact) to
+    the output."""
+    width = bin_minutes * 60_000_000
+    ls = F.unix_micros(F.col(l_start).cast("timestamp"))
+    le = F.unix_micros(F.col(l_end).cast("timestamp"))
+    rs = F.unix_micros(F.col(r_start).cast("timestamp"))
+    re = F.unix_micros(F.col(r_end).cast("timestamp"))
+    binned_l = left.withColumn(
+        BIN_COL,
+        F.explode(F.sequence((ls / width).cast("long"), (le / width).cast("long"))),
+    )
+    binned_r = right.withColumn(
+        BIN_COL,
+        F.explode(F.sequence((rs / width).cast("long"), (re / width).cast("long"))),
+    )
+    overlap = (ls <= re) & (rs <= le)
+    first_shared_bin = (F.greatest(ls, rs) / width).cast("long")
+    joined = (
+        binned_l.join(binned_r, binned_l[BIN_COL] == binned_r[BIN_COL])
+        .where(overlap & (binned_l[BIN_COL] == first_shared_bin))
+        .withColumn("overlap_us", F.least(le, re) - F.greatest(ls, rs))
+    )
+    return joined.drop(binned_l[BIN_COL]).drop(binned_r[BIN_COL])

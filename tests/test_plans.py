@@ -308,6 +308,14 @@ def test_correlated_decorrelations_avoid_cartesian(spark, sf_dir):
     assert "LeftSemi" in plan and "LeftAnti" in plan
 
 
+def test_interval_overlap_is_bin_equi_join(spark, sf_dir):
+    # interval×interval overlap must run as the binned equi-join, never
+    # a nested-loop over the interval tables
+    plan = _plan(spark, sf_dir, "session_burst_overlaps")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_fuzzy_pairs_is_gram_join_not_all_pairs(spark, sf_dir):
     # candidates must come from the rare-gram equi-join; the O(len^2)
     # levenshtein DP runs only on candidate rows, never as a join

@@ -126,3 +126,34 @@ def test_gap_intervals_basic(spark):
         ("x", 2): (_ts(30), _ts(30), 1),
         ("y", 1): (_ts(0), _ts(0), 1),
     }
+
+
+def test_interval_overlap_exactly_once_across_bins(spark):
+    import datetime as dt
+
+    from database_per_keyword_analysis_spark.operators import rangejoin as RJ
+
+    def t(h, m=0):
+        return dt.datetime(2024, 1, 1, h, m)
+
+    # left interval spans 5 hourly bins; right overlaps it across 3 bins
+    # -> they share multiple bins, but the pair must emit exactly once
+    left = spark.createDataFrame(
+        [(1, t(0), t(5)), (2, t(10), t(11))],
+        "lid long, ls timestamp, le timestamp",
+    )
+    right = spark.createDataFrame(
+        [(10, t(2), t(7)),    # overlaps lid=1 over bins 2..5
+         (20, t(6), t(8)),    # touches nothing of lid=1 (starts after 5? no: 6>5) -> no overlap with 1
+         (30, t(11), t(12)),  # touches lid=2 at the inclusive boundary
+         (40, t(20), t(21))], # no overlap at all
+        "rid long, rs timestamp, re timestamp",
+    )
+    out = RJ.binned_interval_overlap(
+        left, right, "ls", "le", "rs", "re", bin_minutes=60
+    ).collect()
+    pairs = sorted((r.lid, r.rid) for r in out)
+    assert pairs == [(1, 10), (2, 30)]  # each exactly once, no dups
+    by = {(r.lid, r.rid): r.overlap_us for r in out}
+    assert by[(1, 10)] == 3 * 3_600_000_000  # [2h,5h] = 3h
+    assert by[(2, 30)] == 0  # inclusive boundary touch counts, zero length
