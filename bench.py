@@ -112,6 +112,7 @@ HEADLINE = [
     "bigram_collocations",
     "bpe_merges",
     "session_burst_overlaps",
+    "customer_order_distribution",
     "tfidf_doc_pairs",
     "length_bucket_batches",
     "disjunctive_revenue",

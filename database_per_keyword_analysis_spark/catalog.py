@@ -252,6 +252,10 @@ _DEFERRED_TWINS = {
     # expressions as its model inputs; DuckDB differential in
     # tests/test_catalog_twins.py:
     "doc_quality_metrics",
+    # TPC-H Q13 left-outer double aggregate, deferred at birth:
+    # outer-join + agg composition of checked primitives; DuckDB
+    # differential in tests/test_catalog_twins.py:
+    "customer_order_distribution",
     # interval-overlap join, deferred at birth: bin machinery of the
     # in-window purchases_in_event_bursts + the exactly-once
     # first-shared-bin emission (unit-tested); DuckDB differential in
@@ -740,6 +744,26 @@ def q_order_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select(
         F.col("bucket").cast("int").alias("bucket"), "n_rows", "lo", "hi"
     ).orderBy("bucket")
+
+
+@register(
+    "customer_order_distribution",
+    "SELECT c_count, count(*) AS custdist FROM ("
+    "SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count "
+    "FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey "
+    "GROUP BY c_custkey) "
+    "GROUP BY c_count ORDER BY custdist DESC, c_count DESC",
+)
+def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-style left-outer double aggregate
+    (operators/relational.py:customer_order_distribution): order-count
+    distribution including zero-order customers.  Deferred at birth:
+    outer-join + double-agg machinery composed from checked primitives
+    (anti/semi joins in-window via channel_audit, agg spine
+    everywhere); DuckDB differential in tests/test_catalog_twins.py."""
+    return R.customer_order_distribution(
+        load(spark, sf_dir, "customer"), load(spark, sf_dir, "orders")
+    )
 
 
 @register(

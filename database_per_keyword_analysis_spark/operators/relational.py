@@ -302,6 +302,34 @@ def supplier_wait_blame(
     )
 
 
+def customer_order_distribution(
+    customer: DataFrame, orders: DataFrame
+) -> DataFrame:
+    """TPC-H Q13-style customer distribution: how many customers placed
+    exactly k orders, INCLUDING k=0 — which forces the LEFT OUTER join
+    (an inner join would silently drop order-less customers, the
+    classic Q13 trap) followed by the double aggregate.
+
+    Scale: the outer join shuffles on custkey (both sides keyed, AQE
+    co-partitions); the first aggregate reduces to one row per customer
+    map-side-combinably; the second reduces to the distinct order-count
+    domain (tiny).  `count(o_orderkey)` counts non-NULL keys only, so
+    unmatched customers land in the k=0 bucket exactly as the SQL
+    semantics require."""
+    per_customer = (
+        customer.join(
+            orders, customer.c_custkey == orders.o_custkey, "left_outer"
+        )
+        .groupBy(customer.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_customer.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
 def order_priority_rollup(orders: DataFrame) -> DataFrame:
     """ROLLUP over (status, priority) — the reference's per-industry +
     "Global" dual reporting (main.py:516-564) expressed as a grouping set.

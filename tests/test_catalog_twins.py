@@ -459,6 +459,11 @@ def test_doc_quality_metrics_matches_oracle(spark, sf_dir):
     _assert_matches_oracle(spark, sf_dir, "doc_quality_metrics")
 
 
+# deferred-at-birth TPC-H Q13 left-outer double aggregate
+def test_customer_order_distribution_matches_oracle(spark, sf_dir):
+    _assert_matches_oracle(spark, sf_dir, "customer_order_distribution")
+
+
 # deferred-at-birth interval-overlap join
 def test_session_burst_overlaps_matches_oracle(spark, sf_dir):
     _assert_matches_oracle(spark, sf_dir, "session_burst_overlaps")

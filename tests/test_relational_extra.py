@@ -280,3 +280,16 @@ def test_new_operators_tolerate_empty_inputs(spark):
         spark.createDataFrame([], "g string, x double, y double"),
         "x", "y", ["g"],
     ).collect() == []
+
+
+def test_customer_order_distribution_includes_zero_bucket(spark):
+    customer = spark.createDataFrame(
+        [(1,), (2,), (3,)], "c_custkey long"
+    )
+    orders = spark.createDataFrame(
+        [(10, 1), (11, 1), (12, 2)], "o_orderkey long, o_custkey long"
+    )
+    out = {r.c_count: r.custdist for r in
+           R.customer_order_distribution(customer, orders).collect()}
+    # cust 1: 2 orders; cust 2: 1; cust 3: 0 -> the Q13 trap bucket
+    assert out == {2: 1, 1: 1, 0: 1}
