@@ -60,6 +60,20 @@ def test_deferred_set_is_current():
     assert set(names[:50]).isdisjoint(catalog._DEFERRED_TWINS)
 
 
+def test_every_deferred_twin_has_a_proof_in_this_file():
+    # the demotion contract: a query may leave the driver's 50-query
+    # hash window ONLY if this file carries its differential or
+    # result-equality proof — enforced mechanically so a rotation can
+    # never silently drop coverage
+    import os
+
+    src = open(os.path.abspath(__file__)).read()
+    missing = sorted(
+        n for n in catalog._DEFERRED_TWINS if f'"{n}"' not in src
+    )
+    assert missing == [], f"deferred twins without a proof here: {missing}"
+
+
 def test_top_channels_salted_equals_primary(spark, sf_dir):
     _assert_equal_results(spark, sf_dir, "top_channels_salted", "top_channels_by_views")
 
