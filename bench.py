@@ -134,6 +134,51 @@ HEADLINE = [
 ]
 
 
+# Frozen stable-core subset (round-5 judge process note): at 83 headline
+# queries the cross-run TOTAL flaps ±10-25% (BASELINE.md "Cross-run total
+# flap"), making round-over-round totals nearly meaningless.  This fixed
+# 25-query subset spans every operator family (keyword analytics,
+# relational join/agg, window/time-series, text quality, dedup tiers,
+# embedding similarity, curation, search, streaming) and is reported as
+# its own total alongside the full headline so rounds stay comparable.
+# MEMBERSHIP IS FROZEN — do not add round-N novelties here; new queries
+# go in HEADLINE only.
+STABLE_CORE = [
+    "industry_counts",
+    "keyword_breakdown",
+    "channel_audit",
+    "pricing_summary",
+    "revenue_by_nation",
+    "order_priority_rollup",
+    "supplier_wait_blame",
+    "events_daily_counts",
+    "event_anomalies",
+    "sessionize_events",
+    "word_frequency_by_industry",
+    "unigram_lm_scores",
+    "quality_classifier",
+    "pii_redaction",
+    "exact_duplicates",
+    "minhash_near_dups",
+    "line_dedup",
+    "winnowing_pairs",
+    "duplicated_spans",
+    "knn_bruteforce",
+    "semantic_dedup",
+    "corpus_curation",
+    "token_budget_sample",
+    "bm25_search_indexed",
+    "stateful_user_stats",
+]
+
+
+def stable_core_total(timings: dict[str, float]) -> float:
+    """Total seconds over the frozen STABLE_CORE members present in
+    this run's timings (members not benched this run contribute 0 —
+    the count is asserted in tests so silent shrink is impossible)."""
+    return round(sum(timings.get(n, 0.0) for n in STABLE_CORE), 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -183,6 +228,8 @@ def main() -> None:
         "queries": timings,
         "cold_queries": cold,
         "spread": spread,
+        "stable_core_sec": stable_core_total(timings),
+        "stable_core": {n: timings[n] for n in STABLE_CORE if n in timings},
         "iters": iters,
         "sf": float(sf),
     }
@@ -196,15 +243,29 @@ def main() -> None:
                            "BENCH_LOCAL.json"), "w") as f:
         f.write(line + "\n")
     print(line)
+    # The compact line must stay parseable from the driver's bounded
+    # 2,000-char stdout TAIL.  Round 5 proved the per-query dict cannot
+    # live here: at 83 headline queries it grew to ~2.9 kB and the tail
+    # clipped its head, leaving BENCH_r05 `parsed: null` (round 3's bug
+    # reborn at larger query count).  Structural fix: the compact line
+    # carries ONLY scalars — BENCH_LOCAL.json (written above) keeps the
+    # full per-query detail — and an assert caps the line so headline
+    # growth can never silently break the tail parse again.
     compact = {
         "metric": "headline_queries_total_sec",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        "n_queries": len(timings),
+        "stable_core_sec": stable_core_total(timings),
         "iters": iters,
         "sf": float(sf),
     }
-    print(json.dumps(compact))
+    compact_line = json.dumps(compact)
+    assert len(compact_line) < 1500, (
+        f"compact bench line grew to {len(compact_line)} chars; it must "
+        "stay well inside the driver's 2,000-char stdout tail"
+    )
+    print(compact_line)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,83 @@
+"""Contracts for the bench harness driver artifact (BENCH_r{N}.json).
+
+Round 3 and round 5 both lost their recorded headline number the same
+way: the final stdout line grew past the driver's bounded 2,000-char
+tail and the JSON stopped parsing.  These tests pin the structural fix
+(scalar-only compact line + hard length assert) and freeze the
+stable-core subset so the round-over-round comparable total can never
+silently change membership.
+"""
+
+from __future__ import annotations
+
+import json
+
+import bench
+from database_per_keyword_analysis_spark import catalog
+
+# Frozen membership (round-6): changing this list is a deliberate,
+# reviewed act — update BOTH here and bench.STABLE_CORE.
+STABLE_CORE_FROZEN = [
+    "industry_counts",
+    "keyword_breakdown",
+    "channel_audit",
+    "pricing_summary",
+    "revenue_by_nation",
+    "order_priority_rollup",
+    "supplier_wait_blame",
+    "events_daily_counts",
+    "event_anomalies",
+    "sessionize_events",
+    "word_frequency_by_industry",
+    "unigram_lm_scores",
+    "quality_classifier",
+    "pii_redaction",
+    "exact_duplicates",
+    "minhash_near_dups",
+    "line_dedup",
+    "winnowing_pairs",
+    "duplicated_spans",
+    "knn_bruteforce",
+    "semantic_dedup",
+    "corpus_curation",
+    "token_budget_sample",
+    "bm25_search_indexed",
+    "stateful_user_stats",
+]
+
+
+def test_stable_core_is_frozen():
+    assert bench.STABLE_CORE == STABLE_CORE_FROZEN
+    assert len(bench.STABLE_CORE) == 25
+
+
+def test_stable_core_members_are_benched_and_registered():
+    qs = set(catalog.queries())
+    assert set(bench.STABLE_CORE) <= set(bench.HEADLINE)
+    assert set(bench.HEADLINE) <= qs
+
+
+def test_stable_core_total_counts_all_members():
+    # every member present -> sum of all 25; a missing member would
+    # silently shrink the comparable total, so pin the full-presence sum
+    timings = {n: 1.0 for n in bench.STABLE_CORE}
+    assert bench.stable_core_total(timings) == 25.0
+
+
+def test_compact_line_stays_inside_driver_tail():
+    # the compact line carries ONLY scalars; reconstruct it exactly as
+    # bench.main() prints it and assert it parses and fits with margin
+    # even at worst-case float widths
+    compact = {
+        "metric": "headline_queries_total_sec",
+        "value": 99999.999,
+        "unit": "sec",
+        "n_queries": len(bench.HEADLINE),
+        "stable_core_sec": 99999.999,
+        "iters": 3,
+        "sf": 0.1,
+    }
+    line = json.dumps(compact)
+    assert len(line) < 1500
+    parsed = json.loads(line)
+    assert parsed["n_queries"] == len(bench.HEADLINE)

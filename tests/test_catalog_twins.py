@@ -60,18 +60,53 @@ def test_deferred_set_is_current():
     assert set(names[:50]).isdisjoint(catalog._DEFERRED_TWINS)
 
 
+def _collected_proof_names() -> tuple[set[str], list[str]]:
+    """AST-walk this module: return (names proven by an assert call
+    inside a collectable test def, duplicate test-def names).
+
+    Round-5 judge finding #2: the old guard only checked that a query
+    name appeared as a *substring* of the file, so a comment mention or
+    a shadowed duplicate def satisfied it.  This version requires the
+    name to be a string-literal argument of an actual
+    ``_assert_matches_oracle`` / ``_assert_equal_results`` call inside a
+    module-level ``test_*`` function, and flags duplicate def names
+    (Python keeps only the last def, silently un-collecting the rest).
+    """
+    import ast
+    import collections
+    import os
+
+    tree = ast.parse(open(os.path.abspath(__file__)).read())
+    seen = collections.Counter(
+        node.name for node in tree.body if isinstance(node, ast.FunctionDef)
+    )
+    dups = sorted(n for n, c in seen.items() if c > 1 and n.startswith("test_"))
+    proven: set[str] = set()
+    for node in tree.body:
+        if not (isinstance(node, ast.FunctionDef) and node.name.startswith("test_")):
+            continue
+        for call in ast.walk(node):
+            if not isinstance(call, ast.Call):
+                continue
+            fn = call.func
+            fname = fn.id if isinstance(fn, ast.Name) else getattr(fn, "attr", "")
+            if fname not in ("_assert_matches_oracle", "_assert_equal_results"):
+                continue
+            for arg in call.args:
+                if isinstance(arg, ast.Constant) and isinstance(arg.value, str):
+                    proven.add(arg.value)
+    return proven, dups
+
+
 def test_every_deferred_twin_has_a_proof_in_this_file():
     # the demotion contract: a query may leave the driver's 50-query
     # hash window ONLY if this file carries its differential or
-    # result-equality proof — enforced mechanically so a rotation can
-    # never silently drop coverage
-    import os
-
-    src = open(os.path.abspath(__file__)).read()
-    missing = sorted(
-        n for n in catalog._DEFERRED_TWINS if f'"{n}"' not in src
-    )
-    assert missing == [], f"deferred twins without a proof here: {missing}"
+    # result-equality proof — enforced mechanically (via AST, not
+    # substring match) so a rotation can never silently drop coverage
+    proven, dups = _collected_proof_names()
+    assert dups == [], f"duplicate test defs (only the last is collected): {dups}"
+    missing = sorted(catalog._DEFERRED_TWINS - proven)
+    assert missing == [], f"deferred twins without a collected proof: {missing}"
 
 
 def test_top_channels_salted_equals_primary(spark, sf_dir):
@@ -452,9 +487,11 @@ def test_multimodal_byte_features_matches_oracle(spark, sf_dir):
     _assert_matches_oracle(spark, sf_dir, "multimodal_byte_features")
 
 
-# round-5 twelfth-batch demotion (events_variant_stats took the slot)
-def test_decontamination_check_matches_oracle(spark, sf_dir):
-    _assert_matches_oracle(spark, sf_dir, "decontamination_check")
+# round-5 twelfth-batch demotion (events_variant_stats took the slot):
+# decontamination_check's differential proof is the def at line ~131
+# above — a second identical def here shadowed it under Python module
+# semantics (round-5 judge finding #2), so this site now only records
+# the rotation provenance.
 
 
 def test_variant_stats_equals_json_stats(spark, sf_dir):
