@@ -564,3 +564,98 @@ def test_event_funnel_matches_oracle(spark, sf_dir):
 # bm25_search_indexed (in-window) also proves result-equality above
 def test_bm25_search_matches_oracle(spark, sf_dir):
     _assert_matches_oracle(spark, sf_dir, "bm25_search")
+
+
+# =====================================================================
+# ROUND-6 ROTATION demotions (round-5 judge item 2): the 27 backlog
+# queries took the window for their first driver hash-check; these
+# long-driver-green members left it, each now value-checked against the
+# DuckDB oracle HERE on every pytest run (the same canonicalization the
+# driver uses).  Six demotions already carried differentials from their
+# deferred-at-birth days (corpus_curation, corpus_diff, document_chunks,
+# encode_documents, shipping_priority, winnowing_pairs — defs above).
+# =====================================================================
+
+
+def test_industry_counts_matches_oracle(spark, sf_dir):
+    _assert_matches_oracle(spark, sf_dir, "industry_counts")
+
+
+def test_keyword_breakdown_matches_oracle(spark, sf_dir):
+    _assert_matches_oracle(spark, sf_dir, "keyword_breakdown")
+
+
+def test_channel_audit_matches_oracle(spark, sf_dir):
+    _assert_matches_oracle(spark, sf_dir, "channel_audit")
+
+
+def test_pricing_summary_matches_oracle(spark, sf_dir):
+    _assert_matches_oracle(spark, sf_dir, "pricing_summary")
+
+
+def test_revenue_by_nation_matches_oracle(spark, sf_dir):
+    _assert_matches_oracle(spark, sf_dir, "revenue_by_nation")
+
+
+def test_order_priority_rollup_matches_oracle(spark, sf_dir):
+    _assert_matches_oracle(spark, sf_dir, "order_priority_rollup")
+
+
+def test_unigram_lm_scores_matches_oracle(spark, sf_dir):
+    _assert_matches_oracle(spark, sf_dir, "unigram_lm_scores")
+
+
+def test_repetition_flags_matches_oracle(spark, sf_dir):
+    _assert_matches_oracle(spark, sf_dir, "repetition_flags")
+
+
+def test_pii_redaction_matches_oracle(spark, sf_dir):
+    _assert_matches_oracle(spark, sf_dir, "pii_redaction")
+
+
+def test_exact_duplicates_matches_oracle(spark, sf_dir):
+    _assert_matches_oracle(spark, sf_dir, "exact_duplicates")
+
+
+def test_line_dedup_matches_oracle(spark, sf_dir):
+    _assert_matches_oracle(spark, sf_dir, "line_dedup")
+
+
+def test_minhash_near_dups_matches_oracle(spark, sf_dir):
+    _assert_matches_oracle(spark, sf_dir, "minhash_near_dups")
+
+
+def test_minhash_dup_groups_matches_oracle(spark, sf_dir):
+    _assert_matches_oracle(spark, sf_dir, "minhash_dup_groups")
+
+
+def test_knn_bruteforce_matches_oracle(spark, sf_dir):
+    _assert_matches_oracle(spark, sf_dir, "knn_bruteforce")
+
+
+def test_dsir_weights_matches_oracle(spark, sf_dir):
+    _assert_matches_oracle(spark, sf_dir, "dsir_weights")
+
+
+def test_stream_dedup_count_matches_oracle(spark, sf_dir):
+    _assert_matches_oracle(spark, sf_dir, "stream_dedup_count")
+
+
+def test_stateful_user_stats_matches_oracle(spark, sf_dir):
+    _assert_matches_oracle(spark, sf_dir, "stateful_user_stats")
+
+
+def test_stream_view_purchase_join_matches_oracle(spark, sf_dir):
+    _assert_matches_oracle(spark, sf_dir, "stream_view_purchase_join")
+
+
+def test_duplicated_spans_matches_oracle(spark, sf_dir):
+    _assert_matches_oracle(spark, sf_dir, "duplicated_spans")
+
+
+def test_sequence_packing_matches_oracle(spark, sf_dir):
+    _assert_matches_oracle(spark, sf_dir, "sequence_packing")
+
+
+def test_media_phash_fingerprints_matches_oracle(spark, sf_dir):
+    _assert_matches_oracle(spark, sf_dir, "media_phash_fingerprints")
