@@ -32,6 +32,19 @@ from pyspark.sql import functions as F
 BIN_COL = "_bin"
 
 
+def _floor_bin(us_col, width: int):
+    """Exact floor(us / width) as BIGINT, correct for NEGATIVE epochs.
+
+    `(us / width).cast('long')` truncates toward zero — equal to floor
+    only post-1970; a pre-epoch timestamp mis-binned and the first-
+    shared-bin emission predicate could then silently drop overlapping
+    pairs (round-5 advice).  `pmod` is the positive modulus, so
+    `us - pmod(us, width)` is the largest multiple of width <= us; the
+    division is then exactly divisible (integer quotient < 2^53 is
+    exactly representable, so the double division is exact)."""
+    return ((us_col - F.pmod(us_col, F.lit(width))) / width).cast("long")
+
+
 def binned_range_join(
     points: DataFrame,
     intervals: DataFrame,
@@ -57,13 +70,11 @@ def binned_range_join(
     p_us = F.unix_micros(F.col(point_col).cast("timestamp"))
     s_us = F.unix_micros(F.col(start_col).cast("timestamp"))
     e_us = F.unix_micros(F.col(end_col).cast("timestamp"))
-    # integral floor-div (timestamps are post-epoch in every fixture;
-    # `cast long` after `/` truncates toward zero = floor for positives)
     binned_i = intervals.withColumn(
         BIN_COL,
-        F.explode(F.sequence((s_us / width).cast("long"), (e_us / width).cast("long"))),
+        F.explode(F.sequence(_floor_bin(s_us, width), _floor_bin(e_us, width))),
     )
-    binned_p = points.withColumn(BIN_COL, (p_us / width).cast("long"))
+    binned_p = points.withColumn(BIN_COL, _floor_bin(p_us, width))
     cond = binned_p[BIN_COL] == binned_i[BIN_COL]
     for k in extra_keys:
         cond = cond & (binned_p[k] == binned_i[k])
@@ -141,14 +152,14 @@ def binned_interval_overlap(
     re = F.unix_micros(F.col(r_end).cast("timestamp"))
     binned_l = left.withColumn(
         BIN_COL,
-        F.explode(F.sequence((ls / width).cast("long"), (le / width).cast("long"))),
+        F.explode(F.sequence(_floor_bin(ls, width), _floor_bin(le, width))),
     )
     binned_r = right.withColumn(
         BIN_COL,
-        F.explode(F.sequence((rs / width).cast("long"), (re / width).cast("long"))),
+        F.explode(F.sequence(_floor_bin(rs, width), _floor_bin(re, width))),
     )
     overlap = (ls <= re) & (rs <= le)
-    first_shared_bin = (F.greatest(ls, rs) / width).cast("long")
+    first_shared_bin = _floor_bin(F.greatest(ls, rs), width)
     joined = (
         binned_l.join(binned_r, binned_l[BIN_COL] == binned_r[BIN_COL])
         .where(overlap & (binned_l[BIN_COL] == first_shared_bin))

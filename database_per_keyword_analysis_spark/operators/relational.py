@@ -219,9 +219,13 @@ def high_balance_inactive_customers(
             / F.count(F.lit(1))
         ).alias("avg_bal")
     )
-    recent = orders.where(F.col("o_orderdate") >= F.lit(cutoff).cast("timestamp")).select(
-        "o_custkey"
-    )
+    # timestamp_ntz, matching the module's date-filter convention
+    # (pricing_summary, shipping_priority, forecast_revenue): an LTZ
+    # literal would be boundary-correct only while the session timezone
+    # is pinned to UTC (round-5 advice)
+    recent = orders.where(
+        F.col("o_orderdate") >= F.lit(cutoff).cast("timestamp_ntz")
+    ).select("o_custkey")
     return (
         customer.crossJoin(F.broadcast(thresh))
         .where(F.col("c_acctbal") > F.col("avg_bal"))

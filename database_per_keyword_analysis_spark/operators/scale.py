@@ -244,12 +244,12 @@ def compact_parquet_dir(
     metadata walk, no data read); `sort_within_by` optionally
     re-clusters rows within each output file for row-group data
     skipping (the lightweight cousin of `write_zordered`).  The
-    write-new-then-rename swap means readers never observe a
-    half-compacted directory — same contract as
-    `compact_postings_index`.  Returns the output file count."""
+    rename-aside swap (`swap_directory`) means a crash at any point
+    leaves a complete dataset recoverable under `path` or
+    `path__trash` — same contract as `compact_postings_index`.
+    Returns the output file count."""
     import math
     import os
-    import shutil
 
     n_bytes = sum(
         os.path.getsize(os.path.join(path, f))
@@ -264,9 +264,33 @@ def compact_parquet_dir(
         df = df.coalesce(n_files)
     tmp = path.rstrip("/") + "__compact"
     df.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(path)
-    os.rename(tmp, path)
+    swap_directory(tmp, path)
     return n_files
+
+
+def swap_directory(tmp: str, path: str) -> None:
+    """Replace directory `path` with `tmp` via rename-aside.
+
+    The old rmtree(path); rename(tmp, path) sequence had a window where
+    a crash or concurrent reader saw `path` missing entirely and
+    recovery from the surviving tmp dir was manual (round-5 advice).
+    Rename-aside shrinks the exposed window to a single rename pair:
+    old -> trash, tmp -> path, then delete trash; after a crash at any
+    step, either `path` or `path__trash` holds a complete dataset and
+    the recovery rule is mechanical (if `path` is missing, rename
+    whichever of __trash/tmp survives back into place).  True atomic
+    swap needs renameat2(RENAME_EXCHANGE) or a metastore pointer flip —
+    on a 100 TB object store this same pattern is a manifest/pointer
+    swap, not directory renames."""
+    import os
+    import shutil
+
+    trash = path.rstrip("/") + "__trash"
+    if os.path.exists(trash):
+        shutil.rmtree(trash)
+    os.rename(path, trash)
+    os.rename(tmp, path)
+    shutil.rmtree(trash)
 
 
 def zorder_key(

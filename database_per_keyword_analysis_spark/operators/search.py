@@ -477,10 +477,7 @@ def compact_postings_index(
     after a partially-failed update.  The write-new-then-rename dance
     is the local form of the pointer-swap a distributed store would do
     — readers never observe a half-written index."""
-    import os
-    import shutil
-
-    from .scale import write_bucketed_index
+    from .scale import swap_directory, write_bucketed_index
 
     posted = spark.read.parquet(f"{index_path}/postings")
     tmp = f"{index_path}/postings__compact"
@@ -490,15 +487,15 @@ def compact_postings_index(
         )
     else:
         posted.repartition(n_files).write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(f"{index_path}/postings")
-    os.rename(tmp, f"{index_path}/postings")
+    # rename-aside swap (see scale.swap_directory): a crash mid-swap
+    # always leaves a complete postings dir under either name
+    swap_directory(tmp, f"{index_path}/postings")
     posted2 = _open_postings(spark, index_path, id_col, n_buckets)
     posted2.groupBy(id_col).agg(F.sum("tf").alias("dl")).write.mode(
         "overwrite"
     ).parquet(f"{index_path}/doclens__compact_tmp")
-    # doclens is derived state: rewrite via tmp+rename as well
-    shutil.rmtree(f"{index_path}/doclens")
-    os.rename(f"{index_path}/doclens__compact_tmp", f"{index_path}/doclens")
+    # doclens is derived state: same rename-aside dance
+    swap_directory(f"{index_path}/doclens__compact_tmp", f"{index_path}/doclens")
     spark.read.parquet(f"{index_path}/doclens").agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         F.avg("dl").alias("avgdl"),

@@ -157,3 +157,45 @@ def test_interval_overlap_exactly_once_across_bins(spark):
     by = {(r.lid, r.rid): r.overlap_us for r in out}
     assert by[(1, 10)] == 3 * 3_600_000_000  # [2h,5h] = 3h
     assert by[(2, 30)] == 0  # inclusive boundary touch counts, zero length
+
+
+def test_pre_epoch_intervals_bin_correctly(spark):
+    # round-5 advice: (us / width).cast('long') truncates toward zero,
+    # which mis-binned pre-1970 timestamps; _floor_bin must floor.  A
+    # point inside a pre-epoch interval, an interval crossing the epoch,
+    # and an overlapping pre-epoch pair must all survive.
+    t = dt.datetime
+    intervals = spark.createDataFrame(
+        [
+            (1, t(1969, 12, 31, 22, 0), t(1969, 12, 31, 23, 30)),
+            (2, t(1969, 12, 31, 23, 30), t(1970, 1, 1, 0, 30)),  # crosses epoch
+        ],
+        "iid int, s timestamp, e timestamp",
+    )
+    points = spark.createDataFrame(
+        [
+            (10, t(1969, 12, 31, 22, 30)),  # inside 1
+            (11, t(1969, 12, 31, 23, 45)),  # inside 2 (pre-epoch part)
+            (12, t(1970, 1, 1, 0, 15)),  # inside 2 (post-epoch part)
+            (13, t(1969, 12, 31, 21, 0)),  # outside all
+        ],
+        "pid int, p timestamp",
+    )
+    got = sorted(
+        (r.pid, r.iid)
+        for r in RJ.binned_range_join(
+            points, intervals, "p", "s", "e", bin_minutes=60
+        ).collect()
+    )
+    assert got == [(10, 1), (11, 2), (12, 2)]
+
+    left = intervals.selectExpr("iid as l_id", "s as l_s", "e as l_e")
+    right = intervals.selectExpr("iid as r_id", "s as r_s", "e as r_e")
+    pairs = sorted(
+        (r.l_id, r.r_id)
+        for r in RJ.binned_interval_overlap(
+            left, right, "l_s", "l_e", "r_s", "r_e", bin_minutes=60
+        ).collect()
+    )
+    # exactly once per overlapping pair, including the pre-epoch overlap
+    assert pairs == [(1, 1), (1, 2), (2, 1), (2, 2)]
