@@ -68,19 +68,55 @@ def merge_into_parquet(
     partition values (collected — a changeset touches a bounded set of
     partitions by assumption), and the write uses dynamic partition
     overwrite so untouched partitions' files are never rewritten.
+
+    Keys whose partition value CHANGES are handled (round-5 advice: the
+    purely-pruned read never saw the key's old row, leaving a stale
+    duplicate behind): a key-column-only scan of the un-pruned
+    partitions, semi-joined against the changeset's keys, finds every
+    "mover" partition and adds it to the read/overwrite set, so the old
+    copy is tombstoned by the same anti-join as any other match.  At
+    100 TB that detection scan reads only the key + partition columns
+    (column-pruned footer-to-footer pass) and the semi-join broadcasts
+    the bounded changeset key set.  A partition whose rows are ALL
+    tombstoned produces no output rows — dynamic overwrite would leave
+    its old files — so such partitions are deleted explicitly after the
+    write (partition values must render to their directory names via
+    `str()`, true for the string/int/date partition columns this
+    supports).
     """
     parts = [
         r[0]
         for r in changes.select(partition_col).distinct().collect()
     ]
-    base = spark.read.parquet(table_path).where(F.col(partition_col).isin(parts))
+    change_keys = changes.select(*keys).distinct()
+    mover_parts = [
+        r[0]
+        for r in spark.read.parquet(table_path)
+        .where(~F.col(partition_col).isin(parts))
+        .select(partition_col, *keys)
+        .join(F.broadcast(change_keys), keys, "left_semi")
+        .select(partition_col)
+        .distinct()
+        .collect()
+    ]
+    all_parts = parts + mover_parts
+    base = spark.read.parquet(table_path).where(F.col(partition_col).isin(all_parts))
     merged = merge_upsert(base, changes, keys, delete_col=delete_col)
+    out_parts = {r[0] for r in merged.select(partition_col).distinct().collect()}
     (
         merged.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(partition_col)
         .parquet(table_path)
     )
+    import os
+    import shutil
+
+    for p in all_parts:
+        if p not in out_parts:
+            d = os.path.join(table_path, f"{partition_col}={p}")
+            if os.path.isdir(d):
+                shutil.rmtree(d)
 
 
 def scd2_history(

@@ -47,13 +47,19 @@ from pyspark.sql.datasource import (
 
 
 def _data_files(path: str) -> list[str]:
-    """Sorted data files under `path` (sidecars like _SUCCESS and hidden
-    files excluded); a plain file path is its own single-element list."""
+    """Sorted data files under `path` (sidecars like _SUCCESS, hidden
+    files, and the writer's `.inprogress` staged files excluded); a
+    plain file path is its own single-element list.  Staged files are
+    unpublished by definition — the writer renames them only at job
+    commit — so a reader concurrent with a write sees the old dataset,
+    never a partial one."""
     if os.path.isdir(path):
         return sorted(
             f
             for f in glob.glob(os.path.join(path, "*"))
-            if os.path.isfile(f) and not os.path.basename(f).startswith(("_", "."))
+            if os.path.isfile(f)
+            and not os.path.basename(f).startswith(("_", "."))
+            and not f.endswith(".inprogress")
         )
     return [path]
 
@@ -208,11 +214,31 @@ class JsonlStreamReader(SimpleDataSourceStreamReader):
         return self._rows(owned)
 
 
+class _JsonlCommit(WriterCommitMessage):
+    """Carries the task's staged file name to the job-level commit."""
+
+    def __init__(self, staged: str):
+        self.staged = staged
+
+
 class JsonlRepairWriter(DataSourceWriter):
-    """One jsonl file per task, written atomically: each task writes to
-    a `.inprogress` name and renames on success, `commit` stamps
-    `_SUCCESS` (same completion marker the parquet sinks use), `abort`
-    leaves only `.inprogress` litter that the next overwrite clears.
+    """One jsonl file per task, published at JOB commit, not task
+    completion (round-5 advice): each task writes only a `.inprogress`
+    staged file and ships its name in the `WriterCommitMessage`;
+    `commit` performs the overwrite-delete, renames exactly the staged
+    files of the winning task attempts to their final names, clears
+    speculative losers' litter, and stamps `_SUCCESS`.  Consequences:
+
+    * a speculative/retried task that completes twice publishes ONCE —
+      Spark delivers one commit message per partition, and only
+      message-listed files are renamed (the loser stays `.inprogress`
+      and is swept);
+    * a job that dies after some tasks succeeded publishes NOTHING —
+      readers glob `*.jsonl`, staged files are invisible;
+    * overwrite deletes the prior dataset inside `commit`, so a failed
+      overwrite job leaves the existing data untouched (the delete used
+      to run at planning time in `__init__`).
+
     NULL fields are emitted as JSON null so the reader round-trips
     them."""
 
@@ -221,33 +247,45 @@ class JsonlRepairWriter(DataSourceWriter):
         if not self.path:
             raise ValueError("jsonl_repair: save(path) is required")
         self.field_names = [f.name for f in schema.fields]
+        self.overwrite = overwrite
         # driver-side: prepare the directory before tasks launch
         os.makedirs(self.path, exist_ok=True)
-        if overwrite:
-            for f in glob.glob(os.path.join(self.path, "*")):
-                if os.path.isfile(f):
-                    os.remove(f)
 
     def write(self, iterator) -> WriterCommitMessage:
         import uuid
 
         name = f"part-{uuid.uuid4().hex}.jsonl"
         tmp = os.path.join(self.path, name + ".inprogress")
-        n = 0
         with open(tmp, "w", encoding="utf-8") as fh:
             for row in iterator:
                 obj = {k: row[i] for i, k in enumerate(self.field_names)}
                 fh.write(json.dumps(obj, ensure_ascii=False) + "\n")
-                n += 1
-        os.replace(tmp, os.path.join(self.path, name))
-        return WriterCommitMessage()
+        return _JsonlCommit(name)
 
     def commit(self, messages) -> None:
+        staged = [m.staged for m in messages if m is not None]
+        if self.overwrite:
+            for f in glob.glob(os.path.join(self.path, "*")):
+                if os.path.isfile(f) and not f.endswith(".inprogress"):
+                    os.remove(f)
+        for name in staged:
+            os.replace(
+                os.path.join(self.path, name + ".inprogress"),
+                os.path.join(self.path, name),
+            )
+        # sweep staged litter from losing speculative attempts
+        for f in glob.glob(os.path.join(self.path, "*.inprogress")):
+            os.remove(f)
         with open(os.path.join(self.path, "_SUCCESS"), "w") as fh:
             fh.write("")
 
     def abort(self, messages) -> None:
-        pass  # uncommitted .inprogress files are cleared by overwrite
+        # nothing was published; drop this job's staged files
+        for m in messages or []:
+            if m is not None:
+                staged = os.path.join(self.path, m.staged + ".inprogress")
+                if os.path.exists(staged):
+                    os.remove(staged)
 
 
 def register(spark) -> None:

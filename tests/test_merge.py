@@ -73,6 +73,44 @@ def test_merge_into_parquet_rewrites_only_touched_partitions(spark, tmp_path):
     assert got == {1: "a", 2: "B2", 3: "c"}
 
 
+def test_merge_partition_mover_tombstones_old_copy(spark, tmp_path):
+    # round-5 advice: a change row whose partition value differs from
+    # the key's existing partition must tombstone the old row too —
+    # otherwise the key is duplicated (stale copy in the untouched
+    # partition plus the new row)
+    path = str(tmp_path / "tbl")
+    _base(spark).write.partitionBy("part").parquet(path)
+    changes = spark.createDataFrame(
+        [(3, "c-moved", 33.0, "2024-03", False)],  # k=3 moves 02 -> 03
+        "k int, v string, amt double, part string, is_delete boolean",
+    )
+    M.merge_into_parquet(spark, path, changes, ["k"], "part", delete_col="is_delete")
+    rows = spark.read.parquet(path).collect()
+    got = {(r.k, r.part): r.v for r in rows}
+    assert got == {
+        (1, "2024-01"): "a",
+        (2, "2024-01"): "b",
+        (3, "2024-03"): "c-moved",
+    }
+    assert len(rows) == 3  # no duplicated key
+
+
+def test_merge_mover_emptying_a_partition_removes_it(spark, tmp_path):
+    # the mover's OLD partition can end up with zero rows; dynamic
+    # overwrite never touches empty-output partitions, so the merge
+    # must delete the stale directory explicitly
+    path = str(tmp_path / "tbl")
+    _base(spark).write.partitionBy("part").parquet(path)
+    changes = spark.createDataFrame(
+        [(3, "c3", 30.0, "2024-01", False)],  # only row of 2024-02 moves out
+        "k int, v string, amt double, part string, is_delete boolean",
+    )
+    M.merge_into_parquet(spark, path, changes, ["k"], "part", delete_col="is_delete")
+    assert not os.path.isdir(os.path.join(path, "part=2024-02"))
+    got = {r.k: (r.v, r.part) for r in spark.read.parquet(path).collect()}
+    assert got == {1: ("a", "2024-01"), 2: ("b", "2024-01"), 3: ("c3", "2024-01")}
+
+
 def test_merge_plan_is_single_anti_join(spark):
     base = _base(spark)
     changes = spark.createDataFrame(

@@ -300,3 +300,49 @@ def test_jsonl_connector_parse_matches_duckdb_read_json(spark, tmp_path):
         key=repr,
     )
     assert got == sorted(want, key=repr)
+
+
+def test_jsonl_writer_publishes_only_at_job_commit(tmp_path):
+    # round-5 advice: task files must stage as .inprogress and publish
+    # in commit(); a failed overwrite must leave the prior dataset
+    # intact.  Drive the writer class directly (it is plain Python).
+    import os
+
+    from pyspark.sql.types import StructType
+
+    from database_per_keyword_analysis_spark.sources.pyds import (
+        JsonlRepairWriter,
+        _data_files,
+    )
+
+    d = str(tmp_path / "out")
+    os.makedirs(d)
+    prior = os.path.join(d, "part-old.jsonl")
+    open(prior, "w").write('{"a": 1}\n')
+
+    schema = StructType.fromDDL("a long")
+    w = JsonlRepairWriter({"path": d}, schema, overwrite=True)
+    msg = w.write(iter([(2,)]))
+    # staged only: prior data still present and still the visible dataset
+    assert os.path.exists(prior)
+    assert _data_files(d) == [prior]
+    staged = [f for f in os.listdir(d) if f.endswith(".inprogress")]
+    assert len(staged) == 1
+
+    # abort: staged file dropped, prior dataset untouched
+    w.abort([msg])
+    assert _data_files(d) == [prior]
+    assert not [f for f in os.listdir(d) if f.endswith(".inprogress")]
+
+    # successful job: commit deletes prior data, publishes exactly the
+    # message-listed files (a speculative loser's stray stage is swept,
+    # not published), stamps _SUCCESS
+    msg2 = w.write(iter([(3,)]))
+    w.write(iter([(99,)]))  # speculative loser: no commit message
+    w.commit([msg2])
+    assert not os.path.exists(prior)
+    published = _data_files(d)
+    assert [os.path.basename(f) for f in published] == [msg2.staged]
+    assert open(published[0]).read() == '{"a": 3}\n'
+    assert os.path.exists(os.path.join(d, "_SUCCESS"))
+    assert not [f for f in os.listdir(d) if f.endswith(".inprogress")]
