@@ -111,6 +111,7 @@ HEADLINE = [
     "price_quantity_corr",
     "bigram_collocations",
     "bpe_merges",
+    "bpe_encode",
     "session_burst_overlaps",
     "customer_order_distribution",
     "tfidf_doc_pairs",

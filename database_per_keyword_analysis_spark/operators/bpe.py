@@ -221,3 +221,96 @@ def bpe_encode(
         .select(id_col, "n_words", "n_subwords", "subwords")
         .orderBy(id_col)
     )
+
+
+FROZEN_SEP = "~"  # impossible inside symbols: tokens match
+# [\w؀-ۿ‌@.:/]+ and the end-of-word marker uses only < / w >
+
+
+def bpe_encode_frozen(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Encode documents with a FROZEN merge table — the tokenizer-apply
+    step as a pure scan-stage string expression, oracle-replayable.
+
+    `bpe_train` is inherently iterative (merge k+1 depends on the table
+    state after merge k), so the training query is rows-only; but a
+    tokenizer MODEL is a frozen artifact, and applying one is
+    deterministic.  This form compiles the merge list into a chain of
+    literal string replaces over a double-separator encoding of each
+    document's symbol stream:
+
+        doc  = ~~h~~i~~</w>~~h~~o~~</w>~~
+        step = replace('~left~~right~', '~leftright~')
+
+    A match consumes ONE separator from each flanking pair, so the
+    output stays canonically double-separated and adjacent matches
+    (which share a separator pair) are both found in the same pass.
+    For merges with left != right, matches can never overlap (a
+    one-symbol overlap would force left == right), so the left-to-right
+    non-overlapping global replace is EXACTLY the greedy simultaneous
+    merge `_apply_merge` computes — the equivalence
+    tests/test_bpe.py pins.  left == right merges are rejected: their
+    overlapping-run semantics are not expressible as a single replace.
+
+    Scale: zero joins, zero shuffles before the final ORDER BY — each
+    document is K literal replaces inside whole-stage codegen; the
+    model rides in the plan as K short string literals.  Returns
+    (id_col, n_words, n_subwords, subwords), matching `bpe_encode`.
+    """
+    from ..functions import text as TX
+
+    for left, right in merges:
+        if left == right:
+            raise ValueError(
+                f"frozen merge ({left!r},{right!r}) has left == right; "
+                "overlapping-run greedy semantics need the fold form"
+            )
+        for sym in (left, right):
+            if FROZEN_SEP in sym:
+                raise ValueError(f"separator {FROZEN_SEP!r} inside symbol {sym!r}")
+
+    s2 = FROZEN_SEP * 2
+    toks = TX.tokenize(TX.normalize_text(F.col(text_col)))
+    body = F.concat(
+        F.lit(s2),
+        F.array_join(
+            F.transform(
+                toks,
+                lambda w: F.concat(
+                    F.array_join(F.split(w, ""), s2),
+                    F.lit(s2 + END_OF_WORD),
+                ),
+            ),
+            s2,
+        ),
+        F.lit(s2),
+    )
+    for left, right in merges:
+        body = F.replace(
+            body,
+            F.lit(FROZEN_SEP + left + s2 + right + FROZEN_SEP),
+            F.lit(FROZEN_SEP + left + right + FROZEN_SEP),
+        )
+    return (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col), toks.alias("_toks"), body.alias("_body"))
+        .where(F.size("_toks") > 0)
+        .select(
+            id_col,
+            F.size("_toks").cast("long").alias("n_words"),
+            F.filter(
+                F.split(F.col("_body"), FROZEN_SEP), lambda s: s != F.lit("")
+            ).alias("subwords"),
+        )
+        .select(
+            id_col,
+            "n_words",
+            F.size("subwords").cast("long").alias("n_subwords"),
+            "subwords",
+        )
+        .orderBy(id_col)
+    )

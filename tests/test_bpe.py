@@ -125,3 +125,61 @@ def test_bpe_matches_python_reference_random(spark, words):
     got = [(m.merge_rank, m.left, m.right, m.merged, m.pair_count) for m in merges]
     assert got == want_merges
     assert {r.word: r.symbols for r in out_words.collect()} == want_symbols
+
+
+def test_bpe_encode_frozen_equals_fold_encode(spark):
+    """The replace-chain apply form (bpe_encode_frozen) must equal the
+    fold form: build the segmentation table by applying the same frozen
+    merges with _apply_merge, feed it to bpe_encode, and compare per-doc
+    subword streams exactly (left != right merges ⇒ non-overlapping
+    matches ⇒ the global replace IS the greedy simultaneous pass)."""
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [
+            (1, "lower the window lower now"),
+            (2, "a partition sorts sorted columns"),
+            (3, "scan scan scan window order"),
+            (4, None),
+            (5, "   "),
+        ],
+        "doc_id long, text string",
+    )
+    merges = [
+        ("e", "r"), ("o", "w"), ("ow", "</w>"), ("er", "</w>"),
+        ("o", "r"), ("s", "c"), ("sc", "an</w>"), ("a", "n</w>"),
+    ]
+    # fold form: segmentation table from the same merges
+    words = B.word_symbol_table(docs)
+    for left, right in merges:
+        words = words.withColumn(
+            "symbols", B._apply_merge(F.col("symbols"), left, right)
+        )
+    # note merge order differs from a learned sequence on purpose:
+    # ("a","n</w>") after ("sc","an</w>") exercises a no-op-then-hit mix
+    want = {
+        r.doc_id: (r.n_words, r.n_subwords, r.subwords)
+        for r in B.bpe_encode(docs, words).collect()
+    }
+    got = {
+        r.doc_id: (r.n_words, r.n_subwords, r.subwords)
+        for r in B.bpe_encode_frozen(docs, merges).collect()
+    }
+    assert got == want
+    assert set(got) == {1, 2, 3}  # null/blank docs emit nothing
+
+
+def test_bpe_encode_frozen_rejects_left_eq_right(spark):
+    import pytest
+
+    docs = spark.createDataFrame([(1, "aaa")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="left == right"):
+        B.bpe_encode_frozen(docs, [("a", "a")])
+
+
+def test_bpe_encode_frozen_adjacent_matches_share_separators(spark):
+    # 'x y x y' with merge (x,y): both pairs must merge in ONE pass —
+    # the double-separator encoding exists exactly for this case
+    docs = spark.createDataFrame([(1, "q xy xy v")], "doc_id long, text string")
+    row = B.bpe_encode_frozen(docs, [("x", "y")]).collect()[0]
+    assert row.subwords == ["q", "</w>", "xy", "</w>", "xy", "</w>", "v", "</w>"]

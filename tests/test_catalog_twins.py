@@ -659,3 +659,8 @@ def test_sequence_packing_matches_oracle(spark, sf_dir):
 
 def test_media_phash_fingerprints_matches_oracle(spark, sf_dir):
     _assert_matches_oracle(spark, sf_dir, "media_phash_fingerprints")
+
+
+# round-6 one-for-one swap: bpe_encode (frozen-model apply) took the slot
+def test_c4_rule_filter_matches_oracle(spark, sf_dir):
+    _assert_matches_oracle(spark, sf_dir, "c4_rule_filter")
