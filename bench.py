@@ -118,6 +118,9 @@ HEADLINE = [
     "length_bucket_batches",
     "disjunctive_revenue",
     "forecast_revenue",
+    "small_quantity_revenue",
+    "max_revenue_supplier",
+    "large_volume_orders",
     "media_phash_dups",
     "alpha_mixture_sample",
     # binned range join (the non-equi BETWEEN join re-expressed as a

@@ -180,6 +180,16 @@ _DEFERRED_TWINS = {
     "c4_rule_filter",  # green r5; scan-stage rule expressions via
     #   in-window quality_classifier (same feature family) — slot taken
     #   by bpe_encode (frozen-model tokenizer apply, oracle-backed)
+    "supplier_wait_blame",  # green r5; Q21 semi/anti decorrelation,
+    #   high_balance_inactive (Q22) keeps the family in-window — slot
+    #   taken by small_quantity_revenue (Q17 per-group scalar)
+    "events_variant_stats",  # green r5; VARIANT parse-once path,
+    #   value-anchored by the equality twin vs events_json_stats and
+    #   that twin's differential — slot taken by max_revenue_supplier
+    #   (Q15 max-with-ties on the aggregate's own output)
+    "customer_upsert_merge",  # green r5; SCD1 MERGE write path,
+    #   order_priority_history (SCD2) keeps merge.py in-window — slot
+    #   taken by large_volume_orders (Q18 HAVING + join-back)
 }
 
 
@@ -4070,6 +4080,82 @@ def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     disjunctive_revenue, DuckDB differential in
     tests/test_catalog_twins.py."""
     return R.forecast_revenue(load(spark, sf_dir, "lineitem", parallel=True))
+
+
+@register(
+    "small_quantity_revenue",
+    "WITH a AS (SELECT l_partkey, "
+    + _DEC_SUM.format(expr="l_quantity")
+    + " / count(*) AS avg_qty FROM lineitem GROUP BY l_partkey), "
+    "s AS (SELECT l.l_partkey, l.l_extendedprice FROM lineitem l "
+    "JOIN a USING (l_partkey) "
+    "WHERE l.l_quantity < CAST(0.2 AS DOUBLE) * a.avg_qty) "
+    "SELECT p_brand, count(*) AS n_small_lineitems, "
+    + _DEC_SUM.format(expr="l_extendedprice")
+    + " / 7.0 AS avg_yearly "
+    "FROM s JOIN part ON l_partkey = p_partkey "
+    "GROUP BY p_brand ORDER BY p_brand",
+)
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-style per-group correlated scalar subquery,
+    decorrelated (operators/relational.py:small_quantity_revenue): the
+    per-part average-quantity aggregate joins back to the detail scan
+    on the partitioning the aggregation just built — the PER-GROUP
+    scalar complement to Q22's global broadcast scalar
+    (high_balance_inactive)."""
+    return R.small_quantity_revenue(
+        load(spark, sf_dir, "lineitem", parallel=True),
+        load(spark, sf_dir, "part"),
+    )
+
+
+@register(
+    "max_revenue_supplier",
+    "WITH rev AS (SELECT l_suppkey, "
+    + _DEC_SUM.format(expr="l_extendedprice * (1 - l_discount)")
+    + " AS total_revenue FROM lineitem "
+    "WHERE l_shipdate >= TIMESTAMP '1997-01-01' "
+    "AND l_shipdate < TIMESTAMP '1997-04-01' GROUP BY l_suppkey) "
+    "SELECT s_suppkey, s_name, total_revenue "
+    "FROM rev JOIN supplier ON l_suppkey = s_suppkey "
+    "WHERE total_revenue = (SELECT max(total_revenue) FROM rev) "
+    "ORDER BY s_suppkey",
+)
+def q_max_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-style maximum-with-ties supplier selection
+    (operators/relational.py:max_revenue_suppliers): the scalar
+    subquery ranges over the aggregate's OWN output (view +
+    max-of-view), decorrelated to a one-row broadcast equality join —
+    double equality is safe because both sides derive from the same
+    exact DECIMAL sum."""
+    return R.max_revenue_suppliers(
+        load(spark, sf_dir, "lineitem", parallel=True),
+        load(spark, sf_dir, "supplier"),
+    )
+
+
+@register(
+    "large_volume_orders",
+    "WITH big AS (SELECT l_orderkey, "
+    + _DEC_SUM.format(expr="l_quantity")
+    + " AS sum_qty FROM lineitem GROUP BY l_orderkey "
+    "HAVING " + _DEC_SUM.format(expr="l_quantity") + " > 250.0) "
+    "SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, "
+    "sum_qty FROM orders JOIN big ON o_orderkey = l_orderkey "
+    "JOIN customer ON o_custkey = c_custkey "
+    "ORDER BY o_totalprice DESC, o_orderkey LIMIT 100",
+)
+def q_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-style HAVING-on-aggregate + header join-back
+    (operators/relational.py:large_volume_orders): the IN-subquery form
+    decorrelated to an aggregate that shrinks to its HAVING survivors
+    before any join; deterministic (o_totalprice desc, o_orderkey)
+    top-100."""
+    return R.large_volume_orders(
+        load(spark, sf_dir, "customer"),
+        load(spark, sf_dir, "orders", parallel=True),
+        load(spark, sf_dir, "lineitem", parallel=True),
+    )
 
 
 _ALPHA_TARGET = 200

@@ -765,3 +765,142 @@ def forecast_revenue(
         F.count(F.lit(1)).alias("n_lineitems"),
         dec_sum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"),
     )
+
+
+def small_quantity_revenue(
+    lineitem: DataFrame,
+    part: DataFrame,
+    fraction: float = 0.2,
+    years: float = 7.0,
+) -> DataFrame:
+    """TPC-H Q17-style small-quantity revenue, per brand: lineitems
+    whose quantity is below `fraction` of THAT PART's average quantity,
+    summed to a yearly revenue figure.
+
+    The textbook form is a correlated scalar subquery per part
+    (`l_quantity < 0.2 * (SELECT avg(l_quantity) ... WHERE l_partkey =
+    p_partkey)`); the decorrelated shape written here — ONE
+    groupBy(partkey) average joined back to the detail scan — is what
+    Catalyst's own subquery decorrelation produces, made explicit.
+    Unlike high_balance_inactive_customers' GLOBAL scalar (broadcast
+    one row), this is a PER-GROUP scalar: the aggregate output is
+    partkey-partitioned, so the join back to lineitem reuses the same
+    hash partitioning the aggregation just established (one shuffle of
+    the detail side, no broadcast of a corpus-sized table).
+
+    Exactness: the per-part mean is the DECIMAL-sum/count double (both
+    engines agree bitwise), so the `fraction·avg` threshold compares
+    identically; revenue is a DECIMAL sum divided once by `years`.
+    """
+    avg_q = lineitem.groupBy("l_partkey").agg(
+        (
+            F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("_avg_qty")
+    )
+    small = (
+        lineitem.select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(avg_q, "l_partkey")
+        .where(F.col("l_quantity") < F.lit(fraction) * F.col("_avg_qty"))
+        .join(
+            part.select("p_partkey", "p_brand"),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+    )
+    return (
+        small.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_small_lineitems"),
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast(
+                    "double"
+                )
+                / F.lit(years)
+            ).alias("avg_yearly"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+def max_revenue_suppliers(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    start: str = "1997-01-01",
+    end: str = "1997-04-01",
+) -> DataFrame:
+    """TPC-H Q15-style top supplier(s): revenue per supplier over one
+    shipping quarter, returning every supplier achieving the maximum
+    (the view + scalar-subquery-on-aggregate shape, ties included).
+
+    Decorrelation: the revenue aggregate computes once; its global max
+    is a one-row broadcast joined back by equality — the same
+    aggregate-then-broadcast-scalar idiom as
+    high_balance_inactive_customers, here applied to the aggregate's
+    OWN output (self-referential scalar subquery).  Double equality is
+    safe because both sides derive the value from the identical exact
+    DECIMAL sum.  Supplier names attach AFTER the max filter, so the
+    dimension join touches only the winning rows (broadcast)."""
+    li = lineitem.where(
+        (F.col("l_shipdate") >= F.lit(start).cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit(end).cast("timestamp_ntz"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        dec_sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")),
+            "total_revenue",
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("_max_rev"))
+    return (
+        rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("_max_rev"))
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+def large_volume_orders(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    min_qty: float = 250.0,
+    k: int = 100,
+) -> DataFrame:
+    """TPC-H Q18-style large-volume orders: orders whose total lineitem
+    quantity exceeds `min_qty`, with customer attribution — the
+    HAVING-on-aggregate + join-back-to-header shape (the textbook form
+    is `o_orderkey IN (SELECT l_orderkey ... GROUP BY ... HAVING
+    sum > T)`).
+
+    The qualifying-key aggregate is orderkey-partitioned and shrinks to
+    the HAVING survivors before any join; the orders join is a plain
+    equi-join on that key (AQE picks broadcast when the survivor set is
+    small — at 100 TB a >99.9th-percentile threshold keeps it tiny, but
+    the plan stays correct if it is not); customer attaches by
+    broadcast after the filter.  Deterministic top-k: (o_totalprice
+    desc, o_orderkey)."""
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(dec_sum(F.col("l_quantity"), "sum_qty"))
+        .where(F.col("sum_qty") > F.lit(min_qty))
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_name")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            "sum_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(k)
+    )

@@ -664,3 +664,14 @@ def test_media_phash_fingerprints_matches_oracle(spark, sf_dir):
 # round-6 one-for-one swap: bpe_encode (frozen-model apply) took the slot
 def test_c4_rule_filter_matches_oracle(spark, sf_dir):
     _assert_matches_oracle(spark, sf_dir, "c4_rule_filter")
+
+
+# round-6 one-for-one swaps: each demotion freed the slot a round-6
+# novel query took (small_quantity_revenue / max_revenue_supplier /
+# large_volume_orders)
+def test_supplier_wait_blame_matches_oracle(spark, sf_dir):
+    _assert_matches_oracle(spark, sf_dir, "supplier_wait_blame")
+
+
+def test_customer_upsert_merge_matches_oracle(spark, sf_dir):
+    _assert_matches_oracle(spark, sf_dir, "customer_upsert_merge")

@@ -393,3 +393,38 @@ def test_scd2_reuses_one_sort_for_both_windows(spark, sf_dir):
     # exactly one exchange on the business key feeds them
     plan = _plan(spark, sf_dir, "order_priority_history")
     assert plan.count("Exchange hashpartitioning(o_custkey") <= 2
+
+
+def test_small_quantity_revenue_plan(spark, sf_dir):
+    # Q17 per-group scalar decorrelation: the avg join is a hash equi
+    # join (never nested-loop), and every join key reaches a real join
+    plan = _plan(spark, sf_dir, "small_quantity_revenue")
+    assert "Cartesian" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # the lineitem scan behind the aggregate reads only the 3 needed cols
+    reads = [s.splitlines()[0] for s in plan.split("ReadSchema:")[1:]]
+    assert any("l_quantity" in r and "l_shipdate" not in r for r in reads)
+
+
+def test_max_revenue_supplier_plan(spark, sf_dir):
+    # Q15: one-row max broadcasts; supplier dim broadcasts; the date
+    # filter reaches the scan
+    plan = _plan(spark, sf_dir, "max_revenue_supplier")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    pushed = plan.split("PushedFilters:")[1].splitlines()[0]
+    assert "l_shipdate" in pushed
+
+
+def test_large_volume_orders_plan(spark, sf_dir):
+    # Q18: HAVING survivors join orders as an equi join; no cartesian
+    plan = _plan(spark, sf_dir, "large_volume_orders")
+    assert "Cartesian" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_bpe_encode_is_joinless_scan_stage(spark, sf_dir):
+    # frozen-model apply: K literal replaces inside codegen — the only
+    # exchange is the final ORDER BY's range partitioning, and there is
+    # no join anywhere
+    plan = _plan(spark, sf_dir, "bpe_encode")
+    assert "Join" not in plan
+    assert "replace" in plan
