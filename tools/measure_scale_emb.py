@@ -1,0 +1,121 @@
+"""Measure the embedding/ANN family's 10x scaling curve (round-5 judge
+item 7) — same protocol as the dedup/doc-quality curves in BASELINE.md:
+one cold run, then 3 warm runs, warm MEDIAN reported; noop sink.
+
+Fixture: .cache/scale_emb1 from tools/make_scale_fixture_emb.py (10
+geometry-preserving coordinate-shifted replicas; cluster COUNT grows
+10x, cluster shapes stay fixed).
+
+Knob scaling, applied per each operator's own module doc:
+- ivf_knn / semantic_dedup: n_lists 16 -> 160 at 10x (members-per-list
+  preserved — the documented sqrt-to-linear-in-N knob; holding n_lists
+  fixed would merge ~10 natural clusters per cell and measure the
+  misconfiguration, not the operator).  Fresh index_path per (scale,
+  n_lists) so cold includes build and warm probes the persisted index,
+  as in production cluster-once/probe-many.
+- knn_bruteforce: 10 query vectors vs the full corpus at both scales
+  (corpus-side linear scan is the thing being measured).
+- cosine_near_dups_lsh: threshold 0.9 (the near-dup regime), planes
+  fixed at 6 first (honest default curve), then retuned 9 planes at 10x
+  (bucket count should track N — the same retuning rule as the range
+  join's bin width).
+
+Usage: python tools/measure_scale_emb.py   (writes one JSON line per
+measurement to stdout; transcribe the table into SCALE.md)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from database_per_keyword_analysis_spark.operators import similarity as SIM  # noqa: E402
+from database_per_keyword_analysis_spark.session import get_spark  # noqa: E402
+from database_per_keyword_analysis_spark.sources import fan_out, load  # noqa: E402
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CACHE = os.path.join(REPO, ".cache")
+
+
+def timed(fn, iters=3):
+    t0 = time.perf_counter()
+    fn().write.format("noop").mode("overwrite").save()
+    cold = time.perf_counter() - t0
+    warm = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        fn().write.format("noop").mode("overwrite").save()
+        warm.append(time.perf_counter() - t0)
+    return round(cold, 3), round(sorted(warm)[len(warm) // 2], 3)
+
+
+def main() -> None:
+    spark = get_spark("measure-scale-emb")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    base_dir = "/root/testdata/sf0.1"
+    big_dir = os.path.join(CACHE, "scale_emb1")
+    if not os.path.exists(os.path.join(big_dir, "embeddings.parquet")):
+        from tools.make_scale_fixture_emb import build
+
+        build(base_dir, big_dir)
+
+    def emb(sf_dir):
+        return fan_out(load(spark, sf_dir, "embeddings"), min_bytes=0)
+
+    for scale, sf_dir, n_lists, planes in (
+        ("1x", base_dir, 16, 6),
+        ("10x", big_dir, 160, 6),
+        ("10x-retuned", big_dir, 160, 9),
+    ):
+        e = emb(sf_dir)
+        queries = e.where(F.col("vec_id") < 10)
+        idx = os.path.join(CACHE, "scale_emb_ivf", f"{scale}_{n_lists}")
+        if os.path.exists(idx):
+            shutil.rmtree(idx)
+
+        if scale != "10x-retuned":
+            cold, warm = timed(
+                lambda: SIM.knn_bruteforce(e, queries, k=5)
+            )
+            print(json.dumps({"q": "knn_bruteforce", "scale": scale,
+                              "cold": cold, "warm": warm}))
+
+            cold, warm = timed(
+                lambda: SIM.ivf_knn(
+                    e, queries, k=5, n_lists=n_lists, n_probe=4,
+                    index_path=idx, n_buckets=8,
+                )
+            )
+            print(json.dumps({"q": "ivf_knn", "scale": scale,
+                              "n_lists": n_lists, "cold": cold,
+                              "warm": warm}))
+
+            cold, warm = timed(
+                lambda: SIM.semantic_dedup(
+                    e, threshold=0.9, n_lists=n_lists, index_path=idx,
+                    n_buckets=8,
+                )
+            )
+            print(json.dumps({"q": "semantic_dedup", "scale": scale,
+                              "n_lists": n_lists, "cold": cold,
+                              "warm": warm}))
+
+        cold, warm = timed(
+            lambda: SIM.cosine_near_dups_lsh(
+                e, threshold=0.9, n_planes=planes, n_tables=16
+            )
+        )
+        print(json.dumps({"q": "cosine_near_dups_lsh", "scale": scale,
+                          "n_planes": planes, "cold": cold, "warm": warm}))
+
+
+if __name__ == "__main__":
+    main()
