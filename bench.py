@@ -135,6 +135,18 @@ HEADLINE = [
     # operator exists for) sign-LSH candidate counts approach all-pairs,
     # so its timing measures the threshold choice, not the operator; it
     # stays in queries() (rows-only gate) with subset+recall tests.
+    # round-6 second batch: remaining TPC-H decorrelation shapes +
+    # train/test split + Zipf fit
+    "min_cost_supplier",
+    "important_parts",
+    "promo_revenue_ratio",
+    "supplier_counts_excluded",
+    "volume_shipping",
+    "nation_market_share",
+    "dominant_suppliers",
+    "late_order_priority",
+    "train_test_split",
+    "zipf_token_stats",
 ]
 
 

@@ -190,6 +190,46 @@ _DEFERRED_TWINS = {
     "customer_upsert_merge",  # green r5; SCD1 MERGE write path,
     #   order_priority_history (SCD2) keeps merge.py in-window — slot
     #   taken by large_volume_orders (Q18 HAVING + join-back)
+    # ==================================================================
+    # ROUND-6 second batch: ten once-green (r5) members demoted for the
+    # ten round-6 novel queries (TPC-H Q2/Q4/Q7/Q8/Q11/Q14/Q16/Q20
+    # decorrelation shapes + train/test split + Zipf fit).  None is a
+    # cited in-window anchor for an earlier deferral; each family keeps
+    # an in-window member or a measured scale test, and each demotion
+    # carries a DuckDB differential below (AST-guard enforced).
+    # ==================================================================
+    "fuzzy_customer_pairs",  # green r5 + measured 10x stress w/ planted
+    #   recall; q-gram Levenshtein machinery pinned by its own plan
+    #   guard — slot taken by min_cost_supplier (Q2 per-part min across
+    #   a region-scoped join chain)
+    "order_price_histogram",  # green r5; broadcast-boundary equi-depth
+    #   machinery, no-Window plan-pinned — slot taken by important_parts
+    #   (Q11 HAVING vs global scalar)
+    "purchases_in_event_bursts",  # green r5; binned range join,
+    #   session_burst_overlaps keeps rangejoin.py in-window — slot taken
+    #   by promo_revenue_ratio (Q14 conditional-aggregate ratio)
+    "stream_event_enrichment",  # green r5; stream-static broadcast
+    #   join; stream_jsonl_counts / stream_quality_gate /
+    #   stream_sliding_counts keep streaming in-window — slot taken by
+    #   supplier_counts_excluded (Q16 NOT-IN + count-distinct)
+    "vocab_coverage",  # green r5; tokenizer-apply coverage metrics,
+    #   bm25_search_indexed keeps search.py in-window — slot taken by
+    #   volume_shipping (Q7 disjunctive nation-pair join)
+    "clean_duplicated_spans",  # green r5 (both ExactSubstr forms);
+    #   span machinery differential-proven — slot taken by
+    #   nation_market_share (Q8 share-of-total per year)
+    "stream_ingest_dedup",  # green r5 (0.26 s cache-keyed path);
+    #   exactly-once/retry semantics pytest-pinned — slot taken by
+    #   dominant_suppliers (Q20 two-level aggregate + join-back)
+    "documents_jsonl_scan",  # green r5; pyds batch reader + pushdown,
+    #   stream_jsonl_counts (same DataSource, streaming) in-window —
+    #   slot taken by late_order_priority (Q4 EXISTS w/ residual)
+    "ngram_contamination",  # green r5; exact-gram tier,
+    #   bloom_contamination (same grams + r6 derived-m change) stays
+    #   in-window — slot taken by train_test_split (hash-bucket split)
+    "tfidf_doc_pairs",  # green r5; df-capped sparse cosine,
+    #   bm25_search_indexed keeps the tf-idf pipeline in-window — slot
+    #   taken by zipf_token_stats (ln-ln moment fit)
 }
 
 
@@ -4155,6 +4195,304 @@ def q_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "customer"),
         load(spark, sf_dir, "orders", parallel=True),
         load(spark, sf_dir, "lineitem", parallel=True),
+    )
+
+
+@register(
+    "min_cost_supplier",
+    "WITH dims AS (SELECT s_suppkey, s_name, n_name FROM supplier "
+    "JOIN nation ON s_nationkey = n_nationkey "
+    "JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE'), "
+    "offers AS (SELECT l_partkey, l_suppkey, s_name, n_name, "
+    + _DEC_SUM.format(expr="l_extendedprice")
+    + " / count(*) AS avg_price FROM lineitem "
+    "JOIN dims ON l_suppkey = s_suppkey "
+    "GROUP BY l_partkey, l_suppkey, s_name, n_name), "
+    "mp AS (SELECT l_partkey, min(avg_price) AS min_price "
+    "FROM offers GROUP BY l_partkey) "
+    "SELECT p_partkey, p_name, o.l_suppkey, s_name, n_name, min_price "
+    "FROM offers o JOIN mp ON o.l_partkey = mp.l_partkey "
+    "AND o.avg_price = mp.min_price "
+    "JOIN part ON o.l_partkey = p_partkey WHERE p_type = 'LARGE' "
+    "ORDER BY p_partkey, l_suppkey",
+)
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-style minimum-cost supplier
+    (operators/relational.py:min_cost_supplier): region-scoped offer
+    aggregate, per-part min, join-back with ties — the
+    correlated-min-subquery-across-a-join-chain shape, decorrelated."""
+    return R.min_cost_supplier(
+        load(spark, sf_dir, "lineitem", parallel=True),
+        load(spark, sf_dir, "supplier"),
+        load(spark, sf_dir, "nation"),
+        load(spark, sf_dir, "region"),
+        load(spark, sf_dir, "part"),
+    )
+
+
+@register(
+    "important_parts",
+    "WITH ns AS (SELECT s_suppkey FROM supplier "
+    "JOIN nation ON s_nationkey = n_nationkey WHERE n_name = 'NATION_3'), "
+    "pp AS (SELECT l_partkey, "
+    "sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS dv "
+    "FROM lineitem JOIN ns ON l_suppkey = s_suppkey GROUP BY l_partkey) "
+    "SELECT l_partkey, CAST(dv AS DOUBLE) AS part_value FROM pp "
+    "WHERE CAST(dv AS DOUBLE) > CAST(0.0015 AS DOUBLE) * "
+    "(SELECT CAST(sum(dv) AS DOUBLE) FROM pp) "
+    "ORDER BY part_value DESC, l_partkey",
+)
+def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-style important stock
+    (operators/relational.py:important_parts): HAVING against a global
+    scalar subquery, decorrelated to a re-aggregated one-row
+    broadcast."""
+    return R.important_parts(
+        load(spark, sf_dir, "lineitem", parallel=True),
+        load(spark, sf_dir, "supplier"),
+        load(spark, sf_dir, "nation"),
+        fraction=0.0015,
+    )
+
+
+@register(
+    "promo_revenue_ratio",
+    "WITH m AS (SELECT l_extendedprice * (1 - l_discount) AS rev, p_type "
+    "FROM lineitem JOIN part ON l_partkey = p_partkey "
+    "WHERE l_shipdate >= TIMESTAMP '1998-01-01' "
+    "AND l_shipdate < TIMESTAMP '1998-02-01'), "
+    "s AS (SELECT "
+    + _DEC_SUM.format(expr="CASE WHEN p_type = 'PROMO' THEN rev ELSE 0.0 END")
+    + " AS promo_revenue, "
+    + _DEC_SUM.format(expr="rev")
+    + " AS total_revenue FROM m) "
+    "SELECT promo_revenue, total_revenue, "
+    "100.0 * promo_revenue / total_revenue AS promo_pct FROM s",
+)
+def q_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-style promotion-revenue share
+    (operators/relational.py:promo_revenue_ratio): conditional-aggregate
+    ratio in one pass — numerator and denominator from the same scan."""
+    return R.promo_revenue_ratio(
+        load(spark, sf_dir, "lineitem", parallel=True),
+        load(spark, sf_dir, "part"),
+    )
+
+
+@register(
+    "supplier_counts_excluded",
+    "WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem), "
+    "ok AS (SELECT * FROM pairs WHERE l_suppkey NOT IN "
+    "(SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)) "
+    "SELECT p_brand, p_type, p_size, "
+    "count(DISTINCT l_suppkey) AS supplier_cnt "
+    "FROM ok JOIN part ON l_partkey = p_partkey "
+    "WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO' "
+    "AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29, 33, 37, 41, 45, 49) "
+    "GROUP BY p_brand, p_type, p_size "
+    "ORDER BY supplier_cnt DESC, p_brand, p_type, p_size",
+)
+def q_supplier_counts_excluded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-style supplier counts with a NOT-IN blacklist
+    (operators/relational.py:supplier_counts_excluded): broadcast
+    anti-join decorrelation + count-distinct over the deduped
+    part-supplier pair relation."""
+    return R.supplier_counts_excluded(
+        load(spark, sf_dir, "lineitem", parallel=True),
+        load(spark, sf_dir, "part"),
+        load(spark, sf_dir, "supplier"),
+    )
+
+
+@register(
+    "volume_shipping",
+    "SELECT supp_nation, cust_nation, ship_year, "
+    + _DEC_SUM.format(expr="rev")
+    + " AS revenue FROM ("
+    "SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation, "
+    "CAST(year(l_shipdate) AS INTEGER) AS ship_year, "
+    "l_extendedprice * (1 - l_discount) AS rev "
+    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+    "JOIN supplier ON l_suppkey = s_suppkey "
+    "JOIN nation sn ON s_nationkey = sn.n_nationkey "
+    "JOIN customer ON o_custkey = c_custkey "
+    "JOIN nation cn ON c_nationkey = cn.n_nationkey "
+    "WHERE sn.n_name IN ('NATION_1', 'NATION_2') "
+    "AND cn.n_name IN ('NATION_1', 'NATION_2') "
+    "AND sn.n_name <> cn.n_name) "
+    "GROUP BY supp_nation, cust_nation, ship_year "
+    "ORDER BY supp_nation, cust_nation, ship_year",
+)
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-style two-nation volume shipping
+    (operators/relational.py:volume_shipping): the disjunctive
+    nation-pair condition reduced to independent IN filters + one
+    residual inequality — the join stays a plain equi-join."""
+    return R.volume_shipping(
+        load(spark, sf_dir, "lineitem", parallel=True),
+        load(spark, sf_dir, "orders", parallel=True),
+        load(spark, sf_dir, "customer"),
+        load(spark, sf_dir, "supplier"),
+        load(spark, sf_dir, "nation"),
+    )
+
+
+@register(
+    "nation_market_share",
+    "WITH cr AS (SELECT c_custkey FROM customer "
+    "JOIN nation ON c_nationkey = n_nationkey "
+    "JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA'), "
+    "base AS (SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year, "
+    "l_extendedprice * (1 - l_discount) AS rev, sn.n_name AS supp_nation "
+    "FROM lineitem JOIN part ON l_partkey = p_partkey "
+    "JOIN orders ON l_orderkey = o_orderkey "
+    "JOIN cr ON o_custkey = c_custkey "
+    "JOIN supplier ON l_suppkey = s_suppkey "
+    "JOIN nation sn ON s_nationkey = sn.n_nationkey "
+    "WHERE p_type = 'ECONOMY'), "
+    "m AS (SELECT order_year, "
+    + _DEC_SUM.format(
+        expr="CASE WHEN supp_nation = 'NATION_7' THEN rev ELSE 0.0 END"
+    )
+    + " AS nation_revenue, "
+    + _DEC_SUM.format(expr="rev")
+    + " AS total_revenue FROM base GROUP BY order_year) "
+    "SELECT order_year, nation_revenue, total_revenue, "
+    "nation_revenue / total_revenue AS mkt_share FROM m ORDER BY order_year",
+)
+def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-style market share
+    (operators/relational.py:nation_market_share): share-of-total
+    conditional aggregate per year, one pass, region chain broadcast."""
+    return R.nation_market_share(
+        load(spark, sf_dir, "lineitem", parallel=True),
+        load(spark, sf_dir, "orders", parallel=True),
+        load(spark, sf_dir, "customer"),
+        load(spark, sf_dir, "supplier"),
+        load(spark, sf_dir, "nation"),
+        load(spark, sf_dir, "region"),
+        load(spark, sf_dir, "part"),
+    )
+
+
+@register(
+    "dominant_suppliers",
+    "WITH ps AS (SELECT l_partkey, l_suppkey, "
+    "sum(CAST(l_quantity AS DECIMAL(18,6))) AS dq "
+    "FROM lineitem GROUP BY l_partkey, l_suppkey), "
+    "tot AS (SELECT l_partkey, CAST(sum(dq) AS DOUBLE) AS pq "
+    "FROM ps GROUP BY l_partkey), "
+    "dom AS (SELECT l_suppkey, count(*) AS n_dominant_parts "
+    "FROM ps JOIN tot USING (l_partkey) "
+    "WHERE CAST(dq AS DOUBLE) > CAST(0.15 AS DOUBLE) * pq "
+    "GROUP BY l_suppkey) "
+    "SELECT s_suppkey, s_name, n_dominant_parts "
+    "FROM dom JOIN supplier ON l_suppkey = s_suppkey "
+    "ORDER BY n_dominant_parts DESC, s_suppkey",
+)
+def q_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-style dominant suppliers
+    (operators/relational.py:dominant_suppliers): nested two-level
+    aggregate + join-back, exact DECIMAL share threshold (0.15 — the
+    fixtures spread each part over many suppliers, so Q20's 0.5
+    availqty bar would select nobody; the shape is identical)."""
+    return R.dominant_suppliers(
+        load(spark, sf_dir, "lineitem", parallel=True),
+        load(spark, sf_dir, "supplier"),
+        threshold=0.15,
+    )
+
+
+@register(
+    "late_order_priority",
+    "SELECT o_orderpriority, count(*) AS n_late_orders FROM orders "
+    "WHERE o_orderdate >= TIMESTAMP '1998-01-01' "
+    "AND o_orderdate < TIMESTAMP '1998-04-01' "
+    "AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey "
+    "AND l_shipdate > o_orderdate + INTERVAL 60 DAY) "
+    "GROUP BY o_orderpriority ORDER BY o_orderpriority",
+)
+def q_late_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-style order-priority check
+    (operators/relational.py:late_order_priority): EXISTS with a
+    residual inequality, decorrelated to a LEFT SEMI join — exactly
+    once per order regardless of qualifying-lineitem count."""
+    return R.late_order_priority(
+        load(spark, sf_dir, "orders", parallel=True),
+        load(spark, sf_dir, "lineitem", parallel=True),
+    )
+
+
+@register(
+    "train_test_split",
+    "WITH b AS (SELECT doc_id, "
+    "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) "
+    "% 100 AS bk FROM documents) "
+    "SELECT doc_id, CAST(bk AS INTEGER) AS split_bucket, "
+    "CASE WHEN bk < 90 THEN 'train' WHEN bk < 95 THEN 'val' "
+    "ELSE 'test' END AS split FROM b",
+)
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic leakage-safe train/val/test assignment
+    (operators/curation.py:train_test_split): portable md5 hash bucket
+    mod 100 — membership is a pure function of doc_id, so re-runs and
+    late shards land in the same split."""
+    from .operators import curation as CUR
+
+    return CUR.train_test_split(load(spark, sf_dir, "documents", parallel=True))
+
+
+_ZIPF_TOP_N = 200
+
+
+def _zipf_sql() -> str:
+    keep = _DUCK_KEEP.replace("(t", "(word").replace("len(t)", "len(word)")
+    ln_x = "ln(CAST(rn AS DOUBLE))"
+    ln_y = "ln(CAST(cnt AS DOUBLE))"
+
+    def dsum(expr: str, alias: str) -> str:
+        return (
+            f"CAST(sum(CAST({expr} AS DECIMAL(28,12))) AS DOUBLE) AS {alias}"
+        )
+
+    return (
+        f"WITH tok AS (SELECT lang, unnest({_DUCK_TOKS}) AS word "
+        "FROM documents WHERE text IS NOT NULL), "
+        "kept AS (SELECT lang, word FROM (SELECT lang, word AS t FROM tok) "
+        f"sub(lang, word) WHERE {keep} AND word NOT IN ({_STOP_IN})), "
+        "c AS (SELECT lang, word, count(*) AS cnt FROM kept "
+        "GROUP BY lang, word), "
+        "r AS (SELECT lang, cnt, row_number() OVER (PARTITION BY lang "
+        "ORDER BY cnt DESC, word) AS rn FROM c), "
+        f"t AS (SELECT lang, rn, cnt FROM r WHERE rn <= {_ZIPF_TOP_N}), "
+        "m AS (SELECT lang, count(*) AS n_words, "
+        + dsum(ln_x, "sx") + ", "
+        + dsum(ln_y, "sy") + ", "
+        + dsum(f"{ln_x} * {ln_y}", "sxy") + ", "
+        + dsum(f"{ln_x} * {ln_x}", "sxx")
+        + " FROM t GROUP BY lang) "
+        "SELECT lang, n_words, "
+        "round((CAST(n_words AS DOUBLE) * sxy - sx * sy) / "
+        "(CAST(n_words AS DOUBLE) * sxx - sx * sx), 6) AS zipf_slope, "
+        "round((sy - ((CAST(n_words AS DOUBLE) * sxy - sx * sy) / "
+        "(CAST(n_words AS DOUBLE) * sxx - sx * sx)) * sx) / "
+        "CAST(n_words AS DOUBLE), 6) AS zipf_intercept "
+        "FROM m ORDER BY lang"
+    )
+
+
+@register("zipf_token_stats", _zipf_sql())
+def q_zipf_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency fit per language
+    (operators/wordfreq.py:zipf_stats): ln-ln least squares over the
+    top-200 words with DECIMAL(28,12)-quantized moments — the
+    corpus-health diagnostic, oracle-exact per the grouped_pearson_corr
+    recipe."""
+    return WF.zipf_stats(
+        load(spark, sf_dir, "documents", parallel=True),
+        ["lang"],
+        top_n=_ZIPF_TOP_N,
+        stopwords=list(TQ.STOPWORDS_EN),
     )
 
 

@@ -764,3 +764,42 @@ def quality_keeper_selection(
         .withColumn("keep", F.col("doc_id") == F.col("keeper_id"))
         .orderBy("doc_id")
     )
+
+
+def train_test_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = 90,
+    val_pct: int = 5,
+) -> DataFrame:
+    """Deterministic train/val/test assignment by hash bucket: bucket =
+    first 48 bits of md5(id) mod 100, split = train below `train_pct`,
+    val in the next `val_pct`, test above — the standard leakage-safe
+    split for LLM corpora (membership is a pure function of the
+    document id: re-runs, backfills, and late-arriving shards land in
+    the SAME split without coordination, and train/eval contamination
+    can't creep in through re-partitioning or arrival order).
+
+    The md5 idiom is the repo's portable hash (identical in Spark,
+    DuckDB, Python — see uniform_hash); mod-100 buckets rather than a
+    float threshold so the percentage boundaries are exact integers.
+
+    Scale: a pure scan-stage projection — zero shuffle, zero UDF; the
+    split column pushes into any downstream partition pruning
+    (`.where(split = 'train')` prunes at the scan when written
+    partitioned-by-split)."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 12), 16, 10)
+        .cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return df.select(
+        F.col(id_col),
+        bucket.cast("int").alias("split_bucket"),
+        split.alias("split"),
+    )

@@ -904,3 +904,430 @@ def large_volume_orders(
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
         .limit(k)
     )
+
+
+def min_cost_supplier(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    part: DataFrame,
+    region_name: str = "EUROPE",
+    p_type: str = "LARGE",
+) -> DataFrame:
+    """TPC-H Q2-style minimum-cost supplier: for every part of one type,
+    the supplier(s) inside one region offering it at the LOWEST average
+    sale price, ties included (the fixtures carry no partsupp table, so
+    the part-supplier cost relation derives from lineitem — avg
+    extendedprice per (part, supplier); the correlated-subquery shape is
+    identical, /root/reference has no analogue: SURVEY.md §2.3 gap row).
+
+    The textbook form correlates `ps_supplycost = (SELECT min(...) WHERE
+    ps_partkey = p_partkey AND <region chain>)`; written decorrelated:
+    the region-scoped offer table aggregates ONCE, its per-part min
+    aggregates from that, and the min joins back by (partkey, price)
+    equality — double equality is safe because both sides carry the
+    identical exact DECIMAL-derived average.  The supplier→nation→region
+    chain is a broadcast dimension filter applied BEFORE the offer
+    aggregate, so off-region lineitems never reach the shuffle; the
+    partkey-partitioned offer table is reused by both the min aggregate
+    and the join-back (one shuffle, Catalyst reuses the exchange).
+
+    Scale: offers is |parts×suppliers-in-region| — far smaller than
+    lineitem; the join back to `part` prunes to the p_type slice by
+    broadcast.  No window function, no cartesian."""
+    dims = (
+        supplier.join(
+            F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+        )
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .where(F.col("r_name") == region_name)
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    offers = (
+        lineitem.select("l_partkey", "l_suppkey", "l_extendedprice")
+        .join(F.broadcast(dims), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey", "s_name", "n_name")
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1))
+            ).alias("avg_price")
+        )
+    )
+    min_price = offers.groupBy("l_partkey").agg(
+        F.min("avg_price").alias("min_price")
+    )
+    return (
+        offers.join(
+            min_price,
+            (offers.l_partkey == min_price.l_partkey)
+            & (offers.avg_price == min_price.min_price),
+        )
+        .drop(min_price.l_partkey)
+        .join(
+            F.broadcast(
+                part.where(F.col("p_type") == p_type).select(
+                    "p_partkey", "p_name"
+                )
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select(
+            "p_partkey", "p_name", "l_suppkey", "s_name", "n_name", "min_price"
+        )
+        .orderBy("p_partkey", "l_suppkey")
+    )
+
+
+def important_parts(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    nation_name: str = "NATION_3",
+    fraction: float = 0.002,
+) -> DataFrame:
+    """TPC-H Q11-style important stock: parts whose sales value through
+    one nation's suppliers exceeds `fraction` of that nation's TOTAL
+    sales value — the HAVING-against-a-global-scalar-subquery shape
+    (`HAVING sum(...) > (SELECT sum(...)*fraction ...)`).
+
+    Decorrelation: the nation-scoped detail scan aggregates once per
+    part; the global total is NOT a second scan — it re-aggregates the
+    per-part output (exact: decimal sums re-summed as decimal), shrinks
+    to one row, and broadcasts into the HAVING comparison.  The
+    `fraction * total` product and the `>` compare are single IEEE
+    double ops over bit-identical inputs, so the survivor set matches
+    any engine's.
+
+    Scale: one shuffle on partkey; the scalar side is O(1).  The nation
+    filter broadcasts (25 suppliers-per-nation scale) and prunes before
+    the shuffle."""
+    nat_supp = (
+        supplier.join(
+            F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+        )
+        .where(F.col("n_name") == nation_name)
+        .select("s_suppkey")
+    )
+    per_part = (
+        lineitem.select("l_partkey", "l_suppkey", "l_extendedprice")
+        .join(F.broadcast(nat_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).alias(
+                "_dec_value"
+            )
+        )
+    )
+    total = per_part.agg(
+        F.sum("_dec_value").cast("double").alias("_total_value")
+    )
+    return (
+        per_part.join(F.broadcast(total))
+        .where(
+            F.col("_dec_value").cast("double")
+            > F.lit(fraction) * F.col("_total_value")
+        )
+        .select(
+            "l_partkey",
+            F.col("_dec_value").cast("double").alias("part_value"),
+        )
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )
+
+
+def promo_revenue_ratio(
+    lineitem: DataFrame,
+    part: DataFrame,
+    promo_type: str = "PROMO",
+    start: str = "1998-01-01",
+    end: str = "1998-02-01",
+) -> DataFrame:
+    """TPC-H Q14-style promotion-revenue share: over one shipping month,
+    the percentage of revenue coming from parts of the promo type — the
+    conditional-aggregate-ratio shape (two sums in ONE pass, no second
+    scan, no join duplication).
+
+    part attaches by broadcast AFTER the month filter pruned the fact
+    scan (predicate reaches the parquet scan; only partkey+price+
+    discount columns are read).  Both sums are exact DECIMAL; the
+    100·promo/total division is one double op — identical everywhere.
+
+    Scale: a single scan-filter-broadcast-join-scalar-agg — the
+    map-side-combinable minimum for this query."""
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.col("p_type") == promo_type
+    month = lineitem.where(
+        (F.col("l_shipdate") >= F.lit(start).cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit(end).cast("timestamp_ntz"))
+    ).join(
+        F.broadcast(part.select("p_partkey", "p_type")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    return month.agg(
+        dec_sum(F.when(promo, revenue).otherwise(F.lit(0.0)), "promo_revenue"),
+        dec_sum(revenue, "total_revenue"),
+    ).select(
+        "promo_revenue",
+        "total_revenue",
+        (F.lit(100.0) * F.col("promo_revenue") / F.col("total_revenue")).alias(
+            "promo_pct"
+        ),
+    )
+
+
+def supplier_counts_excluded(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    brand_excl: str = "Brand#1",
+    type_excl: str = "PROMO",
+    sizes: tuple[int, ...] = (1, 5, 9, 13, 17, 21, 25, 29, 33, 37, 41, 45, 49),
+) -> DataFrame:
+    """TPC-H Q16-style supplier counts: distinct suppliers able to ship
+    each (brand, type, size) combination, excluding a blacklist of
+    suppliers held in a subquery — the NOT-IN-subquery + COUNT DISTINCT
+    shape (blacklist proxy: negative account balance; the fixtures carry
+    no comment column).
+
+    NOT IN decorrelates to a broadcast LEFT ANTI join (safe here: the
+    blacklist key is a PK, never NULL — the NULL-poisoning semantics of
+    SQL NOT IN don't bite; documented rather than silently assumed).
+    The part-supplier relation derives from lineitem as DISTINCT
+    (partkey, suppkey) — a partial-aggregatable dedup that shrinks the
+    fact table to |parts×suppliers| BEFORE the dimension join; the
+    count-distinct then re-shuffles only that reduced set on the part
+    attribute triple.
+
+    Scale: two shuffles (pair dedup, attribute-group distinct), both on
+    shrinking data; part and the blacklist broadcast."""
+    bad = supplier.where(F.col("s_acctbal") < 0).select("s_suppkey")
+    pairs = (
+        lineitem.select("l_partkey", "l_suppkey")
+        .distinct()
+        .join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+    )
+    dims = part.where(
+        (F.col("p_brand") != brand_excl)
+        & (F.col("p_type") != type_excl)
+        & F.col("p_size").isin(*sizes)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        pairs.join(F.broadcast(dims), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+def volume_shipping(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    nation_a: str = "NATION_1",
+    nation_b: str = "NATION_2",
+) -> DataFrame:
+    """TPC-H Q7-style volume shipping: revenue flowing between two
+    nations (supplier nation → customer nation, both directions), per
+    shipping year — the DISJUNCTIVE nation-pair join shape
+    (`(n1=A AND n2=B) OR (n1=B AND n2=A)`).
+
+    The disjunction never becomes a join condition: each side's nation
+    filter applies independently (supplier side IN (A,B), customer side
+    IN (A,B)) as broadcast dimension joins, and the pair disjunction
+    reduces to one residual `supp_nation != cust_nation` filter after
+    both attach — Catalyst pushes the IN filters into the dimension
+    scans, and the fact-to-fact orderkey join stays a plain equi-join
+    (no OR in the join condition, no nested-loop fallback).
+
+    Scale: one orderkey shuffle; both nation slices broadcast; output is
+    |2 directions × years|."""
+    both = [nation_a, nation_b]
+    supp = (
+        supplier.join(
+            F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+        )
+        .where(F.col("n_name").isin(both))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        customer.join(
+            F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+        )
+        .where(F.col("n_name").isin(both))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("ship_year"),
+        )
+        .agg(dec_sum(revenue, "revenue"))
+        .orderBy("supp_nation", "cust_nation", "ship_year")
+    )
+
+
+def nation_market_share(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    part: DataFrame,
+    region_name: str = "ASIA",
+    target_nation: str = "NATION_7",
+    p_type: str = "ECONOMY",
+) -> DataFrame:
+    """TPC-H Q8-style market share: of all revenue from one part type
+    sold to customers in one region, the fraction supplied by one
+    nation, per order year — the share-of-total conditional-aggregate
+    shape (numerator and denominator in ONE pass: `sum(CASE WHEN
+    supp_nation = X THEN rev END) / sum(rev)`).
+
+    The region chain restricts the CUSTOMER side (broadcast semi
+    shape); the supplier side attaches un-filtered, only to label rows
+    with supp_nation for the CASE — no second scan, no self-join.  Both
+    sums are exact DECIMAL per year; the share division is one double
+    op.
+
+    Scale: part-type broadcast prune hits the fact scan first (the most
+    selective filter), then one orderkey shuffle; output is |years|."""
+    cust_in_region = (
+        customer.join(
+            F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+        )
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .where(F.col("r_name") == region_name)
+        .select("c_custkey")
+    )
+    supp_nat = supplier.join(
+        F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    target = F.col("supp_nation") == target_nation
+    return (
+        lineitem.join(
+            F.broadcast(
+                part.where(F.col("p_type") == p_type).select("p_partkey")
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust_in_region), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp_nat), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").alias("order_year"))
+        .agg(
+            dec_sum(F.when(target, revenue).otherwise(F.lit(0.0)), "nation_revenue"),
+            dec_sum(revenue, "total_revenue"),
+        )
+        .select(
+            "order_year",
+            "nation_revenue",
+            "total_revenue",
+            (F.col("nation_revenue") / F.col("total_revenue")).alias("mkt_share"),
+        )
+        .orderBy("order_year")
+    )
+
+
+def dominant_suppliers(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """TPC-H Q20-style dominant suppliers: suppliers that account for
+    more than `threshold` of the total shipped quantity of at least one
+    part, with how many parts they dominate — the nested two-level
+    aggregate + semi-join shape (`s_suppkey IN (SELECT ... WHERE qty >
+    0.5 * (SELECT sum(qty) WHERE partkey = ...))`, availqty replaced by
+    shipped quantity since the fixtures carry no partsupp).
+
+    Decorrelation: per-(part, supplier) quantity aggregates once;
+    per-part totals aggregate from the SAME decimal partials (re-summed
+    as decimal — exact, so the threshold compare is engine-invariant);
+    the partkey join-back reuses the partitioning the second aggregate
+    established.  The final per-supplier count is a shuffle of the
+    dominant pairs only, and supplier names attach by broadcast.
+
+    Scale: shuffles on (part,supp) then part then supp — each over a
+    table no larger than |part×supplier|; no window, no cartesian."""
+    ps = (
+        lineitem.groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("_dec_qty"))
+    )
+    totals = ps.groupBy("l_partkey").agg(
+        F.sum("_dec_qty").cast("double").alias("_part_qty")
+    )
+    dominant = (
+        ps.select(
+            "l_partkey",
+            "l_suppkey",
+            F.col("_dec_qty").cast("double").alias("_supp_qty"),
+        )
+        .join(totals, "l_partkey")
+        .where(F.col("_supp_qty") > F.lit(threshold) * F.col("_part_qty"))
+    )
+    return (
+        dominant.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_dominant_parts"))
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select("s_suppkey", "s_name", "n_dominant_parts")
+        .orderBy(F.desc("n_dominant_parts"), "s_suppkey")
+    )
+
+
+def late_order_priority(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    start: str = "1998-01-01",
+    end: str = "1998-04-01",
+    late_days: int = 60,
+) -> DataFrame:
+    """TPC-H Q4-style order-priority check: orders placed in one quarter
+    having AT LEAST ONE lineitem shipped more than `late_days` after the
+    order date, counted per priority — the EXISTS-with-residual-
+    inequality shape (commitdate/receiptdate absent in the fixtures;
+    ship-lag vs order date carries the same correlated predicate).
+
+    EXISTS decorrelates to a LEFT SEMI join on orderkey with the
+    inequality as a residual join condition — exactly-once per order no
+    matter how many lineitems qualify (no DISTINCT needed, no fanout).
+    The quarter filter prunes the orders scan BEFORE the join, so the
+    semi-join probe side is one quarter of orders, and the date
+    arithmetic (`o_orderdate + late_days`) is a scan-stage expression.
+
+    Scale: one orderkey shuffle (or broadcast of the quarter slice under
+    AQE); counts combine map-side."""
+    quarter = orders.where(
+        (F.col("o_orderdate") >= F.lit(start).cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit(end).cast("timestamp_ntz"))
+    )
+    late = quarter.join(
+        lineitem.select("l_orderkey", "l_shipdate"),
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {int(late_days)} DAYS")
+        ),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_late_orders"))
+        .orderBy("o_orderpriority")
+    )

@@ -252,3 +252,59 @@ def bigram_collocations(
         )
     )
     return scored.orderBy(F.desc("pmi"), "w1", "w2").limit(k)
+
+
+def zipf_stats(
+    df: DataFrame,
+    group_cols: list[str],
+    text_col: str = "text",
+    top_n: int = 200,
+    stopwords: DataFrame | list[str] | None = None,
+    spec: TX.TokenFilterSpec = TX.ENGLISH_SPEC,
+) -> DataFrame:
+    """Zipf rank-frequency fit per group: least-squares slope/intercept
+    of ln(freq) against ln(rank) over the top-`top_n` words — the
+    corpus-health diagnostic an LLM-data pipeline runs per language /
+    per source (natural text tracks slope ≈ −1; templated or synthetic
+    spam flattens or steepens it).
+
+    ORACLE-EXACT arithmetic (the grouped_pearson_corr recipe,
+    operators/relational.py): ln values are IEEE doubles (engines agree
+    to ≤1 ulp), each moment term is CAST to DECIMAL(28,12) — the
+    quantization absorbs the ulp — and the decimal sums are
+    order-independent, so the closed-form slope evaluates over
+    bit-identical inputs everywhere; slope/intercept round to 6 dp.
+
+    Scale shape: the rank window partitions BY GROUP (never a global
+    single-partition window); the moment aggregate reduces top_n rows
+    per group with map-side combine.  Corpus-sized work is exactly the
+    one word-count shuffle word_frequency already pays."""
+    ranked = word_frequency(
+        df, group_cols, text_col, stopwords=stopwords, top_n=top_n, spec=spec
+    )
+    x = F.log(F.col("rn").cast("double"))
+    y = F.log(F.col("cnt").cast("double"))
+
+    def dsum(expr: F.Column, alias: str) -> F.Column:
+        return F.sum(expr.cast("decimal(28,12)")).alias(alias)
+
+    m = ranked.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_words"),
+        dsum(x, "_sx"),
+        dsum(y, "_sy"),
+        dsum(x * y, "_sxy"),
+        dsum(x * x, "_sxx"),
+    )
+    n = F.col("n_words").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    return m.select(
+        *group_cols,
+        "n_words",
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(intercept, 6).alias("zipf_intercept"),
+    ).orderBy(*group_cols)

@@ -675,3 +675,35 @@ def test_supplier_wait_blame_matches_oracle(spark, sf_dir):
 
 def test_customer_upsert_merge_matches_oracle(spark, sf_dir):
     _assert_matches_oracle(spark, sf_dir, "customer_upsert_merge")
+
+
+# round-6 second batch: each demotion freed the slot a round-6 novel
+# query took (Q2/Q4/Q7/Q8/Q11/Q14/Q16/Q20 decorrelation shapes +
+# train_test_split + zipf_token_stats); these differentials keep every
+# demoted member value-checked against DuckDB on each pytest run
+def test_fuzzy_customer_pairs_matches_oracle(spark, sf_dir):
+    _assert_matches_oracle(spark, sf_dir, "fuzzy_customer_pairs")
+
+
+def test_order_price_histogram_matches_oracle(spark, sf_dir):
+    _assert_matches_oracle(spark, sf_dir, "order_price_histogram")
+
+
+def test_purchases_in_event_bursts_matches_oracle(spark, sf_dir):
+    _assert_matches_oracle(spark, sf_dir, "purchases_in_event_bursts")
+
+
+def test_stream_event_enrichment_matches_oracle(spark, sf_dir):
+    _assert_matches_oracle(spark, sf_dir, "stream_event_enrichment")
+
+
+def test_documents_jsonl_scan_matches_oracle(spark, sf_dir):
+    _assert_matches_oracle(spark, sf_dir, "documents_jsonl_scan")
+
+
+def test_ngram_contamination_matches_oracle(spark, sf_dir):
+    _assert_matches_oracle(spark, sf_dir, "ngram_contamination")
+
+
+def test_tfidf_doc_pairs_matches_oracle(spark, sf_dir):
+    _assert_matches_oracle(spark, sf_dir, "tfidf_doc_pairs")
