@@ -147,6 +147,8 @@ HEADLINE = [
     "late_order_priority",
     "train_test_split",
     "zipf_token_stats",
+    "user_activity_unpivot",
+    "stream_view_purchase_left",
 ]
 
 

@@ -230,6 +230,14 @@ _DEFERRED_TWINS = {
     "tfidf_doc_pairs",  # green r5; df-capped sparse cosine,
     #   bm25_search_indexed keeps the tf-idf pipeline in-window — slot
     #   taken by zipf_token_stats (ln-ln moment fit)
+    # round-6 deferred-at-birth supplementary additions (each a one-op
+    # extension of checked machinery, full DuckDB differential below):
+    "user_activity_unpivot",  # built-in melt over the checked
+    #   user_activity_pivot output (zero-shuffle narrow expansion)
+    "stream_view_purchase_left",  # left-outer form of the proven
+    #   stream-stream interval join; the NEW semantics (watermark-gated
+    #   NULL extension + tail withholding) is exactly what the
+    #   differential + boundary pytest pin
 }
 
 
@@ -1222,6 +1230,30 @@ def q_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_user_activity_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot: per-user × event-type counts (§2.4 gap row)."""
     return E.user_activity_pivot(load(spark, sf_dir, "events"))
+
+
+@register(
+    "user_activity_unpivot",
+    "WITH w AS (SELECT user_id, "
+    "count(*) FILTER (WHERE event_type = 'click') AS n_click, "
+    "count(*) FILTER (WHERE event_type = 'error') AS n_error, "
+    "count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase, "
+    "count(*) FILTER (WHERE event_type = 'signup') AS n_signup, "
+    "count(*) FILTER (WHERE event_type = 'view') AS n_view "
+    "FROM events GROUP BY user_id) "
+    "SELECT user_id, 'click' AS event_type, n_click AS n_events FROM w "
+    "UNION ALL SELECT user_id, 'error', n_error FROM w "
+    "UNION ALL SELECT user_id, 'purchase', n_purchase FROM w "
+    "UNION ALL SELECT user_id, 'signup', n_signup FROM w "
+    "UNION ALL SELECT user_id, 'view', n_view FROM w "
+    "ORDER BY user_id, event_type",
+)
+def q_user_activity_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt — the §2.4 pivot row's inverse
+    (operators/events.py:user_activity_unpivot): built-in
+    DataFrame.unpivot, a zero-shuffle narrow expansion of the checked
+    pivot's output back to long form (dense: zero counts kept)."""
+    return E.user_activity_unpivot(load(spark, sf_dir, "events"))
 
 
 # ---------------------------------------------------------------------------
@@ -3345,6 +3377,44 @@ def q_stream_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
         F.col("view_ts").cast("timestamp_ntz").alias("view_ts"),
     ).orderBy("purchase_id", "view_id")
+
+
+@register(
+    "stream_view_purchase_left",
+    "WITH v AS (SELECT user_id, event_id AS view_id, ts AS view_ts "
+    "FROM events WHERE event_type = 'view'), "
+    "p AS (SELECT user_id AS p_user, event_id AS purchase_id, "
+    "ts AS purchase_ts FROM events WHERE event_type = 'purchase'), "
+    "j AS (SELECT v.user_id, view_id, view_ts, purchase_id, purchase_ts "
+    "FROM v LEFT JOIN p ON v.user_id = p.p_user "
+    "AND purchase_ts > view_ts "
+    "AND purchase_ts <= view_ts + INTERVAL 2 HOUR) "
+    "SELECT user_id, view_id, view_ts, purchase_id, purchase_ts FROM j "
+    "WHERE purchase_id IS NOT NULL "
+    "OR view_ts + INTERVAL 2 HOUR < "
+    "(SELECT max(ts) FROM events) - INTERVAL 1 HOUR "
+    "ORDER BY view_id, purchase_id",
+)
+def q_stream_view_purchase_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join
+    (streaming/windows.py:view_purchase_stream_left_join): the
+    abandonment feed — unconverted views NULL-extend only once the
+    watermark passes view_ts + horizon, so tail views stay withheld;
+    the batch oracle replicates that cutoff exactly
+    (view_ts + horizon < max(ts) − watermark_delay)."""
+    from pyspark.sql import functions as F
+
+    joined = SW.view_purchase_stream_left_join(
+        SW.read_events_stream(spark, sf_dir)
+    )
+    out = SW.run_append_to_memory(joined, "q_ss_left_join")
+    return out.select(
+        "user_id",
+        "view_id",
+        F.col("view_ts").cast("timestamp_ntz").alias("view_ts"),
+        "purchase_id",
+        F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
+    ).orderBy("view_id", "purchase_id")
 
 
 @register(

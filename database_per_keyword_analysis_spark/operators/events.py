@@ -157,6 +157,36 @@ def user_activity_pivot(events: DataFrame) -> DataFrame:
     )
 
 
+def user_activity_unpivot(events: DataFrame) -> DataFrame:
+    """UNPIVOT/melt (the §2.4 pivot row's inverse, also absent from the
+    reference): the wide per-user × event-type count matrix back to long
+    (user_id, event_type, n_events) form — the shape a mixture model or
+    a per-type downstream aggregate wants.
+
+    Uses the built-in ``DataFrame.unpivot`` (Spark 3.4+ melt): a
+    zero-shuffle narrow transformation — each wide row expands to
+    |types| long rows in place, so the only shuffle in the composition
+    is the pivot's own groupBy.  Zero counts are KEPT (the dense melt):
+    dropping them would make the output depend on which (user, type)
+    pairs happen to exist, and the dense form is what a per-type
+    normalizer needs.  Type names carry the bare event_type (the n_
+    prefix is presentation, stripped here)."""
+    types = ["click", "error", "purchase", "signup", "view"]
+    wide = user_activity_pivot(events)
+    return (
+        wide.unpivot(
+            ["user_id"],
+            [f"n_{t}" for t in types],
+            "event_type",
+            "n_events",
+        )
+        .withColumn(
+            "event_type", F.expr("substring(event_type, 3)")
+        )
+        .orderBy("user_id", "event_type")
+    )
+
+
 def funnel_counts(events: DataFrame, stages: tuple[str, ...] = ("view", "click", "purchase")) -> DataFrame:
     """Ordered-funnel conversion: users whose first stage-k event happens
     AFTER their first stage-(k-1) event, per stage.

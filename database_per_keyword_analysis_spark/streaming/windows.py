@@ -200,3 +200,58 @@ def view_purchase_stream_join(
         "purchase_ts",
         "view_ts",
     )
+
+
+def view_purchase_stream_left_join(
+    events: DataFrame, horizon: str = "2 hours", watermark: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every view, matched to the
+    same user's purchase within the following `horizon` — views that
+    never convert emit with NULL purchase columns.  The streaming
+    abandonment feed: inner joins can only say who converted; the outer
+    side is what a re-engagement pipeline actually consumes.
+
+    Outer-join semantics under watermarking (the part an inner join
+    never exercises): a NULL-extended row for an unmatched view may be
+    emitted only once the watermark has passed `view_ts + horizon` —
+    before that, a matching purchase could still arrive, so the row sits
+    in join state.  Consequently the outer results near the stream's
+    tail (views whose horizon the final watermark never crossed) are
+    withheld: deterministic, and the batch twin replicates the cutoff as
+    `view_ts + horizon < max(ts) − watermark` (tests pin the boundary).
+    State size stays bounded exactly as in the inner form: both sides
+    evict once the frontier passes the interval bound.
+
+    Matched rows stream out immediately (same as inner); only the
+    NULL-extension waits for the watermark — Spark's correctness rule
+    that a row is null-extended only when no future match is possible.
+    """
+    views = events.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    if events.isStreaming:
+        views = views.withWatermark("view_ts", watermark)
+        purchases = purchases.withWatermark("purchase_ts", watermark)
+    return views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("purchase_ts") > F.col("view_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("view_ts") + F.expr(f"INTERVAL {horizon}")
+        ),
+        "left_outer",
+    ).select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "view_ts",
+        "purchase_id",
+        "purchase_ts",
+    )

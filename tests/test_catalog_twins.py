@@ -707,3 +707,12 @@ def test_ngram_contamination_matches_oracle(spark, sf_dir):
 
 def test_tfidf_doc_pairs_matches_oracle(spark, sf_dir):
     _assert_matches_oracle(spark, sf_dir, "tfidf_doc_pairs")
+
+
+# round-6 deferred-at-birth supplementary additions
+def test_user_activity_unpivot_matches_oracle(spark, sf_dir):
+    _assert_matches_oracle(spark, sf_dir, "user_activity_unpivot")
+
+
+def test_stream_view_purchase_left_matches_oracle(spark, sf_dir):
+    _assert_matches_oracle(spark, sf_dir, "stream_view_purchase_left")
