@@ -218,7 +218,11 @@ def view_purchase_stream_left_join(
     in join state.  Consequently the outer results near the stream's
     tail (views whose horizon the final watermark never crossed) are
     withheld: deterministic, and the batch twin replicates the cutoff as
-    `view_ts + horizon < max(ts) − watermark` (tests pin the boundary).
+    `view_ts + horizon < least(max view_ts, max purchase_ts) − watermark`
+    — the LEAST because under the default "min" multipleWatermarkPolicy
+    each side's frontier advances only on its own rows, so an
+    out-of-band max-ts event of a third type must NOT advance the
+    cutoff (tests pin exactly that boundary).
     State size stays bounded exactly as in the inner form: both sides
     evict once the frontier passes the interval bound.
 

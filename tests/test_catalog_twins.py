@@ -709,10 +709,23 @@ def test_tfidf_doc_pairs_matches_oracle(spark, sf_dir):
     _assert_matches_oracle(spark, sf_dir, "tfidf_doc_pairs")
 
 
-# round-6 deferred-at-birth supplementary additions
+# round-6 deferred-at-birth supplementary additions — PROMOTED into the
+# window in round 7 (last never-driver-verified stragglers); their
+# differentials stay as extra in-repo coverage
 def test_user_activity_unpivot_matches_oracle(spark, sf_dir):
     _assert_matches_oracle(spark, sf_dir, "user_activity_unpivot")
 
 
 def test_stream_view_purchase_left_matches_oracle(spark, sf_dir):
     _assert_matches_oracle(spark, sf_dir, "stream_view_purchase_left")
+
+
+# round-7 rotation: two 2-round-green members demoted to free the slots
+# the promotions above took; each stays value-checked against DuckDB on
+# every pytest run via these differentials
+def test_disjunctive_revenue_matches_oracle(spark, sf_dir):
+    _assert_matches_oracle(spark, sf_dir, "disjunctive_revenue")
+
+
+def test_high_balance_inactive_matches_oracle(spark, sf_dir):
+    _assert_matches_oracle(spark, sf_dir, "high_balance_inactive")

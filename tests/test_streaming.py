@@ -340,3 +340,51 @@ def test_ingest_dedup_stream_end_to_end(spark, sf_dir, tmp_path):
         "doc_id", "fingerprint", "is_duplicate"
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exp.collect()))
+
+
+def test_left_join_watermark_ignores_third_type_max_ts(spark, tmp_path):
+    """ADVICE r6 boundary pin: the left-outer join's NULL-extension
+    cutoff is least(max view_ts, max purchase_ts) - delay, NOT the
+    global max(ts).  A 'click' far in the future (the global max) must
+    not advance either join watermark: the near-tail unmatched view
+    stays withheld even though a global-max cutoff would include it,
+    while an old unmatched view (horizon below the true cutoff) is
+    NULL-extended."""
+    import os
+
+    rows = [
+        # (event_id, user_id, event_type, ts)
+        (100, 3, "view", "2024-01-01 00:00:00"),  # old unmatched → emit NULL-ext
+        (101, 1, "view", "2024-01-01 10:00:00"),  # tail unmatched → withheld
+        (102, 2, "view", "2024-01-01 10:30:00"),
+        (200, 2, "purchase", "2024-01-01 11:00:00"),  # matches 102
+        (900, 9, "click", "2024-01-05 00:00:00"),  # out-of-band global max
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "user_id", "event_type", "ts_s"]
+    ).selectExpr(
+        "event_id", "user_id", "event_type",
+        "CAST(ts_s AS TIMESTAMP_NTZ) AS ts",
+    )
+    path = str(tmp_path / "ev")
+    os.makedirs(path)
+    # the stream reader globs for a single FILE named events.parquet
+    # (the fixture layout), so lift Spark's part file out of its dir
+    staging = str(tmp_path / "staging")
+    df.coalesce(1).write.parquet(staging)
+    part = next(
+        f for f in os.listdir(staging)
+        if f.startswith("part-") and f.endswith(".parquet")
+    )
+    os.rename(os.path.join(staging, part), os.path.join(path, "events.parquet"))
+    out = SW.run_append_to_memory(
+        SW.view_purchase_stream_left_join(SW.read_events_stream(spark, path)),
+        "t_left_boundary",
+    )
+    got = {(r.view_id, r.purchase_id) for r in out.collect()}
+    # least(max view 10:30, max purchase 11:00) - 1h = 09:30.
+    # view 100: horizon 02:00 < 09:30 → emitted with NULL purchase.
+    # view 101: horizon 12:00 >= 09:30 → withheld (a global-max cutoff of
+    #   2024-01-04 23:00 would wrongly include it).
+    # view 102: matched by purchase 200 → emitted regardless of watermark.
+    assert got == {(100, None), (102, 200)}
