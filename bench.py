@@ -267,8 +267,9 @@ def main() -> None:
     # clipped its head, leaving BENCH_r05 `parsed: null` (round 3's bug
     # reborn at larger query count).  Structural fix: the compact line
     # carries ONLY scalars — BENCH_LOCAL.json (written above) keeps the
-    # full per-query detail — and an assert caps the line so headline
-    # growth can never silently break the tail parse again.
+    # full per-query detail — and an explicit RuntimeError (not assert,
+    # which python -O strips) caps the line so headline growth can never
+    # silently break the tail parse again.
     compact = {
         "metric": "headline_queries_total_sec",
         "value": total,
@@ -279,10 +280,11 @@ def main() -> None:
         "sf": float(sf),
     }
     compact_line = json.dumps(compact)
-    assert len(compact_line) < 1500, (
-        f"compact bench line grew to {len(compact_line)} chars; it must "
-        "stay well inside the driver's 2,000-char stdout tail"
-    )
+    if len(compact_line) >= 1500:
+        raise RuntimeError(
+            f"compact bench line grew to {len(compact_line)} chars; it must "
+            "stay well inside the driver's 2,000-char stdout tail"
+        )
     print(compact_line)
 
 

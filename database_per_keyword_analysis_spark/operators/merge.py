@@ -25,6 +25,40 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
+_SAFE_PARTITION_VALUE = None  # compiled lazily below
+
+
+def _check_partition_dir_value(partition_col: str, value) -> str:
+    """Reject partition values whose `str()` does not equal the
+    directory name Spark renders: NULL partitions
+    (`__HIVE_DEFAULT_PARTITION__`) and characters Spark percent-escapes
+    in partition paths (``=``, ``/``, ``:``, ``%`` …).  The whitelist —
+    alphanumerics plus ``._ -`` (space is rendered literally) — covers
+    the string/int/date partition columns merge_into_parquet supports;
+    anything else would make the post-write tombstone rmtree target the
+    wrong (or no) directory, so fail fast before any read or write."""
+    import re
+
+    global _SAFE_PARTITION_VALUE
+    if _SAFE_PARTITION_VALUE is None:
+        _SAFE_PARTITION_VALUE = re.compile(r"[A-Za-z0-9._ -]+\Z")
+    if value is None:
+        raise ValueError(
+            f"merge_into_parquet: NULL {partition_col} partition is not "
+            "supported (Spark renders it as __HIVE_DEFAULT_PARTITION__, "
+            "which str() cannot reproduce)"
+        )
+    s = str(value)
+    if not _SAFE_PARTITION_VALUE.match(s):
+        raise ValueError(
+            f"merge_into_parquet: partition value {s!r} for "
+            f"{partition_col} contains characters Spark escapes in "
+            "partition directory names; only [A-Za-z0-9._ -] values are "
+            "supported"
+        )
+    return s
+
+
 def merge_upsert(
     base: DataFrame,
     changes: DataFrame,
@@ -80,9 +114,21 @@ def merge_into_parquet(
     the bounded changeset key set.  A partition whose rows are ALL
     tombstoned produces no output rows — dynamic overwrite would leave
     its old files — so such partitions are deleted explicitly after the
-    write (partition values must render to their directory names via
-    `str()`, true for the string/int/date partition columns this
-    supports).
+    write.  Partition values must render to their directory names via
+    `str()`: enforced upfront by an explicit whitelist check
+    (alphanumerics, ``._ -``; the string/int/date partition columns
+    this supports) rather than silently mis-targeting the rmtree —
+    values Spark would percent-escape (``=``, ``/``, ``:`` …) or NULL
+    partitions are rejected before anything is read or written.
+
+    Crash window (round-6 advice, documented contract): the
+    tombstone-directory delete runs AFTER the dynamic-overwrite write
+    commits, so a crash between the two resurrects the fully-tombstoned
+    partition's old files.  The merge is idempotent — re-running it
+    with the same changeset re-tombstones those rows and completes the
+    delete — so the recovery protocol is simply "retry the merge";
+    callers needing stronger atomicity should target a table format
+    with a transactional commit log instead of raw parquet directories.
     """
     parts = [
         r[0]
@@ -100,6 +146,8 @@ def merge_into_parquet(
         .collect()
     ]
     all_parts = parts + mover_parts
+    for p in all_parts:
+        _check_partition_dir_value(partition_col, p)
     base = spark.read.parquet(table_path).where(F.col(partition_col).isin(all_parts))
     merged = merge_upsert(base, changes, keys, delete_col=delete_col)
     out_parts = {r[0] for r in merged.select(partition_col).distinct().collect()}

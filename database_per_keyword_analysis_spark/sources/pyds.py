@@ -243,18 +243,30 @@ class JsonlRepairWriter(DataSourceWriter):
     them."""
 
     def __init__(self, options, schema, overwrite: bool):
+        import uuid
+
         self.path = options.get("path")
         if not self.path:
             raise ValueError("jsonl_repair: save(path) is required")
         self.field_names = [f.name for f in schema.fields]
         self.overwrite = overwrite
+        # Per-JOB id, chosen once on the driver and pickled to every
+        # task: staged names carry it so commit/abort sweep ONLY this
+        # job's `.inprogress` litter — a concurrent job writing to the
+        # same path keeps its staged files (round-6 advice: a blanket
+        # sweep made the other job's commit os.replace fail or silently
+        # lose partitions).
+        self.job_id = uuid.uuid4().hex
         # driver-side: prepare the directory before tasks launch
         os.makedirs(self.path, exist_ok=True)
+
+    def _staged_glob(self) -> str:
+        return os.path.join(self.path, f"part-{self.job_id}-*.inprogress")
 
     def write(self, iterator) -> WriterCommitMessage:
         import uuid
 
-        name = f"part-{uuid.uuid4().hex}.jsonl"
+        name = f"part-{self.job_id}-{uuid.uuid4().hex}.jsonl"
         tmp = os.path.join(self.path, name + ".inprogress")
         with open(tmp, "w", encoding="utf-8") as fh:
             for row in iterator:
@@ -273,19 +285,19 @@ class JsonlRepairWriter(DataSourceWriter):
                 os.path.join(self.path, name + ".inprogress"),
                 os.path.join(self.path, name),
             )
-        # sweep staged litter from losing speculative attempts
-        for f in glob.glob(os.path.join(self.path, "*.inprogress")):
+        # sweep staged litter from THIS job's losing speculative
+        # attempts only (job-id prefixed; other jobs' staging survives)
+        for f in glob.glob(self._staged_glob()):
             os.remove(f)
         with open(os.path.join(self.path, "_SUCCESS"), "w") as fh:
             fh.write("")
 
     def abort(self, messages) -> None:
-        # nothing was published; drop this job's staged files
-        for m in messages or []:
-            if m is not None:
-                staged = os.path.join(self.path, m.staged + ".inprogress")
-                if os.path.exists(staged):
-                    os.remove(staged)
+        # nothing was published; drop ALL of this job's staged files
+        # (message-listed winners AND speculative losers — both carry
+        # the job-id prefix), leaving concurrent jobs' staging intact
+        for f in glob.glob(self._staged_glob()):
+            os.remove(f)
 
 
 def register(spark) -> None:

@@ -178,3 +178,34 @@ def test_scd2_null_tracked_values(spark):
     hist = M.scd2_history(log, ["key"], "ts", ["val"], "seq")
     # NULL==NULL collapses (eqNullSafe), NULL->X opens a run
     assert hist.count() == 2
+
+
+def test_merge_into_parquet_rejects_unrenderable_partition_values(spark, tmp_path):
+    """Round-6 advice: partition values Spark percent-escapes in
+    directory names (or NULL) must fail fast BEFORE any read/write, not
+    silently mis-target the tombstone rmtree."""
+    import pytest as _pytest
+
+    from database_per_keyword_analysis_spark.operators.merge import (
+        _check_partition_dir_value,
+        merge_into_parquet,
+    )
+
+    # unit surface: the whitelist itself
+    assert _check_partition_dir_value("p", "2024-01-01") == "2024-01-01"
+    assert _check_partition_dir_value("p", 7) == "7"
+    assert _check_partition_dir_value("p", "US east") == "US east"
+    for bad in ("a=b", "a/b", "a:b", "a%b", None):
+        with _pytest.raises(ValueError):
+            _check_partition_dir_value("p", bad)
+
+    # end-to-end: a changeset carrying an escapable partition value
+    # aborts before touching the table
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame([(1, "ok", 10)], "k long, p string, v long")
+    base.write.partitionBy("p").parquet(path)
+    changes = spark.createDataFrame([(2, "a=b", 20)], "k long, p string, v long")
+    with _pytest.raises(ValueError, match="characters Spark escapes"):
+        merge_into_parquet(spark, path, changes, ["k"], "p")
+    got = [(r.k, r.p, r.v) for r in spark.read.parquet(path).collect()]
+    assert got == [(1, "ok", 10)]  # table untouched
