@@ -683,11 +683,16 @@ def bloom_filter_build(
     `m_bits` defaults to `bloom_m_bits(distinct gram count)` — ~12 bits
     per gram, 2^16 floor — so the load factor (and documented FPR) no
     longer degrades as the benchmark suite grows (round-5 judge #3).
-    The sizing count is one benchmark-sized distinct pass, then the
-    packed words aggregate DISTRIBUTED (bit_or per 64-bit word), so the
-    collect is ≤ m/64 (idx, word) rows, never per-position — the same
-    bounded-collect contract as the IVF centroid load
-    (operators/similarity.py).  At 100 TB the filter is built once per
+    The sizing count and the position aggregation share ONE gram pass:
+    the distinct gram set (benchmark-sized by assumption — the same
+    bound that makes a Bloom build per eval suite cheap) is persisted,
+    counted for m, then exploded to positions from the cache — the
+    round-7 A/B measured re-deriving the grams for the count at
+    +1.4 s/run, the entirety of the round-6 bench regression
+    (BASELINE.md).  The packed words aggregate DISTRIBUTED (bit_or per
+    64-bit word), so the collect is ≤ m/64 (idx, word) rows, never
+    per-position — the same bounded-collect contract as the IVF
+    centroid load (operators/similarity.py).  At 100 TB the filter is built once per
     eval suite (benchmark-sized work, corpus-independent) and shipped
     to every probe task once — vs. broadcasting the full benchmark
     fingerprint set (GBs for a large suite) as `ngram_contamination`
@@ -695,8 +700,12 @@ def bloom_filter_build(
     (1 - e^{-k·n_grams/m})^k; `ngram_contamination` stays the exact
     tier."""
     fps = _word_gram_fps(benchmark, text_col, id_col, "_bid", n)
+    fps = fps.select("fp").distinct()
+    cached = False
     if m_bits is None:
-        m_bits = bloom_m_bits(fps.select("fp").distinct().count())
+        fps = fps.persist()
+        cached = True
+        m_bits = bloom_m_bits(fps.count())
     word_rows = (
         fps.select(
             F.explode(
@@ -715,6 +724,8 @@ def bloom_filter_build(
         )
         .collect()
     )
+    if cached:
+        fps.unpersist()
     words = [0] * (m_bits // 64)
     for r in word_rows:
         words[r["idx"]] = r["word"]
@@ -745,17 +756,20 @@ def bloom_contamination(
     filter's size is encoded by the words list itself (m = 64·len), so
     probe and build can never disagree.  A floor-sized filter (1024
     words, 8 KiB) rides in the plan as one array literal — zero
-    build-side traffic; a large derived filter (> 32 KiB) would bloat
-    every plan/task description as a literal, so it ships once as a
+    build-side traffic; any derived-above-floor filter ships once as a
     broadcast single-row array instead (one BroadcastExchange of the
-    packed words, still no per-gram join)."""
+    packed words, still no per-gram join).  The cutoff is exactly the
+    floor: the round-7 A/B (BASELINE.md) measured a 4096-long literal
+    at +1.9 s/run — pyspark literal construction plus plan/task
+    re-serialization grows superlinearly with literal length — while
+    the broadcast form at the same m costs +0.2 s over the floor."""
     m_bits = 64 * len(bloom_words)
     pos_cols = _bloom_positions(F.col("fp"), k_hashes, m_bits)
     grams = _word_gram_fps(corpus, text_col, id_col, "doc_id", n).select(
         "doc_id",
         *[p.alias(f"_p{j}") for j, p in enumerate(pos_cols)],
     )
-    if len(bloom_words) <= 4096:
+    if len(bloom_words) <= BLOOM_M_BITS // 64:
         grams = grams.withColumn("_bloom", F.lit(bloom_words))
     else:
         filt = corpus.sparkSession.createDataFrame(
