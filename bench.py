@@ -157,6 +157,8 @@ HEADLINE = [
     "approx_order_stats",
     "embedding_quantization",
     "sliding_window_counts",
+    # round-7 novel query (in-window at birth): rank-space RRF fusion
+    "hybrid_search_rrf",
 ]
 
 # Round-7 headline audit (round-6 judge item 5): every registered query

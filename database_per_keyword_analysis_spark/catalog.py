@@ -254,6 +254,11 @@ _DEFERRED_TWINS = {
     #   (Q16 NOT-IN anti) keep the [anti-]semi decorrelation family
     #   in-window — slot taken by stream_view_purchase_left (first
     #   driver check of the watermark-gated left-outer stream join)
+    # round-7 in-window-at-birth swap (the new policy's first exercise):
+    "length_bucket_batches",  # green r5-r6; sequence/explode chunking
+    #   with its own differential below (document_chunks defers to the
+    #   same machinery) — slot taken by hybrid_search_rrf (NOVEL
+    #   rank-space RRF fusion of the BM25 and embedding-cosine tiers)
 }
 
 
@@ -3902,6 +3907,70 @@ def q_bm25_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_buckets=_BM25_BUCKETS,
         )
     return SRCH2.bm25_probe(spark, path, n_buckets=_BM25_BUCKETS)
+
+
+def _hybrid_rrf_sql(
+    terms=_BM25_TERMS,
+    query_vec_id: int = 0,
+    k_rrf: int = 60,
+    per_side: int = 50,
+    top_k: int = 15,
+) -> str:
+    """Mirror of operators/search.py:hybrid_search_rrf — the BM25 CTE
+    chain is _bm25_sql's (same DECIMAL accumulation, same round-6
+    score), the dense side is the knn_bruteforce decimal-dot cosine,
+    ranks materialize over the per_side-limited top lists, and the RRF
+    sum uses 1e0/0e0 DOUBLE literals (a bare 1.0 is DECIMAL in DuckDB,
+    which would change the division's type)."""
+    in_list = ", ".join(_sql_quote(t) for t in sorted(terms))
+    dot_qc = _DUCK_DOT.format(a="c.embedding", b="q.qe")
+    norm_c = _DUCK_DOT.format(a="c.embedding", b="c.embedding")
+    norm_q = _DUCK_DOT.format(a="q.qe", b="q.qe")
+    return (
+        f"WITH tok AS ({_DUCK_LM_TOKS}), "
+        "dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id), "
+        "stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl), "
+        f"tf AS (SELECT doc_id, token, count(*) AS tf FROM tok "
+        f"WHERE token IN ({in_list}) GROUP BY doc_id, token), "
+        "idf AS (SELECT token, ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) AS idf "
+        "FROM (SELECT token, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df "
+        "FROM tf GROUP BY token), stats), "
+        "contrib AS (SELECT tf.doc_id, CAST(idf.idf * (tf.tf * (1.2 + 1)) / "
+        "(tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) "
+        "AS DECIMAL(38,18)) AS term_score "
+        "FROM tf JOIN idf USING (token) JOIN dl USING (doc_id), stats), "
+        "sp_top AS (SELECT doc_id, round(CAST(sum(term_score) AS DOUBLE), 6) AS score "
+        f"FROM contrib GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT {per_side}), "
+        "sp AS (SELECT doc_id, CAST(row_number() OVER ("
+        "ORDER BY score DESC, doc_id) AS INTEGER) AS sparse_rank FROM sp_top), "
+        f"q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {query_vec_id}), "
+        f"de_top AS (SELECT c.vec_id AS doc_id, {dot_qc} / "
+        f"(sqrt({norm_q}) * sqrt({norm_c})) AS cosine "
+        f"FROM embeddings c CROSS JOIN q WHERE c.vec_id <> {query_vec_id} "
+        f"ORDER BY cosine DESC, doc_id LIMIT {per_side}), "
+        "de AS (SELECT doc_id, CAST(row_number() OVER ("
+        "ORDER BY cosine DESC, doc_id) AS INTEGER) AS dense_rank FROM de_top) "
+        "SELECT doc_id, sparse_rank, dense_rank, "
+        f"round(COALESCE(1e0 / ({k_rrf} + sparse_rank), 0e0) + "
+        f"COALESCE(1e0 / ({k_rrf} + dense_rank), 0e0), 6) AS rrf_score "
+        "FROM sp FULL JOIN de USING (doc_id) "
+        f"ORDER BY rrf_score DESC, doc_id LIMIT {top_k}"
+    )
+
+
+@register("hybrid_search_rrf", _hybrid_rrf_sql())
+def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid sparse+dense retrieval fused by reciprocal-rank fusion
+    (operators/search.py:hybrid_search_rrf): BM25 over the default
+    query terms fused with embedding-cosine to doc 0's vector (the
+    fixture's vec_id aligns with doc_id, so this is "docs like doc 0
+    that also match the keywords").  NOVEL machinery (rank-space
+    full-outer fusion) — in-window at birth per the round-7 policy;
+    length_bucket_batches rotated out with a differential."""
+    return SRCH.hybrid_search_rrf(
+        load(spark, sf_dir, "documents", parallel=True),
+        _load_emb(spark, sf_dir),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -500,3 +500,106 @@ def compact_postings_index(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         F.avg("dl").alias("avgdl"),
     ).write.mode("overwrite").parquet(f"{index_path}/stats")
+
+
+RRF_K = 60  # Cormack/Clarke/Buettcher 2009's constant; rank-60 damping
+
+
+def hybrid_search_rrf(
+    docs: DataFrame,
+    vectors: DataFrame,
+    query_terms: tuple[str, ...] = DEFAULT_QUERY,
+    query_vec_id: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    vid_col: str = "vec_id",
+    k_rrf: int = RRF_K,
+    per_side: int = 50,
+    top_k: int = 15,
+) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (Cormack, Clarke &
+    Buettcher, SIGIR 2009): the BM25 keyword ranking and the dense
+    embedding-cosine ranking (query = ``query_vec_id``'s embedding, the
+    "more like this document" form) fused as
+
+        rrf(d) = sum over modalities of 1 / (k_rrf + rank_m(d))
+
+    with a modality contributing 0 where d is outside its top
+    ``per_side``.  Returns (id, sparse_rank, dense_rank, rrf_score)
+    for the fused top_k; ranks are NULL for the side that did not
+    retrieve the doc.  Reference N/A: the reference has keyword
+    containment only (main.py:283-288); this is the standard fusion a
+    retrieval stack uses the moment it has both an inverted index and
+    an embedding index over the same corpus.
+
+    Scale shape (100 TB): fusion is RANK-space — it consumes two
+    (id, rank) lists of ``per_side`` rows each, so the fused stage is
+    constant-size no matter the corpus; all corpus-scale work lives in
+    the two retrieval tiers, each already scale-shaped (BM25: filtered
+    postings + broadcast stats, the bm25_search dataflow; dense: one
+    broadcast query vector against a linear scan here, the ivf_knn /
+    LSH-bucketed ANN tiers at real scale — RRF consumes any ranked
+    list, so swapping the exact tier for an ANN tier changes recall,
+    not the fusion dataflow).  Both top-lists are TakeOrdered
+    (distributed top-k, no global sort); the rank row_numbers run over
+    per_side-bounded rows (the vocab_coverage bounded-window
+    convention).
+
+    Oracle exactness: BM25 side reuses bm25_search's DECIMAL-summed,
+    round-6 score (ranking on the rounded value, so both engines rank
+    identical doubles); dense side uses the DECIMAL dot chain
+    (similarity._dot_dec, the knn_bruteforce convention); rrf_score is
+    two IEEE divisions and one add, rounded to 6; all ties break by id.
+    """
+    from .similarity import _dot_dec
+
+    sparse_top = bm25_search(
+        docs, query_terms, text_col, id_col, top_k=per_side
+    )
+    w_sparse = Window.orderBy(F.desc("score"), F.asc(id_col))
+    sparse = sparse_top.select(
+        id_col, F.row_number().over(w_sparse).alias("sparse_rank")
+    )
+
+    q = vectors.where(F.col(vid_col) == query_vec_id).select(
+        F.col(vec_col).alias("q_emb"),
+        F.sqrt(_dot_dec(vec_col, vec_col)).alias("q_norm"),
+    )
+    scored = (
+        vectors.where(F.col(vid_col) != query_vec_id)
+        .select(
+            F.col(vid_col).alias(id_col),
+            F.col(vec_col).alias("c_emb"),
+            F.sqrt(_dot_dec(vec_col, vec_col)).alias("c_norm"),
+        )
+        .crossJoin(F.broadcast(q))
+        .select(
+            id_col,
+            (
+                _dot_dec("q_emb", "c_emb")
+                / (F.col("q_norm") * F.col("c_norm"))
+            ).alias("cosine"),
+        )
+    )
+    dense_top = scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(per_side)
+    w_dense = Window.orderBy(F.desc("cosine"), F.asc(id_col))
+    dense = dense_top.select(
+        id_col, F.row_number().over(w_dense).alias("dense_rank")
+    )
+
+    fused = sparse.join(dense, id_col, "full_outer")
+    rrf = F.round(
+        F.coalesce(
+            F.lit(1.0) / (F.lit(k_rrf) + F.col("sparse_rank")), F.lit(0.0)
+        )
+        + F.coalesce(
+            F.lit(1.0) / (F.lit(k_rrf) + F.col("dense_rank")), F.lit(0.0)
+        ),
+        6,
+    ).alias("rrf_score")
+    return (
+        fused.select(id_col, "sparse_rank", "dense_rank", rrf)
+        .orderBy(F.desc("rrf_score"), F.asc(id_col))
+        .limit(top_k)
+    )

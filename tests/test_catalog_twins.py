@@ -729,3 +729,9 @@ def test_disjunctive_revenue_matches_oracle(spark, sf_dir):
 
 def test_high_balance_inactive_matches_oracle(spark, sf_dir):
     _assert_matches_oracle(spark, sf_dir, "high_balance_inactive")
+
+
+def test_length_bucket_batches_matches_oracle(spark, sf_dir):
+    # round-7 demotion (slot taken by hybrid_search_rrf, in-window at
+    # birth): chunk/batch machinery stays value-checked every pytest run
+    _assert_matches_oracle(spark, sf_dir, "length_bucket_batches")

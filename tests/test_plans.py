@@ -541,3 +541,15 @@ def test_zipf_rank_window_is_partitioned_by_group(spark, sf_dir):
         r"windowspecdefinition\(lang", plan
     )
     assert w is not None
+
+
+def test_hybrid_rrf_fusion_is_rank_space(spark, sf_dir):
+    # round 7: the RRF plan's corpus-scale work is the two retrieval
+    # tiers; the dense query side broadcasts (one row), both top lists
+    # are TakeOrdered (distributed top-k, never a global Sort of the
+    # corpus), and the unbounded-window count stays at the two
+    # per_side-bounded rank row_numbers
+    plan = _plan(spark, sf_dir, "hybrid_search_rrf")
+    assert "BroadcastNestedLoopJoin" in plan  # one-row query vector side
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("CartesianProduct") == 0

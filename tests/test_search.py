@@ -294,3 +294,79 @@ def test_streaming_index_maintenance_matches_batch(spark, tmp_path):
     assert _rows(
         SRCH.bm25_probe(spark, idx, query_terms=("hash", "join"), top_k=10)
     ) == full
+
+
+def test_hybrid_rrf_hand_computed(spark):
+    # round 7: RRF fusion over a corpus small enough to rank by hand
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="hash hash"),
+            Row(doc_id=2, text="join"),
+            Row(doc_id=3, text="nothing here"),
+            Row(doc_id=4, text="hash join"),
+        ]
+    )
+    vecs = spark.createDataFrame(
+        [
+            Row(vec_id=0, embedding=[1.0, 0.0]),  # the query vector
+            Row(vec_id=1, embedding=[0.0, 1.0]),  # cos 0
+            Row(vec_id=2, embedding=[1.0, 0.01]),  # cos ~1
+            Row(vec_id=3, embedding=[1.0, 1.0]),  # cos ~.707
+            Row(vec_id=4, embedding=[-1.0, 0.0]),  # cos -1
+        ]
+    )
+    out = SRCH.hybrid_search_rrf(
+        docs, vecs, query_terms=("hash", "join"), top_k=10
+    )
+    rows = {r.doc_id: r for r in out.collect()}
+    # all 4 docs retrieved by at least one side; query vec_id=0 excluded
+    assert sorted(rows) == [1, 2, 3, 4]
+    # dense ranking by cosine to [1,0], ties impossible here
+    assert [rows[i].dense_rank for i in (2, 3, 1, 4)] == [1, 2, 3, 4]
+    # doc 3 matches no query term: NULL sparse rank, dense-only score
+    assert rows[3].sparse_rank is None
+    # sparse ranking recomputed from the BM25 formula itself
+    avgdl, n_docs, df = 7 / 4, 4.0, {"hash": 2.0, "join": 2.0}
+    idf = {t: math.log(1 + (n_docs - d + 0.5) / (d + 0.5)) for t, d in df.items()}
+    score = {
+        1: round(_bm25_expected(2, 2, idf["hash"], avgdl), 6),
+        2: round(_bm25_expected(1, 1, idf["join"], avgdl), 6),
+        4: round(
+            _bm25_expected(1, 2, idf["hash"], avgdl)
+            + _bm25_expected(1, 2, idf["join"], avgdl),
+            6,
+        ),
+    }
+    for rank, d in enumerate(
+        sorted(score, key=lambda d: (-score[d], d)), start=1
+    ):
+        assert rows[d].sparse_rank == rank
+    # the fused score is exactly the RRF sum of the reported ranks
+    for r in rows.values():
+        exp = round(
+            (1.0 / (60 + r.sparse_rank) if r.sparse_rank else 0.0)
+            + (1.0 / (60 + r.dense_rank) if r.dense_rank else 0.0),
+            6,
+        )
+        assert abs(r.rrf_score - exp) < 1e-12
+    # ordered by fused score desc, doc_id tiebreak
+    got = [r.doc_id for r in out.collect()]
+    assert got == sorted(
+        rows, key=lambda d: (-rows[d].rrf_score, d)
+    )
+
+
+def test_hybrid_rrf_respects_side_and_output_limits(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text="hash join " * (i + 1)) for i in range(12)]
+    )
+    vecs = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[1.0, float(i)]) for i in range(12)]
+    )
+    out = SRCH.hybrid_search_rrf(
+        docs, vecs, query_terms=("hash",), per_side=3, top_k=4
+    ).collect()
+    assert len(out) == 4
+    for r in out:
+        assert r.sparse_rank is None or r.sparse_rank <= 3
+        assert r.dense_rank is None or r.dense_rank <= 3
