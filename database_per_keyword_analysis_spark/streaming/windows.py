@@ -17,9 +17,41 @@ batch-backfill of a streaming pipeline.
 
 from __future__ import annotations
 
+import contextlib
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+# Shuffle-partition count pinned while a STREAMING query starts: every
+# stateful operator instantiates one state store per shuffle partition
+# per micro-batch, so at the local availableNow/backfill harness's
+# micro-batch sizes the session default (32) is nearly pure fixed cost
+# — a round-7 interleaved ABAB×4 on stream_view_purchase_left at sf0.1
+# measured 32 partitions at 7.3 s warm vs 8 partitions at 2.9 s, same
+# results.  This is a CAPACITY knob, not a plan-shape knob: state-store
+# count must track per-batch stream volume, so a real deployment sizes
+# it to the stream (DPKA_STREAM_SHUFFLE_PARTITIONS or session conf);
+# Spark pins the value from the checkpoint's offset log on restart, so
+# existing checkpoints keep the partition count they were created with.
+STREAM_SHUFFLE_PARTITIONS = int(
+    os.environ.get("DPKA_STREAM_SHUFFLE_PARTITIONS", "8")
+)
+
+
+@contextlib.contextmanager
+def _stream_shuffle(spark: SparkSession, n: int = STREAM_SHUFFLE_PARTITIONS):
+    """Scope `spark.sql.shuffle.partitions` to a streaming query's
+    start+drain; the session default is restored afterwards (the value
+    is baked into the query at start, so restoring post-termination
+    cannot affect the stream)."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`events` as a stream: parquet-directory source; ts normalized to
@@ -126,40 +158,45 @@ def enriched_event_counts(
 def run_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
     """Drive a streaming DataFrame to completion with an availableNow
     trigger into a memory sink; returns the materialized result."""
-    q = (
-        stream_df.writeStream.outputMode("complete" if stream_df.isStreaming else "append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_shuffle(stream_df.sparkSession):
+        q = (
+            stream_df.writeStream.outputMode(
+                "complete" if stream_df.isStreaming else "append"
+            )
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return stream_df.sparkSession.table(name)
 
 
 def run_append_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
     """Append-mode variant (for dedup/passthrough streams)."""
-    q = (
-        stream_df.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_shuffle(stream_df.sparkSession):
+        q = (
+            stream_df.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return stream_df.sparkSession.table(name)
 
 
 def run_update_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
     """Update-mode variant (for arbitrary-stateful operators)."""
-    q = (
-        stream_df.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_shuffle(stream_df.sparkSession):
+        q = (
+            stream_df.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return stream_df.sparkSession.table(name)
 
 
