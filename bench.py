@@ -157,8 +157,10 @@ HEADLINE = [
     "approx_order_stats",
     "embedding_quantization",
     "sliding_window_counts",
-    # round-7 novel query (in-window at birth): rank-space RRF fusion
+    # round-7 novel queries (in-window at birth): rank-space RRF fusion
+    # and the embedding-index retrieval eval
     "hybrid_search_rrf",
+    "knn_eval_metrics",
 ]
 
 # Round-7 headline audit (round-6 judge item 5): every registered query

@@ -254,11 +254,17 @@ _DEFERRED_TWINS = {
     #   (Q16 NOT-IN anti) keep the [anti-]semi decorrelation family
     #   in-window — slot taken by stream_view_purchase_left (first
     #   driver check of the watermark-gated left-outer stream join)
-    # round-7 in-window-at-birth swap (the new policy's first exercise):
+    # round-7 in-window-at-birth swaps (the new policy's first exercise):
     "length_bucket_batches",  # green r5-r6; sequence/explode chunking
     #   with its own differential below (document_chunks defers to the
     #   same machinery) — slot taken by hybrid_search_rrf (NOVEL
     #   rank-space RRF fusion of the BM25 and embedding-cosine tiers)
+    "bm25_search_indexed",  # green r5-r6; persisted-postings probe,
+    #   result-identical to bm25_search by unit parity test AND its own
+    #   differential below; the full BM25 scoring chain stays in-window
+    #   INSIDE hybrid_search_rrf (which executes bm25_search end-to-end)
+    #   — slot taken by knn_eval_metrics (NOVEL rank-metric aggregation:
+    #   recall/MRR/nDCG over the decimal-cosine ranking)
 }
 
 
@@ -3956,6 +3962,66 @@ def _hybrid_rrf_sql(
         "FROM sp FULL JOIN de USING (doc_id) "
         f"ORDER BY rrf_score DESC, doc_id LIMIT {top_k}"
     )
+
+
+def _knn_eval_sql(n_queries: int = 20, k: int = 10) -> str:
+    """Mirror of operators/similarity.py:knn_eval_metrics — the
+    knn_bruteforce decimal-dot rank chain, label-equality relevance as
+    an explicit CASE (NULL label = not relevant on both engines),
+    DECIMAL-accumulated DCG terms (the bm25 term_score convention, the
+    per-query sum is order-free), and the ideal-DCG prefix as a
+    cumulative window over generate_series ascending — the same
+    sequential double fold Spark's `aggregate(sequence(...))` runs."""
+    dot_qc = _DUCK_DOT.format(a="c.ce", b="q.qe")
+    norm_c = _DUCK_DOT.format(a="c.ce", b="c.ce")
+    norm_q = _DUCK_DOT.format(a="q.qe", b="q.qe")
+    return (
+        f"WITH q AS (SELECT vec_id AS query_id, embedding AS qe, label AS qlbl "
+        f"FROM embeddings WHERE vec_id < {n_queries}), "
+        "c AS (SELECT vec_id AS neighbor_id, embedding AS ce, label AS nlbl "
+        "FROM embeddings), "
+        f"scored AS (SELECT query_id, qlbl, neighbor_id, nlbl, {dot_qc} / "
+        f"(sqrt({norm_q}) * sqrt({norm_c})) AS cosine "
+        "FROM c CROSS JOIN q WHERE query_id <> neighbor_id), "
+        "ranked AS (SELECT query_id, qlbl, nlbl, row_number() OVER ("
+        "PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank "
+        "FROM scored), "
+        f"hits AS (SELECT query_id, rank, "
+        "CASE WHEN nlbl = qlbl THEN 1 ELSE 0 END AS rel "
+        f"FROM ranked WHERE rank <= {k}), "
+        "totals AS (SELECT label AS qlbl, count(*) AS lbl_total "
+        "FROM embeddings GROUP BY label), "
+        "qrel AS (SELECT query_id, CAST(lbl_total - 1 AS BIGINT) AS n_rel "
+        f"FROM (SELECT vec_id AS query_id, label AS qlbl FROM embeddings "
+        f"WHERE vec_id < {n_queries}) qq JOIN totals USING (qlbl)), "
+        "perq AS (SELECT query_id, CAST(sum(rel) AS BIGINT) AS n_hits, "
+        "CAST(sum(CAST(rel / log2(1.0 + rank) AS DECIMAL(38,18))) AS DOUBLE) AS dcg, "
+        "min(CASE WHEN rel = 1 THEN rank END) AS first_rel "
+        "FROM hits GROUP BY query_id), "
+        "ideal AS (SELECT i, sum(1e0 / log2(1e0 + i)) OVER ("
+        f"ORDER BY i) AS idcg FROM generate_series(1, {k}) t(i)) "
+        "SELECT query_id, n_rel, "
+        "round(CASE WHEN n_rel > 0 THEN CAST(n_hits AS DOUBLE) / n_rel "
+        "ELSE 0e0 END, 6) AS recall_at_k, "
+        "round(COALESCE(1e0 / first_rel, 0e0), 6) AS mrr, "
+        "round(CASE WHEN n_rel > 0 THEN dcg / ideal.idcg ELSE 0e0 END, 6) "
+        "AS ndcg_at_k "
+        "FROM perq JOIN qrel USING (query_id) "
+        f"LEFT JOIN ideal ON ideal.i = least(n_rel, {k}) "
+        "ORDER BY query_id"
+    )
+
+
+@register("knn_eval_metrics", _knn_eval_sql())
+def q_knn_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-index retrieval eval (operators/similarity.py:
+    knn_eval_metrics): recall@10 / MRR / nDCG@10 for the first 20
+    vectors as queries, same-`label` as the relevance proxy — the
+    eval-the-index step a pipeline runs before trusting an embedding
+    space for dedup/retrieval.  NOVEL machinery (rank-metric
+    aggregation) — in-window at birth per the round-7 policy;
+    bm25_search_indexed rotated out with a differential."""
+    return SIM.knn_eval_metrics(_load_emb(spark, sf_dir))
 
 
 @register("hybrid_search_rrf", _hybrid_rrf_sql())

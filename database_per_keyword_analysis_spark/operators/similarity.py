@@ -817,3 +817,122 @@ def dequantize_embeddings(
             "qvec", lambda q: q.cast("double") * F.col("scale") / 127.0
         ).alias("embedding"),
     )
+
+
+def knn_eval_metrics(
+    vectors: DataFrame,
+    n_queries: int = 20,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Retrieval-quality metrics for the embedding space: treat each of
+    the first ``n_queries`` vectors as a query, its exact cosine top-k
+    (knn_bruteforce) as the retrieved list, and same-``label_col`` as
+    the relevance proxy — the standard eval loop a training-data
+    pipeline runs on an embedding index before trusting it for
+    dedup/retrieval (cf. BEIR-style recall/nDCG reporting).
+
+    Returns one row per query: (query_id, n_rel, recall_at_k, mrr,
+    ndcg_at_k), round-6 doubles, where n_rel counts same-label corpus
+    vectors excluding the query itself; all metrics are 0 when n_rel
+    is 0.  nDCG uses the binary-gain form DCG = Σ rel/log2(1+rank)
+    normalized by the ideal prefix IDCG = Σ_{i≤min(k,n_rel)}
+    1/log2(1+i).
+
+    Scale shape (100 TB): the ranked lists come from knn_bruteforce
+    here (exact eval at fixture scale; the ANN tiers slot in unchanged
+    — the metric chain only consumes (query_id, neighbor_id, rank));
+    label totals reduce to one row per label and broadcast back; the
+    metric aggregation touches n_queries·k rows.  Eval cost is always
+    queries×corpus, never corpus².
+
+    Oracle exactness: ranks from the decimal-dot cosine chain
+    (knn_bruteforce convention); per-query sums over ≤k unordered
+    rank-indexed terms are order-independent once each term is a
+    deterministic double (same IEEE log2/division in both engines);
+    final metrics rounded to 6.
+    """
+    ranked = knn_bruteforce(
+        vectors,
+        vectors.where(F.col(id_col) < n_queries),
+        k=k,
+        vec_col=vec_col,
+        id_col=id_col,
+    )
+    labels = vectors.select(
+        F.col(id_col).alias("_lid"), F.col(label_col).alias("_lbl")
+    )
+    # relevant-corpus size per label, minus the query itself
+    label_totals = labels.groupBy("_lbl").agg(
+        F.count(F.lit(1)).alias("_lbl_total")
+    )
+    qrel = (
+        labels.where(F.col("_lid") < n_queries)
+        .join(F.broadcast(label_totals), "_lbl")
+        .select(
+            F.col("_lid").alias("query_id"),
+            F.col("_lbl").alias("_qlbl"),
+            (F.col("_lbl_total") - 1).cast("long").alias("n_rel"),
+        )
+    )
+    hits = (
+        ranked.join(F.broadcast(qrel), "query_id")
+        .join(
+            F.broadcast(labels.withColumnRenamed("_lid", "neighbor_id")),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            "n_rel",
+            "rank",
+            # CASE form (not boolean-cast): a NULL label must count as
+            # not-relevant on both engines, exactly as the oracle's CASE
+            F.when(F.col("_lbl") == F.col("_qlbl"), 1)
+            .otherwise(0)
+            .alias("rel"),
+        )
+    )
+    per_q = hits.groupBy("query_id", "n_rel").agg(
+        F.sum("rel").alias("_n_hits"),
+        # DECIMAL-accumulated (the bm25 term_score convention): the
+        # per-term double is deterministic, the decimal sum order-free
+        F.sum(
+            (F.col("rel") / F.log2(F.lit(1.0) + F.col("rank"))).cast(
+                "decimal(38,18)"
+            )
+        )
+        .cast("double")
+        .alias("_dcg"),
+        F.min(F.when(F.col("rel") == 1, F.col("rank"))).alias("_first_rel"),
+    )
+    # ideal DCG over the min(k, n_rel)-length prefix: sequence+aggregate
+    # keeps it a scalar expression (no extra join or window)
+    idcg = F.expr(
+        f"aggregate(sequence(1, int(least(n_rel, {k}))), "
+        "cast(0 as double), (acc, i) -> acc + 1.0 / log2(1.0 + i))"
+    )
+    return (
+        per_q.select(
+            "query_id",
+            "n_rel",
+            F.round(
+                F.when(
+                    F.col("n_rel") > 0,
+                    F.col("_n_hits").cast("double") / F.col("n_rel"),
+                ).otherwise(0.0),
+                6,
+            ).alias("recall_at_k"),
+            F.round(
+                F.coalesce(1.0 / F.col("_first_rel"), F.lit(0.0)), 6
+            ).alias("mrr"),
+            F.round(
+                F.when(
+                    F.col("n_rel") > 0, F.col("_dcg") / idcg
+                ).otherwise(0.0),
+                6,
+            ).alias("ndcg_at_k"),
+        )
+        .orderBy("query_id")
+    )

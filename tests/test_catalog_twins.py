@@ -735,3 +735,10 @@ def test_length_bucket_batches_matches_oracle(spark, sf_dir):
     # round-7 demotion (slot taken by hybrid_search_rrf, in-window at
     # birth): chunk/batch machinery stays value-checked every pytest run
     _assert_matches_oracle(spark, sf_dir, "length_bucket_batches")
+
+
+def test_bm25_search_indexed_matches_oracle(spark, sf_dir):
+    # round-7 demotion (slot taken by knn_eval_metrics, in-window at
+    # birth): the persisted-postings probe stays value-checked every
+    # pytest run (plus the unit parity test vs the in-plan bm25_search)
+    _assert_matches_oracle(spark, sf_dir, "bm25_search_indexed")

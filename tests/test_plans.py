@@ -553,3 +553,13 @@ def test_hybrid_rrf_fusion_is_rank_space(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan  # one-row query vector side
     assert "TakeOrderedAndProject" in plan
     assert plan.count("CartesianProduct") == 0
+
+
+def test_knn_eval_metrics_broadcasts_eval_side(spark, sf_dir):
+    # round 7: corpus-scale work is only the knn scan (broadcast query
+    # block); label totals and query-relevance rows ride as broadcast
+    # hash joins over the k-bounded ranked list; nothing cartesian
+    plan = _plan(spark, sf_dir, "knn_eval_metrics")
+    assert "BroadcastNestedLoopJoin" in plan  # knn query block
+    assert "BroadcastHashJoin" in plan  # label-total / qrel attach
+    assert plan.count("CartesianProduct") == 0

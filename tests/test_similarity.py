@@ -247,3 +247,51 @@ def test_lsh_n_planes_derivation():
     assert SIM.lsh_n_planes(20000) == 9       # 10x fixture = measured retuning
     assert SIM.lsh_n_planes(2_000_000) == 16  # keeps tracking log2(N)
     assert SIM.lsh_n_planes(10**30) == SIM.LSH_MAX_PLANES  # int64 bucket cap
+
+
+def test_knn_eval_metrics_hand_computed(spark):
+    # round 7: one query with relevant docs (metrics recomputed from the
+    # definitions), one query whose label is unique (all metrics 0)
+    from pyspark.sql import Row
+
+    data = [
+        Row(vec_id=0, embedding=[1.0, 0.0], label=7),   # unique label
+        Row(vec_id=1, embedding=[1.0, 0.1], label=1),   # query 2
+        Row(vec_id=2, embedding=[1.0, 0.2], label=1),
+        Row(vec_id=3, embedding=[0.0, 1.0], label=2),
+        Row(vec_id=4, embedding=[1.0, 0.3], label=1),
+        Row(vec_id=5, embedding=[-1.0, 0.0], label=2),
+    ]
+    out = SIM.knn_eval_metrics(
+        spark.createDataFrame(data), n_queries=2, k=3
+    ).collect()
+    by_q = {r.query_id: r for r in out}
+    assert sorted(by_q) == [0, 1]
+
+    # query 0: label 7 appears once ⇒ n_rel 0 ⇒ all metrics 0
+    assert by_q[0].n_rel == 0
+    assert by_q[0].recall_at_k == 0.0
+    assert by_q[0].mrr == 0.0
+    assert by_q[0].ndcg_at_k == 0.0
+
+    # query 1: recompute expected from the definitions in pure python
+    import numpy as np
+
+    vecs = {r.vec_id: np.array(r.embedding) for r in data}
+    lbl = {r.vec_id: r.label for r in data}
+    q = vecs[1]
+    cos = {
+        i: float(v @ q / (np.linalg.norm(v) * np.linalg.norm(q)))
+        for i, v in vecs.items()
+        if i != 1
+    }
+    ranked = sorted(cos, key=lambda i: (-cos[i], i))[:3]
+    rel = [1 if lbl[i] == lbl[1] else 0 for i in ranked]
+    n_rel = sum(1 for i in lbl if i != 1 and lbl[i] == lbl[1])
+    dcg = sum(r / math.log2(1 + rank) for rank, r in enumerate(rel, 1))
+    idcg = sum(1 / math.log2(1 + i) for i in range(1, min(3, n_rel) + 1))
+    first = next((rank for rank, r in enumerate(rel, 1) if r), None)
+    assert by_q[1].n_rel == n_rel
+    assert by_q[1].recall_at_k == round(sum(rel) / n_rel, 6)
+    assert by_q[1].mrr == round(1 / first if first else 0.0, 6)
+    assert by_q[1].ndcg_at_k == round(dcg / idcg, 6)
