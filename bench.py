@@ -227,6 +227,7 @@ NOT_BENCHED: dict[str, str] = {
     "stream_session_counts": "twin:stateful_user_stats (session-window state; batch sessionize_events timed)",
     "stream_dedup_count": "twin:stream_ingest_dedup (dropDuplicates state machinery timed there)",
     "stream_view_purchase_join": "twin:stream_view_purchase_left (inner form; the timed left-outer strictly contains its cost path)",
+    "hard_negative_mining": "twin:knn_eval_metrics (same ranked+relevance frame, conditional mins instead of metric sums)",
 }
 
 

@@ -265,6 +265,10 @@ _DEFERRED_TWINS = {
     #   INSIDE hybrid_search_rrf (which executes bm25_search end-to-end)
     #   — slot taken by knn_eval_metrics (NOVEL rank-metric aggregation:
     #   recall/MRR/nDCG over the decimal-cosine ranking)
+    "hard_negative_mining",  # round-7 deferral AT BIRTH (allowed for
+    #   machinery-twins): same ranked+relevance frame as the in-window
+    #   knn_eval_metrics, conditional mins instead of metric sums;
+    #   differential below
 }
 
 
@@ -4010,6 +4014,55 @@ def _knn_eval_sql(n_queries: int = 20, k: int = 10) -> str:
         f"LEFT JOIN ideal ON ideal.i = least(n_rel, {k}) "
         "ORDER BY query_id"
     )
+
+
+def _hard_negative_sql(n_queries: int = 20, k: int = 10) -> str:
+    """Mirror of operators/similarity.py:hard_negative_mining — the
+    knn_eval_metrics rank+relevance frame with conditional mins and two
+    rank join-backs (LEFT: a top-k can lack either class)."""
+    dot_qc = _DUCK_DOT.format(a="c.ce", b="q.qe")
+    norm_c = _DUCK_DOT.format(a="c.ce", b="c.ce")
+    norm_q = _DUCK_DOT.format(a="q.qe", b="q.qe")
+    return (
+        f"WITH q AS (SELECT vec_id AS query_id, embedding AS qe, label AS qlbl "
+        f"FROM embeddings WHERE vec_id < {n_queries}), "
+        "c AS (SELECT vec_id AS neighbor_id, embedding AS ce, label AS nlbl "
+        "FROM embeddings), "
+        f"scored AS (SELECT query_id, qlbl, neighbor_id, nlbl, {dot_qc} / "
+        f"(sqrt({norm_q}) * sqrt({norm_c})) AS cosine "
+        "FROM c CROSS JOIN q WHERE query_id <> neighbor_id), "
+        "ranked AS (SELECT query_id, qlbl, neighbor_id, nlbl, "
+        "CAST(row_number() OVER (PARTITION BY query_id "
+        "ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank FROM scored), "
+        "flagged AS (SELECT query_id, neighbor_id, rank, "
+        "CASE WHEN nlbl = qlbl THEN 1 ELSE 0 END AS rel "
+        f"FROM ranked WHERE rank <= {k}), "
+        "picks AS (SELECT query_id, "
+        "min(CASE WHEN rel = 1 THEN rank END) AS positive_rank, "
+        "min(CASE WHEN rel = 0 THEN rank END) AS negative_rank "
+        "FROM flagged GROUP BY query_id) "
+        "SELECT p.query_id, pos.neighbor_id AS positive_id, p.positive_rank, "
+        "neg.neighbor_id AS negative_id, p.negative_rank "
+        "FROM picks p "
+        "LEFT JOIN flagged pos ON pos.query_id = p.query_id "
+        "AND pos.rank = p.positive_rank "
+        "LEFT JOIN flagged neg ON neg.query_id = p.query_id "
+        "AND neg.rank = p.negative_rank "
+        "ORDER BY p.query_id"
+    )
+
+
+@register("hard_negative_mining", _hard_negative_sql())
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive pair mining (operators/similarity.py:
+    hard_negative_mining): per query the top-ranked same-label neighbor
+    (positive) and top-ranked other-label neighbor (hard negative) from
+    the cosine top-k — DPR/ANCE-style training-pair extraction.
+    Deferred at birth: machinery twin of the in-window
+    knn_eval_metrics (same ranked+relevance frame; conditional mins
+    instead of metric sums); DuckDB differential in
+    tests/test_catalog_twins.py."""
+    return SIM.hard_negative_mining(_load_emb(spark, sf_dir))
 
 
 @register("knn_eval_metrics", _knn_eval_sql())

@@ -936,3 +936,91 @@ def knn_eval_metrics(
         )
         .orderBy("query_id")
     )
+
+
+def hard_negative_mining(
+    vectors: DataFrame,
+    n_queries: int = 20,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Contrastive training-pair mining over the embedding ranking: for
+    each of the first ``n_queries`` vectors, the top-ranked SAME-label
+    neighbor in its cosine top-k (the positive) and the top-ranked
+    OTHER-label neighbor (the hard negative — ranked high by the index
+    yet not relevant, the pair a contrastive finetune actually wants;
+    cf. DPR/ANCE-style in-batch hard negatives).  Returns (query_id,
+    positive_id, positive_rank, negative_id, negative_rank), NULLs
+    where the top-k holds no such neighbor, ordered by query_id.
+
+    Machinery twin of knn_eval_metrics (same ranked+relevance frame;
+    conditional-min instead of metric sums) — deferred at birth with a
+    DuckDB differential.  Scale shape identical: ranked lists from any
+    tier (exact here, ANN at scale), the mining stage touches
+    n_queries·k rows.
+    """
+    ranked = knn_bruteforce(
+        vectors,
+        vectors.where(F.col(id_col) < n_queries),
+        k=k,
+        vec_col=vec_col,
+        id_col=id_col,
+    )
+    labels = vectors.select(
+        F.col(id_col).alias("_lid"), F.col(label_col).alias("_lbl")
+    )
+    qlbl = labels.where(F.col("_lid") < n_queries).select(
+        F.col("_lid").alias("query_id"), F.col("_lbl").alias("_qlbl")
+    )
+    flagged = (
+        ranked.join(F.broadcast(qlbl), "query_id")
+        .join(
+            F.broadcast(labels.withColumnRenamed("_lid", "neighbor_id")),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.when(F.col("_lbl") == F.col("_qlbl"), 1).otherwise(0).alias("rel"),
+        )
+    )
+    picks = flagged.groupBy("query_id").agg(
+        F.min(F.when(F.col("rel") == 1, F.col("rank"))).alias("positive_rank"),
+        F.min(F.when(F.col("rel") == 0, F.col("rank"))).alias("negative_rank"),
+    )
+    ids = flagged.select("query_id", "neighbor_id", "rank")
+    return (
+        picks.join(
+            F.broadcast(
+                ids.select(
+                    "query_id",
+                    F.col("neighbor_id").alias("positive_id"),
+                    F.col("rank").alias("positive_rank"),
+                )
+            ),
+            ["query_id", "positive_rank"],
+            "left",
+        )
+        .join(
+            F.broadcast(
+                ids.select(
+                    "query_id",
+                    F.col("neighbor_id").alias("negative_id"),
+                    F.col("rank").alias("negative_rank"),
+                )
+            ),
+            ["query_id", "negative_rank"],
+            "left",
+        )
+        .select(
+            "query_id",
+            "positive_id",
+            "positive_rank",
+            "negative_id",
+            "negative_rank",
+        )
+        .orderBy("query_id")
+    )

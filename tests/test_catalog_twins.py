@@ -742,3 +742,9 @@ def test_bm25_search_indexed_matches_oracle(spark, sf_dir):
     # birth): the persisted-postings probe stays value-checked every
     # pytest run (plus the unit parity test vs the in-plan bm25_search)
     _assert_matches_oracle(spark, sf_dir, "bm25_search_indexed")
+
+
+def test_hard_negative_mining_matches_oracle(spark, sf_dir):
+    # round-7 deferral at birth: machinery twin of the in-window
+    # knn_eval_metrics (ranked+relevance frame, conditional mins)
+    _assert_matches_oracle(spark, sf_dir, "hard_negative_mining")

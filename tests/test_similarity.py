@@ -295,3 +295,25 @@ def test_knn_eval_metrics_hand_computed(spark):
     assert by_q[1].recall_at_k == round(sum(rel) / n_rel, 6)
     assert by_q[1].mrr == round(1 / first if first else 0.0, 6)
     assert by_q[1].ndcg_at_k == round(dcg / idcg, 6)
+
+
+def test_hard_negative_mining_null_positive(spark):
+    # a query whose label is unique has NO positive in any top-k; the
+    # hard negative is still the top-ranked neighbor
+    from pyspark.sql import Row
+
+    data = [
+        Row(vec_id=0, embedding=[1.0, 0.0], label=7),
+        Row(vec_id=1, embedding=[1.0, 0.1], label=1),
+        Row(vec_id=2, embedding=[1.0, 0.2], label=1),
+        Row(vec_id=3, embedding=[0.0, 1.0], label=2),
+    ]
+    out = SIM.hard_negative_mining(
+        spark.createDataFrame(data), n_queries=1, k=2
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.query_id == 0
+    assert r.positive_id is None and r.positive_rank is None
+    # nearest to [1,0] is vec 1, then vec 2 — both label!=7
+    assert (r.negative_id, r.negative_rank) == (1, 1)
