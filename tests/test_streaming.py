@@ -388,3 +388,22 @@ def test_left_join_watermark_ignores_third_type_max_ts(spark, tmp_path):
     #   2024-01-04 23:00 would wrongly include it).
     # view 102: matched by purchase 200 → emitted regardless of watermark.
     assert got == {(100, None), (102, 200)}
+
+
+def test_stream_shuffle_scope_restores_session_default(spark):
+    # round 7: the stream-scoped shuffle-partition pin must restore the
+    # session default even when the stream fails to start
+    from database_per_keyword_analysis_spark.streaming import windows as SW
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    with SW._stream_shuffle(spark):
+        assert spark.conf.get("spark.sql.shuffle.partitions") == str(
+            SW.STREAM_SHUFFLE_PARTITIONS
+        )
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    try:
+        with SW._stream_shuffle(spark, 4):
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
