@@ -93,7 +93,9 @@ _DEFERRED_TWINS = {
     "segment_order_stats",  # count/avg/countDistinct agg
     "customer_nation_cube",  # grouping-sets machinery (order_priority_rollup)
     "order_price_quantiles",  # exact-percentile window machinery
-    "running_order_totals",  # frame windows via in-window event_anomalies
+    "running_order_totals",  # frame windows; machinery differential-
+    #   proven (r7: event_anomalies rotated out with its own differential;
+    #   events_value_locf keeps frame windows in-window)
     "asof_last_view_before_purchase",  # union + last-value window
     "sliding_window_counts",  # overlapping-bucket explode + groupBy
     "sessionize_events",  # gap-sessionization inside purchases_in_event_bursts
@@ -105,6 +107,8 @@ _DEFERRED_TWINS = {
     "word_frequency_by_lang",  # same explode→count→rank family
     "language_id",  # pure scalar expression scoring
     "doc_quality_metrics",  # feature expressions inside quality_classifier
+    #   (itself differential-proven since its r7 rotation; the quality
+    #   family keeps four in-window members)
     "doc_fingerprints",  # md5 fingerprint expressions (exact-dup key)
     "simhash_fingerprints",  # bit-vector fingerprint family
     "jaccard_near_dups",  # exact-Jaccard verify stage of minhash family
@@ -168,7 +172,8 @@ _DEFERRED_TWINS = {
     #   in-window large_volume_orders (Q18 join-back top-k) + promoted
     #   salted join twins
     "sequence_packing",  # green r5; cumsum frame windows via in-window
-    #   event_anomalies
+    #   events_value_locf (event_anomalies rotated out r7 with its own
+    #   differential)
     "document_chunks",  # green r5; sequence/explode chunking via
     #   in-window length_bucket_batches
     "corpus_diff",  # green r5; winnowing machinery via promoted
@@ -179,8 +184,9 @@ _DEFERRED_TWINS = {
     #   vocab_coverage / bm25_search_indexed
     # round-6 one-for-one swaps: each demotion below freed the slot a
     # round-6 NOVEL query took (novel machinery goes IN the window):
-    "c4_rule_filter",  # green r5; scan-stage rule expressions via
-    #   in-window quality_classifier (same feature family) — slot taken
+    "c4_rule_filter",  # green r5; scan-stage rule expressions; the
+    #   quality family keeps four in-window members (quality_classifier
+    #   itself differential-proven since its r7 rotation) — slot taken
     #   by bpe_encode (frozen-model tokenizer apply, oracle-backed)
     "supplier_wait_blame",  # green r5; Q21 semi/anti decorrelation,
     #   late_order_priority (Q4 EXISTS) + supplier_counts_excluded
@@ -269,6 +275,17 @@ _DEFERRED_TWINS = {
     #   machinery-twins): same ranked+relevance frame as the in-window
     #   knn_eval_metrics, conditional mins instead of metric sums;
     #   differential below
+    # round-7 in-window-at-birth swaps, second batch (TPC-H Q9/Q12
+    # close the join-tree family):
+    "event_anomalies",  # green r5-r6; lag/lead + frame-window machinery
+    #   stays in-window via events_value_locf (last-value frames over
+    #   the same events spine); differential below — slot taken by
+    #   nation_profit (Q9 profit join tree, the last missing shape)
+    "quality_classifier",  # green r5-r6; scan-stage feature expressions;
+    #   the quality family keeps four in-window members
+    #   (bigram_lm_scores, lm_quality_buckets, source_quality_report,
+    #   quality_keeper_selection); differential below — slot taken by
+    #   late_shipment_priority (Q12 conditional priority split)
 }
 
 
@@ -4980,4 +4997,72 @@ def q_media_phash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_hamming=_PHASH_MAX_HAMMING,
     ).select(
         "doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 7: the last two TPC-H join-tree shapes (Q9 / Q12), registered
+# IN-WINDOW at birth per the round-7 rotation policy — event_anomalies
+# and quality_classifier (both driver-green r5+r6) rotate out with
+# differentials in tests/test_catalog_twins.py to free the two slots.
+# ---------------------------------------------------------------------------
+
+@register(
+    "nation_profit",
+    "SELECT nation, order_year, " + _dsum("amount", "profit")
+    + " FROM (SELECT n_name AS nation, "
+    "CAST(year(o_orderdate) AS INTEGER) AS order_year, "
+    "l_extendedprice * (1 - l_discount) "
+    "- p_retailprice * l_quantity * 0.10 AS amount "
+    "FROM lineitem "
+    "JOIN part ON l_partkey = p_partkey "
+    "JOIN supplier ON l_suppkey = s_suppkey "
+    "JOIN nation ON s_nationkey = n_nationkey "
+    "JOIN orders ON l_orderkey = o_orderkey "
+    "WHERE contains(p_name, 'rod')) "
+    "GROUP BY nation, order_year ORDER BY nation, order_year DESC",
+)
+def q_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-style profit per (nation, year)
+    (operators/relational.py:nation_profit): the LAST missing TPC-H
+    join-tree shape — substring-filtered part slice broadcast into the
+    fact first, supplier→nation broadcast, one orderkey shuffle, profit
+    expression (price×qty product subtracted inside the aggregate)
+    summed in DECIMAL.  partsupp is absent from the fixtures, so
+    p_retailprice×l_quantity×0.10 stands in for ps_supplycost×l_quantity
+    (same expression shape, same join tree)."""
+    return R.nation_profit(
+        load(spark, sf_dir, "lineitem", parallel=True),
+        load(spark, sf_dir, "orders", parallel=True),
+        load(spark, sf_dir, "part"),
+        load(spark, sf_dir, "supplier"),
+        load(spark, sf_dir, "nation"),
+    )
+
+
+@register(
+    "late_shipment_priority",
+    "SELECT l_returnflag, "
+    "count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+    "THEN 1 END) AS critical_count, "
+    "count(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') "
+    "THEN 1 END) AS normal_count "
+    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+    "AND l_shipdate > o_orderdate + INTERVAL 60 DAY "
+    "WHERE year(o_orderdate) = 1997 "
+    "GROUP BY l_returnflag ORDER BY l_returnflag",
+)
+def q_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-style shipping-class priority split
+    (operators/relational.py:late_shipment_priority): per-class
+    conditional counts over late-shipped lines — the year filter prunes
+    the orders scan before the one orderkey shuffle, the date
+    inequality rides as a residual join condition, and both priority
+    counts come from the same aggregation pass.  l_shipmode /
+    l_commitdate / l_receiptdate are absent from the fixtures, so the
+    class is l_returnflag and "late" is ship-lag > 60 days (the same
+    correlated-inequality + conditional-count shape)."""
+    return R.late_shipment_priority(
+        load(spark, sf_dir, "lineitem", parallel=True),
+        load(spark, sf_dir, "orders", parallel=True),
     )

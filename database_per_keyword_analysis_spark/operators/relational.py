@@ -1331,3 +1331,91 @@ def late_order_priority(
         .agg(F.count(F.lit(1)).alias("n_late_orders"))
         .orderBy("o_orderpriority")
     )
+
+
+def nation_profit(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    part_substr: str = "rod",
+    cost_rate: float = 0.10,
+) -> DataFrame:
+    """TPC-H Q9-style product-type profit per (nation, year).
+
+    Reference parity: completes the TPC-H decorrelation family (SURVEY
+    §2.3) — Q9 is the last join-tree shape the catalog lacked.  The
+    fixtures carry no partsupp table, so the supply-cost term uses
+    `p_retailprice * l_quantity * cost_rate` in place of
+    `ps_supplycost * l_quantity`; the expression SHAPE (a price×quantity
+    product subtracted inside the aggregate) and the join tree (fact ⋈
+    filtered part ⋈ supplier ⋈ nation ⋈ orders) are Q9's.
+
+    Physical plan: the substring-filtered part slice (a few % of an
+    already-small dimension) broadcasts into lineitem FIRST, shrinking
+    the fact stream before the one orderkey shuffle against orders;
+    supplier⋈nation broadcast too.  Profit terms aggregate in DECIMAL
+    (order-independent) and surface as DOUBLE — the dec_sum convention.
+    """
+    p = (
+        part.where(F.col("p_name").contains(part_substr))
+        .select("p_partkey", "p_retailprice")
+    )
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity") * F.lit(cost_rate)
+    return (
+        lineitem.join(F.broadcast(p), lineitem.l_partkey == p.p_partkey)
+        .join(F.broadcast(supplier), F.col("l_suppkey") == supplier.s_suppkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(orders, F.col("l_orderkey") == orders.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("integer").alias("order_year"),
+        )
+        .agg(dec_sum(profit, "profit"))
+        .orderBy("nation", F.desc("order_year"))
+    )
+
+
+def late_shipment_priority(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    late_days: int = 60,
+    year: int = 1997,
+) -> DataFrame:
+    """TPC-H Q12-style shipping-class priority counts.
+
+    The fixtures carry no l_shipmode/l_commitdate/l_receiptdate, so the
+    adapted form groups by `l_returnflag` (the available line class) and
+    defines "late" as l_shipdate > o_orderdate + late_days within one
+    order year — the same shape: fact⋈fact equi-join with a correlated
+    date inequality as residual, then per-class CONDITIONAL counts
+    splitting the order-priority domain into critical (1-URGENT/2-HIGH)
+    vs non-critical.
+
+    Physical plan: the year filter prunes the orders scan before the
+    join; one orderkey shuffle; both conditional counts come from the
+    same pass (map-side combine) — no second scan, no pivot shuffle.
+    """
+    o = orders.where(F.year("o_orderdate") == year).select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    late = lineitem.select("l_orderkey", "l_returnflag", "l_shipdate").join(
+        o,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {int(late_days)} DAYS")
+        ),
+    )
+    critical = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        late.groupBy("l_returnflag")
+        .agg(
+            F.count(F.when(critical, 1)).alias("critical_count"),
+            F.count(F.when(~critical, 1)).alias("normal_count"),
+        )
+        .orderBy("l_returnflag")
+    )

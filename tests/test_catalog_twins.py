@@ -330,8 +330,9 @@ def test_multimodal_decode_matches_oracle(spark, sf_dir):
 
 
 def test_event_anomalies_matches_oracle(spark, sf_dir):
-    # deferred at birth: rowsBetween frame machinery of
-    # running_order_totals over events_daily_counts' daily table
+    # r7 demotion (slot taken by nation_profit — TPC-H Q9, in-window
+    # at birth): lag/frame z-score machinery stays value-checked every
+    # pytest run; events_value_locf keeps frame windows in the window
     _assert_matches_oracle(spark, sf_dir, "event_anomalies")
 
 
@@ -748,3 +749,11 @@ def test_hard_negative_mining_matches_oracle(spark, sf_dir):
     # round-7 deferral at birth: machinery twin of the in-window
     # knn_eval_metrics (ranked+relevance frame, conditional mins)
     _assert_matches_oracle(spark, sf_dir, "hard_negative_mining")
+
+
+def test_quality_classifier_matches_oracle(spark, sf_dir):
+    # round-7 demotion (slot taken by late_shipment_priority — TPC-H
+    # Q12 conditional priority split, in-window at birth): the linear
+    # quality-scorer expressions stay value-checked every pytest run;
+    # the quality family keeps four in-window members
+    _assert_matches_oracle(spark, sf_dir, "quality_classifier")

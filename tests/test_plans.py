@@ -563,3 +563,42 @@ def test_knn_eval_metrics_broadcasts_eval_side(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan  # knn query block
     assert "BroadcastHashJoin" in plan  # label-total / qrel attach
     assert plan.count("CartesianProduct") == 0
+
+
+def test_nation_profit_broadcasts_dims_single_shuffle_join(spark, sf_dir):
+    # Q9: the filtered part slice + supplier + nation all broadcast;
+    # the only shuffle join is lineitem⋈orders on orderkey; the part
+    # name filter pushes into the scan (contains → no pushdown, but the
+    # IsNotNull does) and the part scan reads only 3 columns
+    plan = _plan(spark, sf_dir, "nation_profit")
+    assert "Cartesian" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+    reads = [s.splitlines()[0] for s in plan.split("ReadSchema:")[1:]]
+    assert any(
+        "p_retailprice" in r and "p_name" in r and "p_type" not in r
+        and "p_size" not in r for r in reads
+    )
+    # lineitem reads only the 5 needed columns
+    assert any(
+        "l_partkey" in r and "l_returnflag" not in r and "l_tax" not in r
+        for r in reads
+    )
+
+
+def test_late_shipment_priority_single_pass_conditional_counts(spark, sf_dir):
+    # Q12: both priority counts come from ONE aggregate over ONE join —
+    # no pivot shuffle, no second orders scan; the year filter reaches
+    # the orders scan as a pushed-down range or partial filter
+    plan = _plan(spark, sf_dir, "late_shipment_priority")
+    assert "Cartesian" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Scan parquet") <= 2
+    # ONE aggregation shuffle (partial→final), the year-filtered orders
+    # slice broadcasts, and both counts sit in the same HashAggregate
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert "BroadcastHashJoin" in plan
+    final_aggs = [
+        ln for ln in plan.splitlines()
+        if "HashAggregate" in ln and "partial" not in ln
+    ]
+    assert len(final_aggs) == 1
+    assert final_aggs[0].count("count(CASE WHEN") == 2

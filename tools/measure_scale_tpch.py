@@ -19,7 +19,9 @@ as at a real 10x SF).
 Queries: one per distinct physical shape in the decorrelation batch —
 scan-agg (Q1), left-outer double agg (Q13), per-group scalar join-back
 (Q17), HAVING + join-back top-k (Q18), multi-join share-of-total (Q8),
-EXISTS/NOT-EXISTS self-joins (Q21).
+EXISTS/NOT-EXISTS self-joins (Q21), plus the round-7 second-batch
+join trees: profit multi-join (Q9) and residual-inequality
+conditional-count join (Q12).
 
 Usage: python tools/measure_scale_tpch.py   (one JSON line per
 measurement; transcribe into SCALE.md)
@@ -47,6 +49,8 @@ QUERIES = [
     "large_volume_orders",
     "nation_market_share",
     "supplier_wait_blame",
+    "nation_profit",
+    "late_shipment_priority",
 ]
 
 
