@@ -164,6 +164,8 @@ HEADLINE = [
     # round-7 second batch: the last two TPC-H join-tree shapes
     "nation_profit",
     "late_shipment_priority",
+    # round-7 third batch: frozen-quantizer cluster-balanced curation
+    "embedding_cluster_sample",
 ]
 
 # Round-7 headline audit (round-6 judge item 5): every registered query

@@ -286,6 +286,12 @@ _DEFERRED_TWINS = {
     #   (bigram_lm_scores, lm_quality_buckets, source_quality_report,
     #   quality_keeper_selection); differential below — slot taken by
     #   late_shipment_priority (Q12 conditional priority split)
+    "order_priority_history",  # green r5-r6; SCD2 validity intervals;
+    #   merge.py's write paths (SCD1 MERGE + partition-pruned movers)
+    #   are pytest-pinned incl. fault injection, and both merge queries
+    #   have been driver-green twice; differential below — slot taken
+    #   by embedding_cluster_sample (NOVEL frozen-quantizer
+    #   cluster-balanced curation, in-window at birth)
 }
 
 
@@ -5065,4 +5071,110 @@ def q_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.late_shipment_priority(
         load(spark, sf_dir, "lineitem", parallel=True),
         load(spark, sf_dir, "orders", parallel=True),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 7: cluster-balanced embedding curation.  The quantizer below is
+# a FROZEN artifact — 4 centroids learned once from the sf0.001
+# embeddings fixture via the IVF family's k-means (seed 7), rounded to
+# 4 decimals — the same train-iteratively / apply-frozen split as
+# FROZEN_BPE_MERGES: training stays rows-only (ivf_knn), applying a
+# frozen quantizer is deterministic per-row arithmetic the oracle
+# replays exactly.
+# ---------------------------------------------------------------------------
+
+FROZEN_EMB_CENTROIDS: list[list[float]] = [
+    [0.0184, 0.0061, -0.0091, 0.0439, 0.0222, -0.0252, -0.0326, -0.0123,
+     0.0132, -0.0224, 0.0111, -0.0137, -0.0056, 0.011, -0.0125, -0.0086,
+     0.0238, -0.0601, 0.0498, -0.0335, -0.0144, 0.0308, 0.0073, -0.0104,
+     -0.0204, 0.0109, -0.0041, -0.0214, 0.0351, -0.0072, -0.0256, 0.0057,
+     0.0181, -0.0312, 0.0005, 0.0132, 0.0339, -0.0149, -0.0399, 0.0217,
+     -0.0059, 0.0019, 0.0113, 0.0004, 0.0279, -0.0053, 0.0066, 0.0235,
+     0.0031, 0.0274, -0.0319, -0.0438, -0.003, 0.0239, -0.0226, -0.0132,
+     0.0359, -0.0367, 0.0109, -0.0291, -0.0504, 0.0766, 0.0086, 0.0164],
+    [-0.0111, -0.0305, 0.0276, 0.0114, 0.0046, -0.0129, -0.0068, 0.01,
+     -0.0117, -0.0077, 0.0136, 0.0093, 0.0085, 0.0091, 0.0127, 0.0175,
+     -0.0184, 0.0259, -0.022, 0.0002, -0.0085, -0.018, -0.0456, 0.008,
+     -0.0405, -0.0115, 0.0263, 0.026, -0.0199, 0.0104, 0.0052, 0.0375,
+     0.023, 0.022, -0.0514, -0.0113, -0.019, -0.0018, 0.02, 0.0071, -0.0101,
+     -0.024, 0.0027, -0.0339, -0.0237, -0.027, -0.0242, 0.0277, 0.0332,
+     0.0208, 0.036, 0.048, -0.0288, 0.0016, 0.0374, -0.0092, -0.01, 0.0172,
+     -0.0582, -0.0303, 0.0232, -0.0066, -0.0129, 0.0429],
+    [-0.048, 0.0078, 0.0198, -0.008, -0.0174, 0.0573, 0.0073, 0.0266,
+     -0.0082, 0.0019, 0.0468, -0.0129, 0.0012, 0.0282, 0.0509, -0.0219,
+     -0.0023, 0.0066, -0.0369, 0.048, -0.0068, -0.0328, 0.011, -0.0144,
+     0.0488, 0.0005, -0.0156, 0.0332, -0.0065, -0.0123, -0.0484, -0.0393,
+     -0.0293, 0.0328, -0.022, 0.0243, -0.0275, -0.0076, -0.0068, -0.0031,
+     0.0218, 0.0378, 0.0207, 0.0223, 0.0038, -0.0513, -0.0027, -0.0119,
+     -0.0205, -0.03, -0.009, -0.0244, 0.029, 0.0106, 0.0103, 0.0093,
+     -0.0123, -0.0023, 0.0071, -0.0012, 0.0238, -0.026, -0.0221, -0.0568],
+    [0.0269, 0.0136, -0.0328, -0.0138, -0.0178, -0.0255, 0.0326, -0.0596,
+     -0.0374, 0.0108, -0.0382, -0.0208, -0.0055, -0.0275, -0.0298, -0.0018,
+     0.0009, 0.0195, 0.0011, -0.0323, 0.0048, 0.0126, 0.0465, -0.0286,
+     0.0058, -0.0111, -0.0124, -0.0489, -0.027, -0.0056, 0.0228, -0.0078,
+     -0.0066, -0.0042, 0.0631, -0.0064, 0.0164, 0.0219, -0.0117, 0.0127,
+     -0.0181, -0.0445, -0.0194, 0.0261, -0.0298, 0.0352, 0.0237, -0.0499,
+     -0.0097, -0.0157, -0.0007, 0.0064, 0.0198, -0.007, 0.0123, 0.0141,
+     0.0023, 0.0294, 0.0188, 0.0701, -0.0098, -0.0376, 0.0091, -0.0041],
+]
+
+
+def _cluster_balance_sql(target_total: int) -> str:
+    # replay the identical affine nearest-centroid scores (DECIMAL dot
+    # - half-norm, both generated from the SAME frozen constant) and
+    # the md5-uniform keep rule in DuckDB
+    k = len(FROZEN_EMB_CENTROIDS)
+    score_exprs = []
+    for i, row in enumerate(FROZEN_EMB_CENTROIDS):
+        arr = "[" + ", ".join(repr(float(v)) for v in row) + "]"
+        half_norm = 0.5 * sum(float(v) * float(v) for v in row)
+        dot = _DUCK_DOT.format(a="embedding", b=arr)
+        score_exprs.append(f"{dot} - {half_norm!r} AS s{i}")
+    m = "greatest(" + ", ".join(f"s{i}" for i in range(k)) + ")"
+    case = (
+        "CASE "
+        + " ".join(f"WHEN s{i} = m THEN {i}" for i in range(k))
+        + " END"
+    )
+    u = (
+        "CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 12) "
+        "AS BIGINT) / 281474976710656.0"
+    )
+    per_cluster = float(target_total) / k
+    return (
+        "WITH s AS (SELECT vec_id, "
+        + ", ".join(score_exprs)
+        + " FROM embeddings), "
+        f"a AS (SELECT vec_id, CAST({case} AS INTEGER) AS cluster "
+        f"FROM (SELECT vec_id, *, {m} AS m FROM s)), "
+        "c AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_cluster "
+        "FROM a GROUP BY cluster) "
+        f"SELECT vec_id, cluster, n_cluster, "
+        f"{u} < least(1.0, {per_cluster!r} / CAST(n_cluster AS DOUBLE)) "
+        "AS kept FROM a JOIN c USING (cluster) ORDER BY vec_id"
+    )
+
+
+_CLUSTER_SAMPLE_TARGET = 200
+
+
+@register(
+    "embedding_cluster_sample", _cluster_balance_sql(_CLUSTER_SAMPLE_TARGET)
+)
+def q_embedding_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced embedding curation
+    (operators/similarity.py:cluster_balanced_sample): every vector is
+    assigned to its nearest FROZEN centroid (affine DECIMAL-dot argmax,
+    scan-stage, zero shuffle), then down-sampled toward an equal
+    per-cluster budget with the md5-uniform keep rule — the
+    cluster-pruning step of semantic data curation.  The only shuffle
+    is the K-row per-cluster count, broadcast back — never a window
+    over the K-value cluster key (the skew trap at corpus scale)."""
+    from .operators import similarity as SIM
+
+    return SIM.cluster_balanced_sample(
+        load(spark, sf_dir, "embeddings"),
+        FROZEN_EMB_CENTROIDS,
+        target_total=_CLUSTER_SAMPLE_TARGET,
     )

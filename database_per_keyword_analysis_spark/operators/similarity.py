@@ -1024,3 +1024,89 @@ def hard_negative_mining(
         )
         .orderBy("query_id")
     )
+
+
+def _centroid_scores(
+    centroids: list[list[float]], vec_col: str
+) -> list[Column]:
+    """One affine nearest-centroid score per frozen centroid:
+    s_k = dot(x, c_k) − ‖c_k‖²/2, so argmax_k s_k ≡ argmin_k ‖x−c_k‖²
+    (the shared ‖x‖² term cancels).  Each dot runs through the DECIMAL
+    accumulator (`_dot_dec`) and the half-norm is computed ONCE in
+    Python from the same frozen literals the oracle builder reads, so
+    the scores — and every comparison between them — are bit-identical
+    across engines."""
+    scores = []
+    for row in centroids:
+        arr = "array(" + ", ".join(repr(float(v)) for v in row) + ")"
+        half_norm = 0.5 * sum(float(v) * float(v) for v in row)
+        scores.append(_dot_dec(vec_col, arr) - F.lit(half_norm))
+    return scores
+
+
+def cluster_assign_frozen(
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Assign each vector to its nearest FROZEN centroid (exact L2
+    argmin, ties → lowest cluster id).
+
+    The k-means TRAINING step is iterative driver-side work (`ivf_index`
+    keeps it rows-only); a trained quantizer is a frozen artifact, and
+    APPLYING one is a pure per-row expression — the same
+    train-free/apply-frozen split as `bpe_encode_frozen`.  K scan-stage
+    DECIMAL dots against literal arrays, zero joins, zero shuffles;
+    returns (id_col, cluster INT)."""
+    scores = _centroid_scores(centroids, vec_col)
+    m = F.greatest(*scores) if len(scores) > 1 else scores[0]
+    assign = F.when(scores[0] == m, F.lit(0))
+    for k in range(1, len(scores)):
+        assign = assign.when(scores[k] == m, F.lit(k))
+    return vectors.select(
+        F.col(id_col), assign.cast("int").alias("cluster")
+    )
+
+
+def cluster_balanced_sample(
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    target_total: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Cluster-balanced corpus sampling (the DataComp / cluster-pruning
+    curation step, arXiv:2309.17425 §3.4 flavor): assign every vector
+    to its nearest frozen centroid, then keep each with probability
+    min(1, (target_total/K) / n_cluster) via the deterministic
+    md5-uniform draw — over-represented semantic regions are
+    down-sampled toward an equal per-cluster budget while sparse
+    regions keep everything.
+
+    Scale: assignment is scan-stage (zero shuffle); the per-cluster
+    counts aggregate map-side to K rows and BROADCAST back, so no
+    full-data shuffle ever happens — a window count over the K-value
+    cluster key would be the skew trap (K partitions carrying the whole
+    corpus).  The two passes over the input are the scale-correct
+    trade: scans parallelize, shuffles on 4-value keys do not.
+
+    Returns (id_col, cluster, n_cluster, kept) — kept is the sampling
+    verdict, deterministic for a fixed corpus on any engine."""
+    from .curation import uniform_hash
+
+    assigned = cluster_assign_frozen(
+        vectors, centroids, vec_col=vec_col, id_col=id_col
+    ).withColumn("u", uniform_hash(F.col(id_col)))
+    counts = assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_cluster")
+    )
+    per_cluster = float(target_total) / len(centroids)
+    kept = F.col("u") < F.least(
+        F.lit(1.0), F.lit(per_cluster) / F.col("n_cluster").cast("double")
+    )
+    return (
+        assigned.join(F.broadcast(counts), "cluster")
+        .select(id_col, "cluster", "n_cluster", kept.alias("kept"))
+        .orderBy(id_col)
+    )

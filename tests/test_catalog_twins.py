@@ -757,3 +757,11 @@ def test_quality_classifier_matches_oracle(spark, sf_dir):
     # quality-scorer expressions stay value-checked every pytest run;
     # the quality family keeps four in-window members
     _assert_matches_oracle(spark, sf_dir, "quality_classifier")
+
+
+def test_order_priority_history_matches_oracle(spark, sf_dir):
+    # round-7 demotion (slot taken by embedding_cluster_sample —
+    # frozen-quantizer cluster-balanced curation, in-window at birth):
+    # SCD2 validity intervals stay value-checked every pytest run;
+    # merge.py's write paths are pytest-pinned incl. fault injection
+    _assert_matches_oracle(spark, sf_dir, "order_priority_history")

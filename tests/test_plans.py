@@ -602,3 +602,17 @@ def test_late_shipment_priority_single_pass_conditional_counts(spark, sf_dir):
     ]
     assert len(final_aggs) == 1
     assert final_aggs[0].count("count(CASE WHEN") == 2
+
+
+def test_cluster_sample_assignment_is_scan_stage_counts_broadcast(spark, sf_dir):
+    # frozen-centroid assignment must be pure scan-stage expressions (no
+    # join against a centroid table), the per-cluster counts aggregate
+    # to K rows and come back as a BROADCAST join — never a sort-merge
+    # shuffle or a window over the K-value cluster key
+    plan = _plan(spark, sf_dir, "embedding_cluster_sample")
+    assert "Cartesian" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+    # the cluster-count aggregation is the only hash shuffle
+    assert plan.count("Exchange hashpartitioning") <= 2  # partial->final agg + none other

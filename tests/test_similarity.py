@@ -317,3 +317,58 @@ def test_hard_negative_mining_null_positive(spark):
     assert r.positive_id is None and r.positive_rank is None
     # nearest to [1,0] is vec 1, then vec 2 — both label!=7
     assert (r.negative_id, r.negative_rank) == (1, 1)
+
+
+class TestClusterBalancedSample:
+    def test_assignment_matches_numpy_argmin(self, spark):
+        import numpy as np
+
+        from database_per_keyword_analysis_spark.catalog import (
+            FROZEN_EMB_CENTROIDS,
+        )
+        from database_per_keyword_analysis_spark.operators import (
+            similarity as SIM,
+        )
+        from database_per_keyword_analysis_spark.sources import load
+
+        vecs = load(spark, "/root/testdata/sf0.001", "embeddings")
+        got = {
+            r.vec_id: r.cluster
+            for r in SIM.cluster_assign_frozen(
+                vecs, FROZEN_EMB_CENTROIDS
+            ).collect()
+        }
+        rows = vecs.select("vec_id", "embedding").collect()
+        C = np.array(FROZEN_EMB_CENTROIDS, dtype=np.float64)
+        for r in rows:
+            x = np.array(r.embedding, dtype=np.float64)
+            want = int(np.argmin(((x - C) ** 2).sum(axis=1)))
+            assert got[r.vec_id] == want, r.vec_id
+
+    def test_balanced_sample_respects_budget_and_determinism(self, spark):
+        from database_per_keyword_analysis_spark.catalog import (
+            FROZEN_EMB_CENTROIDS,
+        )
+        from database_per_keyword_analysis_spark.operators import (
+            similarity as SIM,
+        )
+        from database_per_keyword_analysis_spark.sources import load
+
+        vecs = load(spark, "/root/testdata/sf0.001", "embeddings")
+        out = SIM.cluster_balanced_sample(
+            vecs, FROZEN_EMB_CENTROIDS, target_total=100
+        )
+        rows = out.collect()
+        assert len(rows) == vecs.count()  # every vector gets a verdict
+        # per-cluster kept counts concentrate near target/K = 25
+        # (Bernoulli; loose 3-sigma bound) and never exceed n_cluster
+        from collections import Counter
+
+        kept = Counter(r.cluster for r in rows if r.kept)
+        n = Counter(r.cluster for r in rows)
+        for c, k in kept.items():
+            assert k <= n[c]
+            assert k <= 25 + 3 * (25 ** 0.5) + 1
+        # deterministic: a second run returns identical verdicts
+        again = {r.vec_id: r.kept for r in out.collect()}
+        assert again == {r.vec_id: r.kept for r in rows}
