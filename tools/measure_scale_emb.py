@@ -87,6 +87,19 @@ def main() -> None:
             shutil.rmtree(idx)
 
         if scale in ("1x", "10x"):
+            from database_per_keyword_analysis_spark.catalog import (
+                FROZEN_EMB_CENTROIDS,
+            )
+
+            cold, warm = timed(
+                lambda: SIM.cluster_balanced_sample(
+                    e, FROZEN_EMB_CENTROIDS, target_total=200
+                )
+            )
+            print(json.dumps({"q": "cluster_balanced_sample",
+                              "scale": scale, "cold": cold,
+                              "warm": warm}))
+
             cold, warm = timed(
                 lambda: SIM.knn_bruteforce(e, queries, k=5)
             )
