@@ -293,3 +293,69 @@ def test_customer_order_distribution_includes_zero_bucket(spark):
            R.customer_order_distribution(customer, orders).collect()}
     # cust 1: 2 orders; cust 2: 1; cust 3: 0 -> the Q13 trap bucket
     assert out == {2: 1, 1: 1, 0: 1}
+
+
+def test_late_shipment_priority_boundary_and_partition(spark):
+    """Q12 semantics: 'late' is STRICTLY more than late_days after the
+    order date (the +60d boundary line is on-time), only the target
+    year counts, and critical/normal partition the priority domain."""
+    from datetime import datetime as DT
+
+    orders = spark.createDataFrame(
+        [
+            (1, DT(1997, 3, 1), "1-URGENT"),
+            (2, DT(1997, 3, 1), "5-LOW"),
+            (3, DT(1996, 3, 1), "2-HIGH"),  # wrong year: excluded
+        ],
+        "o_orderkey long, o_orderdate timestamp_ntz, o_orderpriority string",
+    )
+    lineitem = spark.createDataFrame(
+        [
+            (1, "A", DT(1997, 4, 30)),  # exactly +60d: NOT late
+            (1, "A", DT(1997, 5, 1)),   # +61d: late, critical
+            (2, "A", DT(1997, 5, 2)),   # late, normal
+            (2, "R", DT(1997, 3, 2)),   # on time
+            (3, "A", DT(1996, 9, 1)),   # late but 1996 order: excluded
+        ],
+        "l_orderkey long, l_returnflag string, l_shipdate timestamp_ntz",
+    )
+    rows = {
+        r.l_returnflag: (r.critical_count, r.normal_count)
+        for r in R.late_shipment_priority(lineitem, orders).collect()
+    }
+    assert rows == {"A": (1, 1)}
+
+
+def test_nation_profit_arithmetic_and_part_filter(spark):
+    """Q9 semantics: profit = extprice·(1−disc) − retail·qty·rate summed
+    per (nation, year); parts not matching the name filter contribute
+    nothing."""
+    from datetime import datetime as DT
+
+    lineitem = spark.createDataFrame(
+        [(1, 100, 7, 2.0, 50.0, 0.1), (1, 200, 7, 1.0, 99.0, 0.0)],
+        "l_orderkey long, l_partkey long, l_suppkey long, "
+        "l_quantity double, l_extendedprice double, l_discount double",
+    )
+    orders = spark.createDataFrame(
+        [(1, DT(1996, 6, 1))], "o_orderkey long, o_orderdate timestamp_ntz"
+    )
+    part = spark.createDataFrame(
+        [(100, "blue rod", 30.0), (200, "cold widget", 10.0)],
+        "p_partkey long, p_name string, p_retailprice double",
+    )
+    supplier = spark.createDataFrame(
+        [(7, 3)], "s_suppkey long, s_nationkey long"
+    )
+    nation = spark.createDataFrame(
+        [(3, "NATION_3")], "n_nationkey long, n_name string"
+    )
+    rows = R.nation_profit(
+        lineitem, orders, part, supplier, nation, part_substr="rod"
+    ).collect()
+    # only the 'rod' line survives the part filter; extendedprice is
+    # the line total: 50.0*(1-0.1) - 30.0*2.0*0.10 = 39.0
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.nation, r.order_year) == ("NATION_3", 1996)
+    assert abs(r.profit - 39.0) < 1e-9
