@@ -165,7 +165,9 @@ HEADLINE = [
     "nation_profit",
     "late_shipment_priority",
     # round-7 third batch: frozen-quantizer cluster-balanced curation
+    # and the oracle-checked IVF serve tier
     "embedding_cluster_sample",
+    "ivf_knn_frozen",
 ]
 
 # Round-7 headline audit (round-6 judge item 5): every registered query

@@ -292,6 +292,11 @@ _DEFERRED_TWINS = {
     #   have been driver-green twice; differential below — slot taken
     #   by embedding_cluster_sample (NOVEL frozen-quantizer
     #   cluster-balanced curation, in-window at birth)
+    "ivf_knn_frozen",  # round-7 deferral AT BIRTH (machinery twin):
+    #   corpus assignment is embedding_cluster_sample's in-window
+    #   frozen-centroid argmax, candidate scoring is the decimal-cosine
+    #   ranking knn_eval_metrics executes in-window; upgrades the ANN
+    #   serve path from rows-only to oracle-checked; differential below
 }
 
 
@@ -5177,4 +5182,84 @@ def q_embedding_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "embeddings"),
         FROZEN_EMB_CENTROIDS,
         target_total=_CLUSTER_SAMPLE_TARGET,
+    )
+
+
+_IVF_FROZEN_NQ = 10   # queries: vec_id < 10 (the knn_bruteforce convention)
+_IVF_FROZEN_K = 5
+_IVF_FROZEN_PROBE = 2
+
+
+def _ivf_frozen_sql() -> str:
+    # replay the frozen-quantizer IVF serve path: the same affine
+    # centroid scores (shared CTE `s`), corpus argmax assignment, the
+    # per-query probe-list ranking over the SAME scores, then the exact
+    # decimal cosine over probed lists only — approximation lives in
+    # WHICH lists are probed, never in how candidates are scored
+    kc = len(FROZEN_EMB_CENTROIDS)
+    score_exprs = []
+    for i, row in enumerate(FROZEN_EMB_CENTROIDS):
+        arr = "[" + ", ".join(repr(float(v)) for v in row) + "]"
+        half_norm = 0.5 * sum(float(v) * float(v) for v in row)
+        dot = _DUCK_DOT.format(a="embedding", b=arr)
+        score_exprs.append(f"{dot} - {half_norm!r} AS s{i}")
+    self_dot = _DUCK_DOT.format(a="embedding", b="embedding")
+    m = "greatest(" + ", ".join(f"s{i}" for i in range(kc)) + ")"
+    case = (
+        "CASE "
+        + " ".join(f"WHEN s{i} = m THEN {i}" for i in range(kc))
+        + " END"
+    )
+    probes = " UNION ALL ".join(
+        f"SELECT vec_id, embedding, norm, {i} AS cid, s{i} AS score "
+        f"FROM s WHERE vec_id < {_IVF_FROZEN_NQ}"
+        for i in range(kc)
+    )
+    pair_dot = _DUCK_DOT.format(a="q_emb", b="c_emb")
+    return (
+        "WITH s AS (SELECT vec_id, embedding, "
+        + ", ".join(score_exprs)
+        + f", sqrt({self_dot}) AS norm FROM embeddings), "
+        "corpus AS (SELECT vec_id AS neighbor_id, embedding AS c_emb, "
+        f"norm AS c_norm, CAST({case} AS INTEGER) AS cluster "
+        f"FROM (SELECT *, {m} AS m FROM s)), "
+        "qs AS (SELECT vec_id AS query_id, embedding AS q_emb, "
+        "norm AS q_norm, cid AS cluster FROM ("
+        "SELECT *, row_number() OVER (PARTITION BY vec_id "
+        f"ORDER BY score DESC, cid) AS c_rank FROM ({probes})) "
+        f"WHERE c_rank <= {_IVF_FROZEN_PROBE}), "
+        f"scored AS (SELECT query_id, neighbor_id, {pair_dot} "
+        "/ (q_norm * c_norm) AS cosine "
+        "FROM corpus JOIN qs USING (cluster) "
+        "WHERE query_id <> neighbor_id) "
+        "SELECT query_id, neighbor_id, cosine, rank FROM ("
+        "SELECT *, row_number() OVER (PARTITION BY query_id "
+        "ORDER BY cosine DESC, neighbor_id) AS rank FROM scored) "
+        f"WHERE rank <= {_IVF_FROZEN_K} ORDER BY query_id, rank"
+    )
+
+
+@register("ivf_knn_frozen", _ivf_frozen_sql())
+def q_ivf_knn_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF serving tier against the frozen coarse quantizer
+    (operators/similarity.py:ivf_knn_frozen): the production shape —
+    train once, serve every query from frozen centroids — and the
+    upgrade that puts the ANN decision path's OUTPUT under the driver's
+    hash check (ivf_knn, which retrains per call, stays rows-only: its
+    k-means is iterative by nature).  Deferred at birth as a machinery
+    twin: the corpus assignment is embedding_cluster_sample's in-window
+    argmax, and the candidate scoring is the decimal-cosine ranking the
+    in-window knn_eval_metrics executes end-to-end; DuckDB differential
+    in tests/test_catalog_twins.py."""
+    from pyspark.sql import functions as F
+
+    from .operators import similarity as SIM
+
+    emb = load(spark, sf_dir, "embeddings")
+    return SIM.ivf_knn_frozen(
+        emb,
+        emb.where(F.col("vec_id") < _IVF_FROZEN_NQ),
+        FROZEN_EMB_CENTROIDS,
+        k=_IVF_FROZEN_K,
+        n_probe=_IVF_FROZEN_PROBE,
     )

@@ -1110,3 +1110,97 @@ def cluster_balanced_sample(
         .select(id_col, "cluster", "n_cluster", kept.alias("kept"))
         .orderBy(id_col)
     )
+
+
+def ivf_knn_frozen(
+    vectors: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 5,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF top-k cosine against a FROZEN coarse quantizer — the
+    oracle-checkable form of the ANN decision path.
+
+    `ivf_knn` trains its quantizer per call (k-means is iterative →
+    rows-only check); production IVF never does that — it trains ONCE
+    and serves every query from the frozen centroids.  This is that
+    serving tier: corpus vectors assign to the frozen centroids with
+    the same scan-stage affine-score argmax as `cluster_assign_frozen`,
+    each query ranks the SAME K scores to pick its `n_probe` probe
+    lists, and only those lists' members get the exact DECIMAL cosine
+    (the `knn_bruteforce` chain).  Every arithmetic step replays in the
+    oracle, so the approximate tier's output is hash-checkable — the
+    approximation is in WHICH lists are probed (frozen, deterministic),
+    never in how candidates are scored.
+
+    Physical shape: assignment rides the corpus scan (zero shuffle);
+    the query→probe fan-out is |Q|·n_probe rows, broadcast into an
+    EQUI-join on the cluster id (at index scale: a partition-pruned
+    scan of a cluster-partitioned parquet index, cf. `ivf_probe`);
+    per-query top-k windows over probe-bounded candidates.  Returns
+    (query_id, neighbor_id, cosine, rank), self-matches excluded."""
+    scores = _centroid_scores(centroids, vec_col)
+    m = F.greatest(*scores) if len(scores) > 1 else scores[0]
+    assign = F.when(scores[0] == m, F.lit(0))
+    for kk in range(1, len(scores)):
+        assign = assign.when(scores[kk] == m, F.lit(kk))
+    corpus = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_emb"),
+        F.sqrt(_dot_dec(vec_col, vec_col)).alias("c_norm"),
+        assign.cast("int").alias("cluster"),
+    )
+    probe_structs = F.array(
+        *[
+            F.struct(F.lit(kk).alias("cid"), s.alias("score"))
+            for kk, s in enumerate(scores)
+        ]
+    )
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_emb"),
+            F.sqrt(_dot_dec(vec_col, vec_col)).alias("q_norm"),
+            F.explode(probe_structs).alias("probe"),
+        )
+        .select(
+            "query_id",
+            "q_emb",
+            "q_norm",
+            F.col("probe.cid").alias("cluster"),
+            F.col("probe.score").alias("c_score"),
+        )
+        .withColumn(
+            "c_rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("c_score"), F.asc("cluster")
+                )
+            ),
+        )
+        .where(F.col("c_rank") <= n_probe)
+        .drop("c_score", "c_rank")
+    )
+    scored = (
+        corpus.join(F.broadcast(q), "cluster")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                _dot_dec("q_emb", "c_emb")
+                / (F.col("q_norm") * F.col("c_norm"))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )

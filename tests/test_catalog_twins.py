@@ -765,3 +765,11 @@ def test_order_priority_history_matches_oracle(spark, sf_dir):
     # SCD2 validity intervals stay value-checked every pytest run;
     # merge.py's write paths are pytest-pinned incl. fault injection
     _assert_matches_oracle(spark, sf_dir, "order_priority_history")
+
+
+def test_ivf_knn_frozen_matches_oracle(spark, sf_dir):
+    # round-7 deferral at birth (machinery twin): frozen-quantizer IVF
+    # serve path — corpus argmax from embedding_cluster_sample's
+    # in-window machinery, decimal-cosine ranking from the chain
+    # knn_eval_metrics executes in-window
+    _assert_matches_oracle(spark, sf_dir, "ivf_knn_frozen")

@@ -616,3 +616,14 @@ def test_cluster_sample_assignment_is_scan_stage_counts_broadcast(spark, sf_dir)
     assert "Window" not in plan
     # the cluster-count aggregation is the only hash shuffle
     assert plan.count("Exchange hashpartitioning") <= 2  # partial->final agg + none other
+
+
+def test_ivf_knn_frozen_probe_is_equi_join(spark, sf_dir):
+    # the probe must be an EQUI-join on the cluster id with the |Q|x
+    # n_probe query fan-out broadcast — a cartesian/nested-loop means
+    # the serve path regressed to brute force over the whole corpus
+    plan = _plan(spark, sf_dir, "ivf_knn_frozen")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

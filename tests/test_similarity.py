@@ -372,3 +372,58 @@ class TestClusterBalancedSample:
         # deterministic: a second run returns identical verdicts
         again = {r.vec_id: r.kept for r in out.collect()}
         assert again == {r.vec_id: r.kept for r in rows}
+
+
+class TestIvfKnnFrozen:
+    def test_recall_floor_vs_bruteforce_and_subset_exactness(self, spark):
+        from database_per_keyword_analysis_spark.catalog import (
+            FROZEN_EMB_CENTROIDS,
+        )
+        from database_per_keyword_analysis_spark.operators import (
+            similarity as SIM,
+        )
+        from database_per_keyword_analysis_spark.sources import load
+
+        emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+        queries = emb.where("vec_id < 10")
+        exact = SIM.knn_bruteforce(emb, queries, k=5).collect()
+        approx = SIM.ivf_knn_frozen(
+            emb, queries, FROZEN_EMB_CENTROIDS, k=5, n_probe=2
+        ).collect()
+        exact_pairs = {(r.query_id, r.neighbor_id): r.cosine for r in exact}
+        # every approx hit that IS an exact hit carries the identical
+        # cosine (the scoring chain is the same decimal arithmetic)
+        for r in approx:
+            if (r.query_id, r.neighbor_id) in exact_pairs:
+                assert r.cosine == exact_pairs[(r.query_id, r.neighbor_id)]
+        # recall floor: probing 2/4 lists must keep most of the exact
+        # top-5 (the fixture's clusters are diffuse; 0.5 is the
+        # conservative floor for the frozen quantizer)
+        hits = sum(
+            1 for r in approx if (r.query_id, r.neighbor_id) in exact_pairs
+        )
+        assert hits / len(exact) >= 0.5
+
+    def test_probe_count_bounds_candidates(self, spark):
+        # with n_probe = K (all lists) the result IS brute force
+        from database_per_keyword_analysis_spark.catalog import (
+            FROZEN_EMB_CENTROIDS,
+        )
+        from database_per_keyword_analysis_spark.operators import (
+            similarity as SIM,
+        )
+        from database_per_keyword_analysis_spark.sources import load
+
+        emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+        queries = emb.where("vec_id < 5")
+        exact = SIM.knn_bruteforce(emb, queries, k=5).collect()
+        full = SIM.ivf_knn_frozen(
+            emb,
+            queries,
+            FROZEN_EMB_CENTROIDS,
+            k=5,
+            n_probe=len(FROZEN_EMB_CENTROIDS),
+        ).collect()
+        assert [
+            (r.query_id, r.neighbor_id, r.cosine, r.rank) for r in exact
+        ] == [(r.query_id, r.neighbor_id, r.cosine, r.rank) for r in full]
