@@ -297,6 +297,9 @@ _DEFERRED_TWINS = {
     #   frozen-centroid argmax, candidate scoring is the decimal-cosine
     #   ranking knn_eval_metrics executes in-window; upgrades the ANN
     #   serve path from rows-only to oracle-checked; differential below
+    "bpe_fertility_by_lang",  # round-7 deferral AT BIRTH (machinery
+    #   twin): executes the in-window bpe_encode chain end-to-end plus
+    #   one K-group integer aggregate; differential below
 }
 
 
@@ -5262,4 +5265,37 @@ def q_ivf_knn_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROZEN_EMB_CENTROIDS,
         k=_IVF_FROZEN_K,
         n_probe=_IVF_FROZEN_PROBE,
+    )
+
+
+@register(
+    "bpe_fertility_by_lang",
+    # the frozen encode chain as a subquery (same generated SQL, same
+    # frozen constant), joined back to documents for lang, then one
+    # K-group integer aggregate + a single double division
+    "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(sum(n_words) AS BIGINT) AS total_words, "
+    "CAST(sum(n_subwords) AS BIGINT) AS total_subwords, "
+    "CAST(sum(n_subwords) AS DOUBLE) / CAST(sum(n_words) AS DOUBLE) "
+    "AS fertility "
+    "FROM (" + _bpe_encode_sql() + ") enc "
+    "JOIN documents USING (doc_id) GROUP BY lang ORDER BY lang",
+)
+def q_bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility
+    (operators/bpe.py:bpe_fertility_by_group): subwords-per-word of the
+    frozen BPE model by document language — the tokenizer-fairness
+    report that feeds mixture decisions (a 2x-fertility language pays
+    2x training cost per word).  Deferred at birth as a machinery twin:
+    it executes the in-window bpe_encode chain end-to-end (lang carried
+    through the scan — the Spark side needs NO join-back; the oracle
+    joins because its generated encode CTE projects only doc_id) and
+    adds one K-group integer aggregate; differential in
+    tests/test_catalog_twins.py."""
+    from .operators import bpe as B
+
+    return B.bpe_fertility_by_group(
+        load(spark, sf_dir, "documents", parallel=True),
+        FROZEN_BPE_MERGES,
+        group_col="lang",
     )

@@ -232,6 +232,7 @@ def bpe_encode_frozen(
     merges: list[tuple[str, str]],
     text_col: str = "text",
     id_col: str = "doc_id",
+    extra_cols: list[str] | None = None,
 ) -> DataFrame:
     """Encode documents with a FROZEN merge table — the tokenizer-apply
     step as a pure scan-stage string expression, oracle-replayable.
@@ -295,12 +296,14 @@ def bpe_encode_frozen(
             F.lit(FROZEN_SEP + left + s2 + right + FROZEN_SEP),
             F.lit(FROZEN_SEP + left + right + FROZEN_SEP),
         )
+    extra = list(extra_cols or [])
     return (
         df.where(F.col(text_col).isNotNull())
-        .select(F.col(id_col), toks.alias("_toks"), body.alias("_body"))
+        .select(F.col(id_col), *extra, toks.alias("_toks"), body.alias("_body"))
         .where(F.size("_toks") > 0)
         .select(
             id_col,
+            *extra,
             F.size("_toks").cast("long").alias("n_words"),
             F.filter(
                 F.split(F.col("_body"), FROZEN_SEP), lambda s: s != F.lit("")
@@ -308,9 +311,52 @@ def bpe_encode_frozen(
         )
         .select(
             id_col,
+            *extra,
             "n_words",
             F.size("subwords").cast("long").alias("n_subwords"),
             "subwords",
         )
         .orderBy(id_col)
+    )
+
+
+def bpe_fertility_by_group(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    group_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenizer fertility (subwords per word) per document group — the
+    per-language efficiency report that drives mixture decisions: a
+    tokenizer whose fertility is 2x on one language effectively halves
+    that language's context window and doubles its training cost per
+    word (cf. multilingual-tokenizer fairness analyses of mBERT/XLM-R).
+
+    Composes the frozen encode (`bpe_encode_frozen`, zero-shuffle
+    replace chain with `group_col` carried through the scan — no
+    join-back) with one K-group aggregate; word/subword totals are
+    exact integers, fertility is their one double division.  Returns
+    (group_col, n_docs, total_words, total_subwords, fertility)."""
+    enc = bpe_encode_frozen(
+        df, merges, text_col=text_col, id_col=id_col, extra_cols=[group_col]
+    )
+    return (
+        enc.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("total_words"),
+            F.sum("n_subwords").alias("total_subwords"),
+        )
+        .select(
+            group_col,
+            "n_docs",
+            "total_words",
+            "total_subwords",
+            (
+                F.col("total_subwords").cast("double")
+                / F.col("total_words").cast("double")
+            ).alias("fertility"),
+        )
+        .orderBy(group_col)
     )

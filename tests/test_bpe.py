@@ -183,3 +183,27 @@ def test_bpe_encode_frozen_adjacent_matches_share_separators(spark):
     docs = spark.createDataFrame([(1, "q xy xy v")], "doc_id long, text string")
     row = B.bpe_encode_frozen(docs, [("x", "y")]).collect()[0]
     assert row.subwords == ["q", "</w>", "xy", "</w>", "xy", "</w>", "v", "</w>"]
+
+
+def test_fertility_by_group_totals_and_floor(spark):
+    """Fertility per group equals the ratio of the encode's own totals,
+    and is >= 1 by construction (every word is at least one subword)."""
+    from database_per_keyword_analysis_spark.catalog import FROZEN_BPE_MERGES
+    from database_per_keyword_analysis_spark.operators import bpe as B
+    from database_per_keyword_analysis_spark.sources import load
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    enc = B.bpe_encode_frozen(
+        docs, FROZEN_BPE_MERGES, extra_cols=["lang"]
+    ).collect()
+    fert = B.bpe_fertility_by_group(docs, FROZEN_BPE_MERGES).collect()
+    by_lang = {}
+    for r in enc:
+        w, s = by_lang.get(r.lang, (0, 0))
+        by_lang[r.lang] = (w + r.n_words, s + r.n_subwords)
+    assert len(fert) == len(by_lang)
+    for r in fert:
+        w, s = by_lang[r.lang]
+        assert (r.total_words, r.total_subwords) == (w, s)
+        assert r.fertility == s / w
+        assert r.fertility >= 1.0

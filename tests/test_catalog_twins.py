@@ -773,3 +773,9 @@ def test_ivf_knn_frozen_matches_oracle(spark, sf_dir):
     # in-window machinery, decimal-cosine ranking from the chain
     # knn_eval_metrics executes in-window
     _assert_matches_oracle(spark, sf_dir, "ivf_knn_frozen")
+
+
+def test_bpe_fertility_by_lang_matches_oracle(spark, sf_dir):
+    # round-7 deferral at birth (machinery twin): the in-window
+    # bpe_encode replace chain end-to-end + one K-group aggregate
+    _assert_matches_oracle(spark, sf_dir, "bpe_fertility_by_lang")
