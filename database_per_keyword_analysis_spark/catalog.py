@@ -5182,7 +5182,7 @@ def q_embedding_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import similarity as SIM
 
     return SIM.cluster_balanced_sample(
-        load(spark, sf_dir, "embeddings"),
+        _load_emb(spark, sf_dir),
         FROZEN_EMB_CENTROIDS,
         target_total=_CLUSTER_SAMPLE_TARGET,
     )
@@ -5258,7 +5258,7 @@ def q_ivf_knn_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .operators import similarity as SIM
 
-    emb = load(spark, sf_dir, "embeddings")
+    emb = _load_emb(spark, sf_dir)
     return SIM.ivf_knn_frozen(
         emb,
         emb.where(F.col("vec_id") < _IVF_FROZEN_NQ),
