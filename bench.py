@@ -164,10 +164,12 @@ HEADLINE = [
     # round-7 second batch: the last two TPC-H join-tree shapes
     "nation_profit",
     "late_shipment_priority",
-    # round-7 third batch: frozen-quantizer cluster-balanced curation
-    # and the oracle-checked IVF serve tier
+    # round-7 third batch: frozen-quantizer cluster-balanced curation,
+    # the oracle-checked IVF serve tier, and the streaming CDC
+    # latest-wins MERGE loop
     "embedding_cluster_sample",
     "ivf_knn_frozen",
+    "stream_user_latest_upsert",
 ]
 
 # Round-7 headline audit (round-6 judge item 5): every registered query

@@ -75,10 +75,12 @@ _DEFERRED_TWINS = {
     "stream_session_counts",  # streaming twin of sessionize_events
     "stream_tumbling_counts",  # streaming tumbling-window twin
     "quarterly_revenue_rollup",  # same daily-rollup spine as monthly twin
-    "monthly_revenue_rollup",  # zero-fill spine via events_value_locf (in-window)
+    "monthly_revenue_rollup",  # zero-fill spine via events_value_locf
+    #   (differential-proven since its r7 rotation)
     "events_weekly_counts",  # same zero-fill bucketing family
     "orders_monthly_counts",  # same zero-fill bucketing family
-    "events_daily_counts",  # spine machinery inside in-window events_value_locf
+    "events_daily_counts",  # spine machinery inside events_value_locf
+    #   (differential-proven since its r7 rotation)
     "top_suppliers_by_revenue",  # same join-agg-topk as revenue family
     "top_customers_by_revenue",  # join-agg-topk; shipping family differential
     "top_channels_by_views",  # groupBy-sum top-k; salted twin now in-window
@@ -94,8 +96,8 @@ _DEFERRED_TWINS = {
     "customer_nation_cube",  # grouping-sets machinery (order_priority_rollup)
     "order_price_quantiles",  # exact-percentile window machinery
     "running_order_totals",  # frame windows; machinery differential-
-    #   proven (r7: event_anomalies rotated out with its own differential;
-    #   events_value_locf keeps frame windows in-window)
+    #   proven (r7: event_anomalies and events_value_locf both rotated
+    #   out with their own differentials)
     "asof_last_view_before_purchase",  # union + last-value window
     "sliding_window_counts",  # overlapping-bucket explode + groupBy
     "sessionize_events",  # gap-sessionization inside purchases_in_event_bursts
@@ -171,9 +173,9 @@ _DEFERRED_TWINS = {
     "shipping_priority",  # green r5; join-agg-topk (Q3) machinery via
     #   in-window large_volume_orders (Q18 join-back top-k) + promoted
     #   salted join twins
-    "sequence_packing",  # green r5; cumsum frame windows via in-window
-    #   events_value_locf (event_anomalies rotated out r7 with its own
-    #   differential)
+    "sequence_packing",  # green r5; cumsum frame windows; the frame
+    #   family (event_anomalies, events_value_locf) is fully
+    #   differential-proven since its r7 rotations
     "document_chunks",  # green r5; sequence/explode chunking via
     #   in-window length_bucket_batches
     "corpus_diff",  # green r5; winnowing machinery via promoted
@@ -300,6 +302,11 @@ _DEFERRED_TWINS = {
     "bpe_fertility_by_lang",  # round-7 deferral AT BIRTH (machinery
     #   twin): executes the in-window bpe_encode chain end-to-end plus
     #   one K-group integer aggregate; differential below
+    "events_value_locf",  # green r5-r6; LOCF last-value frame over the
+    #   zero-fill spine; ordered-window machinery stays in-window via
+    #   zipf_token_stats' per-group rank and the retrieval ranks;
+    #   differential below — slot taken by stream_user_latest_upsert
+    #   (NOVEL streaming CDC latest-wins MERGE, in-window at birth)
 }
 
 
@@ -5298,4 +5305,65 @@ def q_bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "documents", parallel=True),
         FROZEN_BPE_MERGES,
         group_col="lang",
+    )
+
+
+@register(
+    "stream_user_latest_upsert",
+    # final CDC table state = newest version per key, independent of
+    # micro-batch boundaries (the latest-wins guard's whole point)
+    "SELECT user_id, event_id, ts, event_type, value FROM ("
+    "SELECT user_id, event_id, ts, event_type, value, "
+    "row_number() OVER (PARTITION BY user_id "
+    "ORDER BY ts DESC, event_id DESC) AS rn FROM events) t "
+    "WHERE rn = 1 ORDER BY user_id",
+)
+def q_stream_user_latest_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC upsert (streaming/ingest.py:run_streaming_upsert):
+    the events feed drains through foreachBatch in 4 micro-batches
+    (maxFilesPerTrigger=1 over a 4-file split), each batch reduced to
+    its newest row per user and MERGE'd latest-wins into an
+    event_type-partitioned parquet target — the canonical large-scale
+    ingestion loop (streaming MERGE INTO).  The conditional
+    (ts, event_id) guard makes the final state independent of how rows
+    split into batches (the oracle is a plain per-user argmax over ALL
+    events), makes retried batches no-ops, and exercises the
+    partition-MOVER path for every user whose newest event_type
+    changed.  Cache-keyed workdir (the stream_ingest_dedup seam):
+    re-runs see no new source files and the committed table stands."""
+    import hashlib
+    import os
+
+    from .streaming import ingest as ING
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".cache", "upsert", key,
+    )
+    src = os.path.join(base, "src")
+    table = os.path.join(base, "table")
+    events = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+    if not os.path.isdir(src):
+        events.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    ING.run_streaming_upsert(
+        stream,
+        table_path=table,
+        checkpoint_dir=os.path.join(base, "ckpt"),
+        keys=["user_id"],
+        ts_col="ts",
+        tiebreak_col="event_id",
+        partition_col="event_type",
+    )
+    return (
+        spark.read.parquet(table)
+        .select("user_id", "event_id", "ts", "event_type", "value")
+        .orderBy("user_id")
     )

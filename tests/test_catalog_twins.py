@@ -779,3 +779,12 @@ def test_bpe_fertility_by_lang_matches_oracle(spark, sf_dir):
     # round-7 deferral at birth (machinery twin): the in-window
     # bpe_encode replace chain end-to-end + one K-group aggregate
     _assert_matches_oracle(spark, sf_dir, "bpe_fertility_by_lang")
+
+
+def test_events_value_locf_matches_oracle(spark, sf_dir):
+    # round-7 demotion (slot taken by stream_user_latest_upsert —
+    # streaming CDC latest-wins MERGE, in-window at birth): the LOCF
+    # last-value frame + zero-fill spine stay value-checked every
+    # pytest run; ordered-window machinery remains in-window via
+    # zipf_token_stats / knn_eval_metrics / hybrid_search_rrf ranks
+    _assert_matches_oracle(spark, sf_dir, "events_value_locf")

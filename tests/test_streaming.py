@@ -407,3 +407,76 @@ def test_stream_shuffle_scope_restores_session_default(spark):
     except RuntimeError:
         pass
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+class TestStreamingUpsert:
+    """CDC latest-wins upsert (streaming/ingest.py:upsert_batch): the
+    three contracts a streaming MERGE loop must honor — batch-split
+    independence, retry idempotence, partition movers."""
+
+    def _mk(self, spark, rows):
+        from datetime import datetime as DT
+
+        return spark.createDataFrame(
+            [(u, e, DT(2024, 1, d), t, v) for u, e, d, t, v in rows],
+            "user_id long, event_id long, ts timestamp_ntz, "
+            "event_type string, value double",
+        )
+
+    def _state(self, spark, path):
+        return {
+            r.user_id: (r.event_id, r.event_type)
+            for r in spark.read.parquet(path).collect()
+        }
+
+    def test_latest_wins_is_batch_split_independent(self, spark, tmp_path):
+        from database_per_keyword_analysis_spark.streaming import ingest as ING
+
+        rows = [
+            (1, 10, 1, "view", 1.0),
+            (1, 11, 3, "purchase", 2.0),  # newest for user 1
+            (2, 20, 2, "click", 3.0),
+            (2, 21, 1, "view", 4.0),      # older than event 20
+        ]
+        args = (["user_id"], "ts", "event_id", "event_type")
+        # order A: one batch with everything
+        pa = str(tmp_path / "a")
+        ING.upsert_batch(self._mk(spark, rows), pa, *args)
+        # order B: newest rows arrive FIRST, stale ones in a later batch
+        pb = str(tmp_path / "b")
+        ING.upsert_batch(self._mk(spark, [rows[1], rows[2]]), pb, *args)
+        ING.upsert_batch(self._mk(spark, [rows[0], rows[3]]), pb, *args)
+        want = {1: (11, "purchase"), 2: (20, "click")}
+        assert self._state(spark, pa) == want
+        assert self._state(spark, pb) == want
+
+    def test_retried_batch_is_noop(self, spark, tmp_path):
+        from database_per_keyword_analysis_spark.streaming import ingest as ING
+
+        p = str(tmp_path / "t")
+        args = (["user_id"], "ts", "event_id", "event_type")
+        b1 = self._mk(spark, [(1, 10, 1, "view", 1.0)])
+        b2 = self._mk(spark, [(1, 11, 2, "purchase", 2.0)])
+        ING.upsert_batch(b1, p, *args)
+        ING.upsert_batch(b2, p, *args)
+        before = self._state(spark, p)
+        ING.upsert_batch(b2, p, *args)  # foreachBatch retry contract
+        ING.upsert_batch(b1, p, *args)  # ancient replay
+        assert self._state(spark, p) == before == {1: (11, "purchase")}
+
+    def test_partition_mover_leaves_no_stale_row(self, spark, tmp_path):
+        import os
+
+        from database_per_keyword_analysis_spark.streaming import ingest as ING
+
+        p = str(tmp_path / "t")
+        args = (["user_id"], "ts", "event_id", "event_type")
+        ING.upsert_batch(self._mk(spark, [(1, 10, 1, "view", 1.0)]), p, *args)
+        # user 1's newest row moves partition view -> purchase
+        ING.upsert_batch(
+            self._mk(spark, [(1, 11, 2, "purchase", 2.0)]), p, *args
+        )
+        rows = spark.read.parquet(p).where("user_id = 1").collect()
+        assert len(rows) == 1 and rows[0].event_type == "purchase"
+        # the fully-tombstoned view partition directory is gone
+        assert not os.path.isdir(os.path.join(p, "event_type=view"))
