@@ -307,6 +307,10 @@ _DEFERRED_TWINS = {
     #   zipf_token_stats' per-group rank and the retrieval ranks;
     #   differential below — slot taken by stream_user_latest_upsert
     #   (NOVEL streaming CDC latest-wins MERGE, in-window at birth)
+    "events_skew_report",  # round-7 deferral AT BIRTH (machinery
+    #   twin): groupBy-count + deterministic top-k = in-window
+    #   top_channels_salted machinery; one-row scalar broadcast = the
+    #   in-window important_parts (Q11) idiom; differential below
 }
 
 
@@ -5366,4 +5370,31 @@ def q_stream_user_latest_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(table)
         .select("user_id", "event_id", "ts", "event_type", "value")
         .orderBy("user_id")
+    )
+
+
+@register(
+    "events_skew_report",
+    "WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id), "
+    "t AS (SELECT CAST(sum(n) AS BIGINT) AS total, "
+    "CAST(count(*) AS BIGINT) AS n_keys FROM c) "
+    "SELECT user_id, n, CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS share, "
+    "CAST(n AS DOUBLE) * CAST(n_keys AS DOUBLE) / CAST(total AS DOUBLE) "
+    "AS skew_factor "
+    "FROM c CROSS JOIN t ORDER BY n DESC, user_id LIMIT 20",
+)
+def q_events_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostic (operators/scale.py:skew_report) on
+    events.user_id: top heavy keys with row share and skew factor —
+    the report that decides when a key needs the salted tier
+    (top_channels_salted / revenue_by_nation_salted) or AQE skew-join
+    splitting.  Deferred at birth as a machinery twin: the groupBy
+    count + deterministic top-k is top_channels_salted's in-window
+    machinery and the one-row scalar broadcast is important_parts'
+    (Q11) in-window idiom; differential in
+    tests/test_catalog_twins.py."""
+    from .operators import scale as SC
+
+    return SC.skew_report(
+        load(spark, sf_dir, "events").select("user_id"), ["user_id"]
     )

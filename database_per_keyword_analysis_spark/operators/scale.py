@@ -411,3 +411,44 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def skew_report(
+    df: DataFrame,
+    keys: list[str],
+    top_n: int = 20,
+) -> DataFrame:
+    """Join/aggregation-key skew diagnostic: the top-`top_n` heaviest
+    key values with their row share and skew factor (rows ÷ the mean
+    rows-per-key) — the number that says whether a planned shuffle on
+    `keys` needs the salted tier (`salted_sum`/`salted_join`) or AQE's
+    skew-join splitting before it becomes one straggler task.
+
+    Cost: ONE groupBy-count over the keys (map-side combined — the same
+    pass any aggregation on `keys` would do anyway), a two-row global
+    reduce for (total_rows, n_keys) broadcast back as a one-row scalar
+    (the Q11 idiom), and a TakeOrdered for the top slice.  Integer
+    counts make share/skew_factor single exact double divisions.
+    Deterministic ties: key columns ascend after the count."""
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
+    totals = counts.agg(
+        F.sum("n").alias("_total"),
+        F.count(F.lit(1)).alias("_n_keys"),
+    )
+    return (
+        counts.join(F.broadcast(totals))
+        .select(
+            *keys,
+            "n",
+            (F.col("n").cast("double") / F.col("_total").cast("double")).alias(
+                "share"
+            ),
+            (
+                F.col("n").cast("double")
+                * F.col("_n_keys").cast("double")
+                / F.col("_total").cast("double")
+            ).alias("skew_factor"),
+        )
+        .orderBy(F.desc("n"), *keys)
+        .limit(top_n)
+    )

@@ -788,3 +788,9 @@ def test_events_value_locf_matches_oracle(spark, sf_dir):
     # pytest run; ordered-window machinery remains in-window via
     # zipf_token_stats / knn_eval_metrics / hybrid_search_rrf ranks
     _assert_matches_oracle(spark, sf_dir, "events_value_locf")
+
+
+def test_events_skew_report_matches_oracle(spark, sf_dir):
+    # round-7 deferral at birth (machinery twin): groupBy-count top-k
+    # (top_channels_salted) + one-row scalar broadcast (important_parts)
+    _assert_matches_oracle(spark, sf_dir, "events_skew_report")

@@ -409,3 +409,16 @@ def test_recover_directory_swap_every_crash_state(spark, tmp_path):
     shutil.rmtree(tmp)
     assert recover_directory_swap(tmp, path) == "rolled-back"
     assert rows(path) == list(range(5))
+
+
+def test_skew_report_values_and_determinism(spark):
+    from database_per_keyword_analysis_spark.operators.scale import skew_report
+
+    df = spark.createDataFrame(
+        [("a",)] * 6 + [("b",)] * 3 + [("c",)] * 1, "k string"
+    )
+    rows = skew_report(df, ["k"], top_n=2).collect()
+    # mean rows/key = 10/3; a: n=6, share=0.6, skew = 6*3/10 = 1.8
+    assert [(r.k, r.n) for r in rows] == [("a", 6), ("b", 3)]
+    assert rows[0].share == 0.6 and rows[0].skew_factor == 1.8
+    assert rows[1].share == 0.3 and abs(rows[1].skew_factor - 0.9) < 1e-12
