@@ -1,0 +1,102 @@
+"""Measure the streaming CDC upsert's 10x scaling curve (round 7).
+
+Fixture: .cache/scale_events1/events.parquet — 10 key-offset replicas
+of sf0.1 events (user_id/event_id offset by max+1 strides, ts and the
+other value columns copied unchanged), so user COUNT grows 10x while
+per-user event counts and the ts distribution are bit-identical — the
+same geometry-preserving recipe as the TPC-H fixture.
+
+Protocol: the measured unit is the COLD 4-micro-batch drain
+(maxFilesPerTrigger=1 over a 4-file split) into a fresh target — the
+cached re-run is a zero-batch no-op (~0.3 s) and not informative.
+Workdir (table + checkpoint) is wiped per iteration; 3 iterations per
+scale, median, taken adjacently after one un-timed warmup drain per
+scale (the TPC-H interleaved-warmth lesson).
+
+Usage: python tools/measure_scale_upsert.py   (one JSON line per
+measurement; transcribe into SCALE.md)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+
+from database_per_keyword_analysis_spark.session import get_spark  # noqa: E402
+from database_per_keyword_analysis_spark.sources import load  # noqa: E402
+from database_per_keyword_analysis_spark.streaming import ingest as ING  # noqa: E402
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CACHE = os.path.join(REPO, ".cache")
+
+
+def build_events_10x(base_dir: str, out_dir: str, replicas: int = 10) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    con = duckdb.connect()
+    src = f"{base_dir}/events.parquet"
+    u_stride, e_stride = con.execute(
+        f"SELECT max(user_id) + 1, max(event_id) + 1 FROM '{src}'"
+    ).fetchone()
+    con.execute(
+        f"COPY (SELECT t.* REPLACE (user_id + r.r * {u_stride} AS user_id, "
+        f"event_id + r.r * {e_stride} AS event_id) "
+        f"FROM '{src}' t CROSS JOIN range({replicas}) r(r)) "
+        f"TO '{out_dir}/events.parquet' (FORMAT PARQUET)"
+    )
+
+
+def drain_once(spark, src: str, work: str) -> float:
+    shutil.rmtree(work, ignore_errors=True)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    t0 = time.perf_counter()
+    ING.run_streaming_upsert(
+        stream,
+        table_path=os.path.join(work, "table"),
+        checkpoint_dir=os.path.join(work, "ckpt"),
+        keys=["user_id"],
+        ts_col="ts",
+        tiebreak_col="event_id",
+        partition_col="event_type",
+    )
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    spark = get_spark("measure-scale-upsert")
+    base_dir = "/root/testdata/sf0.1"
+    big_dir = os.path.join(CACHE, "scale_events1")
+    if not os.path.exists(os.path.join(big_dir, "events.parquet")):
+        build_events_10x(base_dir, big_dir)
+
+    splits = {}
+    for scale, sf_dir in (("1x", base_dir), ("10x", big_dir)):
+        src = os.path.join(CACHE, "upsert_scale", f"src_{scale}")
+        if not os.path.isdir(src):
+            load(spark, sf_dir, "events").select(
+                "user_id", "event_id", "ts", "event_type", "value"
+            ).repartition(4).write.mode("overwrite").parquet(src)
+        splits[scale] = src
+
+    work = os.path.join(CACHE, "upsert_scale", "work")
+    for scale in ("1x", "10x"):  # un-timed warmup drain per scale
+        drain_once(spark, splits[scale], work)
+    for scale in ("1x", "10x"):
+        ts = sorted(drain_once(spark, splits[scale], work) for _ in range(3))
+        print(json.dumps({"q": "stream_user_latest_upsert", "scale": scale,
+                          "cold_drain": round(ts[1], 3)}))
+
+
+if __name__ == "__main__":
+    main()
