@@ -480,3 +480,72 @@ class TestStreamingUpsert:
         assert len(rows) == 1 and rows[0].event_type == "purchase"
         # the fully-tombstoned view partition directory is gone
         assert not os.path.isdir(os.path.join(p, "event_type=view"))
+
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    data=st.lists(
+        # (user, day, event_type_idx, value) — event_id assigned by
+        # position so (ts, event_id) is always a strict total order
+        st.tuples(
+            st.integers(0, 4),
+            st.integers(1, 9),
+            st.integers(0, 2),
+            st.floats(0, 100, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+    cuts=st.lists(st.integers(1, 19), max_size=3, unique=True),
+)
+def test_upsert_final_state_is_batch_split_invariant(spark, tmp_path_factory, data, cuts):
+    """Property (the CDC guard's contract): ANY split of ANY event
+    sequence into ordered micro-batches yields the same final table as
+    the single-batch apply — the per-key argmax over (ts, event_id)."""
+    from datetime import datetime as DT
+
+    from database_per_keyword_analysis_spark.streaming import ingest as ING
+
+    types = ["view", "click", "purchase"]
+    rows = [
+        (u, i, DT(2024, 1, d), types[t], v)
+        for i, (u, d, t, v) in enumerate(data)
+    ]
+    schema = (
+        "user_id long, event_id long, ts timestamp_ntz, "
+        "event_type string, value double"
+    )
+    args = (["user_id"], "ts", "event_id", "event_type")
+
+    def apply_batches(path, batches):
+        for b in batches:
+            if b:
+                ING.upsert_batch(spark.createDataFrame(b, schema), path, *args)
+
+    def state(path):
+        return {
+            r.user_id: (r.event_id, r.event_type, r.value)
+            for r in spark.read.parquet(path).collect()
+        }
+
+    base = tmp_path_factory.mktemp("upsert_prop")
+    pa = str(base / "single")
+    apply_batches(pa, [rows])
+    bounds = sorted({c for c in cuts if c < len(rows)})
+    pieces, prev = [], 0
+    for c in bounds + [len(rows)]:
+        pieces.append(rows[prev:c])
+        prev = c
+    pb = str(base / "split")
+    apply_batches(pb, pieces)
+    want = {}
+    for u, e, ts, t, v in rows:
+        if u not in want or (ts, e) > want[u][0]:
+            want[u] = ((ts, e), (e, t, v))
+    want = {u: s for u, (_, s) in want.items()}
+    assert state(pa) == want
+    assert state(pb) == want
