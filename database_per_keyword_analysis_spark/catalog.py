@@ -311,6 +311,11 @@ _DEFERRED_TWINS = {
     #   twin): groupBy-count + deterministic top-k = in-window
     #   top_channels_salted machinery; one-row scalar broadcast = the
     #   in-window important_parts (Q11) idiom; differential below
+    "kneser_ney_scores",  # round-7 deferral AT BIRTH (machinery twin):
+    #   the same explode + per-doc tf corpus pass as the in-window
+    #   bigram_lm_scores; KN adds vocab^2-bounded type-table aggregates
+    #   and the literal-discount probability expression; differential
+    #   below
 }
 
 
@@ -5397,4 +5402,49 @@ def q_events_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return SC.skew_report(
         load(spark, sf_dir, "events").select("user_id"), ["user_id"]
+    )
+
+
+@register(
+    "kneser_ney_scores",
+    # identical CTE tree and double-arithmetic expression as the Spark
+    # side (operators/textquality.py:kneser_ney_bigram_scores): exact
+    # integer count tables, literal discount, DECIMAL-accumulated
+    # per-doc NLL
+    r"WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') "
+    "AS toks FROM documents WHERE text IS NOT NULL), "
+    "g AS (SELECT doc_id, unnest(list_transform(range(1, len(toks), 1), "
+    "i -> struct_pack(w1 := toks[i], w2 := toks[i+1]))) AS p "
+    "FROM t WHERE len(toks) >= 2), "
+    "tf AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2, count(*) AS tf "
+    "FROM g GROUP BY doc_id, p.w1, p.w2), "
+    "big AS (SELECT w1, w2, CAST(sum(tf) AS BIGINT) AS c12 "
+    "FROM tf GROUP BY w1, w2), "
+    "ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1, "
+    "count(*) AS n1f FROM big GROUP BY w1), "
+    "cont AS (SELECT w2, count(*) AS n1b FROM big GROUP BY w2), "
+    "nt AS (SELECT count(*) AS nt FROM big), "
+    "prob AS (SELECT w1, w2, "
+    "greatest(CAST(c12 AS DOUBLE) - 0.75, 0.0) / CAST(c1 AS DOUBLE) "
+    "+ (0.75 * CAST(n1f AS DOUBLE) / CAST(c1 AS DOUBLE)) "
+    "* (CAST(n1b AS DOUBLE) / CAST(nt AS DOUBLE)) AS p "
+    "FROM big JOIN ctx USING (w1) JOIN cont USING (w2) CROSS JOIN nt), "
+    "pd AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams, "
+    "CAST(sum(CAST(tf * ln(p) AS DECIMAL(38,18))) AS DOUBLE) AS s "
+    "FROM tf JOIN prob USING (w1, w2) GROUP BY doc_id) "
+    "SELECT doc_id, n_bigrams, round(-s / n_bigrams, 6) AS avg_nll "
+    "FROM pd ORDER BY doc_id",
+)
+def q_kneser_ney_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser–Ney bigram LM quality tier
+    (operators/textquality.py:kneser_ney_bigram_scores): the standard
+    n-gram smoothing over the bigram family's machinery — corpus-scale
+    work is the same explode + per-doc tf pass as the in-window
+    bigram_lm_scores; the KN tables (context totals, distinct
+    continuations/predecessors, type total) are vocab²-bounded
+    aggregates with the type total as a one-row broadcast.  Deferred at
+    birth as that machinery twin; DuckDB differential in
+    tests/test_catalog_twins.py."""
+    return TQ.kneser_ney_bigram_scores(
+        load(spark, sf_dir, "documents", parallel=True)
     )

@@ -471,3 +471,89 @@ def c4_rule_filter(
             )
         ).alias("keep"),
     ).orderBy(id_col)
+
+
+def kneser_ney_bigram_scores(
+    docs: DataFrame,
+    discount: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Interpolated Kneser–Ney bigram LM scores (Kneser & Ney 1995;
+    Chen & Goodman 1999 §2.7) — the standard n-gram smoothing, and the
+    upgrade over :func:`bigram_lm_scores`' raw-count model that makes
+    unseen-in-context transitions informative instead of −∞:
+
+        P(w2|w1) = max(c(w1w2) − d, 0)/c(w1)
+                 + [d·N1+(w1•)/c(w1)] · [N1+(•w2)/N1+(••)]
+
+    with d = `discount` and the continuation probability counting
+    DISTINCT predecessors, not raw frequency (the insight that "Francisco"
+    is frequent but only ever follows "San").
+
+    Plan shape: the corpus-scale work is ONE bigram explode + the
+    per-(doc, bigram) tf aggregate — exactly bigram_lm_scores'
+    machinery; everything KN adds operates on the BIGRAM-TYPE table
+    (vocab²-bounded): c(w1w2) per type, a groupBy(w1) for context
+    totals + distinct-continuation counts, a groupBy(w2) for distinct-
+    predecessor counts, and the distinct-type total as a one-row
+    broadcast scalar.  Every count is an exact integer, d is a literal,
+    and the probability expression is written as the identical
+    double-arithmetic tree on both engines; per-doc NLL sums accumulate
+    in DECIMAL (order-free), surfaced rounded to 6.
+
+    Returns (id_col, n_bigrams, avg_nll); docs with < 2 tokens are
+    excluded (no bigram to score)."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    pairs = F.expr(
+        "transform(sequence(1, size(toks) - 1), "
+        "i -> struct(toks[i-1] AS w1, toks[i] AS w2))"
+    )
+    grams = (
+        docs.where(F.col(text_col).isNotNull())
+        .select(id_col, toks.alias("toks"))
+        .where(F.size("toks") >= 2)
+        .select(id_col, F.explode(pairs).alias("p"))
+        .select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    tf = grams.groupBy(id_col, "w1", "w2").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    big = tf.groupBy("w1", "w2").agg(F.sum("tf").cast("long").alias("c12"))
+    ctx = big.groupBy("w1").agg(
+        F.sum("c12").cast("long").alias("c1"),
+        F.count(F.lit(1)).alias("n1f"),
+    )
+    cont = big.groupBy("w2").agg(F.count(F.lit(1)).alias("n1b"))
+    nt = big.agg(F.count(F.lit(1)).alias("nt"))
+    d = F.lit(float(discount))
+    p = (
+        F.greatest(F.col("c12").cast("double") - d, F.lit(0.0))
+        / F.col("c1").cast("double")
+        + (d * F.col("n1f").cast("double") / F.col("c1").cast("double"))
+        * (F.col("n1b").cast("double") / F.col("nt").cast("double"))
+    )
+    prob = (
+        big.join(ctx, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(nt))
+        .select("w1", "w2", p.alias("p"))
+    )
+    return (
+        tf.join(prob, ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("long").alias("n_bigrams"),
+            F.sum(
+                (F.col("tf") * F.log("p")).cast("decimal(38,18)")
+            )
+            .cast("double")
+            .alias("_s"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            F.round(-F.col("_s") / F.col("n_bigrams"), 6).alias("avg_nll"),
+        )
+        .orderBy(id_col)
+    )

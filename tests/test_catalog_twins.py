@@ -794,3 +794,9 @@ def test_events_skew_report_matches_oracle(spark, sf_dir):
     # round-7 deferral at birth (machinery twin): groupBy-count top-k
     # (top_channels_salted) + one-row scalar broadcast (important_parts)
     _assert_matches_oracle(spark, sf_dir, "events_skew_report")
+
+
+def test_kneser_ney_scores_matches_oracle(spark, sf_dir):
+    # round-7 deferral at birth (machinery twin): bigram_lm_scores'
+    # explode + per-doc tf pass with the KN type-table smoothing on top
+    _assert_matches_oracle(spark, sf_dir, "kneser_ney_scores")

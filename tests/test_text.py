@@ -164,3 +164,72 @@ def test_bigram_collocations_pmi_math_and_min_count(spark):
     n_total = 9 + 3
     expected = round(math.log(5 * n_total / (5 * 5)), 6)
     assert r.pair_count == 5 and r.pmi == pytest.approx(expected, abs=1e-6)
+
+
+class TestKneserNey:
+    def test_probabilities_sum_to_one_per_context(self, spark):
+        """The KN invariant: for every observed context w1,
+        sum over OBSERVED continuations of the discounted term plus
+        lambda(w1) * sum of P_cont over observed w2 stays <= 1, and the
+        full model (discounted mass + lambda * total continuation mass)
+        sums to EXACTLY 1 when P_cont is summed over the whole vocab —
+        checked by reconstructing the terms from the same count tables."""
+        from pyspark.sql import functions as F
+
+        docs = spark.createDataFrame(
+            [(1, "a b a c a b"), (2, "b a b c")], "doc_id long, text string"
+        )
+        toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        pairs = F.expr(
+            "transform(sequence(1, size(toks) - 1), "
+            "i -> struct(toks[i-1] AS w1, toks[i] AS w2))"
+        )
+        grams = (
+            docs.select(toks.alias("toks"))
+            .select(F.explode(pairs).alias("p"))
+            .select("p.w1", "p.w2")
+        )
+        import collections
+
+        rows = [(r.w1, r.w2) for r in grams.collect()]
+        c12 = collections.Counter(rows)
+        c1 = collections.Counter(w1 for w1, _ in rows)
+        n1f = collections.Counter(w1 for w1, _ in set(rows))
+        n1b = collections.Counter(w2 for _, w2 in set(rows))
+        nt = len(set(rows))
+        d = 0.75
+        for w1 in c1:
+            disc = sum(
+                max(c12[(w1, w2)] - d, 0.0) / c1[w1]
+                for w2 in {b for a, b in rows if a == w1}
+            )
+            lam = d * n1f[w1] / c1[w1]
+            total_cont = sum(n1b[w2] for w2 in n1b) / nt  # == 1 by def
+            assert abs(total_cont - 1.0) < 1e-12
+            assert abs(disc + lam * total_cont - 1.0) < 1e-12
+
+    def test_scores_hand_computed_tiny_corpus(self, spark):
+        from database_per_keyword_analysis_spark.operators import (
+            textquality as TQ,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "a b a b"), (2, "a b c")], "doc_id long, text string"
+        )
+        got = {
+            r.doc_id: (r.n_bigrams, r.avg_nll)
+            for r in TQ.kneser_ney_bigram_scores(docs).collect()
+        }
+        # count tables: bigrams ab x3, ba x1, bc x1
+        # c(a)=3, c(b)=2; N1+(a.)=1, N1+(b.)=2; N1+(.a)=1, N1+(.b)=1,
+        # N1+(.c)=1; N1+(..)=3
+        import math
+
+        d = 0.75
+        p_ab = (3 - d) / 3 + (d * 1 / 3) * (1 / 3)
+        p_ba = (1 - d) / 2 + (d * 2 / 2) * (1 / 3)
+        p_bc = (1 - d) / 2 + (d * 2 / 2) * (1 / 3)
+        want1 = round(-(2 * math.log(p_ab) + 1 * math.log(p_ba)) / 3, 6)
+        want2 = round(-(math.log(p_ab) + math.log(p_bc)) / 2, 6)
+        assert got[1] == (3, want1)
+        assert got[2] == (2, want2)
