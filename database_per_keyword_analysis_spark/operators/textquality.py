@@ -519,7 +519,18 @@ def kneser_ney_bigram_scores(
     tf = grams.groupBy(id_col, "w1", "w2").agg(
         F.count(F.lit(1)).alias("tf")
     )
-    big = tf.groupBy("w1", "w2").agg(F.sum("tf").cast("long").alias("c12"))
+    # the bigram-TYPE table feeds four derivations (ctx/cont/nt/prob);
+    # without a cut each would re-run the corpus explode + tf shuffle
+    # (measured: 5 parquet scans).  localCheckpoint materializes the
+    # vocab²-bounded types once — the corpus is scanned exactly twice
+    # (once into `big`, once for the scoring join), the
+    # cluster_balanced_sample trade: scans parallelize, re-derivations
+    # don't.  tf itself is ~corpus-sized and deliberately NOT cut.
+    big = (
+        tf.groupBy("w1", "w2")
+        .agg(F.sum("tf").cast("long").alias("c12"))
+        .localCheckpoint(eager=False)
+    )
     ctx = big.groupBy("w1").agg(
         F.sum("c12").cast("long").alias("c1"),
         F.count(F.lit(1)).alias("n1f"),
