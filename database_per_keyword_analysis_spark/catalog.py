@@ -316,6 +316,10 @@ _DEFERRED_TWINS = {
     #   bigram_lm_scores; KN adds vocab^2-bounded type-table aggregates
     #   and the literal-discount probability expression; differential
     #   below
+    "order_join_size_report",  # round-7 deferral AT BIRTH (machinery
+    #   twin): the events_skew_report shape — groupBy-count tables +
+    #   Q11 one-row scalar broadcast, per-key products instead of
+    #   shares; differential below
 }
 
 
@@ -5447,4 +5451,40 @@ def q_kneser_ney_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_catalog_twins.py."""
     return TQ.kneser_ney_bigram_scores(
         load(spark, sf_dir, "documents", parallel=True)
+    )
+
+
+@register(
+    "order_join_size_report",
+    "WITH ca AS (SELECT o_custkey AS k, count(*) AS ca FROM orders "
+    "GROUP BY o_custkey), "
+    "cb AS (SELECT o_custkey AS k, count(*) AS cb FROM ("
+    "SELECT o_custkey FROM orders JOIN lineitem ON o_orderkey = l_orderkey"
+    ") GROUP BY o_custkey), "
+    "pk AS (SELECT k, CAST(ca * cb AS BIGINT) AS n_pairs "
+    "FROM ca JOIN cb USING (k)), "
+    "t AS (SELECT CAST(sum(n_pairs) AS BIGINT) AS total FROM pk), "
+    "top AS (SELECT k AS o_custkey, n_pairs, "
+    "CAST(n_pairs AS DOUBLE) / CAST(total AS DOUBLE) AS share "
+    "FROM pk CROSS JOIN t ORDER BY n_pairs DESC, k LIMIT 10) "
+    "SELECT * FROM top UNION ALL "
+    "SELECT NULL, total, 1.0 FROM t",
+)
+def q_order_join_size_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality forecast (operators/scale.py:join_size_report)
+    for a planned self-join of orders with order-line facts on
+    o_custkey: per-key count products over the two KEY-COUNT tables,
+    top heavy keys + grand total — the pre-shuffle diagnostic paired
+    with events_skew_report.  Deferred at birth as the same machinery
+    twin (groupBy-count tables + the Q11 one-row scalar broadcast);
+    differential in tests/test_catalog_twins.py."""
+    from .operators import scale as SC
+
+    orders = load(spark, sf_dir, "orders", parallel=True)
+    lines = load(spark, sf_dir, "lineitem", parallel=True)
+    fact = orders.join(
+        lines, orders.o_orderkey == lines.l_orderkey
+    ).select("o_custkey")
+    return SC.join_size_report(
+        orders.select("o_custkey"), fact, ["o_custkey"]
     )

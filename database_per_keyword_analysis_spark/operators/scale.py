@@ -452,3 +452,48 @@ def skew_report(
         .orderBy(F.desc("n"), *keys)
         .limit(top_n)
     )
+
+
+def join_size_report(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    top_n: int = 10,
+) -> DataFrame:
+    """Exact join-cardinality forecast for a planned equi-join on
+    `keys`: |A ⋈ B| = Σ_k cA(k)·cB(k), computed on the two KEY-COUNT
+    tables (never the facts) — the pre-shuffle diagnostic that says
+    whether a join will fan out (pairs ≫ max(|A|,|B|)) and which keys
+    carry the blast radius, complementing :func:`skew_report` (which
+    profiles one side's distribution).
+
+    Returns the `top_n` heaviest keys by pair product plus each key's
+    share of the total join output; one extra row with NULL keys carries
+    the grand total so a single result answers both "how big" and
+    "which keys".  Cost: one groupBy-count per side (map-side combined)
+    + an equi-join of the two key-count tables + a two-level reduce —
+    all key-cardinality-scale, nothing fact-scale shuffles."""
+    ca = left.groupBy(*keys).agg(F.count(F.lit(1)).alias("_ca"))
+    cb = right.groupBy(*keys).agg(F.count(F.lit(1)).alias("_cb"))
+    per_key = ca.join(cb, keys).select(
+        *keys, (F.col("_ca") * F.col("_cb")).cast("long").alias("n_pairs")
+    )
+    total = per_key.agg(F.sum("n_pairs").cast("long").alias("_total"))
+    top = (
+        per_key.join(F.broadcast(total))
+        .select(
+            *keys,
+            "n_pairs",
+            (
+                F.col("n_pairs").cast("double") / F.col("_total").cast("double")
+            ).alias("share"),
+        )
+        .orderBy(F.desc("n_pairs"), *keys)
+        .limit(top_n)
+    )
+    grand = total.select(
+        *[F.lit(None).cast(top.schema[k].dataType).alias(k) for k in keys],
+        F.col("_total").alias("n_pairs"),
+        F.lit(1.0).alias("share"),
+    )
+    return top.unionByName(grand)

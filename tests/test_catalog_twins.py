@@ -800,3 +800,9 @@ def test_kneser_ney_scores_matches_oracle(spark, sf_dir):
     # round-7 deferral at birth (machinery twin): bigram_lm_scores'
     # explode + per-doc tf pass with the KN type-table smoothing on top
     _assert_matches_oracle(spark, sf_dir, "kneser_ney_scores")
+
+
+def test_order_join_size_report_matches_oracle(spark, sf_dir):
+    # round-7 deferral at birth (machinery twin): the skew_report shape
+    # (groupBy-count tables + Q11 scalar broadcast), per-key products
+    _assert_matches_oracle(spark, sf_dir, "order_join_size_report")

@@ -422,3 +422,23 @@ def test_skew_report_values_and_determinism(spark):
     assert [(r.k, r.n) for r in rows] == [("a", 6), ("b", 3)]
     assert rows[0].share == 0.6 and rows[0].skew_factor == 1.8
     assert rows[1].share == 0.3 and abs(rows[1].skew_factor - 0.9) < 1e-12
+
+
+def test_join_size_report_forecast_is_exact(spark):
+    """The forecast must equal the ACTUAL join row count, per key and
+    in total — it is arithmetic, not an estimate."""
+    from database_per_keyword_analysis_spark.operators.scale import (
+        join_size_report,
+    )
+
+    a = spark.createDataFrame(
+        [("x",)] * 3 + [("y",)] * 2 + [("z",)] * 1, "k string"
+    )
+    b = spark.createDataFrame([("x",)] * 4 + [("y",)] * 1, "k string")
+    rows = join_size_report(a, b, ["k"]).collect()
+    per_key = {r.k: r.n_pairs for r in rows if r.k is not None}
+    total = [r for r in rows if r.k is None][0]
+    actual = a.join(b, "k").count()
+    assert per_key == {"x": 12, "y": 2}  # z joins nothing
+    assert total.n_pairs == actual == 14
+    assert total.share == 1.0
