@@ -170,9 +170,10 @@ HEADLINE = [
     "embedding_cluster_sample",
     "ivf_knn_frozen",
     "stream_user_latest_upsert",
-    # round-7 fourth batch: Kneser-Ney smoothing tier (timed — its KN
+    # round-7 fourth batch: Kneser-Ney smoothing tiers (timed — the KN
     # type-table joins are real cost beyond the bigram_lm twin pass)
     "kneser_ney_scores",
+    "kneser_ney3_scores",
 ]
 
 # Round-7 headline audit (round-6 judge item 5): every registered query

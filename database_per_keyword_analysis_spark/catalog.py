@@ -320,6 +320,12 @@ _DEFERRED_TWINS = {
     #   twin): the events_skew_report shape — groupBy-count tables +
     #   Q11 one-row scalar broadcast, per-key products instead of
     #   shares; differential below
+    "kneser_ney3_scores",  # round-7 deferral AT BIRTH (machinery
+    #   twin): the same corpus machinery one order up — trigram
+    #   explode + per-doc tf (bigram_lm_scores in-window) with the KN
+    #   arithmetic (kneser_ney_scores, differential-proven) recursed
+    #   through the continuation-count layers; differential below +
+    #   pure-Python reference differential in tests/test_text.py
 }
 
 
@@ -5487,4 +5493,61 @@ def q_order_join_size_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("o_custkey")
     return SC.join_size_report(
         orders.select("o_custkey"), fact, ["o_custkey"]
+    )
+
+
+@register(
+    "kneser_ney3_scores",
+    # the identical three-layer KN tree as the Spark side
+    # (operators/textquality.py:kneser_ney_trigram_scores): trigram
+    # types feed every middle-layer table, bigram types feed the
+    # continuation unigram, d = 0.75 literal, DECIMAL-accumulated NLL
+    r"WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') "
+    "AS toks FROM documents WHERE text IS NOT NULL), "
+    "g3 AS (SELECT doc_id, unnest(list_transform(range(2, len(toks), 1), "
+    "i -> struct_pack(w1 := toks[i-1], w2 := toks[i], w3 := toks[i+1]))) AS p "
+    "FROM t WHERE len(toks) >= 3), "
+    "tf3 AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2, p.w3 AS w3, "
+    "count(*) AS tf FROM g3 GROUP BY doc_id, p.w1, p.w2, p.w3), "
+    "t3 AS (SELECT w1, w2, w3, CAST(sum(tf) AS BIGINT) AS c123 "
+    "FROM tf3 GROUP BY w1, w2, w3), "
+    "ctx12 AS (SELECT w1, w2, CAST(sum(c123) AS BIGINT) AS c12, "
+    "count(*) AS n1f12 FROM t3 GROUP BY w1, w2), "
+    "mid23 AS (SELECT w2, w3, count(*) AS n1p23 FROM t3 GROUP BY w2, w3), "
+    "mid2 AS (SELECT w2, CAST(sum(n1p23) AS BIGINT) AS n1p2dot, "
+    "count(*) AS n1f2 FROM mid23 GROUP BY w2), "
+    "g2 AS (SELECT DISTINCT p.w1 AS w1, p.w2 AS w3 FROM ("
+    "SELECT unnest(list_transform(range(1, len(toks), 1), "
+    "i -> struct_pack(w1 := toks[i], w2 := toks[i+1]))) AS p "
+    "FROM t WHERE len(toks) >= 2)), "
+    "cont AS (SELECT w3, count(*) AS n1b FROM g2 GROUP BY w3), "
+    "ntb AS (SELECT count(*) AS ntb FROM g2), "
+    "prob AS (SELECT w1, w2, w3, "
+    "greatest(CAST(c123 AS DOUBLE) - 0.75, 0.0) / CAST(c12 AS DOUBLE) "
+    "+ (0.75 * CAST(n1f12 AS DOUBLE) / CAST(c12 AS DOUBLE)) "
+    "* (greatest(CAST(n1p23 AS DOUBLE) - 0.75, 0.0) / CAST(n1p2dot AS DOUBLE) "
+    "+ (0.75 * CAST(n1f2 AS DOUBLE) / CAST(n1p2dot AS DOUBLE)) "
+    "* (CAST(n1b AS DOUBLE) / CAST(ntb AS DOUBLE))) AS p "
+    "FROM t3 JOIN ctx12 USING (w1, w2) JOIN mid23 USING (w2, w3) "
+    "JOIN mid2 USING (w2) JOIN cont USING (w3) CROSS JOIN ntb), "
+    "pd AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_trigrams, "
+    "CAST(sum(CAST(tf * ln(p) AS DECIMAL(38,18))) AS DOUBLE) AS s "
+    "FROM tf3 JOIN prob USING (w1, w2, w3) GROUP BY doc_id) "
+    "SELECT doc_id, n_trigrams, round(-s / n_trigrams, 6) AS avg_nll "
+    "FROM pd ORDER BY doc_id",
+)
+def q_kneser_ney3_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-3 interpolated Kneser–Ney LM quality tier
+    (operators/textquality.py:kneser_ney_trigram_scores) — the
+    KenLM-default model shape: trigram layer backing off through the
+    continuation-count bigram layer to the continuation unigram.
+    Corpus-scale work stays the bigram family's machinery (one trigram
+    explode + per-doc tf, one bigram-type pass, one scoring join); all
+    KN tables derive from the checkpointed type tables.  Deferred at
+    birth as that machinery twin (bigram_lm_scores in-window;
+    kneser_ney_scores differential-proven); pure-Python reference
+    differential in tests/test_text.py, DuckDB differential in
+    tests/test_catalog_twins.py."""
+    return TQ.kneser_ney_trigram_scores(
+        load(spark, sf_dir, "documents", parallel=True)
     )

@@ -568,3 +568,116 @@ def kneser_ney_bigram_scores(
         )
         .orderBy(id_col)
     )
+
+
+def kneser_ney_trigram_scores(
+    docs: DataFrame,
+    discount: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Order-3 interpolated Kneser–Ney (Chen & Goodman 1999 eq. 18 —
+    the KenLM-default model shape): the trigram layer backs off through
+    a CONTINUATION-count bigram layer to the continuation unigram,
+
+        P3(w3|w1w2) = max(c(w1w2w3) − d, 0)/c(w1w2)
+                    + [d·N1+(w1w2•)/c(w1w2)] · P2(w3|w2)
+        P2(w3|w2)   = max(N1+(•w2w3) − d, 0)/N1+(•w2•)
+                    + [d·N1+(w2•)/N1+(•w2•)] · P1(w3)
+        P1(w3)      = N1+(•w3) / N1+(••)
+
+    with every N1+ a DISTINCT-TYPE count (trigram types for the middle
+    layer, bigram types for the unigram layer) — the lower orders model
+    how often a word appears in NEW contexts, not how often it appears.
+
+    Plan shape: corpus-scale work is one trigram explode + per-doc tf
+    pass, one bigram-type pass (for the unigram layer), and the scoring
+    join — three scans total; the trigram-TYPE table (localCheckpoint,
+    vocab³-bounded in principle, corpus-bigram-bounded in practice)
+    feeds every KN table so none re-derives the corpus.  All counts are
+    exact integers, d is a literal, and the three-layer probability is
+    written as the identical double-arithmetic tree on both engines;
+    per-doc NLL sums accumulate in DECIMAL.  Docs with < 3 tokens are
+    excluded (no trigram to score).
+
+    Returns (id_col, n_trigrams, avg_nll)."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    tris = F.expr(
+        "transform(sequence(2, size(toks) - 1), i -> "
+        "struct(toks[i-2] AS w1, toks[i-1] AS w2, toks[i] AS w3))"
+    )
+    bis = F.expr(
+        "transform(sequence(1, size(toks) - 1), "
+        "i -> struct(toks[i-1] AS w1, toks[i] AS w2))"
+    )
+    base = docs.where(F.col(text_col).isNotNull()).select(
+        id_col, toks.alias("toks")
+    )
+    tf3 = (
+        base.where(F.size("toks") >= 3)
+        .select(id_col, F.explode(tris).alias("t"))
+        .select(id_col, "t.w1", "t.w2", "t.w3")
+        .groupBy(id_col, "w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    t3 = (
+        tf3.groupBy("w1", "w2", "w3")
+        .agg(F.sum("tf").cast("long").alias("c123"))
+        .localCheckpoint(eager=False)
+    )
+    ctx12 = t3.groupBy("w1", "w2").agg(
+        F.sum("c123").cast("long").alias("c12"),
+        F.count(F.lit(1)).alias("n1f12"),
+    )
+    mid23 = t3.groupBy("w2", "w3").agg(F.count(F.lit(1)).alias("n1p23"))
+    mid2 = mid23.groupBy("w2").agg(
+        F.sum("n1p23").cast("long").alias("n1p2dot"),
+        F.count(F.lit(1)).alias("n1f2"),
+    )
+    bigtypes = (
+        base.where(F.size("toks") >= 2)
+        .select(F.explode(bis).alias("b"))
+        .select("b.w1", F.col("b.w2").alias("w3"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    cont = bigtypes.groupBy("w3").agg(F.count(F.lit(1)).alias("n1b"))
+    ntb = bigtypes.agg(F.count(F.lit(1)).alias("ntb"))
+    d = F.lit(float(discount))
+    p1 = F.col("n1b").cast("double") / F.col("ntb").cast("double")
+    p2 = (
+        F.greatest(F.col("n1p23").cast("double") - d, F.lit(0.0))
+        / F.col("n1p2dot").cast("double")
+        + (d * F.col("n1f2").cast("double") / F.col("n1p2dot").cast("double"))
+        * p1
+    )
+    p3 = (
+        F.greatest(F.col("c123").cast("double") - d, F.lit(0.0))
+        / F.col("c12").cast("double")
+        + (d * F.col("n1f12").cast("double") / F.col("c12").cast("double"))
+        * p2
+    )
+    prob = (
+        t3.join(ctx12, ["w1", "w2"])
+        .join(mid23, ["w2", "w3"])
+        .join(mid2, "w2")
+        .join(cont, "w3")
+        .crossJoin(F.broadcast(ntb))
+        .select("w1", "w2", "w3", p3.alias("p"))
+    )
+    return (
+        tf3.join(prob, ["w1", "w2", "w3"])
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("long").alias("n_trigrams"),
+            F.sum((F.col("tf") * F.log("p")).cast("decimal(38,18)"))
+            .cast("double")
+            .alias("_s"),
+        )
+        .select(
+            id_col,
+            "n_trigrams",
+            F.round(-F.col("_s") / F.col("n_trigrams"), 6).alias("avg_nll"),
+        )
+        .orderBy(id_col)
+    )

@@ -806,3 +806,10 @@ def test_order_join_size_report_matches_oracle(spark, sf_dir):
     # round-7 deferral at birth (machinery twin): the skew_report shape
     # (groupBy-count tables + Q11 scalar broadcast), per-key products
     _assert_matches_oracle(spark, sf_dir, "order_join_size_report")
+
+
+def test_kneser_ney3_scores_matches_oracle(spark, sf_dir):
+    # round-7 deferral at birth (machinery twin): the bigram family's
+    # corpus machinery one order up, KN arithmetic recursed through
+    # the continuation-count layers
+    _assert_matches_oracle(spark, sf_dir, "kneser_ney3_scores")

@@ -233,3 +233,126 @@ class TestKneserNey:
         want2 = round(-(math.log(p_ab) + math.log(p_bc)) / 2, 6)
         assert got[1] == (3, want1)
         assert got[2] == (2, want2)
+
+
+def _kn3_reference(texts: dict[int, str], d: float = 0.75) -> dict:
+    """Pure-Python order-3 interpolated KN (Chen & Goodman eq. 18) —
+    the independent reference the Spark implementation must match."""
+    import collections
+    import math
+
+    tris, bigs, doc_tris = collections.Counter(), set(), {}
+    for doc, text in texts.items():
+        toks = text.strip().lower().split()
+        doc_tris[doc] = [
+            (toks[i - 2], toks[i - 1], toks[i]) for i in range(2, len(toks))
+        ]
+        tris.update(doc_tris[doc])
+        bigs.update(
+            {(toks[i - 1], toks[i]) for i in range(1, len(toks))}
+        )
+    c12 = collections.Counter()
+    n1f12 = collections.Counter()
+    n1p23 = collections.Counter()
+    for (w1, w2, w3), c in tris.items():
+        c12[(w1, w2)] += c
+        n1f12[(w1, w2)] += 1
+        n1p23[(w2, w3)] += 1
+    n1p2dot, n1f2 = collections.Counter(), collections.Counter()
+    for (w2, w3), c in n1p23.items():
+        n1p2dot[w2] += c
+        n1f2[w2] += 1
+    n1b = collections.Counter(w3 for _, w3 in bigs)
+    ntb = len(bigs)
+
+    def p(w1, w2, w3):
+        p1 = n1b[w3] / ntb
+        p2 = max(n1p23[(w2, w3)] - d, 0.0) / n1p2dot[w2] + (
+            d * n1f2[w2] / n1p2dot[w2]
+        ) * p1
+        return max(tris[(w1, w2, w3)] - d, 0.0) / c12[(w1, w2)] + (
+            d * n1f12[(w1, w2)] / c12[(w1, w2)]
+        ) * p2
+
+    out = {}
+    for doc, ts in doc_tris.items():
+        if not ts:
+            continue
+        s = sum(math.log(p(*t)) for t in ts)
+        out[doc] = (len(ts), round(-s / len(ts), 6))
+    return out
+
+
+class TestKneserNeyTrigram:
+    def test_matches_pure_python_reference_on_fixture(self, spark):
+        from database_per_keyword_analysis_spark.operators import (
+            textquality as TQ,
+        )
+        from database_per_keyword_analysis_spark.sources import load
+
+        docs = load(spark, "/root/testdata/sf0.001", "documents")
+        texts = {
+            r.doc_id: r.text
+            for r in docs.where("text IS NOT NULL").collect()
+        }
+        want = _kn3_reference(texts)
+        got = {
+            r.doc_id: (r.n_trigrams, r.avg_nll)
+            for r in TQ.kneser_ney_trigram_scores(docs).collect()
+        }
+        assert set(got) == set(want)
+        mismatches = {
+            k: (got[k], want[k])
+            for k in want
+            # the reference's raw-double sum may differ from the
+            # DECIMAL-accumulated Spark sum in the last ulp before
+            # rounding; 6-dp equality after a 1e-9 tolerance is the
+            # contract
+            if abs(got[k][1] - want[k][1]) > 1e-6 or got[k][0] != want[k][0]
+        }
+        assert mismatches == {}
+
+    def test_model_sums_to_one_per_context(self, spark):
+        """Σ_w3 P3(w3|w1,w2) over the FULL continuation vocab = 1 for
+        every observed trigram context — KN's properness invariant,
+        checked on a tiny corpus via the reference implementation's
+        count tables."""
+        import collections
+
+        texts = {1: "a b a b c a b", 2: "b a b c a"}
+        d = 0.75
+        tris, bigs = collections.Counter(), set()
+        for text in texts.values():
+            toks = text.split()
+            tris.update(
+                (toks[i - 2], toks[i - 1], toks[i])
+                for i in range(2, len(toks))
+            )
+            bigs.update((toks[i - 1], toks[i]) for i in range(1, len(toks)))
+        c12, n1f12, n1p23 = (
+            collections.Counter(),
+            collections.Counter(),
+            collections.Counter(),
+        )
+        for (w1, w2, w3), c in tris.items():
+            c12[(w1, w2)] += c
+            n1f12[(w1, w2)] += 1
+            n1p23[(w2, w3)] += 1
+        n1p2dot, n1f2 = collections.Counter(), collections.Counter()
+        for (w2, w3), c in n1p23.items():
+            n1p2dot[w2] += c
+            n1f2[w2] += 1
+        n1b = collections.Counter(w3 for _, w3 in bigs)
+        ntb = len(bigs)
+        vocab = set(n1b)
+        for (w1, w2) in c12:
+            total = 0.0
+            for w3 in vocab:
+                p1 = n1b[w3] / ntb
+                p2 = max(n1p23[(w2, w3)] - d, 0.0) / n1p2dot[w2] + (
+                    d * n1f2[w2] / n1p2dot[w2]
+                ) * p1
+                total += max(tris[(w1, w2, w3)] - d, 0.0) / c12[(w1, w2)] + (
+                    d * n1f12[(w1, w2)] / c12[(w1, w2)]
+                ) * p2
+            assert abs(total - 1.0) < 1e-9, (w1, w2, total)
