@@ -50,6 +50,7 @@ def main() -> None:
 
     variants = {
         "kneser_ney_scores": TQ.kneser_ney_bigram_scores,
+        "kneser_ney3_scores": TQ.kneser_ney_trigram_scores,
         "bigram_lm_scores": TQ.bigram_lm_scores,
     }
     docs = {
