@@ -5469,7 +5469,7 @@ def q_kneser_ney_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     ") GROUP BY o_custkey), "
     "pk AS (SELECT k, CAST(ca * cb AS BIGINT) AS n_pairs "
     "FROM ca JOIN cb USING (k)), "
-    "t AS (SELECT CAST(sum(n_pairs) AS BIGINT) AS total FROM pk), "
+    "t AS (SELECT CAST(coalesce(sum(n_pairs), 0) AS BIGINT) AS total FROM pk), "
     "top AS (SELECT k AS o_custkey, n_pairs, "
     "CAST(n_pairs AS DOUBLE) / CAST(total AS DOUBLE) AS share "
     "FROM pk CROSS JOIN t ORDER BY n_pairs DESC, k LIMIT 10) "

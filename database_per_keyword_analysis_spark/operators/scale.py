@@ -478,7 +478,11 @@ def join_size_report(
     per_key = ca.join(cb, keys).select(
         *keys, (F.col("_ca") * F.col("_cb")).cast("long").alias("n_pairs")
     )
-    total = per_key.agg(F.sum("n_pairs").cast("long").alias("_total"))
+    # coalesce: fully-disjoint key sets leave sum() NULL, but the
+    # forecast's answer there is an honest 0 (hypothesis-found edge)
+    total = per_key.agg(
+        F.coalesce(F.sum("n_pairs"), F.lit(0)).cast("long").alias("_total")
+    )
     top = (
         per_key.join(F.broadcast(total))
         .select(

@@ -442,3 +442,41 @@ def test_join_size_report_forecast_is_exact(spark):
     assert per_key == {"x": 12, "y": 2}  # z joins nothing
     assert total.n_pairs == actual == 14
     assert total.share == 1.0
+
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    left=st.lists(st.integers(0, 5), min_size=1, max_size=30),
+    right=st.lists(st.integers(0, 5), min_size=1, max_size=30),
+)
+def test_join_size_and_skew_reports_match_counter_math(spark, left, right):
+    """Property: both diagnostics are pure Counter arithmetic — the
+    forecast equals the actual join count for ANY key multisets, and
+    skew shares/factors reproduce the Counter-derived values."""
+    import collections
+
+    from database_per_keyword_analysis_spark.operators.scale import (
+        join_size_report,
+        skew_report,
+    )
+
+    a = spark.createDataFrame([(k,) for k in left], "k long")
+    b = spark.createDataFrame([(k,) for k in right], "k long")
+    ca, cb = collections.Counter(left), collections.Counter(right)
+    want_total = sum(ca[k] * cb[k] for k in ca)
+    rows = join_size_report(a, b, ["k"], top_n=100).collect()
+    got_total = [r for r in rows if r.k is None][0].n_pairs
+    assert got_total == want_total == a.join(b, "k").count()
+    per_key = {r.k: r.n_pairs for r in rows if r.k is not None}
+    assert per_key == {k: ca[k] * cb[k] for k in ca if k in cb}
+
+    srows = skew_report(a, ["k"], top_n=100).collect()
+    n_keys, total = len(ca), len(left)
+    for r in srows:
+        assert r.n == ca[r.k]
+        assert r.share == ca[r.k] / total
+        assert r.skew_factor == ca[r.k] * n_keys / total
