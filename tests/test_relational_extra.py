@@ -359,3 +359,70 @@ def test_nation_profit_arithmetic_and_part_filter(spark):
     r = rows[0]
     assert (r.nation, r.order_year) == ("NATION_3", 1996)
     assert abs(r.profit - 39.0) < 1e-9
+
+
+def test_round7_operators_tolerate_empty_inputs(spark):
+    """Degenerate-input contract for the round-7 additions: empty frames
+    flow through to empty (or zero-total) results, never planner or
+    runtime errors."""
+    from database_per_keyword_analysis_spark.catalog import (
+        FROZEN_BPE_MERGES,
+        FROZEN_EMB_CENTROIDS,
+    )
+    from database_per_keyword_analysis_spark.operators import bpe as B
+    from database_per_keyword_analysis_spark.operators import (
+        similarity as SIM,
+    )
+    from database_per_keyword_analysis_spark.operators import (
+        textquality as TQ,
+    )
+    from database_per_keyword_analysis_spark.operators.scale import (
+        join_size_report,
+        skew_report,
+    )
+
+    li = spark.createDataFrame(
+        [],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_quantity double, "
+        "l_extendedprice double, l_discount double, l_returnflag string, "
+        "l_shipdate timestamp_ntz",
+    )
+    orders = spark.createDataFrame(
+        [], "o_orderkey long, o_custkey long, o_orderdate timestamp_ntz, "
+        "o_orderpriority string",
+    )
+    part = spark.createDataFrame(
+        [], "p_partkey long, p_name string, p_retailprice double"
+    )
+    supplier = spark.createDataFrame([], "s_suppkey long, s_nationkey long")
+    nation = spark.createDataFrame([], "n_nationkey long, n_name string")
+    assert R.nation_profit(li, orders, part, supplier, nation).collect() == []
+    assert R.late_shipment_priority(li, orders).collect() == []
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    assert TQ.kneser_ney_bigram_scores(docs).collect() == []
+    assert TQ.kneser_ney_trigram_scores(docs).collect() == []
+    assert (
+        B.bpe_fertility_by_group(
+            spark.createDataFrame([], "doc_id long, text string, lang string"),
+            FROZEN_BPE_MERGES,
+        ).collect()
+        == []
+    )
+
+    emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert SIM.cluster_assign_frozen(emb, FROZEN_EMB_CENTROIDS).collect() == []
+    assert (
+        SIM.cluster_balanced_sample(
+            emb, FROZEN_EMB_CENTROIDS, target_total=10
+        ).collect()
+        == []
+    )
+    assert (
+        SIM.ivf_knn_frozen(emb, emb, FROZEN_EMB_CENTROIDS).collect() == []
+    )
+
+    keys = spark.createDataFrame([], "k long")
+    assert skew_report(keys, ["k"]).collect() == []
+    rows = join_size_report(keys, keys, ["k"]).collect()
+    assert len(rows) == 1 and rows[0].k is None and rows[0].n_pairs == 0
