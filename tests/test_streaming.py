@@ -549,3 +549,48 @@ def test_upsert_final_state_is_batch_split_invariant(spark, tmp_path_factory, da
     want = {u: s for u, (_, s) in want.items()}
     assert state(pa) == want
     assert state(pb) == want
+
+
+def test_upsert_survives_checkpoint_loss(spark, tmp_path):
+    """Losing the streaming checkpoint (but keeping the target table)
+    forces a FULL re-drain of the source — the latest-wins guard makes
+    that replay a semantic no-op, so checkpoint loss degrades to wasted
+    work, never to wrong data (the property plain SCD1 would NOT have:
+    source-wins replay could resurrect stale versions)."""
+    import shutil
+
+    from database_per_keyword_analysis_spark.sources import load
+    from database_per_keyword_analysis_spark.streaming import ingest as ING
+
+    src = str(tmp_path / "src")
+    events = load(spark, "/root/testdata/sf0.001", "events").select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+    events.repartition(3).write.parquet(src)
+
+    def drain(ckpt):
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        ING.run_streaming_upsert(
+            stream,
+            table_path=str(tmp_path / "table"),
+            checkpoint_dir=ckpt,
+            keys=["user_id"],
+            ts_col="ts",
+            tiebreak_col="event_id",
+            partition_col="event_type",
+        )
+
+    drain(str(tmp_path / "ckpt1"))
+    before = sorted(
+        tuple(r) for r in spark.read.parquet(str(tmp_path / "table")).collect()
+    )
+    shutil.rmtree(str(tmp_path / "ckpt1"))
+    drain(str(tmp_path / "ckpt2"))  # fresh checkpoint: full replay
+    after = sorted(
+        tuple(r) for r in spark.read.parquet(str(tmp_path / "table")).collect()
+    )
+    assert after == before
