@@ -273,10 +273,6 @@ _DEFERRED_TWINS = {
     #   INSIDE hybrid_search_rrf (which executes bm25_search end-to-end)
     #   — slot taken by knn_eval_metrics (NOVEL rank-metric aggregation:
     #   recall/MRR/nDCG over the decimal-cosine ranking)
-    "hard_negative_mining",  # round-7 deferral AT BIRTH (allowed for
-    #   machinery-twins): same ranked+relevance frame as the in-window
-    #   knn_eval_metrics, conditional mins instead of metric sums;
-    #   differential below
     # round-7 in-window-at-birth swaps, second batch (TPC-H Q9/Q12
     # close the join-tree family):
     "event_anomalies",  # green r5-r6; lag/lead + frame-window machinery
@@ -294,38 +290,51 @@ _DEFERRED_TWINS = {
     #   have been driver-green twice; differential below — slot taken
     #   by embedding_cluster_sample (NOVEL frozen-quantizer
     #   cluster-balanced curation, in-window at birth)
-    "ivf_knn_frozen",  # round-7 deferral AT BIRTH (machinery twin):
-    #   corpus assignment is embedding_cluster_sample's in-window
-    #   frozen-centroid argmax, candidate scoring is the decimal-cosine
-    #   ranking knn_eval_metrics executes in-window; upgrades the ANN
-    #   serve path from rows-only to oracle-checked; differential below
-    "bpe_fertility_by_lang",  # round-7 deferral AT BIRTH (machinery
-    #   twin): executes the in-window bpe_encode chain end-to-end plus
-    #   one K-group integer aggregate; differential below
     "events_value_locf",  # green r5-r6; LOCF last-value frame over the
     #   zero-fill spine; ordered-window machinery stays in-window via
     #   zipf_token_stats' per-group rank and the retrieval ranks;
     #   differential below — slot taken by stream_user_latest_upsert
     #   (NOVEL streaming CDC latest-wins MERGE, in-window at birth)
-    "events_skew_report",  # round-7 deferral AT BIRTH (machinery
-    #   twin): groupBy-count + deterministic top-k = in-window
-    #   top_channels_salted machinery; one-row scalar broadcast = the
-    #   in-window important_parts (Q11) idiom; differential below
-    "kneser_ney_scores",  # round-7 deferral AT BIRTH (machinery twin):
-    #   the same explode + per-doc tf corpus pass as the in-window
-    #   bigram_lm_scores; KN adds vocab^2-bounded type-table aggregates
-    #   and the literal-discount probability expression; differential
-    #   below
-    "order_join_size_report",  # round-7 deferral AT BIRTH (machinery
-    #   twin): the events_skew_report shape — groupBy-count tables +
-    #   Q11 one-row scalar broadcast, per-key products instead of
-    #   shares; differential below
-    "kneser_ney3_scores",  # round-7 deferral AT BIRTH (machinery
-    #   twin): the same corpus machinery one order up — trigram
-    #   explode + per-doc tf (bigram_lm_scores in-window) with the KN
-    #   arithmetic (kneser_ney_scores, differential-proven) recursed
-    #   through the continuation-count layers; differential below +
-    #   pure-Python reference differential in tests/test_text.py
+    # ==================================================================
+    # ROUND-8 ROTATION (round-7 judge "Next round" item 1): the seven
+    # never-driver-verified round-7 deferrals-at-birth
+    # (hard_negative_mining, ivf_knn_frozen, bpe_fertility_by_lang,
+    # events_skew_report, kneser_ney_scores, order_join_size_report,
+    # kneser_ney3_scores) move INTO the window for their first driver
+    # hash-check; seven 2-round-green (r6+r7) members leave in
+    # exchange, each with a DuckDB differential in
+    # tests/test_catalog_twins.py (AST-guard enforced).  Their existing
+    # twin differentials stay in the test file, so the promoted seven
+    # remain locally value-checked too.
+    # ==================================================================
+    "source_mixture_sample",  # green r6-r7; hash-threshold mixture
+    #   sampling; the sampler family keeps three in-window members
+    #   (alpha_mixture_sample, token_budget_sample, dsir_resample) —
+    #   slot taken by hard_negative_mining (first driver check)
+    "curation_summary",  # green r6-r7; curation verdict aggregation;
+    #   curation_funnel + quality_keeper_selection keep the composition
+    #   pipeline in-window — slot taken by ivf_knn_frozen (first driver
+    #   check of the ANN serve tier's hash-exact path)
+    "cosine_dup_groups",  # green r6-r7; CC machinery stays in-window
+    #   via winnowing_dup_groups, decimal-cosine scoring via
+    #   knn_eval_metrics + embedding_quantization — slot taken by
+    #   bpe_fertility_by_lang (first driver check)
+    "bigram_collocations",  # green r6-r7; the bigram explode + per-doc
+    #   tf corpus pass stays in-window via bigram_lm_scores and both
+    #   promoted Kneser-Ney tiers — slot taken by kneser_ney_scores
+    #   (first driver check)
+    "media_resize",  # green r6-r7; Arrow mapInPandas multimodal
+    #   plumbing stays in-window via media_phash_dups — slot taken by
+    #   kneser_ney3_scores (first driver check)
+    "orders_profile",  # green r6-r7; conditional-aggregate profiling;
+    #   orders_constraint_checks keeps the scan-stage conditional-agg
+    #   family in-window — slot taken by events_skew_report (first
+    #   driver check of the pre-shuffle skew diagnostic)
+    "forecast_revenue",  # green r6-r7; Q6 pure filter + 1-row DECIMAL
+    #   agg; promo_revenue_ratio (Q14 conditional agg, same lineitem
+    #   scan) and important_parts (Q11 one-row scalar broadcast) keep
+    #   the machinery in-window — slot taken by order_join_size_report
+    #   (first driver check of the join-cardinality diagnostic)
 }
 
 
