@@ -285,6 +285,51 @@ STABLE_CORE = [
 ]
 
 
+def _latest_recorded_core() -> dict[str, float]:
+    """Per-query medians for STABLE_CORE members from the newest
+    BENCH_r*.json the driver recorded, else {}.
+
+    The driver's artifact keeps only a bounded stdout tail, so the full
+    per-query dict may be truncated mid-stream — recover what survives
+    with a per-name regex rather than a whole-line json.loads.
+    """
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    recs = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+    if not recs:
+        return {}
+    try:
+        with open(recs[-1]) as f:
+            blob = f.read()
+    except OSError:
+        return {}
+    out: dict[str, float] = {}
+    for name in STABLE_CORE:
+        # inside the artifact the bench stdout is embedded as a JSON
+        # string, so the quotes around the name arrive escaped (\")
+        m = re.search(rf'\\?"{name}\\?": ([0-9][0-9.]*)[,}}\\]', blob)
+        if m:
+            out[name] = float(m.group(1))
+    return out
+
+
+def stable_core_movers(timings: dict[str, float]) -> dict[str, list[float]]:
+    """Auto-flag stable-core members moving >0.25 s vs the latest
+    driver-recorded round (round-7 verdict item 8: the A/B protocol's
+    trigger rule, shipped inside the bench artifact so per-query
+    regression questions come with the run instead of waiting for the
+    judge).  Values are [previous_round_median, this_run_median]."""
+    prev = _latest_recorded_core()
+    movers: dict[str, list[float]] = {}
+    for name in STABLE_CORE:
+        if name in prev and name in timings:
+            if abs(timings[name] - prev[name]) > 0.25:
+                movers[name] = [round(prev[name], 3), round(timings[name], 3)]
+    return movers
+
+
 def stable_core_total(timings: dict[str, float]) -> float:
     """Total seconds over the frozen STABLE_CORE members present in
     this run's timings (members not benched this run contribute 0 —
@@ -343,6 +388,7 @@ def main() -> None:
         "spread": spread,
         "stable_core_sec": stable_core_total(timings),
         "stable_core": {n: timings[n] for n in STABLE_CORE if n in timings},
+        "stable_core_movers": stable_core_movers(timings),
         "iters": iters,
         "sf": float(sf),
     }

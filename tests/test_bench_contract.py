@@ -98,3 +98,27 @@ def test_compact_line_stays_inside_driver_tail():
     assert len(line) < 1500
     parsed = json.loads(line)
     assert parsed["n_queries"] == len(bench.HEADLINE)
+
+
+def test_stable_core_movers_flags_deltas_above_rule():
+    # r7 verdict item 8: the >0.25 s A/B trigger rule ships inside the
+    # bench artifact.  Uses the real latest BENCH_r*.json record when
+    # present; synthesizes movement on top of it.
+    prev = bench._latest_recorded_core()
+    if not prev:  # no driver record in a fresh checkout
+        assert bench.stable_core_movers({}) == {}
+        return
+    # all recorded stable-core names parse as floats
+    assert all(isinstance(v, float) for v in prev.values())
+    same = dict(prev)
+    assert bench.stable_core_movers(same) == {}
+    moved = dict(prev)
+    name = next(iter(moved))
+    moved[name] = prev[name] + 0.3
+    flagged = bench.stable_core_movers(moved)
+    assert name in flagged
+    assert flagged[name] == [round(prev[name], 3), round(prev[name] + 0.3, 3)]
+    # sub-rule movement is not flagged
+    small = dict(prev)
+    small[name] = prev[name] + 0.2
+    assert name not in bench.stable_core_movers(small)
