@@ -5361,10 +5361,21 @@ def q_stream_user_latest_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-runs see no new source files and the committed table stands."""
     import hashlib
     import os
+    import shutil
 
     from .streaming import ingest as ING
 
-    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    # cache key includes a fingerprint of the events fixture (size +
+    # mtime), and the source split is only trusted behind Spark's
+    # _SUCCESS commit marker (round-7 advice): a crash mid-write (the
+    # dir exists the moment the write starts) or a regenerated fixture
+    # at the same path can no longer poison the cache into returning
+    # rows that diverge from the oracle's live events read
+    ev = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(ev)
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{st.st_size}:{st.st_mtime_ns}".encode()
+    ).hexdigest()[:12]
     base = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         ".cache", "upsert", key,
@@ -5374,7 +5385,8 @@ def q_stream_user_latest_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load(spark, sf_dir, "events").select(
         "user_id", "event_id", "ts", "event_type", "value"
     )
-    if not os.path.isdir(src):
+    if not os.path.isfile(os.path.join(src, "_SUCCESS")):
+        shutil.rmtree(base, ignore_errors=True)
         events.repartition(4).write.mode("overwrite").parquet(src)
     stream = (
         spark.readStream.schema(events.schema)
@@ -5482,8 +5494,12 @@ def q_kneser_ney_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     "top AS (SELECT k AS o_custkey, n_pairs, "
     "CAST(n_pairs AS DOUBLE) / CAST(total AS DOUBLE) AS share "
     "FROM pk CROSS JOIN t ORDER BY n_pairs DESC, k LIMIT 10) "
-    "SELECT * FROM top UNION ALL "
-    "SELECT NULL, total, 1.0 FROM t",
+    # explicit final ordering on BOTH sides (round-7 advice): UNION ALL
+    # appearance order is not contractual in either engine, so pin the
+    # grand-total NULL-key row last
+    "SELECT * FROM (SELECT * FROM top UNION ALL "
+    "SELECT NULL, total, 1.0 FROM t) u "
+    "ORDER BY (o_custkey IS NULL), n_pairs DESC, o_custkey",
 )
 def q_order_join_size_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-cardinality forecast (operators/scale.py:join_size_report)

@@ -500,4 +500,11 @@ def join_size_report(
         F.col("_total").alias("n_pairs"),
         F.lit(1.0).alias("share"),
     )
-    return top.unionByName(grand)
+    # explicit final ordering (round-7 advice): neither engine
+    # contractually keeps UNION ALL appearance order, so pin the
+    # grand-total NULL-key row last — key-nullness first, then pair
+    # count — for order-sensitive consumers ("the total is the last
+    # row") and plan-change robustness
+    return top.unionByName(grand).orderBy(
+        F.col(keys[0]).isNull(), F.desc("n_pairs"), *keys
+    )

@@ -594,3 +594,104 @@ def test_upsert_survives_checkpoint_loss(spark, tmp_path):
         tuple(r) for r in spark.read.parquet(str(tmp_path / "table")).collect()
     )
     assert after == before
+
+
+def test_upsert_probe_is_key_filtered_and_clustered(spark, tmp_path):
+    """Round-7 verdict item 3: the CDC version probe must be bounded by
+    the batch, not the table — the probe scan carries the batch's
+    pushed-down key filter, and the table's files are key-clustered
+    (sorted by key) so min/max stats can prune."""
+    from datetime import datetime as DT
+
+    from database_per_keyword_analysis_spark.operators import merge as M
+    from database_per_keyword_analysis_spark.streaming import ingest as ING
+
+    p = str(tmp_path / "t")
+    args = (["user_id"], "ts", "event_id", "event_type")
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(u, e, DT(2024, 1, d), t, v) for u, e, d, t, v in rows],
+            "user_id long, event_id long, ts timestamp_ntz, "
+            "event_type string, value double",
+        )
+
+    ING.upsert_batch(
+        mk([(u, u * 10, 1, "view", 1.0) for u in range(200)]), p, *args
+    )
+    # the pushdown filter is a plannable IN over the batch's keys
+    flt = M.batch_key_filter(mk([(1, 11, 2, "view", 2.0)]), ["user_id"])
+    assert flt is not None
+    plan = (
+        spark.read.parquet(p)
+        .where(flt)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [" in plan and "user_id" in plan
+    # files inside each partition dir are key-sorted: every file's
+    # (min, max) user_id ranges are disjoint when there are >1 files
+    import pyarrow.parquet as pq
+    import glob as g
+
+    ranges = []
+    for f in g.glob(f"{p}/event_type=*/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        col = [
+            md.row_group(i).column(j)
+            for i in range(md.num_row_groups)
+            for j in range(md.row_group(i).num_columns)
+            if md.row_group(i).column(j).path_in_schema == "user_id"
+        ]
+        lo = min(c.statistics.min for c in col)
+        hi = max(c.statistics.max for c in col)
+        ranges.append((lo, hi))
+    ranges.sort()
+    for (l1, h1), (l2, h2) in zip(ranges, ranges[1:]):
+        assert h1 <= l2, f"overlapping key ranges {ranges}"
+    # and a second batch still merges correctly through the pruned probe
+    ING.upsert_batch(mk([(5, 999, 9, "purchase", 7.0)]), p, *args)
+    got = {
+        r.user_id: r.event_id
+        for r in spark.read.parquet(p).where("user_id in (4, 5, 6)").collect()
+    }
+    assert got == {4: 40, 5: 999, 6: 60}
+
+
+def test_upsert_cache_rebuilds_without_success_marker(spark, tmp_path, monkeypatch):
+    """Round-7 advice item 1: a source split dir without Spark's
+    _SUCCESS commit marker (crash mid-write) must be wiped and rebuilt,
+    not trusted."""
+    import os
+
+    from database_per_keyword_analysis_spark import catalog
+
+    sf = "/root/testdata/sf0.001"
+    repo = os.path.dirname(
+        os.path.dirname(os.path.abspath(catalog.__file__))
+    )
+    # run once to learn the cache key for this fixture
+    df1 = catalog.queries()["stream_user_latest_upsert"](spark, sf)
+    want = sorted(tuple(r) for r in df1.collect())
+    bases = [
+        d
+        for d in g_glob(os.path.join(repo, ".cache", "upsert", "*"))
+        if os.path.isfile(os.path.join(d, "src", "_SUCCESS"))
+    ]
+    assert bases
+    base = bases[0]
+    # simulate the crash window: marker gone, dir present, stale table
+    os.remove(os.path.join(base, "src", "_SUCCESS"))
+    import shutil
+
+    shutil.rmtree(os.path.join(base, "table"), ignore_errors=True)
+    df2 = catalog.queries()["stream_user_latest_upsert"](spark, sf)
+    assert sorted(tuple(r) for r in df2.collect()) == want
+    assert os.path.isfile(os.path.join(base, "src", "_SUCCESS"))
+
+
+def g_glob(pat):
+    import glob
+
+    return glob.glob(pat)

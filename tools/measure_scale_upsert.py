@@ -73,8 +73,105 @@ def drain_once(spark, src: str, work: str) -> float:
     return time.perf_counter() - t0
 
 
+def probe_flat(spark) -> None:
+    """Round-8 (r7 verdict item 3 'Done' criterion): apply the SAME
+    fixed 100-key STALE batch (ts strictly older than everything in
+    the target) via upsert_batch against targets built from 1x / 10x /
+    100x events.  A stale batch exercises exactly the term the round-7
+    verdict flagged — the dedup window + version-probe join +
+    isEmpty — and nothing else (nothing beats, so no merge/rewrite
+    happens), so the measured time IS the probe cost, which must stay
+    flat as the target grows: the probe scan carries the batch's
+    pushed-down key filter against key-clustered files, so parquet
+    min/max stats skip every row group holding no batch key.  (A
+    WINNING apply additionally pays merge_into_parquet's
+    partition-granularity rewrite, which scales with the touched
+    partitions' size by documented contract — a separate, unchanged
+    term.)  1 warmup + 3 measured per scale, median."""
+    import pyspark.sql.functions as F
+
+    base_dir = "/root/testdata/sf0.1"
+    big_dir = os.path.join(CACHE, "scale_events1")
+    if not os.path.exists(os.path.join(big_dir, "events.parquet")):
+        build_events_10x(base_dir, big_dir)
+    huge_dir = os.path.join(CACHE, "scale_events100")
+    if not os.path.exists(os.path.join(huge_dir, "events.parquet")):
+        build_events_10x(base_dir, huge_dir, replicas=100)
+
+    for scale, sf_dir in (
+        ("1x", base_dir), ("10x", big_dir), ("100x", huge_dir),
+        ("1000x", None),
+    ):
+        table = os.path.join(CACHE, "upsert_scale", f"probe_target_{scale}")
+        if scale == "1000x" and not os.path.isdir(table):
+            # building 100M events and draining them is pointless for a
+            # PROBE measurement — replicate the 1x TARGET's rows with
+            # key offsets directly (same geometry-preserving recipe),
+            # written key-clustered exactly as merge_into_parquet does
+            one = spark.read.parquet(
+                os.path.join(CACHE, "upsert_scale", "probe_target_1x")
+            )
+            stride = one.agg(F.max("user_id") + 1).collect()[0][0]
+            (
+                one.crossJoin(
+                    spark.range(1000).select(F.col("id").alias("_r"))
+                )
+                .withColumn(
+                    "user_id", F.col("user_id") + F.col("_r") * F.lit(stride)
+                )
+                .drop("_r")
+                .repartitionByRange("user_id")
+                .sortWithinPartitions("user_id")
+                .write.partitionBy("event_type")
+                .parquet(table)
+            )
+        elif not os.path.isdir(table):
+            work = os.path.join(CACHE, "upsert_scale", f"probe_build_{scale}")
+            src = os.path.join(CACHE, "upsert_scale", f"src_{scale}")
+            if not os.path.isdir(src):
+                load(spark, sf_dir, "events").select(
+                    "user_id", "event_id", "ts", "event_type", "value"
+                ).repartition(4).write.mode("overwrite").parquet(src)
+            shutil.rmtree(work, ignore_errors=True)
+            drain_once(spark, src, work)
+            shutil.copytree(os.path.join(work, "table"), table)
+        n_rows = spark.read.parquet(table).count()
+        # the SAME batch at every scale: keys 0-99 from the base events
+        # (replica offsets only add keys above the base range)
+        batch = (
+            load(spark, base_dir, "events")
+            .select("user_id", "event_id", "ts", "event_type", "value")
+            .where(F.col("user_id") < 100)
+            .groupBy("user_id")
+            .agg(
+                F.max("event_id").alias("event_id"),
+                F.max("ts").alias("ts"),
+                F.first(F.lit("probe")).alias("event_type"),
+                F.first(F.lit(0.0)).alias("value"),
+            )
+            .withColumn("ts", F.col("ts") - F.expr("INTERVAL 1000 DAYS"))
+            .localCheckpoint()
+        )
+        samples = []
+        for i in range(4):  # first is warmup
+            t0 = time.perf_counter()
+            ING.upsert_batch(
+                batch, table, ["user_id"], "ts", "event_id", "event_type"
+            )
+            samples.append(round(time.perf_counter() - t0, 3))
+        med = sorted(samples[1:])[1]
+        print(json.dumps({
+            "q": "upsert_batch_probe", "scale": scale,
+            "target_rows": n_rows, "batch_keys": 100,
+            "apply_sec_median": med, "samples": samples,
+        }))
+
+
 def main() -> None:
     spark = get_spark("measure-scale-upsert")
+    if "--probe" in sys.argv:
+        probe_flat(spark)
+        return
     base_dir = "/root/testdata/sf0.1"
     big_dir = os.path.join(CACHE, "scale_events1")
     if not os.path.exists(os.path.join(big_dir, "events.parquet")):
