@@ -197,6 +197,7 @@ def cosine_near_dups_lsh(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     index_path: str | None = None,
+    n_vectors: int | None = None,
 ) -> DataFrame:
     """Scale twin of `cosine_near_dup_pairs`: same (vec_a, vec_b, cosine)
     surface, but the N² cross-join becomes a bucket self-equi-join —
@@ -222,14 +223,22 @@ def cosine_near_dups_lsh(
     corpus size via `lsh_n_planes` — one count() job at plan-build time
     buys a bucket count that tracks N, keeping in-bucket candidate work
     linear instead of quadratic as data grows (SCALE.md measured curve).
-    Pass an explicit int to pin it (the recall tests pin the 6-plane
-    floor's behavior at fixture N, where the derivation returns 6).
+    Pass `n_vectors` to skip that sizing scan when the caller already
+    knows N (a maintained index's row count, catalog/metadata stats, a
+    prior stage's count) — at 100 TB the count() is a full-corpus job
+    worth avoiding when the answer is already on hand; the derivation
+    only needs N to within a factor of 2 (one plane).  Pass an explicit
+    `n_planes` int to pin the plane count outright (the recall tests
+    pin the 6-plane floor's behavior at fixture N, where the
+    derivation returns 6).
     """
     import numpy as np
     from pyspark import StorageLevel
 
     if n_planes is None:
-        n_planes = lsh_n_planes(vectors.count())
+        n_planes = lsh_n_planes(
+            n_vectors if n_vectors is not None else vectors.count()
+        )
     withb = vectors.select(
         F.col(id_col).alias("id"),
         F.explode(_bucket_array(vec_col, dim, n_planes, n_tables)).alias("bucket"),
@@ -1044,6 +1053,18 @@ def _centroid_scores(
     return scores
 
 
+def _frozen_argmax(scores: list[Column]) -> Column:
+    """Argmax over the frozen-centroid score columns, ties → lowest
+    cluster id (the first `when` that matches wins).  One definition
+    shared by `cluster_assign_frozen` and `ivf_knn_frozen` so the two
+    tiers can never drift on tie behavior."""
+    m = F.greatest(*scores) if len(scores) > 1 else scores[0]
+    assign = F.when(scores[0] == m, F.lit(0))
+    for k in range(1, len(scores)):
+        assign = assign.when(scores[k] == m, F.lit(k))
+    return assign.cast("int")
+
+
 def cluster_assign_frozen(
     vectors: DataFrame,
     centroids: list[list[float]],
@@ -1060,12 +1081,8 @@ def cluster_assign_frozen(
     DECIMAL dots against literal arrays, zero joins, zero shuffles;
     returns (id_col, cluster INT)."""
     scores = _centroid_scores(centroids, vec_col)
-    m = F.greatest(*scores) if len(scores) > 1 else scores[0]
-    assign = F.when(scores[0] == m, F.lit(0))
-    for k in range(1, len(scores)):
-        assign = assign.when(scores[k] == m, F.lit(k))
     return vectors.select(
-        F.col(id_col), assign.cast("int").alias("cluster")
+        F.col(id_col), _frozen_argmax(scores).alias("cluster")
     )
 
 
@@ -1143,15 +1160,11 @@ def ivf_knn_frozen(
     per-query top-k windows over probe-bounded candidates.  Returns
     (query_id, neighbor_id, cosine, rank), self-matches excluded."""
     scores = _centroid_scores(centroids, vec_col)
-    m = F.greatest(*scores) if len(scores) > 1 else scores[0]
-    assign = F.when(scores[0] == m, F.lit(0))
-    for kk in range(1, len(scores)):
-        assign = assign.when(scores[kk] == m, F.lit(kk))
     corpus = vectors.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_emb"),
         F.sqrt(_dot_dec(vec_col, vec_col)).alias("c_norm"),
-        assign.cast("int").alias("cluster"),
+        _frozen_argmax(scores).alias("cluster"),
     )
     probe_structs = F.array(
         *[

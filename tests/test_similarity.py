@@ -427,3 +427,36 @@ class TestIvfKnnFrozen:
         assert [
             (r.query_id, r.neighbor_id, r.cosine, r.rank) for r in exact
         ] == [(r.query_id, r.neighbor_id, r.cosine, r.rank) for r in full]
+
+
+def test_lsh_accepts_precounted_n(spark):
+    """r7 verdict item 6: the sizing count() is skippable when the
+    caller already knows N — same plan, no count job."""
+    import numpy as np
+
+    from database_per_keyword_analysis_spark.operators import similarity as SIM
+
+    rng = np.random.default_rng(7)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a = SIM.cosine_near_dups_lsh(df, threshold=0.5, dim=8).collect()
+    b = SIM.cosine_near_dups_lsh(df, threshold=0.5, dim=8, n_vectors=50).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_frozen_argmax_ties_take_lowest_cluster(spark):
+    """One shared argmax definition for cluster_assign_frozen and
+    ivf_knn_frozen; ties -> lowest cluster id, pinned here."""
+    from database_per_keyword_analysis_spark.operators import similarity as SIM
+
+    # two identical centroids: every vector ties; lowest id must win
+    cents = [[1.0, 0.0], [1.0, 0.0], [0.0, 1.0]]
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r.vec_id: r.cluster
+        for r in SIM.cluster_assign_frozen(df, cents).collect()
+    }
+    assert got == {1: 0, 2: 2}
