@@ -244,6 +244,7 @@ NOT_BENCHED: dict[str, str] = {
     "bpe_fertility_by_lang": "twin:bpe_encode (runs the same replace chain end-to-end; the added lang aggregate is a K-row reduce)",
     "events_skew_report": "twin:top_channels_salted (same groupBy-count top-k pass; the diagnostic adds two scalar divisions)",
     "order_join_size_report": "twin:events_skew_report shape over the timed revenue_by_nation join's key-count tables",
+    "join_strategy_decisions": "twin:events_skew_report (three decision rows over the same groupBy-count stats passes + a customer count)",
 }
 
 

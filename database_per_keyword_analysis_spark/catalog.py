@@ -335,6 +335,12 @@ _DEFERRED_TWINS = {
     #   scan) and important_parts (Q11 one-row scalar broadcast) keep
     #   the machinery in-window — slot taken by order_join_size_report
     #   (first driver check of the join-cardinality diagnostic)
+    # round-8 in-window-at-birth swap (novel machinery takes a slot):
+    "train_test_split",  # green r6-r7; hash-bucket split; the
+    #   hash-threshold sampler family keeps three in-window members
+    #   (alpha_mixture_sample, token_budget_sample, dsir_resample);
+    #   differential below — slot taken by join_strategy_decisions
+    #   (NOVEL: the skew-diagnostics control loop, r7 verdict item 5)
 }
 
 
@@ -5519,6 +5525,94 @@ def q_order_join_size_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SC.join_size_report(
         orders.select("o_custkey"), fact, ["o_custkey"]
     )
+
+
+_JSD_DECIDE = (
+    # the decision CASE replayed verbatim per scenario: {b} = broadcast
+    # row cap, f/hot_n/small_rows come from the stats CTEs
+    "CASE WHEN small_rows <= {b} THEN 'broadcast' "
+    "WHEN f >= 4.0 THEN 'salted' ELSE 'shuffle' END"
+)
+_JSD_LANES = (
+    "CAST(CASE WHEN ({d}) <> 'salted' THEN 1 "
+    "WHEN f <= 2.0 THEN 2 "
+    "ELSE least(512, CAST(pow(2, ceil(log2(f))) AS INT)) END AS BIGINT)"
+)
+
+
+def _join_strategy_sql() -> str:
+    rows = []
+    for scen, counts, b in (
+        ("hot_users", "c3", 1000),
+        ("user_dim", "c1", 100000),
+        ("user_dim_tight", "c1", 1000),
+    ):
+        d = _JSD_DECIDE.format(b=b)
+        rows.append(
+            f"SELECT '{scen}' AS scenario, small_rows, hot_n, "
+            f"f AS hot_skew_factor, {d} AS strategy, "
+            f"{_JSD_LANES.format(d=d)} AS n_salts "
+            f"FROM s CROSS JOIN (SELECT max(n) AS hot_n, "
+            f"max(n) * count(*) / CAST(sum(n) AS DOUBLE) AS f "
+            f"FROM {counts})"
+        )
+    return (
+        "WITH c1 AS (SELECT user_id, count(*) AS n FROM events "
+        "GROUP BY user_id), "
+        "c3 AS (SELECT CASE WHEN user_id < 100 THEN 0 ELSE user_id END "
+        "AS k, count(*) AS n FROM events GROUP BY 1), "
+        "s AS (SELECT count(*) AS small_rows FROM customer) "
+        + " UNION ALL ".join(rows)
+        + " ORDER BY scenario"
+    )
+
+
+@register("join_strategy_decisions", _join_strategy_sql())
+def q_join_strategy_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-diagnostics CONTROL LOOP (r7 verdict item 5) as a
+    driver-checkable query (operators/scale.py:join_strategy_report /
+    choose_join_strategy): three planned joins of events against the
+    customer dim, each reduced to its decision row — every input stat
+    (small-side rows, hottest-key count, skew factor) and the decision
+    itself (broadcast / salted / shuffle + the DERIVED salt-lane
+    count, the lsh_n_planes pattern replacing the fixed 16) computed
+    engine-side so the whole ladder replays in the oracle.  Scenarios:
+    `user_dim` (real dim under the broadcast cap → broadcast),
+    `user_dim_tight` (cap lowered to 1000 → the near-uniform user key
+    measures ~1.3 → shuffle), `hot_users` (first 100 users collapsed
+    into one hot key → skew factor ~90 → salted, 128 lanes).  NOVEL
+    round-8 machinery → registers IN-WINDOW at birth (policy);
+    train_test_split rotated out with a differential."""
+    import functools
+
+    from pyspark.sql import functions as F
+
+    from .operators import scale as SC
+
+    events = load(spark, sf_dir, "events")
+    dim = load(spark, sf_dir, "customer", parallel=True).select(
+        F.col("c_custkey").alias("user_id")
+    )
+    hot = events.select(
+        F.when(F.col("user_id") < 100, F.lit(0))
+        .otherwise(F.col("user_id"))
+        .alias("k")
+    )
+    reports = [
+        SC.join_strategy_report(
+            hot, dim.select(F.col("user_id").alias("k")), ["k"],
+            broadcast_max_rows=1000,
+        ).select(F.lit("hot_users").alias("scenario"), "*"),
+        SC.join_strategy_report(events, dim, ["user_id"]).select(
+            F.lit("user_dim").alias("scenario"), "*"
+        ),
+        SC.join_strategy_report(
+            events, dim, ["user_id"], broadcast_max_rows=1000
+        ).select(F.lit("user_dim_tight").alias("scenario"), "*"),
+    ]
+    return functools.reduce(
+        lambda a, b: a.unionByName(b), reports
+    ).orderBy("scenario")
 
 
 @register(

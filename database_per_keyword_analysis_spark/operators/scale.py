@@ -454,6 +454,163 @@ def skew_report(
     )
 
 
+# Decision thresholds for choose_join_strategy, named as data so tests
+# and callers can tighten them per deployment.  BROADCAST_MAX_ROWS
+# mirrors the ~10 MB autoBroadcastJoinThreshold at ~100 B/row;
+# SKEW_SALT_TRIGGER is the skew factor below which AQE's runtime
+# skew-split handles the imbalance and explicit salting isn't worth
+# the n_salts x small-side replication.
+BROADCAST_MAX_ROWS = 100_000
+SKEW_SALT_TRIGGER = 4.0
+SALT_LANES_CAP = 512
+
+
+def salt_lanes(hot_skew_factor: float, cap: int = SALT_LANES_CAP) -> int:
+    """Salt-lane count DERIVED from the measured skew factor — the
+    `lsh_n_planes` pattern applied to the salt knob (r7 verdict item 5;
+    previously fixed at DEFAULT_SALTS=16).  After salting, the hottest
+    key's per-lane row count is hot_n / n_salts; choosing
+    n_salts = 2^ceil(log2(skew_factor)) makes that per-lane slice
+    roughly one MEAN key's rows (skew_factor IS hot_n / mean_n), i.e.
+    the straggler task shrinks to a typical task, with power-of-2
+    rounding for stable replication factors.  Capped so the small
+    side's replication volume stays bounded; floored at 2 (1 lane =
+    not salting)."""
+    import math
+
+    if hot_skew_factor <= 2.0:
+        return 2
+    return min(cap, 2 ** math.ceil(math.log2(hot_skew_factor)))
+
+
+def choose_join_strategy(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    broadcast_max_rows: int = BROADCAST_MAX_ROWS,
+    skew_salt_trigger: float = SKEW_SALT_TRIGGER,
+) -> dict:
+    """Consume the skew diagnostics and PICK the join tier — the
+    control loop the r7 verdict asked for (`skew_report` feeding a
+    decision instead of just a report).  The ladder, cheapest first:
+
+    1. ``broadcast`` — the small side's row count fits under
+       `broadcast_max_rows`: no shuffle at all.
+    2. ``salted`` — the big side's hottest join key carries a skew
+       factor ≥ `skew_salt_trigger`: explicit deterministic salting
+       with the lane count DERIVED from that measured factor
+       (:func:`salt_lanes`).
+    3. ``shuffle`` — plain equi-join; AQE's runtime skew-split covers
+       residual mild imbalance.
+
+    Costs one count() on the small side and (only when the small side
+    is too big to broadcast) the hottest row of :func:`skew_report` on
+    the big side — both key-cardinality-scale diagnostics a planner
+    would run once and cache per (table, key) pair.  Returns
+    ``{"strategy", "n_salts", "small_rows", "hot_skew_factor"}``."""
+    small_rows = small.count()
+    if small_rows <= broadcast_max_rows:
+        return {
+            "strategy": "broadcast",
+            "n_salts": 1,
+            "small_rows": small_rows,
+            "hot_skew_factor": None,
+        }
+    hot = skew_report(big, on, top_n=1).collect()
+    sf = float(hot[0]["skew_factor"]) if hot else 1.0
+    if sf >= skew_salt_trigger:
+        return {
+            "strategy": "salted",
+            "n_salts": salt_lanes(sf),
+            "small_rows": small_rows,
+            "hot_skew_factor": sf,
+        }
+    return {
+        "strategy": "shuffle",
+        "n_salts": 1,
+        "small_rows": small_rows,
+        "hot_skew_factor": sf,
+    }
+
+
+def join_strategy_report(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    broadcast_max_rows: int = BROADCAST_MAX_ROWS,
+    skew_salt_trigger: float = SKEW_SALT_TRIGGER,
+) -> DataFrame:
+    """:func:`choose_join_strategy` as a ONE-ROW DataFrame — every
+    input stat and the decision itself computed engine-side (no
+    driver-side collect/branching), so the whole control loop replays
+    in the DuckDB oracle: (small_rows, hot_n, hot_skew_factor,
+    strategy, n_salts).  The two count aggregates are the same
+    key-cardinality-scale passes as :func:`skew_report`; the decision
+    is a pure CASE over their one-row join."""
+    small_rows = small.agg(F.count(F.lit(1)).alias("small_rows"))
+    counts = big.groupBy(*on).agg(F.count(F.lit(1)).alias("n"))
+    hot = counts.agg(
+        F.max("n").alias("hot_n"),
+        F.sum("n").alias("_total"),
+        F.count(F.lit(1)).alias("_n_keys"),
+    ).select(
+        "hot_n",
+        (
+            F.col("hot_n").cast("double")
+            * F.col("_n_keys").cast("double")
+            / F.col("_total").cast("double")
+        ).alias("hot_skew_factor"),
+    )
+    sf = F.col("hot_skew_factor")
+    lanes = F.when(sf <= 2.0, F.lit(2)).otherwise(
+        F.least(
+            F.lit(SALT_LANES_CAP),
+            F.pow(F.lit(2.0), F.ceil(F.log2(sf))).cast("int"),
+        )
+    )
+    strategy = (
+        F.when(F.col("small_rows") <= broadcast_max_rows, F.lit("broadcast"))
+        .when(sf >= skew_salt_trigger, F.lit("salted"))
+        .otherwise(F.lit("shuffle"))
+    )
+    return small_rows.crossJoin(hot).select(
+        "small_rows",
+        "hot_n",
+        # raw double (the skew_report convention): the oracle compare
+        # canonicalizes floats at 9 sig figs, and an exact-int division
+        # is bit-identical across engines — engine-specific round()
+        # half-even/half-up rules are the thing to avoid
+        sf.alias("hot_skew_factor"),
+        strategy.alias("strategy"),
+        F.when(strategy == "salted", lanes)
+        .otherwise(F.lit(1))
+        .cast("long")
+        .alias("n_salts"),
+    )
+
+
+def adaptive_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    how: str = "inner",
+    broadcast_max_rows: int = BROADCAST_MAX_ROWS,
+    skew_salt_trigger: float = SKEW_SALT_TRIGGER,
+) -> DataFrame:
+    """Execute the tier :func:`choose_join_strategy` picks.
+    Result-identical to ``big.join(small, on, how)`` for how ∈
+    {inner, left} on every branch (broadcast/salting change the
+    physical plan, never the result set)."""
+    d = choose_join_strategy(
+        big, small, on, broadcast_max_rows, skew_salt_trigger
+    )
+    if d["strategy"] == "broadcast":
+        return big.join(F.broadcast(small), on, how)
+    if d["strategy"] == "salted":
+        return salted_join(big, small, on, n_salts=d["n_salts"], how=how)
+    return big.join(small, on, how)
+
+
 def join_size_report(
     left: DataFrame,
     right: DataFrame,

@@ -821,3 +821,10 @@ def test_kneser_ney3_scores_matches_oracle(spark, sf_dir):
 # re-use their pre-round-6-promotion differentials above — each stayed
 # in this file across its window residency, so demotion restores
 # local value-checking with no new code.
+
+
+def test_train_test_split_matches_oracle(spark, sf_dir):
+    # demoted r8 (slot taken by join_strategy_decisions): hash-bucket
+    # split; the hash-threshold sampler family keeps three in-window
+    # members
+    _assert_matches_oracle(spark, sf_dir, "train_test_split")

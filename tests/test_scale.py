@@ -480,3 +480,78 @@ def test_join_size_and_skew_reports_match_counter_math(spark, left, right):
         assert r.n == ca[r.k]
         assert r.share == ca[r.k] / total
         assert r.skew_factor == ca[r.k] * n_keys / total
+
+
+class TestAdaptiveJoinControlLoop:
+    """r7 verdict item 5: skew_report feeds a DECISION (broadcast /
+    salted / shuffle), with the salt-lane count derived from the
+    measured skew factor instead of the fixed 16."""
+
+    def _fixtures(self, spark, skewed: bool):
+        if skewed:
+            # one hot key with 2000 rows, 100 cold keys with 10 each
+            big_rows = [(0, i) for i in range(2000)] + [
+                (k, i) for k in range(1, 101) for i in range(10)
+            ]
+        else:
+            big_rows = [(k, i) for k in range(101) for i in range(30)]
+        big = spark.createDataFrame(big_rows, "k int, v int")
+        small = spark.createDataFrame(
+            [(k, f"dim{k}") for k in range(101)], "k int, u string"
+        )
+        return big, small
+
+    def test_small_dim_chooses_broadcast(self, spark):
+        from database_per_keyword_analysis_spark.operators import scale as SC
+
+        big, small = self._fixtures(spark, skewed=True)
+        d = SC.choose_join_strategy(big, small, ["k"])
+        assert d["strategy"] == "broadcast" and d["n_salts"] == 1
+
+    def test_skewed_big_side_chooses_salted_with_derived_lanes(self, spark):
+        import math
+
+        from database_per_keyword_analysis_spark.operators import scale as SC
+
+        big, small = self._fixtures(spark, skewed=True)
+        # force past the broadcast tier so the skew diagnostic decides
+        d = SC.choose_join_strategy(big, small, ["k"], broadcast_max_rows=10)
+        assert d["strategy"] == "salted"
+        # hot key: 2000 of 3000 rows over 101 keys -> skew_factor ~67
+        sf = d["hot_skew_factor"]
+        assert 60 < sf < 75
+        assert d["n_salts"] == 2 ** math.ceil(math.log2(sf)) == 128
+        assert d["n_salts"] != SC.DEFAULT_SALTS  # derived, not the fixed 16
+
+    def test_uniform_big_side_chooses_plain_shuffle(self, spark):
+        from database_per_keyword_analysis_spark.operators import scale as SC
+
+        big, small = self._fixtures(spark, skewed=False)
+        d = SC.choose_join_strategy(big, small, ["k"], broadcast_max_rows=10)
+        assert d["strategy"] == "shuffle"
+        assert d["hot_skew_factor"] < 4.0
+
+    def test_adaptive_join_result_identical_on_every_branch(self, spark):
+        from database_per_keyword_analysis_spark.operators import scale as SC
+
+        for skewed in (True, False):
+            big, small = self._fixtures(spark, skewed)
+            want = sorted(
+                (r.k, r.v, r.u) for r in big.join(small, ["k"]).collect()
+            )
+            for bmax in (10, 10_000):  # salted/shuffle vs broadcast path
+                got = sorted(
+                    (r.k, r.v, r.u)
+                    for r in SC.adaptive_join(
+                        big, small, ["k"], broadcast_max_rows=bmax
+                    ).collect()
+                )
+                assert got == want
+
+    def test_salt_lanes_derivation(self):
+        from database_per_keyword_analysis_spark.operators import scale as SC
+
+        assert SC.salt_lanes(1.0) == 2
+        assert SC.salt_lanes(4.0) == 4
+        assert SC.salt_lanes(67.0) == 128
+        assert SC.salt_lanes(1e9) == SC.SALT_LANES_CAP
