@@ -38,20 +38,42 @@ N_REPLICAS = 10
 ID_STRIDE = 10_000_000
 
 
-def build(src_sf_dir: str, out_dir: str) -> str:
+def _alphabet_bijections(n: int) -> list[str]:
+    """`n` distinct substitution alphabets as affine ciphers
+    j → (a·j + b) mod 26 with gcd(a, 26)=1 — 12 units × 26 offsets =
+    312 distinct bijections, enough for a 100x (round-8) fixture.  The
+    enumeration order makes the first 13 non-identity maps exactly the
+    legacy even-shift Caesars (a=1, b=2i), so replicas 0-9 of every
+    fixture built since round 4 are reproduced bit-identically and the
+    historical 10x SCALE.md rows stay comparable.  Like the Caesar
+    rotation, every affine map is a character bijection: token
+    lengths, repetition patterns and all within-replica similarity
+    structure are preserved exactly; replica vocabularies are images
+    of one source vocab under distinct bijections (disjoint up to rare
+    cross-map word collisions), so bigram TYPE count grows ~n with N —
+    the KN type-table worst case."""
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    units = [1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25]
+    pairs = [(1, b) for b in range(2, 26, 2)]  # legacy Caesars first
+    pairs += [(1, b) for b in range(1, 26, 2)]
+    pairs += [(a, b) for a in units[1:] for b in range(26)]
+    maps = []
+    for a, b in pairs[: n - 1]:
+        maps.append("".join(alpha[(a * j + b) % 26] for j in range(26)))
+    return maps
+
+
+def build(src_sf_dir: str, out_dir: str, replicas: int = N_REPLICAS) -> str:
     spark = get_spark("make-scale-fixture")
     docs = spark.read.parquet(os.path.join(src_sf_dir, "documents.parquet"))
     alpha = "abcdefghijklmnopqrstuvwxyz"
-    rot = 26 // N_REPLICAS or 1
     text = F.col("text")
-    for i in range(1, N_REPLICAS):
-        shift = (i * rot) % 26
+    for i, mapped in enumerate(_alphabet_bijections(replicas), start=1):
         text = F.when(
-            F.col("rep") == i,
-            F.translate(F.col("text"), alpha, alpha[shift:] + alpha[:shift]),
+            F.col("rep") == i, F.translate(F.col("text"), alpha, mapped)
         ).otherwise(text)
     rep = docs.crossJoin(
-        spark.range(N_REPLICAS).select(F.col("id").cast("int").alias("rep"))
+        spark.range(replicas).select(F.col("id").cast("int").alias("rep"))
     )
     tagged = rep.select(
         (F.col("doc_id") + F.col("rep").cast("long") * ID_STRIDE).alias("doc_id"),

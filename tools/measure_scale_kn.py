@@ -53,18 +53,32 @@ def main() -> None:
         "kneser_ney3_scores": TQ.kneser_ney_trigram_scores,
         "bigram_lm_scores": TQ.bigram_lm_scores,
     }
-    docs = {
-        s: load(spark, d, "documents", parallel=True)
-        for s, d in (("1x", base_dir), ("10x", big_dir))
-    }
+    scales = [("1x", base_dir), ("10x", big_dir)]
+    if "--100x" in sys.argv:
+        # r7 verdict item 4: one 100x point for the worst measured
+        # curve (kneser_ney3's type-table growth) — same affine-cipher
+        # recipe at 100 replicas (tools/make_scale_fixture.py), same
+        # interleaved protocol; the trigram tier + its family baseline
+        huge_dir = os.path.join(CACHE, "scale_sf10")
+        if not os.path.exists(os.path.join(huge_dir, "documents.parquet")):
+            from tools.make_scale_fixture import build
+
+            build(base_dir, huge_dir, replicas=100)
+        scales = [("1x", base_dir), ("100x", huge_dir)]
+        variants = {
+            "kneser_ney3_scores": TQ.kneser_ney_trigram_scores,
+            "bigram_lm_scores": TQ.bigram_lm_scores,
+        }
+    docs = {s: load(spark, d, "documents", parallel=True) for s, d in scales}
     for fn in variants.values():  # un-timed warmup sweep
         for d in docs.values():
             fn(d).write.format("noop").mode("overwrite").save()
+    (s1, _), (s2, _) = scales
     for name, fn in variants.items():
-        w1 = median3(lambda: fn(docs["1x"]))
-        w10 = median3(lambda: fn(docs["10x"]))
-        print(json.dumps({"q": name, "1x": w1, "10x": w10,
-                          "ratio": round(w10 / w1, 2)}))
+        w1 = median3(lambda: fn(docs[s1]))
+        w2 = median3(lambda: fn(docs[s2]))
+        print(json.dumps({"q": name, s1: w1, s2: w2,
+                          "ratio": round(w2 / w1, 2)}))
 
 
 if __name__ == "__main__":

@@ -70,17 +70,30 @@ def main() -> None:
 
     base_dir = "/root/testdata/sf0.1"
     big_dir = os.path.join(CACHE, "scale_tpch1")
-    if not os.path.exists(os.path.join(big_dir, "lineitem.parquet")):
+    big_label = "10x"
+    queries = QUERIES
+    if "--100x" in sys.argv:
+        # r7 verdict item 4: one 100x point for the worst measured
+        # relational curve (Q13: both join sides grow) — key-offset
+        # recipe at 100 replicas, same interleaved protocol
+        big_dir = os.path.join(CACHE, "scale_tpch10")
+        big_label = "100x"
+        queries = ["customer_order_distribution"]
+        if not os.path.exists(os.path.join(big_dir, "lineitem.parquet")):
+            from tools.make_scale_fixture_tpch import build
+
+            build(base_dir, big_dir, replicas=100)
+    elif not os.path.exists(os.path.join(big_dir, "lineitem.parquet")):
         from tools.make_scale_fixture_tpch import build
 
         build(base_dir, big_dir)
 
     qs = catalog.queries()
     for sf_dir in (base_dir, big_dir):  # un-timed global warmup sweep
-        for name in QUERIES:
+        for name in queries:
             run_once(lambda: qs[name](spark, sf_dir))
 
-    for name in QUERIES:
+    for name in queries:
         w1 = median3(lambda: qs[name](spark, base_dir))
         w10 = median3(lambda: qs[name](spark, big_dir))
         print(
@@ -88,7 +101,7 @@ def main() -> None:
                 {
                     "q": name,
                     "1x": w1,
-                    "10x": w10,
+                    big_label: w10,
                     "ratio": round(w10 / w1, 2),
                 }
             )
