@@ -174,6 +174,9 @@ HEADLINE = [
     # type-table joins are real cost beyond the bigram_lm twin pass)
     "kneser_ney_scores",
     "kneser_ney3_scores",
+    # round-8: SCD2 point-in-time temporal join (timed — the interval
+    # residual on a broadcast dimension is a distinct physical shape)
+    "purchase_user_state_pit",
 ]
 
 # Round-7 headline audit (round-6 judge item 5): every registered query

@@ -335,12 +335,19 @@ _DEFERRED_TWINS = {
     #   scan) and important_parts (Q11 one-row scalar broadcast) keep
     #   the machinery in-window — slot taken by order_join_size_report
     #   (first driver check of the join-cardinality diagnostic)
-    # round-8 in-window-at-birth swap (novel machinery takes a slot):
+    # round-8 in-window-at-birth swaps (novel machinery takes a slot):
     "train_test_split",  # green r6-r7; hash-bucket split; the
     #   hash-threshold sampler family keeps three in-window members
     #   (alpha_mixture_sample, token_budget_sample, dsir_resample);
     #   differential below — slot taken by join_strategy_decisions
     #   (NOVEL: the skew-diagnostics control loop, r7 verdict item 5)
+    "stream_sliding_counts",  # green r6-r7; overlapping-bucket explode
+    #   windows, result-equality proof vs the batch twin above; the
+    #   streaming family keeps four in-window members
+    #   (stream_quality_gate, stream_jsonl_counts,
+    #   stream_view_purchase_left, stream_user_latest_upsert) — slot
+    #   taken by purchase_user_state_pit (NOVEL: SCD2 point-in-time
+    #   temporal join, the time-travel correctness rule)
 }
 
 
@@ -5613,6 +5620,75 @@ def q_join_strategy_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return functools.reduce(
         lambda a, b: a.unionByName(b), reports
     ).orderBy("scenario")
+
+
+@register(
+    "purchase_user_state_pit",
+    # SCD2 build over the non-purchase event log (the
+    # order_priority_history idiom on events), then each purchase
+    # picks up the state run CONTAINING its timestamp — half-open
+    # intervals, at most one match per fact
+    "WITH lg AS (SELECT user_id, ts, event_id, event_type, "
+    "CASE WHEN row_number() OVER w = 1 OR lag(event_type) OVER w "
+    "IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS is_open "
+    "FROM events WHERE event_type <> 'purchase' "
+    "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+    "runs AS (SELECT user_id, ts, event_type, "
+    "CAST(sum(is_open) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run "
+    "FROM lg), "
+    "hist AS (SELECT user_id, run, min(ts) AS valid_from, "
+    "min(event_type) AS event_type FROM runs GROUP BY user_id, run), "
+    "h2 AS (SELECT user_id, valid_from, event_type, "
+    "lead(valid_from) OVER (PARTITION BY user_id "
+    "ORDER BY valid_from, run) AS valid_to FROM hist) "
+    "SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts, "
+    "h2.event_type AS state_at_purchase, h2.valid_from AS state_since "
+    "FROM (SELECT user_id, event_id, ts FROM events "
+    "WHERE event_type = 'purchase') p "
+    "LEFT JOIN h2 ON p.user_id = h2.user_id AND p.ts >= h2.valid_from "
+    "AND (h2.valid_to IS NULL OR p.ts < h2.valid_to) "
+    "ORDER BY purchase_id",
+)
+def q_purchase_user_state_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) join against an SCD2 dimension
+    (operators/merge.py:scd2_pit_join + scd2_history): every purchase
+    joined to the user-state run whose [valid_from, valid_to) interval
+    contains the purchase timestamp — "what did the dimension say WHEN
+    the fact happened", the time-travel correctness rule that joining
+    the CURRENT dimension row would violate (future leakage).  The
+    dimension (one row per state run) broadcasts; the fact side never
+    shuffles — the 100 TB posture.  Purchases before a user's first
+    state run keep NULL state (left join).  NOVEL round-8 machinery →
+    in-window at birth; stream_sliding_counts rotated out on its
+    existing equality proof."""
+    from pyspark.sql import functions as F
+
+    from .operators import merge as M
+
+    events = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    log = events.where(F.col("event_type") != "purchase")
+    hist = M.scd2_history(
+        log, ["user_id"], "ts", ["event_type"], "event_id"
+    ).select("user_id", "valid_from", "valid_to", "event_type")
+    facts = events.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return (
+        M.scd2_pit_join(facts, hist, ["user_id"], "purchase_ts")
+        .select(
+            "user_id",
+            "purchase_id",
+            "purchase_ts",
+            F.col("event_type").alias("state_at_purchase"),
+            F.col("valid_from").alias("state_since"),
+        )
+        .orderBy("purchase_id")
+    )
 
 
 @register(

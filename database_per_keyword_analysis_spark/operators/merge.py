@@ -222,6 +222,51 @@ def merge_into_parquet(
                 shutil.rmtree(d)
 
 
+def scd2_pit_join(
+    facts: DataFrame,
+    history: DataFrame,
+    keys: list[str],
+    fact_ts: str,
+    how: str = "left",
+    broadcast_history: bool = True,
+) -> DataFrame:
+    """Point-in-time (temporal / as-of) join of a fact stream against
+    an SCD2 validity-interval dimension: each fact row picks up the
+    history row whose half-open [valid_from, valid_to) interval
+    contains the fact's `fact_ts` — "what did the dimension say WHEN
+    the fact happened", the correctness rule every time-travel /
+    training-data join needs (joining facts to the CURRENT dimension
+    row leaks the future).
+
+    Intervals from :func:`scd2_history` are non-overlapping per key,
+    so each fact matches at most one history row — the join is
+    cardinality-preserving (`how="left"` keeps facts born before their
+    key's first run, with NULL dimension columns).  Physical shape: an
+    equi-join on `keys` with the interval containment as a residual
+    range predicate; the history side is a DIMENSION (one row per
+    value-run, not per fact) and broadcasts by default, so at 100 TB
+    the fact table never shuffles — the same posture as the
+    relational dims.  Set `broadcast_history=False` for a monster
+    dimension; AQE then plans the shuffle and the residual stays on
+    the sort-merge join."""
+    import functools as _ft
+
+    h = history
+    for k in keys:
+        h = h.withColumnRenamed(k, f"__h_{k}")
+    cond = _ft.reduce(
+        lambda a, b: a & b,
+        [facts[k] == h[f"__h_{k}"] for k in keys],
+    )
+    cond = (
+        cond
+        & (facts[fact_ts] >= h["valid_from"])
+        & (h["valid_to"].isNull() | (facts[fact_ts] < h["valid_to"]))
+    )
+    rhs = F.broadcast(h) if broadcast_history else h
+    return facts.join(rhs, cond, how).drop(*[f"__h_{k}" for k in keys])
+
+
 def scd2_history(
     changelog: DataFrame,
     keys: list[str],

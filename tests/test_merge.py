@@ -209,3 +209,49 @@ def test_merge_into_parquet_rejects_unrenderable_partition_values(spark, tmp_pat
         merge_into_parquet(spark, path, changes, ["k"], "p")
     got = [(r.k, r.p, r.v) for r in spark.read.parquet(path).collect()]
     assert got == [(1, "ok", 10)]  # table untouched
+
+
+def test_scd2_pit_join_picks_the_containing_interval(spark):
+    """Round-8: temporal-join correctness — each fact takes the run
+    whose half-open interval contains its ts; facts before the key's
+    first run keep NULL; boundary fact at valid_from belongs to the
+    NEW run (half-open)."""
+    from database_per_keyword_analysis_spark.operators import merge as M
+
+    def _t(s):
+        return dt.datetime.fromisoformat(s)
+
+    log = spark.createDataFrame(
+        [
+            (1, _t("2024-01-02"), 1, "bronze"),
+            (1, _t("2024-01-05"), 2, "gold"),
+            (2, _t("2024-01-03"), 3, "silver"),
+        ],
+        "k long, ts timestamp_ntz, seq long, tier string",
+    )
+    hist = M.scd2_history(log, ["k"], "ts", ["tier"], "seq").select(
+        "k", "valid_from", "valid_to", "tier"
+    )
+    facts = spark.createDataFrame(
+        [
+            (1, 10, _t("2024-01-01")),  # before first run -> NULL
+            (1, 11, _t("2024-01-03")),  # inside bronze
+            (1, 12, _t("2024-01-05")),  # ON the boundary -> gold (half-open)
+            (1, 13, _t("2024-01-09")),  # open current run -> gold
+            (2, 20, _t("2024-01-04")),  # silver
+            (3, 30, _t("2024-01-04")),  # unknown key -> NULL
+        ],
+        "k long, fid long, fts timestamp_ntz",
+    )
+    out = M.scd2_pit_join(facts, hist, ["k"], "fts")
+    got = {r.fid: r.tier for r in out.collect()}
+    assert got == {
+        10: None, 11: "bronze", 12: "gold", 13: "gold", 20: "silver", 30: None,
+    }
+    # cardinality-preserving: one output row per fact
+    assert out.count() == facts.count()
+    # the dimension broadcasts; the fact side never shuffles for it
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # equi on keys + interval residual
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
