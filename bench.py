@@ -177,6 +177,9 @@ HEADLINE = [
     # round-8: SCD2 point-in-time temporal join (timed — the interval
     # residual on a broadcast dimension is a distinct physical shape)
     "purchase_user_state_pit",
+    # round-8: PQ/ADC serve tier (timed — M-lookup scoring over frozen
+    # codes is a distinct cost profile from the decimal-dot tiers)
+    "pq_knn_frozen",
 ]
 
 # Round-7 headline audit (round-6 judge item 5): every registered query

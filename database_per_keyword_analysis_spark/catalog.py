@@ -348,6 +348,12 @@ _DEFERRED_TWINS = {
     #   stream_view_purchase_left, stream_user_latest_upsert) — slot
     #   taken by purchase_user_state_pit (NOVEL: SCD2 point-in-time
     #   temporal join, the time-travel correctness rule)
+    "zipf_token_stats",  # green r6-r7; ln-ln moment fit; its
+    #   ordered-rank machinery stays in-window via the retrieval ranks
+    #   (knn_eval_metrics, hybrid_search_rrf) and the KN tiers'
+    #   windows; differential below — slot taken by pq_knn_frozen
+    #   (NOVEL: the PQ/ADC serving tier of the frozen-quantizer ANN
+    #   stack, hash-exact like ivf_knn_frozen)
 }
 
 
@@ -5313,6 +5319,86 @@ def q_ivf_knn_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROZEN_EMB_CENTROIDS,
         k=_IVF_FROZEN_K,
         n_probe=_IVF_FROZEN_PROBE,
+    )
+
+
+_PQ_N_SUB = 4  # 64-dim → 4 subspaces of 16; codebooks = centroid slices
+
+
+def _pq_frozen_sql() -> str:
+    # replay the PQ/ADC serve path: per-subspace frozen codebooks are
+    # slices of the SAME frozen centroids; corpus codes via the affine
+    # argmax per subspace, query lookup tables as list literals of the
+    # DECIMAL subspace dots, ADC score = M list lookups summed in fixed
+    # order — approximation is the quantization, scoring replays exactly
+    from .operators.similarity import pq_codebooks_from_centroids
+
+    books = pq_codebooks_from_centroids(FROZEN_EMB_CENTROIDS, _PQ_N_SUB)
+    d_sub = len(books[0][0])
+    kc = len(books[0])
+    code_cols, table_cols = [], []
+    for m, book in enumerate(books):
+        lo, hi = m * d_sub + 1, (m + 1) * d_sub
+        sub = f"embedding[{lo}:{hi}]"
+        scores, dots = [], []
+        for i, cw in enumerate(book):
+            arr = "[" + ", ".join(repr(float(v)) for v in cw) + "]"
+            dot = _DUCK_DOT.format(a=sub, b=arr)
+            half = 0.5 * sum(float(v) * float(v) for v in cw)
+            scores.append(f"({dot} - {half!r})")
+            dots.append(dot)
+        m_expr = "greatest(" + ", ".join(scores) + ")"
+        case = (
+            "CASE "
+            + " ".join(
+                f"WHEN {s} = {m_expr} THEN {i}"
+                for i, s in enumerate(scores)
+            )
+            + " END"
+        )
+        code_cols.append(f"CAST({case} AS INTEGER) AS code_{m}")
+        table_cols.append("[" + ", ".join(dots) + f"] AS t{m}")
+    adc = " + ".join(f"t{m}[code_{m} + 1]" for m in range(_PQ_N_SUB))
+    return (
+        "WITH c AS (SELECT vec_id AS neighbor_id, "
+        + ", ".join(code_cols)
+        + " FROM embeddings), "
+        "q AS (SELECT vec_id AS query_id, "
+        + ", ".join(table_cols)
+        + f" FROM embeddings WHERE vec_id < {_IVF_FROZEN_NQ}), "
+        f"scored AS (SELECT query_id, neighbor_id, {adc} AS adc_score "
+        "FROM c CROSS JOIN q WHERE query_id <> neighbor_id) "
+        "SELECT query_id, neighbor_id, adc_score, rank FROM ("
+        "SELECT *, row_number() OVER (PARTITION BY query_id "
+        "ORDER BY adc_score DESC, neighbor_id) AS rank FROM scored) "
+        f"WHERE rank <= {_IVF_FROZEN_K} ORDER BY query_id, rank"
+    )
+
+
+@register("pq_knn_frozen", _pq_frozen_sql())
+def q_pq_knn_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC serving tier (operators/similarity.py:pq_knn_frozen,
+    Jégou et al. TPAMI 2011): the corpus is seen only through M frozen
+    per-subspace codes (encode rides the scan, zero shuffle — the
+    memory tier that fits 10⁹+ vectors in RAM), each bounded query
+    broadcasts an M×K table of exact DECIMAL subspace dots, and a
+    candidate costs M lookups instead of a d-length dot.  Codebooks
+    are slices of the ONE frozen centroid constant, so the whole ANN
+    stack (coarse assign, IVF probe, PQ codes) pins to a single
+    artifact.  Hash-exact like ivf_knn_frozen: the approximation is
+    the quantization itself; every score replays in the oracle.
+    NOVEL round-8 machinery → in-window at birth; zipf_token_stats
+    rotated out with a differential."""
+    from pyspark.sql import functions as F
+
+    from .operators import similarity as SIM
+
+    emb = _load_emb(spark, sf_dir)
+    return SIM.pq_knn_frozen(
+        emb.where(F.col("vec_id") < _IVF_FROZEN_NQ),
+        emb,
+        SIM.pq_codebooks_from_centroids(FROZEN_EMB_CENTROIDS, _PQ_N_SUB),
+        k=_IVF_FROZEN_K,
     )
 
 

@@ -1217,3 +1217,113 @@ def ivf_knn_frozen(
         .where(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+
+
+def pq_codebooks_from_centroids(
+    centroids: list[list[float]], n_sub: int
+) -> list[list[list[float]]]:
+    """Frozen product-quantizer codebooks derived from the frozen
+    coarse centroids: subspace m's codebook is every centroid
+    restricted to dimensions [m·d/M, (m+1)·d/M) — the standard PQ
+    initialization (Jégou, Douze & Schmid, "Product Quantization for
+    Nearest Neighbor Search", TPAMI 2011, §III: train K-means per
+    subspace; a frozen coarse quantizer's slices are the canonical
+    warm start).  Deriving from the ONE frozen constant keeps the
+    whole ANN stack (cluster assign, IVF probe, PQ codes) pinned to a
+    single artifact the oracle builder reads too."""
+    d = len(centroids[0])
+    if d % n_sub:
+        raise ValueError(f"dim {d} not divisible into {n_sub} subspaces")
+    ds = d // n_sub
+    return [
+        [list(c[m * ds : (m + 1) * ds]) for c in centroids]
+        for m in range(n_sub)
+    ]
+
+
+def _pq_sub_expr(vec_col: str, m: int, d_sub: int) -> str:
+    return f"slice({vec_col}, {m * d_sub + 1}, {d_sub})"
+
+
+def pq_encode_frozen(
+    vectors: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """PQ-encode every vector against FROZEN per-subspace codebooks:
+    code_m = argmin_i ‖x_m − c_mi‖² via the same affine-score argmax
+    as the coarse tier (ties → lowest code).  M·K scan-stage DECIMAL
+    dots against literal arrays — zero joins, zero shuffles; the
+    64-float vector compresses to M small ints (the memory tier that
+    fits 10⁹+ vectors in RAM at cluster scale)."""
+    d_sub = len(codebooks[0][0])
+    cols = [F.col(id_col)]
+    for m, book in enumerate(codebooks):
+        sub = _pq_sub_expr(vec_col, m, d_sub)
+        scores = []
+        for cw in book:
+            arr = "array(" + ", ".join(repr(float(v)) for v in cw) + ")"
+            half = 0.5 * sum(float(v) * float(v) for v in cw)
+            scores.append(_dot_dec(sub, arr) - F.lit(half))
+        cols.append(_frozen_argmax(scores).alias(f"code_{m}"))
+    return vectors.select(*cols)
+
+
+def pq_knn_frozen(
+    queries: DataFrame,
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC (asymmetric distance computation) top-k over PQ codes —
+    the PQ serving tier of Jégou et al. 2011 §IV: the corpus is seen
+    only through its M frozen codes, each query precomputes one
+    M×K lookup table of exact subspace dots, and a candidate's score
+    is M table lookups instead of a d-length dot.  Like
+    `ivf_knn_frozen`, every arithmetic step is deterministic given the
+    frozen codebooks (DECIMAL subspace dots, fixed summation order),
+    so the approximate tier's output is ORACLE-HASHABLE — the
+    approximation is the quantization itself, never how scores are
+    computed.
+
+    Physical shape: corpus encoding rides the scan (zero shuffle); the
+    bounded query set broadcasts with its lookup tables (M·K doubles
+    per query); scoring is a broadcast product over (corpus × Q) rows
+    of M element_at lookups; the per-query top-k window sees
+    |Q|-keyed data.  Returns (query_id, neighbor_id, adc_score, rank),
+    self-matches excluded."""
+    d_sub = len(codebooks[0][0])
+    codes = pq_encode_frozen(corpus, codebooks, vec_col, id_col)
+    codes = codes.withColumnRenamed(id_col, "neighbor_id")
+    qsel = [F.col(id_col).alias("query_id")]
+    for m, book in enumerate(codebooks):
+        sub = _pq_sub_expr(vec_col, m, d_sub)
+        table = [
+            _dot_dec(
+                sub,
+                "array(" + ", ".join(repr(float(v)) for v in cw) + ")",
+            )
+            for cw in book
+        ]
+        qsel.append(F.array(*table).alias(f"_t{m}"))
+    q = queries.select(*qsel)
+    score = None
+    for m in range(len(codebooks)):
+        term = F.element_at(F.col(f"_t{m}"), F.col(f"code_{m}") + 1)
+        score = term if score is None else score + term
+    scored = (
+        codes.join(F.broadcast(q))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", score.alias("adc_score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_score"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )

@@ -828,3 +828,8 @@ def test_train_test_split_matches_oracle(spark, sf_dir):
     # split; the hash-threshold sampler family keeps three in-window
     # members
     _assert_matches_oracle(spark, sf_dir, "train_test_split")
+
+def test_zipf_token_stats_matches_oracle(spark, sf_dir):
+    # demoted r8 (slot taken by pq_knn_frozen): ln-ln moment fit;
+    # ordered-rank machinery stays in-window via the retrieval ranks
+    _assert_matches_oracle(spark, sf_dir, "zipf_token_stats")

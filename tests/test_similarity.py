@@ -460,3 +460,44 @@ def test_frozen_argmax_ties_take_lowest_cluster(spark):
         for r in SIM.cluster_assign_frozen(df, cents).collect()
     }
     assert got == {1: 0, 2: 2}
+
+
+def test_pq_codebooks_are_centroid_slices():
+    from database_per_keyword_analysis_spark.catalog import FROZEN_EMB_CENTROIDS
+    from database_per_keyword_analysis_spark.operators import similarity as SIM
+
+    books = SIM.pq_codebooks_from_centroids(FROZEN_EMB_CENTROIDS, 4)
+    assert len(books) == 4 and all(len(b) == 4 for b in books)
+    assert books[1][2] == FROZEN_EMB_CENTROIDS[2][16:32]
+    import pytest
+
+    with pytest.raises(ValueError):
+        SIM.pq_codebooks_from_centroids(FROZEN_EMB_CENTROIDS, 5)
+
+
+def test_pq_adc_topk_is_sane_and_scan_shaped(spark):
+    """ADC ranking must (a) put a vector's own codeword-identical twin
+    first, (b) never cartesian-join without broadcast, (c) return k
+    rows per query."""
+    import numpy as np
+
+    from database_per_keyword_analysis_spark.catalog import FROZEN_EMB_CENTROIDS
+    from database_per_keyword_analysis_spark.operators import similarity as SIM
+
+    books = SIM.pq_codebooks_from_centroids(FROZEN_EMB_CENTROIDS, 4)
+    rng = np.random.default_rng(11)
+    base = [[float(x) for x in rng.normal(0, 0.03, size=64)] for _ in range(30)]
+    # vec 100 is an exact copy of vec 0: identical codes -> identical
+    # ADC score as 0's own (excluded) self-score -> must rank first
+    rows = [(i, v) for i, v in enumerate(base)] + [(100, list(base[0]))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = SIM.pq_knn_frozen(df.where("vec_id = 0"), df, books, k=5)
+    got = out.collect()
+    assert len(got) == 5
+    assert got[0].neighbor_id == 100 and got[0].rank == 1
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan  # bounded-Q broadcast product
+    # encode is scan-stage: no shuffle before the codes exist
+    enc = SIM.pq_encode_frozen(df, books)
+    eplan = enc._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in eplan
