@@ -255,3 +255,61 @@ def test_scd2_pit_join_picks_the_containing_interval(spark):
     assert "BroadcastHashJoin" in plan  # equi on keys + interval residual
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    log=st.lists(  # (key, day, tier_idx)
+        st.tuples(st.integers(0, 2), st.integers(1, 9), st.integers(0, 2)),
+        min_size=1,
+        max_size=12,
+    ),
+    facts=st.lists(  # (key, day)
+        st.tuples(st.integers(0, 3), st.integers(1, 9)),
+        min_size=1,
+        max_size=8,
+    ),
+)
+def test_scd2_pit_join_matches_python_reference(spark, log, facts):
+    """Property: for ANY change log and fact set, scd2_history +
+    scd2_pit_join agree with a direct 'latest log entry at or before
+    the fact, by (ts, seq)' lookup — intervals are just an encoding of
+    that rule, and collapsing equal-value runs must not change it."""
+    from database_per_keyword_analysis_spark.operators import merge as M
+
+    tiers = ["bronze", "silver", "gold"]
+    log_rows = [
+        (k, dt.datetime(2024, 1, d), i, tiers[t])
+        for i, (k, d, t) in enumerate(log)
+    ]
+    fact_rows = [
+        (k, fid, dt.datetime(2024, 1, d))
+        for fid, (k, d) in enumerate(facts)
+    ]
+    ldf = spark.createDataFrame(
+        log_rows,
+        "k long, ts timestamp_ntz, seq long, tier string",
+    )
+    fdf = spark.createDataFrame(
+        fact_rows, "k long, fid long, fts timestamp_ntz"
+    )
+    hist = M.scd2_history(ldf, ["k"], "ts", ["tier"], "seq").select(
+        "k", "valid_from", "valid_to", "tier"
+    )
+    got = {
+        r.fid: r.tier
+        for r in M.scd2_pit_join(fdf, hist, ["k"], "fts").collect()
+    }
+    want = {}
+    for k, fid, fts in fact_rows:
+        at_or_before = [
+            (ts, seq, tier)
+            for kk, ts, seq, tier in log_rows
+            if kk == k and ts <= fts
+        ]
+        want[fid] = max(at_or_before)[2] if at_or_before else None
+    assert got == want
