@@ -180,6 +180,9 @@ HEADLINE = [
     # round-8: PQ/ADC serve tier (timed — M-lookup scoring over frozen
     # codes is a distinct cost profile from the decimal-dot tiers)
     "pq_knn_frozen",
+    # round-8: streaming temporal-table join (timed — the stream-static
+    # PIT drain carries micro-batch session cost its batch twin lacks)
+    "stream_purchase_state_pit",
 ]
 
 # Round-7 headline audit (round-6 judge item 5): every registered query

@@ -354,6 +354,11 @@ _DEFERRED_TWINS = {
     #   windows; differential below — slot taken by pq_knn_frozen
     #   (NOVEL: the PQ/ADC serving tier of the frozen-quantizer ANN
     #   stack, hash-exact like ivf_knn_frozen)
+    "stream_purchase_state_pit",  # round-8 deferral AT BIRTH
+    #   (machinery twin): the streaming execution of the in-window
+    #   purchase_user_state_pit — identical oracle SQL (batch/stream
+    #   parity contract, the stream_session_counts pattern) plus a
+    #   result-equality proof below
 }
 
 
@@ -5772,6 +5777,60 @@ def q_purchase_user_state_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "purchase_ts",
             F.col("event_type").alias("state_at_purchase"),
             F.col("valid_from").alias("state_since"),
+        )
+        .orderBy("purchase_id")
+    )
+
+
+@register(
+    "stream_purchase_state_pit",
+    # identical oracle to purchase_user_state_pit: batch/stream parity
+    # IS the correctness contract (the stream_session_counts pattern)
+    _REGISTRY["purchase_user_state_pit"][1],
+)
+def q_stream_purchase_state_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming temporal-table join (streaming/windows.py:
+    stream_pit_enrich — Flink `FOR SYSTEM_TIME AS OF` parity): the
+    purchase STREAM enriched with the SCD2 user-state run containing
+    each purchase's event time, via a stateless stream-static join
+    (dimension broadcast, re-planned per micro-batch, no watermark /
+    join state).  Deferred at birth as the streaming machinery twin of
+    the in-window purchase_user_state_pit — identical oracle SQL plus
+    a result-equality proof in tests/test_catalog_twins.py."""
+    from pyspark.sql import functions as F
+
+    from .operators import merge as M
+
+    events = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    hist = M.scd2_history(
+        events.where(F.col("event_type") != "purchase"),
+        ["user_id"],
+        "ts",
+        ["event_type"],
+        "event_id",
+    ).select("user_id", "valid_from", "valid_to", "event_type")
+    stream = (
+        SW.read_events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").cast("timestamp_ntz").alias("purchase_ts"),
+        )
+    )
+    out = SW.stream_pit_enrich(stream, hist, ["user_id"], "purchase_ts")
+    return (
+        SW.run_append_to_memory(
+            out.select(
+                "user_id",
+                "purchase_id",
+                "purchase_ts",
+                F.col("event_type").alias("state_at_purchase"),
+                F.col("valid_from").alias("state_since"),
+            ),
+            "q_stream_purchase_pit",
         )
         .orderBy("purchase_id")
     )

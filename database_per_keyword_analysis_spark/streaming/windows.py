@@ -155,6 +155,26 @@ def enriched_event_counts(
     )
 
 
+def stream_pit_enrich(
+    facts_stream: DataFrame,
+    history: DataFrame,
+    keys: list[str],
+    fact_ts: str,
+) -> DataFrame:
+    """Streaming temporal-table join (Flink's `FOR SYSTEM_TIME AS OF`
+    parity): each streamed fact picks up the SCD2 history row whose
+    half-open validity interval contains the fact's event time —
+    the stream-static form of :func:`..operators.merge.scd2_pit_join`,
+    which it delegates to verbatim (the batch/stream parity contract:
+    one expression, two execution modes).  Stateless per event (no
+    watermark, no join state — the dimension is static within a
+    micro-batch and re-planned between batches), append mode; the
+    run-level dimension broadcasts, so the stream never shuffles."""
+    from ..operators import merge as M
+
+    return M.scd2_pit_join(facts_stream, history, keys, fact_ts)
+
+
 def run_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
     """Drive a streaming DataFrame to completion with an availableNow
     trigger into a memory sink; returns the materialized result."""

@@ -833,3 +833,11 @@ def test_zipf_token_stats_matches_oracle(spark, sf_dir):
     # demoted r8 (slot taken by pq_knn_frozen): ln-ln moment fit;
     # ordered-rank machinery stays in-window via the retrieval ranks
     _assert_matches_oracle(spark, sf_dir, "zipf_token_stats")
+
+def test_stream_purchase_state_pit_equals_batch(spark, sf_dir):
+    # round-8 deferral at birth: streaming temporal-table join is the
+    # stream-static execution of the in-window batch PIT join — one
+    # expression, two modes; bit-equal rows is the parity contract
+    _assert_equal_results(
+        spark, sf_dir, "stream_purchase_state_pit", "purchase_user_state_pit"
+    )
