@@ -86,24 +86,30 @@ def merge_upsert(
     return kept.unionByName(upserts.select(*base.columns))
 
 
-# A changeset's distinct key set above this size stops being a sane
-# pushdown literal (plan bloat — the round-6 bloom lesson) and a batch
-# that large is table-scale work anyway; fall back to the full scan.
-_KEY_FILTER_MAX = 100_000
+# Above this many distinct keys the filter switches from a precise IN
+# to per-column [min, max] RANGE bounds.  A large IN literal is a plan
+# poison, not just a pushdown question: an ABA at the 10x drain
+# measured 47 s with per-batch ~15k-value In predicates vs 5.9 s
+# without any filter (Catalyst plan build + per-row In evaluation, the
+# round-6 4096-literal lesson at larger N) — while the range form is
+# two literals per column, which is also exactly what parquet receives
+# for an over-threshold IN anyway.
+_KEY_IN_MAX = 512
 
 
 def batch_key_filter(changes: DataFrame, keys: list[str]):
     """A pushdown-able SUPERSET filter for "row's key appears in
-    `changes`": per-column IN over the changeset's distinct key values,
-    AND'd across key columns.  For compound keys this admits the cross
-    product of per-column values — callers must still join/semi-join
-    for exactness; the filter exists so the parquet scan can skip row
-    groups via min/max stats (Spark pushes IN below
-    `parquet.pushdown.inFilterThreshold` natively and as a
-    [min(values), max(values)] range check above it — either prunes a
-    key-clustered table).  Returns None when the changeset's key set
-    exceeds _KEY_FILTER_MAX (collect stays batch-bounded: the limit is
-    enforced BEFORE the collect).
+    `changes`", AND'd across key columns: a precise per-column IN when
+    the changeset's distinct key set is small (≤ _KEY_IN_MAX), else
+    per-column [min, max] range bounds (O(1) literal size at ANY batch
+    size — no cap or fallback needed).  Both forms prune row groups of
+    a KEY-CLUSTERED table via parquet min/max stats; both are
+    supersets, so callers must still join/semi-join for exactness.
+    Cost: one distinct+limit collect (batch-bounded by the limit), plus
+    one min/max aggregate job on the range path.  A batch that touches
+    most of the key space gets bounds spanning the table — an honest
+    no-op: no pruning is possible then, and the filter must not cost
+    anything either (the 47 s vs 5.9 s ABA above is that case).
 
     This is the round-7 verdict item-3 device: it turns the CDC version
     probe and the mover scan from table-size reads into
@@ -111,15 +117,25 @@ def batch_key_filter(changes: DataFrame, keys: list[str]):
     rows = (
         changes.select(*keys)
         .distinct()
-        .limit(_KEY_FILTER_MAX + 1)
+        .limit(_KEY_IN_MAX + 1)
         .collect()
     )
-    if len(rows) > _KEY_FILTER_MAX:
-        return None
     cond = None
-    for i, k in enumerate(keys):
-        vals = list({r[i] for r in rows})
-        c = F.col(k).isin(vals)
+    if len(rows) <= _KEY_IN_MAX:
+        for i, k in enumerate(keys):
+            vals = list({r[i] for r in rows})
+            c = F.col(k).isin(vals)
+            cond = c if cond is None else cond & c
+        return cond
+    bounds = changes.agg(
+        *[F.min(k).alias(f"_lo_{k}") for k in keys],
+        *[F.max(k).alias(f"_hi_{k}") for k in keys],
+    ).collect()[0]
+    for k in keys:
+        lo, hi = bounds[f"_lo_{k}"], bounds[f"_hi_{k}"]
+        if lo is None:  # all-null key column: equi-join matches nothing
+            continue
+        c = (F.col(k) >= F.lit(lo)) & (F.col(k) <= F.lit(hi))
         cond = c if cond is None else cond & c
     return cond
 
