@@ -183,6 +183,9 @@ HEADLINE = [
     # round-8: streaming temporal-table join (timed — the stream-static
     # PIT drain carries micro-batch session cost its batch twin lacks)
     "stream_purchase_state_pit",
+    # round-8: snapshot diff / CDF (timed — full-outer diff is a
+    # distinct join shape: both sides shuffle, no broadcast)
+    "customer_snapshot_diff",
 ]
 
 # Round-7 headline audit (round-6 judge item 5): every registered query

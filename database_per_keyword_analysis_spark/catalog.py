@@ -359,6 +359,11 @@ _DEFERRED_TWINS = {
     #   purchase_user_state_pit — identical oracle SQL (batch/stream
     #   parity contract, the stream_session_counts pattern) plus a
     #   result-equality proof below
+    "dsir_resample",  # green r6-r7; hash-threshold importance
+    #   resampling; alpha_mixture_sample + token_budget_sample keep
+    #   the sampler family in-window; differential below — slot taken
+    #   by customer_snapshot_diff (NOVEL: snapshot diff /
+    #   change-data-feed, the log-less lakehouse diff primitive)
 }
 
 
@@ -5780,6 +5785,81 @@ def q_purchase_user_state_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("purchase_id")
     )
+
+
+@register(
+    "customer_snapshot_diff",
+    # change-data-feed between two deterministic customer snapshots:
+    # AUTOMOBILE dropped (deletes), BUILDING balances doubled
+    # (updates; a 0.00 balance doubles to itself and is correctly NOT
+    # a change), HOUSEHOLD re-keyed past max (inserts)
+    "WITH old AS (SELECT c_custkey, c_name, "
+    "CAST(c_acctbal AS DOUBLE) AS c_acctbal, c_mktsegment FROM customer), "
+    "new AS (SELECT c_custkey, c_name, "
+    "CASE WHEN c_mktsegment = 'BUILDING' "
+    "THEN CAST(c_acctbal AS DOUBLE) * 2 "
+    "ELSE CAST(c_acctbal AS DOUBLE) END AS c_acctbal, c_mktsegment "
+    "FROM customer WHERE c_mktsegment <> 'AUTOMOBILE' "
+    "UNION ALL SELECT c_custkey + "
+    "(SELECT CAST(max(c_custkey) + 1 AS BIGINT) FROM customer), "
+    "c_name, CAST(c_acctbal AS DOUBLE), c_mktsegment "
+    "FROM customer WHERE c_mktsegment = 'HOUSEHOLD'), "
+    "d AS (SELECT coalesce(o.c_custkey, n.c_custkey) AS c_custkey, "
+    "CASE WHEN o.c_custkey IS NULL THEN 'insert' "
+    "WHEN n.c_custkey IS NULL THEN 'delete' "
+    "WHEN o.c_name IS DISTINCT FROM n.c_name "
+    "OR o.c_acctbal IS DISTINCT FROM n.c_acctbal "
+    "OR o.c_mktsegment IS DISTINCT FROM n.c_mktsegment THEN 'update' "
+    "END AS op, n.c_name, n.c_acctbal, n.c_mktsegment "
+    "FROM old o FULL OUTER JOIN new n ON o.c_custkey = n.c_custkey) "
+    "SELECT * FROM d WHERE op IS NOT NULL ORDER BY c_custkey",
+)
+def q_customer_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff / change-data-feed (operators/merge.py:table_diff):
+    row-level insert/update/delete classification between two table
+    versions via ONE full-outer join on the key — the changeset that
+    replays old → new through merge_upsert (the round-trip invariant
+    pinned in tests/test_merge.py).  Table formats read this from
+    their commit log; raw parquet diffs — two scans + one
+    co-partitioned join, the log-less floor.  The "new" snapshot is a
+    deterministic transformation of the fixture (deletes + updates +
+    re-keyed inserts) both engines construct identically; a doubled
+    0.00 balance is correctly NOT an update (null-safe value compare).
+    NOVEL round-8 machinery → in-window at birth; dsir_resample
+    rotated out with a differential."""
+    from pyspark.sql import functions as F
+
+    from .operators import merge as M
+
+    cust = load(spark, sf_dir, "customer", parallel=True).select(
+        "c_custkey",
+        "c_name",
+        F.col("c_acctbal").cast("double").alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    stride = cust.agg((F.max("c_custkey") + 1).alias("_s"))
+    inserts = (
+        cust.where(F.col("c_mktsegment") == "HOUSEHOLD")
+        .crossJoin(F.broadcast(stride))
+        .select(
+            (F.col("c_custkey") + F.col("_s")).alias("c_custkey"),
+            "c_name",
+            "c_acctbal",
+            "c_mktsegment",
+        )
+    )
+    new = (
+        cust.where(F.col("c_mktsegment") != "AUTOMOBILE")
+        .withColumn(
+            "c_acctbal",
+            F.when(
+                F.col("c_mktsegment") == "BUILDING",
+                F.col("c_acctbal") * 2,
+            ).otherwise(F.col("c_acctbal")),
+        )
+        .unionByName(inserts)
+    )
+    return M.table_diff(cust, new, ["c_custkey"]).orderBy("c_custkey")
 
 
 @register(

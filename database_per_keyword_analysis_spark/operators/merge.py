@@ -238,6 +238,59 @@ def merge_into_parquet(
                 shutil.rmtree(d)
 
 
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare: list[str] | None = None,
+) -> DataFrame:
+    """Row-level change-data-feed between two table versions: one
+    FULL OUTER join on `keys`, each key classified as ``insert``
+    (absent from old), ``delete`` (absent from new), or ``update``
+    (present in both with any `compare` column differing,
+    null-safely); unchanged keys are dropped.  Output: keys, ``op``,
+    and the NEW version's compare columns (NULL for deletes) — the
+    changeset `merge_upsert` / `upsert_batch` would need to replay
+    old → new, which makes diff→merge a round-trip invariant
+    (test-pinned).
+
+    The lakehouse "what changed between snapshots" primitive (table
+    formats derive it from their commit log; raw parquet must diff).
+    `compare` defaults to every non-key column shared by both sides.
+    Physical shape: ONE shuffle per side on the key (the outer join);
+    the change classification is scan-stage expressions on the joined
+    row — at 100 TB this is two table scans + one co-partitioned
+    join, the floor for a log-less diff."""
+    if compare is None:
+        compare = [
+            c for c in new.columns if c not in keys and c in old.columns
+        ]
+    o = old.select(
+        *keys, *[F.col(c).alias(f"__o_{c}") for c in compare]
+    ).withColumn("__in_old", F.lit(True))
+    n = new.select(
+        *keys, *[F.col(c).alias(f"__n_{c}") for c in compare]
+    ).withColumn("__in_new", F.lit(True))
+    j = o.join(n, keys, "full_outer")
+    changed = F.lit(False)
+    for c in compare:
+        changed = changed | ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+    op = (
+        F.when(F.col("__in_old").isNull(), F.lit("insert"))
+        .when(F.col("__in_new").isNull(), F.lit("delete"))
+        .when(changed, F.lit("update"))
+    )
+    return (
+        j.withColumn("op", op)
+        .where(F.col("op").isNotNull())
+        .select(
+            *keys,
+            "op",
+            *[F.col(f"__n_{c}").alias(c) for c in compare],
+        )
+    )
+
+
 def scd2_pit_join(
     facts: DataFrame,
     history: DataFrame,

@@ -313,3 +313,35 @@ def test_scd2_pit_join_matches_python_reference(spark, log, facts):
         ]
         want[fid] = max(at_or_before)[2] if at_or_before else None
     assert got == want
+
+
+def test_table_diff_classifies_and_round_trips(spark):
+    """Diff semantics: insert/update/delete classification with
+    null-safe value compare (unchanged keys dropped), and the
+    ROUND-TRIP invariant — merging the diff into old reproduces new."""
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", None), (3, "c", 30.0), (4, "d", 40.0)],
+        "k int, v string, amt double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0),    # unchanged -> dropped
+         (2, "b", None),    # NULL == NULL -> unchanged (null-safe)
+         (3, "c", 33.0),    # update
+         (5, "e", 50.0)],   # insert; k=4 deleted
+        "k int, v string, amt double",
+    )
+    diff = M.table_diff(old, new, ["k"])
+    got = {r.k: (r.op, r.v, r.amt) for r in diff.collect()}
+    assert got == {
+        3: ("update", "c", 33.0),
+        4: ("delete", None, None),
+        5: ("insert", "e", 50.0),
+    }
+    # round-trip: old + diff (as a keyed changeset w/ delete flag) == new
+    changes = diff.withColumn("is_delete", F.col("op") == "delete").drop("op")
+    merged = M.merge_upsert(old, changes, ["k"], delete_col="is_delete")
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, new.collect())
+    )
+    plan = diff._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
