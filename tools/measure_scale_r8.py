@@ -79,6 +79,15 @@ def _emb10x() -> str:
     return out
 
 
+def _customer10x() -> str:
+    out = os.path.join(CACHE, "scale_tpch1")
+    if not os.path.exists(os.path.join(out, "customer.parquet")):
+        from tools.make_scale_fixture_tpch import build
+
+        build(BASE, out)
+    return os.path.join(out, "customer.parquet")
+
+
 def _fixture_dir(tables: dict[str, str]) -> str:
     """A measurement dir assembling existing parquet files by symlink
     (never copies, never touches the sources)."""
@@ -113,6 +122,13 @@ def main() -> None:
         "pq_knn_frozen": (
             BASE,
             _fixture_dir({"embeddings": f"{emb10}/embeddings.parquet"}),
+        ),
+        # snapshot diff: customer 10x from the TPC-H key-offset fixture
+        # (both diff sides grow 10x; the full-outer join's shuffle is
+        # the measured term)
+        "customer_snapshot_diff": (
+            BASE,
+            _fixture_dir({"customer": _customer10x()}),
         ),
     }
     qs = catalog.queries()
