@@ -186,6 +186,9 @@ HEADLINE = [
     # round-8: snapshot diff / CDF (timed — full-outer diff is a
     # distinct join shape: both sides shuffle, no broadcast)
     "customer_snapshot_diff",
+    # round-8: fixed-iteration PageRank (timed — k node-keyed
+    # join+agg rounds with lineage cuts, the iterative-dataflow shape)
+    "purchase_graph_pagerank",
 ]
 
 # Round-7 headline audit (round-6 judge item 5): every registered query

@@ -364,6 +364,11 @@ _DEFERRED_TWINS = {
     #   the sampler family in-window; differential below — slot taken
     #   by customer_snapshot_diff (NOVEL: snapshot diff /
     #   change-data-feed, the log-less lakehouse diff primitive)
+    "token_budget_sample",  # green r6-r7; greedy token-budget
+    #   selection; alpha_mixture_sample keeps the sampler family
+    #   in-window; differential above (pre-r6-promotion) — slot taken
+    #   by purchase_graph_pagerank (NOVEL: fixed-iteration PageRank,
+    #   the first oracle-exact iterative algorithm)
 }
 
 
@@ -5784,6 +5789,81 @@ def q_purchase_user_state_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("valid_from").alias("state_since"),
         )
         .orderBy("purchase_id")
+    )
+
+
+def _pagerank_sql() -> str:
+    # unroll the FIXED power iterations; damping literals embedded from
+    # the ONE Python computation the Spark plan also uses, per-node
+    # sums DECIMAL-accumulated (the _dot_dec convention) so rank values
+    # are bit-identical across engines
+    from .operators.graph import PAGERANK_DAMPING, PAGERANK_ITERS
+
+    d = repr(float(PAGERANK_DAMPING))
+    t = repr(1.0 - PAGERANK_DAMPING)
+    sql = (
+        "WITH e AS (SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) "
+        "AS src, 's' || CAST(l_suppkey AS VARCHAR) AS dst "
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey), "
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e), "
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes), "
+        "deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg "
+        "FROM e GROUP BY src), "
+        "r0 AS (SELECT node, 1.0 / n AS rank FROM nodes CROSS JOIN nn)"
+    )
+    for i in range(1, PAGERANK_ITERS + 1):
+        sql += (
+            f", s{i} AS (SELECT e.dst AS node, "
+            f"CAST(sum(CAST(r.rank / g.deg AS DECIMAL(38,18))) AS DOUBLE) "
+            f"AS s FROM e JOIN r{i - 1} r ON e.src = r.node "
+            f"JOIN deg g ON e.src = g.src GROUP BY e.dst)"
+            f", r{i} AS (SELECT nodes.node, {t} / n + {d} * "
+            f"coalesce(s{i}.s, 0.0) AS rank "
+            f"FROM nodes CROSS JOIN nn "
+            f"LEFT JOIN s{i} ON nodes.node = s{i}.node)"
+        )
+    return (
+        sql
+        + f" SELECT node, rank FROM r{PAGERANK_ITERS} "
+        "ORDER BY rank DESC, node LIMIT 25"
+    )
+
+
+@register("purchase_graph_pagerank", _pagerank_sql())
+def q_purchase_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank (operators/graph.py:pagerank_fixed,
+    Page et al. 1999) over the customer→supplier purchase graph
+    (distinct orders⋈lineitem pairs, node spaces disjoint by prefix):
+    the engine's first ORACLE-EXACT iterative algorithm — a fixed
+    iteration count turns power iteration into a finite dataflow the
+    oracle unrolls verbatim (the frozen-quantizer move applied to the
+    iterative class; k-means/CC stay rows-only because their loop
+    counts are data-dependent).  Per-node sums DECIMAL-accumulated so
+    rank values are independent of partition order.  NOVEL round-8
+    machinery → in-window at birth; token_budget_sample rotated out on
+    its existing differential."""
+    from pyspark.sql import functions as F
+
+    from .operators import graph as G
+
+    orders = load(spark, sf_dir, "orders", parallel=True)
+    lines = load(spark, sf_dir, "lineitem", parallel=True)
+    edges = (
+        orders.join(lines, orders.o_orderkey == lines.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
+                "dst"
+            ),
+        )
+        .distinct()
+    )
+    return (
+        G.pagerank_fixed(edges)
+        .orderBy(F.desc("rank"), "node")
+        .limit(25)
     )
 
 

@@ -1,0 +1,96 @@
+"""Graph algorithms as fixed-iteration DataFrame programs.
+
+The reference (a read-only pandas monolith, /root/reference/main.py)
+has no graph surface; the dedup stack already runs driver-looped
+connected components (operators/dedup.py).  This module adds the other
+canonical link-analysis primitive — PageRank (Page, Brin, Motwani &
+Winograd, "The PageRank Citation Ranking", Stanford InfoLab 1999) — in
+the engine's oracle-exact style: a FIXED iteration count turns an
+iterative algorithm into a finite, deterministic dataflow both engines
+can replay bit-identically (the same move that made the frozen
+quantizer tiers hash-checkable: `ivf_knn` retrains per call and stays
+rows-only; `pagerank_fixed` runs k known joins).
+
+Determinism: per-edge contributions are IEEE doubles (bit-identical in
+any engine), but their per-node SUM would depend on partition order —
+so each aggregation accumulates in DECIMAL(38,18) and casts back, the
+`_dot_dec` convention.  The damping constants are embedded from ONE
+Python computation so the SQL oracle and the Spark plan share the
+exact double literal.
+
+At 100 TB: each iteration is one equi-join of the edge list against a
+node-keyed rank table plus one groupBy — both co-partitioned on the
+key after the first shuffle, which AQE reuses; state between
+iterations is one row per node (localCheckpointed to cut lineage, the
+Kneser-Ney lesson).  k iterations = k shuffles of node-cardinality
+data; the edge list is scanned k times (cache it at cluster scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PAGERANK_DAMPING = 0.85
+PAGERANK_ITERS = 3
+
+
+def pagerank_fixed(
+    edges: DataFrame,
+    iters: int = PAGERANK_ITERS,
+    damping: float = PAGERANK_DAMPING,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """PageRank with a FIXED number of power iterations over a
+    directed edge list (one row per distinct edge).
+
+    rank_0(v) = 1/N;
+    rank_{i+1}(v) = (1-d)/N + d · Σ_{(u,v)∈E} rank_i(u) / outdeg(u).
+
+    Dangling nodes (no out-edges) contribute nothing — their mass is
+    not redistributed; this is the defined variant (documented so the
+    oracle can replay it verbatim), adequate for ranking use and free
+    of the extra global aggregate per iteration.  Returns
+    (node, rank) for every node."""
+    teleport = 1.0 - damping  # ONE double computation, shared w/ oracle
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n = nodes.agg(F.count(F.lit(1)).cast("double").alias("_n"))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("_deg"))
+    # the per-iteration join input never changes: materialize once
+    ed = e.join(deg, "src").localCheckpoint()
+    ranks = nodes.crossJoin(F.broadcast(n)).select(
+        "node", (F.lit(1.0) / F.col("_n")).alias("rank")
+    )
+    for _ in range(iters):
+        sums = (
+            ed.join(ranks, ed.src == ranks.node)
+            .select(
+                "dst",
+                (F.col("rank") / F.col("_deg")).alias("_contrib"),
+            )
+            .groupBy("dst")
+            .agg(
+                F.sum(F.col("_contrib").cast("decimal(38,18)"))
+                .cast("double")
+                .alias("_s")
+            )
+        )
+        ranks = (
+            nodes.crossJoin(F.broadcast(n))
+            .join(sums, nodes.node == sums.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit(teleport) / F.col("_n")
+                    + F.lit(damping) * F.coalesce(F.col("_s"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks

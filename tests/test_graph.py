@@ -1,0 +1,40 @@
+"""Fixed-iteration PageRank (operators/graph.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from database_per_keyword_analysis_spark.operators import graph as G
+
+
+def _ranks(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "src string, dst string")
+    return {r.node: r.rank for r in G.pagerank_fixed(df, **kw).collect()}
+
+
+def test_pagerank_one_iteration_matches_hand_computation(spark):
+    # A -> B, A -> C, B -> C; C dangling (contributes nothing — the
+    # documented variant)
+    got = _ranks(spark, [("A", "B"), ("A", "C"), ("B", "C")], iters=1)
+    t, d = 0.15 / 3, 0.85
+    assert got["A"] == pytest.approx(t, abs=1e-15)
+    assert got["B"] == pytest.approx(t + d * (1 / 3 / 2), abs=1e-12)
+    assert got["C"] == pytest.approx(t + d * (1 / 3 / 2 + 1 / 3), abs=1e-12)
+
+
+def test_pagerank_sink_accumulates_and_is_deterministic(spark):
+    # star into a hub: the hub must dominate after 3 iterations, and
+    # two runs must agree bit-for-bit (DECIMAL-accumulated sums)
+    edges = [(f"u{i}", "hub") for i in range(20)] + [("hub", "u0")]
+    a = _ranks(spark, edges)
+    b = _ranks(spark, edges)
+    assert a == b
+    assert max(a, key=a.get) == "hub"
+
+
+def test_pagerank_rank_mass_is_bounded(spark):
+    # teleport mass + damped link mass can never exceed 1 (dangling
+    # nodes leak mass; they never create it)
+    got = _ranks(spark, [("A", "B"), ("B", "A"), ("B", "C")])
+    total = sum(got.values())
+    assert 0.0 < total <= 1.0 + 1e-9
