@@ -41,6 +41,7 @@ def pagerank_fixed(
     damping: float = PAGERANK_DAMPING,
     src: str = "src",
     dst: str = "dst",
+    broadcast_ranks: bool = True,
 ) -> DataFrame:
     """PageRank with a FIXED number of power iterations over a
     directed edge list (one row per distinct edge).
@@ -52,38 +53,68 @@ def pagerank_fixed(
     not redistributed; this is the defined variant (documented so the
     oracle can replay it verbatim), adequate for ranking use and free
     of the extra global aggregate per iteration.  Returns
-    (node, rank) for every node."""
+    (node, rank) for every node.
+
+    `broadcast_ranks=True` (default) broadcasts the node-keyed rank
+    table into each iteration's edge join — the right plan whenever
+    the rank table fits an executor (node count ≪ edge count; a rank
+    row is ~row-key + one double).  For web-scale node sets pass
+    False: the join falls back to a shuffle, and the edge side's
+    `localCheckpoint` below means it is shuffled FROM a materialized
+    block, not recomputed — co-partition/bucket both sides on `src`
+    upstream for the full cluster posture."""
     teleport = 1.0 - damping  # ONE double computation, shared w/ oracle
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # the loop-invariant inputs are materialized ONCE (edge list,
+    # out-degrees, node set); the iterations themselves stay LAZY —
+    # plan depth is linear in `iters`, and a single execution at the
+    # sink runs each iteration exactly once, instead of paying an
+    # eager intermediate materialization per iteration (measured: the
+    # eager-per-iteration form spent 13 s re-running the node distinct
+    # and checkpoint machinery for a 3x0.7 s computation).  Past
+    # ~8-10 iterations cut the lineage with a localCheckpoint on
+    # `ranks` every few rounds (the dedup-CC idiom) — at the fixed
+    # small iteration counts this oracle-exact form targets, lazy wins.
+    ed = e.localCheckpoint()
     nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionByName(e.select(F.col("dst").alias("node")))
+        ed.select(F.col("src").alias("node"))
+        .unionByName(ed.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint()
     )
     n = nodes.agg(F.count(F.lit(1)).cast("double").alias("_n"))
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("_deg"))
-    # the per-iteration join input never changes: materialize once
-    ed = e.join(deg, "src").localCheckpoint()
+    deg = ed.groupBy("src").agg(
+        F.count(F.lit(1)).cast("double").alias("_deg")
+    ).localCheckpoint()
     ranks = nodes.crossJoin(F.broadcast(n)).select(
         "node", (F.lit(1.0) / F.col("_n")).alias("rank")
     )
     for _ in range(iters):
+        # per-SOURCE emission rate first (node-sized join), THEN one
+        # join against the edge list — the contribution rank/deg
+        # depends only on src, so joining deg onto every EDGE row
+        # would move edge-cardinality data for node-cardinality work
+        rates = ranks.join(deg, ranks.node == deg.src).select(
+            F.col("node").alias("_u"),
+            (F.col("rank") / F.col("_deg")).alias("_rate"),
+        )
+        rhs = F.broadcast(rates) if broadcast_ranks else rates
         sums = (
-            ed.join(ranks, ed.src == ranks.node)
-            .select(
-                "dst",
-                (F.col("rank") / F.col("_deg")).alias("_contrib"),
-            )
+            ed.join(rhs, ed.src == rates._u)
             .groupBy("dst")
             .agg(
-                F.sum(F.col("_contrib").cast("decimal(38,18)"))
+                F.sum(F.col("_rate").cast("decimal(38,18)"))
                 .cast("double")
                 .alias("_s")
             )
         )
         ranks = (
             nodes.crossJoin(F.broadcast(n))
-            .join(sums, nodes.node == sums.dst, "left")
+            .join(
+                F.broadcast(sums) if broadcast_ranks else sums,
+                nodes.node == sums.dst,
+                "left",
+            )
             .select(
                 "node",
                 (
@@ -91,6 +122,5 @@ def pagerank_fixed(
                     + F.lit(damping) * F.coalesce(F.col("_s"), F.lit(0.0))
                 ).alias("rank"),
             )
-            .localCheckpoint()
         )
     return ranks

@@ -79,13 +79,17 @@ def _emb10x() -> str:
     return out
 
 
-def _customer10x() -> str:
+def _tpch10x(table: str) -> str:
     out = os.path.join(CACHE, "scale_tpch1")
-    if not os.path.exists(os.path.join(out, "customer.parquet")):
+    if not os.path.exists(os.path.join(out, f"{table}.parquet")):
         from tools.make_scale_fixture_tpch import build
 
         build(BASE, out)
-    return os.path.join(out, "customer.parquet")
+    return os.path.join(out, f"{table}.parquet")
+
+
+def _customer10x() -> str:
+    return _tpch10x("customer")
 
 
 def _fixture_dir(tables: dict[str, str]) -> str:
@@ -129,6 +133,18 @@ def main() -> None:
         "customer_snapshot_diff": (
             BASE,
             _fixture_dir({"customer": _customer10x()}),
+        ),
+        # PageRank: edge list from the 10x orders/lineitem (node count
+        # and edge count both grow ~10x; per-iteration join + agg are
+        # the measured terms)
+        "purchase_graph_pagerank": (
+            BASE,
+            _fixture_dir(
+                {
+                    "orders": _tpch10x("orders"),
+                    "lineitem": _tpch10x("lineitem"),
+                }
+            ),
         ),
     }
     qs = catalog.queries()
