@@ -426,3 +426,65 @@ def test_round7_operators_tolerate_empty_inputs(spark):
     assert skew_report(keys, ["k"]).collect() == []
     rows = join_size_report(keys, keys, ["k"]).collect()
     assert len(rows) == 1 and rows[0].k is None and rows[0].n_pairs == 0
+
+
+def test_round8_operators_tolerate_empty_inputs(spark):
+    """Degenerate-input contract for the round-8 additions: empty
+    frames flow through to empty (or decision-only) results, never
+    planner or runtime errors."""
+    from database_per_keyword_analysis_spark.catalog import (
+        FROZEN_EMB_CENTROIDS,
+    )
+    from database_per_keyword_analysis_spark.operators import graph as G
+    from database_per_keyword_analysis_spark.operators import merge as M
+    from database_per_keyword_analysis_spark.operators import (
+        similarity as SIM,
+    )
+    from database_per_keyword_analysis_spark.operators.scale import (
+        choose_join_strategy,
+        join_strategy_report,
+    )
+
+    # snapshot diff: empty vs empty, and one-sided
+    empty = spark.createDataFrame([], "k long, v string")
+    one = spark.createDataFrame([(1, "a")], "k long, v string")
+    assert M.table_diff(empty, empty, ["k"]).collect() == []
+    assert [r.op for r in M.table_diff(empty, one, ["k"]).collect()] == [
+        "insert"
+    ]
+    assert [r.op for r in M.table_diff(one, empty, ["k"]).collect()] == [
+        "delete"
+    ]
+    # PIT join: empty facts / empty history
+    hist = spark.createDataFrame(
+        [], "k long, valid_from timestamp_ntz, valid_to timestamp_ntz, "
+        "tier string",
+    )
+    facts = spark.createDataFrame([], "k long, fts timestamp_ntz")
+    assert M.scd2_pit_join(facts, hist, ["k"], "fts").collect() == []
+    import datetime as dt
+
+    facts1 = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1))], "k long, fts timestamp_ntz"
+    )
+    got = M.scd2_pit_join(facts1, hist, ["k"], "fts").collect()
+    assert len(got) == 1 and got[0].tier is None
+    # PageRank: empty edge list -> empty ranks
+    edges = spark.createDataFrame([], "src string, dst string")
+    assert G.pagerank_fixed(edges, iters=1).collect() == []
+    # PQ: empty corpus -> no neighbors; empty queries -> no rows
+    books = SIM.pq_codebooks_from_centroids(FROZEN_EMB_CENTROIDS, 4)
+    vecs = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    one_vec = spark.createDataFrame(
+        [(0, [0.01] * 64)], "vec_id long, embedding array<double>"
+    )
+    assert SIM.pq_knn_frozen(one_vec, vecs, books).collect() == []
+    assert SIM.pq_knn_frozen(vecs, one_vec, books).collect() == []
+    assert SIM.pq_encode_frozen(vecs, books).collect() == []
+    # control loop: empty sides pick the cheap tiers deterministically
+    d = choose_join_strategy(vecs, vecs, ["vec_id"])
+    assert d["strategy"] == "broadcast" and d["small_rows"] == 0
+    d2 = choose_join_strategy(one_vec, one_vec, ["vec_id"], broadcast_max_rows=0)
+    assert d2["strategy"] in ("shuffle", "salted")
+    rep = join_strategy_report(vecs, vecs, ["vec_id"]).collect()
+    assert len(rep) == 1 and rep[0].small_rows == 0
