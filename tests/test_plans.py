@@ -627,3 +627,50 @@ def test_ivf_knn_frozen_probe_is_equi_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_pit_join_broadcasts_dimension_and_prunes_scan(spark, sf_dir):
+    """purchase_user_state_pit (r8): the SCD2 run dimension broadcasts
+    (the fact side never shuffles for the join) and the events scan
+    reads only the four needed columns."""
+    plan = _plan(spark, sf_dir, "purchase_user_state_pit")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "props" not in read and "value" not in read
+
+
+def test_pq_knn_scoring_is_broadcast_product(spark, sf_dir):
+    """pq_knn_frozen (r8): corpus codes ride the scan; the bounded
+    query set (with its lookup tables) broadcasts; never a
+    non-broadcast cartesian."""
+    plan = _plan(spark, sf_dir, "pq_knn_frozen")
+    assert "CartesianProduct" not in plan
+    assert "Broadcast" in plan  # BHJ or BNLJ over the bounded Q side
+
+
+def test_snapshot_diff_is_single_outer_join(spark, sf_dir):
+    """customer_snapshot_diff (r8): one key-partitioned full-outer
+    join; classification stays scan-stage (no extra shuffle rounds,
+    no cartesian)."""
+    plan = _plan(spark, sf_dir, "customer_snapshot_diff")
+    assert "CartesianProduct" not in plan
+    # exactly one key-partitioned outer join carries the diff; the one
+    # BroadcastNestedLoopJoin is the 1-row stride scalar broadcast
+    # (the Q11 idiom), never a table-sized product
+    assert plan.count("FullOuter") == 1
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_pagerank_iterations_broadcast_rank_tables(spark, sf_dir):
+    """purchase_graph_pagerank (r8): every per-iteration join against
+    the node-sized rank/sums tables is a broadcast — the edge list is
+    never re-shuffled per iteration (it is read from localCheckpoint
+    blocks)."""
+    plan = _plan(spark, sf_dir, "purchase_graph_pagerank")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    # the edge list's distinct is materialized before the loop: the
+    # final plan must read checkpointed blocks, not recompute the scan
+    assert "Scan ExistingRDD" in plan
