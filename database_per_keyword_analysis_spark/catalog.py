@@ -369,6 +369,12 @@ _DEFERRED_TWINS = {
     #   in-window; differential above (pre-r6-promotion) — slot taken
     #   by purchase_graph_pagerank (NOVEL: fixed-iteration PageRank,
     #   the first oracle-exact iterative algorithm)
+    "source_quality_report",  # green r6-r7; per-source quality
+    #   aggregation; the quality family keeps bigram_lm_scores,
+    #   lm_quality_buckets and quality_keeper_selection in-window;
+    #   differential above (pre-r6-promotion) — slot taken by
+    #   purchase_graph_communities (NOVEL: fixed-iteration label
+    #   propagation, the graph family's second oracle-exact member)
 }
 
 
@@ -5865,6 +5871,68 @@ def q_purchase_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank"), "node")
         .limit(25)
     )
+
+
+def _labelprop_sql() -> str:
+    # unroll the FIXED synchronous label-propagation rounds: integer
+    # counts + string mins only — hash-exact by construction
+    from .operators.graph import LABELPROP_ITERS
+
+    sql = (
+        "WITH e AS (SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) "
+        "AS src, 's' || CAST(l_suppkey AS VARCHAR) AS dst "
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey), "
+        "und AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e), "
+        "l0 AS (SELECT DISTINCT src AS node, src AS label FROM und)"
+    )
+    for i in range(1, LABELPROP_ITERS + 1):
+        sql += (
+            f", c{i} AS (SELECT u.src AS v, l.label, "
+            f"CAST(count(*) AS BIGINT) AS n FROM und u "
+            f"JOIN l{i - 1} l ON u.dst = l.node GROUP BY u.src, l.label)"
+            f", l{i} AS (SELECT v AS node, label FROM ("
+            f"SELECT v, label, row_number() OVER (PARTITION BY v "
+            f"ORDER BY n DESC, label) AS r FROM c{i}) t WHERE r = 1)"
+        )
+    return (
+        sql
+        + f" SELECT node, label FROM l{LABELPROP_ITERS} ORDER BY node"
+    )
+
+
+@register("purchase_graph_communities", _labelprop_sql())
+def q_purchase_graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by fixed-iteration label propagation
+    (operators/graph.py:label_propagation_fixed, Raghavan et al. 2007)
+    over the undirected customer↔supplier purchase graph: synchronous
+    rounds with a total tie order (most-frequent neighbor label, ties
+    → smallest) make the classically randomized algorithm
+    deterministic and ORACLE-EXACT — integer counts and string mins
+    only, no floats anywhere.  Completes the graph family alongside
+    purchase_graph_pagerank (same loop-invariant edge materialization
+    + per-iteration broadcast join machinery; different per-node
+    reduce: mode, not damped sum).  NOVEL round-8 machinery →
+    in-window at birth; source_quality_report rotated out on its
+    existing differential."""
+    from pyspark.sql import functions as F
+
+    from .operators import graph as G
+
+    orders = load(spark, sf_dir, "orders", parallel=True)
+    lines = load(spark, sf_dir, "lineitem", parallel=True)
+    edges = (
+        orders.join(lines, orders.o_orderkey == lines.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
+                "dst"
+            ),
+        )
+        .distinct()
+    )
+    return G.label_propagation_fixed(edges).orderBy("node")
 
 
 @register(

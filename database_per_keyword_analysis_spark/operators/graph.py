@@ -124,3 +124,58 @@ def pagerank_fixed(
             )
         )
     return ranks
+
+
+LABELPROP_ITERS = 3
+
+
+def label_propagation_fixed(
+    edges: DataFrame,
+    iters: int = LABELPROP_ITERS,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Community detection by label propagation (Raghavan, Albert &
+    Kumara, Phys. Rev. E 76, 2007) with a FIXED iteration count and
+    fully deterministic updates — the asynchronous random-order
+    algorithm of the paper replaced by synchronous rounds with a total
+    tie order, the same oracle-exactness move as `pagerank_fixed`:
+
+    label_0(v) = v;
+    label_{i+1}(v) = the most frequent label among v's neighbors
+    (undirected: both edge directions), ties → smallest label.
+
+    Integer counts and string mins only — no floats anywhere, so the
+    result is hash-exact across engines by construction.  Physical
+    shape per iteration: one join of the (materialized, loop-invariant)
+    undirected edge list against the node-sized label table, one
+    groupBy count, one per-node top-1 window over (node × distinct
+    neighbor labels) rows.  Iterations stay LAZY (the pagerank
+    lesson); returns (node, label) — nodes sharing a label after k
+    rounds are one community."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    und = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().localCheckpoint()
+    labels = (
+        und.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint()
+    )
+    from pyspark.sql import Window
+
+    for _ in range(iters):
+        nbr = und.join(
+            F.broadcast(labels), und.dst == labels.node
+        ).select(F.col("src").alias("_v"), "label")
+        counts = nbr.groupBy("_v", "label").agg(
+            F.count(F.lit(1)).alias("_n")
+        )
+        w = Window.partitionBy("_v").orderBy(F.desc("_n"), F.asc("label"))
+        labels = (
+            counts.withColumn("_r", F.row_number().over(w))
+            .where(F.col("_r") == 1)
+            .select(F.col("_v").alias("node"), "label")
+        )
+    return labels

@@ -38,3 +38,32 @@ def test_pagerank_rank_mass_is_bounded(spark):
     got = _ranks(spark, [("A", "B"), ("B", "A"), ("B", "C")])
     total = sum(got.values())
     assert 0.0 < total <= 1.0 + 1e-9
+
+
+def test_label_propagation_merges_a_clique_and_ties_go_low(spark):
+    # triangle {A,B,C} plus pendant D-E: after enough rounds the
+    # triangle shares one label; synchronous ties resolve to the
+    # smallest label so two runs are bit-identical
+    edges = [("A", "B"), ("B", "C"), ("A", "C"), ("D", "E")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    from database_per_keyword_analysis_spark.operators import graph as G
+
+    got = {r.node: r.label for r in G.label_propagation_fixed(df, iters=4).collect()}
+    assert len({got["A"], got["B"], got["C"]}) == 1  # one community
+    assert {got["D"], got["E"]} == {"D", "E"} or len({got["D"], got["E"]}) == 1
+    again = {
+        r.node: r.label
+        for r in G.label_propagation_fixed(df, iters=4).collect()
+    }
+    assert got == again
+
+
+def test_label_propagation_one_round_is_min_neighbor_on_ties(spark):
+    # star: center X with leaves a,b,c — one round: X takes min leaf
+    # label 'a' (all counts 1), every leaf takes 'X'
+    edges = [("X", "a"), ("X", "b"), ("X", "c")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    from database_per_keyword_analysis_spark.operators import graph as G
+
+    got = {r.node: r.label for r in G.label_propagation_fixed(df, iters=1).collect()}
+    assert got == {"X": "a", "a": "X", "b": "X", "c": "X"}
