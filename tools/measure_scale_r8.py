@@ -146,6 +146,15 @@ def main() -> None:
                 }
             ),
         ),
+        "purchase_graph_communities": (
+            BASE,
+            _fixture_dir(
+                {
+                    "orders": _tpch10x("orders"),
+                    "lineitem": _tpch10x("lineitem"),
+                }
+            ),
+        ),
     }
     qs = catalog.queries()
     for name, dirs in fixtures.items():  # un-timed warmup sweep
