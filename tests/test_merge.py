@@ -345,3 +345,33 @@ def test_table_diff_classifies_and_round_trips(spark):
     )
     plan = diff._jdf.queryExecution().executedPlan().toString()
     assert "Cartesian" not in plan and "NestedLoop" not in plan
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    old=st.lists(
+        st.tuples(st.integers(0, 6), st.sampled_from("abc"),
+                  st.one_of(st.none(), st.floats(0, 9, allow_nan=False))),
+        max_size=8, unique_by=lambda t: t[0],
+    ),
+    new=st.lists(
+        st.tuples(st.integers(0, 6), st.sampled_from("abc"),
+                  st.one_of(st.none(), st.floats(0, 9, allow_nan=False))),
+        max_size=8, unique_by=lambda t: t[0],
+    ),
+)
+def test_table_diff_round_trip_property(spark, old, new):
+    """Property: for ANY pair of key-unique snapshots,
+    merge_upsert(old, table_diff(old, new)) == new — the diff is
+    exactly the changeset that replays one version onto the other."""
+    schema = "k long, v string, amt double"
+    o = spark.createDataFrame(old, schema)
+    n = spark.createDataFrame(new, schema)
+    diff = M.table_diff(o, n, ["k"])
+    changes = diff.withColumn(
+        "is_delete", F.col("op") == "delete"
+    ).drop("op")
+    merged = M.merge_upsert(o, changes, ["k"], delete_col="is_delete")
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, n.collect())
+    )
