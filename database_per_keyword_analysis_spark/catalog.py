@@ -3035,6 +3035,29 @@ def q_order_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hist.orderBy("o_custkey", "valid_from", "n_observations")
 
 
+@register("events_distinct_users_rollup", None)  # sketch-based →
+# rows-only check; the error bound vs exact weekly uniques and the
+# BIT-EXACT daily-union == one-pass sketch-state property are asserted
+# in tests/test_relational_extra.py
+def q_events_distinct_users_rollup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental distinct-count rollup via persisted HLL sketches
+    (operators/rollup.py:hll_sketch_rollup + hll_merge_estimate,
+    round 8): daily per-bucket Datasketches binaries over
+    events.user_id, merged into weekly unique-user estimates — the
+    100 TB answer to "uniques over any window" without re-scanning
+    raw events (a distinct count is only incrementally maintainable
+    through a mergeable sketch).  Rows-only by design: sketch
+    estimates cannot replay in a different engine."""
+    from .operators import rollup as RU
+
+    daily = RU.hll_sketch_rollup(
+        load(spark, sf_dir, "events"), "ts", "user_id", unit="day"
+    )
+    return RU.hll_merge_estimate(daily, unit="week")
+
+
 @register("approx_order_stats", None)  # sketch-based → rows-only check;
 # the error bound vs exact answers is asserted in tests/test_relational_extra.py
 def q_approx_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -488,3 +488,47 @@ def test_round8_operators_tolerate_empty_inputs(spark):
     assert d2["strategy"] in ("shuffle", "salted")
     rep = join_strategy_report(vecs, vecs, ["vec_id"]).collect()
     assert len(rep) == 1 and rep[0].small_rows == 0
+
+
+def test_hll_sketch_rollup_bounds_and_merge_exactness(spark, sf_dir, tmp_path):
+    """r8 sketch rollup: (a) weekly estimates within the documented
+    HLL error of exact uniques, (b) union of persisted DAILY sketches
+    gives the BIT-SAME estimate as one sketch over the raw range
+    (sketch-state exactness — the property that makes incremental
+    maintenance sound), (c) sketches survive a parquet round-trip."""
+    from pyspark.sql import functions as F
+
+    from database_per_keyword_analysis_spark.operators import rollup as RU
+    from database_per_keyword_analysis_spark.sources import load
+
+    events = load(spark, sf_dir, "events")
+    daily = RU.hll_sketch_rollup(events, "ts", "user_id", unit="day")
+    # (c) persist + read back: BINARY sketches round-trip
+    p = str(tmp_path / "sketches")
+    daily.write.parquet(p)
+    stored = spark.read.parquet(p)
+    weekly = {r.bucket: r.est_distinct for r in RU.hll_merge_estimate(stored).collect()}
+    exact = {
+        r.bucket: r.n
+        for r in events.select(
+            F.date_trunc("week", F.col("ts")).alias("bucket"), "user_id"
+        )
+        .groupBy("bucket")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(weekly) == set(exact)
+    for b, est in weekly.items():
+        assert abs(est - exact[b]) / exact[b] < 0.05, (b, est, exact[b])
+    # (b) daily-union == one-pass sketch state, bit-exact estimate
+    one_pass = (
+        events.select(F.col("user_id").alias("_k"))
+        .agg(F.expr("hll_sketch_estimate(hll_sketch_agg(_k))").alias("e"))
+        .collect()[0].e
+    )
+    merged = (
+        stored.agg(
+            F.expr("hll_sketch_estimate(hll_union_agg(sketch))").alias("e")
+        ).collect()[0].e
+    )
+    assert merged == one_pass
