@@ -189,6 +189,10 @@ HEADLINE = [
     # round-8: fixed-iteration PageRank (timed — k node-keyed
     # join+agg rounds with lineage cuts, the iterative-dataflow shape)
     "purchase_graph_pagerank",
+    # round-8: schema-evolution mergeSchema scan (timed — the
+    # footer-union read is a distinct scan shape; cache-keyed fixture
+    # like the other ingest seams)
+    "orders_evolved_scan",
 ]
 
 # Round-7 headline audit (round-6 judge item 5): every registered query

@@ -375,6 +375,12 @@ _DEFERRED_TWINS = {
     #   differential above (pre-r6-promotion) — slot taken by
     #   purchase_graph_communities (NOVEL: fixed-iteration label
     #   propagation, the graph family's second oracle-exact member)
+    "embedding_quantization",  # green r6-r7; int8 scalar quantization
+    #   projection; the quantizer family keeps embedding_cluster_sample,
+    #   ivf_knn_frozen and pq_knn_frozen in-window; differential above
+    #   (pre-r6-promotion) — slot taken by orders_evolved_scan (NOVEL:
+    #   schema-evolution-tolerant mergeSchema scan, end-to-end against
+    #   a genuinely two-schema on-disk table)
 }
 
 
@@ -5818,6 +5824,81 @@ def q_purchase_user_state_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("valid_from").alias("state_since"),
         )
         .orderBy("purchase_id")
+    )
+
+
+@register(
+    "orders_evolved_scan",
+    # the oracle replays the evolution split logically: even order keys
+    # were written pre-evolution (no priority column -> NULL), odd keys
+    # post-evolution — the Spark side actually WRITES two schema
+    # versions and merge-reads them, so the comparison verifies the
+    # mergeSchema semantics end-to-end
+    "SELECT coalesce(CASE WHEN o_orderkey % 2 = 0 THEN NULL "
+    "ELSE o_orderpriority END, '(pre-evolution)') AS priority, "
+    "CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS total "
+    "FROM orders GROUP BY 1 ORDER BY priority",
+)
+def q_orders_evolved_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution-tolerant scan (sources/sinks.py:
+    read_evolved_parquet): one directory holding files written under
+    TWO schema versions — v1 (o_orderkey, o_custkey, o_totalprice;
+    even keys) and v2 (+ o_orderpriority; odd keys) — merge-read into
+    one frame, pre-evolution rows surfacing NULL priority, then
+    aggregated per priority bucket.  The canonical long-lived
+    ingestion-table shape: columns appear mid-stream and history
+    cannot be rewritten.  Fixture built once per (sf, fingerprint)
+    under the _SUCCESS-gated cache (the upsert seam's rules).  NOVEL
+    round-8 source machinery → in-window at birth;
+    embedding_quantization rotated out on its existing differential."""
+    import hashlib
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from .sources.sinks import read_evolved_parquet
+
+    src_file = os.path.join(sf_dir, "orders.parquet")
+    st = os.stat(src_file)
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{st.st_size}:{st.st_mtime_ns}".encode()
+    ).hexdigest()[:12]
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".cache", "evolved", key,
+    )
+    tbl = os.path.join(base, "orders_evolved")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    if not os.path.isfile(os.path.join(tbl, "_SUCCESS")):
+        shutil.rmtree(base, ignore_errors=True)
+        v1 = orders.where(F.col("o_orderkey") % 2 == 0).drop(
+            "o_orderpriority"
+        )
+        v2 = orders.where(F.col("o_orderkey") % 2 == 1)
+        v1.write.mode("overwrite").parquet(tbl)
+        # second schema version APPENDS into the same directory —
+        # exactly how an evolved ingestion table accretes on disk
+        v2.write.mode("append").parquet(tbl)
+    return (
+        read_evolved_parquet(spark, tbl)
+        .select(
+            F.coalesce(
+                F.col("o_orderpriority"), F.lit("(pre-evolution)")
+            ).alias("priority"),
+            "o_totalprice",
+        )
+        .groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,4)"))
+            .cast("double")
+            .alias("total"),
+        )
+        .orderBy("priority")
     )
 
 

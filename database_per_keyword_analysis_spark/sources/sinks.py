@@ -57,3 +57,19 @@ def write_csv_report(df: DataFrame, dest_file: str, *, bom: bool = True) -> str:
         shutil.copyfileobj(src, out)
     shutil.rmtree(tmp_dir)
     return dest_file
+
+
+def read_evolved_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-evolution-tolerant scan (round 8): union the footers of
+    every file under `path` with ``mergeSchema`` so a directory whose
+    files were written under DIFFERENT schema versions (columns added
+    over time — the normal life of a long-lived ingestion table) reads
+    as one frame; rows from pre-evolution files surface NULL for the
+    columns they predate.
+
+    At 100 TB the cost model matters: mergeSchema reconciles FOOTERS
+    (one metadata read per file, the same footer pass any scan plans),
+    not data; Spark parallelizes the footer reads.  Pin the expected
+    final schema downstream with an explicit select — mergeSchema
+    widens, it never validates."""
+    return spark.read.option("mergeSchema", "true").parquet(path)

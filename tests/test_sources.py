@@ -415,3 +415,24 @@ def test_jsonl_writer_concurrent_jobs_do_not_sweep_each_other(tmp_path):
     names = sorted(os.path.basename(f) for f in _data_files(d))
     assert names == sorted([msg_a.staged, msg_b.staged])
     assert not [f for f in os.listdir(d) if f.endswith(".inprogress")]
+
+
+def test_read_evolved_parquet_merges_schema_versions(spark, tmp_path):
+    """r8: files written under two schema versions in ONE directory
+    merge-read into the union schema; pre-evolution rows surface NULL
+    for the later column; a plain (non-merge) read of the same dir
+    would pick one footer arbitrarily — the helper makes evolution
+    explicit."""
+    from database_per_keyword_analysis_spark.sources.sinks import (
+        read_evolved_parquet,
+    )
+
+    p = str(tmp_path / "tbl")
+    spark.createDataFrame([(1, "a")], "id long, v string").write.parquet(p)
+    spark.createDataFrame(
+        [(2, "b", 9.0)], "id long, v string, score double"
+    ).write.mode("append").parquet(p)
+    got = read_evolved_parquet(spark, p)
+    assert set(got.columns) == {"id", "v", "score"}
+    rows = {r.id: (r.v, r.score) for r in got.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 9.0)}
