@@ -193,6 +193,9 @@ HEADLINE = [
     # footer-union read is a distinct scan shape; cache-keyed fixture
     # like the other ingest seams)
     "orders_evolved_scan",
+    # round-8: recency-weighted decay aggregate (timed — scalar-anchor
+    # broadcast + pow weights + DECIMAL-combined groupBy)
+    "trending_event_types",
 ]
 
 # Round-7 headline audit (round-6 judge item 5): every registered query

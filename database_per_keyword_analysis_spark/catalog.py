@@ -381,6 +381,13 @@ _DEFERRED_TWINS = {
     #   (pre-r6-promotion) — slot taken by orders_evolved_scan (NOVEL:
     #   schema-evolution-tolerant mergeSchema scan, end-to-end against
     #   a genuinely two-schema on-disk table)
+    "stream_quality_gate",  # green r6-r7; streaming lift of the
+    #   checked quality/PII projections; the streaming family keeps
+    #   stream_jsonl_counts, stream_view_purchase_left and
+    #   stream_user_latest_upsert in-window; differential above
+    #   (deferred-at-birth-era) — slot taken by trending_event_types
+    #   (NOVEL: recency-weighted exponential-decay aggregate with a
+    #   data-derived anchor)
 }
 
 
@@ -5825,6 +5832,36 @@ def q_purchase_user_state_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("purchase_id")
     )
+
+
+@register(
+    "trending_event_types",
+    # anchor = max(ts) (data-derived, reproducible); per-row decay
+    # weights are engine-local doubles (9-sig-fig canon absorbs libm
+    # ulps); the per-key sum is DECIMAL-accumulated on both sides
+    "WITH a AS (SELECT max(ts) AS anchor FROM events) "
+    "SELECT event_type, "
+    "CAST(sum(CAST(pow(0.5, "
+    "(CAST(epoch_us(anchor) - epoch_us(ts) AS DOUBLE) / 86400000000.0) "
+    "/ 7.0) AS DECIMAL(38,18))) AS DOUBLE) AS decayed_score, "
+    "CAST(count(*) AS BIGINT) AS n_rows "
+    "FROM events CROSS JOIN a GROUP BY event_type ORDER BY event_type",
+)
+def q_trending_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted trending aggregate (operators/stats.py:
+    time_decayed_counts): per event type, Σ 0.5^(age/7d) with age
+    anchored at the dataset's max timestamp — the standard
+    exponential-decay trending score, deterministic (data-derived
+    anchor, DECIMAL-accumulated sums) and therefore oracle-checkable.
+    One scalar-broadcast anchor + scan-stage weights + one
+    map-side-combinable groupBy.  NOVEL round-8 machinery → in-window
+    at birth; stream_quality_gate rotated out on its existing
+    differential."""
+    from .operators import stats as S2
+
+    return S2.time_decayed_counts(
+        load(spark, sf_dir, "events"), ["event_type"], "ts"
+    ).orderBy("event_type")
 
 
 @register(

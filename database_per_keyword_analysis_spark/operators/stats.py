@@ -138,3 +138,49 @@ def stats_report(
             ),
         }
     return report
+
+
+def time_decayed_counts(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    half_life_days: float = 7.0,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Recency-weighted ("trending") aggregate: per key,
+    Σ w · 0.5^(age/half_life), age measured in fractional days from
+    the dataset's max timestamp (a DATA-DERIVED anchor, so the score
+    is deterministic and re-runnable — wall-clock anchors would make
+    the result unreproducible and oracle-uncheckable).
+
+    The exponential kernel is the standard trending/decay score (each
+    half_life_days of age halves a row's contribution).  Per-row
+    weights are IEEE doubles (pow is bit-stable per engine and the
+    oracle compare canonicalizes at 9 significant digits, absorbing
+    cross-engine libm ulps); their per-key SUM accumulates in DECIMAL
+    so the score is independent of partition order — the `_dot_dec`
+    convention.  Physical shape: one scalar max (broadcast one-row
+    join, the Q11 idiom) + one scan-stage weight expression + one
+    map-side-combinable groupBy — nothing beyond an ordinary
+    aggregation at any scale."""
+    anchor = df.agg(F.max(ts_col).alias("_anchor"))
+    # unix_micros requires TIMESTAMP (NTZ rejected); under the UTC
+    # session timezone the cast is value-identical to the NTZ reading
+    age_days = (
+        F.unix_micros(F.col("_anchor").cast("timestamp"))
+        - F.unix_micros(F.col(ts_col).cast("timestamp"))
+    ).cast("double") / F.lit(86400.0e6)
+    w = F.pow(F.lit(0.5), age_days / F.lit(float(half_life_days)))
+    if weight_col is not None:
+        w = w * F.col(weight_col).cast("double")
+    return (
+        df.crossJoin(F.broadcast(anchor))
+        .select(*key_cols, w.alias("_w"))
+        .groupBy(*key_cols)
+        .agg(
+            F.sum(F.col("_w").cast("decimal(38,18)"))
+            .cast("double")
+            .alias("decayed_score"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )

@@ -532,3 +532,38 @@ def test_hll_sketch_rollup_bounds_and_merge_exactness(spark, sf_dir, tmp_path):
         ).collect()[0].e
     )
     assert merged == one_pass
+
+
+def test_time_decayed_counts_semantics(spark):
+    """r8 decay aggregate: anchor row weighs 1.0; a row exactly one
+    half-life older weighs 0.5; optional per-row weights multiply;
+    empty input -> empty output."""
+    import datetime as dt
+
+    from database_per_keyword_analysis_spark.operators.stats import (
+        time_decayed_counts,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("a", dt.datetime(2024, 1, 8), 1.0),   # anchor -> w=1
+            ("a", dt.datetime(2024, 1, 1), 1.0),   # one half-life -> 0.5
+            ("b", dt.datetime(2024, 1, 8), 3.0),   # weighted anchor row
+        ],
+        "k string, ts timestamp_ntz, wt double",
+    )
+    got = {
+        r.k: (r.decayed_score, r.n_rows)
+        for r in time_decayed_counts(df, ["k"], "ts").collect()
+    }
+    assert got["a"] == (1.5, 2)
+    assert got["b"] == (1.0, 1)
+    with_w = {
+        r.k: r.decayed_score
+        for r in time_decayed_counts(
+            df, ["k"], "ts", weight_col="wt"
+        ).collect()
+    }
+    assert with_w["b"] == 3.0 and with_w["a"] == 1.5
+    empty = spark.createDataFrame([], "k string, ts timestamp_ntz, wt double")
+    assert time_decayed_counts(empty, ["k"], "ts").collect() == []
