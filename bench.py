@@ -310,16 +310,32 @@ STABLE_CORE = [
 ]
 
 
+def _scan_core_blob(blob: str) -> dict[str, float]:
+    """Recover STABLE_CORE per-query medians from a (possibly
+    truncated) driver artifact blob with a per-name regex rather than
+    a whole-line json.loads — the driver keeps only a bounded stdout
+    tail, so the per-query dict may be cut mid-stream."""
+    import re
+
+    out: dict[str, float] = {}
+    for name in STABLE_CORE:
+        # inside the artifact the bench stdout is embedded as a JSON
+        # string, so the quotes around the name arrive escaped (\");
+        # json.dumps serializes sub-1e-4 medians in exponent notation
+        # (6.5e-05), so the number pattern must accept an exponent or
+        # that member silently drops out of mover detection
+        m = re.search(
+            rf'\\?"{name}\\?": ([0-9][0-9.]*(?:[eE][-+]?[0-9]+)?)[,}}\\]', blob
+        )
+        if m:
+            out[name] = float(m.group(1))
+    return out
+
+
 def _latest_recorded_core() -> dict[str, float]:
     """Per-query medians for STABLE_CORE members from the newest
-    BENCH_r*.json the driver recorded, else {}.
-
-    The driver's artifact keeps only a bounded stdout tail, so the full
-    per-query dict may be truncated mid-stream — recover what survives
-    with a per-name regex rather than a whole-line json.loads.
-    """
+    BENCH_r*.json the driver recorded, else {}."""
     import glob
-    import re
 
     here = os.path.dirname(os.path.abspath(__file__))
     recs = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
@@ -330,14 +346,7 @@ def _latest_recorded_core() -> dict[str, float]:
             blob = f.read()
     except OSError:
         return {}
-    out: dict[str, float] = {}
-    for name in STABLE_CORE:
-        # inside the artifact the bench stdout is embedded as a JSON
-        # string, so the quotes around the name arrive escaped (\")
-        m = re.search(rf'\\?"{name}\\?": ([0-9][0-9.]*)[,}}\\]', blob)
-        if m:
-            out[name] = float(m.group(1))
-    return out
+    return _scan_core_blob(blob)
 
 
 def stable_core_movers(timings: dict[str, float]) -> dict[str, list[float]]:

@@ -5916,10 +5916,20 @@ def q_orders_evolved_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderpriority"
         )
         v2 = orders.where(F.col("o_orderkey") % 2 == 1)
-        v1.write.mode("overwrite").parquet(tbl)
+        # The fixture is TWO writes (overwrite then append), so the
+        # _SUCCESS gate alone is not crash-safe: v1's overwrite already
+        # creates _SUCCESS, and a crash during the v2 append would
+        # leave a v1-only directory that still passes the gate.  Stage
+        # both writes in a scratch dir and atomically rename into
+        # place — the gate's path only ever sees a complete build
+        # (round-8 advisor finding).
+        tmp = tbl + ".building"
+        shutil.rmtree(tmp, ignore_errors=True)
+        v1.write.mode("overwrite").parquet(tmp)
         # second schema version APPENDS into the same directory —
         # exactly how an evolved ingestion table accretes on disk
-        v2.write.mode("append").parquet(tbl)
+        v2.write.mode("append").parquet(tmp)
+        os.rename(tmp, tbl)
     return (
         read_evolved_parquet(spark, tbl)
         .select(

@@ -320,6 +320,23 @@ def scd2_pit_join(
     the sort-merge join."""
     import functools as _ft
 
+    # Only the KEY columns are renamed away below, so any OTHER history
+    # column sharing a name with a fact column (e.g. a `ts` on both
+    # sides) would survive on both sides and produce duplicate output
+    # column names that only fail on the NEXT select-by-name.  Reject
+    # up front with the actionable fix instead (round-8 advisor
+    # finding); callers rename/pre-select whichever side they own.
+    collisions = sorted(
+        (set(history.columns) - set(keys)) & set(facts.columns)
+    )
+    if collisions:
+        raise ValueError(
+            "scd2_pit_join: history columns collide with fact columns "
+            f"{collisions}; rename or drop them on one side (keys are "
+            "matched and deduplicated automatically, non-key columns "
+            "must be disjoint)"
+        )
+
     h = history
     for k in keys:
         h = h.withColumnRenamed(k, f"__h_{k}")

@@ -122,3 +122,20 @@ def test_stable_core_movers_flags_deltas_above_rule():
     small = dict(prev)
     small[name] = prev[name] + 0.2
     assert name not in bench.stable_core_movers(small)
+
+
+def test_core_blob_scan_accepts_exponent_notation():
+    # r8 advisor finding: json.dumps emits exponent notation for
+    # sub-1e-4 medians (6.5e-05); the artifact scan must not silently
+    # drop such a member from mover detection
+    import json
+
+    a, b = bench.STABLE_CORE[0], bench.STABLE_CORE[1]
+    inner = json.dumps({"queries": {a: 6.5e-05, b: 1.25}})
+    blob = json.dumps({"stdout_tail": inner})  # quotes arrive escaped
+    got = bench._scan_core_blob(blob)
+    assert got[a] == 6.5e-05
+    assert got[b] == 1.25
+    # and plain notation embedded unescaped still parses
+    got2 = bench._scan_core_blob(json.dumps({"queries": {a: 2e-05}}))
+    assert got2[a] == 2e-05

@@ -257,6 +257,26 @@ def test_scd2_pit_join_picks_the_containing_interval(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_scd2_pit_join_rejects_nonkey_column_collisions(spark):
+    """Round-9 (r8 advisor finding): a non-key history column sharing a
+    name with a fact column would survive on BOTH sides and only fail
+    on the next select-by-name — the helper must reject it up front
+    with the column named."""
+    import pytest as _pytest
+
+    from database_per_keyword_analysis_spark.operators import merge as M
+
+    facts = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 3), "f")], "k long, fts timestamp_ntz, ts string"
+    )
+    hist = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), None, "h")],
+        "k long, valid_from timestamp_ntz, valid_to timestamp_ntz, ts string",
+    )
+    with _pytest.raises(ValueError, match=r"collide.*\['ts'\]"):
+        M.scd2_pit_join(facts, hist, ["k"], "fts")
+
+
 from hypothesis import given, settings  # noqa: E402
 from hypothesis import strategies as st  # noqa: E402
 
