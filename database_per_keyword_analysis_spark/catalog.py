@@ -85,15 +85,16 @@ _DEFERRED_TWINS = {
     "top_customers_by_revenue",  # join-agg-topk; shipping family differential
     "top_channels_by_views",  # groupBy-sum top-k; salted twin now in-window
     "top_posts",  # ordered top-k with tie-break
-    "top_posts_per_industry",  # rank-per-group (channel_audit machinery)
-    "debug_keyword_posts",  # predicate composition of checked filters
+    # (r9: top_posts_per_industry, debug_keyword_posts,
+    #  orders_status_union, customer_nation_cube, minhash_near_dups_char
+    #  — the five members last driver-verified before round 5 — rotated
+    #  BACK INTO the window for a second driver pass, guarding against
+    #  local-vs-driver environment drift; r8 verdict item 2)
     "part_type_distincts",  # distinct-agg over join machinery
-    "orders_status_union",  # unionByName machinery
     "nation_region_setops",  # intersect/except
     "customers_with_open_orders",  # semi-join machinery
     "customers_without_orders",  # anti-join machinery
     "segment_order_stats",  # count/avg/countDistinct agg
-    "customer_nation_cube",  # grouping-sets machinery (order_priority_rollup)
     "order_price_quantiles",  # exact-percentile window machinery
     "running_order_totals",  # frame windows; machinery differential-
     #   proven (r7: event_anomalies and events_value_locf both rotated
@@ -114,7 +115,6 @@ _DEFERRED_TWINS = {
     "doc_fingerprints",  # md5 fingerprint expressions (exact-dup key)
     "simhash_fingerprints",  # bit-vector fingerprint family
     "jaccard_near_dups",  # exact-Jaccard verify stage of minhash family
-    "minhash_near_dups_char",  # banded LSH char tier
     "cosine_near_dup_pairs",  # size-gated all-pairs decimal-cosine baseline
     "winnowing_fingerprints",  # fingerprint stage inside winnowing_pairs
     "decontamination_check",  # persisted-index probe (winnowing machinery)
@@ -354,11 +354,10 @@ _DEFERRED_TWINS = {
     #   windows; differential below — slot taken by pq_knn_frozen
     #   (NOVEL: the PQ/ADC serving tier of the frozen-quantizer ANN
     #   stack, hash-exact like ivf_knn_frozen)
-    "stream_purchase_state_pit",  # round-8 deferral AT BIRTH
-    #   (machinery twin): the streaming execution of the in-window
-    #   purchase_user_state_pit — identical oracle SQL (batch/stream
-    #   parity contract, the stream_session_counts pattern) plus a
-    #   result-equality proof below
+    # (r9: stream_purchase_state_pit — the one oracle-backed query
+    #  never driver-verified, deferred at birth in r8 as the streaming
+    #  machinery twin of purchase_user_state_pit — rotated INTO the
+    #  window for its first driver hash-check; r8 verdict item 1)
     "dsir_resample",  # green r6-r7; hash-threshold importance
     #   resampling; alpha_mixture_sample + token_budget_sample keep
     #   the sampler family in-window; differential below — slot taken
@@ -388,6 +387,32 @@ _DEFERRED_TWINS = {
     #   (deferred-at-birth-era) — slot taken by trending_event_types
     #   (NOVEL: recency-weighted exponential-decay aggregate with a
     #   data-derived anchor)
+    # ==================================================================
+    # ROUND-9 ROTATION (r8 verdict items 1-2): stream_purchase_state_pit
+    # (the one never-driver-checked oracle-backed query) plus the five
+    # members last driver-verified before round 5
+    # (minhash_near_dups_char, top_posts_per_industry,
+    # debug_keyword_posts, orders_status_union, customer_nation_cube)
+    # move INTO the window; six 2-round-green (r7+r8) members leave in
+    # exchange, each with a differential below.
+    "winnowing_dup_groups",  # green r7-r8; winnowing grouping stage;
+    #   dedup family keeps media_phash_dups in-window plus the promoted
+    #   minhash_near_dups_char; differential above (pre-promotion era)
+    "bigram_lm_scores",  # green r7-r8; the LM-scoring family keeps
+    #   kneser_ney_scores + kneser_ney3_scores (its strict supersets)
+    #   in-window; differential above (pre-r6-promotion)
+    "lm_quality_buckets",  # green r7-r8; quality family keeps
+    #   quality_keeper_selection in-window; differential above
+    "volume_shipping",  # green r7-r8 (TPC-H Q7 two-nation shipping);
+    #   the join-tree family keeps nation_profit (Q9),
+    #   late_shipment_priority (Q12) and nation_market_share's
+    #   replacement shapes in-window; differential below
+    "nation_market_share",  # green r7-r8 (TPC-H Q8 market share);
+    #   same join-tree family coverage as above; differential below
+    "promo_revenue_ratio",  # green r7-r8 (TPC-H Q14 conditional-sum
+    #   ratio scalar); conditional-agg machinery stays in-window via
+    #   small_quantity_revenue (Q17) and orders_constraint_checks;
+    #   differential below
 }
 
 

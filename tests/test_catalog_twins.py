@@ -841,3 +841,31 @@ def test_stream_purchase_state_pit_equals_batch(spark, sf_dir):
     _assert_equal_results(
         spark, sf_dir, "stream_purchase_state_pit", "purchase_user_state_pit"
     )
+
+
+# --- round-9 rotation (r8 verdict items 1-2): stream_purchase_state_pit
+# plus the five pre-r5-verified members (minhash_near_dups_char,
+# top_posts_per_industry, debug_keyword_posts, orders_status_union,
+# customer_nation_cube) moved INTO the window; of the six 2-round-green
+# demotions, winnowing_dup_groups / bigram_lm_scores / lm_quality_buckets
+# re-use their differentials above, and the three TPC-H shapes get
+# theirs here.
+
+
+def test_volume_shipping_matches_oracle(spark, sf_dir):
+    # demoted r9 (slot freed for the pre-r5 re-verification pass):
+    # TPC-H Q7 two-nation shipping; join-tree family keeps Q9/Q12
+    # in-window
+    _assert_matches_oracle(spark, sf_dir, "volume_shipping")
+
+
+def test_nation_market_share_matches_oracle(spark, sf_dir):
+    # demoted r9: TPC-H Q8 market-share ratio over the two-sided
+    # nation join tree
+    _assert_matches_oracle(spark, sf_dir, "nation_market_share")
+
+
+def test_promo_revenue_ratio_matches_oracle(spark, sf_dir):
+    # demoted r9: TPC-H Q14 conditional-sum ratio scalar; conditional
+    # aggregation stays in-window via Q17 + orders_constraint_checks
+    _assert_matches_oracle(spark, sf_dir, "promo_revenue_ratio")
