@@ -364,6 +364,29 @@ def stable_core_movers(timings: dict[str, float]) -> dict[str, list[float]]:
     return movers
 
 
+# A genuine code regression moves the queries the code change touched;
+# an overloaded benchmark session multiplies EVERYTHING.  When at least
+# this many stable-core members move past the 0.25 s rule all in the
+# SAME direction, the parsimonious explanation is a uniform session
+# multiplier, not N simultaneous independent regressions — the r8
+# closing run showed exactly that signature (nine movers, all up) and
+# was discarded by hand per BASELINE.md's protocol; this constant
+# ships that judgment inside the artifact (r8 verdict item 6).
+CONTENTION_MIN_MOVERS = 5
+
+
+def contention_suspect(movers: dict[str, list[float]]) -> bool:
+    """True when the mover set carries the uniform-session-multiplier
+    signature: ≥ CONTENTION_MIN_MOVERS stable-core members moved past
+    the flag rule and every one of them moved in the same direction.
+    Mixed directions stay un-flagged — a real regression plus an
+    unrelated improvement should not be masked as contention."""
+    if len(movers) < CONTENTION_MIN_MOVERS:
+        return False
+    signs = {1 if after > before else -1 for before, after in movers.values()}
+    return len(signs) == 1
+
+
 def stable_core_total(timings: dict[str, float]) -> float:
     """Total seconds over the frozen STABLE_CORE members present in
     this run's timings (members not benched this run contribute 0 —
@@ -413,6 +436,7 @@ def main() -> None:
         timings[name] = sorted(samples)[len(samples) // 2]
 
     total = round(sum(timings.values()), 3)
+    movers = stable_core_movers(timings)
     payload = {
         "metric": "headline_queries_total_sec",
         "value": total,
@@ -422,7 +446,8 @@ def main() -> None:
         "spread": spread,
         "stable_core_sec": stable_core_total(timings),
         "stable_core": {n: timings[n] for n in STABLE_CORE if n in timings},
-        "stable_core_movers": stable_core_movers(timings),
+        "stable_core_movers": movers,
+        "contention_suspect": contention_suspect(movers),
         "iters": iters,
         "sf": float(sf),
     }
@@ -451,6 +476,7 @@ def main() -> None:
         "unit": "sec",
         "n_queries": len(timings),
         "stable_core_sec": stable_core_total(timings),
+        "contention_suspect": contention_suspect(movers),
         "iters": iters,
         "sf": float(sf),
     }

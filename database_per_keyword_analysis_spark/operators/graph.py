@@ -34,6 +34,19 @@ from pyspark.sql import functions as F
 PAGERANK_DAMPING = 0.85
 PAGERANK_ITERS = 3
 
+# Auto-posture threshold for the per-iteration node-table broadcasts
+# (rank/rate/sum tables for PageRank, the label table for label
+# propagation).  A node-table row is a key plus one double/label
+# (~40 B serialized), so 250k rows ≈ 10 MB — the same budget
+# choose_join_strategy's BROADCAST_MAX_ROWS mirrors at its ~100 B/row
+# assumption (operators/scale.py).  Measured r8: a 1.6M-node broadcast
+# posture dies with UNABLE_TO_ACQUIRE_MEMORY under the local 8 GiB
+# default heap, while 160k nodes broadcast comfortably; this constant
+# puts the flip between those observed points, and the r9 verdict-item
+# fix derives the posture from the measured node count instead of the
+# former manual knob.
+GRAPH_BROADCAST_MAX_NODES = 250_000
+
 
 def pagerank_fixed(
     edges: DataFrame,
@@ -41,7 +54,7 @@ def pagerank_fixed(
     damping: float = PAGERANK_DAMPING,
     src: str = "src",
     dst: str = "dst",
-    broadcast_ranks: bool = True,
+    broadcast_ranks: bool | None = None,
 ) -> DataFrame:
     """PageRank with a FIXED number of power iterations over a
     directed edge list (one row per distinct edge).
@@ -55,14 +68,21 @@ def pagerank_fixed(
     of the extra global aggregate per iteration.  Returns
     (node, rank) for every node.
 
-    `broadcast_ranks=True` (default) broadcasts the node-keyed rank
-    table into each iteration's edge join — the right plan whenever
-    the rank table fits an executor (node count ≪ edge count; a rank
-    row is ~row-key + one double).  For web-scale node sets pass
-    False: the join falls back to a shuffle, and the edge side's
-    `localCheckpoint` below means it is shuffled FROM a materialized
-    block, not recomputed — co-partition/bucket both sides on `src`
-    upstream for the full cluster posture."""
+    `broadcast_ranks=None` (default) DERIVES the posture from the
+    measured node count — broadcast the node-keyed rank table into
+    each iteration's edge join iff nodes ≤ GRAPH_BROADCAST_MAX_NODES
+    (the `choose_join_strategy`/`lsh_n_planes` idiom: measure, then
+    pick; the count job runs against the already-materialized node
+    checkpoint, so it costs one node-cardinality pass).  Broadcast is
+    the right plan whenever the rank table fits an executor (node
+    count ≪ edge count; a rank row is ~row-key + one double); past
+    the threshold the join falls back to a shuffle, and the edge
+    side's `localCheckpoint` below means it is shuffled FROM a
+    materialized block, not recomputed — co-partition/bucket both
+    sides on `src` upstream for the full cluster posture.  Pass
+    True/False to pin either posture explicitly."""
+    from pyspark import StorageLevel
+
     teleport = 1.0 - damping  # ONE double computation, shared w/ oracle
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     # the loop-invariant inputs are materialized ONCE (edge list,
@@ -75,13 +95,24 @@ def pagerank_fixed(
     # ~8-10 iterations cut the lineage with a localCheckpoint on
     # `ranks` every few rounds (the dedup-CC idiom) — at the fixed
     # small iteration counts this oracle-exact form targets, lazy wins.
-    ed = e.localCheckpoint()
+    #
+    # The EDGE-cardinality table persists DISK_ONLY, not
+    # localCheckpoint: checkpoint blocks live MEMORY_AND_DISK in the
+    # unified pool, and materializing a 58M-edge list that way starved
+    # execution memory into UNABLE_TO_ACQUIRE_MEMORY under the local
+    # 8 GiB default heap (measured r9, tools/measure_scale_graph.py)
+    # — while DISK_ONLY blocks cost the pool nothing and small-graph
+    # re-reads come from the OS page cache anyway.  Node-sized tables
+    # below keep the (faster) localCheckpoint.
+    ed = e.persist(StorageLevel.DISK_ONLY)
     nodes = (
         ed.select(F.col("src").alias("node"))
         .unionByName(ed.select(F.col("dst").alias("node")))
         .distinct()
         .localCheckpoint()
     )
+    if broadcast_ranks is None:
+        broadcast_ranks = nodes.count() <= GRAPH_BROADCAST_MAX_NODES
     n = nodes.agg(F.count(F.lit(1)).cast("double").alias("_n"))
     deg = ed.groupBy("src").agg(
         F.count(F.lit(1)).cast("double").alias("_deg")
@@ -134,6 +165,7 @@ def label_propagation_fixed(
     iters: int = LABELPROP_ITERS,
     src: str = "src",
     dst: str = "dst",
+    broadcast_labels: bool | None = None,
 ) -> DataFrame:
     """Community detection by label propagation (Raghavan, Albert &
     Kumara, Phys. Rev. E 76, 2007) with a FIXED iteration count and
@@ -152,11 +184,22 @@ def label_propagation_fixed(
     groupBy count, one per-node top-1 window over (node × distinct
     neighbor labels) rows.  Iterations stay LAZY (the pagerank
     lesson); returns (node, label) — nodes sharing a label after k
-    rounds are one community."""
+    rounds are one community.
+
+    `broadcast_labels=None` derives the per-iteration label-table
+    broadcast posture from the measured node count exactly as
+    :func:`pagerank_fixed` does for its rank tables (the label table
+    is node-sized too); past GRAPH_BROADCAST_MAX_NODES the neighbor
+    join shuffles the materialized undirected edge list instead."""
+    from pyspark import StorageLevel
+
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # edge-cardinality table: DISK_ONLY for the same reason as
+    # pagerank_fixed's edge list (checkpoint blocks squat in the
+    # unified pool; the undirected list is 2x edges)
     und = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct().localCheckpoint()
+    ).distinct().persist(StorageLevel.DISK_ONLY)
     labels = (
         und.select(F.col("src").alias("node"))
         .distinct()
@@ -165,9 +208,12 @@ def label_propagation_fixed(
     )
     from pyspark.sql import Window
 
+    if broadcast_labels is None:
+        broadcast_labels = labels.count() <= GRAPH_BROADCAST_MAX_NODES
     for _ in range(iters):
         nbr = und.join(
-            F.broadcast(labels), und.dst == labels.node
+            F.broadcast(labels) if broadcast_labels else labels,
+            und.dst == labels.node,
         ).select(F.col("src").alias("_v"), "label")
         counts = nbr.groupBy("_v", "label").agg(
             F.count(F.lit(1)).alias("_n")

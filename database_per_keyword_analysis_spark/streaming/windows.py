@@ -169,7 +169,23 @@ def stream_pit_enrich(
     one expression, two execution modes).  Stateless per event (no
     watermark, no join state — the dimension is static within a
     micro-batch and re-planned between batches), append mode; the
-    run-level dimension broadcasts, so the stream never shuffles."""
+    run-level dimension broadcasts, so the stream never shuffles.
+
+    Dimension-refresh contract (pinned by
+    tests/test_streaming.py::test_stream_pit_dimension_rewrite_contract):
+    "re-planned per micro-batch" re-reads the file CONTENTS, but the
+    dimension's file LISTING is frozen when the query starts — so a
+    parquet SCD2 dimension rewritten IN PLACE mid-stream (overwrite,
+    compaction, `merge_into_parquet` on its partitions) kills the
+    query with FAILED_READ_FILE.FILE_NOT_EXIST.  That failure is the
+    designed posture: the stream can never SILENTLY serve a torn or
+    stale dimension (the batch merge crash-window story's streaming
+    analog).  To pick up a new dimension version either (a) restart
+    the query from its checkpoint — the new run re-lists and joins
+    pending facts against the NEW rows, exactly-once intact — or
+    (b) re-read the dimension inside a foreachBatch body so every
+    batch re-resolves the listing (the stream_user_latest_upsert
+    pattern)."""
     from ..operators import merge as M
 
     return M.scd2_pit_join(facts_stream, history, keys, fact_ts)

@@ -139,3 +139,19 @@ def test_core_blob_scan_accepts_exponent_notation():
     # and plain notation embedded unescaped still parses
     got2 = bench._scan_core_blob(json.dumps({"queries": {a: 2e-05}}))
     assert got2[a] == 2e-05
+
+
+def test_contention_suspect_flags_uniform_direction_only():
+    # r8 verdict item 6: >=N movers all one direction = the uniform
+    # session-multiplier signature the r8 closing run showed; mixed
+    # directions or small mover sets stay un-flagged
+    up = {f"q{i}": [1.0, 1.5] for i in range(bench.CONTENTION_MIN_MOVERS)}
+    assert bench.contention_suspect(up) is True
+    down = {f"q{i}": [1.5, 1.0] for i in range(bench.CONTENTION_MIN_MOVERS)}
+    assert bench.contention_suspect(down) is True
+    mixed = dict(up)
+    mixed["q0"] = [1.5, 1.0]
+    assert bench.contention_suspect(mixed) is False
+    few = {f"q{i}": [1.0, 1.5] for i in range(bench.CONTENTION_MIN_MOVERS - 1)}
+    assert bench.contention_suspect(few) is False
+    assert bench.contention_suspect({}) is False

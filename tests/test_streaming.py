@@ -695,3 +695,82 @@ def g_glob(pat):
     import glob
 
     return glob.glob(pat)
+
+
+def test_stream_pit_dimension_rewrite_contract(spark, tmp_path):
+    """Round-9 (r8 verdict item 7): the streaming PIT join's
+    dimension-refresh semantics, pinned.  The static side's file
+    LISTING freezes at query start (contents re-read per batch), so:
+
+    1. an in-place rewrite of the SCD2 parquet mid-stream FAILS the
+       query loudly (FILE_NOT_EXIST) — never a silent stale/torn read;
+    2. restarting from the same checkpoint re-lists: pending facts
+       join the NEW dimension rows and already-committed batches are
+       not reprocessed (exactly-once intact).
+    """
+    import datetime as dt
+    import os
+
+    facts_in = str(tmp_path / "facts")
+    dim = str(tmp_path / "dim")
+    ck = str(tmp_path / "ck")
+    os.makedirs(facts_in)
+    t = dt.datetime.fromisoformat
+    hist_schema = (
+        "k long, valid_from timestamp_ntz, valid_to timestamp_ntz, tier string"
+    )
+    fact_schema = "k long, fid long, fts timestamp_ntz"
+
+    def write_dim(tier):
+        spark.createDataFrame(
+            [(1, t("2024-01-01"), None, tier)], hist_schema
+        ).write.mode("overwrite").parquet(dim)
+
+    def feed(fid):
+        spark.createDataFrame(
+            [(1, fid, t("2024-02-01"))], fact_schema
+        ).write.mode("append").parquet(facts_in)
+
+    sink = str(tmp_path / "sink")
+
+    def start():
+        facts = spark.readStream.schema(fact_schema).parquet(facts_in)
+        out = SW.stream_pit_enrich(
+            facts, spark.read.parquet(dim), ["k"], "fts"
+        )
+        return (
+            out.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ck)
+            .start()
+        )
+
+    def sink_rows():
+        return {
+            (r.fid, r.tier) for r in spark.read.parquet(sink).collect()
+        }
+
+    write_dim("bronze")
+    q = start()
+    feed(10)
+    q.processAllAvailable()
+    assert sink_rows() == {(10, "bronze")}
+
+    # in-place rewrite mid-stream -> the frozen listing points at
+    # deleted files; the query must die loudly, not serve stale rows
+    write_dim("gold")
+    feed(11)
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException, match="FILE_NOT_EXIST"):
+        q.processAllAvailable()
+        q.awaitTermination()
+
+    # restart from the same checkpoint = the refresh path: fact 11
+    # (whose batch never committed) joins the NEW dimension version,
+    # and fact 10's committed batch is not replayed (exactly-once)
+    q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    assert sink_rows() == {(10, "bronze"), (11, "gold")}
