@@ -196,6 +196,9 @@ HEADLINE = [
     # round-8: recency-weighted decay aggregate (timed — scalar-anchor
     # broadcast + pow weights + DECIMAL-combined groupBy)
     "trending_event_types",
+    # round-9: incremental MV maintenance (timed — delta partials +
+    # key-cardinality union/regroup, the never-re-scan-base refresh)
+    "orders_mv_incremental",
 ]
 
 # Round-7 headline audit (round-6 judge item 5): every registered query

@@ -413,6 +413,12 @@ _DEFERRED_TWINS = {
     #   ratio scalar); conditional-agg machinery stays in-window via
     #   small_quantity_revenue (Q17) and orders_constraint_checks;
     #   differential below
+    "max_revenue_supplier",  # green r7-r8 (TPC-H Q15 view+scalar-max);
+    #   the scalar-subquery idiom stays in-window via min_cost_supplier
+    #   (Q2) and dominant_suppliers (Q11); differential below — slot
+    #   taken by orders_mv_incremental (NOVEL r9: incremental
+    #   materialized-view maintenance, hash-proven equal to the full
+    #   recompute)
 }
 
 
@@ -6294,4 +6300,69 @@ def q_kneser_ney3_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_catalog_twins.py."""
     return TQ.kneser_ney_trigram_scores(
         load(spark, sf_dir, "documents", parallel=True)
+    )
+
+
+@register(
+    "orders_mv_incremental",
+    # the oracle is the FULL recompute over every order; the Spark
+    # side answers from an MV built on 90% of rows plus an
+    # incrementally-merged 10% delta — hash equality IS the IVM
+    # exactness proof (distributive partials compose bit-identically)
+    "SELECT o_orderpriority AS priority, "
+    "CAST(count(*) AS BIGINT) AS n_orders, "
+    "CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue, "
+    "CAST(min(o_orderdate) AS DATE) AS first_day, "
+    "CAST(max(o_orderdate) AS DATE) AS last_day "
+    "FROM orders GROUP BY o_orderpriority ORDER BY priority",
+)
+def q_orders_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance
+    (operators/rollup.py:mv_delta_merge): an aggregate MV over the
+    'already ingested' 90% of orders absorbs the remaining 10% as an
+    insert-only delta — agg(delta) + a key-cardinality union+regroup,
+    the base never re-scanned — and must equal the full recompute the
+    oracle runs (Gray et al., ICDE'96: distributive aggregates
+    compose from partials; DECIMAL sums keep the composition exact).
+    Generalizes daily_order_rollup's append-a-day to arbitrary keyed
+    sum/min/max partials; derives from the reference's full-rescan
+    resamples (main.py:812-816) re-expressed as maintenance.  NOVEL
+    round-9 machinery → in-window at birth; max_revenue_supplier
+    (green r7-r8) rotated out with a differential."""
+    from pyspark.sql import functions as F
+
+    from .operators import rollup as RU
+
+    orders = load(spark, sf_dir, "orders", parallel=True).select(
+        "o_orderkey", "o_orderpriority", "o_totalprice", "o_orderdate"
+    )
+    merges = {
+        "n_orders": "sum",
+        "rev_partial": "sum",
+        "first_day": "min",
+        "last_day": "max",
+    }
+
+    def partials(df):
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias(
+                "rev_partial"
+            ),
+            F.min(F.col("o_orderdate").cast("date")).alias("first_day"),
+            F.max(F.col("o_orderdate").cast("date")).alias("last_day"),
+        )
+
+    mv = partials(orders.where(F.col("o_orderkey") % 10 != 0))
+    delta = partials(orders.where(F.col("o_orderkey") % 10 == 0))
+    return (
+        RU.mv_delta_merge(mv, delta, ["o_orderpriority"], merges)
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            "n_orders",
+            F.col("rev_partial").cast("double").alias("revenue"),
+            "first_day",
+            "last_day",
+        )
+        .orderBy("priority")
     )

@@ -869,3 +869,10 @@ def test_promo_revenue_ratio_matches_oracle(spark, sf_dir):
     # demoted r9: TPC-H Q14 conditional-sum ratio scalar; conditional
     # aggregation stays in-window via Q17 + orders_constraint_checks
     _assert_matches_oracle(spark, sf_dir, "promo_revenue_ratio")
+
+
+def test_max_revenue_supplier_matches_oracle(spark, sf_dir):
+    # demoted r9 (slot taken by orders_mv_incremental): TPC-H Q15
+    # view + scalar-max; the scalar-subquery idiom stays in-window
+    # via Q2/Q11
+    _assert_matches_oracle(spark, sf_dir, "max_revenue_supplier")
