@@ -199,6 +199,10 @@ HEADLINE = [
     # round-9: incremental MV maintenance (timed — delta partials +
     # key-cardinality union/regroup, the never-re-scan-base refresh)
     "orders_mv_incremental",
+    # round-9: zone-map file skipping (timed — persisted-index probe +
+    # overlapping-files-only scan; fixture cache-keyed like the other
+    # ingest seams)
+    "orders_pruned_totals",
 ]
 
 # Round-7 headline audit (round-6 judge item 5): every registered query

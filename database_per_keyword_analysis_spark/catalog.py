@@ -419,6 +419,11 @@ _DEFERRED_TWINS = {
     #   taken by orders_mv_incremental (NOVEL r9: incremental
     #   materialized-view maintenance, hash-proven equal to the full
     #   recompute)
+    "bpe_encode",  # green r7-r8; frozen-merge encode chain — executed
+    #   in-window every round by bpe_fertility_by_lang (its strict
+    #   superset: encode + the per-language aggregate); differential
+    #   below — slot taken by orders_pruned_totals (NOVEL r9: zone-map
+    #   file skipping, completeness hash-proven vs the unpruned oracle)
 }
 
 
@@ -6365,4 +6370,76 @@ def q_orders_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             "last_day",
         )
         .orderBy("priority")
+    )
+
+
+@register(
+    "orders_pruned_totals",
+    # oracle: the SAME band aggregate over the ONE-file fixture table
+    # — the Spark side answers it from a 16-file range-clustered copy
+    # through the zone map, reading only overlapping files; hash
+    # equality proves file skipping loses no rows (completeness)
+    "SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue "
+    "FROM orders WHERE o_totalprice BETWEEN 50000 AND 60000 "
+    "GROUP BY o_orderstatus ORDER BY status",
+)
+def q_orders_pruned_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map file skipping (sources/zonemap.py): a band predicate
+    answered by consulting a persisted per-file min/max index built
+    from parquet FOOTERS, reading only the overlapping files of a
+    range-clustered table — partition pruning's next lever at 100 TB
+    (Moerkotte VLDB'98; the lakehouse file-stats idea at the log-less
+    parquet floor, same posture as the log-less snapshot diff).  The
+    fixture range-clusters orders by o_totalprice into 16 files and
+    persists the zone map beside it (crash-safe staged build, the
+    orders_evolved_scan discipline); the pruning ratio is pinned in
+    tests/test_sources.py.  Derives from the reference's
+    month-partitioned fetch (main.py:240-306) generalized to arbitrary
+    clustered columns.  NOVEL round-9 machinery → in-window at birth;
+    bpe_encode (green r7-r8) rotated out with a differential."""
+    import hashlib
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from .sources import zonemap as Z
+
+    src_file = os.path.join(sf_dir, "orders.parquet")
+    st = os.stat(src_file)
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{st.st_size}:{st.st_mtime_ns}".encode()
+    ).hexdigest()[:12]
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".cache", "zonemap", key,
+    )
+    tbl = os.path.join(base, "orders_clustered")
+    zmap = os.path.join(base, "zone_map")
+    if not os.path.isfile(os.path.join(zmap, "_SUCCESS")):
+        shutil.rmtree(base, ignore_errors=True)
+        tmp = base + ".building"
+        shutil.rmtree(tmp, ignore_errors=True)
+        orders = load(spark, sf_dir, "orders")
+        orders.repartitionByRange(16, "o_totalprice").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(tmp, "orders_clustered"))
+        Z.build_zone_map(
+            spark, os.path.join(tmp, "orders_clustered"), ["o_totalprice"]
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(tmp, "zone_map")
+        )
+        os.rename(tmp, base)
+    zm = spark.read.parquet(zmap)
+    return (
+        Z.pruned_scan(spark, tbl, zm, "o_totalprice", 50000.0, 60000.0)
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("status")
     )

@@ -1,0 +1,133 @@
+"""Zone-map data-skipping index over a raw parquet table (round 9).
+
+Partition pruning only skips directories; at 100 TB the next lever is
+FILE skipping on clustered non-partition columns — the min/max "zone
+map" every lakehouse format keeps in its commit log (Delta/Iceberg
+file stats; the idea dates to Moerkotte's small materialized
+aggregates, VLDB'98, and Netezza zone maps).  Raw parquet has no log,
+but every file already carries the stats in its FOOTER — this module
+is the log-less floor, the same posture as `operators/merge.py`'s
+log-less snapshot diff:
+
+* :func:`build_zone_map` — one distributed pass over file FOOTERS
+  (kilobytes per file, never data pages): each task opens its files'
+  metadata with pyarrow and folds per-row-group statistics into one
+  (file, n_rows, min_c, max_c, ...) row.  Persist the result next to
+  the table and maintain it incrementally (new files append one row).
+* :func:`pruned_scan` — consult the zone map for a range predicate,
+  read ONLY the overlapping files, and re-apply the precise filter
+  (zone intervals are a SUPERSET test, exactly like
+  `merge.batch_key_filter`'s bounds).  Files with absent stats are
+  kept — pruning must never lose rows; the oracle equality of
+  `orders_pruned_totals` (catalog.py) proves completeness, and
+  tests/test_sources.py pins that fewer files are actually read.
+
+Derived from the reference's month-partitioned fetch (the only
+skipping it has, /root/reference/main.py:240-306), generalized to
+arbitrary clustered columns.  The driver-side file list collect is
+partition-list-bounded (one row per FILE, the repo's accepted bound),
+never data-bounded.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _stats_schema(table_schema: T.StructType, cols: list[str]) -> T.StructType:
+    by_name = {f.name: f for f in table_schema.fields}
+    missing = [c for c in cols if c not in by_name]
+    if missing:
+        raise ValueError(f"build_zone_map: columns not in table: {missing}")
+    fields = [
+        T.StructField("file", T.StringType(), False),
+        T.StructField("n_rows", T.LongType(), False),
+    ]
+    for c in cols:
+        fields.append(T.StructField(f"min_{c}", by_name[c].dataType, True))
+        fields.append(T.StructField(f"max_{c}", by_name[c].dataType, True))
+    return T.StructType(fields)
+
+
+def build_zone_map(
+    spark: SparkSession, table_path: str, cols: list[str]
+) -> DataFrame:
+    """(file, n_rows, min/max per requested column) from parquet
+    FOOTERS only — a metadata-scale job however large the data pages
+    are.  One input partition per file; pyarrow reads each footer
+    executor-side inside an Arrow `mapInPandas` (no data pages, no
+    row-at-a-time Python).  A column whose statistics are absent in
+    any row group yields NULL bounds (= never pruned)."""
+    probe = spark.read.parquet(table_path)
+    schema = _stats_schema(probe.schema, cols)
+    files = probe.inputFiles()
+    if not files:
+        return spark.createDataFrame([], schema)
+    # `file` is stored RELATIVE to the table root (what lakehouse logs
+    # do): the index survives the table moving/being staged-and-renamed
+    paths = spark.createDataFrame(
+        [(f,) for f in files], "file string"
+    ).repartition(min(len(files), 64), "file")
+
+    def footer_stats(batches: Iterator) -> Iterator:
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        import os
+
+        for pdf in batches:
+            out: list[dict] = []
+            for path in pdf["file"]:
+                local = path[len("file:"):] if path.startswith("file:") else path
+                md = pq.ParquetFile(local).metadata
+                names = md.schema.to_arrow_schema().names
+                idx = {c: names.index(c) for c in cols}
+                row: dict = {
+                    "file": os.path.basename(local),
+                    "n_rows": md.num_rows,
+                }
+                for c in cols:
+                    lo = hi = None
+                    ok = True
+                    for g in range(md.num_row_groups):
+                        st = md.row_group(g).column(idx[c]).statistics
+                        if st is None or not st.has_min_max:
+                            ok = False
+                            break
+                        lo = st.min if lo is None else min(lo, st.min)
+                        hi = st.max if hi is None else max(hi, st.max)
+                    row[f"min_{c}"] = lo if ok else None
+                    row[f"max_{c}"] = hi if ok else None
+                out.append(row)
+            yield pd.DataFrame(out, columns=[f.name for f in schema.fields])
+
+    return paths.mapInPandas(footer_stats, schema)
+
+
+def pruned_scan(
+    spark: SparkSession,
+    table_path: str,
+    zone_map: DataFrame,
+    col: str,
+    lo,
+    hi,
+) -> DataFrame:
+    """Read only the files whose [min, max] zone overlaps [lo, hi]
+    (keeping NULL-stat files — the superset rule), then re-apply the
+    precise BETWEEN so results equal the full scan's exactly.  The
+    file-list collect is one row per surviving file."""
+    keep = zone_map.where(
+        F.col(f"min_{col}").isNull()
+        | ((F.col(f"min_{col}") <= F.lit(hi)) & (F.col(f"max_{col}") >= F.lit(lo)))
+    )
+    names = [r["file"] for r in keep.select("file").collect()]
+    if not names:
+        return spark.read.parquet(table_path).where(F.lit(False))
+    root = table_path.rstrip("/")
+    return spark.read.parquet(*[f"{root}/{n}" for n in names]).where(
+        F.col(col).between(lo, hi)
+    )

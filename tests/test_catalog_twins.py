@@ -876,3 +876,10 @@ def test_max_revenue_supplier_matches_oracle(spark, sf_dir):
     # view + scalar-max; the scalar-subquery idiom stays in-window
     # via Q2/Q11
     _assert_matches_oracle(spark, sf_dir, "max_revenue_supplier")
+
+
+def test_bpe_encode_matches_oracle(spark, sf_dir):
+    # demoted r9 (slot taken by orders_pruned_totals): the frozen-merge
+    # encode chain runs in-window every round inside
+    # bpe_fertility_by_lang (encode + K-group aggregate)
+    _assert_matches_oracle(spark, sf_dir, "bpe_encode")

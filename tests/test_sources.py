@@ -436,3 +436,46 @@ def test_read_evolved_parquet_merges_schema_versions(spark, tmp_path):
     assert set(got.columns) == {"id", "v", "score"}
     rows = {r.id: (r.v, r.score) for r in got.collect()}
     assert rows == {1: ("a", None), 2: ("b", 9.0)}
+
+
+def test_zone_map_build_and_pruned_scan(spark, tmp_path):
+    """Round-9 zone-map contract: footer-built min/max per file;
+    pruned_scan reads STRICTLY fewer files for a selective band yet
+    returns exactly the full scan's filtered rows; an empty overlap
+    returns an empty frame with the table schema."""
+    from database_per_keyword_analysis_spark.sources import zonemap as Z
+
+    tbl = str(tmp_path / "t")
+    df = spark.range(0, 1000).selectExpr(
+        "id", "CAST(id AS DOUBLE) AS v", "CAST(id % 7 AS STRING) AS g"
+    )
+    df.repartitionByRange(8, "v").write.parquet(tbl)
+    zm = Z.build_zone_map(spark, tbl, ["v"]).collect()
+    assert len(zm) == 8
+    assert sum(r.n_rows for r in zm) == 1000
+    # zones tile the domain: global min/max recovered from the index
+    assert min(r.min_v for r in zm) == 0.0
+    assert max(r.max_v for r in zm) == 999.0
+    zmap = Z.build_zone_map(spark, tbl, ["v"])
+    pruned = Z.pruned_scan(spark, tbl, zmap, "v", 100.0, 140.0)
+    # selective band -> strictly fewer files than the table holds
+    assert 0 < len(set(pruned.inputFiles())) < 8
+    want = sorted(
+        tuple(r) for r in df.where("v BETWEEN 100 AND 140").collect()
+    )
+    assert sorted(tuple(r) for r in pruned.collect()) == want
+    # no overlap -> empty result, schema intact
+    empty = Z.pruned_scan(spark, tbl, zmap, "v", 5000.0, 6000.0)
+    assert empty.count() == 0
+    assert empty.columns == df.columns
+
+
+def test_zone_map_rejects_unknown_column(spark, tmp_path):
+    import pytest as _pytest
+
+    from database_per_keyword_analysis_spark.sources import zonemap as Z
+
+    tbl = str(tmp_path / "t2")
+    spark.range(5).write.parquet(tbl)
+    with _pytest.raises(ValueError, match="not in table"):
+        Z.build_zone_map(spark, tbl, ["nope"])
