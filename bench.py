@@ -203,6 +203,9 @@ HEADLINE = [
     # overlapping-files-only scan; fixture cache-keyed like the other
     # ingest seams)
     "orders_pruned_totals",
+    # round-9: complete-recall deletion-neighborhood ED join (timed —
+    # variant explode + one variant-keyed shuffle + candidate verify)
+    "customer_pairs_complete_ed",
 ]
 
 # Round-7 headline audit (round-6 judge item 5): every registered query

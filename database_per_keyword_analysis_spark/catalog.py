@@ -424,6 +424,12 @@ _DEFERRED_TWINS = {
     #   superset: encode + the per-language aggregate); differential
     #   below — slot taken by orders_pruned_totals (NOVEL r9: zone-map
     #   file skipping, completeness hash-proven vs the unpruned oracle)
+    "top_channels_salted",  # green r7-r8; salted-agg twin with a
+    #   result-equality proof vs top_channels_by_views; the salting
+    #   family keeps revenue_by_nation_salted + join_strategy_decisions
+    #   in-window — slot taken by customer_pairs_complete_ed (NOVEL r9:
+    #   complete-recall deletion-neighborhood edit-distance join,
+    #   hash-proven against the brute-force oracle)
 }
 
 
@@ -6443,3 +6449,43 @@ def q_orders_pruned_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+@register(
+    "customer_pairs_complete_ed",
+    # the oracle is deliberately BRUTE FORCE (all pairs, length-banded
+    # for oracle speed only — |len diff| > 1 implies ED > 1): the
+    # Spark side generates candidates from deletion neighborhoods, so
+    # hash equality proves the blocked plan misses NO pair — the
+    # complete-recall contract fuzzy_customer_pairs does not offer
+    "WITH c AS (SELECT c_custkey AS id, c_name AS name FROM customer) "
+    "SELECT a.id AS id_a, b.id AS id_b, a.name AS name_a, "
+    "b.name AS name_b, "
+    "CAST(levenshtein(a.name, b.name) AS INT) AS edit_dist "
+    "FROM c a JOIN c b ON a.id < b.id "
+    "AND abs(length(a.name) - length(b.name)) <= 1 "
+    "WHERE levenshtein(a.name, b.name) <= 1 "
+    "ORDER BY id_a, id_b",
+)
+def q_customer_pairs_complete_ed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complete-recall edit-distance self-join
+    (operators/dedup.py:edit_distance_pairs_complete): every customer
+    pair within Levenshtein distance 1, candidates from deletion
+    neighborhoods (Bocek et al. 2007: ED(a,b) ≤ k ⇒ the ≤k-deletion
+    variant sets intersect) joined on variant — never all-pairs (plan
+    guard in tests/test_plans.py) — then verified exactly JVM-side.
+    The DuckDB oracle IS the all-pairs brute force, so the driver's
+    hash check is a completeness proof, the inverse arrangement of
+    fuzzy_customer_pairs (where the oracle replays the lossy
+    blocking).  Generalizes the reference's exact-match channel
+    blacklist (main.py:202-208) to typo-tolerant entity resolution.
+    NOVEL round-9 machinery → in-window at birth; top_channels_salted
+    (green r7-r8) rotated out on its existing result-equality proof."""
+    from pyspark.sql import functions as F
+
+    from .operators import dedup as D
+
+    cust = load(spark, sf_dir, "customer", parallel=True).select(
+        "c_custkey", "c_name"
+    )
+    return D.edit_distance_pairs_complete(cust, "c_custkey", "c_name", 1)

@@ -605,3 +605,38 @@ def test_fuzzy_string_pairs_df_cap_drops_boilerplate_grams(spark):
     df = spark.createDataFrame(rows, "id long, name string")
     out = D.fuzzy_string_pairs(df, "id", "name", max_df=5, max_ed=1).collect()
     assert {(r.id_a, r.id_b) for r in out} == {(100, 101)}
+
+
+def test_edit_distance_pairs_complete_matches_brute_force(spark):
+    """Round-9 completeness contract (Bocek et al. 2007): the
+    deletion-neighborhood join finds EVERY pair within max_ed —
+    including exact duplicates (distance 0), insert/delete/substitute
+    neighbors, and the empty string — at k=1 and k=2."""
+    import itertools
+
+    import duckdb
+
+    from database_per_keyword_analysis_spark.operators import dedup as D
+
+    rows = [
+        (1, "kitten"), (2, "sitten"), (3, "kitten"), (4, "kittens"),
+        (5, "mitten"), (6, "xyz"), (7, "kiten"), (8, ""), (9, "a"),
+        (10, "ab"), (11, "sittin"),
+    ]
+    df = spark.createDataFrame(rows, "id long, name string")
+    con = duckdb.connect()
+
+    def brute(k):
+        out = set()
+        for (ia, na), (ib, nb) in itertools.combinations(rows, 2):
+            d = con.execute("select levenshtein(?,?)", [na, nb]).fetchone()[0]
+            if d <= k:
+                out.add((ia, ib, na, nb, d))
+        return out
+
+    for k in (1, 2):
+        got = {
+            tuple(r)
+            for r in D.edit_distance_pairs_complete(df, "id", "name", k).collect()
+        }
+        assert got == brute(k), f"k={k}"

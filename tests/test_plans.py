@@ -666,11 +666,37 @@ def test_snapshot_diff_is_single_outer_join(spark, sf_dir):
 def test_pagerank_iterations_broadcast_rank_tables(spark, sf_dir):
     """purchase_graph_pagerank (r8): every per-iteration join against
     the node-sized rank/sums tables is a broadcast — the edge list is
-    never re-shuffled per iteration (it is read from localCheckpoint
-    blocks)."""
+    never recomputed per iteration (read from DISK_ONLY persisted
+    blocks since r9; node tables from localCheckpoint blocks)."""
     plan = _plan(spark, sf_dir, "purchase_graph_pagerank")
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
-    # the edge list's distinct is materialized before the loop: the
-    # final plan must read checkpointed blocks, not recompute the scan
+    # the loop invariants are materialized before the loop: the final
+    # plan must read checkpointed/persisted blocks, not recompute
     assert "Scan ExistingRDD" in plan
+    assert "InMemoryTableScan" in plan  # the DISK_ONLY edge persist
+
+
+def test_complete_ed_join_is_variant_equi_join(spark, sf_dir):
+    """customer_pairs_complete_ed (r9): candidates come from an
+    equi-join on the deletion-neighborhood variant — NEVER all-pairs
+    (the all-pairs form exists only as the DuckDB oracle)."""
+    plan = _plan(spark, sf_dir, "customer_pairs_complete_ed")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+        "BroadcastHashJoin" in plan
+    )
+
+
+def test_pruned_scan_reads_file_subset(spark, sf_dir):
+    """orders_pruned_totals (r9): the band scan must touch fewer
+    parquet files than the clustered fixture holds — the zone map is
+    actually skipping, not decorating."""
+    from database_per_keyword_analysis_spark import catalog
+
+    df = catalog.queries()["orders_pruned_totals"](spark, sf_dir)
+    read = {f for f in df.inputFiles() if "orders_clustered" in f}
+    # the fixture range-clusters into 16 files; a selective band must
+    # read a strict subset
+    assert 0 < len(read) < 16
