@@ -206,6 +206,9 @@ HEADLINE = [
     # round-9: complete-recall deletion-neighborhood ED join (timed —
     # variant explode + one variant-keyed shuffle + candidate verify)
     "customer_pairs_complete_ed",
+    # round-9: A-ES weighted sampling (timed — scan-stage keys +
+    # TakeOrderedAndProject top-k, no corpus shuffle)
+    "weighted_doc_sample",
 ]
 
 # Round-7 headline audit (round-6 judge item 5): every registered query

@@ -430,6 +430,10 @@ _DEFERRED_TWINS = {
     #   in-window — slot taken by customer_pairs_complete_ed (NOVEL r9:
     #   complete-recall deletion-neighborhood edit-distance join,
     #   hash-proven against the brute-force oracle)
+    "alpha_mixture_sample",  # green r7-r8; uniform-within-stratum
+    #   rebalance; differential above — slot taken by
+    #   weighted_doc_sample (NOVEL r9: A-ES weighted sampling without
+    #   replacement, the sampler family's new in-window anchor)
 }
 
 
@@ -6489,3 +6493,40 @@ def q_customer_pairs_complete_ed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "c_name"
     )
     return D.edit_distance_pairs_complete(cust, "c_custkey", "c_name", 1)
+
+
+@register(
+    "weighted_doc_sample",
+    # A-ES: key = u^(1/w) with the portable md5 draw; top-k keys ARE
+    # the weighted sample without replacement — identical arithmetic
+    # both engines, so the selected SET and the rounded keys hash-match
+    "WITH b AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS w, "
+    "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) "
+    "/ 281474976710656.0 AS u FROM documents "
+    "WHERE n_chars IS NOT NULL AND n_chars > 0), "
+    "s AS (SELECT doc_id, w, pow(u, 1.0 / w) AS es_key FROM b "
+    "ORDER BY es_key DESC, doc_id LIMIT 100) "
+    "SELECT doc_id, w, round(es_key, 6) AS es_key FROM s ORDER BY doc_id",
+)
+def q_weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (operators/curation.py:weighted_sample_aes; Efraimidis & Spirakis
+    IPL 2006): 100 documents drawn with probability proportional to
+    length (n_chars) — the quality/length-biased corpus sampler the
+    uniform-within-stratum family (mixture/budget/stratified) cannot
+    express.  Selection is the k largest u^(1/w) keys over the
+    portable md5 draw: one scan-stage key computation +
+    TakeOrderedAndProject (per-partition top-k, no global sort, no
+    corpus shuffle).  Generalizes the reference's unweighted head-k
+    picks (top-k posts by views, main.py:385-437) to principled
+    weighted sampling.  NOVEL round-9 machinery → in-window at birth;
+    alpha_mixture_sample (green r7-r8) rotated out on its existing
+    differential — the sampler family's in-window anchor is now this
+    query."""
+    from .operators import curation as CUR
+
+    return CUR.weighted_sample_aes(
+        load(spark, sf_dir, "documents", parallel=True),
+        k=100,
+        weight_col="n_chars",
+    )

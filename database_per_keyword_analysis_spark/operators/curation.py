@@ -803,3 +803,44 @@ def train_test_split(
         bucket.cast("int").alias("split_bucket"),
         split.alias("split"),
     )
+
+
+def weighted_sample_aes(
+    docs: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, deterministic: the A-ES
+    scheme (Efraimidis & Spirakis, "Weighted random sampling with a
+    reservoir", IPL 2006) — per row key = u^(1/w), keep the k largest
+    keys; the selected set is distributed exactly as sequential
+    weighted draws without replacement.  u is the portable md5 draw
+    (:func:`uniform_hash`), so the same corpus, weights and k select
+    the same rows in any engine — the property that makes a
+    quality-weighted corpus sample reproducible AND oracle-checkable
+    (the samplers above are all uniform within stratum; this one
+    biases by a per-row weight, e.g. doc length or a quality score).
+
+    Rows with NULL or non-positive weight are never selected (w→0
+    drives the key to 0 — excluded up front).  Scale shape: one
+    scan-stage key computation + TakeOrderedAndProject top-k (each
+    partition keeps its local k, the driver merges k-sized heaps) —
+    no global sort, no shuffle of the corpus.  Returns
+    (id, w, es_key·1e0 rounded to 6) ordered by id."""
+    base = docs.where(
+        F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
+    ).select(
+        F.col(id_col).alias(id_col),
+        F.col(weight_col).cast("double").alias("w"),
+        uniform_hash(F.col(id_col)).alias("u"),
+    )
+    keyed = base.withColumn(
+        "es_key", F.pow(F.col("u"), F.lit(1.0) / F.col("w"))
+    )
+    return (
+        keyed.orderBy(F.desc("es_key"), id_col)
+        .limit(k)
+        .select(id_col, "w", F.round("es_key", 6).alias("es_key"))
+        .orderBy(id_col)
+    )

@@ -426,3 +426,50 @@ def test_dsir_resample_keeps_top_fraction(spark):
     ).collect()
     ids = {r.doc_id for r in kept}
     assert ids == set(range(8))  # exactly the target-like half survives
+
+
+def test_weighted_sample_aes_matches_python_reference(spark):
+    """Round-9 A-ES contract: the Spark top-k over u^(1/w) selects
+    exactly the python-reference weighted sample (same md5 draws), a
+    dominant weight is always selected, and zero/NULL weights never
+    are."""
+    import hashlib
+    import math
+
+    from database_per_keyword_analysis_spark.operators import curation as C
+
+    rows = [(i, float(1 + (i % 7) * 10)) for i in range(60)]
+    rows += [(100, 1e9), (101, 0.0), (102, None)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+
+    def u(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:12], 16) / 2**48
+
+    keyed = sorted(
+        ((math.pow(u(i), 1.0 / w), i, w) for i, w in rows if w),
+        reverse=True,
+    )[:10]
+    want = sorted((i, w, round(k, 6)) for k, i, w in keyed)
+    got = sorted(
+        (r.doc_id, r.w, r.es_key)
+        for r in C.weighted_sample_aes(df, 10, "w").collect()
+    )
+    assert got == want
+    ids = {i for i, _, _ in got}
+    assert 100 in ids  # the dominant weight is in every 10-sample
+    assert 101 not in ids and 102 not in ids
+
+
+def test_weighted_sample_aes_is_plan_topk_not_global_sort(spark):
+    from database_per_keyword_analysis_spark.operators import curation as C
+
+    df = spark.range(1000).selectExpr(
+        "id AS doc_id", "CAST(1 + id % 5 AS DOUBLE) AS w"
+    )
+    plan = (
+        C.weighted_sample_aes(df, 10, "w")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan  # per-partition top-k merge
