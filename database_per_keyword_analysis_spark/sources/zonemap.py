@@ -54,17 +54,22 @@ def _stats_schema(table_schema: T.StructType, cols: list[str]) -> T.StructType:
 
 
 def build_zone_map(
-    spark: SparkSession, table_path: str, cols: list[str]
+    spark: SparkSession,
+    table_path: str,
+    cols: list[str],
+    only_files: list[str] | None = None,
 ) -> DataFrame:
     """(file, n_rows, min/max per requested column) from parquet
     FOOTERS only — a metadata-scale job however large the data pages
     are.  One input partition per file; pyarrow reads each footer
     executor-side inside an Arrow `mapInPandas` (no data pages, no
     row-at-a-time Python).  A column whose statistics are absent in
-    any row group yields NULL bounds (= never pruned)."""
+    any row group yields NULL bounds (= never pruned).  `only_files`
+    restricts the build to a file subset (absolute paths — the
+    incremental-maintenance path, see :func:`zone_map_append`)."""
     probe = spark.read.parquet(table_path)
     schema = _stats_schema(probe.schema, cols)
-    files = probe.inputFiles()
+    files = only_files if only_files is not None else probe.inputFiles()
     if not files:
         return spark.createDataFrame([], schema)
     # `file` is stored RELATIVE to the table root (what lakehouse logs
@@ -106,6 +111,33 @@ def build_zone_map(
             yield pd.DataFrame(out, columns=[f.name for f in schema.fields])
 
     return paths.mapInPandas(footer_stats, schema)
+
+
+def zone_map_append(
+    spark: SparkSession,
+    table_path: str,
+    zone_map: DataFrame,
+    cols: list[str],
+) -> DataFrame:
+    """Incrementally maintain a persisted zone map: footer-scan ONLY
+    the files the index does not know yet (an ingest batch appended
+    new files; everything already indexed is never re-read — the
+    mv_delta_merge posture applied to metadata) and union them in.
+    Idempotent: re-running after no new files returns the index
+    unchanged.  Cost: one file listing + footers of the NEW files."""
+    import os
+
+    known = {r["file"] for r in zone_map.select("file").collect()}
+    fresh = [
+        f
+        for f in spark.read.parquet(table_path).inputFiles()
+        if os.path.basename(f) not in known
+    ]
+    if not fresh:
+        return zone_map
+    return zone_map.unionByName(
+        build_zone_map(spark, table_path, cols, only_files=fresh)
+    )
 
 
 def pruned_scan(

@@ -479,3 +479,31 @@ def test_zone_map_rejects_unknown_column(spark, tmp_path):
     spark.range(5).write.parquet(tbl)
     with _pytest.raises(ValueError, match="not in table"):
         Z.build_zone_map(spark, tbl, ["nope"])
+
+
+def test_zone_map_append_indexes_only_new_files(spark, tmp_path):
+    """Round-9 incremental maintenance: appending a batch of files
+    extends the index by exactly those files (already-indexed footers
+    are never re-read), the result equals a from-scratch rebuild, and
+    the append is idempotent."""
+    from database_per_keyword_analysis_spark.sources import zonemap as Z
+
+    tbl = str(tmp_path / "t")
+    spark.range(0, 100).selectExpr("id", "CAST(id AS DOUBLE) AS v").repartitionByRange(
+        4, "v"
+    ).write.parquet(tbl)
+    zm0 = Z.build_zone_map(spark, tbl, ["v"]).collect()
+    assert len(zm0) == 4
+    # ingest batch appends new files
+    spark.range(100, 200).selectExpr(
+        "id", "CAST(id AS DOUBLE) AS v"
+    ).repartitionByRange(2, "v").write.mode("append").parquet(tbl)
+    zm0_df = spark.createDataFrame(zm0, Z.build_zone_map(spark, tbl, ["v"]).schema)
+    zm1 = Z.zone_map_append(spark, tbl, zm0_df, ["v"])
+    got = sorted(tuple(r) for r in zm1.collect())
+    want = sorted(tuple(r) for r in Z.build_zone_map(spark, tbl, ["v"]).collect())
+    assert got == want
+    assert len(got) == 6
+    # idempotent: nothing new -> unchanged
+    again = sorted(tuple(r) for r in Z.zone_map_append(spark, tbl, zm1, ["v"]).collect())
+    assert again == got
