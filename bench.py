@@ -209,6 +209,9 @@ HEADLINE = [
     # round-9: A-ES weighted sampling (timed — scan-stage keys +
     # TakeOrderedAndProject top-k, no corpus shuffle)
     "weighted_doc_sample",
+    # round-9: z-order + two-column zone-map pruning (timed — the
+    # multi-dimensional file-skipping probe + subset scan)
+    "orders_zorder_pruned",
 ]
 
 # Round-7 headline audit (round-6 judge item 5): every registered query

@@ -434,6 +434,11 @@ _DEFERRED_TWINS = {
     #   rebalance; differential above — slot taken by
     #   weighted_doc_sample (NOVEL r9: A-ES weighted sampling without
     #   replacement, the sampler family's new in-window anchor)
+    "user_activity_unpivot",  # green r7-r8; stack/melt machinery (the
+    #   pivot twin user_activity_pivot remains its in-window-era
+    #   anchor's inverse, differential-proven below) — slot taken by
+    #   orders_zorder_pruned (NOVEL r9: Z-order clustering +
+    #   two-column zone-map pruning, completeness hash-proven)
 }
 
 
@@ -6529,4 +6534,103 @@ def q_weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "documents", parallel=True),
         k=100,
         weight_col="n_chars",
+    )
+
+
+@register(
+    "orders_zorder_pruned",
+    # oracle: the same TWO-band aggregate over the plain table; the
+    # Spark side answers from a Z-ORDERED 32-file copy through a
+    # two-column zone map — hash equality proves multi-dimensional
+    # file skipping loses no rows
+    "SELECT o_orderpriority AS priority, CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue "
+    "FROM orders WHERE o_totalprice BETWEEN 50000 AND 100000 "
+    "AND o_custkey BETWEEN 100 AND 500 "
+    "GROUP BY o_orderpriority ORDER BY priority",
+)
+def q_orders_zorder_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering + multi-column zone-map pruning
+    (sources/zonemap.py:zorder_key/pruned_scan): the answer to "which
+    column do I sort by" at 100 TB — interleave the bits of BOTH
+    filter columns (Morton 1966; Delta/Iceberg OPTIMIZE ZORDER) so a
+    single clustered layout gives every indexed column locality, and
+    a conjunctive band prunes on both dimensions at once.  The fixture
+    z-orders orders by (o_totalprice, o_custkey) into 32 files; the
+    two-band query reads only zones overlapping BOTH intervals; the
+    oracle replays the bands unpruned, so the driver hash check is
+    the completeness proof.  The z-key is scan-stage integer shift/or
+    (whole-stage codegen), binning via one min/max aggregate; binning
+    quality affects pruning RATIO only, never results.  NOVEL round-9
+    machinery → in-window at birth; user_activity_unpivot (green
+    r7-r8) rotated out with a new differential."""
+    import hashlib
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from .sources import zonemap as Z
+
+    src_file = os.path.join(sf_dir, "orders.parquet")
+    st = os.stat(src_file)
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{st.st_size}:{st.st_mtime_ns}".encode()
+    ).hexdigest()[:12]
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".cache", "zorder", key,
+    )
+    tbl = os.path.join(base, "orders_zordered")
+    zmap = os.path.join(base, "zone_map")
+    if not os.path.isfile(os.path.join(zmap, "_SUCCESS")):
+        shutil.rmtree(base, ignore_errors=True)
+        tmp = base + ".building"
+        shutil.rmtree(tmp, ignore_errors=True)
+        orders = load(spark, sf_dir, "orders")
+        dom = orders.agg(
+            F.min("o_totalprice").alias("p_lo"),
+            F.max("o_totalprice").alias("p_hi"),
+            F.min("o_custkey").alias("c_lo"),
+            F.max("o_custkey").alias("c_hi"),
+        ).collect()[0]
+        zk = Z.zorder_key(
+            Z.min_max_bin(F.col("o_totalprice"), dom.p_lo, dom.p_hi),
+            Z.min_max_bin(F.col("o_custkey"), float(dom.c_lo), float(dom.c_hi)),
+        )
+        (
+            orders.withColumn("_z", zk)
+            .repartitionByRange(32, "_z")
+            .sortWithinPartitions("_z")
+            .drop("_z")
+            .write.mode("overwrite")
+            .parquet(os.path.join(tmp, "orders_zordered"))
+        )
+        Z.build_zone_map(
+            spark,
+            os.path.join(tmp, "orders_zordered"),
+            ["o_totalprice", "o_custkey"],
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(tmp, "zone_map")
+        )
+        os.rename(tmp, base)
+    zm = spark.read.parquet(zmap)
+    return (
+        Z.pruned_scan(
+            spark,
+            tbl,
+            zm,
+            preds={
+                "o_totalprice": (50000.0, 100000.0),
+                "o_custkey": (100, 500),
+            },
+        )
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("priority")
     )

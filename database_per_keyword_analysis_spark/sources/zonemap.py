@@ -144,22 +144,69 @@ def pruned_scan(
     spark: SparkSession,
     table_path: str,
     zone_map: DataFrame,
-    col: str,
-    lo,
-    hi,
+    col: str | None = None,
+    lo=None,
+    hi=None,
+    preds: dict | None = None,
 ) -> DataFrame:
-    """Read only the files whose [min, max] zone overlaps [lo, hi]
-    (keeping NULL-stat files — the superset rule), then re-apply the
-    precise BETWEEN so results equal the full scan's exactly.  The
-    file-list collect is one row per surviving file."""
-    keep = zone_map.where(
-        F.col(f"min_{col}").isNull()
-        | ((F.col(f"min_{col}") <= F.lit(hi)) & (F.col(f"max_{col}") >= F.lit(lo)))
-    )
+    """Read only the files whose [min, max] zones overlap EVERY band
+    predicate (keeping NULL-stat files — the superset rule), then
+    re-apply the precise BETWEENs so results equal the full scan's
+    exactly.  Pass a single band as (col, lo, hi) or several as
+    `preds={col: (lo, hi), ...}` — multi-column pruning is what a
+    Z-ORDERED layout is for (:func:`zorder_key`): interleaved
+    clustering gives every indexed column locality, so each extra
+    band multiplies the files skipped.  The file-list collect is one
+    row per surviving file."""
+    if preds is None:
+        preds = {col: (lo, hi)}
+    keep = zone_map
+    cond = None
+    for c, (clo, chi) in preds.items():
+        overlap = F.col(f"min_{c}").isNull() | (
+            (F.col(f"min_{c}") <= F.lit(chi)) & (F.col(f"max_{c}") >= F.lit(clo))
+        )
+        keep = keep.where(overlap)
+        band = F.col(c).between(clo, chi)
+        cond = band if cond is None else cond & band
     names = [r["file"] for r in keep.select("file").collect()]
     if not names:
         return spark.read.parquet(table_path).where(F.lit(False))
     root = table_path.rstrip("/")
-    return spark.read.parquet(*[f"{root}/{n}" for n in names]).where(
-        F.col(col).between(lo, hi)
+    return spark.read.parquet(*[f"{root}/{n}" for n in names]).where(cond)
+
+
+def zorder_key(a, b, bits: int = 16):
+    """Morton/Z-order key over two pre-binned integer columns: the
+    bits of `a` and `b` (each already in [0, 2^bits)) interleaved —
+    a 1-D sort order in which BOTH dimensions cluster, so a zone map
+    over a z-ordered table prunes on either column or both (the
+    Delta/Iceberg OPTIMIZE ZORDER idea; Morton 1966).  Pure integer
+    shift/or expressions, whole-stage-codegen-friendly.
+
+    Callers bin values to ranks first (e.g. `F.ntile` or a min/max
+    affine scale cast to int) — binning choice only affects pruning
+    QUALITY, never results, since `pruned_scan` re-applies precise
+    predicates."""
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        abit = F.shiftright(a.cast("long"), i).bitwiseAND(F.lit(1))
+        bbit = F.shiftright(b.cast("long"), i).bitwiseAND(F.lit(1))
+        key = (
+            key.bitwiseOR(F.shiftleft(abit, 2 * i + 1))
+            .bitwiseOR(F.shiftleft(bbit, 2 * i))
+        )
+    return key
+
+
+def min_max_bin(c, lo_val: float, hi_val: float, bits: int = 16):
+    """Affine bin of a numeric column into [0, 2^bits) given its
+    domain — the simple deterministic binning for :func:`zorder_key`
+    (one min/max aggregate upstream supplies lo/hi)."""
+    n = float(2**bits - 1)
+    span = max(hi_val - lo_val, 1e-300)
+    scaled = (c.cast("double") - F.lit(float(lo_val))) / F.lit(span) * F.lit(n)
+    return F.least(
+        F.lit(2**bits - 1),
+        F.greatest(F.lit(0), F.round(scaled, 0).cast("long")),
     )

@@ -883,3 +883,7 @@ def test_bpe_encode_matches_oracle(spark, sf_dir):
     # encode chain runs in-window every round inside
     # bpe_fertility_by_lang (encode + K-group aggregate)
     _assert_matches_oracle(spark, sf_dir, "bpe_encode")
+
+
+# (user_activity_unpivot, demoted r9 for orders_zorder_pruned, re-uses
+# its pre-promotion differential above — no new test needed)

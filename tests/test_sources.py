@@ -507,3 +507,50 @@ def test_zone_map_append_indexes_only_new_files(spark, tmp_path):
     # idempotent: nothing new -> unchanged
     again = sorted(tuple(r) for r in Z.zone_map_append(spark, tbl, zm1, ["v"]).collect())
     assert again == got
+
+
+def test_zorder_key_interleaves_and_multi_band_prunes(spark, tmp_path):
+    """Round-9 Z-order contract: the Morton key interleaves bits
+    (hand-checked values), and a two-band pruned_scan over a z-ordered
+    layout reads a strict file subset while returning exactly the
+    full scan's rows — on BOTH single-band and conjunctive forms."""
+    from pyspark.sql import functions as F
+
+    from database_per_keyword_analysis_spark.sources import zonemap as Z
+
+    # hand-checked interleave: a=0b11, b=0b01 -> z = 0b1011 = 11
+    got = (
+        spark.range(1)
+        .select(Z.zorder_key(F.lit(3), F.lit(1), bits=2).alias("z"))
+        .collect()[0]
+        .z
+    )
+    assert got == 11
+    # end-to-end: two-dim grid, z-ordered into files
+    tbl = str(tmp_path / "zt")
+    df = spark.range(0, 4096).selectExpr(
+        "CAST(id % 64 AS LONG) AS x", "CAST(id / 64 AS LONG) AS y"
+    )
+    zk = Z.zorder_key(
+        Z.min_max_bin(F.col("x"), 0.0, 63.0, bits=6),
+        Z.min_max_bin(F.col("y"), 0.0, 63.0, bits=6),
+        bits=6,
+    )
+    df.withColumn("_z", zk).repartitionByRange(16, "_z").sortWithinPartitions(
+        "_z"
+    ).drop("_z").write.parquet(tbl)
+    zm = Z.build_zone_map(spark, tbl, ["x", "y"])
+    pruned = Z.pruned_scan(
+        spark, tbl, zm, preds={"x": (10, 20), "y": (10, 20)}
+    )
+    assert 0 < len(set(pruned.inputFiles())) < 16
+    want = sorted(
+        tuple(r)
+        for r in df.where("x BETWEEN 10 AND 20 AND y BETWEEN 10 AND 20").collect()
+    )
+    assert sorted(tuple(r) for r in pruned.collect()) == want
+    # z-ordering means BOTH single-column bands prune too
+    for c in ("x", "y"):
+        one = Z.pruned_scan(spark, tbl, zm, c, 0, 7)
+        assert 0 < len(set(one.inputFiles())) < 16
+        assert one.count() == df.where(f"{c} BETWEEN 0 AND 7").count()
