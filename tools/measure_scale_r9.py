@@ -60,6 +60,15 @@ def _tpch10x(table: str) -> str:
     return os.path.join(out, f"{table}.parquet")
 
 
+def _docs10x() -> str:
+    out = os.path.join(CACHE, "scale_sf1")
+    if not os.path.exists(os.path.join(out, "documents.parquet")):
+        from tools.make_scale_fixture import build
+
+        build(BASE, out)
+    return out
+
+
 def _fixture_dir(tables: dict[str, str]) -> str:
     key = "_".join(sorted(tables))
     d = os.path.join(CACHE, f"scale_r9_{key}")
@@ -73,6 +82,9 @@ def _fixture_dir(tables: dict[str, str]) -> str:
 
 def main() -> None:
     spark = get_spark("measure-scale-r9")
+    only = None
+    if "--queries" in sys.argv:
+        only = set(sys.argv[sys.argv.index("--queries") + 1].split(","))
     fixtures = {
         "orders_mv_incremental": (
             BASE,
@@ -86,7 +98,23 @@ def main() -> None:
             BASE,
             _fixture_dir({"customer": _tpch10x("customer")}),
         ),
+        # z-order twin of orders_pruned_totals: same 10x orders, the
+        # fixture re-clusters and the two-band probe consults the
+        # two-column zone map
+        "orders_zorder_pruned": (
+            BASE,
+            _fixture_dir({"orders": _tpch10x("orders")}),
+        ),
+        # A-ES weighted sampler over the content-disjoint 10x corpus
+        # (make_scale_fixture recipe): keys ride the scan, top-k is
+        # per-partition heaps
+        "weighted_doc_sample": (
+            BASE,
+            _docs10x(),
+        ),
     }
+    if only:
+        fixtures = {k: v for k, v in fixtures.items() if k in only}
     qs = catalog.queries()
     for name, dirs in fixtures.items():  # un-timed warmup sweep
         for d in dirs:
