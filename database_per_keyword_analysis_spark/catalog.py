@@ -90,9 +90,7 @@ _DEFERRED_TWINS = {
     #  — the five members last driver-verified before round 5 — rotated
     #  BACK INTO the window for a second driver pass, guarding against
     #  local-vs-driver environment drift; r8 verdict item 2)
-    "part_type_distincts",  # distinct-agg over join machinery
     "nation_region_setops",  # intersect/except
-    "customers_with_open_orders",  # semi-join machinery
     "customers_without_orders",  # anti-join machinery
     "segment_order_stats",  # count/avg/countDistinct agg
     "order_price_quantiles",  # exact-percentile window machinery
@@ -112,14 +110,11 @@ _DEFERRED_TWINS = {
     "doc_quality_metrics",  # feature expressions inside quality_classifier
     #   (itself differential-proven since its r7 rotation; the quality
     #   family keeps four in-window members)
-    "doc_fingerprints",  # md5 fingerprint expressions (exact-dup key)
     "simhash_fingerprints",  # bit-vector fingerprint family
-    "jaccard_near_dups",  # exact-Jaccard verify stage of minhash family
     "cosine_near_dup_pairs",  # size-gated all-pairs decimal-cosine baseline
     "winnowing_fingerprints",  # fingerprint stage inside winnowing_pairs
     "decontamination_check",  # persisted-index probe (winnowing machinery)
     "multimodal_byte_features",  # Arrow mapInPandas plumbing
-    "multimodal_decode",  # same mapInPandas plumbing
     "video_frame_samples",  # same mapInPandas plumbing
     "stratified_sample",  # hash-threshold Bernoulli machinery
     "bm25_search",  # tokenize/df/idf pipeline via bm25_search_indexed
@@ -439,6 +434,24 @@ _DEFERRED_TWINS = {
     #   anchor's inverse, differential-proven below) — slot taken by
     #   orders_zorder_pruned (NOVEL r9: Z-order clustering +
     #   two-column zone-map pruning, completeness hash-proven)
+    # -- second r9 drift-guard batch (r8 verdict item 2 extended): five
+    # more pre-r5-verified members (part_type_distincts,
+    # customers_with_open_orders, doc_fingerprints, multimodal_decode,
+    # jaccard_near_dups) promoted for a second driver pass; these five
+    # 2-round-green members leave with differentials:
+    "customer_order_distribution",  # green r7-r8 (TPC-H Q13 outer-join
+    #   histogram); join-tree family keeps Q9/Q12/Q2/Q11/Q16/Q17
+    #   in-window; differential above (pre-promotion era)
+    "curation_funnel",  # green r7-r8; per-stage funnel over the
+    #   curation verdict; quality_keeper_selection keeps the family
+    #   in-window; differential above
+    "large_volume_orders",  # green r7-r8 (TPC-H Q18 join-back top-k);
+    #   family coverage as Q13 above; differential below
+    "late_order_priority",  # green r7-r8 (Q4-shape EXISTS decorrelate);
+    #   family coverage as Q13 above; differential below
+    "embedding_cluster_sample",  # green r7-r8; frozen-quantizer
+    #   cluster-balanced curation; the quantizer family keeps
+    #   ivf_knn_frozen + pq_knn_frozen in-window; differential below
 }
 
 

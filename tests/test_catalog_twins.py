@@ -887,3 +887,21 @@ def test_bpe_encode_matches_oracle(spark, sf_dir):
 
 # (user_activity_unpivot, demoted r9 for orders_zorder_pruned, re-uses
 # its pre-promotion differential above — no new test needed)
+
+
+def test_large_volume_orders_matches_oracle(spark, sf_dir):
+    # demoted r9 second batch (drift-guard rotation): TPC-H Q18
+    # join-back top-k; the join-tree family keeps Q9/Q12/Q2 in-window
+    _assert_matches_oracle(spark, sf_dir, "large_volume_orders")
+
+
+def test_late_order_priority_matches_oracle(spark, sf_dir):
+    # demoted r9 second batch: Q4-shape EXISTS decorrelation
+    _assert_matches_oracle(spark, sf_dir, "late_order_priority")
+
+
+def test_embedding_cluster_sample_matches_oracle(spark, sf_dir):
+    # demoted r9 second batch: frozen-quantizer cluster-balanced
+    # curation; ivf_knn_frozen + pq_knn_frozen keep the quantizer
+    # family in-window
+    _assert_matches_oracle(spark, sf_dir, "embedding_cluster_sample")
