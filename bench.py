@@ -212,6 +212,9 @@ HEADLINE = [
     # round-9: z-order + two-column zone-map pruning (timed — the
     # multi-dimensional file-skipping probe + subset scan)
     "orders_zorder_pruned",
+    # round-9: contamination-safe split (timed — pure scan-stage
+    # fingerprint+bucket expressions, zero shuffle)
+    "content_safe_split",
 ]
 
 # Round-7 headline audit (round-6 judge item 5): every registered query

@@ -452,6 +452,10 @@ _DEFERRED_TWINS = {
     "embedding_cluster_sample",  # green r7-r8; frozen-quantizer
     #   cluster-balanced curation; the quantizer family keeps
     #   ivf_knn_frozen + pq_knn_frozen in-window; differential below
+    "supplier_counts_excluded",  # green r7-r8 (TPC-H Q16 NOT-IN
+    #   distinct-agg); important_parts keeps the Q16 family in-window;
+    #   differential below — slot taken by content_safe_split (NOVEL
+    #   r9: contamination-safe split keyed on the content fingerprint)
 }
 
 
@@ -6646,4 +6650,40 @@ def q_orders_zorder_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue"),
         )
         .orderBy("priority")
+    )
+
+
+@register(
+    "content_safe_split",
+    # split key = md5 of normalized TEXT (the doc_fingerprints idiom),
+    # bucketed with the portable-hash arithmetic — equal content gets
+    # equal split on any engine, which is the contamination guarantee
+    "SELECT doc_id, "
+    "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) "
+    "AS fingerprint, "
+    "CAST(CAST('0x' || substr(md5(regexp_replace(lower(trim(text)), "
+    "'\\s+', ' ', 'g')), 1, 12) AS BIGINT) % 100 AS INT) AS split_bucket, "
+    "CASE WHEN CAST('0x' || substr(md5(regexp_replace(lower(trim(text)), "
+    "'\\s+', ' ', 'g')), 1, 12) AS BIGINT) % 100 < 90 THEN 'train' "
+    "WHEN CAST('0x' || substr(md5(regexp_replace(lower(trim(text)), "
+    "'\\s+', ' ', 'g')), 1, 12) AS BIGINT) % 100 < 95 THEN 'val' "
+    "ELSE 'test' END AS split "
+    "FROM documents WHERE text IS NOT NULL ORDER BY doc_id",
+)
+def q_content_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination-safe corpus split
+    (operators/curation.py:content_safe_split): train/val/test
+    assignment keyed on the CONTENT fingerprint, so every copy of a
+    text lands in one split — the guarantee id-hash splitting
+    (train_test_split, demoted r8) cannot give a web corpus with
+    duplicated documents (Lee et al. 2022 §6).  Pure scan-stage
+    expressions, zero shuffle; group-atomicity is pinned in
+    tests/test_sampling_pii.py.  NOVEL round-9 machinery → in-window
+    at birth; supplier_counts_excluded (TPC-H Q16 NOT-IN, green
+    r7-r8) rotated out with a differential — important_parts keeps
+    the Q16 family in-window."""
+    from .operators import curation as CUR
+
+    return CUR.content_safe_split(
+        load(spark, sf_dir, "documents", parallel=True)
     )

@@ -844,3 +844,49 @@ def weighted_sample_aes(
         .select(id_col, "w", F.round("es_key", 6).alias("es_key"))
         .orderBy(id_col)
     )
+
+
+def content_safe_split(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    train_pct: int = 90,
+    val_pct: int = 5,
+) -> DataFrame:
+    """Contamination-safe train/val/test assignment: split by CONTENT
+    group, not by id.  :func:`train_test_split` hashes the document
+    id, so two COPIES of the same text (different ids — the normal
+    state of a web corpus) can straddle train and eval, which is
+    precisely the train/test contamination a dedup pipeline exists to
+    prevent (Lee et al. 2022 §6: duplicated eval text inflates
+    scores).  Here the split key is the exact-duplicate group — the
+    md5 fingerprint of whitespace-normalized text (the
+    doc_fingerprints idiom) — bucketed with the same portable-hash
+    arithmetic, so EVERY copy of a content lands in the SAME split by
+    construction (group-atomicity is the tested invariant), and
+    membership stays a pure function of content: re-crawls and
+    late-arriving shards of known text cannot leak into eval.
+
+    Returns (id, fingerprint, split_bucket, split).  Scale: still a
+    pure scan-stage projection — the fingerprint AND its bucket are
+    per-row expressions (no groupBy needed: equal text ⇒ equal
+    fingerprint ⇒ equal bucket), zero shuffle, zero UDF.  Generalize
+    to NEAR-dup safety by substituting the minhash group key from
+    `dedup.dup_groups` for the fingerprint — the same one-column swap."""
+    fp = F.md5(
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    )
+    bucket = (
+        F.conv(F.substring(fp, 1, 12), 16, 10).cast("long") % 100
+    )
+    split = (
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return docs.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        fp.alias("fingerprint"),
+        bucket.cast("int").alias("split_bucket"),
+        split.alias("split"),
+    )

@@ -905,3 +905,9 @@ def test_embedding_cluster_sample_matches_oracle(spark, sf_dir):
     # curation; ivf_knn_frozen + pq_knn_frozen keep the quantizer
     # family in-window
     _assert_matches_oracle(spark, sf_dir, "embedding_cluster_sample")
+
+
+def test_supplier_counts_excluded_matches_oracle(spark, sf_dir):
+    # demoted r9 (slot taken by content_safe_split): TPC-H Q16 NOT-IN
+    # distinct-agg; important_parts keeps the family in-window
+    _assert_matches_oracle(spark, sf_dir, "supplier_counts_excluded")

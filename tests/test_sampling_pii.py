@@ -473,3 +473,36 @@ def test_weighted_sample_aes_is_plan_topk_not_global_sort(spark):
         .toString()
     )
     assert "TakeOrderedAndProject" in plan  # per-partition top-k merge
+
+
+def test_content_safe_split_is_group_atomic(spark):
+    """Round-9 contamination guarantee: every copy of a content lands
+    in the SAME split (group-atomic by construction), normalization
+    unifies whitespace/case variants, and id-hash splitting provably
+    lacks the property on the same data (the motivating gap)."""
+    from database_per_keyword_analysis_spark.operators import curation as C
+
+    rows = []
+    # 40 duplicate families, 5 copies each with distinct ids and
+    # whitespace/case variants of the same content
+    for g in range(40):
+        for c in range(5):
+            text = f"The   Quick document {g}" if c % 2 else f"the quick DOCUMENT {g}"
+            rows.append((g * 10 + c, text))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = C.content_safe_split(df).collect()
+    by_fp = {}
+    for r in out:
+        by_fp.setdefault(r.fingerprint, set()).add(r.split)
+    assert len(by_fp) == 40  # variants collapse to one group per family
+    assert all(len(s) == 1 for s in by_fp.values())  # group-atomic
+    assert {r.split for r in out} >= {"train"}  # sane assignment
+    # the id-hash split does NOT have the property on the same data
+    ids = C.train_test_split(df).collect()
+    doc_split = {r.doc_id: r.split for r in ids}
+    families = {}
+    for g in range(40):
+        families.setdefault(g, set()).update(
+            doc_split[g * 10 + c] for c in range(5)
+        )
+    assert any(len(s) > 1 for s in families.values())
