@@ -69,8 +69,8 @@ def _docs10x() -> str:
     return out
 
 
-def _fixture_dir(tables: dict[str, str]) -> str:
-    key = "_".join(sorted(tables))
+def _fixture_dir(tables: dict[str, str], tag: str = "") -> str:
+    key = "_".join(sorted(tables)) + tag
     d = os.path.join(CACHE, f"scale_r9_{key}")
     os.makedirs(d, exist_ok=True)
     for t, src in tables.items():
@@ -80,11 +80,51 @@ def _fixture_dir(tables: dict[str, str]) -> str:
     return d
 
 
+def _tpch100x(table: str) -> str:
+    out = os.path.join(CACHE, "scale_tpch10")
+    if not os.path.exists(os.path.join(out, f"{table}.parquet")):
+        from tools.make_scale_fixture_tpch import build
+
+        build(BASE, out, replicas=100)
+    return os.path.join(out, f"{table}.parquet")
+
+
 def main() -> None:
     spark = get_spark("measure-scale-r9")
     only = None
     if "--queries" in sys.argv:
         only = set(sys.argv[sys.argv.index("--queries") + 1].split(","))
+    if "--100x" in sys.argv:
+        # two-decade points for the orders-based r9 queries (the
+        # zone-map/z-order fixtures re-cluster the 100x table; the MV
+        # absorbs a 100x delta) — scale_tpch10 is the shared fixture
+        big = _fixture_dir({"orders": _tpch100x("orders")}, tag="_100x")
+        label = "100x"
+        fixtures = {
+            q: (BASE, big)
+            for q in (
+                "orders_mv_incremental",
+                "orders_pruned_totals",
+                "orders_zorder_pruned",
+            )
+        }
+        if only:
+            fixtures = {k: v for k, v in fixtures.items() if k in only}
+        qs = catalog.queries()
+        for name, dirs in fixtures.items():
+            for d in dirs:
+                run_once(lambda: qs[name](spark, d))
+        for name, (d1, dbig) in fixtures.items():
+            w1 = median3(lambda: qs[name](spark, d1))
+            wbig = median3(lambda: qs[name](spark, dbig))
+            print(
+                json.dumps(
+                    {"q": name, "1x": w1, label: wbig,
+                     "ratio": round(wbig / w1, 2)}
+                ),
+                flush=True,
+            )
+        return
     fixtures = {
         "orders_mv_incremental": (
             BASE,
