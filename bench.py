@@ -215,6 +215,9 @@ HEADLINE = [
     # round-9: contamination-safe split (timed — pure scan-stage
     # fingerprint+bucket expressions, zero shuffle)
     "content_safe_split",
+    # round-9: strict-order funnel (timed — K-1 chained join+min
+    # rounds over user-cardinality reach tables)
+    "purchase_funnel",
 ]
 
 # Round-7 headline audit (round-6 judge item 5): every registered query

@@ -456,6 +456,11 @@ _DEFERRED_TWINS = {
     #   distinct-agg); important_parts keeps the Q16 family in-window;
     #   differential below — slot taken by content_safe_split (NOVEL
     #   r9: contamination-safe split keyed on the content fingerprint)
+    "media_phash_dups",  # green r7-r8; banded-Hamming phash dedup;
+    #   differential above (pre-promotion era); the dedup family keeps
+    #   minhash_near_dups_char, jaccard_near_dups and
+    #   customer_pairs_complete_ed in-window — slot taken by
+    #   purchase_funnel (NOVEL r9: strict-order funnel analytics)
 }
 
 
@@ -6686,4 +6691,46 @@ def q_content_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return CUR.content_safe_split(
         load(spark, sf_dir, "documents", parallel=True)
+    )
+
+
+@register(
+    "purchase_funnel",
+    # strict-order funnel: stage k reached at the earliest stage-k
+    # event STRICTLY AFTER the user's stage-(k-1) reach time; the
+    # same chained min/join CTEs replay in DuckDB
+    "WITH t1 AS (SELECT user_id, min(ts) AS t FROM events "
+    "WHERE event_type = 'view' GROUP BY user_id), "
+    "t2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e "
+    "JOIN t1 ON e.user_id = t1.user_id AND e.ts > t1.t "
+    "WHERE e.event_type = 'click' GROUP BY e.user_id), "
+    "t3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e "
+    "JOIN t2 ON e.user_id = t2.user_id AND e.ts > t2.t "
+    "WHERE e.event_type = 'purchase' GROUP BY e.user_id), "
+    "n1 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM t1) "
+    "SELECT stage, event_type, n_users, CASE WHEN n1.n > 0 THEN "
+    "round(CAST(n_users AS DOUBLE) / CAST(n1.n AS DOUBLE), 6) END "
+    "AS conversion FROM (SELECT 1 AS stage, 'view' AS event_type, "
+    "CAST(count(*) AS BIGINT) AS n_users FROM t1 "
+    "UNION ALL SELECT 2, 'click', CAST(count(*) AS BIGINT) FROM t2 "
+    "UNION ALL SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM t3) "
+    "CROSS JOIN n1 ORDER BY stage",
+)
+def q_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order funnel (operators/events.py:funnel_report):
+    view → click → purchase with each stage reached only strictly
+    AFTER the previous one — the ordered-journey semantics
+    cohort_retention's unordered co-occurrence cannot express
+    (Amplitude/PostHog funnels; Flink MATCH_RECOGNIZE territory,
+    composed here from K-1 co-partitioned join+min rounds over
+    user-cardinality reach tables).  Generalizes the reference's
+    flat per-category counts (main.py:385-437) to sequential
+    behavioral analytics.  NOVEL round-9 machinery → in-window at
+    birth; media_phash_dups (green r7-r8) rotated out on its
+    existing differential."""
+    from .operators import events as EV
+
+    return EV.funnel_report(
+        load(spark, sf_dir, "events", parallel=True),
+        stages=["view", "click", "purchase"],
     )

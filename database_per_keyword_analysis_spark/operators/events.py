@@ -370,3 +370,74 @@ def daily_value_locf(events: DataFrame) -> DataFrame:
         F.last("obs_value", ignorenulls=True).over(w).alias("value_locf"),
         F.col("obs_value").isNotNull().alias("observed"),
     ).orderBy("event_type", "user_id", "day")
+
+
+def funnel_report(
+    events: DataFrame,
+    stages: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Strict-order funnel analysis (the Amplitude/PostHog funnel;
+    Flink's MATCH_RECOGNIZE territory): a user reaches stage k at the
+    EARLIEST stage-k event STRICTLY AFTER their stage-(k-1) reach time
+    — first view, then the first click after that view, then the
+    first purchase after that click.  Unordered co-occurrence
+    (`cohort_retention`'s semantics) does not imply an ordered journey;
+    the ordering constraint is the operator.
+
+    Returns one row per stage: (stage, event_type, n_users,
+    conversion) with conversion = n_users / stage-1 users rounded to
+    6 (1.0 for stage 1; NULL when stage 1 is empty).
+
+    Physical shape: K-1 chained (events ⋈ reach-table) rounds — each
+    a co-partitioned equi-join on the user key against a
+    USER-cardinality table followed by one map-side-combined min —
+    plus a final union of K one-row aggregates.  No windows over the
+    event stream, no sequence explode; at 100 TB each round shuffles
+    reach rows (one per surviving user), never the event table (AQE
+    broadcasts the reach side when it fits).  Deterministic: min() is
+    order-free and ties inside one timestamp resolve identically in
+    any engine (strictly-greater keeps later stages off the tied
+    instant)."""
+    reach = (
+        events.where(F.col(type_col) == stages[0])
+        .groupBy(F.col(user_col).alias("_u"))
+        .agg(F.min(ts_col).alias("_t"))
+    )
+    tables = [reach]
+    for s in stages[1:]:
+        nxt = (
+            events.where(F.col(type_col) == s)
+            .join(
+                tables[-1],
+                (F.col(user_col) == F.col("_u")) & (F.col(ts_col) > F.col("_t")),
+            )
+            .groupBy(F.col("_u").alias("_u2"))
+            .agg(F.min(ts_col).alias("_t2"))
+            .select(F.col("_u2").alias("_u"), F.col("_t2").alias("_t"))
+        )
+        tables.append(nxt)
+    base = tables[0].agg(F.count(F.lit(1)).alias("_n1"))
+    rows = None
+    for i, (s, t) in enumerate(zip(stages, tables), start=1):
+        r = (
+            t.agg(F.count(F.lit(1)).alias("n_users"))
+            .crossJoin(F.broadcast(base))
+            .select(
+                F.lit(i).alias("stage"),
+                F.lit(s).alias("event_type"),
+                "n_users",
+                F.when(
+                    F.col("_n1") > 0,
+                    F.round(
+                        F.col("n_users").cast("double")
+                        / F.col("_n1").cast("double"),
+                        6,
+                    ),
+                ).alias("conversion"),
+            )
+        )
+        rows = r if rows is None else rows.unionByName(r)
+    return rows.orderBy("stage")

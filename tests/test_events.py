@@ -71,3 +71,37 @@ def test_daily_value_locf_fills_gaps_not_leading_nulls(spark):
     assert out[(2, "2024-01-01")] == (None, False)  # before first obs: NULL
     assert out[(2, "2024-01-02")] == (5.0, True)
     assert out[(2, "2024-01-03")] == (5.0, False)
+
+
+def test_funnel_report_enforces_strict_order(spark):
+    """Round-9 funnel contract: stage k counts only users whose
+    stage-k event comes STRICTLY after their stage-(k-1) reach time —
+    co-occurrence in the wrong order does not convert; ties on one
+    instant do not advance; conversion ratios are vs stage 1."""
+    import datetime as dt
+
+    from database_per_keyword_analysis_spark.operators import events as EV
+
+    t = dt.datetime.fromisoformat
+    rows = [
+        # u1: full ordered journey
+        (1, "view", t("2024-01-01 10:00")),
+        (1, "click", t("2024-01-01 11:00")),
+        (1, "purchase", t("2024-01-01 12:00")),
+        # u2: purchase BEFORE click -> stops at click
+        (2, "view", t("2024-01-01 10:00")),
+        (2, "purchase", t("2024-01-01 10:30")),
+        (2, "click", t("2024-01-01 11:00")),
+        # u3: click tied to view instant -> tie does not advance
+        (3, "view", t("2024-01-01 10:00")),
+        (3, "click", t("2024-01-01 10:00")),
+        # u4: never viewed -> not in funnel at all
+        (4, "click", t("2024-01-01 10:00")),
+        (4, "purchase", t("2024-01-01 11:00")),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp_ntz")
+    out = {r.stage: (r.event_type, r.n_users, r.conversion)
+           for r in EV.funnel_report(df, ["view", "click", "purchase"]).collect()}
+    assert out[1] == ("view", 3, 1.0)
+    assert out[2] == ("click", 2, round(2 / 3, 6))
+    assert out[3] == ("purchase", 1, round(1 / 3, 6))
