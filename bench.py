@@ -289,7 +289,7 @@ NOT_BENCHED: dict[str, str] = {
     "events_skew_report": "twin:top_channels_salted (same groupBy-count top-k pass; the diagnostic adds two scalar divisions)",
     "order_join_size_report": "twin:events_skew_report shape over the timed revenue_by_nation join's key-count tables",
     "join_strategy_decisions": "twin:events_skew_report (three decision rows over the same groupBy-count stats passes + a customer count)",
-    "purchase_graph_communities": "twin:purchase_graph_pagerank (same edge materialization + per-iteration broadcast join/agg machinery; mode instead of damped sum)",
+    "purchase_graph_communities": "twin:purchase_graph_pagerank (same edge materialization + per-iteration auto-postured join/agg machinery; mode instead of damped sum)",
     "events_distinct_users_rollup": "twin:approx_order_stats (the timed HLL sketch pass; this adds only the bucket-cardinality sketch union)",
 }
 
