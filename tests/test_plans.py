@@ -700,3 +700,23 @@ def test_pruned_scan_reads_file_subset(spark, sf_dir):
     # the fixture range-clusters into 16 files; a selective band must
     # read a strict subset
     assert 0 < len(read) < 16
+
+
+def test_funnel_joins_are_equi_on_user_key(spark, sf_dir):
+    """purchase_funnel (r9): each stage round is an equi-join on the
+    user key with the strict-time residual — no cartesian anywhere;
+    the reach tables are user-cardinality (broadcastable)."""
+    plan = _plan(spark, sf_dir, "purchase_funnel")
+    assert "CartesianProduct" not in plan
+    # the only nested-loop joins are the one-row stage-1-count
+    # broadcasts feeding the conversion ratio (one per stage row)
+    assert plan.count("BroadcastNestedLoopJoin") <= 3
+
+
+def test_content_safe_split_is_scan_stage(spark, sf_dir):
+    """content_safe_split (r9): fingerprint+bucket+split are pure
+    per-row expressions — no join, no aggregate; the only exchange is
+    the output sort."""
+    plan = _plan(spark, sf_dir, "content_safe_split")
+    for op in ("Join", "HashAggregate", "CartesianProduct"):
+        assert op not in plan, op
