@@ -218,6 +218,9 @@ HEADLINE = [
     # round-9: strict-order funnel (timed — K-1 chained join+min
     # rounds over user-cardinality reach tables)
     "purchase_funnel",
+    # round-9: free-form path analysis (timed — one user-keyed window
+    # + k-bounded arrays + path count)
+    "top_user_paths",
 ]
 
 # Round-7 headline audit (round-6 judge item 5): every registered query

@@ -461,6 +461,11 @@ _DEFERRED_TWINS = {
     #   minhash_near_dups_char, jaccard_near_dups and
     #   customer_pairs_complete_ed in-window — slot taken by
     #   purchase_funnel (NOVEL r9: strict-order funnel analytics)
+    "price_quantity_corr",  # green r7-r8; Pearson corr via DECIMAL
+    #   moment sums; orders_constraint_checks keeps the audit-aggregate
+    #   family in-window; differential above — slot taken by
+    #   top_user_paths (NOVEL r9: free-form path analysis, the funnel's
+    #   exploratory complement)
 }
 
 
@@ -6734,3 +6739,31 @@ def q_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "events", parallel=True),
         stages=["view", "click", "purchase"],
     )
+
+
+@register(
+    "top_user_paths",
+    # each user's first 5 events in (ts, event_id) total order as a
+    # '>'-path; the 20 most common paths — identical ordering and
+    # tie-break chain in both engines
+    "WITH r AS (SELECT user_id, ts, event_id, event_type, "
+    "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+    "AS rn FROM events), "
+    "p AS (SELECT user_id, string_agg(event_type, '>' "
+    "ORDER BY ts, event_id) AS path FROM r WHERE rn <= 5 "
+    "GROUP BY user_id) "
+    "SELECT path, CAST(count(*) AS BIGINT) AS n_users FROM p "
+    "GROUP BY path ORDER BY n_users DESC, path LIMIT 20",
+)
+def q_top_user_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Free-form path analysis (operators/events.py:top_user_paths):
+    the 20 most common first-5-event journeys — the exploratory
+    complement of purchase_funnel's fixed stages (paths discover
+    WHICH journeys happen; funnels measure a chosen one).  One
+    user-keyed window + k-bounded per-user arrays + one path count;
+    total (ts, event_id) order makes the report hash-exact.  NOVEL
+    round-9 machinery → in-window at birth; price_quantity_corr
+    (green r7-r8) rotated out on its existing differential."""
+    from .operators import events as EV
+
+    return EV.top_user_paths(load(spark, sf_dir, "events", parallel=True))

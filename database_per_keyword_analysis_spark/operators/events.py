@@ -441,3 +441,50 @@ def funnel_report(
         )
         rows = r if rows is None else rows.unionByName(r)
     return rows.orderBy("stage")
+
+
+def top_user_paths(
+    events: DataFrame,
+    first_k: int = 5,
+    top_n: int = 20,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """Free-form path analysis (the product-analytics "top user
+    journeys" report): each user's first `first_k` events in
+    (ts, tiebreak) total order joined into a '>'-separated path
+    string, then the `top_n` most common paths with user counts —
+    the exploratory complement of :func:`funnel_report`'s FIXED
+    stage sequence (funnels answer "how many converted through THIS
+    journey", paths answer "WHICH journeys happen").
+
+    Physical shape: one user-partitioned window (rank the first k —
+    the sessionize shuffle), one per-user array_sort+concat (the
+    collect_list is k-bounded per user, never unbounded), one
+    path-keyed count, one top-n.  Deterministic: the (ts, tiebreak)
+    order is total, array_sort on the (ts, tiebreak, type) struct
+    reproduces it inside the collected array, and the final tie
+    breaks on the path string."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak)
+    firstk = events.withColumn("_r", F.row_number().over(w)).where(
+        F.col("_r") <= first_k
+    )
+    paths = firstk.groupBy(user_col).agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(ts_col, tiebreak, type_col))
+                ),
+                lambda s: s[type_col],
+            ),
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.desc("n_users"), "path")
+        .limit(top_n)
+    )

@@ -105,3 +105,30 @@ def test_funnel_report_enforces_strict_order(spark):
     assert out[1] == ("view", 3, 1.0)
     assert out[2] == ("click", 2, round(2 / 3, 6))
     assert out[3] == ("purchase", 1, round(1 / 3, 6))
+
+
+def test_top_user_paths_orders_and_bounds(spark):
+    """Round-9 path contract: events order by (ts, event_id) inside
+    each user's path, only the first k events contribute, and the
+    report ranks by user count with the path string breaking ties."""
+    import datetime as dt
+
+    from database_per_keyword_analysis_spark.operators import events as EV
+
+    t = dt.datetime.fromisoformat
+    rows = [
+        # two users share view>click; one continues (beyond k=2 cut)
+        (1, 10, "view", t("2024-01-01 10:00")),
+        (1, 11, "click", t("2024-01-01 11:00")),
+        (1, 12, "purchase", t("2024-01-01 12:00")),
+        (2, 20, "view", t("2024-01-01 10:00")),
+        (2, 21, "click", t("2024-01-01 11:00")),
+        # same-instant tie ordered by event_id: error(30) before view(31)
+        (3, 31, "view", t("2024-01-01 10:00")),
+        (3, 30, "error", t("2024-01-01 10:00")),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, ts timestamp_ntz"
+    )
+    out = [(r.path, r.n_users) for r in EV.top_user_paths(df, first_k=2).collect()]
+    assert out == [("view>click", 2), ("error>view", 1)]
