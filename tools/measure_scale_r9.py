@@ -69,6 +69,15 @@ def _docs10x() -> str:
     return out
 
 
+def _events10x() -> str:
+    out = os.path.join(CACHE, "scale_events1")
+    if not os.path.exists(os.path.join(out, "events.parquet")):
+        from tools.measure_scale_upsert import build_events_10x
+
+        build_events_10x(BASE, out)
+    return out
+
+
 def _fixture_dir(tables: dict[str, str], tag: str = "") -> str:
     key = "_".join(sorted(tables)) + tag
     d = os.path.join(CACHE, f"scale_r9_{key}")
@@ -149,6 +158,23 @@ def main() -> None:
         # (make_scale_fixture recipe): keys ride the scan, top-k is
         # per-partition heaps
         "weighted_doc_sample": (
+            BASE,
+            _docs10x(),
+        ),
+        # funnel + paths over the 10x events (key-offset user replicas:
+        # 10x users, per-user history identical — reach tables and
+        # window partitions grow 10x, per-user work fixed)
+        "purchase_funnel": (
+            BASE,
+            _events10x(),
+        ),
+        "top_user_paths": (
+            BASE,
+            _events10x(),
+        ),
+        # content-keyed split over the content-disjoint 10x corpus
+        # (pure scan-stage expressions)
+        "content_safe_split": (
             BASE,
             _docs10x(),
         ),
