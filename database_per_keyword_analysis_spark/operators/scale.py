@@ -335,6 +335,25 @@ def recover_directory_swap(tmp: str, path: str) -> str:
     )
 
 
+def morton_interleave(quantized: list, bits: int = ZORDER_BITS):
+    """THE Morton bit-interleave kernel (single implementation — r9
+    verdict item 6 folded `sources/zonemap.zorder_key`'s copy onto this
+    one): given N integer Columns already in [0, 2^bits), place bit
+    ``i`` of column ``j`` at position ``i*N + j`` of a single long key.
+    Pure shift/or expressions, whole-stage codegen."""
+    n = len(quantized)
+    key = F.lit(0).cast("long")
+    for bit in range(bits):
+        for j, q in enumerate(quantized):
+            key = key.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(q.cast("long"), bit).bitwiseAND(F.lit(1)),
+                    bit * n + j,
+                )
+            )
+    return key
+
+
 def zorder_key(
     df: DataFrame, cols: list[str], bits: int = ZORDER_BITS
 ) -> DataFrame:
@@ -375,15 +394,7 @@ def zorder_key(
             )
         )
         quantized.append(F.coalesce(q, F.lit(0)).cast("long"))
-    n = len(cols)
-    key = F.lit(0).cast("long")
-    for bit in range(bits):
-        for j, q in enumerate(quantized):
-            key = key.bitwiseOR(
-                F.shiftleft(
-                    F.shiftright(q, bit).bitwiseAND(F.lit(1)), bit * n + j
-                )
-            )
+    key = morton_interleave(quantized, bits)
     return out.withColumn("zorder_key", key).drop(
         *[f"__lo_{c}" for c in cols], *[f"__hi_{c}" for c in cols]
     )

@@ -38,6 +38,27 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def _local(path: str) -> str:
+    """Strip a file: URI prefix down to a filesystem path."""
+    return path[len("file:"):] if path.startswith("file:") else path
+
+
+def _relative_to_root(file_path: str, table_path: str) -> str:
+    """`file_path` relative to the table root — nested layouts (e.g.
+    Hive partition subdirectories) keep their subdir components, so
+    :func:`pruned_scan` can reconstruct the exact path (r9 advice:
+    basenames broke any non-flat layout).  Fail-loud on files outside
+    the root rather than storing an unreconstructable ``../`` path."""
+    import os
+
+    rel = os.path.relpath(_local(file_path), _local(table_path).rstrip("/"))
+    if rel.startswith(".."):
+        raise ValueError(
+            f"zone map: file {file_path} is not under table root {table_path}"
+        )
+    return rel
+
+
 def _stats_schema(table_schema: T.StructType, cols: list[str]) -> T.StructType:
     by_name = {f.name: f for f in table_schema.fields}
     missing = [c for c in cols if c not in by_name]
@@ -82,8 +103,6 @@ def build_zone_map(
         import pandas as pd
         import pyarrow.parquet as pq
 
-        import os
-
         for pdf in batches:
             out: list[dict] = []
             for path in pdf["file"]:
@@ -92,7 +111,7 @@ def build_zone_map(
                 names = md.schema.to_arrow_schema().names
                 idx = {c: names.index(c) for c in cols}
                 row: dict = {
-                    "file": os.path.basename(local),
+                    "file": _relative_to_root(local, table_path),
                     "n_rows": md.num_rows,
                 }
                 for c in cols:
@@ -124,15 +143,27 @@ def zone_map_append(
     new files; everything already indexed is never re-read — the
     mv_delta_merge posture applied to metadata) and union them in.
     Idempotent: re-running after no new files returns the index
-    unchanged.  Cost: one file listing + footers of the NEW files."""
-    import os
+    unchanged.  Cost: one file listing + footers of the NEW files.
 
+    INSERT-ONLY contract, enforced (r9 advice): a file the index knows
+    that is no longer in the table (compaction, overwrite-in-place)
+    means appends cannot heal the map — later pruned scans would
+    reconstruct dead paths — so this raises and the caller rebuilds
+    with :func:`build_zone_map`."""
     known = {r["file"] for r in zone_map.select("file").collect()}
-    fresh = [
-        f
+    current = {
+        _relative_to_root(f, table_path)
         for f in spark.read.parquet(table_path).inputFiles()
-        if os.path.basename(f) not in known
-    ]
+    }
+    gone = sorted(known - current)
+    if gone:
+        raise ValueError(
+            "zone_map_append: indexed files no longer exist in the table "
+            f"(compaction/rewrite?) — rebuild with build_zone_map: {gone[:5]}"
+            + ("..." if len(gone) > 5 else "")
+        )
+    root = _local(table_path).rstrip("/")
+    fresh = [f"{root}/{rel}" for rel in sorted(current - known)]
     if not fresh:
         return zone_map
     return zone_map.unionByName(
@@ -173,7 +204,14 @@ def pruned_scan(
     if not names:
         return spark.read.parquet(table_path).where(F.lit(False))
     root = table_path.rstrip("/")
-    return spark.read.parquet(*[f"{root}/{n}" for n in names]).where(cond)
+    # `file` values are root-relative (nested layouts keep subdirs);
+    # basePath keeps Hive partition-directory columns visible when the
+    # surviving files live under partition subdirectories.
+    return (
+        spark.read.option("basePath", root)
+        .parquet(*[f"{root}/{n}" for n in names])
+        .where(cond)
+    )
 
 
 def zorder_key(a, b, bits: int = 16):
@@ -187,16 +225,16 @@ def zorder_key(a, b, bits: int = 16):
     Callers bin values to ranks first (e.g. `F.ntile` or a min/max
     affine scale cast to int) — binning choice only affects pruning
     QUALITY, never results, since `pruned_scan` re-applies precise
-    predicates."""
-    key = F.lit(0).cast("long")
-    for i in range(bits):
-        abit = F.shiftright(a.cast("long"), i).bitwiseAND(F.lit(1))
-        bbit = F.shiftright(b.cast("long"), i).bitwiseAND(F.lit(1))
-        key = (
-            key.bitwiseOR(F.shiftleft(abit, 2 * i + 1))
-            .bitwiseOR(F.shiftleft(bbit, 2 * i))
-        )
-    return key
+    predicates.
+
+    Delegates to the single Morton kernel
+    (`operators/scale.morton_interleave`, r9 verdict item 6); the
+    column order `[b, a]` preserves this wrapper's historical bit
+    layout exactly (`a` on odd positions, `b` on even) so existing
+    layouts/tests stay bit-identical."""
+    from ..operators.scale import morton_interleave
+
+    return morton_interleave([b, a], bits)
 
 
 def min_max_bin(c, lo_val: float, hi_val: float, bits: int = 16):
