@@ -6536,7 +6536,10 @@ def q_customer_pairs_complete_ed(spark: SparkSession, sf_dir: str) -> DataFrame:
     "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) "
     "/ 281474976710656.0 AS u FROM documents "
     "WHERE n_chars IS NOT NULL AND n_chars > 0), "
-    "s AS (SELECT doc_id, w, pow(u, 1.0 / w) AS es_key FROM b "
+    # rank on the 12-digit-rounded key + id tie-break (r9 advice: JVM
+    # vs libm pow may differ in the last ulp; rounding makes the
+    # k-boundary decision identical in both engines)
+    "s AS (SELECT doc_id, w, round(pow(u, 1.0 / w), 12) AS es_key FROM b "
     "ORDER BY es_key DESC, doc_id LIMIT 100) "
     "SELECT doc_id, w, round(es_key, 6) AS es_key FROM s ORDER BY doc_id",
 )
@@ -6667,16 +6670,18 @@ def q_orders_zorder_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     "content_safe_split",
     # split key = md5 of normalized TEXT (the doc_fingerprints idiom),
     # bucketed with the portable-hash arithmetic — equal content gets
-    # equal split on any engine, which is the contamination guarantee
+    # equal split on any engine, which is the contamination guarantee.
+    # Whitespace class is EXPLICIT [ \t\n\f\r]+ on both sides (r9
+    # advice: Java \s includes \x0B, RE2 \s does not).
     "SELECT doc_id, "
-    "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) "
+    "md5(regexp_replace(lower(trim(text)), '[ \\t\\n\\f\\r]+', ' ', 'g')) "
     "AS fingerprint, "
     "CAST(CAST('0x' || substr(md5(regexp_replace(lower(trim(text)), "
-    "'\\s+', ' ', 'g')), 1, 12) AS BIGINT) % 100 AS INT) AS split_bucket, "
+    "'[ \\t\\n\\f\\r]+', ' ', 'g')), 1, 12) AS BIGINT) % 100 AS INT) AS split_bucket, "
     "CASE WHEN CAST('0x' || substr(md5(regexp_replace(lower(trim(text)), "
-    "'\\s+', ' ', 'g')), 1, 12) AS BIGINT) % 100 < 90 THEN 'train' "
+    "'[ \\t\\n\\f\\r]+', ' ', 'g')), 1, 12) AS BIGINT) % 100 < 90 THEN 'train' "
     "WHEN CAST('0x' || substr(md5(regexp_replace(lower(trim(text)), "
-    "'\\s+', ' ', 'g')), 1, 12) AS BIGINT) % 100 < 95 THEN 'val' "
+    "'[ \\t\\n\\f\\r]+', ' ', 'g')), 1, 12) AS BIGINT) % 100 < 95 THEN 'val' "
     "ELSE 'test' END AS split "
     "FROM documents WHERE text IS NOT NULL ORDER BY doc_id",
 )

@@ -827,7 +827,14 @@ def weighted_sample_aes(
     scan-stage key computation + TakeOrderedAndProject top-k (each
     partition keeps its local k, the driver merges k-sized heaps) —
     no global sort, no shuffle of the corpus.  Returns
-    (id, w, es_key·1e0 rounded to 6) ordered by id."""
+    (id, w, es_key·1e0 rounded to 6) ordered by id.
+
+    The top-k ORDER key is the pow result rounded to 12 digits with
+    the id tie-break (r10, r9 advice item 2): JVM Math.pow and libm
+    pow are not bit-identical, so ranking on the raw double could let
+    a last-ulp difference flip which of two keys straddling the
+    k-boundary wins between engines; at 12 digits both engines see
+    the same key, and the deterministic id settles exact ties."""
     base = docs.where(
         F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
     ).select(
@@ -836,7 +843,7 @@ def weighted_sample_aes(
         uniform_hash(F.col(id_col)).alias("u"),
     )
     keyed = base.withColumn(
-        "es_key", F.pow(F.col("u"), F.lit(1.0) / F.col("w"))
+        "es_key", F.round(F.pow(F.col("u"), F.lit(1.0) / F.col("w")), 12)
     )
     return (
         keyed.orderBy(F.desc("es_key"), id_col)
@@ -872,9 +879,17 @@ def content_safe_split(
     per-row expressions (no groupBy needed: equal text ⇒ equal
     fingerprint ⇒ equal bucket), zero shuffle, zero UDF.  Generalize
     to NEAR-dup safety by substituting the minhash group key from
-    `dedup.dup_groups` for the fingerprint — the same one-column swap."""
+    `dedup.dup_groups` for the fingerprint — the same one-column swap
+    (:func:`content_safe_split_neardup`).
+
+    The whitespace normalizer is the EXPLICIT class [ \\t\\n\\f\\r]+
+    (r10, r9 advice item 3): Java-regex \\s includes \\x0B (vertical
+    tab) while RE2/DuckDB \\s does not, so a shorthand-\\s fingerprint
+    of a document containing \\x0B would differ across engines; the
+    explicit class means the fingerprint — and therefore the split —
+    is engine-portable."""
     fp = F.md5(
-        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"[ \t\n\f\r]+", " ")
     )
     bucket = (
         F.conv(F.substring(fp, 1, 12), 16, 10).cast("long") % 100
