@@ -400,6 +400,30 @@ def stable_core_movers(timings: dict[str, float]) -> dict[str, list[float]]:
 CONTENTION_MIN_MOVERS = 5
 
 
+# The r9 closing record slipped past the direction-count rule with a
+# 4-up/2-down mover set whose largest member moved +44% — under
+# CONTENTION_MIN_MOVERS, so the run self-reported clean even though
+# the biggest move was far outside BASELINE.md's documented ±25%
+# cross-session flap band (r9 verdict item 1).  This sibling rule is
+# magnitude-aware: ANY mover whose ratio leaves the band is reported
+# by name regardless of how many moved or in which direction, so the
+# artifact itself demands the A/B instead of the judge.
+MOVER_OUTLIER_RATIO = 1.25
+
+
+def outlier_movers(movers: dict[str, list[float]]) -> dict[str, list[float]]:
+    """Movers (already past the 0.25 s absolute rule) whose
+    before/after ratio leaves the documented ±25% flap band in either
+    direction — each needs an interleaved A/B (BASELINE.md protocol)
+    or a code-change explanation before the round's perf story is
+    closed."""
+    out: dict[str, list[float]] = {}
+    for name, (before, after) in movers.items():
+        if before > 0 and max(after / before, before / after) > MOVER_OUTLIER_RATIO:
+            out[name] = [before, after]
+    return out
+
+
 def contention_suspect(movers: dict[str, list[float]]) -> bool:
     """True when the mover set carries the uniform-session-multiplier
     signature: ≥ CONTENTION_MIN_MOVERS stable-core members moved past
@@ -473,6 +497,7 @@ def main() -> None:
         "stable_core": {n: timings[n] for n in STABLE_CORE if n in timings},
         "stable_core_movers": movers,
         "contention_suspect": contention_suspect(movers),
+        "outlier_movers": outlier_movers(movers),
         "iters": iters,
         "sf": float(sf),
     }
@@ -502,6 +527,7 @@ def main() -> None:
         "n_queries": len(timings),
         "stable_core_sec": stable_core_total(timings),
         "contention_suspect": contention_suspect(movers),
+        "n_outlier_movers": len(outlier_movers(movers)),
         "iters": iters,
         "sf": float(sf),
     }

@@ -155,3 +155,22 @@ def test_contention_suspect_flags_uniform_direction_only():
     few = {f"q{i}": [1.0, 1.5] for i in range(bench.CONTENTION_MIN_MOVERS - 1)}
     assert bench.contention_suspect(few) is False
     assert bench.contention_suspect({}) is False
+
+
+def test_outlier_movers_flags_band_leavers_any_direction():
+    # r9 verdict item 1: the r9 record's 4-up/2-down mover set (largest
+    # +44%) slipped past the direction-count contention rule; the
+    # magnitude rule must name ANY mover whose ratio leaves the ±25%
+    # band, regardless of mover count or direction.
+    exact = {"a": [2.95, 4.24]}  # the actual semantic_dedup move, +44%
+    assert bench.outlier_movers(exact) == exact
+    down = {"a": [4.24, 2.95]}  # same magnitude, other direction
+    assert bench.outlier_movers(down) == down
+    inside = {"a": [2.0, 2.4]}  # +20%: inside the documented flap band
+    assert bench.outlier_movers(inside) == {}
+    boundary = {"a": [2.0, 2.5]}  # exactly +25%: still inside (strict >)
+    assert bench.outlier_movers(boundary) == {}
+    # a single outlier among in-band movers is still named
+    mix = {"a": [2.0, 2.3], "b": [3.0, 4.0]}
+    assert bench.outlier_movers(mix) == {"b": [3.0, 4.0]}
+    assert bench.outlier_movers({}) == {}
