@@ -905,3 +905,53 @@ def content_safe_split(
         bucket.cast("int").alias("split_bucket"),
         split.alias("split"),
     )
+
+
+def content_safe_split_neardup(
+    docs: DataFrame,
+    groups: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = 90,
+    val_pct: int = 5,
+) -> DataFrame:
+    """NEAR-dup-safe train/val/test assignment (round 10, r9 verdict
+    item 4 — the documented one-key swap on
+    :func:`content_safe_split`, registered and invariant-tested in
+    its own right): the split key is the NEAR-duplicate group id from
+    `dedup.dup_groups` / `minhash_dup_groups` (min doc id reachable
+    through the LSH pair graph), so paraphrased/lightly-edited copies
+    of a text — which exact fingerprints treat as distinct content —
+    land in the same split by construction.  This is Lee et al. 2022
+    §6 at full strength: exact-dup safety alone still leaks
+    near-verbatim eval text into train.
+
+    `groups` is the (id, group_id) mapping (only docs appearing in
+    some near-dup pair need rows; singletons default to their own id
+    via the left join + coalesce).  Bucketing is the same portable
+    md5 arithmetic as the exact tier, over the group id.
+
+    Scale shape: the minhash/CC group assignment upstream is the real
+    cost (banded LSH, never all-pairs); this operator itself adds one
+    left join against the group mapping — group-cardinality-bounded,
+    broadcastable when the dup fraction is small (it is, post-exact-
+    dedup) — and scan-stage bucket expressions."""
+    key = F.coalesce(F.col("group_id"), F.col(id_col)).cast("string")
+    bucket = (
+        F.conv(F.substring(F.md5(key), 1, 12), 16, 10).cast("long") % 100
+    )
+    split = (
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.join(
+            groups.select(id_col, "group_id"), id_col, "left"
+        )
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("group_id"), F.col(id_col)).alias("group_id"),
+            bucket.cast("int").alias("split_bucket"),
+            split.alias("split"),
+        )
+    )

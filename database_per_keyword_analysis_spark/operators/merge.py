@@ -243,6 +243,7 @@ def table_diff(
     new: DataFrame,
     keys: list[str],
     compare: list[str] | None = None,
+    include_old: bool = False,
 ) -> DataFrame:
     """Row-level change-data-feed between two table versions: one
     FULL OUTER join on `keys`, each key classified as ``insert``
@@ -260,7 +261,14 @@ def table_diff(
     Physical shape: ONE shuffle per side on the key (the outer join);
     the change classification is scan-stage expressions on the joined
     row — at 100 TB this is two table scans + one co-partitioned
-    join, the floor for a log-less diff."""
+    join, the floor for a log-less diff.
+
+    ``include_old=True`` additionally emits ``old_<c>`` for every
+    compare column (NULL for inserts) — the RETRACTION side a
+    downstream consumer needs to reverse a change: signed-partial MV
+    maintenance (`rollup.mv_apply_changes`) must subtract the OLD
+    measure from the OLD group, which the new-values-only changeset
+    cannot express (r9 verdict item 2)."""
     if compare is None:
         compare = [
             c for c in new.columns if c not in keys and c in old.columns
@@ -280,6 +288,11 @@ def table_diff(
         .when(F.col("__in_new").isNull(), F.lit("delete"))
         .when(changed, F.lit("update"))
     )
+    extra = (
+        [F.col(f"__o_{c}").alias(f"old_{c}") for c in compare]
+        if include_old
+        else []
+    )
     return (
         j.withColumn("op", op)
         .where(F.col("op").isNotNull())
@@ -287,6 +300,7 @@ def table_diff(
             *keys,
             "op",
             *[F.col(f"__n_{c}").alias(c) for c in compare],
+            *extra,
         )
     )
 

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 DEFAULT_SALTS = 16
 
@@ -675,4 +676,78 @@ def join_size_report(
     # row") and plan-change robustness
     return top.unionByName(grand).orderBy(
         F.col(keys[0]).isNull(), F.desc("n_pairs"), *keys
+    )
+
+
+def heavy_hitters_exact(
+    df: DataFrame,
+    key_cols: list[str],
+    phi: float,
+) -> DataFrame:
+    """EXACT φ-heavy-hitters in bounded memory — two passes (round 10):
+
+    1. **Candidates**: one Misra-Gries summary per partition
+       (capacity ⌈2/φ⌉, folded batch-wise with the mergeable-summaries
+       decrement — Misra & Gries 1982; Agarwal et al. PODS'12 §3).
+       MG guarantees est(x) ≥ freq_p(x) − n_p/(cap+1), so any key with
+       GLOBAL frequency ≥ φ·n exceeds n_p/(cap+1) in at least one
+       partition and SURVIVES there — the union of partition summaries
+       is a proven candidate SUPERSET.
+    2. **Exact counts**: re-count ONLY the candidates (broadcast
+       semi-filter + map-side-combined groupBy) and keep those with
+       count ≥ ⌈φ·n⌉.
+
+    Why not a plain groupBy-HAVING: its partial aggregation holds one
+    hash-map entry per DISTINCT key per task — at 100 TB with billions
+    of keys (users, URLs, n-grams) that spills and the shuffle carries
+    every distinct key.  Here pass-1 state is O(1/φ) per task however
+    many keys exist, the shuffle carries only O(partitions/φ) candidate
+    rows, and pass 2 shuffles a filtered, candidate-only stream.  The
+    result is still EXACT — the oracle equality of
+    `event_heavy_hitters` (catalog.py) is the completeness proof that
+    no heavy key is lost.
+
+    Rows with NULL in any key column are excluded up front (count
+    semantics over concrete keys).  Returns (key_cols..., n_rows,
+    share) ordered by n_rows desc, keys."""
+    if not 0 < phi < 1:
+        raise ValueError(f"heavy_hitters_exact: phi must be in (0,1), got {phi}")
+    import math
+
+    cap = math.ceil(2.0 / phi)
+    base = df.na.drop(subset=key_cols).select(*key_cols)
+    total = base.count()  # one scalar; sets the exact threshold
+    threshold = math.ceil(phi * total)
+    key_schema = T.StructType([base.schema[c] for c in key_cols])
+
+    def mg_partition(batches):
+        import pandas as pd
+
+        summ: dict[tuple, int] = {}
+        for pdf in batches:
+            vc = pdf.groupby(list(pdf.columns), dropna=False, sort=False).size()
+            for k, c in vc.items():
+                k = k if isinstance(k, tuple) else (k,)
+                summ[k] = summ.get(k, 0) + int(c)
+            if len(summ) > cap:
+                # mergeable-summaries decrement: subtract the
+                # (cap+1)-th largest count from all, drop non-positive
+                delta = sorted(summ.values(), reverse=True)[cap]
+                summ = {k: v - delta for k, v in summ.items() if v > delta}
+        yield pd.DataFrame(list(summ.keys()), columns=key_cols)
+
+    candidates = base.mapInPandas(mg_partition, key_schema).distinct()
+    return (
+        base.join(F.broadcast(candidates), key_cols)
+        .groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .where(F.col("n_rows") >= threshold)
+        .select(
+            *key_cols,
+            "n_rows",
+            F.round(
+                F.col("n_rows").cast("double") / F.lit(float(total)), 6
+            ).alias("share"),
+        )
+        .orderBy(F.desc("n_rows"), *key_cols)
     )

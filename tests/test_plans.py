@@ -720,3 +720,30 @@ def test_content_safe_split_is_scan_stage(spark, sf_dir):
     plan = _plan(spark, sf_dir, "content_safe_split")
     for op in ("Join", "HashAggregate", "CartesianProduct"):
         assert op not in plan, op
+
+
+def test_bucketed_join_query_is_exchange_free_at_the_join(spark, sf_dir):
+    """orders_bucketed_join (r10): the fact-dim sort-merge join runs
+    on the persisted co-bucketed layout with NO Exchange below the
+    join — the only shuffle in the plan is the post-join groupBy on
+    the segment key."""
+    import re
+
+    plan = _plan(spark, sf_dir, "orders_bucketed_join")
+    assert "SortMergeJoin" in plan, plan[:2000]
+    join_part = plan[plan.index("SortMergeJoin"):]
+    # nothing BELOW the join (printed after it) exchanges: the scans
+    # feed the join pre-partitioned by their bucket layout
+    assert "Exchange" not in join_part, join_part[:2000]
+    # exactly the aggregate exchanges above the join
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+def test_heavy_hitters_recount_broadcasts_candidates(spark, sf_dir):
+    """event_heavy_hitters (r10): pass 2 must join the MG candidate
+    set broadcast (candidate-cardinality, O(partitions/phi)) — the
+    full event stream is never shuffled on the raw key ahead of the
+    filter."""
+    plan = _plan(spark, sf_dir, "event_heavy_hitters")
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan

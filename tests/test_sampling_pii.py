@@ -506,3 +506,58 @@ def test_content_safe_split_is_group_atomic(spark):
             doc_split[g * 10 + c] for c in range(5)
         )
     assert any(len(s) > 1 for s in families.values())
+
+
+def test_content_safe_split_neardup_is_group_atomic_on_planted_neardups(spark):
+    """Round-10 (r9 verdict item 4): near-dup-SAFE split — planted
+    paraphrase families (word-level edits the exact fingerprint treats
+    as distinct content) each land wholly in one split; the EXACT
+    content-keyed split provably lacks the property on the same data
+    (the Lee et al. 2022 §6 leak this variant closes); singletons keep
+    their own id as group key."""
+    from database_per_keyword_analysis_spark.operators import curation as C
+    from database_per_keyword_analysis_spark.operators import dedup as D
+
+    rows = []
+    # 20 near-dup families with DISJOINT vocabularies (cross-family
+    # Jaccard 0): 3 copies each, one word changed per copy — high
+    # within-family Jaccard, but different exact fingerprints
+    for g in range(20):
+        toks = [f"w{g}x{i}" for i in range(40)]
+        fam = " ".join(toks)
+        # boundary-token edits: each touches only 1 of the 38 word
+        # 3-shingles, keeping within-family Jaccard ≈ 0.95 (reliably
+        # above both the 0.6 threshold and the LSH banding curve)
+        rows.append((g * 10, fam))
+        rows.append((g * 10 + 1, " ".join([f"w{g}xEDIT"] + toks[1:])))
+        rows.append((g * 10 + 2, " ".join(toks[:-1] + [f"w{g}xALT"])))
+    # 10 singletons (no near-dups): unique token streams
+    for s in range(10):
+        rows.append((1000 + s, " ".join(f"tok{s}_{i}" for i in range(25))))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # stronger banding (48 seeds, 24 bands × 2 rows) so the planted
+    # J≈0.95 edges are all candidates — the invariant under test is
+    # group-atomicity of the SPLIT, not the default banding curve
+    groups = D.minhash_dup_groups(
+        df, threshold=0.6, n_seeds=48, n_bands=24
+    ).select("doc_id", "group_id")
+    out = C.content_safe_split_neardup(df, groups).collect()
+    by_group: dict = {}
+    for r in out:
+        by_group.setdefault(r.group_id, set()).add(r.split)
+    # every family collapsed to one group and one split
+    fam_groups = [r.group_id for r in out if r.doc_id < 1000]
+    assert len(set(fam_groups)) == 20
+    assert all(len(s) == 1 for s in by_group.values())
+    # singletons key on their own id
+    singles = {r.doc_id: r.group_id for r in out if r.doc_id >= 1000}
+    assert singles == {1000 + s: 1000 + s for s in range(10)}
+    # the EXACT-fingerprint split does NOT have the property here:
+    # paraphrased copies fingerprint differently, so some family
+    # straddles splits (the gap this variant closes)
+    exact = C.content_safe_split(df).collect()
+    fam_splits: dict = {}
+    for r in exact:
+        if r.doc_id < 1000:
+            fam_splits.setdefault(r.doc_id // 10, set()).add(r.split)
+    assert any(len(s) > 1 for s in fam_splits.values())

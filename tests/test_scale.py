@@ -555,3 +555,49 @@ class TestAdaptiveJoinControlLoop:
         assert SC.salt_lanes(4.0) == 4
         assert SC.salt_lanes(67.0) == 128
         assert SC.salt_lanes(1e9) == SC.SALT_LANES_CAP
+
+
+def test_heavy_hitters_exact_equals_plain_groupby(spark):
+    """Round-10: the MG-candidates + exact-recount path equals the
+    plain groupBy-HAVING answer on a skewed stream (Zipf-ish: a few
+    hot keys over a long tail), including boundary keys exactly AT
+    the threshold; nulls are excluded; bad phi fail-loud."""
+    import pytest as _pytest
+
+    rows = []
+    # hot keys: 0 -> 400 rows, 1 -> 200, 2 -> 100; tail: 500 keys x 2
+    for k, n in ((0, 400), (1, 200), (2, 100)):
+        rows += [(k,)] * n
+    for k in range(10, 510):
+        rows += [(k,)] * 2
+    rows += [(None,)] * 50  # excluded
+    df = spark.createDataFrame(rows, "user_id long").repartition(8)
+    phi = 0.05  # threshold = ceil(0.05 * 1700) = 85
+    got = SC.heavy_hitters_exact(df, ["user_id"], phi)
+    out = [(r.user_id, r.n_rows) for r in got.collect()]
+    assert out == [(0, 400), (1, 200), (2, 100)]
+    shares = {r.user_id: r.share for r in got.collect()}
+    assert shares[0] == round(400 / 1700, 6)
+    # threshold boundary: key with exactly ceil(phi*n) rows is kept
+    df2 = spark.createDataFrame(
+        [(1,)] * 10 + [(2,)] * 9 + [(3,)] * 81, "user_id long"
+    ).repartition(4)
+    got2 = SC.heavy_hitters_exact(df2, ["user_id"], 0.1)  # T = 10
+    assert [(r.user_id, r.n_rows) for r in got2.collect()] == [(3, 81), (1, 10)]
+    with _pytest.raises(ValueError, match="phi"):
+        SC.heavy_hitters_exact(df, ["user_id"], 1.5)
+
+
+def test_heavy_hitters_candidate_pass_is_bounded_and_broadcast(spark):
+    """The pass-1 summary never exceeds capacity per partition (the
+    bounded-memory claim) and pass 2 joins the candidates broadcast —
+    no full-key-cardinality shuffle anywhere."""
+    df = spark.createDataFrame(
+        [(i % 997,) for i in range(20000)], "k long"
+    ).repartition(16)
+    got = SC.heavy_hitters_exact(df, ["k"], phi=0.01)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    # uniform keys at phi=0.01: threshold 200, max freq ~21 -> empty,
+    # and the candidate union stayed <= 16 partitions * ceil(2/phi)
+    assert got.count() == 0
