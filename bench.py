@@ -221,6 +221,22 @@ HEADLINE = [
     # round-9: free-form path analysis (timed — one user-keyed window
     # + k-bounded arrays + path count)
     "top_user_paths",
+    # round-10: retraction-aware IVM (timed — the signed-changeset
+    # explode + delta agg + key-cardinality regroup on top of the
+    # full-outer CDC diff)
+    "orders_mv_upsert",
+    # round-10: near-dup-safe split (timed — the minhash/CC group
+    # assignment is the real cost; the split itself is one
+    # group-mapping join + scan-stage buckets)
+    "content_safe_split_neardup",
+    # round-10: co-bucketed shuffle-free join (timed — the
+    # exchange-free SortMergeJoin read path; layout build is
+    # cache-keyed like the other ingest seams)
+    "orders_bucketed_join",
+    # round-10: bounded-memory exact heavy hitters (timed — the MG
+    # candidate pass is an Arrow mapInPandas scan, pass 2 a
+    # candidate-only broadcast join + agg)
+    "event_heavy_hitters",
 ]
 
 # Round-7 headline audit (round-6 judge item 5): every registered query

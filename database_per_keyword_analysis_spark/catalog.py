@@ -71,17 +71,11 @@ _DEFERRED_TWINS = {
     # enforces this mechanically.  History condensed; `git log` on this
     # file preserves the full per-rotation rationale.
     # ==================================================================
-    "keyword_breakdown_join",  # identical oracle to keyword_breakdown
-    "stream_session_counts",  # streaming twin of sessionize_events
     "stream_tumbling_counts",  # streaming tumbling-window twin
-    "quarterly_revenue_rollup",  # same daily-rollup spine as monthly twin
     "monthly_revenue_rollup",  # zero-fill spine via events_value_locf
     #   (differential-proven since its r7 rotation)
-    "events_weekly_counts",  # same zero-fill bucketing family
-    "orders_monthly_counts",  # same zero-fill bucketing family
     "events_daily_counts",  # spine machinery inside events_value_locf
     #   (differential-proven since its r7 rotation)
-    "top_suppliers_by_revenue",  # same join-agg-topk as revenue family
     "top_customers_by_revenue",  # join-agg-topk; shipping family differential
     "top_channels_by_views",  # groupBy-sum top-k; salted twin now in-window
     "top_posts",  # ordered top-k with tie-break
@@ -90,6 +84,14 @@ _DEFERRED_TWINS = {
     #  — the five members last driver-verified before round 5 — rotated
     #  BACK INTO the window for a second driver pass, guarding against
     #  local-vs-driver environment drift; r8 verdict item 2)
+    # (r10: the nine OLDEST single-driver-pass members —
+    #  keyword_breakdown_join, quarterly_revenue_rollup (last green r1),
+    #  events_weekly_counts, orders_monthly_counts,
+    #  top_suppliers_by_revenue (r2), cosine_near_dup_pairs,
+    #  stream_session_counts, video_frame_samples (r3),
+    #  asof_last_view_before_purchase (r4) — rotated INTO the window
+    #  for their second driver pass; r9 verdict item 3.  Their proofs
+    #  stay in tests/test_catalog_twins.py.)
     "nation_region_setops",  # intersect/except
     "customers_without_orders",  # anti-join machinery
     "segment_order_stats",  # count/avg/countDistinct agg
@@ -97,7 +99,6 @@ _DEFERRED_TWINS = {
     "running_order_totals",  # frame windows; machinery differential-
     #   proven (r7: event_anomalies and events_value_locf both rotated
     #   out with their own differentials)
-    "asof_last_view_before_purchase",  # union + last-value window
     "sliding_window_counts",  # overlapping-bucket explode + groupBy
     "sessionize_events",  # gap-sessionization inside purchases_in_event_bursts
     "user_activity_pivot",  # pivot (conditional-count) machinery
@@ -111,11 +112,9 @@ _DEFERRED_TWINS = {
     #   (itself differential-proven since its r7 rotation; the quality
     #   family keeps four in-window members)
     "simhash_fingerprints",  # bit-vector fingerprint family
-    "cosine_near_dup_pairs",  # size-gated all-pairs decimal-cosine baseline
     "winnowing_fingerprints",  # fingerprint stage inside winnowing_pairs
     "decontamination_check",  # persisted-index probe (winnowing machinery)
     "multimodal_byte_features",  # Arrow mapInPandas plumbing
-    "video_frame_samples",  # same mapInPandas plumbing
     "stratified_sample",  # hash-threshold Bernoulli machinery
     "bm25_search",  # tokenize/df/idf pipeline via bm25_search_indexed
     # ==================================================================
@@ -466,6 +465,55 @@ _DEFERRED_TWINS = {
     #   family in-window; differential above — slot taken by
     #   top_user_paths (NOVEL r9: free-form path analysis, the funnel's
     #   exploratory complement)
+    # ==================================================================
+    # ROUND-10 ROTATION (r9 verdict items 2-4): the nine OLDEST
+    # single-driver-pass members (last green r1-r4) move INTO the
+    # window for their second pass, and four round-10 NOVEL queries
+    # (orders_mv_upsert, content_safe_split_neardup,
+    # orders_bucketed_join, event_heavy_hitters) register in-window at
+    # birth per the standing policy.  Thirteen members leave in
+    # exchange: the ten r9 drift-guard members (their second driver
+    # pass banked last round — each already carries its differential
+    # below from the pre-promotion era) plus the three most-verified
+    # members, each with a NEW differential (AST-guard enforced).
+    # ==================================================================
+    "customers_with_open_orders",  # 2nd pass banked r9 (green r1-r3+r9);
+    #   semi-join machinery also in-window via late_order_priority
+    "part_type_distincts",  # 2nd pass banked r9; distinct-agg family
+    "doc_fingerprints",  # 2nd pass banked r9; fingerprint scan family
+    "jaccard_near_dups",  # 2nd pass banked r9; exact-Jaccard verify
+    #   stage; dedup family keeps customer_pairs_complete_ed and the
+    #   promoted cosine_near_dup_pairs in-window
+    "minhash_near_dups_char",  # 2nd pass banked r9; banded-LSH char
+    #   shingles; the word-shingle pipeline is in-window inside
+    #   content_safe_split_neardup (runs minhash_dup_groups end-to-end)
+    "multimodal_decode",  # 2nd pass banked r9; stub-tier decode
+    #   plumbing; the promoted video_frame_samples keeps Arrow
+    #   mapInPandas multimodal plumbing in-window
+    "customer_nation_cube",  # 2nd pass banked r9; rollup/cube family
+    "orders_status_union",  # 2nd pass banked r9; unionByName family
+    "debug_keyword_posts",  # 2nd pass banked r9; predicate composition
+    #   of in-window keyword filters
+    "top_posts_per_industry",  # 2nd pass banked r9; rank-per-group over
+    #   the keyword join (promoted keyword_breakdown_join covers the
+    #   contains-join formulation in-window)
+    "bloom_contamination",  # green r5-r9 (FIVE driver passes — the
+    #   catalog's most-verified member); derived-m Bloom probe over the
+    #   same exact-gram tier as ngram_contamination; NEW differential
+    #   below — slot taken by orders_mv_upsert (NOVEL r10:
+    #   retraction-aware IVM, hash-proven vs the full recompute)
+    "small_quantity_revenue",  # green r6-r9 (four passes); Q17
+    #   per-group scalar decorrelation; the TPC-H join-tree family
+    #   keeps nation_profit (Q9), late_shipment_priority (Q12),
+    #   important_parts (Q11) and dominant_suppliers (Q20) in-window;
+    #   NEW differential below — slot taken by
+    #   content_safe_split_neardup (NOVEL r10: near-dup-safe
+    #   contamination split)
+    "min_cost_supplier",  # green r6-r9 (four passes); Q2 per-part min
+    #   across the region-scoped join chain; dominant_suppliers (Q20)
+    #   and important_parts (Q11) keep the scalar-subquery idiom
+    #   in-window; NEW differential below — slots taken by
+    #   orders_bucketed_join + event_heavy_hitters (NOVEL r10)
 }
 
 

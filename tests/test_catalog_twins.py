@@ -911,3 +911,20 @@ def test_supplier_counts_excluded_matches_oracle(spark, sf_dir):
     # demoted r9 (slot taken by content_safe_split): TPC-H Q16 NOT-IN
     # distinct-agg; important_parts keeps the family in-window
     _assert_matches_oracle(spark, sf_dir, "supplier_counts_excluded")
+
+
+# Round-10 demotion differentials (r9 verdict item 3): the three
+# most-verified members rotated out for the round-10 novel queries —
+# each re-checked against its DuckDB oracle every pytest run.
+
+
+def test_bloom_contamination_matches_oracle(spark, sf_dir):
+    _assert_matches_oracle(spark, sf_dir, "bloom_contamination")
+
+
+def test_small_quantity_revenue_matches_oracle(spark, sf_dir):
+    _assert_matches_oracle(spark, sf_dir, "small_quantity_revenue")
+
+
+def test_min_cost_supplier_matches_oracle(spark, sf_dir):
+    _assert_matches_oracle(spark, sf_dir, "min_cost_supplier")
