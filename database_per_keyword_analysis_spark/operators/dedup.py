@@ -35,6 +35,18 @@ N_BANDS = 4  # 4 bands × 3 rows; P(candidate | J=0.8) ≈ 0.94
 
 
 def fingerprint_col(text_col: str) -> F.Column:
+    """md5 of whitespace-normalized lowercase text — the repo's exact
+    content fingerprint, mirrored verbatim in every DuckDB oracle.
+
+    Whitespace convention (r10 note): this family keeps shorthand
+    ``\\s`` on BOTH engines, which agree except on \\x0B (vertical
+    tab, Java-only) — a latent class that never decides anything
+    beyond which of two byte-identical-modulo-\\x0B texts shares a
+    fingerprint.  Operators where the ASSIGNMENT itself is the
+    product (``curation.content_safe_split``'s train/eval membership)
+    use the explicit class ``[ \\t\\n\\f\\r]+`` instead (r9 advice
+    item 3); corpus ingestion normalizing control chars upstream
+    makes the two conventions identical."""
     return F.md5(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "))
 
 
