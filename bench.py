@@ -237,6 +237,10 @@ HEADLINE = [
     # candidate pass is an Arrow mapInPandas scan, pass 2 a
     # candidate-only broadcast join + agg)
     "event_heavy_hitters",
+    # round-10: streaming foreachBatch IVM (timed — 4 micro-batch
+    # folds + versioned swaps carry session cost the batch twin
+    # lacks; cache-keyed like the other ingest seams)
+    "stream_orders_mv_refresh",
 ]
 
 # Round-7 headline audit (round-6 judge item 5): every registered query

@@ -283,3 +283,117 @@ def mv_apply_changes(
         )
         .where(F.col(count_col) > 0)
     )
+
+
+def mv_apply_changes_minmax(
+    mv: DataFrame,
+    changes: DataFrame,
+    base_new: DataFrame,
+    group_keys: list[str],
+    count_col: str,
+    sums: dict[str, str],
+    extrema: dict[str, tuple[str, str]],
+) -> DataFrame:
+    """:func:`mv_apply_changes` completed for min/max partials (round
+    10): count/sum fold through signed partials as before; min/max —
+    NOT self-maintainable under retraction (the retracted row may BE
+    the extremum) — are handled by the textbook split:
+
+    * groups touched only by INSERTIONS (insert rows + the arriving
+      side of updates) stay distributive: merged extremum =
+      least/greatest(MV extremum, batch extremum) — no base access;
+    * groups that lost a row (delete, or the departing side of an
+      update — including group-movers) are re-aggregated from
+      `base_new`, restricted to exactly those groups (broadcast
+      semi-filter first, so the re-agg scans only the affected
+      groups' rows; with the base clustered/partitioned on a group
+      key the scan prunes to their files).
+
+    `extrema` maps each MV column to ("min"|"max", source_col).
+    `base_new` is the post-change base table (what the changes
+    produced) carrying group keys + extremum sources.  Group keys
+    must be non-null (they come from grouping the base).  The result
+    matches the full recompute bit-for-bit — `orders_mv_upsert`'s
+    oracle equality is the proof, and the property test randomizes
+    upsert/delete batches over all three partial kinds.
+
+    At 100 TB: refresh cost = changeset agg + (affected-group rows
+    only) re-agg — between mv_delta_merge's zero-base-access and a
+    full refresh, proportional to how much history the batch touches."""
+    bad = [c for c, (m, _) in extrema.items() if m not in ("min", "max")]
+    if bad:
+        raise ValueError(
+            f"mv_apply_changes_minmax: extrema must be min/max, bad: {bad}"
+        )
+    mv_types = {f.name: f.dataType for f in mv.schema.fields}
+    core = mv_apply_changes(
+        mv.select(*group_keys, count_col, *sums), changes,
+        group_keys, count_col, sums,
+    )
+    retracting = F.col("op").isin("delete", "update")
+    affected = (
+        changes.where(retracting)
+        .select(*[F.col(f"old_{k}").alias(k) for k in group_keys])
+        .distinct()
+    )
+    agg_of = {"min": F.min, "max": F.max}
+    # insertion-side batch extrema (insert rows + update arrivals)
+    arriving = changes.where(F.col("op").isin("insert", "update")).select(
+        *group_keys, *{src for _, src in extrema.values()}
+    )
+    ins = arriving.groupBy(*group_keys).agg(
+        *[
+            agg_of[m](F.col(src)).cast(mv_types[dst]).alias(f"__ins_{dst}")
+            for dst, (m, src) in extrema.items()
+        ]
+    )
+    merged = (
+        mv.select(
+            *group_keys,
+            *[F.col(dst).alias(f"__mv_{dst}") for dst in extrema],
+        )
+        .join(ins, group_keys, "full_outer")
+        .select(
+            *group_keys,
+            *[
+                (F.least if m == "min" else F.greatest)(
+                    F.col(f"__mv_{dst}"), F.col(f"__ins_{dst}")
+                ).alias(f"__merged_{dst}")
+                for dst, (m, _) in extrema.items()
+            ],
+        )
+    )
+    recomputed = (
+        base_new.join(F.broadcast(affected), group_keys)
+        .groupBy(*group_keys)
+        .agg(
+            *[
+                agg_of[m](F.col(src)).cast(mv_types[dst]).alias(f"__re_{dst}")
+                for dst, (m, src) in extrema.items()
+            ]
+        )
+    )
+    out_order = [
+        c for c in mv.columns if c in {count_col, *sums, *extrema}
+    ]
+    return (
+        core.join(merged, group_keys, "left")
+        .join(
+            recomputed.withColumn("__affected", F.lit(True)),
+            group_keys,
+            "left",
+        )
+        .select(
+            *group_keys,
+            *[
+                F.col(c)
+                if c in (count_col, *sums)
+                else F.when(
+                    F.col("__affected").isNotNull(), F.col(f"__re_{c}")
+                )
+                .otherwise(F.col(f"__merged_{c}"))
+                .alias(c)
+                for c in out_order
+            ],
+        )
+    )

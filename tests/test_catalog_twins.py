@@ -928,3 +928,7 @@ def test_small_quantity_revenue_matches_oracle(spark, sf_dir):
 
 def test_min_cost_supplier_matches_oracle(spark, sf_dir):
     _assert_matches_oracle(spark, sf_dir, "min_cost_supplier")
+
+
+def test_important_parts_matches_oracle(spark, sf_dir):
+    _assert_matches_oracle(spark, sf_dir, "important_parts")

@@ -199,3 +199,81 @@ def test_table_diff_include_old_carries_retraction_values(spark):
         "delete", None, "c", 7.0,
     )
     assert (got[4].op, got[4].g, got[4].old_g) == ("insert", "d", None)
+
+
+def test_mv_apply_changes_minmax_equals_full_recompute(spark):
+    """Round-10 min/max retraction contract: for seeded random
+    upsert/delete batches (group-movers included), the split
+    maintenance — signed count/sum + distributive insert-merge +
+    affected-group re-aggregation — matches the full recompute over
+    the new version for ALL partials, including groups whose extremum
+    was the retracted row and brand-new groups."""
+    import datetime as dt
+    import random
+
+    from database_per_keyword_analysis_spark.operators import merge as M
+    from database_per_keyword_analysis_spark.operators import rollup as RU
+
+    schema = "id long, g string, amt double, d date"
+
+    def partials(df):
+        return df.groupBy("g").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("amt").cast("decimal(18,6)")).alias("s"),
+            F.min("d").alias("lo"),
+            F.max("d").alias("hi"),
+        )
+
+    rng = random.Random(515)
+    for trial in range(3):
+        old_rows = [
+            (
+                i,
+                f"g{rng.randrange(4)}",
+                round(rng.uniform(1, 100), 2),
+                dt.date(2024, 1, 1) + dt.timedelta(days=rng.randrange(300)),
+            )
+            for i in range(40)
+        ]
+        new_rows = []
+        next_id = 1000
+        for (i, g, amt, d) in old_rows:
+            r = rng.random()
+            if r < 0.3:
+                continue  # delete (often retracting a group extremum)
+            if r < 0.5:
+                g2 = f"g{rng.randrange(4)}" if r < 0.4 else g
+                new_rows.append(
+                    (i, g2, round(amt + rng.uniform(-50, 50), 2),
+                     d + dt.timedelta(days=rng.randrange(-40, 40)))
+                )
+            else:
+                new_rows.append((i, g, amt, d))
+        for _ in range(rng.randrange(8)):
+            new_rows.append(
+                (next_id, f"g{rng.randrange(5)}",
+                 round(rng.uniform(1, 100), 2),
+                 dt.date(2024, 6, 1) + dt.timedelta(days=rng.randrange(100)))
+            )
+            next_id += 1
+        old = spark.createDataFrame(old_rows, schema)
+        new = spark.createDataFrame(new_rows or [(0, "g0", 1.0, dt.date(2024, 1, 1))], schema)
+        changes = M.table_diff(old, new, ["id"], include_old=True)
+        got = RU.mv_apply_changes_minmax(
+            partials(old), changes, new, ["g"], "n", {"s": "amt"},
+            {"lo": ("min", "d"), "hi": ("max", "d")},
+        )
+        want = sorted(tuple(r) for r in partials(new).collect())
+        assert sorted(tuple(r) for r in got.collect()) == want, f"trial {trial}"
+
+
+def test_mv_apply_changes_minmax_rejects_bad_extrema(spark):
+    import pytest as _pytest
+
+    from database_per_keyword_analysis_spark.operators import rollup as RU
+
+    mv = spark.createDataFrame([("a", 1, 1.0)], "g string, n long, lo double")
+    with _pytest.raises(ValueError, match="min/max"):
+        RU.mv_apply_changes_minmax(
+            mv, mv, mv, ["g"], "n", {}, {"lo": ("avg", "x")}
+        )

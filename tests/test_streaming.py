@@ -774,3 +774,107 @@ def test_stream_pit_dimension_rewrite_contract(spark, tmp_path):
     q2.processAllAvailable()
     q2.stop()
     assert sink_rows() == {(10, "bronze"), (11, "gold")}
+
+
+def test_mv_refresh_batch_idempotent_and_crash_safe(spark, tmp_path):
+    """Round-10 streaming IVM contracts: a retried batch id is a
+    no-op (the applied-batch watermark rides inside the swapped dir);
+    a leftover staging dir from a crash BEFORE the swap is healed and
+    the batch re-applies; a crash mid-swap (current renamed aside)
+    rolls back mechanically and the fold still lands exactly once."""
+    import json
+    import os
+    import shutil
+
+    from database_per_keyword_analysis_spark.streaming import ingest as ING
+
+    mv_path = str(tmp_path / "mv")
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 5.0), (3, "b", 7.0)], "id long, g string, amt double"
+    )
+
+    def partials(df):
+        return df.groupBy("g").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("amt").cast("decimal(18,6)")).alias("s"),
+        )
+
+    ING.seed_mv(partials(base), mv_path)
+    changes = spark.createDataFrame(
+        [(4, "insert", "b", 3.0, None, None), (1, "delete", None, None, "a", 10.0)],
+        "id long, op string, g string, amt double, old_g string, old_amt double",
+    )
+    ING.refresh_mv_batch(changes, mv_path, ["g"], "n", {"s": "amt"}, batch_id=0)
+    want = [("a", 1, 5.0), ("b", 2, 10.0)]
+
+    def state():
+        return sorted(
+            (r.g, r.n, float(r.s))
+            for r in ING.read_mv(spark, mv_path).collect()
+        )
+
+    assert state() == want
+    # retried batch id: no-op (would double-apply otherwise)
+    ING.refresh_mv_batch(changes, mv_path, ["g"], "n", {"s": "amt"}, batch_id=0)
+    assert state() == want
+    # crash BEFORE swap: a stale complete staging dir must be healed,
+    # then the new batch applies once
+    cur = os.path.join(mv_path, "current")
+    shutil.copytree(cur, cur + "__tmp")
+    changes2 = spark.createDataFrame(
+        [(5, "insert", "a", 2.0, None, None)],
+        "id long, op string, g string, amt double, old_g string, old_amt double",
+    )
+    ING.refresh_mv_batch(changes2, mv_path, ["g"], "n", {"s": "amt"}, batch_id=1)
+    want2 = [("a", 2, 7.0), ("b", 2, 10.0)]
+    assert state() == want2
+    # crash MID-swap: current renamed aside (trash survives, path
+    # missing) — read_mv heals it and the state is intact
+    os.rename(cur, cur + "__trash")
+    assert state() == want2
+    assert json.load(open(os.path.join(cur, "_mv_state.json")))["last_batch"] == 1
+
+
+def test_stream_mv_refresh_is_batch_split_independent(spark, tmp_path):
+    """Signed partials are additive and change rows self-contained, so
+    the drained MV is identical whether the changeset arrives as one
+    batch or four — the property that makes streaming refresh equal
+    the batch IVM result."""
+    import os
+
+    from database_per_keyword_analysis_spark.operators import merge as M
+    from database_per_keyword_analysis_spark.streaming import ingest as ING
+
+    old = spark.createDataFrame(
+        [(i, f"g{i % 3}", float(i)) for i in range(30)], "id long, g string, amt double"
+    )
+    new = spark.createDataFrame(
+        [(i, f"g{(i + 1) % 3}" if i % 5 == 0 else f"g{i % 3}", float(i) + (10.0 if i % 4 == 0 else 0.0))
+         for i in range(3, 36)],
+        "id long, g string, amt double",
+    )
+
+    def partials(df):
+        return df.groupBy("g").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("amt").cast("decimal(18,6)")).alias("s"),
+        )
+
+    changes = M.table_diff(old, new, ["id"], include_old=True)
+    want = sorted(tuple(r) for r in partials(new).collect())
+    for n_files, tag in ((1, "one"), (4, "four")):
+        root = str(tmp_path / tag)
+        src = os.path.join(root, "src")
+        mv_path = os.path.join(root, "mv")
+        ING.seed_mv(partials(old), mv_path)
+        changes.repartition(n_files).write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        ING.run_streaming_mv_refresh(
+            stream, mv_path, os.path.join(root, "ckpt"), ["g"], "n", {"s": "amt"}
+        )
+        got = sorted(tuple(r) for r in ING.read_mv(spark, mv_path).collect())
+        assert got == want, tag
