@@ -325,6 +325,15 @@ def mv_apply_changes_minmax(
         raise ValueError(
             f"mv_apply_changes_minmax: extrema must be min/max, bad: {bad}"
         )
+    # three consumers read the changeset (signed fold / affected set /
+    # arriving extrema); when it is a live plan (e.g. a table_diff —
+    # one full-outer join per evaluation) that would recompute the
+    # diff three times, so persist it once: the changeset is
+    # batch-scale (the day's CDC volume), never base-scale — the same
+    # materialize-the-small-side call as graph.py's edge persist
+    from pyspark import StorageLevel
+
+    changes = changes.persist(StorageLevel.MEMORY_AND_DISK)
     mv_types = {f.name: f.dataType for f in mv.schema.fields}
     core = mv_apply_changes(
         mv.select(*group_keys, count_col, *sums), changes,
