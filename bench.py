@@ -241,6 +241,10 @@ HEADLINE = [
     # folds + versioned swaps carry session cost the batch twin
     # lacks; cache-keyed like the other ingest seams)
     "stream_orders_mv_refresh",
+    # round-10: ingest near-dup dedup (timed — batch banding + the
+    # persisted-index probe join + candidate-bounded verify; the
+    # index build is cache-keyed like the other ingest seams)
+    "incremental_near_dup_ingest",
 ]
 
 # Round-7 headline audit (round-6 judge item 5): every registered query

@@ -523,6 +523,12 @@ _DEFERRED_TWINS = {
     #   taken by stream_orders_mv_refresh (NOVEL r10: streaming
     #   foreachBatch IVM with the exactly-once swapped watermark,
     #   hash-proven equal to the batch refresh and the full recompute)
+    "knn_eval_metrics",  # green r7-r9 (three passes); rank-metric
+    #   aggregation (recall/MRR/nDCG); hybrid_search_rrf keeps the
+    #   ranked-retrieval family in-window; NEW differential below —
+    #   slot taken by incremental_near_dup_ingest (NOVEL r10: ingest
+    #   near-dup dedup probing the persisted LSH band index,
+    #   hash-proven equal to the full corpus∪batch re-run)
 }
 
 
@@ -7191,3 +7197,50 @@ def q_stream_orders_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+@register(
+    "incremental_near_dup_ingest",
+    # the oracle re-runs the FULL minhash pipeline over corpus ∪ batch
+    # and keeps the pairs touching the batch; the Spark side finds the
+    # same pairs by probing the PERSISTED corpus band index with only
+    # the batch's keys — hash equality proves the incremental
+    # candidate set coincides band-for-band with the full re-run's
+    "WITH p AS (" + _minhash_sql() + ") "
+    "SELECT doc_a, doc_b, jaccard FROM p "
+    "WHERE doc_a % 3 = 0 OR doc_b % 3 = 0 ORDER BY doc_a, doc_b",
+)
+def q_incremental_near_dup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup dedup AT INGEST
+    (operators/dedup.py:incremental_near_dups over
+    build_minhash_band_index): the corpus (doc_id %3 ≠ 0) has its LSH
+    band keys persisted once; the arriving batch (%3 == 0) finds
+    every ≥0.8-Jaccard pair it participates in — against the corpus
+    AND within itself — by probing that index, with exact verify over
+    the candidate partners only.  The corpus is never re-signed and
+    its text is touched only for candidate partners; per-batch cost
+    tracks the BATCH, the posture a continuously-ingesting pipeline
+    needs (the exact tier's incremental_exact_dedup / the zone map's
+    zone_map_append, applied to the near-dup family).  NOVEL round-10
+    machinery → in-window at birth; knn_eval_metrics (green r7-r9)
+    rotated out with a differential."""
+    import hashlib
+    import os
+
+    from pyspark.sql import functions as F
+
+    df = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(df)
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{st.st_size}:{st.st_mtime_ns}".encode()
+    ).hexdigest()[:12]
+    index = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".cache", "lshindex", key, "bands",
+    )
+    docs = load(spark, sf_dir, "documents", parallel=True)
+    corpus = docs.where(F.col("doc_id") % 3 != 0)
+    batch = docs.where(F.col("doc_id") % 3 == 0)
+    if not os.path.isfile(os.path.join(index, "_SUCCESS")):
+        D.build_minhash_band_index(corpus, index)
+    return D.incremental_near_dups(batch, corpus, index, threshold=0.8)

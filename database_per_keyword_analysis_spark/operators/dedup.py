@@ -1612,3 +1612,137 @@ def edit_distance_pairs_complete(
         .where(F.col("edit_dist") <= max_ed)
         .orderBy("id_a", "id_b")
     )
+
+
+def build_minhash_band_index(
+    docs: DataFrame,
+    index_path: str,
+    text_col: str = "text",
+    n: int = 3,
+    n_seeds: int = N_SEEDS,
+    n_bands: int = N_BANDS,
+    unit: str = "word",
+    hasher: str = "md5",
+) -> None:
+    """Persist the corpus's LSH BAND keys — (band, key, doc_id) — as a
+    parquet index: the standing state an incremental ingest finds its
+    NEAR-dup candidates against, the banded analog of
+    :func:`build_fingerprint_index` (exact tier) and the same
+    never-re-scan posture as `sources/zonemap.zone_map_append`.
+    Size: docs × n_bands rows of (int, 32-char key, id) — metadata
+    scale next to the corpus.  Append a new batch's band rows after
+    ingest to keep it current (plain parquet append; duplicate band
+    rows from a retried batch are harmless — candidates are
+    DISTINCT'd at probe time)."""
+    sh = shingles(docs, text_col, n, unit)
+    sig = minhash_signatures(sh, n_seeds, hasher)
+    rows = n_seeds // n_bands
+    band_cols = []
+    for b in range(n_bands):
+        key = F.md5(
+            F.concat_ws("|", *[F.col(f"mh_{b * rows + r}") for r in range(rows)])
+        )
+        band_cols.append(F.struct(F.lit(b).alias("band"), key.alias("key")))
+    (
+        sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bk"))
+        .select(F.col("bk.band").alias("band"), F.col("bk.key").alias("key"), "doc_id")
+        .write.mode("overwrite")
+        .parquet(index_path)
+    )
+
+
+def incremental_near_dups(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    index_path: str,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    n_seeds: int = N_SEEDS,
+    n_bands: int = N_BANDS,
+    unit: str = "word",
+    hasher: str = "md5",
+) -> DataFrame:
+    """Near-dup dedup AT INGEST: every pair (doc_a, doc_b, jaccard ≥
+    threshold) INVOLVING the new batch — batch-vs-corpus and
+    batch-vs-batch — found WITHOUT re-banding or re-scanning the
+    corpus:
+
+    * candidates: the batch's band keys equi-join the persisted band
+      index (`build_minhash_band_index`; the batch side is small →
+      AQE broadcasts it) plus the batch's internal banding join;
+    * verify: exact Jaccard, with the corpus's shingle stream built
+      ONLY for candidate partners (one key-join pulls those docs —
+      candidate-bounded, prunable when the corpus is laid out by id).
+
+    Identical output to running the full `minhash_near_dups` over
+    corpus ∪ batch and keeping the pairs that touch the batch — the
+    candidate sets coincide band-for-band (the oracle equality of
+    `incremental_near_dup_ingest` is that proof).  Ids must be
+    disjoint across corpus and batch (ingest assigns new ids).
+
+    100 TB shape: per-batch cost = batch banding + one
+    index-equi-join + candidate-bounded verify; corpus text is
+    touched only for candidate partners, the corpus is never
+    re-signed.  This is THE dedup loop a continuously-ingesting
+    training-data pipeline runs."""
+    spark = new_docs.sparkSession
+    sh_b = shingles(new_docs, text_col, n, unit)
+    sig_b = minhash_signatures(sh_b, n_seeds, hasher)
+    rows = n_seeds // n_bands
+    band_cols = []
+    for b in range(n_bands):
+        key = F.md5(
+            F.concat_ws("|", *[F.col(f"mh_{b * rows + r}") for r in range(rows)])
+        )
+        band_cols.append(F.struct(F.lit(b).alias("band"), key.alias("key")))
+    bands_b = (
+        sig_b.select("doc_id", F.explode(F.array(*band_cols)).alias("bk"))
+        .select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    )
+    idx = spark.read.option("recursiveFileLookup", "true").parquet(index_path)
+    cross = (
+        bands_b.alias("nb")
+        .join(
+            idx.alias("ix"),
+            (F.col("nb.band") == F.col("ix.band"))
+            & (F.col("nb.key") == F.col("ix.key"))
+            & (F.col("nb.doc_id") != F.col("ix.doc_id")),
+        )
+        .select(
+            F.least(F.col("nb.doc_id"), F.col("ix.doc_id")).alias("doc_a"),
+            F.greatest(F.col("nb.doc_id"), F.col("ix.doc_id")).alias("doc_b"),
+        )
+    )
+    within = lsh_candidate_pairs(sig_b, n_seeds, n_bands)
+    cand = cross.unionByName(within).distinct()
+    # verify shingles: the batch's own stream plus ONLY the candidate
+    # corpus partners' stream (key-join, candidate-bounded)
+    partner_ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    corpus_needed = corpus_docs.join(F.broadcast(partner_ids), "doc_id")
+    sh_all = sh_b.unionByName(shingles(corpus_needed, text_col, n, unit))
+    sizes = sh_all.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh_all.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh_all.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            _jaccard(F.col("inter"), F.col("na"), F.col("nb")).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .orderBy("doc_a", "doc_b")
+    )

@@ -932,3 +932,7 @@ def test_min_cost_supplier_matches_oracle(spark, sf_dir):
 
 def test_important_parts_matches_oracle(spark, sf_dir):
     _assert_matches_oracle(spark, sf_dir, "important_parts")
+
+
+def test_knn_eval_metrics_matches_oracle(spark, sf_dir):
+    _assert_matches_oracle(spark, sf_dir, "knn_eval_metrics")

@@ -640,3 +640,79 @@ def test_edit_distance_pairs_complete_matches_brute_force(spark):
             for r in D.edit_distance_pairs_complete(df, "id", "name", k).collect()
         }
         assert got == brute(k), f"k={k}"
+
+
+def test_incremental_near_dups_equals_full_rerun(spark, tmp_path):
+    """Round-10 ingest near-dup contract: probing the persisted band
+    index with only the batch's keys yields EXACTLY the pairs the
+    full minhash pipeline over corpus ∪ batch finds that involve the
+    batch — both batch-vs-corpus and batch-vs-batch — and appending
+    the batch's bands keeps the index current for the next batch
+    (retried appends harmless: candidates are DISTINCT'd)."""
+    rows = []
+    # corpus: 30 distinct docs; batch: near-dups of some corpus docs,
+    # one batch-internal near-dup pair, and novel docs
+    for i in range(30):
+        rows.append((i * 2 + 1, " ".join(f"c{i}w{j}" for j in range(20))))
+    corpus_rows = list(rows)
+    batch_rows = [
+        # near-dup of corpus doc 1 (one word changed)
+        (100, " ".join(("cX" if j == 19 else f"c0w{j}") for j in range(20))),
+        # batch-internal near-dup pair
+        (102, " ".join(f"b1w{j}" for j in range(20))),
+        (104, " ".join(("bY" if j == 0 else f"b1w{j}") for j in range(20))),
+        # novel
+        (106, " ".join(f"n6w{j}" for j in range(20))),
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    batch = spark.createDataFrame(batch_rows, "doc_id long, text string")
+    idx = str(tmp_path / "bands")
+    D.build_minhash_band_index(corpus, idx, n_seeds=24, n_bands=12, hasher="xxhash64")
+    got = sorted(
+        (r.doc_a, r.doc_b, round(r.jaccard, 6))
+        for r in D.incremental_near_dups(
+            batch, corpus, idx, threshold=0.5, n_seeds=24, n_bands=12,
+            hasher="xxhash64",
+        ).collect()
+    )
+    full = D.minhash_near_dups(
+        corpus.unionByName(batch), threshold=0.5, n_seeds=24, n_bands=12,
+        hasher="xxhash64",
+    )
+    batch_ids = {r[0] for r in batch_rows}
+    want = sorted(
+        (r.doc_a, r.doc_b, round(r.jaccard, 6))
+        for r in full.collect()
+        if r.doc_a in batch_ids or r.doc_b in batch_ids
+    )
+    assert got == want
+    assert len(got) >= 2  # the planted cross pair + the internal pair
+    # append the batch's bands; a second batch near-dupping doc 100
+    # must now find it through the index
+    D.build_minhash_band_index(
+        batch, str(tmp_path / "delta"), n_seeds=24, n_bands=12,
+        hasher="xxhash64",
+    )
+    import shutil
+    for f in __import__("os").listdir(str(tmp_path / "delta")):
+        if f.endswith(".parquet"):
+            shutil.copy(
+                str(tmp_path / "delta" / f), str(tmp_path / "bands" / ("d_" + f))
+            )
+    batch2 = spark.createDataFrame(
+        [(200, " ".join(("cZ" if j == 3 else f"c0w{j}") for j in range(20)))],
+        "doc_id long, text string",
+    )
+    got2 = {
+        (r.doc_a, r.doc_b)
+        for r in D.incremental_near_dups(
+            batch2,
+            corpus.unionByName(batch),
+            idx,
+            threshold=0.5,
+            n_seeds=24,
+            n_bands=12,
+            hasher="xxhash64",
+        ).collect()
+    }
+    assert (100, 200) in got2 and (1, 200) in got2
