@@ -747,3 +747,13 @@ def test_heavy_hitters_recount_broadcasts_candidates(spark, sf_dir):
     plan = _plan(spark, sf_dir, "event_heavy_hitters")
     assert "BroadcastHashJoin" in plan, plan[:2000]
     assert "CartesianProduct" not in plan
+
+
+def test_mv_upsert_diff_is_one_cdc_join_no_cartesian(spark, sf_dir):
+    """orders_mv_upsert (r10): the CDC diff is a single co-partitioned
+    full-outer join (cached once for its three consumers); the fold is
+    equi-joins/aggregates only — no cartesian, no nested loop."""
+    plan = _plan(spark, sf_dir, "orders_mv_upsert")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "InMemoryTableScan" in plan  # the persisted changeset is reused
