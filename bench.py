@@ -245,6 +245,10 @@ HEADLINE = [
     # persisted-index probe join + candidate-bounded verify; the
     # index build is cache-keyed like the other ingest seams)
     "incremental_near_dup_ingest",
+    # round-10: dynamic partition pruning (timed — the broadcast-reuse
+    # pruning subquery + 2-of-5 partition-directory scan; layout
+    # cache-keyed like the other ingest seams)
+    "orders_dpp_pruned",
 ]
 
 # Round-7 headline audit (round-6 judge item 5): every registered query

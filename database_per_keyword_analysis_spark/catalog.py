@@ -529,6 +529,12 @@ _DEFERRED_TWINS = {
     #   slot taken by incremental_near_dup_ingest (NOVEL r10: ingest
     #   near-dup dedup probing the persisted LSH band index,
     #   hash-proven equal to the full corpus∪batch re-run)
+    "late_shipment_priority",  # green r7-r9 (three passes); Q12
+    #   conditional priority split; the TPC-H join-tree family keeps
+    #   nation_profit (Q9) and dominant_suppliers (Q20) in-window;
+    #   NEW differential below — slot taken by orders_dpp_pruned
+    #   (NOVEL r10: Catalyst dynamic partition pruning through a
+    #   partitioned layout, the runtime tier of the pruning ladder)
 }
 
 
@@ -7244,3 +7250,91 @@ def q_incremental_near_dup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame
     if not os.path.isfile(os.path.join(index, "_SUCCESS")):
         D.build_minhash_band_index(corpus, index)
     return D.incremental_near_dups(batch, corpus, index, threshold=0.8)
+
+
+@register(
+    "orders_dpp_pruned",
+    # the oracle is the plain dim-filtered join+aggregate; the Spark
+    # side answers it from a PRIORITY-PARTITIONED orders layout where
+    # Catalyst's dynamic partition pruning turns the dim filter into
+    # a runtime partition subquery — hash equality proves the pruned
+    # read loses no rows, the plan guard proves it actually prunes
+    "WITH d AS (SELECT DISTINCT o_orderpriority, CASE WHEN "
+    "substr(o_orderpriority, 1, 1) IN ('1', '2') THEN 'A' ELSE 'B' END "
+    "AS grp FROM orders) "
+    "SELECT o.o_orderpriority AS priority, "
+    "CAST(count(*) AS BIGINT) AS n_orders, "
+    "CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue "
+    "FROM orders o JOIN d ON o.o_orderpriority = d.o_orderpriority "
+    "WHERE d.grp = 'A' GROUP BY o.o_orderpriority ORDER BY priority",
+)
+def q_orders_dpp_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning (Catalyst, not hand-rolled): orders
+    persisted PARTITIONED BY the priority column; the query joins a
+    small dim table whose selective filter (grp = 'A' → 2 of 5
+    priorities) is only known at runtime, and Catalyst reuses the
+    dim's broadcast as a partition-pruning subquery on the fact scan
+    (`PartitionFilters: [dynamicpruning#...]`, pinned in
+    tests/test_plans.py) — the fact table reads 2 of 5 partition
+    directories without any literal predicate in the query text.
+    This is partition pruning's RUNTIME tier, complementing the
+    static month-partition pushdown (sources/jdbc.py, the reference's
+    main.py:240-306 pattern) and the zone map's file-stats tier:
+    directory pruning decided by a join, THE star-schema scan-cost
+    lever at 100 TB.  Layout cache-keyed like the other ingest
+    seams (staged build + atomic rename, crash-safe).  NOVEL
+    round-10 machinery → in-window at birth; late_shipment_priority
+    (green r7-r9) rotated out with a differential."""
+    import hashlib
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    src_file = os.path.join(sf_dir, "orders.parquet")
+    st = os.stat(src_file)
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{st.st_size}:{st.st_mtime_ns}".encode()
+    ).hexdigest()[:12]
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".cache", "dpp", key,
+    )
+    tbl = os.path.join(base, "orders_by_priority")
+    dimp = os.path.join(base, "priority_dim")
+    if not os.path.isfile(os.path.join(base, "_BUILT")):
+        shutil.rmtree(base, ignore_errors=True)
+        tmp = base + ".building"
+        shutil.rmtree(tmp, ignore_errors=True)
+        orders = load(spark, sf_dir, "orders")
+        orders.select(
+            "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+        ).write.partitionBy("o_orderpriority").mode("overwrite").parquet(
+            os.path.join(tmp, "orders_by_priority")
+        )
+        orders.select("o_orderpriority").distinct().select(
+            "o_orderpriority",
+            F.when(
+                F.substring("o_orderpriority", 1, 1).isin("1", "2"), F.lit("A")
+            )
+            .otherwise(F.lit("B"))
+            .alias("grp"),
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(tmp, "priority_dim")
+        )
+        with open(os.path.join(tmp, "_BUILT"), "w") as f:
+            f.write("ok")
+        os.rename(tmp, base)
+    facts = spark.read.parquet(tbl)
+    dim = spark.read.parquet(dimp).where(F.col("grp") == "A")
+    return (
+        facts.join(dim, "o_orderpriority")
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("priority")
+    )

@@ -936,3 +936,7 @@ def test_important_parts_matches_oracle(spark, sf_dir):
 
 def test_knn_eval_metrics_matches_oracle(spark, sf_dir):
     _assert_matches_oracle(spark, sf_dir, "knn_eval_metrics")
+
+
+def test_late_shipment_priority_matches_oracle(spark, sf_dir):
+    _assert_matches_oracle(spark, sf_dir, "late_shipment_priority")

@@ -757,3 +757,33 @@ def test_mv_upsert_diff_is_one_cdc_join_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "InMemoryTableScan" in plan  # the persisted changeset is reused
+
+
+def test_dpp_query_prunes_partitions_at_runtime(spark, sf_dir):
+    """orders_dpp_pruned (r10): the fact scan carries a
+    dynamicpruningexpression PartitionFilter — Catalyst turned the
+    dim's runtime filter into directory pruning (partition filters
+    are applied before split listing at execution, so the expression
+    IS the pruning).  Differential: with the optimizer rule disabled
+    the same query plans WITHOUT it, proving the expression comes
+    from DPP and not from a static predicate.  (inputFiles() reflects
+    the pre-execution listing, so the runtime proof is the plan
+    differential, not a file-list diff.)"""
+    from database_per_keyword_analysis_spark import catalog
+
+    df = catalog.queries()["orders_dpp_pruned"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" in plan, plan[:2000]
+    rows = [tuple(r) for r in df.collect()]
+    assert len(rows) == 2  # grp='A' covers the 1-URGENT/2-HIGH groups
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "false")
+    try:
+        df_off = catalog.queries()["orders_dpp_pruned"](spark, sf_dir)
+        plan_off = df_off._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruningexpression" not in plan_off
+        # same answer either way — pruning is a cost lever, not semantics
+        assert [tuple(r) for r in df_off.collect()] == rows
+    finally:
+        spark.conf.set(
+            "spark.sql.optimizer.dynamicPartitionPruning.enabled", "true"
+        )
