@@ -249,6 +249,11 @@ HEADLINE = [
     # pruning subquery + 2-of-5 partition-directory scan; layout
     # cache-keyed like the other ingest seams)
     "orders_dpp_pruned",
+    # round-10 continuation: complete-recall prefix-filtered exact
+    # Jaccard join (timed — df count + rarest-first prefix self-join +
+    # candidate-bounded array_intersect verify; the exact scale tier
+    # between brute force and MinHash)
+    "doc_pairs_complete_jaccard",
 ]
 
 # Round-7 headline audit (round-6 judge item 5): every registered query

@@ -535,6 +535,14 @@ _DEFERRED_TWINS = {
     #   NEW differential below — slot taken by orders_dpp_pruned
     #   (NOVEL r10: Catalyst dynamic partition pruning through a
     #   partitioned layout, the runtime tier of the pruning ladder)
+    # round-10 third batch (continuation session):
+    "kneser_ney_scores",  # green r8-r9 (two passes); bigram KN tier —
+    #   kneser_ney3_scores (its strict-superset trigram machinery:
+    #   same explode/tf pass + one more count-table level) stays
+    #   in-window; NEW differential below — slot taken by
+    #   doc_pairs_complete_jaccard (NOVEL r10: complete-recall
+    #   prefix-filtered exact Jaccard join, hash-proven vs the
+    #   brute-force oracle)
 }
 
 
@@ -7337,4 +7345,40 @@ def q_orders_dpp_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue"),
         )
         .orderBy("priority")
+    )
+
+
+@register(
+    "doc_pairs_complete_jaccard",
+    # the oracle IS the brute-force all-pairs tier (every pair sharing
+    # ANY shingle — complete for any threshold > 0), so hash equality
+    # proves the prefix filter missed no pair
+    f"WITH {_DUCK_SHINGLES}, "
+    + _DUCK_JACCARD_TAIL.format(
+        inter_sql=(
+            "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c "
+            "FROM sh a JOIN sh b ON a.shingle = b.shingle "
+            "AND a.doc_id < b.doc_id GROUP BY 1, 2"
+        ),
+        thr="0.8",
+    ),
+)
+def q_doc_pairs_complete_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPLETE-recall exact Jaccard near-dup join via prefix filtering
+    (operators/dedup.py:jaccard_pairs_complete; Chaudhuri et al.
+    ICDE'06, Bayardo et al. WWW'07, Xiao et al. WWW'08): the exact
+    SCALE tier between the size-gated brute force (jaccard_near_dups)
+    and the approximate LSH tier (minhash_near_dups) — candidates are
+    pairs sharing a shingle among each doc's rarest-first prefix of
+    length |x| - ceil(t|x|) + 1, provably a superset of all pairs with
+    J >= t, then exact-verified.  The ORACLE is the brute force
+    itself, so the driver's hash equality is the completeness proof
+    (the customer_pairs_complete_ed pattern applied to set
+    similarity).  No global rank: the df total order is realized
+    per-doc by array_sort, keeping the plan all hash-partitioned
+    joins.  NOVEL round-10 machinery → in-window at birth;
+    kneser_ney_scores (green r8-r9) rotated out with a NEW
+    differential."""
+    return D.jaccard_pairs_complete(
+        load(spark, sf_dir, "documents", parallel=True), threshold=0.8
     )

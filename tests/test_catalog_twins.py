@@ -798,7 +798,10 @@ def test_events_skew_report_matches_oracle(spark, sf_dir):
 
 def test_kneser_ney_scores_matches_oracle(spark, sf_dir):
     # round-7 deferral at birth (machinery twin): bigram_lm_scores'
-    # explode + per-doc tf pass with the KN type-table smoothing on top
+    # explode + per-doc tf pass with the KN type-table smoothing on
+    # top.  Promoted r8 for its first driver check (green r8-r9),
+    # demoted again in the r10 continuation for
+    # doc_pairs_complete_jaccard — this differential resumes duty.
     _assert_matches_oracle(spark, sf_dir, "kneser_ney_scores")
 
 

@@ -787,3 +787,17 @@ def test_dpp_query_prunes_partitions_at_runtime(spark, sf_dir):
         spark.conf.set(
             "spark.sql.optimizer.dynamicPartitionPruning.enabled", "true"
         )
+
+
+def test_complete_jaccard_join_is_prefix_equi_join(spark, sf_dir):
+    """doc_pairs_complete_jaccard (r10): candidates come from an
+    equi-join on prefix shingles — NEVER all-pairs (the all-pairs form
+    exists only as the DuckDB oracle), and no global window/rank node
+    (the df total order is realized per-doc by array_sort)."""
+    plan = _plan(spark, sf_dir, "doc_pairs_complete_jaccard")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+        "BroadcastHashJoin" in plan
+    )
+    assert "Window" not in plan
