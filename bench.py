@@ -254,6 +254,10 @@ HEADLINE = [
     # candidate-bounded array_intersect verify; the exact scale tier
     # between brute force and MinHash)
     "doc_pairs_complete_jaccard",
+    # round-10 continuation: runtime Bloom-filter row pruning (timed —
+    # dim-side bloom_filter_agg + fact-scan might_contain probe, the
+    # row-level rung of the pruning ladder; eager under run_with_confs)
+    "lineitem_bloom_join",
 ]
 
 # Round-7 headline audit (round-6 judge item 5): every registered query

@@ -543,6 +543,12 @@ _DEFERRED_TWINS = {
     #   doc_pairs_complete_jaccard (NOVEL r10: complete-recall
     #   prefix-filtered exact Jaccard join, hash-proven vs the
     #   brute-force oracle)
+    "ivf_knn_frozen",  # green r8-r9 (two passes); frozen-centroid IVF
+    #   probe — pq_knn_frozen (same frozen-quantizer assign + the PQ/ADC
+    #   serving layer on top) keeps the family in-window; NEW
+    #   differential below — slot taken by lineitem_bloom_join (NOVEL
+    #   r10: runtime Bloom-filter row pruning, the row-level rung of
+    #   the pruning ladder)
 }
 
 
@@ -7382,3 +7388,61 @@ def q_doc_pairs_complete_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.jaccard_pairs_complete(
         load(spark, sf_dir, "documents", parallel=True), threshold=0.8
     )
+
+
+@register(
+    "lineitem_bloom_join",
+    "SELECT p_brand, CAST(count(*) AS BIGINT) AS n_items, "
+    "CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) "
+    "AS DOUBLE) AS revenue "
+    "FROM lineitem JOIN part ON l_partkey = p_partkey "
+    "WHERE p_type = 'PROMO' "
+    "GROUP BY p_brand ORDER BY p_brand",
+)
+def q_lineitem_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime Bloom-filter row pruning (operators/scale.py:
+    run_with_confs + RUNTIME_BLOOM_CONFS; Catalyst InjectRuntimeFilter
+    — the Bloom-join semi-join reduction of Mackert & Lohman
+    SIGMOD'86): revenue by PROMO part type where the selective dim
+    filter's keys are folded into a bloom_filter_agg, broadcast, and
+    applied as a might_contain predicate on the lineitem SCAN — fact
+    rows that cannot join die before the shuffle.  The ROW-level rung
+    of the pruning ladder (static partition pushdown → zone-map file
+    stats → runtime DPP → this), and the only rung that works when the
+    fact table is not partitioned/clustered by the join key.  Bloom
+    FPs only ADD rows the join then drops, so exactness is
+    unconditional — the plain-join oracle's hash equality proves it.
+    At 100 TB the default thresholds fire on their own; at fixture
+    scale the same plan shape needs the floors lowered for this one
+    bounded job (run_with_confs materializes eagerly and restores
+    every conf — nothing leaks into later queries).  NOVEL round-10
+    machinery → in-window at birth; ivf_knn_frozen (green r8-r9)
+    rotated out with a NEW differential."""
+    from pyspark.sql import functions as F
+
+    from .operators import scale as SC
+
+    li = load(spark, sf_dir, "lineitem", parallel=True)
+    part = load(spark, sf_dir, "part", parallel=True)
+
+    def build():
+        dim = part.where(F.col("p_type") == "PROMO").select(
+            "p_partkey", "p_brand"
+        )
+        return (
+            li.join(dim, li.l_partkey == dim.p_partkey)
+            .groupBy("p_brand")
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                F.sum(
+                    (
+                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    ).cast("decimal(38,6)")
+                )
+                .cast("double")
+                .alias("revenue"),
+            )
+            .orderBy("p_brand")
+        )
+
+    return SC.run_with_confs(spark, SC.RUNTIME_BLOOM_CONFS, build)

@@ -751,3 +751,47 @@ def heavy_hitters_exact(
         )
         .orderBy(F.desc("n_rows"), *key_cols)
     )
+
+
+# -- runtime Bloom-filter join pruning (the row-level pruning tier) -----
+
+RUNTIME_BLOOM_CONFS = {
+    # the thresholds that gate Catalyst's InjectRuntimeFilter rule.  At
+    # the 100 TB tier the DEFAULTS fire on their own (application side
+    # >> 10 GB, dim side past broadcast size); at fixture scale every
+    # side is tiny and broadcastable, so exercising the SAME plan shape
+    # requires lowering the application-side floor and disabling the
+    # broadcast fast path for the one bounded job below.
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+
+def run_with_confs(spark, confs: dict[str, str], build) -> DataFrame:
+    """Execute `build()` eagerly under temporary SQL confs, restoring
+    every touched key afterwards.
+
+    Spark resolves SQLConf at EXECUTION, not DataFrame construction, so
+    a lazily returned plan would lose the confs the moment they are
+    restored; the eager localCheckpoint materializes the result while
+    they hold (the graph family's idiom), and the finally block
+    guarantees no conf leaks into the rest of the catalog — an unset
+    `autoBroadcastJoinThreshold` left behind would silently de-broadcast
+    every later join."""
+    saved: dict[str, str | None] = {}
+    for k, v in confs.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        return build().localCheckpoint(eager=True)
+    finally:
+        for k, old in saved.items():
+            if old is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, old)

@@ -771,7 +771,10 @@ def test_ivf_knn_frozen_matches_oracle(spark, sf_dir):
     # round-7 deferral at birth (machinery twin): frozen-quantizer IVF
     # serve path — corpus argmax from embedding_cluster_sample's
     # in-window machinery, decimal-cosine ranking from the chain
-    # knn_eval_metrics executes in-window
+    # knn_eval_metrics executes in-window.  Promoted r8 for its first
+    # driver check (green r8-r9), demoted again in the r10
+    # continuation for lineitem_bloom_join — this differential
+    # resumes duty.
     _assert_matches_oracle(spark, sf_dir, "ivf_knn_frozen")
 
 

@@ -801,3 +801,83 @@ def test_complete_jaccard_join_is_prefix_equi_join(spark, sf_dir):
         "BroadcastHashJoin" in plan
     )
     assert "Window" not in plan
+
+
+def test_bloom_join_injects_runtime_filter(spark, sf_dir):
+    """lineitem_bloom_join (r10): under RUNTIME_BLOOM_CONFS the
+    executed plan must carry the dim-side bloom_filter_agg AND the
+    fact-side might_contain probe (the row-level pruning rung); with
+    the rule disabled both vanish and the ANSWER is identical — Bloom
+    FPs only add rows the join drops."""
+    from pyspark.sql import functions as F
+
+    from database_per_keyword_analysis_spark.operators import scale as SC
+    from database_per_keyword_analysis_spark.sources import load
+
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+
+    def build():
+        dim = part.where(F.col("p_type") == "PROMO").select(
+            "p_partkey", "p_brand"
+        )
+        return (
+            li.join(dim, li.l_partkey == dim.p_partkey)
+            .groupBy("p_brand")
+            .agg(F.count(F.lit(1)).alias("n_items"))
+            .orderBy("p_brand")
+        )
+
+    saved = {}
+    for k, v in SC.RUNTIME_BLOOM_CONFS.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        df = build()
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan
+        with_bloom = sorted(tuple(r) for r in df.collect())
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled", "false"
+        )
+        df2 = build()
+        df2.collect()
+        plan2 = df2._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" not in plan2
+        assert sorted(tuple(r) for r in df2.collect()) == with_bloom
+    finally:
+        for k, old in saved.items():
+            if old is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, old)
+
+
+def test_run_with_confs_restores_even_on_error(spark):
+    """run_with_confs must restore every touched conf — including when
+    the build raises (an unrestored autoBroadcastJoinThreshold=-1
+    would silently de-broadcast every later catalog join)."""
+    import pytest
+
+    from database_per_keyword_analysis_spark.operators import scale as SC
+
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    before = spark.conf.get(key)
+
+    def boom():
+        raise RuntimeError("build failed")
+
+    with pytest.raises(RuntimeError):
+        SC.run_with_confs(spark, {key: "-1"}, boom)
+    assert spark.conf.get(key) == before
+    # and the happy path restores too
+    out = SC.run_with_confs(
+        spark, {key: "-1"}, lambda: spark.range(3).selectExpr("sum(id) AS s")
+    )
+    assert out.collect()[0].s == 3
+    assert spark.conf.get(key) == before
