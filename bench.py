@@ -258,6 +258,10 @@ HEADLINE = [
     # dim-side bloom_filter_agg + fact-scan might_contain probe, the
     # row-level rung of the pruning ladder; eager under run_with_confs)
     "lineitem_bloom_join",
+    # round-10 continuation: frontier BFS min-hop reachability (timed —
+    # K node-bounded frontier joins over the DISK_ONLY edge list; the
+    # recursive-CTE answer as a finite dataflow)
+    "purchase_reachability",
 ]
 
 # Round-7 headline audit (round-6 judge item 5): every registered query

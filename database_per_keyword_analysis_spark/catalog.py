@@ -549,6 +549,13 @@ _DEFERRED_TWINS = {
     #   differential below — slot taken by lineitem_bloom_join (NOVEL
     #   r10: runtime Bloom-filter row pruning, the row-level rung of
     #   the pruning ladder)
+    "purchase_graph_communities",  # green r8-r9 (two passes);
+    #   fixed-iteration label propagation — purchase_graph_pagerank
+    #   keeps the iterative-graph family (same edge build, same
+    #   posture auto-derivation, same per-round join+agg shape)
+    #   in-window; NEW differential below — slot taken by
+    #   purchase_reachability (NOVEL r10: frontier BFS min-hop
+    #   reachability, hash-proven vs DuckDB's recursive CTE)
 }
 
 
@@ -7446,3 +7453,74 @@ def q_lineitem_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return SC.run_with_confs(spark, SC.RUNTIME_BLOOM_CONFS, build)
+
+
+REACHABILITY_MAX_HOPS = 3
+REACHABILITY_SEED_NATION = "NATION_8"
+
+
+@register(
+    "purchase_reachability",
+    # the oracle is a genuine RECURSIVE CTE — the SQL construct Spark
+    # lacks — over the same undirected purchase graph; UNION (distinct)
+    # recursion keeps rows node x hop bounded and the final GROUP BY
+    # min(hops) is exactly what frontier BFS computes
+    "WITH RECURSIVE "
+    "e AS (SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src, "
+    "'s' || CAST(l_suppkey AS VARCHAR) AS dst "
+    "FROM orders JOIN lineitem ON o_orderkey = l_orderkey), "
+    "und AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e), "
+    "seeds AS (SELECT DISTINCT 'c' || CAST(c_custkey AS VARCHAR) AS node "
+    "FROM customer JOIN nation ON c_nationkey = n_nationkey "
+    f"WHERE n_name = '{REACHABILITY_SEED_NATION}'), "
+    "reach(node, hops) AS ("
+    "SELECT node, 0 FROM seeds "
+    "UNION "
+    "SELECT und.dst, r.hops + 1 FROM reach r "
+    f"JOIN und ON und.src = r.node WHERE r.hops < {REACHABILITY_MAX_HOPS}) "
+    "SELECT node, CAST(min(hops) AS BIGINT) AS hops FROM reach "
+    "GROUP BY node ORDER BY node",
+)
+def q_purchase_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-hop reachability (operators/graph.py:bfs_min_hops):
+    every node within 3 hops of NATION_8's customers in the undirected
+    customer–supplier purchase graph, at its minimum distance.  The
+    oracle is a genuine WITH RECURSIVE — the construct Spark lacks —
+    so the driver's hash equality proves the K-round frontier BFS
+    (edge probes per reachable NODE, never per path; the left_anti
+    keeps re-discoveries out of the frontier) computes exactly what
+    the recursive CTE's min-hops semantics define.  Completes the
+    iterative-graph family: pagerank = fixed-k value iteration,
+    label-prop = fixed-k mode iteration, BFS = converging frontier
+    with a result-neutral early exit.  NOVEL round-10 machinery →
+    in-window at birth; purchase_graph_communities (green r8-r9)
+    rotated out with a NEW differential."""
+    from pyspark.sql import functions as F
+
+    from .operators import graph as G
+
+    orders = load(spark, sf_dir, "orders", parallel=True)
+    lines = load(spark, sf_dir, "lineitem", parallel=True)
+    e = (
+        orders.join(lines, orders.o_orderkey == lines.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    und = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    seeds = (
+        load(spark, sf_dir, "customer", parallel=True)
+        .join(
+            load(spark, sf_dir, "nation"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .where(F.col("n_name") == REACHABILITY_SEED_NATION)
+        .select(
+            F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("node")
+        )
+    )
+    return G.bfs_min_hops(und, seeds, REACHABILITY_MAX_HOPS)

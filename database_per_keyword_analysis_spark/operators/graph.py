@@ -225,3 +225,76 @@ def label_propagation_fixed(
             .select(F.col("_v").alias("node"), "label")
         )
     return labels
+
+
+def bfs_min_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int,
+    src: str = "src",
+    dst: str = "dst",
+    broadcast_frontier: bool | None = None,
+) -> DataFrame:
+    """Minimum-hop reachability from a seed set: classic frontier BFS
+    as K bounded join rounds.  Returns (node, hops) for every node
+    within `max_hops` edges of any seed (seeds at hops 0, each node at
+    its MINIMUM distance — the GROUP BY min(hops) a recursive CTE
+    computes, which is why the catalog oracle can be DuckDB's WITH
+    RECURSIVE while Spark, which lacks recursive CTEs, runs this
+    finite dataflow; results are identical by construction).
+
+    Frontier discipline is what makes this 100 TB-shaped: iteration i
+    joins the edge list against ONLY the nodes first reached at i-1
+    (never the full visited set), and the left_anti against visited
+    keeps every node's SECOND discovery out of the frontier — so total
+    join work across all rounds is one edge-list probe per reachable
+    node, not per path (the path-count explosion a naive UNION ALL
+    recursion pays).  Early exit on an empty frontier is
+    result-neutral (BFS has converged; remaining rounds would add
+    nothing) and skips dead stages.  Frontier/visited tables are
+    node-bounded and localCheckpointed per round (the dedup-CC lineage
+    idiom); the edge list persists DISK_ONLY and is probed ≤ K times
+    (the pagerank_fixed posture).  `broadcast_frontier=None` derives
+    the posture from the measured node count like the other graph
+    operators — a frontier is at most node-sized, so the same
+    GRAPH_BROADCAST_MAX_NODES budget applies."""
+    from pyspark import StorageLevel
+
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .persist(StorageLevel.DISK_ONLY)
+    )
+    if broadcast_frontier is None:
+        n_nodes = (
+            e.select(F.col("src").alias("node"))
+            .unionByName(e.select(F.col("dst").alias("node")))
+            .distinct()
+            .count()
+        )
+        broadcast_frontier = n_nodes <= GRAPH_BROADCAST_MAX_NODES
+
+    def posture(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if broadcast_frontier else df
+
+    visited = (
+        seeds.select("node")
+        .distinct()
+        .select("node", F.lit(0).cast("long").alias("hops"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited.select("node")
+    for i in range(1, max_hops + 1):
+        nxt = (
+            e.join(posture(frontier.withColumnRenamed("node", "src")), "src")
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(posture(visited.select("node")), "node", "left_anti")
+            .select("node", F.lit(i).cast("long").alias("hops"))
+            .localCheckpoint(eager=True)
+        )
+        if not nxt.take(1):
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("node")
+    return visited.orderBy("node")

@@ -946,3 +946,11 @@ def test_knn_eval_metrics_matches_oracle(spark, sf_dir):
 
 def test_late_shipment_priority_matches_oracle(spark, sf_dir):
     _assert_matches_oracle(spark, sf_dir, "late_shipment_priority")
+
+
+def test_purchase_graph_communities_matches_oracle(spark, sf_dir):
+    # r10 continuation demotion: fixed-iteration label propagation
+    # (green r8-r9) rotated out for purchase_reachability;
+    # purchase_graph_pagerank keeps the iterative-graph family
+    # in-window
+    _assert_matches_oracle(spark, sf_dir, "purchase_graph_communities")

@@ -113,3 +113,53 @@ def test_label_propagation_auto_posture_matches_across_postures(spark):
     a = sorted((r.node, r.label) for r in auto.collect())
     b = sorted((r.node, r.label) for r in shuffled.collect())
     assert a == b
+
+
+def test_bfs_min_hops_contracts(spark):
+    """r10 BFS contracts: seeds at 0, every node at its MINIMUM
+    distance even when a longer path exists, unreachable components
+    absent, the max_hops bound enforced, seeds outside the graph kept
+    at 0, and early exit (frontier drains before max_hops) result-
+    neutral."""
+    # a -> b -> c -> d plus shortcut a -> c; island x -> y
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"), ("x", "y")],
+        "src string, dst string",
+    )
+    seeds = spark.createDataFrame([("a",), ("ghost",)], "node string")
+    got = {
+        (r.node, r.hops)
+        for r in G.bfs_min_hops(edges, seeds, 2).collect()
+    }
+    assert got == {("a", 0), ("ghost", 0), ("b", 1), ("c", 1), ("d", 2)}
+    # max_hops=1 cuts d; max_hops=10 early-exits after the graph drains
+    got1 = {(r.node, r.hops) for r in G.bfs_min_hops(edges, seeds, 1).collect()}
+    assert got1 == {("a", 0), ("ghost", 0), ("b", 1), ("c", 1)}
+    got10 = {(r.node, r.hops) for r in G.bfs_min_hops(edges, seeds, 10).collect()}
+    assert got10 == got
+    # cycle safety: BFS terminates and keeps first-discovery hops
+    cyc = spark.createDataFrame([("a", "b"), ("b", "a")], "src string, dst string")
+    s = spark.createDataFrame([("a",)], "node string")
+    assert {(r.node, r.hops) for r in G.bfs_min_hops(cyc, s, 5).collect()} == {
+        ("a", 0),
+        ("b", 1),
+    }
+
+
+def test_bfs_min_hops_posture_equality(spark):
+    """Auto-derived broadcast posture vs forced shuffle posture are
+    result-identical (the graph-family posture contract)."""
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "src string, dst string"
+    )
+    seeds = spark.createDataFrame([("a",)], "node string")
+    auto = sorted(
+        (r.node, r.hops) for r in G.bfs_min_hops(edges, seeds, 3).collect()
+    )
+    forced = sorted(
+        (r.node, r.hops)
+        for r in G.bfs_min_hops(
+            edges, seeds, 3, broadcast_frontier=False
+        ).collect()
+    )
+    assert auto == forced
