@@ -262,6 +262,10 @@ HEADLINE = [
     # K node-bounded frontier joins over the DISK_ONLY edge list; the
     # recursive-CTE answer as a finite dataflow)
     "purchase_reachability",
+    # round-10 continuation: A-priori frequent pairs + lift (timed —
+    # item-support prune, basket-keyed pair self-join, key-cardinality
+    # lift joins)
+    "copurchase_lift",
 ]
 
 # Round-7 headline audit (round-6 judge item 5): every registered query

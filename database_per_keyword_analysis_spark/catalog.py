@@ -556,6 +556,12 @@ _DEFERRED_TWINS = {
     #   in-window; NEW differential below — slot taken by
     #   purchase_reachability (NOVEL r10: frontier BFS min-hop
     #   reachability, hash-proven vs DuckDB's recursive CTE)
+    "events_skew_report",  # green r8-r9 (two passes); pre-shuffle key
+    #   skew diagnostic — join_strategy_decisions (the control loop
+    #   that CONSUMES such diagnostics) and order_join_size_report
+    #   keep the planning-diagnostics family in-window; its r7-era
+    #   differential resumes duty — slot taken by copurchase_lift
+    #   (NOVEL r10: A-priori frequent-pair mining with lift)
 }
 
 
@@ -7524,3 +7530,46 @@ def q_purchase_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return G.bfs_min_hops(und, seeds, REACHABILITY_MAX_HOPS)
+
+
+COPURCHASE_MIN_SUPPORT = 3
+
+
+@register(
+    "copurchase_lift",
+    "WITH items AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item "
+    "FROM lineitem), "
+    "nb AS (SELECT CAST(count(DISTINCT basket) AS BIGINT) AS n_baskets FROM items), "
+    "isup AS (SELECT item, CAST(count(*) AS BIGINT) AS n_item "
+    "FROM items GROUP BY item), "
+    f"freq AS (SELECT item FROM isup WHERE n_item >= {COPURCHASE_MIN_SUPPORT}), "
+    "fitems AS (SELECT basket, item FROM items JOIN freq USING (item)), "
+    "pairs AS (SELECT a.item AS item_a, b.item AS item_b, "
+    "CAST(count(*) AS BIGINT) AS n_both "
+    "FROM fitems a JOIN fitems b ON a.basket = b.basket AND a.item < b.item "
+    f"GROUP BY 1, 2 HAVING count(*) >= {COPURCHASE_MIN_SUPPORT}) "
+    "SELECT item_a, item_b, n_both, sa.n_item AS n_a, sb.n_item AS n_b, "
+    "round(CAST(n_both AS DOUBLE) * n_baskets / (sa.n_item * sb.n_item), 9) "
+    "AS lift "
+    "FROM pairs JOIN isup sa ON sa.item = item_a "
+    "JOIN isup sb ON sb.item = item_b CROSS JOIN nb "
+    "ORDER BY item_a, item_b",
+)
+def q_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-purchase pairs with lift
+    (operators/stats.py:frequent_pairs; Agrawal & Srikant VLDB'94):
+    part pairs bought together in >= 3 orders, scored by lift.  The
+    A-priori downward-closure prune drops infrequent items BEFORE the
+    within-basket self-join — the only quadratic stage — so the pair
+    explosion runs on frequent items only, co-partitioned on the
+    order key.  NOVEL round-10 machinery → in-window at birth;
+    events_skew_report (green r8-r9) rotated out on its r7-era
+    differential."""
+    from .operators import stats as ST
+
+    return ST.frequent_pairs(
+        load(spark, sf_dir, "lineitem", parallel=True),
+        "l_orderkey",
+        "l_partkey",
+        COPURCHASE_MIN_SUPPORT,
+    )

@@ -184,3 +184,67 @@ def time_decayed_counts(
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
+
+
+def frequent_pairs(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int,
+) -> DataFrame:
+    """Market-basket frequent-pair mining with lift (the first A-priori
+    pass of Agrawal & Srikant VLDB'94, pairs only — the itemset size
+    that matters for co-occurrence analytics).
+
+    The A-priori downward-closure prune is the 100 TB lever: a pair's
+    support cannot exceed either item's support, so items below
+    `min_support` are dropped BEFORE the within-basket self-join — the
+    only quadratic stage — which then runs on frequent items only,
+    co-partitioned on the basket key (one shuffle; per-basket pair
+    fan-out is bounded by the frequent-item basket size, the classic
+    skew knob).  Everything after the pair count is key-cardinality.
+
+    lift(a,b) = P(a,b) / (P(a)P(b)) = n_both * N / (n_a * n_b),
+    rounded to 9 so the double is engine-portable.  Returns
+    (item_a, item_b, n_both, n_a, n_b, lift), item_a < item_b,
+    pair support >= min_support, deterministically ordered.
+    Reference N/A (no basket analysis in main.py)."""
+    items = baskets.select(
+        F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
+    ).distinct()
+    n_baskets = items.select(
+        F.count_distinct("basket").cast("long").alias("n_baskets")
+    )
+    isup = items.groupBy("item").agg(F.count(F.lit(1)).alias("n_item"))
+    frequent = isup.where(F.col("n_item") >= min_support)
+    fitems = items.join(frequent.select("item"), "item")
+    a = fitems.select("basket", F.col("item").alias("item_a"))
+    b = fitems.select("basket", F.col("item").alias("item_b"))
+    pairs = (
+        a.join(b, "basket")
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .where(F.col("n_both") >= min_support)
+    )
+    sa = isup.select(F.col("item").alias("item_a"), F.col("n_item").alias("n_a"))
+    sb = isup.select(F.col("item").alias("item_b"), F.col("n_item").alias("n_b"))
+    return (
+        pairs.join(sa, "item_a")
+        .join(sb, "item_b")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "item_a",
+            "item_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_both").cast("double")
+                * F.col("n_baskets")
+                / (F.col("n_a") * F.col("n_b")),
+                9,
+            ).alias("lift"),
+        )
+        .orderBy("item_a", "item_b")
+    )

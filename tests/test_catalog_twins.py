@@ -795,7 +795,10 @@ def test_events_value_locf_matches_oracle(spark, sf_dir):
 
 def test_events_skew_report_matches_oracle(spark, sf_dir):
     # round-7 deferral at birth (machinery twin): groupBy-count top-k
-    # (top_channels_salted) + one-row scalar broadcast (important_parts)
+    # (top_channels_salted) + one-row scalar broadcast (important_parts).
+    # Promoted r8 for its first driver check (green r8-r9), demoted
+    # again in the r10 continuation for copurchase_lift — this
+    # differential resumes duty.
     _assert_matches_oracle(spark, sf_dir, "events_skew_report")
 
 

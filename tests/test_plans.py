@@ -881,3 +881,15 @@ def test_run_with_confs_restores_even_on_error(spark):
     )
     assert out.collect()[0].s == 3
     assert spark.conf.get(key) == before
+
+
+def test_copurchase_pair_join_is_basket_equi_join(spark, sf_dir):
+    """copurchase_lift (r10): the within-basket pair stage must be an
+    equi-join on the basket key (one shuffle, co-partitioned) — never
+    a cartesian; the one-row basket total rides a broadcast."""
+    plan = _plan(spark, sf_dir, "copurchase_lift")
+    assert "CartesianProduct" not in plan
+    # the ONLY nested-loop allowed is the broadcast of the one-row
+    # basket-total crossJoin; more than one means a pair stage regressed
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan

@@ -90,3 +90,37 @@ def test_stats_report_composite(spark):
     assert [r.post_id for r in top] == [2, 1]  # by views desc
     ch = rep["Water"]["top_channels"].collect()
     assert [(r.channel, r.total_views) for r in ch] == [("b", 35)]
+
+
+def test_frequent_pairs_apriori_contracts(spark):
+    """r10 market-basket contracts: duplicate (basket, item) rows count
+    once; pairs below min_support are dropped even when both items are
+    frequent; infrequent items never appear; lift is the hand-computed
+    n_both*N/(n_a*n_b)."""
+    from database_per_keyword_analysis_spark.operators.stats import frequent_pairs
+
+    rows = [
+        # baskets 1-3 all contain {x, y}; z rides along twice; w once
+        (1, "x"), (1, "y"), (1, "z"),
+        (2, "x"), (2, "y"), (2, "z"),
+        (3, "x"), (3, "y"), (3, "w"),
+        (3, "x"),  # duplicate line: same basket+item, must count once
+        (4, "w"),
+    ]
+    df = spark.createDataFrame(rows, "oid long, item string")
+    out = frequent_pairs(df, "oid", "item", min_support=2).collect()
+    got = {(r.item_a, r.item_b): r for r in out}
+    # frequent items: x(3), y(3), z(2), w(2); pairs >= 2: (x,y)=3, (x,z)=2, (y,z)=2
+    assert set(got) == {("x", "y"), ("x", "z"), ("y", "z")}
+    xy = got[("x", "y")]
+    assert (xy.n_both, xy.n_a, xy.n_b) == (3, 3, 3)
+    assert xy.lift == round(3 * 4 / (3 * 3), 9)  # N = 4 baskets
+    xz = got[("x", "z")]
+    assert (xz.n_both, xz.n_a, xz.n_b) == (2, 3, 2)
+    assert xz.lift == round(2 * 4 / (3 * 2), 9)
+    # w is frequent (2 baskets) but pairs with w have support 1: absent
+    assert not any("w" in p for p in got)
+    # min_support above every pair: empty result, schema intact
+    none = frequent_pairs(df, "oid", "item", min_support=4)
+    assert none.count() == 0
+    assert none.columns == ["item_a", "item_b", "n_both", "n_a", "n_b", "lift"]
