@@ -266,6 +266,9 @@ HEADLINE = [
     # item-support prune, basket-keyed pair self-join, key-cardinality
     # lift joins)
     "copurchase_lift",
+    # round-10 continuation: linear-interpolation gap fill (timed —
+    # spine x keys grid + two ignore-nulls frame windows per series)
+    "events_value_interp",
 ]
 
 # Round-7 headline audit (round-6 judge item 5): every registered query

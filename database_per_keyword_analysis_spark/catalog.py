@@ -562,6 +562,13 @@ _DEFERRED_TWINS = {
     #   keep the planning-diagnostics family in-window; its r7-era
     #   differential resumes duty — slot taken by copurchase_lift
     #   (NOVEL r10: A-priori frequent-pair mining with lift)
+    "hard_negative_mining",  # green r8-r9 (two passes); BM25-ranked
+    #   near-miss mining — hybrid_search_rrf keeps the ranked-retrieval
+    #   family (same tokenize/df/idf + rank machinery, plus the RRF
+    #   fusion) in-window; its r7-era differential resumes duty — slot
+    #   taken by events_value_interp (NOVEL r10: linear-interpolation
+    #   gap fill, the imputation tier above the differential-proven
+    #   events_value_locf)
 }
 
 
@@ -7573,3 +7580,49 @@ def q_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey",
         COPURCHASE_MIN_SUPPORT,
     )
+
+
+@register(
+    "events_value_interp",
+    "WITH d AS (SELECT event_type, user_id, CAST(ts AS DATE) AS day, "
+    "CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS obs_value "
+    "FROM events GROUP BY 1, 2, 3), "
+    "b AS (SELECT min(day) AS lo, max(day) AS hi FROM d), "
+    "s AS (SELECT CAST(unnest(range(CAST(lo AS TIMESTAMP), "
+    "CAST(hi AS TIMESTAMP) + INTERVAL 1 DAY, INTERVAL 1 DAY)) AS DATE) "
+    "AS day FROM b), "
+    "k AS (SELECT DISTINCT event_type, user_id FROM events), "
+    "sp AS (SELECT k.event_type, k.user_id, s.day FROM k, s), "
+    "j AS (SELECT sp.event_type, sp.user_id, sp.day, d.obs_value FROM sp "
+    "LEFT JOIN d ON sp.event_type = d.event_type "
+    "AND sp.user_id = d.user_id AND sp.day = d.day), "
+    "w AS (SELECT event_type, user_id, day, obs_value, "
+    "last_value(obs_value IGNORE NULLS) OVER pw AS prev_v, "
+    "last_value(CASE WHEN obs_value IS NOT NULL THEN day END IGNORE NULLS) "
+    "OVER pw AS prev_d, "
+    "first_value(obs_value IGNORE NULLS) OVER fw AS next_v, "
+    "first_value(CASE WHEN obs_value IS NOT NULL THEN day END IGNORE NULLS) "
+    "OVER fw AS next_d "
+    "FROM j WINDOW pw AS (PARTITION BY event_type, user_id ORDER BY day "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), "
+    "fw AS (PARTITION BY event_type, user_id ORDER BY day "
+    "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) "
+    "SELECT event_type, user_id, day, "
+    "CASE WHEN obs_value IS NOT NULL THEN round(obs_value, 9) "
+    "WHEN prev_v IS NOT NULL AND next_v IS NOT NULL THEN "
+    "round(prev_v + (next_v - prev_v) * "
+    "(CAST(day - prev_d AS DOUBLE) / CAST(next_d - prev_d AS DOUBLE)), 9) "
+    "ELSE NULL END AS value_interp, "
+    "obs_value IS NOT NULL AS observed "
+    "FROM w ORDER BY event_type, user_id, day",
+)
+def q_events_value_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation gap fill (operators/events.py:
+    daily_value_interp): the imputation tier above events_value_locf —
+    gap days between two observations get the time-weighted blend,
+    days outside the observed span stay NULL.  Same spine × keys grid
+    and DECIMAL daily means; TWO ignore-nulls frame windows per series
+    (preceding last + following first) instead of LOCF's one.  NOVEL
+    round-10 machinery → in-window at birth; hard_negative_mining
+    (green r8-r9) rotated out on its r7-era differential."""
+    return E.daily_value_interp(load(spark, sf_dir, "events"))

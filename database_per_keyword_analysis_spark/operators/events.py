@@ -488,3 +488,74 @@ def top_user_paths(
         .orderBy(F.desc("n_users"), "path")
         .limit(top_n)
     )
+
+
+def daily_value_interp(events: DataFrame) -> DataFrame:
+    """Gap-filled per-entity daily series with LINEAR interpolation:
+    the imputation tier above `daily_value_locf` — a gap day between
+    two observations gets the time-weighted blend
+    prev + (next - prev) * (day - prev_day) / (next_day - prev_day),
+    days outside a series' observed span stay NULL (nothing to
+    interpolate toward; extrapolation is a modeling decision, not a
+    fill).  Returns (event_type, user_id, day, value_interp, observed)
+    ordered deterministically.
+
+    Same 100 TB shape as LOCF: dense spine from a 1-row min/max
+    aggregate, broadcast cross to the distinct key set, one left join
+    to the observed DECIMAL daily means, then TWO frame windows per
+    series (ignore-nulls last over the preceding frame, ignore-nulls
+    first over the following frame) — window parallelism is the
+    series-key cardinality.  The blend is rounded to 9 so the double
+    is engine-portable (int-day differences divide exactly the same
+    everywhere; the rounding guards the multiply-add ordering)."""
+    day = F.to_date("ts")
+    daily = events.groupBy("event_type", "user_id", day.alias("day")).agg(
+        (
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("obs_value")
+    )
+    lo_hi = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    spine = lo_hi.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("day")
+    )
+    keys = events.select("event_type", "user_id").distinct()
+    grid = keys.crossJoin(F.broadcast(spine))
+    j = grid.join(daily, ["event_type", "user_id", "day"], "left")
+    wb = (
+        Window.partitionBy("event_type", "user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy("event_type", "user_id")
+        .orderBy("day")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    prev_v = F.last("obs_value", ignorenulls=True).over(wb)
+    prev_d = F.last(
+        F.when(F.col("obs_value").isNotNull(), F.col("day")), ignorenulls=True
+    ).over(wb)
+    next_v = F.first("obs_value", ignorenulls=True).over(wf)
+    next_d = F.first(
+        F.when(F.col("obs_value").isNotNull(), F.col("day")), ignorenulls=True
+    ).over(wf)
+    interp = F.round(
+        prev_v
+        + (next_v - prev_v)
+        * (
+            F.datediff(F.col("day"), prev_d)
+            / F.datediff(next_d, prev_d)
+        ),
+        9,
+    )
+    return j.select(
+        "event_type",
+        "user_id",
+        "day",
+        F.when(F.col("obs_value").isNotNull(), F.round(F.col("obs_value"), 9))
+        .when(prev_v.isNotNull() & next_v.isNotNull(), interp)
+        .otherwise(F.lit(None).cast("double"))
+        .alias("value_interp"),
+        F.col("obs_value").isNotNull().alias("observed"),
+    ).orderBy("event_type", "user_id", "day")

@@ -747,7 +747,11 @@ def test_bm25_search_indexed_matches_oracle(spark, sf_dir):
 
 def test_hard_negative_mining_matches_oracle(spark, sf_dir):
     # round-7 deferral at birth: machinery twin of the in-window
-    # knn_eval_metrics (ranked+relevance frame, conditional mins)
+    # knn_eval_metrics (ranked+relevance frame, conditional mins).
+    # Promoted r8 for its first driver check (green r8-r9), demoted
+    # again in the r10 continuation for events_value_interp — this
+    # differential resumes duty (hybrid_search_rrf keeps the
+    # ranked-retrieval family in-window).
     _assert_matches_oracle(spark, sf_dir, "hard_negative_mining")
 
 

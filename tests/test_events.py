@@ -132,3 +132,43 @@ def test_top_user_paths_orders_and_bounds(spark):
     )
     out = [(r.path, r.n_users) for r in EV.top_user_paths(df, first_k=2).collect()]
     assert out == [("view>click", 2), ("error>view", 1)]
+
+
+def test_daily_value_interp_contracts(spark):
+    """r10 interpolation contracts on a hand-built series: observed
+    days keep their exact mean, an interior gap gets the time-weighted
+    blend, days before the first / after the last observation stay
+    NULL, and a one-day series interpolates nothing."""
+    import datetime as dt
+
+    from database_per_keyword_analysis_spark.operators.events import (
+        daily_value_interp,
+    )
+
+    d = lambda s: dt.datetime(2024, 1, s, 12, 0, 0)
+    rows = [
+        # series A: obs on day 2 (value 10) and day 5 (value 40);
+        # two obs on day 2 so the daily MEAN (10) is exercised
+        ("A", 1, d(2), 8.0),
+        ("A", 1, d(2), 12.0),
+        ("A", 1, d(5), 40.0),
+        # series B: single obs on day 3 — nothing to interpolate
+        ("B", 2, d(3), 7.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_type string, user_id long, ts timestamp_ntz, value double"
+    )
+    out = {
+        (r.event_type, r.user_id, r.day.isoformat()): (r.value_interp, r.observed)
+        for r in daily_value_interp(df).collect()
+    }
+    # grid spans day 2..5 for both series
+    assert out[("A", 1, "2024-01-02")] == (10.0, True)
+    assert out[("A", 1, "2024-01-03")] == (20.0, False)  # 10 + 30*(1/3)
+    assert out[("A", 1, "2024-01-04")] == (30.0, False)  # 10 + 30*(2/3)
+    assert out[("A", 1, "2024-01-05")] == (40.0, True)
+    assert out[("B", 2, "2024-01-03")] == (7.0, True)
+    # B has no second observation: every other grid day stays NULL
+    assert out[("B", 2, "2024-01-02")] == (None, False)
+    assert out[("B", 2, "2024-01-04")] == (None, False)
+    assert out[("B", 2, "2024-01-05")] == (None, False)
