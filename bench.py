@@ -269,6 +269,10 @@ HEADLINE = [
     # round-10 continuation: linear-interpolation gap fill (timed —
     # spine x keys grid + two ignore-nulls frame windows per series)
     "events_value_interp",
+    # round-10 continuation: degree-ordered triangle listing (timed —
+    # co-purchase pair build + orientation joins + wedge close; the
+    # O(sqrt(m)) fan-out bound is the scale story)
+    "copurchase_triangles",
 ]
 
 # Round-7 headline audit (round-6 judge item 5): every registered query

@@ -569,6 +569,12 @@ _DEFERRED_TWINS = {
     #   taken by events_value_interp (NOVEL r10: linear-interpolation
     #   gap fill, the imputation tier above the differential-proven
     #   events_value_locf)
+    "order_join_size_report",  # green r8-r9 (two passes); pre-join
+    #   cardinality diagnostic — join_strategy_decisions (the control
+    #   loop that CONSUMES exactly these size estimates) keeps the
+    #   planning-diagnostics family in-window; its r7-era differential
+    #   resumes duty — slot taken by copurchase_triangles (NOVEL r10:
+    #   degree-ordered triangle listing)
 }
 
 
@@ -7626,3 +7632,54 @@ def q_events_value_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-10 machinery → in-window at birth; hard_negative_mining
     (green r8-r9) rotated out on its r7-era differential."""
     return E.daily_value_interp(load(spark, sf_dir, "events"))
+
+
+@register(
+    "copurchase_triangles",
+    # oracle: plain a<b<c three-way join over the canonical pair list —
+    # every triangle exactly once by id order
+    "WITH items AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item "
+    "FROM lineitem), "
+    "pairs AS (SELECT a.item AS pa, b.item AS pb "
+    "FROM items a JOIN items b ON a.basket = b.basket AND a.item < b.item "
+    "GROUP BY 1, 2 HAVING count(*) >= 2) "
+    "SELECT e1.pa AS p_a, e1.pb AS p_b, e2.pb AS p_c "
+    "FROM pairs e1 JOIN pairs e2 ON e1.pb = e2.pa "
+    "JOIN pairs e3 ON e3.pa = e1.pa AND e3.pb = e2.pb "
+    "ORDER BY p_a, p_b, p_c",
+)
+def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle listing over the co-purchase graph (operators/graph.py:
+    triangle_listing; Cohen CiSE'09, Suri & Vassilvitskii WWW'11):
+    part triples whose three pairs each co-occur in >= 2 orders — the
+    densest co-occurrence structure, the building block of clustering
+    coefficients and community seeds.  Degree-ordered orientation
+    bounds the wedge join's per-node fan-out by O(sqrt(m)) where the
+    oracle's naive three-way join pays hub-degree squared — the
+    asymmetric plan/oracle pair IS the scale point, like the zone-map
+    and IVM completeness proofs.  NOVEL round-10 machinery → in-window
+    at birth; order_join_size_report (green r8-r9) rotated out on its
+    r7-era differential."""
+    from pyspark.sql import functions as F
+
+    from .operators import graph as G
+
+    items = (
+        load(spark, sf_dir, "lineitem", parallel=True)
+        .select(
+            F.col("l_orderkey").alias("basket"),
+            F.col("l_partkey").alias("item"),
+        )
+        .distinct()
+    )
+    a = items.select("basket", F.col("item").alias("item_a"))
+    b = items.select("basket", F.col("item").alias("item_b"))
+    pairs = (
+        a.join(b, "basket")
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 2)
+        .select(F.col("item_a").alias("a"), F.col("item_b").alias("b"))
+    )
+    return G.triangle_listing(pairs)

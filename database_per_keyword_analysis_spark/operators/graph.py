@@ -298,3 +298,86 @@ def bfs_min_hops(
         visited = visited.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt.select("node")
     return visited.orderBy("node")
+
+
+def triangle_listing(
+    edges: DataFrame,
+    a: str = "a",
+    b: str = "b",
+) -> DataFrame:
+    """Exact triangle listing over an undirected edge list via
+    degree-ordered orientation (Cohen, "Graph Twiddling in a MapReduce
+    World", CiSE 2009; Suri & Vassilvitskii WWW'11): orient every edge
+    from its lower-(degree, id) endpoint to the higher one, join
+    oriented wedges (u→v, u→w), and close them against the oriented
+    edge (v→w).
+
+    The orientation is the 100 TB lever: out-degree under it is
+    bounded by O(sqrt(m)) (a node of degree d keeps only neighbors of
+    degree >= d), so the wedge join — the only super-linear stage —
+    fans out per-node by the arboricity bound instead of the raw
+    degree; a naive three-way self-join on the undirected list pays
+    the hub node's full d^2.  All joins are key-partitioned
+    equi-joins.  Returns one row per triangle as the id-sorted triple
+    (p_a, p_b, p_c), p_a < p_b < p_c, deterministically ordered —
+    exactly what the oracle's a<b<c three-join over canonical edges
+    produces.  Reference N/A (no graph surface in main.py)."""
+    canon = (
+        edges.select(
+            F.least(F.col(a), F.col(b)).alias("x"),
+            F.greatest(F.col(a), F.col(b)).alias("y"),
+        )
+        .where(F.col("x") != F.col("y"))
+        .distinct()
+    )
+    deg = (
+        canon.select(F.col("x").alias("node"))
+        .unionByName(canon.select(F.col("y").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    dx = deg.select(F.col("node").alias("x"), F.col("deg").alias("deg_x"))
+    dy = deg.select(F.col("node").alias("y"), F.col("deg").alias("deg_y"))
+    # orient low-(deg, id) -> high-(deg, id); the struct comparison is
+    # the deterministic tie-break
+    oriented = (
+        canon.join(dx, "x")
+        .join(dy, "y")
+        .select(
+            F.when(
+                F.struct(F.col("deg_x"), F.col("x"))
+                < F.struct(F.col("deg_y"), F.col("y")),
+                F.col("x"),
+            )
+            .otherwise(F.col("y"))
+            .alias("src"),
+            F.when(
+                F.struct(F.col("deg_x"), F.col("x"))
+                < F.struct(F.col("deg_y"), F.col("y")),
+                F.col("y"),
+            )
+            .otherwise(F.col("x"))
+            .alias("dst"),
+        )
+    )
+    e1 = oriented.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    e2 = oriented.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+    wedges = e1.join(e2, "u").where(F.col("v") < F.col("w"))
+    # close the wedge: the third edge is oriented either v->w or w->v;
+    # v < w here is ID order, not orientation order, so check both via
+    # the canonical form
+    closer = oriented.select(
+        F.least("src", "dst").alias("v"), F.greatest("src", "dst").alias("w")
+    )
+    tri = wedges.join(closer, ["v", "w"])
+    return (
+        tri.select(
+            F.array_sort(F.array("u", "v", "w")).alias("t")
+        )
+        .select(
+            F.col("t")[0].alias("p_a"),
+            F.col("t")[1].alias("p_b"),
+            F.col("t")[2].alias("p_c"),
+        )
+        .orderBy("p_a", "p_b", "p_c")
+    )

@@ -817,7 +817,10 @@ def test_kneser_ney_scores_matches_oracle(spark, sf_dir):
 
 def test_order_join_size_report_matches_oracle(spark, sf_dir):
     # round-7 deferral at birth (machinery twin): the skew_report shape
-    # (groupBy-count tables + Q11 scalar broadcast), per-key products
+    # (groupBy-count tables + Q11 scalar broadcast), per-key products.
+    # Promoted r8 for its first driver check (green r8-r9), demoted
+    # again in the r10 continuation for copurchase_triangles — this
+    # differential resumes duty.
     _assert_matches_oracle(spark, sf_dir, "order_join_size_report")
 
 

@@ -163,3 +163,35 @@ def test_bfs_min_hops_posture_equality(spark):
         ).collect()
     )
     assert auto == forced
+
+
+def test_triangle_listing_matches_brute_force(spark):
+    """r10 triangle contracts: every triangle found exactly once as its
+    id-sorted triple, on a seeded random graph vs itertools brute
+    force; self-loops and duplicate/reversed edges are harmless."""
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    nodes = list(range(20))
+    edges = set()
+    for _ in range(60):
+        x, y = rng.sample(nodes, 2)
+        edges.add((min(x, y), max(x, y)))
+    rows = sorted(edges)
+    # noise: reversed duplicates + a self-loop must not change anything
+    noisy = rows + [(b, a) for a, b in rows[:10]] + [(3, 3)]
+    df = spark.createDataFrame(noisy, "a long, b long")
+    got = sorted(tuple(r) for r in G.triangle_listing(df).collect())
+    brute = sorted(
+        (x, y, z)
+        for x, y, z in itertools.combinations(nodes, 3)
+        if (x, y) in edges and (y, z) in edges and (x, z) in edges
+    )
+    assert got == brute
+    # hub star graph (no triangles) and one closed fan
+    star = [(0, i) for i in range(1, 10)] + [(1, 2)]
+    sdf = spark.createDataFrame(star, "a long, b long")
+    assert sorted(tuple(r) for r in G.triangle_listing(sdf).collect()) == [
+        (0, 1, 2)
+    ]

@@ -893,3 +893,12 @@ def test_copurchase_pair_join_is_basket_equi_join(spark, sf_dir):
     # basket-total crossJoin; more than one means a pair stage regressed
     assert plan.count("BroadcastNestedLoopJoin") <= 1
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_triangle_wedge_join_is_equi_join(spark, sf_dir):
+    """copurchase_triangles (r10): the wedge and closing stages must be
+    key-partitioned equi-joins — never a cartesian (the naive
+    three-way form exists only as the DuckDB oracle)."""
+    plan = _plan(spark, sf_dir, "copurchase_triangles")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
