@@ -1,0 +1,99 @@
+"""Measure the round-10 CONTINUATION queries' 10x scaling curves —
+every addition ships with a measured curve (the per-round standard
+since round 7).
+
+Fixtures reuse the established recipes (symlink-assembled per query):
+
+* doc_pairs_complete_jaccard — documents 10x (content-disjoint
+  replicas): shingle df counts, the rarest-first prefix self-join and
+  the candidate-bounded verify all grow with the corpus; replicas
+  share no shingles so candidates stay per-replica (the honest
+  linear shape).
+* lineitem_bloom_join — lineitem+part 10x (TPC-H key-offset): the
+  bloom build side grows with the PROMO dim slice, the probe side
+  scans 10x fact rows at identical selectivity.
+* purchase_reachability — orders+lineitem+customer 10x: c_nationkey
+  is preserved per replica, so the seed set AND the (disjoint)
+  replica graphs both grow 10x — frontier work and edge probes scale
+  together.
+* copurchase_lift / copurchase_triangles — lineitem 10x: part keys
+  are offset per replica, so baskets/pairs/triangles replicate with
+  per-key fanout bit-identical to base (the geometry-preserving
+  recipe).
+* events_value_interp — events 10x (user replicas): 10x series keys
+  over the same day spine; window parallelism is the key cardinality.
+
+Protocol: interleaved warmth (un-timed 1x/10x sweep), median-of-3,
+noop sink — measure_scale_tpch.py's protocol.
+
+Usage: python tools/measure_scale_r10b.py [--queries a,b]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from database_per_keyword_analysis_spark import catalog  # noqa: E402
+from database_per_keyword_analysis_spark.session import get_spark  # noqa: E402
+from tools.measure_scale_r10 import (  # noqa: E402
+    BASE,
+    _docs10x,
+    _events10x,
+    _fixture_dir,
+    _tpch10x,
+    median3,
+    run_once,
+)
+
+
+def main() -> None:
+    spark = get_spark("measure-scale-r10b")
+    only = None
+    if "--queries" in sys.argv:
+        only = set(sys.argv[sys.argv.index("--queries") + 1].split(","))
+    tpch_graph = _fixture_dir(
+        {
+            "orders": _tpch10x("orders"),
+            "lineitem": _tpch10x("lineitem"),
+            "customer": _tpch10x("customer"),
+            "nation": os.path.join(BASE, "nation.parquet"),
+        },
+        tag="_r10b",
+    )
+    tpch_li = _fixture_dir({"lineitem": _tpch10x("lineitem")}, tag="_r10b")
+    tpch_lipart = _fixture_dir(
+        {"lineitem": _tpch10x("lineitem"), "part": _tpch10x("part")},
+        tag="_r10b",
+    )
+    fixtures = {
+        "doc_pairs_complete_jaccard": (BASE, _docs10x()),
+        "lineitem_bloom_join": (BASE, tpch_lipart),
+        "purchase_reachability": (BASE, tpch_graph),
+        "copurchase_lift": (BASE, tpch_li),
+        "copurchase_triangles": (BASE, tpch_li),
+        "events_value_interp": (BASE, _events10x()),
+    }
+    if only:
+        fixtures = {k: v for k, v in fixtures.items() if k in only}
+    qs = catalog.queries()
+    for name, dirs in fixtures.items():  # un-timed warmup sweep
+        for d in dirs:
+            run_once(lambda: qs[name](spark, d))
+    for name, (d1, dbig) in fixtures.items():
+        w1 = median3(lambda: qs[name](spark, d1))
+        wbig = median3(lambda: qs[name](spark, dbig))
+        print(
+            json.dumps(
+                {"q": name, "1x": w1, "10x": wbig,
+                 "ratio": round(wbig / w1, 2)}
+            ),
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()
