@@ -273,6 +273,9 @@ HEADLINE = [
     # co-purchase pair build + orientation joins + wedge close; the
     # O(sqrt(m)) fan-out bound is the scale story)
     "copurchase_triangles",
+    # round-10 continuation: chi-square independence test (timed —
+    # one fact pass + two margin aggs + broadcast label-set cross)
+    "events_type_dow_chisq",
 ]
 
 # Round-7 headline audit (round-6 judge item 5): every registered query

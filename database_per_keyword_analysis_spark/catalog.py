@@ -575,6 +575,11 @@ _DEFERRED_TWINS = {
     #   planning-diagnostics family in-window; its r7-era differential
     #   resumes duty — slot taken by copurchase_triangles (NOVEL r10:
     #   degree-ordered triangle listing)
+    "trending_event_types",  # green r8-r9 (two passes); exponential-
+    #   decay weighted counts — the DECIMAL-accumulated weighted-agg
+    #   idiom stays in-window via weighted_doc_sample + the MV family;
+    #   NEW differential below — slot taken by events_type_dow_chisq
+    #   (NOVEL r10: Pearson chi-square independence test)
 }
 
 
@@ -7683,3 +7688,47 @@ def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("item_a").alias("a"), F.col("item_b").alias("b"))
     )
     return G.triangle_listing(pairs)
+
+
+@register(
+    "events_type_dow_chisq",
+    # DuckDB dayofweek: Sunday=0..6; Spark dayofweek: Sunday=1..7 — the
+    # +1 aligns the label spaces (the events_weekly_counts convention)
+    "WITH base AS (SELECT event_type AS row_val, "
+    "CAST(dayofweek(CAST(ts AS DATE)) + 1 AS VARCHAR) AS col_val "
+    "FROM events WHERE event_type IS NOT NULL), "
+    "obs AS (SELECT row_val, col_val, CAST(count(*) AS BIGINT) AS n_obs "
+    "FROM base GROUP BY 1, 2), "
+    "rt AS (SELECT row_val, CAST(count(*) AS BIGINT) AS r_tot "
+    "FROM base GROUP BY 1), "
+    "ct AS (SELECT col_val, CAST(count(*) AS BIGINT) AS c_tot "
+    "FROM base GROUP BY 1), "
+    "nt AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM base), "
+    "grid AS (SELECT rt.row_val, ct.col_val, "
+    "coalesce(obs.n_obs, CAST(0 AS BIGINT)) AS n_obs, "
+    "CAST(r_tot AS DOUBLE) * c_tot / n_total AS e "
+    "FROM rt CROSS JOIN ct CROSS JOIN nt "
+    "LEFT JOIN obs ON obs.row_val = rt.row_val AND obs.col_val = ct.col_val) "
+    "SELECT row_val, col_val, n_obs, round(e, 9) AS expected, "
+    "round((n_obs - e) * (n_obs - e) / e, 9) AS contrib "
+    "FROM grid ORDER BY row_val, col_val",
+)
+def q_events_type_dow_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence test (operators/stats.py:
+    chisq_independence): is the event-type mix independent of the day
+    of week?  Full contingency grid with observed/expected counts and
+    per-cell contributions (the statistic is sum(contrib), dof
+    derivable from the grid) — the engine's first hypothesis-test
+    operator.  One fact pass + two margin aggregates + a broadcast
+    label-set cross; empty cells contribute their expected count, as
+    the test requires.  NOVEL round-10 machinery → in-window at birth;
+    trending_event_types (green r8-r9) rotated out with a NEW
+    differential."""
+    from pyspark.sql import functions as F
+
+    from .operators import stats as ST
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", F.dayofweek("ts").alias("dow")
+    )
+    return ST.chisq_independence(ev, "event_type", "dow")

@@ -248,3 +248,61 @@ def frequent_pairs(
         )
         .orderBy("item_a", "item_b")
     )
+
+
+def chisq_independence(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+) -> DataFrame:
+    """Pearson chi-square test of independence over a contingency
+    table: the full (row x col) grid — INCLUDING structurally-empty
+    cells, whose contribution is their expected count — with observed,
+    expected and per-cell contribution; the statistic is the sum of
+    `contrib` and the dof (r-1)(c-1) are derivable from the grid.
+
+    100 TB shape: one groupBy over the fact for the observed cells,
+    two key-cardinality margin aggregates, a broadcast cross of the
+    two (tiny) label sets for the dense grid, then pure scan-stage
+    arithmetic — the fact is read once.  Expected counts and
+    contributions round to 9 so the doubles are engine-portable
+    (margins are exact BIGINTs; the one division is identical IEEE in
+    any engine).  Returns (row_val, col_val, n_obs, expected, contrib)
+    deterministically ordered.  Reference N/A (no hypothesis tests in
+    main.py)."""
+    base = df.select(
+        F.col(row_col).cast("string").alias("row_val"),
+        F.col(col_col).cast("string").alias("col_val"),
+    ).where(F.col("row_val").isNotNull() & F.col("col_val").isNotNull())
+    obs = base.groupBy("row_val", "col_val").agg(
+        F.count(F.lit(1)).alias("n_obs")
+    )
+    r_tot = base.groupBy("row_val").agg(F.count(F.lit(1)).alias("r_tot"))
+    c_tot = base.groupBy("col_val").agg(F.count(F.lit(1)).alias("c_tot"))
+    n = base.agg(F.count(F.lit(1)).alias("n_total"))
+    grid = (
+        r_tot.crossJoin(F.broadcast(c_tot))
+        .crossJoin(F.broadcast(n))
+        .join(obs, ["row_val", "col_val"], "left")
+        .select(
+            "row_val",
+            "col_val",
+            F.coalesce(F.col("n_obs"), F.lit(0).cast("long")).alias("n_obs"),
+            (
+                F.col("r_tot").cast("double")
+                * F.col("c_tot")
+                / F.col("n_total")
+            ).alias("e"),
+        )
+    )
+    return grid.select(
+        "row_val",
+        "col_val",
+        "n_obs",
+        F.round(F.col("e"), 9).alias("expected"),
+        F.round(
+            (F.col("n_obs") - F.col("e")) * (F.col("n_obs") - F.col("e"))
+            / F.col("e"),
+            9,
+        ).alias("contrib"),
+    ).orderBy("row_val", "col_val")

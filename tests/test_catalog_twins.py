@@ -964,3 +964,11 @@ def test_purchase_graph_communities_matches_oracle(spark, sf_dir):
     # purchase_graph_pagerank keeps the iterative-graph family
     # in-window
     _assert_matches_oracle(spark, sf_dir, "purchase_graph_communities")
+
+
+def test_trending_event_types_matches_oracle(spark, sf_dir):
+    # r10 continuation demotion: exponential-decay weighted counts
+    # (green r8-r9) rotated out for events_type_dow_chisq; the
+    # DECIMAL-weighted-agg idiom stays in-window via
+    # weighted_doc_sample and the MV family
+    _assert_matches_oracle(spark, sf_dir, "trending_event_types")

@@ -124,3 +124,32 @@ def test_frequent_pairs_apriori_contracts(spark):
     none = frequent_pairs(df, "oid", "item", min_support=4)
     assert none.count() == 0
     assert none.columns == ["item_a", "item_b", "n_both", "n_a", "n_b", "lift"]
+
+
+def test_chisq_independence_contracts(spark):
+    """r10 chi-square contracts vs a hand-computed 2x2 table, including
+    the empty-cell rule (contribution = expected) and null exclusion."""
+    rows = (
+        [("a", "x")] * 10
+        + [("a", "y")] * 20
+        + [("b", "x")] * 30
+        + [(None, "x")]  # excluded
+        + [("b", None)]  # excluded
+    )
+    df = spark.createDataFrame(rows, "r string, c string")
+    from database_per_keyword_analysis_spark.operators.stats import (
+        chisq_independence,
+    )
+
+    out = {(x.row_val, x.col_val): x for x in chisq_independence(df, "r", "c").collect()}
+    # N=60; margins: a=30, b=30, x=40, y=20
+    assert set(out) == {("a", "x"), ("a", "y"), ("b", "x"), ("b", "y")}
+    ax = out[("a", "x")]
+    assert (ax.n_obs, ax.expected) == (10, 20.0)  # 30*40/60
+    assert ax.contrib == round((10 - 20.0) ** 2 / 20.0, 9)
+    # (b, y) is structurally empty: observed 0, contribution = expected
+    by = out[("b", "y")]
+    assert (by.n_obs, by.expected, by.contrib) == (0, 10.0, 10.0)
+    # the statistic over the grid: 10+5+... hand total
+    chisq = sum(x.contrib for x in out.values())
+    assert chisq == 5.0 + 10.0 + 5.0 + 10.0
