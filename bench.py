@@ -276,6 +276,9 @@ HEADLINE = [
     # round-10 continuation: chi-square independence test (timed —
     # one fact pass + two margin aggs + broadcast label-set cross)
     "events_type_dow_chisq",
+    # round-10 continuation: corpus drift monitor (timed — two token
+    # aggs + full-outer vocab merge + exact-integer top-k)
+    "corpus_drift_terms",
 ]
 
 # Round-7 headline audit (round-6 judge item 5): every registered query

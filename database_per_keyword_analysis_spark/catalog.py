@@ -580,6 +580,14 @@ _DEFERRED_TWINS = {
     #   idiom stays in-window via weighted_doc_sample + the MV family;
     #   NEW differential below — slot taken by events_type_dow_chisq
     #   (NOVEL r10: Pearson chi-square independence test)
+    "purchase_user_state_pit",  # green r8-r9 (two passes); batch SCD2
+    #   point-in-time join — stream_purchase_state_pit (the SAME
+    #   scd2_pit_join expression executed stream-static, in-window,
+    #   bound to this one by the bit-equality proof below with the
+    #   deferral direction now REVERSED) keeps the temporal-join
+    #   machinery driver-checked — slot taken by corpus_drift_terms
+    #   (NOVEL r10: corpus drift monitor, per-term smoothed-KL
+    #   decomposition)
 }
 
 
@@ -7732,3 +7740,57 @@ def q_events_type_dow_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.dayofweek("ts").alias("dow")
     )
     return ST.chisq_independence(ev, "event_type", "dow")
+
+
+@register(
+    "corpus_drift_terms",
+    # snapshots emulated by doc_id parity (ingestion-time split); the
+    # drift ORDER is exact BIGINT cross-products, never the float
+    # probabilities (the A-ES ulp lesson)
+    r"WITH ta AS (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) "
+    "AS token FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 0), "
+    r"tb AS (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) "
+    "AS token FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 1), "
+    "ca AS (SELECT token, CAST(count(*) AS BIGINT) AS n_a FROM ta "
+    "WHERE token <> '' GROUP BY token), "
+    "cb AS (SELECT token, CAST(count(*) AS BIGINT) AS n_b FROM tb "
+    "WHERE token <> '' GROUP BY token), "
+    "m AS (SELECT coalesce(ca.token, cb.token) AS token, "
+    "coalesce(n_a, CAST(0 AS BIGINT)) AS n_a, "
+    "coalesce(n_b, CAST(0 AS BIGINT)) AS n_b "
+    "FROM ca FULL JOIN cb ON ca.token = cb.token), "
+    "scal AS (SELECT CAST(sum(n_a) AS BIGINT) AS tot_a, "
+    "CAST(sum(n_b) AS BIGINT) AS tot_b, "
+    "CAST(count(*) AS BIGINT) AS v FROM m) "
+    "SELECT token, n_a, n_b, "
+    "round(CAST(n_a + 1 AS DOUBLE) / (tot_a + v), 9) AS p_a, "
+    "round(CAST(n_b + 1 AS DOUBLE) / (tot_b + v), 9) AS p_b, "
+    "round((CAST(n_a + 1 AS DOUBLE) / (tot_a + v)) * "
+    "ln((CAST(n_a + 1 AS DOUBLE) / (tot_a + v)) / "
+    "(CAST(n_b + 1 AS DOUBLE) / (tot_b + v))), 6) AS kl_term "
+    "FROM m CROSS JOIN scal "
+    "ORDER BY abs((n_a + 1) * (tot_b + v) - (n_b + 1) * (tot_a + v)) DESC, "
+    "token LIMIT 25",
+)
+def q_corpus_drift_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus drift monitor (operators/textquality.py:
+    corpus_drift_terms): the 25 unigrams whose add-one-smoothed
+    probability moved most between two corpus snapshots (emulated by
+    doc_id parity), with per-term KL contributions — vocabulary
+    shifts, source-mix drift and contamination bursts surface here
+    first in a training-data pipeline.  Drift ranking on exact BIGINT
+    cross-products so the top-k boundary cannot flip on a last-ulp
+    division; ln at 6dp is the Kneser-Ney cross-engine convention.
+    NOVEL round-10 machinery → in-window at birth;
+    purchase_user_state_pit (green r8-r9) rotated out on the existing
+    stream-PIT bit-equality proof (direction reversed — the streaming
+    twin now carries the driver hash)."""
+    from pyspark.sql import functions as F
+
+    from .operators import textquality as TQ
+
+    docs = load(spark, sf_dir, "documents", parallel=True)
+    return TQ.corpus_drift_terms(
+        docs.where(F.col("doc_id") % 2 == 0),
+        docs.where(F.col("doc_id") % 2 == 1),
+    )

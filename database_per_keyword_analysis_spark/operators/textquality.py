@@ -681,3 +681,78 @@ def kneser_ney_trigram_scores(
         )
         .orderBy(id_col)
     )
+
+
+def corpus_drift_terms(
+    docs_a: DataFrame,
+    docs_b: DataFrame,
+    text_col: str = "text",
+    top_k: int = 25,
+) -> DataFrame:
+    """Corpus drift monitor: the top-k unigrams whose add-one-smoothed
+    probability moved most between two corpus snapshots, with each
+    side's KL contribution — the per-term decomposition of
+    KL(P_a || P_b) a training-data pipeline watches between ingestion
+    snapshots (vocabulary shifts, source-mix drift, contamination
+    bursts all surface here first).
+
+    Smoothing is add-one over the UNION vocabulary (p = (c+1)/(tot+V)),
+    so terms absent from one side are defined and heavy one-sided terms
+    rank high.  The drift ORDER is computed on exact BIGINT
+    cross-products — |(c_a+1)(tot_b+V) - (c_b+1)(tot_a+V)| — never on
+    the float probabilities, so the top-k boundary cannot flip on a
+    last-ulp division (the A-ES lesson); the float columns are
+    round(9)/round(6) display values both engines compute identically
+    (ln matches across engines at 6dp — the Kneser-Ney convention).
+
+    100 TB shape: two token-count aggregates (scan + one shuffle
+    each), a full-outer merge on token, three one-row scalars
+    broadcast, one TakeOrderedAndProject for the top-k — no global
+    sort materialization.  Returns (token, n_a, n_b, p_a, p_b,
+    kl_term) ordered by drift.  Reference N/A (no corpus monitoring
+    in main.py)."""
+
+    def counts(docs: DataFrame) -> DataFrame:
+        return (
+            docs.where(F.col(text_col).isNotNull())
+            .select(
+                F.explode(
+                    F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+                ).alias("token")
+            )
+            .where(F.col("token") != "")
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+    ca = counts(docs_a).select("token", F.col("n").alias("n_a"))
+    cb = counts(docs_b).select("token", F.col("n").alias("n_b"))
+    merged = ca.join(cb, "token", "full_outer").select(
+        "token",
+        F.coalesce("n_a", F.lit(0).cast("long")).alias("n_a"),
+        F.coalesce("n_b", F.lit(0).cast("long")).alias("n_b"),
+    )
+    scal = merged.agg(
+        F.sum("n_a").alias("tot_a"),
+        F.sum("n_b").alias("tot_b"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    p_a = (F.col("n_a") + 1).cast("double") / (F.col("tot_a") + F.col("v"))
+    p_b = (F.col("n_b") + 1).cast("double") / (F.col("tot_b") + F.col("v"))
+    drift = (F.col("n_a") + 1) * (F.col("tot_b") + F.col("v")) - (
+        F.col("n_b") + 1
+    ) * (F.col("tot_a") + F.col("v"))
+    return (
+        merged.crossJoin(F.broadcast(scal))
+        .select(
+            "token",
+            "n_a",
+            "n_b",
+            F.round(p_a, 9).alias("p_a"),
+            F.round(p_b, 9).alias("p_b"),
+            F.round(p_a * F.log(p_a / p_b), 6).alias("kl_term"),
+            F.abs(drift).alias("__drift"),
+        )
+        .orderBy(F.desc("__drift"), "token")
+        .limit(top_k)
+        .drop("__drift")
+    )

@@ -852,8 +852,12 @@ def test_zipf_token_stats_matches_oracle(spark, sf_dir):
 
 def test_stream_purchase_state_pit_equals_batch(spark, sf_dir):
     # round-8 deferral at birth: streaming temporal-table join is the
-    # stream-static execution of the in-window batch PIT join — one
-    # expression, two modes; bit-equal rows is the parity contract
+    # stream-static execution of the batch PIT join — one expression,
+    # two modes; bit-equal rows is the parity contract.  Since the r10
+    # continuation the DIRECTION is reversed: purchase_user_state_pit
+    # (green r8-r9) is the deferred twin and the streaming member
+    # carries the driver hash; this equality proof covers both either
+    # way.
     _assert_equal_results(
         spark, sf_dir, "stream_purchase_state_pit", "purchase_user_state_pit"
     )

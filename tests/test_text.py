@@ -356,3 +356,39 @@ class TestKneserNeyTrigram:
                     d * n1f12[(w1, w2)] / c12[(w1, w2)]
                 ) * p2
             assert abs(total - 1.0) < 1e-9, (w1, w2, total)
+
+
+def test_corpus_drift_terms_contracts(spark):
+    """r10 drift-monitor contracts on hand-built snapshots: a term
+    present only in A tops the drift ranking with positive KL term, a
+    balanced term contributes ~0, smoothing defines absent-side
+    probabilities, and the exact-integer ordering is deterministic."""
+    from database_per_keyword_analysis_spark.operators.textquality import (
+        corpus_drift_terms,
+    )
+
+    a = spark.createDataFrame(
+        [(1, "alpha alpha alpha beta beta common common common")],
+        "doc_id long, text string",
+    )
+    b = spark.createDataFrame(
+        [(2, "gamma gamma beta beta common common common")],
+        "doc_id long, text string",
+    )
+    rows = corpus_drift_terms(a, b, top_k=10).collect()
+    by_tok = {r.token: r for r in rows}
+    # union vocab V=4; tot_a=8, tot_b=7
+    al = by_tok["alpha"]
+    assert (al.n_a, al.n_b) == (3, 0)
+    assert al.p_a == round(4 / 12, 9) and al.p_b == round(1 / 11, 9)
+    assert al.kl_term > 0
+    ga = by_tok["gamma"]
+    assert (ga.n_a, ga.n_b) == (0, 2)
+    assert ga.kl_term < 0  # A under-represents gamma
+    # beta: 2 vs 2 — near-balanced, tiny |kl|
+    assert abs(by_tok["beta"].kl_term) < abs(al.kl_term)
+    # ordering: the largest |cross-product| first
+    drifts = [
+        abs((r.n_a + 1) * (7 + 4) - (r.n_b + 1) * (8 + 4)) for r in rows
+    ]
+    assert drifts == sorted(drifts, reverse=True)
