@@ -279,6 +279,10 @@ HEADLINE = [
     # round-10 continuation: corpus drift monitor (timed — two token
     # aggs + full-outer vocab merge + exact-integer top-k)
     "corpus_drift_terms",
+    # round-10 continuation: complete-recall containment join (timed —
+    # sub-side prefix probe against the full shingle stream +
+    # candidate-bounded verify; the asymmetric near-dup relation)
+    "doc_containment_pairs",
 ]
 
 # Round-7 headline audit (round-6 judge item 5): every registered query

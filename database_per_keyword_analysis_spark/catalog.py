@@ -588,6 +588,14 @@ _DEFERRED_TWINS = {
     #   machinery driver-checked — slot taken by corpus_drift_terms
     #   (NOVEL r10: corpus drift monitor, per-term smoothed-KL
     #   decomposition)
+    "quality_keeper_selection",  # green r6-r9 (FOUR passes — the
+    #   most-verified remaining member); curation verdict pipeline —
+    #   the composition stays value-checked every pytest run by the
+    #   corpus_curation and curation_funnel differentials (this family
+    #   ran in-window for four straight rounds); its pre-promotion
+    #   differential resumes duty — slot taken by doc_containment_pairs (NOVEL r10:
+    #   complete-recall exact containment join, the asymmetric
+    #   near-dup relation)
 }
 
 
@@ -7793,4 +7801,39 @@ def q_corpus_drift_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TQ.corpus_drift_terms(
         docs.where(F.col("doc_id") % 2 == 0),
         docs.where(F.col("doc_id") % 2 == 1),
+    )
+
+
+@register(
+    "doc_containment_pairs",
+    # the oracle is the brute-force any-shared-shingle DIRECTED pair
+    # scan with the containment ratio — complete for any t > 0, so
+    # hash equality proves the sub-side prefix filter missed no pair
+    f"WITH {_DUCK_SHINGLES}, "
+    "sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), "
+    "inter AS (SELECT a.doc_id AS doc_sub, b.doc_id AS doc_super, "
+    "count(*) AS c FROM sh a JOIN sh b ON a.shingle = b.shingle "
+    "AND a.doc_id <> b.doc_id GROUP BY 1, 2) "
+    "SELECT doc_sub, doc_super, "
+    "CAST(c AS DOUBLE) / x.n AS containment "
+    "FROM inter JOIN sz x ON x.doc_id = doc_sub "
+    "WHERE CAST(c AS DOUBLE) / x.n >= 0.9 "
+    "ORDER BY doc_sub, doc_super",
+)
+def q_doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPLETE-recall exact containment join (operators/dedup.py:
+    containment_pairs_complete; Broder SEQUENCES'97 resemblance-vs-
+    containment): every directed (sub, super) pair with
+    |sub∩super|/|sub| >= 0.9 over 3-gram shingles — the asymmetric
+    near-dup relation Jaccard dilutes away (a copied body wrapped in
+    boilerplate, a quote inside a longer page).  Prefix filtering
+    adapts asymmetrically: only the sub side prunes to its
+    rarest-first prefix, probed against ALL shingles of candidates —
+    bounded because prefixes hold the rarest shingles.  The oracle is
+    the brute force itself, so hash equality is the completeness
+    proof.  NOVEL round-10 machinery → in-window at birth;
+    quality_keeper_selection (green r6-r9, the most-verified remaining
+    member) rotated out on its pre-promotion differential."""
+    return D.containment_pairs_complete(
+        load(spark, sf_dir, "documents", parallel=True), threshold=0.9
     )

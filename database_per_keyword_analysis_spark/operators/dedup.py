@@ -1854,3 +1854,89 @@ def jaccard_pairs_complete(
         .where(F.col("jaccard") >= t)
         .orderBy("doc_a", "doc_b")
     )
+
+
+def containment_pairs_complete(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """COMPLETE-recall exact CONTAINMENT self-join: every directed pair
+    (sub, super) with |sub ∩ super| / |sub| >= `threshold` over n-gram
+    shingle sets — the asymmetric near-dup relation resemblance-based
+    dedup misses (a quote embedded in a longer page, boilerplate
+    wrapping a copied body: Jaccard dilutes with the superset's size,
+    containment does not; Broder's resemblance-vs-containment
+    distinction, SEQUENCES'97).
+
+    Prefix filtering adapts asymmetrically: only the SUB side can be
+    prefix-pruned (containment puts no lower bound on how much of
+    `super` is shared), so candidates are prefix(sub) ⋈ ALL shingles
+    of super — by the smallest-common-shingle argument, a sub-side
+    prefix of length |a| - ceil(t|a|) + 1 under the global (df,
+    shingle) order cannot miss a qualifying pair: were the smallest
+    common shingle outside it, the overlap would be at most
+    ceil(t|a|) - 1 < t|a|.  The probe side stays un-pruned —
+    bounded work because prefixes hold the RAREST shingles (low df =
+    few probe partners).  Exact verify via array_intersect restores
+    exactness; float guards loosen only (the jaccard_pairs_complete
+    conventions).
+
+    Returns (doc_sub, doc_super, containment), doc_sub != doc_super
+    (both directions of a mutual pair appear), deterministically
+    ordered.  Reference N/A (training-pipeline mandate operator)."""
+    t = float(threshold)
+    sh = shingles(docs, text_col, n)
+    df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    per_doc = (
+        sh.join(df_counts, "shingle")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "shingle"))).alias("ordered"))
+        .select(
+            "doc_id",
+            F.transform("ordered", lambda s: s["shingle"]).alias("sh_arr"),
+            F.size("ordered").alias("n_sh"),
+        )
+    )
+    p_len = (
+        F.col("n_sh")
+        - F.ceil(F.col("n_sh") * F.lit(t) - F.lit(1e-9))
+        + F.lit(1)
+    ).cast("int")
+    sub_prefix = per_doc.select(
+        F.col("doc_id").alias("doc_sub"),
+        F.col("n_sh").alias("n_sub"),
+        F.explode(F.slice("sh_arr", F.lit(1), p_len)).alias("shingle"),
+    )
+    super_all = sh.select(
+        F.col("doc_id").alias("doc_super"), "shingle"
+    )
+    cand = (
+        sub_prefix.join(super_all, "shingle")
+        .where(F.col("doc_sub") != F.col("doc_super"))
+        .select("doc_sub", "doc_super")
+        .distinct()
+    )
+    pa = per_doc.select(
+        F.col("doc_id").alias("doc_sub"),
+        F.col("sh_arr").alias("sa"),
+        F.col("n_sh").alias("n_sub"),
+    )
+    pb = per_doc.select(
+        F.col("doc_id").alias("doc_super"), F.col("sh_arr").alias("sb")
+    )
+    return (
+        cand.join(pa, "doc_sub")
+        .join(pb, "doc_super")
+        .withColumn("inter", F.size(F.array_intersect("sa", "sb")))
+        .select(
+            "doc_sub",
+            "doc_super",
+            (F.col("inter").cast("double") / F.col("n_sub")).alias(
+                "containment"
+            ),
+        )
+        .where(F.col("containment") >= t)
+        .orderBy("doc_sub", "doc_super")
+    )

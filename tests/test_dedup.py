@@ -774,3 +774,50 @@ def test_jaccard_pairs_complete_prefix_is_shorter_than_set(spark):
     assert n_sh == 8 * 20
     # distinct docs share no shingles: no candidates, no pairs
     assert out.count() == 0
+
+
+def test_containment_pairs_complete_matches_brute_force(spark):
+    """r10 asymmetric-containment contracts: a strict subset document
+    scores containment 1.0 toward its superset (but not vice versa —
+    the relation Jaccard misses), brute-force equality across
+    thresholds, and short/null docs drop out on both sides."""
+    from database_per_keyword_analysis_spark.operators import dedup as D
+
+    base = " ".join(f"w{i}" for i in range(12))  # 10 shingles
+    sub = " ".join(f"w{i}" for i in range(6))  # 4 shingles, all in base
+    rows = [
+        (1, base),
+        (2, sub),
+        (3, "alpha beta gamma delta"),
+        (4, None),
+        (5, "too short"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r.doc_sub, r.doc_super): r.containment
+        for r in D.containment_pairs_complete(df, threshold=0.9).collect()
+    }
+    assert out == {(2, 1): 1.0}  # sub ⊂ base; the reverse is 4/10
+    # at a low threshold the reverse direction appears with its ratio
+    lo = {
+        (r.doc_sub, r.doc_super): r.containment
+        for r in D.containment_pairs_complete(df, threshold=0.4).collect()
+    }
+    assert lo == {(2, 1): 1.0, (1, 2): 0.4}
+    # brute force equality on the same corpus at several thresholds
+    sh = D.shingles(df, "text", 3).collect()
+    sets = {}
+    for r in sh:
+        sets.setdefault(r.doc_id, set()).add(r.shingle)
+    for t in (0.3, 0.9, 1.0):
+        brute = sorted(
+            (a, b, len(sa & sets[b]) / len(sa))
+            for a, sa in sets.items()
+            for b in sets
+            if a != b and len(sa & sets[b]) / len(sa) >= t
+        )
+        got = sorted(
+            tuple(r)
+            for r in D.containment_pairs_complete(df, threshold=t).collect()
+        )
+        assert got == brute, t

@@ -902,3 +902,12 @@ def test_triangle_wedge_join_is_equi_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "copurchase_triangles")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_containment_join_is_prefix_equi_join(spark, sf_dir):
+    """doc_containment_pairs (r10): candidates come from the sub-side
+    prefix equi-join on shingle — never all-pairs, no global window."""
+    plan = _plan(spark, sf_dir, "doc_containment_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan
