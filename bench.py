@@ -283,6 +283,10 @@ HEADLINE = [
     # sub-side prefix probe against the full shingle stream +
     # candidate-bounded verify; the asymmetric near-dup relation)
     "doc_containment_pairs",
+    # round-10 continuation: Fellegi-Sunter record linkage (timed —
+    # the complete-recall ED block + two id-keyed feature joins +
+    # scan-stage CASE weights)
+    "customer_linkage_scores",
 ]
 
 # Round-7 headline audit (round-6 judge item 5): every registered query

@@ -596,6 +596,12 @@ _DEFERRED_TWINS = {
     #   differential resumes duty — slot taken by doc_containment_pairs (NOVEL r10:
     #   complete-recall exact containment join, the asymmetric
     #   near-dup relation)
+    "bpe_fertility_by_lang",  # green r8-r9 (two passes); frozen-merge
+    #   BPE encode + per-language fertility aggregate — both BPE tiers
+    #   stay value-checked every pytest run by this one's r7-era
+    #   differential plus bpe_encode's own; slot taken by
+    #   customer_linkage_scores (NOVEL r10: Fellegi-Sunter
+    #   probabilistic record linkage over the complete-recall ED block)
 }
 
 
@@ -7836,4 +7842,60 @@ def q_doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     member) rotated out on its pre-promotion differential."""
     return D.containment_pairs_complete(
         load(spark, sf_dir, "documents", parallel=True), threshold=0.9
+    )
+
+
+def _linkage_sql() -> str:
+    # weights embedded from the ONE Python computation the Spark plan
+    # uses (the pagerank-damping convention); the filter runs on the
+    # ROUNDED weight exactly as the operator does
+    from .operators.dedup import (
+        LINKAGE_M_U,
+        LINKAGE_MATCH_CUTOFF,
+        LINKAGE_POSSIBLE_CUTOFF,
+        fellegi_sunter_weights,
+    )
+
+    wa_n, wd_n = fellegi_sunter_weights(*LINKAGE_M_U["nation"])
+    wa_s, wd_s = fellegi_sunter_weights(*LINKAGE_M_U["segment"])
+    wa_b, wd_b = fellegi_sunter_weights(*LINKAGE_M_U["balance"])
+    return (
+        "WITH c AS (SELECT c_custkey AS id, c_name, c_nationkey, "
+        "c_mktsegment, c_acctbal FROM customer), "
+        "p AS (SELECT a.id AS id_a, b.id AS id_b, round("
+        f"(CASE WHEN a.c_nationkey = b.c_nationkey THEN {wa_n!r} "
+        f"ELSE {wd_n!r} END "
+        f"+ CASE WHEN a.c_mktsegment = b.c_mktsegment THEN {wa_s!r} "
+        f"ELSE {wd_s!r} END) "
+        f"+ CASE WHEN abs(a.c_acctbal - b.c_acctbal) <= 500.0 "
+        f"THEN {wa_b!r} ELSE {wd_b!r} END, 6) AS weight "
+        "FROM c a JOIN c b ON a.id < b.id "
+        "AND abs(length(a.c_name) - length(b.c_name)) <= 1 "
+        "WHERE levenshtein(a.c_name, b.c_name) <= 1) "
+        "SELECT id_a, id_b, weight, "
+        f"CASE WHEN weight >= {LINKAGE_MATCH_CUTOFF!r} THEN 'match' "
+        f"WHEN weight >= {LINKAGE_POSSIBLE_CUTOFF!r} THEN 'possible' "
+        "ELSE 'weak' END AS verdict "
+        "FROM p WHERE weight >= 0.0 ORDER BY id_a, id_b"
+    )
+
+
+@register("customer_linkage_scores", _linkage_sql())
+def q_customer_linkage_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probabilistic record linkage (operators/dedup.py:
+    customer_linkage_scores; Fellegi & Sunter JASA 1969): candidate
+    pairs from the complete-recall deletion-neighborhood ED block —
+    so the block itself carries a recall guarantee, closing the
+    classic linkage failure mode — scored by per-field agreement /
+    disagreement log2 weights (nation, segment, +/-500 balance
+    window) and classified match / possible / weak.  The oracle's
+    brute-force block + identical weight literals make the driver
+    hash a proof of BOTH the block's completeness and the scoring's
+    portability.  NOVEL round-10 machinery → in-window at birth;
+    bpe_fertility_by_lang (green r8-r9) rotated out on its r7-era
+    differential."""
+    from .operators import dedup as D
+
+    return D.customer_linkage_scores(
+        load(spark, sf_dir, "customer", parallel=True)
     )

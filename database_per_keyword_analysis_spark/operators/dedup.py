@@ -1940,3 +1940,92 @@ def containment_pairs_complete(
         .where(F.col("containment") >= t)
         .orderBy("doc_sub", "doc_super")
     )
+
+
+def fellegi_sunter_weights(m: float, u: float) -> tuple[float, float]:
+    """Agreement / disagreement log2 match weights for one field
+    (Fellegi & Sunter, JASA 1969): computed ONCE in Python so the
+    Spark plan and the SQL oracle share the exact double literals —
+    the pagerank-damping convention."""
+    import math
+
+    return (math.log2(m / u), math.log2((1.0 - m) / (1.0 - u)))
+
+
+LINKAGE_M_U: dict[str, tuple[float, float]] = {
+    # P(agree | match), P(agree | non-match) per field — the fixture's
+    # priors: nation agreement is 1/25 by chance, segment 1/5, a
+    # +/-500 balance window rarer still
+    "nation": (0.9, 0.04),
+    "segment": (0.9, 0.2),
+    "balance": (0.8, 0.1),
+}
+LINKAGE_MATCH_CUTOFF = 6.0
+LINKAGE_POSSIBLE_CUTOFF = 3.0
+
+
+def customer_linkage_scores(
+    customers: DataFrame,
+    max_ed: int = 1,
+    balance_tol: float = 500.0,
+    min_weight: float = 0.0,
+) -> DataFrame:
+    """Probabilistic record linkage (Fellegi & Sunter 1969) over the
+    complete-recall edit-distance block: candidate pairs come from
+    `edit_distance_pairs_complete` on the name (so the BLOCK itself
+    has a recall guarantee — the classic failure mode of linkage
+    pipelines is a lossy block, not the scoring), then each field
+    comparison contributes its agreement or disagreement log2 weight
+    and the sum classifies the pair (match / possible / weak; pairs
+    below `min_weight` — the overwhelming majority, name-similar by
+    id-sequence accident — are dropped).
+
+    100 TB shape: the block is the variant equi-join (never
+    all-pairs), the two feature joins are id-keyed, the scoring is
+    pure scan-stage CASE arithmetic on shared double literals.
+    Returns (id_a, id_b, weight, verdict) deterministically ordered."""
+    wa_n, wd_n = fellegi_sunter_weights(*LINKAGE_M_U["nation"])
+    wa_s, wd_s = fellegi_sunter_weights(*LINKAGE_M_U["segment"])
+    wa_b, wd_b = fellegi_sunter_weights(*LINKAGE_M_U["balance"])
+    pairs = edit_distance_pairs_complete(
+        customers.select("c_custkey", "c_name"), "c_custkey", "c_name", max_ed
+    ).select("id_a", "id_b")
+    fa = customers.select(
+        F.col("c_custkey").alias("id_a"),
+        F.col("c_nationkey").alias("nat_a"),
+        F.col("c_mktsegment").alias("seg_a"),
+        F.col("c_acctbal").alias("bal_a"),
+    )
+    fb = customers.select(
+        F.col("c_custkey").alias("id_b"),
+        F.col("c_nationkey").alias("nat_b"),
+        F.col("c_mktsegment").alias("seg_b"),
+        F.col("c_acctbal").alias("bal_b"),
+    )
+    w = (
+        F.when(F.col("nat_a") == F.col("nat_b"), F.lit(wa_n)).otherwise(
+            F.lit(wd_n)
+        )
+        + F.when(F.col("seg_a") == F.col("seg_b"), F.lit(wa_s)).otherwise(
+            F.lit(wd_s)
+        )
+        + F.when(
+            F.abs(F.col("bal_a") - F.col("bal_b")) <= balance_tol,
+            F.lit(wa_b),
+        ).otherwise(F.lit(wd_b))
+    )
+    return (
+        pairs.join(fa, "id_a")
+        .join(fb, "id_b")
+        .select("id_a", "id_b", F.round(w, 6).alias("weight"))
+        .where(F.col("weight") >= min_weight)
+        .withColumn(
+            "verdict",
+            F.when(F.col("weight") >= LINKAGE_MATCH_CUTOFF, F.lit("match"))
+            .when(
+                F.col("weight") >= LINKAGE_POSSIBLE_CUTOFF, F.lit("possible")
+            )
+            .otherwise(F.lit("weak")),
+        )
+        .orderBy("id_a", "id_b")
+    )

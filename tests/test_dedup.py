@@ -821,3 +821,46 @@ def test_containment_pairs_complete_matches_brute_force(spark):
             for r in D.containment_pairs_complete(df, threshold=t).collect()
         )
         assert got == brute, t
+
+
+def test_customer_linkage_scores_contracts(spark):
+    """r10 Fellegi-Sunter contracts on hand-built customers: an
+    all-fields-agree near-name pair classifies match, an
+    all-disagree pair falls below the weight floor and is dropped,
+    and the weight equals the hand-summed field weights."""
+    from database_per_keyword_analysis_spark.operators.dedup import (
+        LINKAGE_M_U,
+        customer_linkage_scores,
+        fellegi_sunter_weights,
+    )
+
+    rows = [
+        # near-identical pair: ED(name)=1, same nation/segment, close balance
+        (1, "acme corp", 7, 100.0, "AUTO"),
+        (2, "acme korp", 7, 150.0, "AUTO"),
+        # name-similar by accident, everything else disagrees
+        (3, "beta llc", 1, 100.0, "AUTO"),
+        (4, "beta llq", 2, 9000.0, "HOUSE"),
+        # unrelated name: never a candidate
+        (5, "zzzzzzzzzz", 7, 100.0, "AUTO"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "c_custkey long, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string",
+    )
+    out = {(r.id_a, r.id_b): r for r in customer_linkage_scores(df).collect()}
+    assert set(out) == {(1, 2)}
+    wa_n, _ = fellegi_sunter_weights(*LINKAGE_M_U["nation"])
+    wa_s, _ = fellegi_sunter_weights(*LINKAGE_M_U["segment"])
+    wa_b, _ = fellegi_sunter_weights(*LINKAGE_M_U["balance"])
+    m = out[(1, 2)]
+    assert m.weight == round(wa_n + wa_s + wa_b, 6)
+    assert m.verdict == "match"
+    # lowering the floor readmits the weak pair with its negative weight
+    low = {
+        (r.id_a, r.id_b): r
+        for r in customer_linkage_scores(df, min_weight=-100.0).collect()
+    }
+    assert (3, 4) in low and low[(3, 4)].verdict == "weak"
+    assert low[(3, 4)].weight < 0
