@@ -287,6 +287,12 @@ HEADLINE = [
     # the complete-recall ED block + two id-keyed feature joins +
     # scan-stage CASE weights)
     "customer_linkage_scores",
+    # round-10 continuation: Markov transition matrix (timed — one
+    # user-keyed lead window + states^2 aggregate)
+    "event_transition_matrix",
+    # round-10 continuation: rolling distinct-user DAU/WAU (timed —
+    # activity explode into covered days + per-day count_distinct)
+    "user_stickiness",
 ]
 
 # Round-7 headline audit (round-6 judge item 5): every registered query

@@ -602,6 +602,20 @@ _DEFERRED_TWINS = {
     #   differential plus bpe_encode's own; slot taken by
     #   customer_linkage_scores (NOVEL r10: Fellegi-Sunter
     #   probabilistic record linkage over the complete-recall ED block)
+    "session_burst_overlaps",  # green r6-r9 (FOUR passes); interval-
+    #   overlap range join — the binned-range-join machinery stays
+    #   value-checked every pytest run by this one's differential plus
+    #   purchases_in_event_bursts'; slot taken by
+    #   event_transition_matrix (NOVEL r10: first-order Markov
+    #   transition matrix over user journeys)
+    "stream_jsonl_counts",  # green r6-r9 (FOUR passes); Python
+    #   DataSource streaming offsets — the jsonl repair-on-read source
+    #   stays value-checked by this one's differential plus
+    #   documents_jsonl_scan's, and the streaming family keeps FOUR
+    #   in-window members (view_purchase_left, user_latest_upsert,
+    #   purchase_state_pit, orders_mv_refresh); slot taken by
+    #   user_stickiness (NOVEL r10: rolling distinct-user DAU/WAU
+    #   engagement)
 }
 
 
@@ -7899,3 +7913,59 @@ def q_customer_linkage_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.customer_linkage_scores(
         load(spark, sf_dir, "customer", parallel=True)
     )
+
+
+@register(
+    "event_transition_matrix",
+    "WITH seq AS (SELECT event_type AS cur_type, "
+    "lead(event_type) OVER (PARTITION BY user_id "
+    "ORDER BY ts, event_id) AS next_type FROM events), "
+    "tr AS (SELECT cur_type, next_type, "
+    "CAST(count(*) AS BIGINT) AS n_trans FROM seq "
+    "WHERE next_type IS NOT NULL GROUP BY 1, 2), "
+    "tot AS (SELECT cur_type, CAST(sum(n_trans) AS BIGINT) AS row_total "
+    "FROM tr GROUP BY 1) "
+    "SELECT tr.cur_type, next_type, n_trans, "
+    "round(CAST(n_trans AS DOUBLE) / row_total, 9) AS p "
+    "FROM tr JOIN tot ON tr.cur_type = tot.cur_type "
+    "ORDER BY tr.cur_type, next_type",
+)
+def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix (operators/events.py:
+    event_transition_matrix): a→b transition counts over per-user
+    event sequences in (ts, event_id) total order, row-normalized —
+    the journey model the funnel/path family's exploratory sibling.
+    One user-keyed lead window + a states² aggregate.  NOVEL round-10
+    machinery → in-window at birth; session_burst_overlaps (green
+    r6-r9, four passes) rotated out on its existing differential."""
+    from .operators import events as E2
+
+    return E2.event_transition_matrix(load(spark, sf_dir, "events"))
+
+
+@register(
+    "user_stickiness",
+    "WITH ud AS (SELECT DISTINCT user_id AS uid, CAST(ts AS DATE) AS day "
+    "FROM events), "
+    "days AS (SELECT DISTINCT day FROM ud), "
+    "dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY day), "
+    "wau AS (SELECT d.day, CAST(count(DISTINCT uid) AS BIGINT) AS wau "
+    "FROM ud JOIN days d ON d.day BETWEEN ud.day AND ud.day + 6 "
+    "GROUP BY d.day) "
+    "SELECT dau.day, dau, wau, "
+    "round(CAST(dau AS DOUBLE) / wau, 9) AS stickiness "
+    "FROM dau JOIN wau ON dau.day = wau.day ORDER BY dau.day",
+)
+def q_user_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling distinct-user engagement (operators/events.py:
+    user_stickiness): per-day DAU, trailing-7 WAU and the DAU/WAU
+    stickiness ratio — distinct counts over OVERLAPPING windows, the
+    metric frame windows cannot express (count_distinct is not a frame
+    aggregate); the Spark side explodes each activity pair into its 7
+    covered days (bounded scan-stage fan-out), the oracle states the
+    same set as a range join.  NOVEL round-10 machinery → in-window at
+    birth; stream_jsonl_counts (green r6-r9, four passes) rotated out
+    on its existing differential."""
+    from .operators import events as E2
+
+    return E2.user_stickiness(load(spark, sf_dir, "events"))

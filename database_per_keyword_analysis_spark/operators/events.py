@@ -559,3 +559,105 @@ def daily_value_interp(events: DataFrame) -> DataFrame:
         .alias("value_interp"),
         F.col("obs_value").isNotNull().alias("observed"),
     ).orderBy("event_type", "user_id", "day")
+
+
+def event_transition_matrix(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: every a→b transition counted in (ts, id) total order —
+    the id tie-break makes simultaneous events deterministic, the
+    top_user_paths convention — with the row-normalized transition
+    probability.  The per-state probability rows are what journey
+    models, next-event predictors and anomaly monitors consume.
+
+    100 TB shape: one window (lead over the user-keyed sequence —
+    parallelism is user cardinality, the sessionize family's shape),
+    one (cur, next) aggregate, one state-cardinality row-total join;
+    the matrix is |states|² at most, broadcast-sized for any real
+    event taxonomy.  Returns (cur_type, next_type, n_trans, p)
+    deterministically ordered; sequence-final events emit no
+    transition."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    trans = (
+        events.select(
+            F.col(type_col).alias("cur_type"),
+            F.lead(type_col).over(w).alias("next_type"),
+        )
+        .where(F.col("next_type").isNotNull())
+        .groupBy("cur_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n_trans"))
+    )
+    totals = trans.groupBy("cur_type").agg(
+        F.sum("n_trans").alias("row_total")
+    )
+    return (
+        trans.join(totals, "cur_type")
+        .select(
+            "cur_type",
+            "next_type",
+            "n_trans",
+            F.round(
+                F.col("n_trans").cast("double") / F.col("row_total"), 9
+            ).alias("p"),
+        )
+        .orderBy("cur_type", "next_type")
+    )
+
+
+def user_stickiness(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    window_days: int = 7,
+) -> DataFrame:
+    """Rolling distinct-user engagement: per observed day, DAU (distinct
+    users that day), trailing-`window_days` WAU (distinct users in
+    [d-6, d]) and the DAU/WAU stickiness ratio — the product-analytics
+    staple that needs DISTINCT counts over overlapping windows, which
+    no frame window computes (count_distinct isn't a frame aggregate).
+
+    Spark-first shape: distinct (user, day) activity pairs, each
+    EXPLODED into the `window_days` future days it covers (bounded
+    scan-stage fan-out — the sliding_window_counts idiom), restricted
+    to observed days, then one count_distinct per day.  The shuffle
+    carries (user, day) pairs x window_days — linear in activity, never
+    user x day dense.  Returns (day, dau, wau, stickiness)
+    deterministically ordered."""
+    day = F.to_date(ts_col)
+    ud = events.select(
+        F.col(user_col).alias("uid"), day.alias("day")
+    ).distinct()
+    days = ud.select("day").distinct()
+    dau = ud.groupBy("day").agg(F.count_distinct("uid").alias("dau"))
+    cover = ud.select(
+        "uid",
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.date_add(F.col("day"), window_days - 1),
+                F.expr("interval 1 day"),
+            )
+        ).alias("day"),
+    )
+    wau = (
+        cover.join(F.broadcast(days), "day")
+        .groupBy("day")
+        .agg(F.count_distinct("uid").alias("wau"))
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            F.round(F.col("dau").cast("double") / F.col("wau"), 9).alias(
+                "stickiness"
+            ),
+        )
+        .orderBy("day")
+    )

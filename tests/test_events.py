@@ -172,3 +172,70 @@ def test_daily_value_interp_contracts(spark):
     assert out[("B", 2, "2024-01-02")] == (None, False)
     assert out[("B", 2, "2024-01-04")] == (None, False)
     assert out[("B", 2, "2024-01-05")] == (None, False)
+
+
+def test_event_transition_matrix_contracts(spark):
+    """r10 Markov contracts: transitions follow (ts, id) total order
+    including the id tie-break, sequence-final events emit nothing,
+    probabilities row-normalize to 1."""
+    import datetime as dt
+
+    from database_per_keyword_analysis_spark.operators.events import (
+        event_transition_matrix,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    s = dt.timedelta(seconds=1)
+    rows = [
+        # user 1: view -> click -> buy
+        (1, 1, t0, "view"), (2, 1, t0 + s, "click"), (3, 1, t0 + 2 * s, "buy"),
+        # user 2: two simultaneous events — id breaks the tie:
+        # view(4) -> click(5) -> view(6)
+        (4, 2, t0, "view"), (5, 2, t0, "click"), (6, 2, t0 + s, "view"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp_ntz, event_type string"
+    )
+    out = {(r.cur_type, r.next_type): r for r in event_transition_matrix(df).collect()}
+    assert {(k, v.n_trans) for k, v in out.items()} == {
+        (("view", "click"), 2),
+        (("click", "buy"), 1),
+        (("click", "view"), 1),
+    }
+    assert out[("view", "click")].p == 1.0
+    assert out[("click", "buy")].p == 0.5 and out[("click", "view")].p == 0.5
+    # row sums normalize to 1 per cur state
+    import collections
+
+    sums = collections.defaultdict(float)
+    for (cur, _), r in out.items():
+        sums[cur] += r.p
+    assert all(abs(v - 1.0) < 1e-9 for v in sums.values())
+
+
+def test_user_stickiness_contracts(spark):
+    """r10 DAU/WAU contracts on hand-built activity: trailing window
+    includes exactly [d-6, d], dedup within day, stickiness = 1.0 when
+    the window holds no extra users."""
+    import datetime as dt
+
+    from database_per_keyword_analysis_spark.operators.events import (
+        user_stickiness,
+    )
+
+    d = lambda s: dt.datetime(2024, 1, s, 10, 0, 0)
+    rows = [
+        (1, d(1)), (1, d(1)),  # same user twice on day 1: DAU dedups
+        (2, d(1)),
+        (1, d(5)),             # user 1 returns on day 5
+        (3, d(8)),             # day 8: user 2's day-1 visit is OUTSIDE [2..8]
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp_ntz")
+    out = {r.day.isoformat(): r for r in user_stickiness(df).collect()}
+    assert set(out) == {"2024-01-01", "2024-01-05", "2024-01-08"}
+    a = out["2024-01-01"]
+    assert (a.dau, a.wau, a.stickiness) == (2, 2, 1.0)
+    b = out["2024-01-05"]  # window [dec30..jan5]: users {1, 2}
+    assert (b.dau, b.wau) == (1, 2) and b.stickiness == 0.5
+    c = out["2024-01-08"]  # window [jan2..jan8]: users {1 (jan5), 3}
+    assert (c.dau, c.wau) == (1, 2)

@@ -69,6 +69,7 @@ def main() -> None:
         {"lineitem": _tpch10x("lineitem"), "part": _tpch10x("part")},
         tag="_r10b",
     )
+    tpch_cust = _fixture_dir({"customer": _tpch10x("customer")}, tag="_r10b")
     fixtures = {
         "doc_pairs_complete_jaccard": (BASE, _docs10x()),
         "lineitem_bloom_join": (BASE, tpch_lipart),
@@ -76,6 +77,18 @@ def main() -> None:
         "copurchase_lift": (BASE, tpch_li),
         "copurchase_triangles": (BASE, tpch_li),
         "events_value_interp": (BASE, _events10x()),
+        # second continuation batch:
+        # chisq — events 10x: one fact pass dominates, margins fixed
+        "events_type_dow_chisq": (BASE, _events10x()),
+        # drift — documents 10x: two token aggs + vocab merge grow
+        # with the corpus
+        "corpus_drift_terms": (BASE, _docs10x()),
+        # containment — documents 10x: sub-prefix probe vs the full
+        # shingle stream, candidates per-replica (content-disjoint)
+        "doc_containment_pairs": (BASE, _docs10x()),
+        # linkage — customer 10x (key-offset): the ED block's variant
+        # join grows with names, feature joins id-keyed
+        "customer_linkage_scores": (BASE, tpch_cust),
     }
     if only:
         fixtures = {k: v for k, v in fixtures.items() if k in only}
