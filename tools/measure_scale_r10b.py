@@ -89,6 +89,10 @@ def main() -> None:
         # linkage — customer 10x (key-offset): the ED block's variant
         # join grows with names, feature joins id-keyed
         "customer_linkage_scores": (BASE, tpch_cust),
+        # transition matrix / stickiness — events 10x (user replicas):
+        # window parallelism and activity pairs grow 10x
+        "event_transition_matrix": (BASE, _events10x()),
+        "user_stickiness": (BASE, _events10x()),
     }
     if only:
         fixtures = {k: v for k, v in fixtures.items() if k in only}
