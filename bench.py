@@ -293,6 +293,10 @@ HEADLINE = [
     # round-10 continuation: rolling distinct-user DAU/WAU (timed —
     # activity explode into covered days + per-day count_distinct)
     "user_stickiness",
+    # round-10 continuation: bounded-peel k-core (timed — 12 degree/
+    # semi-join rounds over a monotonically shrinking edge list, with
+    # the result-neutral early exit)
+    "copurchase_kcore",
 ]
 
 # Round-7 headline audit (round-6 judge item 5): every registered query

@@ -616,6 +616,11 @@ _DEFERRED_TWINS = {
     #   purchase_state_pit, orders_mv_refresh); slot taken by
     #   user_stickiness (NOVEL r10: rolling distinct-user DAU/WAU
     #   engagement)
+    "dominant_suppliers",  # green r6-r9 (FOUR passes); TPC-H Q20
+    #   two-level aggregate + join-back — nation_profit (Q9) keeps the
+    #   join-tree family in-window; NEW differential below — slot
+    #   taken by copurchase_kcore (NOVEL r10: bounded-peel k-core
+    #   decomposition)
 }
 
 
@@ -7969,3 +7974,76 @@ def q_user_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import events as E2
 
     return E2.user_stickiness(load(spark, sf_dir, "events"))
+
+
+def _kcore_sql() -> str:
+    # unroll the FIXED peeling rounds (the pagerank/labelprop move):
+    # each round is degree -> keep -> induced subgraph; the final
+    # SELECT applies the same deg >= k filter the operator does
+    from .operators.graph import KCORE_ROUNDS
+
+    k = 3
+    sql = (
+        "WITH items AS (SELECT DISTINCT l_orderkey AS basket, "
+        "l_partkey AS item FROM lineitem), "
+        "e0 AS MATERIALIZED (SELECT a.item AS x, b.item AS y "
+        "FROM items a JOIN items b ON a.basket = b.basket "
+        "AND a.item < b.item GROUP BY 1, 2 HAVING count(*) >= 2)"
+    )
+    for i in range(1, KCORE_ROUNDS + 1):
+        sql += (
+            f", d{i} AS MATERIALIZED (SELECT node, count(*) AS deg FROM "
+            f"(SELECT x AS node FROM e{i - 1} "
+            f"UNION ALL SELECT y FROM e{i - 1}) GROUP BY node)"
+            f", k{i} AS MATERIALIZED (SELECT node FROM d{i} WHERE deg >= {k})"
+            f", e{i} AS MATERIALIZED (SELECT x, y FROM e{i - 1} "
+            f"WHERE x IN (SELECT node FROM k{i}) "
+            f"AND y IN (SELECT node FROM k{i}))"
+        )
+    return sql + (
+        f" SELECT node, CAST(deg AS BIGINT) AS deg FROM "
+        f"(SELECT node, count(*) AS deg FROM "
+        f"(SELECT x AS node FROM e{KCORE_ROUNDS} "
+        f"UNION ALL SELECT y FROM e{KCORE_ROUNDS}) GROUP BY node) "
+        f"WHERE deg >= {k} ORDER BY node"
+    )
+
+
+@register("copurchase_kcore", _kcore_sql())
+def q_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (operators/graph.py:kcore_nodes; Seidman
+    1983 / Batagelj-Zaveršnik peeling as bounded rounds): the 3-core
+    of the co-purchase graph — parts whose co-occurrence neighborhood
+    survives 12 synchronous peel rounds (the fixture's measured
+    fixpoint depth; the early exit makes extra rounds free).  Each
+    round is one degree aggregate + two node-bounded semi-joins over a
+    monotonically shrinking edge list — the bounded-round form that
+    stays viable at 100 TB where an unbounded recursive fixpoint would
+    not.  The oracle unrolls the identical rounds, so hash equality
+    holds at ANY depth; the idempotence test pins that the fixture
+    actually converged.  NOVEL round-10 machinery → in-window at
+    birth; dominant_suppliers (green r6-r9, four passes) rotated out
+    with a NEW differential."""
+    from pyspark.sql import functions as F
+
+    from .operators import graph as G
+
+    items = (
+        load(spark, sf_dir, "lineitem", parallel=True)
+        .select(
+            F.col("l_orderkey").alias("basket"),
+            F.col("l_partkey").alias("item"),
+        )
+        .distinct()
+    )
+    a = items.select("basket", F.col("item").alias("item_a"))
+    b = items.select("basket", F.col("item").alias("item_b"))
+    pairs = (
+        a.join(b, "basket")
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 2)
+        .select(F.col("item_a").alias("a"), F.col("item_b").alias("b"))
+    )
+    return G.kcore_nodes(pairs, 3)

@@ -381,3 +381,70 @@ def triangle_listing(
         )
         .orderBy("p_a", "p_b", "p_c")
     )
+
+
+KCORE_ROUNDS = 12
+
+
+def kcore_nodes(
+    edges: DataFrame,
+    k: int,
+    rounds: int = KCORE_ROUNDS,
+    a: str = "a",
+    b: str = "b",
+) -> DataFrame:
+    """k-core via bounded synchronous peeling (Seidman, "Network
+    structure and minimum degree", Social Networks 1983; the
+    Batagelj-Zaveršnik peel expressed as rounds): each round drops
+    every node whose degree within the surviving subgraph is < k,
+    `rounds` times — a FIXED dataflow the oracle unrolls verbatim
+    (the pagerank_fixed move), with a result-neutral early exit when a
+    round removes nothing (the peel has reached its fixpoint; further
+    rounds are identity).  If the graph needs more than `rounds`
+    peels, both engines stop at the same intermediate subgraph, so
+    hash equality holds by construction and the fixture pins the
+    fixpoint with an idempotence test.
+
+    Returns (node, deg) — survivors with their in-core degree,
+    deterministically ordered.  Each round is one degree aggregate +
+    two semi-joins of the edge list against the (node-bounded)
+    survivor set; the edge list shrinks monotonically, so round cost
+    decays — the property that makes peeling viable at 100 TB where a
+    full recursive fixpoint would not bound its round count."""
+    canon = (
+        edges.select(
+            F.least(F.col(a), F.col(b)).alias("x"),
+            F.greatest(F.col(a), F.col(b)).alias("y"),
+        )
+        .where(F.col("x") != F.col("y"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    cur = canon
+    prev_edges = cur.count()
+    for _ in range(rounds):
+        deg = (
+            cur.select(F.col("x").alias("node"))
+            .unionByName(cur.select(F.col("y").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = deg.where(F.col("deg") >= k).select("node")
+        nxt = (
+            cur.join(keep.withColumnRenamed("node", "x"), "x", "left_semi")
+            .join(keep.withColumnRenamed("node", "y"), "y", "left_semi")
+            .select("x", "y")
+            .localCheckpoint(eager=True)
+        )
+        n_edges = nxt.count()
+        cur = nxt
+        if n_edges == prev_edges:
+            break  # fixpoint: every further round is identity
+        prev_edges = n_edges
+    deg_final = (
+        cur.select(F.col("x").alias("node"))
+        .unionByName(cur.select(F.col("y").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    return deg_final.where(F.col("deg") >= k).orderBy("node")

@@ -976,3 +976,11 @@ def test_trending_event_types_matches_oracle(spark, sf_dir):
     # DECIMAL-weighted-agg idiom stays in-window via
     # weighted_doc_sample and the MV family
     _assert_matches_oracle(spark, sf_dir, "trending_event_types")
+
+
+def test_dominant_suppliers_matches_oracle(spark, sf_dir):
+    # r10 continuation demotion: TPC-H Q20 two-level aggregate +
+    # join-back (green r6-r9, four driver passes) rotated out for
+    # copurchase_kcore; nation_profit (Q9) keeps the join-tree family
+    # in-window
+    _assert_matches_oracle(spark, sf_dir, "dominant_suppliers")

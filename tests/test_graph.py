@@ -195,3 +195,51 @@ def test_triangle_listing_matches_brute_force(spark):
     assert sorted(tuple(r) for r in G.triangle_listing(sdf).collect()) == [
         (0, 1, 2)
     ]
+
+
+def test_kcore_nodes_contracts(spark):
+    """r10 k-core contracts: a clique survives at k = size-1, an
+    attached chain unravels over CASCADING rounds (the case one peel
+    round cannot catch), isolated/low-degree structure drops, and the
+    fixture's bounded rounds reach the true fixpoint (idempotence)."""
+    # K4 clique on 1-4 + a chain 4-5-6-7 that peels from the tail in
+    # three successive rounds at k=2
+    k4 = [(i, j) for i in range(1, 5) for j in range(i + 1, 5)]
+    chain = [(4, 5), (5, 6), (6, 7)]
+    df = spark.createDataFrame(k4 + chain, "a long, b long")
+    out = {(r.node, r.deg) for r in G.kcore_nodes(df, 2, rounds=5).collect()}
+    assert out == {(1, 3), (2, 3), (3, 3), (4, 3)}  # chain fully peeled
+    # k=3: the clique is exactly the 3-core
+    out3 = {r.node for r in G.kcore_nodes(df, 3, rounds=5).collect()}
+    assert out3 == {1, 2, 3, 4}
+    # k=4: nothing survives
+    assert G.kcore_nodes(df, 4, rounds=5).count() == 0
+    # one round is NOT enough for the chain: round 1 peels 7 and the
+    # output's final deg>=k filter exposes 6, but 5 still shows deg 2
+    # until the NEXT round's edge induction removes (5,6)
+    partial = {r.node for r in G.kcore_nodes(df, 2, rounds=1).collect()}
+    assert 5 in partial and 6 not in partial and 7 not in partial
+    partial2 = {r.node for r in G.kcore_nodes(df, 2, rounds=2).collect()}
+    assert partial2 == {1, 2, 3, 4}
+    # idempotence at the catalog depth: rounds and rounds+4 agree on
+    # the sf0.001 fixture graph (the early exit makes extras free)
+    from pyspark.sql import functions as F
+
+    items = (
+        spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        .select(F.col("l_orderkey").alias("bk"), F.col("l_partkey").alias("it"))
+        .distinct()
+    )
+    a = items.select("bk", F.col("it").alias("ia"))
+    b = items.select("bk", F.col("it").alias("ib"))
+    pairs = (
+        a.join(b, "bk")
+        .where(F.col("ia") < F.col("ib"))
+        .groupBy("ia", "ib")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 2)
+        .select(F.col("ia").alias("a"), F.col("ib").alias("b"))
+    )
+    r12 = sorted(tuple(r) for r in G.kcore_nodes(pairs, 3).collect())
+    r16 = sorted(tuple(r) for r in G.kcore_nodes(pairs, 3, rounds=16).collect())
+    assert r12 == r16
