@@ -93,6 +93,9 @@ def main() -> None:
         # window parallelism and activity pairs grow 10x
         "event_transition_matrix": (BASE, _events10x()),
         "user_stickiness": (BASE, _events10x()),
+        # k-core — lineitem 10x: pair build + 12 peel rounds over the
+        # replicated (disjoint) co-purchase graph
+        "copurchase_kcore": (BASE, tpch_li),
     }
     if only:
         fixtures = {k: v for k, v in fixtures.items() if k in only}
