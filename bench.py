@@ -297,6 +297,10 @@ HEADLINE = [
     # semi-join rounds over a monotonically shrinking edge list, with
     # the result-neutral early exit)
     "copurchase_kcore",
+    # round-10 continuation: fixed-iteration HITS (timed — 2k
+    # node-cardinality shuffles over the DISK_ONLY bipartite edge
+    # list + per-iteration L1 norms)
+    "purchase_graph_hits",
 ]
 
 # Round-7 headline audit (round-6 judge item 5): every registered query

@@ -621,6 +621,12 @@ _DEFERRED_TWINS = {
     #   join-tree family in-window; NEW differential below — slot
     #   taken by copurchase_kcore (NOVEL r10: bounded-peel k-core
     #   decomposition)
+    "revenue_by_nation_salted",  # green r6-r9 (FOUR passes);
+    #   salted two-phase agg — its bit-equality proof vs
+    #   revenue_by_nation (itself differential-proven) stands, and
+    #   join_strategy_decisions keeps the skew-strategy family
+    #   in-window; slot taken by purchase_graph_hits (NOVEL r10:
+    #   fixed-iteration HITS hubs/authorities)
 }
 
 
@@ -8047,3 +8053,78 @@ def q_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("item_a").alias("a"), F.col("item_b").alias("b"))
     )
     return G.kcore_nodes(pairs, 3)
+
+
+def _hits_sql() -> str:
+    # unroll the FIXED Jacobi iterations with per-iteration L1
+    # normalization; MATERIALIZED CTEs (the kcore lesson: inlined
+    # CTEs re-read the scan exponentially), DECIMAL-accumulated sums
+    from .operators.graph import HITS_ITERS
+
+    sql = (
+        "WITH e AS MATERIALIZED (SELECT DISTINCT "
+        "'c' || CAST(o_custkey AS VARCHAR) AS src, "
+        "'s' || CAST(l_suppkey AS VARCHAR) AS dst "
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey), "
+        "h0r AS MATERIALIZED (SELECT DISTINCT src AS node, 1.0 AS score FROM e), "
+        "a0r AS MATERIALIZED (SELECT DISTINCT dst AS node, 1.0 AS score FROM e), "
+        "h0 AS MATERIALIZED (SELECT node, score / t AS score FROM h0r "
+        "CROSS JOIN (SELECT CAST(sum(CAST(score AS DECIMAL(38,18))) "
+        "AS DOUBLE) AS t FROM h0r)), "
+        "a0 AS MATERIALIZED (SELECT node, score / t AS score FROM a0r "
+        "CROSS JOIN (SELECT CAST(sum(CAST(score AS DECIMAL(38,18))) "
+        "AS DOUBLE) AS t FROM a0r))"
+    )
+    for i in range(1, HITS_ITERS + 1):
+        sql += (
+            f", h{i}r AS MATERIALIZED (SELECT e.src AS node, "
+            f"CAST(sum(CAST(a{i - 1}.score AS DECIMAL(38,18))) AS DOUBLE) "
+            f"AS score FROM e JOIN a{i - 1} ON e.dst = a{i - 1}.node "
+            f"GROUP BY e.src)"
+            f", a{i}r AS MATERIALIZED (SELECT e.dst AS node, "
+            f"CAST(sum(CAST(h{i - 1}.score AS DECIMAL(38,18))) AS DOUBLE) "
+            f"AS score FROM e JOIN h{i - 1} ON e.src = h{i - 1}.node "
+            f"GROUP BY e.dst)"
+            f", h{i} AS MATERIALIZED (SELECT node, score / t AS score FROM h{i}r "
+            f"CROSS JOIN (SELECT CAST(sum(CAST(score AS DECIMAL(38,18))) "
+            f"AS DOUBLE) AS t FROM h{i}r))"
+            f", a{i} AS MATERIALIZED (SELECT node, score / t AS score FROM a{i}r "
+            f"CROSS JOIN (SELECT CAST(sum(CAST(score AS DECIMAL(38,18))) "
+            f"AS DOUBLE) AS t FROM a{i}r))"
+        )
+    k = HITS_ITERS
+    return sql + (
+        f" SELECT node, kind, round(score, 9) AS score FROM ("
+        f"SELECT node, 'hub' AS kind, score FROM h{k} "
+        f"UNION ALL SELECT node, 'authority' AS kind, score FROM a{k}) "
+        "ORDER BY kind, node"
+    )
+
+
+@register("purchase_graph_hits", _hits_sql())
+def q_purchase_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration HITS (operators/graph.py:hits_fixed; Kleinberg
+    JACM 1999) over the customer→supplier purchase graph — the
+    bipartite companion to pagerank_fixed, where hubs (customers) and
+    authorities (suppliers) are genuinely different populations.
+    Jacobi updates from the previous (h, a) pair with per-iteration
+    L1 normalization, DECIMAL-accumulated sums, norms divided as plain
+    IEEE doubles — the oracle unrolls the identical iterations.  NOVEL
+    round-10 machinery → in-window at birth; revenue_by_nation_salted
+    (green r6-r9, four passes) rotated out on its standing
+    bit-equality proof vs the differential-proven revenue_by_nation."""
+    from pyspark.sql import functions as F
+
+    from .operators import graph as G
+
+    orders = load(spark, sf_dir, "orders", parallel=True)
+    lines = load(spark, sf_dir, "lineitem", parallel=True)
+    edges = (
+        orders.join(lines, orders.o_orderkey == lines.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    return G.hits_fixed(edges)

@@ -448,3 +448,91 @@ def kcore_nodes(
         .agg(F.count(F.lit(1)).alias("deg"))
     )
     return deg_final.where(F.col("deg") >= k).orderBy("node")
+
+
+HITS_ITERS = 3
+
+
+def hits_fixed(
+    edges: DataFrame,
+    iters: int = HITS_ITERS,
+    src: str = "src",
+    dst: str = "dst",
+    broadcast_scores: bool | None = None,
+) -> DataFrame:
+    """HITS hubs-and-authorities with a FIXED number of iterations
+    (Kleinberg, "Authoritative sources in a hyperlinked environment",
+    JACM 1999) over a directed edge list — the natural companion to
+    `pagerank_fixed` on a bipartite graph, where hubs and authorities
+    are the two node populations rather than one mixed score.
+
+    Synchronous update from the PREVIOUS pair (the unrollable form):
+      h_i(u) = Σ_{(u,v)} a_{i-1}(v),  a_i(v) = Σ_{(u,v)} h_{i-1}(u),
+    each vector L1-normalized per iteration.  All per-node sums
+    DECIMAL-accumulate (the _dot_dec convention) and the norms divide
+    as plain IEEE doubles, so the oracle replays the arithmetic
+    bit-identically.  Returns (node, kind, score) for every node —
+    kind 'hub' for sources, 'authority' for destinations (a node
+    appearing on both sides carries both rows).  Same posture rules
+    as pagerank_fixed; k iterations = 2k node-cardinality shuffles,
+    edge list persisted DISK_ONLY and probed 2k times."""
+    from pyspark import StorageLevel
+
+    ed = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist(
+        StorageLevel.DISK_ONLY
+    )
+    hubs = ed.select(F.col("src").alias("node")).distinct().localCheckpoint()
+    auths = ed.select(F.col("dst").alias("node")).distinct().localCheckpoint()
+    if broadcast_scores is None:
+        broadcast_scores = (
+            hubs.count() + auths.count() <= GRAPH_BROADCAST_MAX_NODES
+        )
+
+    def posture(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if broadcast_scores else df
+
+    def l1_normalize(df: DataFrame) -> DataFrame:
+        tot = df.agg(
+            F.sum(F.col("score").cast("decimal(38,18)"))
+            .cast("double")
+            .alias("_tot")
+        )
+        return df.crossJoin(F.broadcast(tot)).select(
+            "node", (F.col("score") / F.col("_tot")).alias("score")
+        )
+
+    h = hubs.select("node", F.lit(1.0).alias("score"))
+    a = auths.select("node", F.lit(1.0).alias("score"))
+    h, a = l1_normalize(h), l1_normalize(a)
+    for _ in range(iters):
+        h_next = (
+            ed.join(
+                posture(a.select(F.col("node").alias("dst"), "score")), "dst"
+            )
+            .groupBy("src")
+            .agg(
+                F.sum(F.col("score").cast("decimal(38,18)"))
+                .cast("double")
+                .alias("score")
+            )
+            .select(F.col("src").alias("node"), "score")
+        )
+        a_next = (
+            ed.join(
+                posture(h.select(F.col("node").alias("src"), "score")), "src"
+            )
+            .groupBy("dst")
+            .agg(
+                F.sum(F.col("score").cast("decimal(38,18)"))
+                .cast("double")
+                .alias("score")
+            )
+            .select(F.col("dst").alias("node"), "score")
+        )
+        h, a = l1_normalize(h_next), l1_normalize(a_next)
+    return (
+        h.select("node", F.lit("hub").alias("kind"), "score")
+        .unionByName(a.select("node", F.lit("authority").alias("kind"), "score"))
+        .select("node", "kind", F.round("score", 9).alias("score"))
+        .orderBy("kind", "node")
+    )

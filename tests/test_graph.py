@@ -243,3 +243,25 @@ def test_kcore_nodes_contracts(spark):
     r12 = sorted(tuple(r) for r in G.kcore_nodes(pairs, 3).collect())
     r16 = sorted(tuple(r) for r in G.kcore_nodes(pairs, 3, rounds=16).collect())
     assert r12 == r16
+
+
+def test_hits_fixed_contracts(spark):
+    """r10 HITS contracts on a hand-built bipartite graph: the source
+    linked from every hub out-ranks the rest, hub scores order by
+    out-reach into strong authorities, L1 norms hold per kind, and the
+    forced-shuffle posture is result-identical."""
+    edges = spark.createDataFrame(
+        # s1 is cited by all three hubs; s2 by one strong hub; s3 by a weak hub
+        [("c1", "s1"), ("c2", "s1"), ("c3", "s1"), ("c1", "s2"), ("c3", "s3")],
+        "src string, dst string",
+    )
+    rows = G.hits_fixed(edges).collect()
+    hubs = {r.node: r.score for r in rows if r.kind == "hub"}
+    auths = {r.node: r.score for r in rows if r.kind == "authority"}
+    assert set(hubs) == {"c1", "c2", "c3"} and set(auths) == {"s1", "s2", "s3"}
+    assert auths["s1"] > auths["s2"] > 0 and auths["s1"] > auths["s3"]
+    assert hubs["c1"] > hubs["c2"]  # c1 reaches s1+s2; c2 only s1
+    assert abs(sum(hubs.values()) - 1.0) < 1e-6
+    assert abs(sum(auths.values()) - 1.0) < 1e-6
+    forced = G.hits_fixed(edges, broadcast_scores=False).collect()
+    assert sorted(map(tuple, forced)) == sorted(map(tuple, rows))
