@@ -8056,9 +8056,10 @@ def q_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _hits_sql() -> str:
-    # unroll the FIXED Jacobi iterations with per-iteration L1
-    # normalization; MATERIALIZED CTEs (the kcore lesson: inlined
-    # CTEs re-read the scan exponentially), DECIMAL-accumulated sums
+    # unroll the FIXED Jacobi iterations from all-ones with ONE final
+    # L1 normalization (linearity: per-iteration scalars would cancel
+    # there anyway); MATERIALIZED CTEs (the kcore lesson: inlined CTEs
+    # re-read the scan exponentially), DECIMAL-accumulated sums
     from .operators.graph import HITS_ITERS
 
     sql = (
@@ -8066,37 +8067,31 @@ def _hits_sql() -> str:
         "'c' || CAST(o_custkey AS VARCHAR) AS src, "
         "'s' || CAST(l_suppkey AS VARCHAR) AS dst "
         "FROM orders JOIN lineitem ON o_orderkey = l_orderkey), "
-        "h0r AS MATERIALIZED (SELECT DISTINCT src AS node, 1.0 AS score FROM e), "
-        "a0r AS MATERIALIZED (SELECT DISTINCT dst AS node, 1.0 AS score FROM e), "
-        "h0 AS MATERIALIZED (SELECT node, score / t AS score FROM h0r "
-        "CROSS JOIN (SELECT CAST(sum(CAST(score AS DECIMAL(38,18))) "
-        "AS DOUBLE) AS t FROM h0r)), "
-        "a0 AS MATERIALIZED (SELECT node, score / t AS score FROM a0r "
-        "CROSS JOIN (SELECT CAST(sum(CAST(score AS DECIMAL(38,18))) "
-        "AS DOUBLE) AS t FROM a0r))"
+        "h0 AS MATERIALIZED (SELECT DISTINCT src AS node, 1.0 AS score FROM e), "
+        "a0 AS MATERIALIZED (SELECT DISTINCT dst AS node, 1.0 AS score FROM e)"
     )
     for i in range(1, HITS_ITERS + 1):
         sql += (
-            f", h{i}r AS MATERIALIZED (SELECT e.src AS node, "
+            f", h{i} AS MATERIALIZED (SELECT e.src AS node, "
             f"CAST(sum(CAST(a{i - 1}.score AS DECIMAL(38,18))) AS DOUBLE) "
             f"AS score FROM e JOIN a{i - 1} ON e.dst = a{i - 1}.node "
             f"GROUP BY e.src)"
-            f", a{i}r AS MATERIALIZED (SELECT e.dst AS node, "
+            f", a{i} AS MATERIALIZED (SELECT e.dst AS node, "
             f"CAST(sum(CAST(h{i - 1}.score AS DECIMAL(38,18))) AS DOUBLE) "
             f"AS score FROM e JOIN h{i - 1} ON e.src = h{i - 1}.node "
             f"GROUP BY e.dst)"
-            f", h{i} AS MATERIALIZED (SELECT node, score / t AS score FROM h{i}r "
-            f"CROSS JOIN (SELECT CAST(sum(CAST(score AS DECIMAL(38,18))) "
-            f"AS DOUBLE) AS t FROM h{i}r))"
-            f", a{i} AS MATERIALIZED (SELECT node, score / t AS score FROM a{i}r "
-            f"CROSS JOIN (SELECT CAST(sum(CAST(score AS DECIMAL(38,18))) "
-            f"AS DOUBLE) AS t FROM a{i}r))"
         )
     k = HITS_ITERS
     return sql + (
-        f" SELECT node, kind, round(score, 9) AS score FROM ("
-        f"SELECT node, 'hub' AS kind, score FROM h{k} "
-        f"UNION ALL SELECT node, 'authority' AS kind, score FROM a{k}) "
+        f", hn AS (SELECT node, score / t AS score FROM h{k} CROSS JOIN "
+        f"(SELECT CAST(sum(CAST(score AS DECIMAL(38,18))) AS DOUBLE) AS t "
+        f"FROM h{k})), "
+        f"an AS (SELECT node, score / t AS score FROM a{k} CROSS JOIN "
+        f"(SELECT CAST(sum(CAST(score AS DECIMAL(38,18))) AS DOUBLE) AS t "
+        f"FROM a{k})) "
+        "SELECT node, kind, round(score, 9) AS score FROM ("
+        "SELECT node, 'hub' AS kind, score FROM hn "
+        "UNION ALL SELECT node, 'authority' AS kind, score FROM an) "
         "ORDER BY kind, node"
     )
 

@@ -96,6 +96,9 @@ def main() -> None:
         # k-core — lineitem 10x: pair build + 12 peel rounds over the
         # replicated (disjoint) co-purchase graph
         "copurchase_kcore": (BASE, tpch_li),
+        # HITS — orders+lineitem 10x: 2k node-cardinality shuffles
+        # over a 10x bipartite edge list
+        "purchase_graph_hits": (BASE, tpch_graph),
     }
     if only:
         fixtures = {k: v for k, v in fixtures.items() if k in only}
