@@ -301,6 +301,9 @@ HEADLINE = [
     # node-cardinality shuffles over the DISK_ONLY bipartite edge
     # list + per-iteration L1 norms)
     "purchase_graph_hits",
+    # round-10 continuation: gaps-and-islands interval union (timed —
+    # two per-user ordered windows + key-cardinality folds)
+    "user_active_spans",
 ]
 
 # Round-7 headline audit (round-6 judge item 5): every registered query

@@ -627,6 +627,11 @@ _DEFERRED_TWINS = {
     #   join_strategy_decisions keeps the skew-strategy family
     #   in-window; slot taken by purchase_graph_hits (NOVEL r10:
     #   fixed-iteration HITS hubs/authorities)
+    "orders_constraint_checks",  # green r6-r9 (FOUR passes);
+    #   scan-stage conditional-aggregate audit — the idiom stays
+    #   value-checked by its own differential (and the conditional-agg
+    #   family by events_type_dow_chisq in-window); slot taken by
+    #   user_active_spans (NOVEL r10: gaps-and-islands interval union)
 }
 
 
@@ -8123,3 +8128,40 @@ def q_purchase_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return G.hits_fixed(edges)
+
+
+@register(
+    "user_active_spans",
+    "WITH iv AS (SELECT user_id AS uid, "
+    "epoch_us(ts) - 900000000 AS s, epoch_us(ts) + 900000000 AS e "
+    "FROM events), "
+    "m AS (SELECT uid, s, e, "
+    "CASE WHEN max(e) OVER (PARTITION BY uid ORDER BY s, e "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL "
+    "OR s > max(e) OVER (PARTITION BY uid ORDER BY s, e "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) "
+    "THEN 1 ELSE 0 END AS opens FROM iv), "
+    "isl AS (SELECT uid, s, e, "
+    "sum(opens) OVER (PARTITION BY uid ORDER BY s, e "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM m), "
+    "spans AS (SELECT uid, island, min(s) AS is_, max(e) AS ie "
+    "FROM isl GROUP BY uid, island) "
+    "SELECT uid AS user_id, CAST(count(*) AS BIGINT) AS n_spans, "
+    "CAST(sum(ie - is_) AS BIGINT) AS covered_us, "
+    "CAST(max(ie - is_) AS BIGINT) AS longest_us "
+    "FROM spans GROUP BY uid ORDER BY uid",
+)
+def q_user_active_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval union per user (operators/events.py:user_active_spans;
+    the gaps-and-islands pattern): each event claims +/-15 minutes,
+    overlapping claims merge into maximal spans, and the report is
+    span count / covered / longest in exact integer microseconds —
+    the wall-clock-coverage question gap-sessionization does not
+    answer.  Two per-user ordered windows (running max-end, running
+    island-id sum) + one fold; window parallelism is user
+    cardinality.  NOVEL round-10 machinery → in-window at birth;
+    orders_constraint_checks (green r6-r9, four passes) rotated out
+    on its existing differential."""
+    from .operators import events as E2
+
+    return E2.user_active_spans(load(spark, sf_dir, "events"))

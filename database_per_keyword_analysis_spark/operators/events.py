@@ -661,3 +661,71 @@ def user_stickiness(
         )
         .orderBy("day")
     )
+
+
+def user_active_spans(
+    events: DataFrame,
+    pad_minutes: int = 15,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Interval union per user (the gaps-and-islands pattern): each
+    event claims [ts - pad, ts + pad]; overlapping or touching claims
+    merge into maximal activity SPANS, and the per-user report is the
+    span count, total covered seconds and longest span — the "how much
+    wall-clock was this entity actually active" question raw
+    sessionization (which keys on inter-event gaps, not coverage)
+    does not answer.
+
+    Spark-first shape: one per-user ordered window computes the
+    running max of interval ends over all PRIOR rows; an interval
+    whose start exceeds that max opens a new island (exact integer
+    microsecond arithmetic — the sessionize convention), a second
+    running sum turns the open-flags into island ids, and one groupBy
+    folds each island to [min start, max end].  Window parallelism is
+    user cardinality; everything after is key-cardinality.  Returns
+    (user_id, n_spans, covered_us, longest_us) — durations in exact
+    integer MICROSECONDS (no second-rounding division: Spark casts
+    truncate where DuckDB casts round, so a derived double would be
+    the one non-portable value in an otherwise exact pipeline) —
+    deterministically ordered."""
+    pad_us = pad_minutes * 60_000_000
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    iv = events.select(
+        F.col(user_col).alias("uid"),
+        (us - pad_us).alias("s"),
+        (us + pad_us).alias("e"),
+    )
+    w = Window.partitionBy("uid").orderBy("s", "e")
+    prev_max_e = F.max("e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = iv.select(
+        "uid",
+        "s",
+        "e",
+        (prev_max_e.isNull() | (F.col("s") > prev_max_e))
+        .cast("int")
+        .alias("opens"),
+    )
+    islands = (
+        marked.select(
+            "uid",
+            "s",
+            "e",
+            F.sum("opens")
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .alias("island"),
+        )
+        .groupBy("uid", "island")
+        .agg(F.min("s").alias("is_"), F.max("e").alias("ie"))
+    )
+    return (
+        islands.groupBy(F.col("uid").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.col("ie") - F.col("is_")).alias("covered_us"),
+            F.max(F.col("ie") - F.col("is_")).alias("longest_us"),
+        )
+        .orderBy("user_id")
+    )

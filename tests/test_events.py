@@ -239,3 +239,38 @@ def test_user_stickiness_contracts(spark):
     assert (b.dau, b.wau) == (1, 2) and b.stickiness == 0.5
     c = out["2024-01-08"]  # window [jan2..jan8]: users {1 (jan5), 3}
     assert (c.dau, c.wau) == (1, 2)
+
+
+def test_user_active_spans_contracts(spark):
+    """r10 gaps-and-islands contracts on hand-built events: touching
+    intervals merge, a chain that only pairwise-overlaps merges into
+    ONE span (the running-max rule a lag-based gap check gets wrong),
+    disjoint claims stay separate, durations are exact microseconds."""
+    import datetime as dt
+
+    from database_per_keyword_analysis_spark.operators.events import (
+        user_active_spans,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    m = lambda k: t0 + dt.timedelta(minutes=k)
+    rows = [
+        # user 1: events at 0, 20, 40 min — each pair overlaps via the
+        # +/-15 pad, so one span [-15, 55] = 70 min
+        (1, m(0)), (1, m(20)), (1, m(40)),
+        # user 2: events at 0 and 60 — disjoint spans of 30 min each
+        (2, m(0)), (2, m(60)),
+        # user 3: a long early claim swallowing a later short one:
+        # events at 0 and 10 (inside [−15,15]∪[−5,25] = one span)
+        (3, m(0)), (3, m(10)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp_ntz")
+    out = {r.user_id: r for r in user_active_spans(df).collect()}
+    MIN = 60_000_000
+    assert (out[1].n_spans, out[1].covered_us, out[1].longest_us) == (
+        1, 70 * MIN, 70 * MIN,
+    )
+    assert (out[2].n_spans, out[2].covered_us, out[2].longest_us) == (
+        2, 60 * MIN, 30 * MIN,
+    )
+    assert (out[3].n_spans, out[3].covered_us) == (1, 40 * MIN)
