@@ -304,6 +304,9 @@ HEADLINE = [
     # round-10 continuation: gaps-and-islands interval union (timed —
     # two per-user ordered windows + key-cardinality folds)
     "user_active_spans",
+    # round-10 continuation: first/last-touch attribution (timed —
+    # one per-user RANGE-frame pass, no per-conversion join)
+    "touch_attribution",
 ]
 
 # Round-7 headline audit (round-6 judge item 5): every registered query

@@ -632,6 +632,12 @@ _DEFERRED_TWINS = {
     #   value-checked by its own differential (and the conditional-agg
     #   family by events_type_dow_chisq in-window); slot taken by
     #   user_active_spans (NOVEL r10: gaps-and-islands interval union)
+    "stream_view_purchase_left",  # green r7-r9 (three passes);
+    #   stream-stream left-outer interval join — the streaming family
+    #   keeps three in-window members (user_latest_upsert,
+    #   purchase_state_pit, orders_mv_refresh); its differential
+    #   resumes duty — slot taken by touch_attribution (NOVEL r10:
+    #   first/last-touch conversion attribution)
 }
 
 
@@ -8165,3 +8171,51 @@ def q_user_active_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import events as E2
 
     return E2.user_active_spans(load(spark, sf_dir, "events"))
+
+
+@register(
+    "touch_attribution",
+    "WITH base AS (SELECT user_id, epoch_us(ts) AS us, "
+    "event_type AS etype, "
+    "CASE WHEN event_type <> 'purchase' THEN "
+    "lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || ':' || "
+    "lpad(CAST(event_id AS VARCHAR), 12, '0') || ':' || event_type "
+    "END AS touch_key FROM events), "
+    "att AS (SELECT etype, "
+    "min(touch_key) OVER (PARTITION BY user_id ORDER BY us "
+    "RANGE BETWEEN 604800000000 PRECEDING AND 1 PRECEDING) AS fk, "
+    "max(touch_key) OVER (PARTITION BY user_id ORDER BY us "
+    "RANGE BETWEEN 604800000000 PRECEDING AND 1 PRECEDING) AS lk "
+    "FROM base), "
+    # DuckDB split_part(NULL) yields '' not NULL, so the none-branch
+    # must be an explicit CASE, not a coalesce
+    "conv AS (SELECT CASE WHEN fk IS NULL THEN '(none)' "
+    "ELSE split_part(fk, ':', 3) END AS ft, "
+    "CASE WHEN lk IS NULL THEN '(none)' "
+    "ELSE split_part(lk, ':', 3) END AS lt "
+    "FROM att WHERE etype = 'purchase'), "
+    "f AS (SELECT ft AS touch_type, CAST(count(*) AS BIGINT) "
+    "AS n_first_touch FROM conv GROUP BY ft), "
+    "l AS (SELECT lt AS touch_type, CAST(count(*) AS BIGINT) "
+    "AS n_last_touch FROM conv GROUP BY lt) "
+    "SELECT coalesce(f.touch_type, l.touch_type) AS touch_type, "
+    "coalesce(n_first_touch, CAST(0 AS BIGINT)) AS n_first_touch, "
+    "coalesce(n_last_touch, CAST(0 AS BIGINT)) AS n_last_touch "
+    "FROM f FULL JOIN l ON f.touch_type = l.touch_type "
+    "ORDER BY touch_type",
+)
+def q_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last-touch conversion attribution (operators/events.py:
+    touch_attribution): every purchase attributed to the earliest and
+    latest non-purchase event by the same user in the trailing 7 days
+    — ONE pass over the per-user stream, no per-conversion join:
+    touches encode as lexicographically sortable keys (the portable
+    substitute for struct extrema) and two RANGE-frame aggregates over
+    exact integer micros pick each window's first and last touch; the
+    [-7d, -1us] frame keeps same-timestamp pairs from
+    self-attributing.  NOVEL round-10 machinery → in-window at birth;
+    stream_view_purchase_left (green r7-r9) rotated out on its
+    existing differential."""
+    from .operators import events as E2
+
+    return E2.touch_attribution(load(spark, sf_dir, "events"))

@@ -729,3 +729,77 @@ def user_active_spans(
         )
         .orderBy("user_id")
     )
+
+
+ATTRIBUTION_LOOKBACK_DAYS = 7
+
+
+def touch_attribution(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    lookback_days: int = ATTRIBUTION_LOOKBACK_DAYS,
+) -> DataFrame:
+    """First-touch and last-touch attribution: every conversion event
+    is attributed to the earliest and the latest NON-conversion event
+    by the same user inside the trailing lookback window, and the
+    report counts conversions per (touch type, model) — the marketing
+    staple that is two as-of lookups per conversion.
+
+    Spark-first shape: ONE pass over the per-user event stream — no
+    per-conversion join.  Touch events encode as a lexicographically
+    sortable key (zero-padded micros : event id : type — string
+    min/max order identical in any engine, the portable substitute
+    for struct extrema), and two RANGE-frame window aggregates over
+    the numeric time axis pick the window's min and max touch.  The
+    range frame [lookback, 1 preceding] is exact integer micros, so
+    same-timestamp touch/conversion pairs do NOT self-attribute.
+    Window parallelism is user cardinality.  Returns
+    (touch_type, n_first_touch, n_last_touch) deterministically
+    ordered; conversions with no touch in window count under
+    '(none)'."""
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    look_us = lookback_days * 86_400_000_000
+    key = F.concat_ws(
+        ":",
+        F.lpad(us.cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+        F.col("event_type"),
+    )
+    base = events.select(
+        "user_id",
+        us.alias("us"),
+        F.col("event_type").alias("etype"),
+        F.when(F.col("event_type") != conversion_type, key).alias("touch_key"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-look_us, -1)
+    )
+    attributed = base.select(
+        "etype",
+        F.min("touch_key").over(w).alias("first_key"),
+        F.max("touch_key").over(w).alias("last_key"),
+    ).where(F.col("etype") == conversion_type)
+    pick = lambda c: F.coalesce(
+        F.element_at(F.split(F.col(c), ":"), 3), F.lit("(none)")
+    )
+    first = attributed.groupBy(pick("first_key").alias("touch_type")).agg(
+        F.count(F.lit(1)).alias("n_first_touch")
+    )
+    last = attributed.groupBy(pick("last_key").alias("touch_type")).agg(
+        F.count(F.lit(1)).alias("n_last_touch")
+    )
+    return (
+        first.join(last, "touch_type", "full_outer")
+        .select(
+            "touch_type",
+            F.coalesce("n_first_touch", F.lit(0).cast("long")).alias(
+                "n_first_touch"
+            ),
+            F.coalesce("n_last_touch", F.lit(0).cast("long")).alias(
+                "n_last_touch"
+            ),
+        )
+        .orderBy("touch_type")
+    )

@@ -274,3 +274,34 @@ def test_user_active_spans_contracts(spark):
         2, 60 * MIN, 30 * MIN,
     )
     assert (out[3].n_spans, out[3].covered_us) == (1, 40 * MIN)
+
+
+def test_touch_attribution_contracts(spark):
+    """r10 attribution contracts on hand-built journeys: first vs last
+    touch diverge, lookback excludes stale touches, same-timestamp
+    touches do not self-attribute, and a touchless conversion counts
+    under '(none)'."""
+    import datetime as dt
+
+    from database_per_keyword_analysis_spark.operators.events import (
+        touch_attribution,
+    )
+
+    t0 = dt.datetime(2024, 1, 10, 12, 0, 0)
+    h = lambda k: t0 + dt.timedelta(hours=k)
+    rows = [
+        # user 1: view then click then purchase — first=view, last=click
+        (1, 1, h(0), "view"), (2, 1, h(1), "click"), (3, 1, h(2), "purchase"),
+        # user 2: a touch 8 days before purchase is OUTSIDE the window,
+        # a click inside it — first=last=click
+        (4, 2, h(-200), "view"), (5, 2, h(1), "click"), (6, 2, h(3), "purchase"),
+        # user 3: purchase with NO prior touch (a same-instant view
+        # must not self-attribute)
+        (7, 3, h(5), "view"), (8, 3, h(5), "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp_ntz, event_type string"
+    )
+    out = {r.touch_type: (r.n_first_touch, r.n_last_touch)
+           for r in touch_attribution(df).collect()}
+    assert out == {"view": (1, 0), "click": (1, 2), "(none)": (1, 1)}
