@@ -307,6 +307,9 @@ HEADLINE = [
     # round-10 continuation: first/last-touch attribution (timed —
     # one per-user RANGE-frame pass, no per-conversion join)
     "touch_attribution",
+    # round-10 continuation: Count-Min point counts (timed — the
+    # depth-row explode + fixed-size cell agg + broadcast probe join)
+    "user_count_min",
 ]
 
 # Round-7 headline audit (round-6 judge item 5): every registered query

@@ -638,6 +638,14 @@ _DEFERRED_TWINS = {
     #   purchase_state_pit, orders_mv_refresh); its differential
     #   resumes duty — slot taken by touch_attribution (NOVEL r10:
     #   first/last-touch conversion attribution)
+    "stream_user_latest_upsert",  # green r7-r9 (three passes);
+    #   foreachBatch CDC latest-wins MERGE — the streaming family
+    #   keeps purchase_state_pit and orders_mv_refresh in-window (the
+    #   latter exercising the same foreachBatch upsert seam), and the
+    #   idempotent-retry/crash contracts stay pinned in
+    #   tests/test_streaming.py; NEW differential below — slot taken
+    #   by user_count_min (NOVEL r10: Count-Min sketch point counts
+    #   with the exact-rebuild oracle)
 }
 
 
@@ -8219,3 +8227,54 @@ def q_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import events as E2
 
     return E2.touch_attribution(load(spark, sf_dir, "events"))
+
+
+def _count_min_sql() -> str:
+    from .operators.scale import CM_DEPTH, CM_WIDTH
+
+    chunk = lambda r: (
+        f"CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), "
+        f"{1 + 8 * r}, 8) AS BIGINT) % {CM_WIDTH}"
+    )
+    probes = " UNION ALL ".join(
+        f"SELECT key, n_true, {r} AS row, "
+        f"CAST('0x' || substr(md5(key), {1 + 8 * r}, 8) AS BIGINT) "
+        f"% {CM_WIDTH} AS col FROM truth"
+        for r in range(CM_DEPTH)
+    )
+    stacked = " UNION ALL ".join(
+        f"SELECT {r} AS row, {chunk(r)} AS col FROM events"
+        for r in range(CM_DEPTH)
+    )
+    return (
+        f"WITH stacked AS MATERIALIZED ({stacked}), "
+        "cells AS MATERIALIZED (SELECT row, col, "
+        "CAST(count(*) AS BIGINT) AS cnt FROM stacked GROUP BY row, col), "
+        "truth AS MATERIALIZED (SELECT CAST(user_id AS VARCHAR) AS key, "
+        "CAST(count(*) AS BIGINT) AS n_true FROM events GROUP BY key), "
+        f"probes AS ({probes}) "
+        "SELECT key, n_true, min(cnt) AS n_est, "
+        "min(cnt) - n_true AS overcount "
+        "FROM probes JOIN cells USING (row, col) "
+        "GROUP BY key, n_true ORDER BY key"
+    )
+
+
+@register("user_count_min", _count_min_sql())
+def q_user_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch point counts (operators/scale.py:
+    count_min_cells/count_min_estimates; Cormode & Muthukrishnan
+    J.Alg 2005): per-user event counts served from a depth-3 x 1024
+    counter array — fixed memory REGARDLESS of key cardinality,
+    mergeable by addition across splits, estimates always >= truth
+    (collisions only add).  The sketch is deterministic given the md5
+    chunk convention, so the oracle REBUILDS the identical cells and
+    the driver hash checks est and overcount per key exactly — the
+    heavy_hitters_exact companion for point queries.  NOVEL round-10
+    machinery → in-window at birth; stream_user_latest_upsert (green
+    r7-r9) rotated out with a NEW differential."""
+    from .operators import scale as SC
+
+    return SC.count_min_estimates(
+        load(spark, sf_dir, "events").select("user_id"), "user_id"
+    )

@@ -795,3 +795,101 @@ def run_with_confs(spark, confs: dict[str, str], build) -> DataFrame:
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, old)
+
+
+# -- Count-Min sketch: fixed-memory point counts (Cormode-Muthukrishnan) --
+
+CM_DEPTH = 3
+CM_WIDTH = 1024  # power of two: chunk % width stays unbiased
+
+
+def _cm_cols(key: Column, depth: int = CM_DEPTH, width: int = CM_WIDTH) -> list[Column]:
+    """`depth` independent column indices in [0, width) from one md5
+    digest — hash r reads the r-th 8-hex-char chunk (the
+    _bloom_positions convention; width a power of two keeps the mod
+    unbiased), portable to any engine that has md5."""
+    h = F.md5(key.cast("string"))
+    return [
+        F.conv(F.substring(h, 1 + 8 * r, 8), 16, 10).cast("long")
+        % F.lit(width)
+        for r in range(depth)
+    ]
+
+
+def count_min_cells(
+    df: DataFrame,
+    key_col: str,
+    depth: int = CM_DEPTH,
+    width: int = CM_WIDTH,
+) -> DataFrame:
+    """Count-Min sketch cells (Cormode & Muthukrishnan, J.Alg 2005):
+    (row, col, cnt) with col = hash_row(key) % width — depth x width
+    counters REGARDLESS of key cardinality, and cells from disjoint
+    data splits merge by plain addition (the mergeable-summaries
+    property that makes the sketch a fixed-size shuffle payload at
+    100 TB: the groupBy carries depth rows per input row into at most
+    depth*width cells).  The sketch is DETERMINISTIC given the hash
+    convention, which is why the DuckDB oracle can rebuild the exact
+    same cells."""
+    key = F.col(key_col)
+    cols = _cm_cols(key, depth, width)
+    stacked = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"), c.alias("col")
+                    )
+                    for r, c in enumerate(cols)
+                ]
+            )
+        ).alias("rc")
+    )
+    return stacked.groupBy(
+        F.col("rc.row").alias("row"), F.col("rc.col").alias("col")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def count_min_estimates(
+    df: DataFrame,
+    key_col: str,
+    depth: int = CM_DEPTH,
+    width: int = CM_WIDTH,
+) -> DataFrame:
+    """Point-count estimates for every distinct key from the Count-Min
+    cells built over the same data: est(key) = min over rows of the
+    key's cell — an OVERESTIMATE by construction (collisions only add),
+    within eN/width with probability 1 - exp(-depth).  Returns
+    (key, n_true, n_est, overcount), n_est >= n_true always — the
+    inequality the contract test pins.  The serve join probes depth
+    cells per key: key-cardinality work against a fixed-size sketch."""
+    cells = count_min_cells(df, key_col, depth, width)
+    key = F.col(key_col)
+    truth = df.groupBy(key.cast("string").alias("key")).agg(
+        F.count(F.lit(1)).alias("n_true")
+    )
+    cols = _cm_cols(F.col("key"), depth, width)
+    probes = truth.select(
+        "key",
+        "n_true",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(r).alias("row"), c.alias("col"))
+                    for r, c in enumerate(cols)
+                ]
+            )
+        ).alias("rc"),
+    ).select("key", "n_true", F.col("rc.row").alias("row"), F.col("rc.col").alias("col"))
+    return (
+        probes.join(F.broadcast(cells), ["row", "col"])
+        .groupBy("key", "n_true")
+        .agg(F.min("cnt").alias("n_est"))
+        .select(
+            "key",
+            "n_true",
+            "n_est",
+            (F.col("n_est") - F.col("n_true")).alias("overcount"),
+        )
+        .orderBy("key")
+    )

@@ -984,3 +984,12 @@ def test_dominant_suppliers_matches_oracle(spark, sf_dir):
     # copurchase_kcore; nation_profit (Q9) keeps the join-tree family
     # in-window
     _assert_matches_oracle(spark, sf_dir, "dominant_suppliers")
+
+
+def test_stream_user_latest_upsert_matches_oracle(spark, sf_dir):
+    # r10 continuation demotion: foreachBatch CDC latest-wins MERGE
+    # (green r7-r9) rotated out for user_count_min; the streaming
+    # family keeps purchase_state_pit + orders_mv_refresh in-window
+    # and the idempotent-retry/crash contracts stay pinned in
+    # tests/test_streaming.py
+    _assert_matches_oracle(spark, sf_dir, "stream_user_latest_upsert")

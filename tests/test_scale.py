@@ -601,3 +601,40 @@ def test_heavy_hitters_candidate_pass_is_bounded_and_broadcast(spark):
     # uniform keys at phi=0.01: threshold 200, max freq ~21 -> empty,
     # and the candidate union stayed <= 16 partitions * ceil(2/phi)
     assert got.count() == 0
+
+
+def test_count_min_overestimates_and_merges(spark):
+    """r10 Count-Min contracts: every estimate >= truth; min over rows
+    tightens the bound; cells built on disjoint splits merge by plain
+    addition into exactly the full-data cells (the mergeable-summaries
+    property); a small-width sketch actually collides (overcount > 0
+    somewhere) while estimates stay upper bounds."""
+    from pyspark.sql import functions as F
+
+    from database_per_keyword_analysis_spark.operators import scale as SC
+
+    df = spark.range(2000).select(
+        (F.col("id") % 50).cast("string").alias("k")
+    )
+    est = SC.count_min_estimates(df, "k", depth=3, width=16).collect()
+    assert all(r.n_est >= r.n_true for r in est)
+    assert any(r.overcount > 0 for r in est)  # width 16 << 50 keys
+    # truth: every key appears 40x
+    assert all(r.n_true == 40 for r in est)
+    # mergeability: cells(split1) + cells(split2) == cells(all)
+    s1 = df.where(F.col("k").cast("int") < 25)
+    s2 = df.where(F.col("k").cast("int") >= 25)
+    c1 = SC.count_min_cells(s1, "k", depth=3, width=16)
+    c2 = SC.count_min_cells(s2, "k", depth=3, width=16)
+    merged = (
+        c1.unionByName(c2)
+        .groupBy("row", "col")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    full = SC.count_min_cells(df, "k", depth=3, width=16)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+    # a generous width removes all collisions: est == truth everywhere
+    wide = SC.count_min_estimates(df, "k", depth=3, width=4096).collect()
+    assert all(r.overcount == 0 for r in wide)
