@@ -99,6 +99,10 @@ def main() -> None:
         # HITS — orders+lineitem 10x: 2k node-cardinality shuffles
         # over a 10x bipartite edge list
         "purchase_graph_hits": (BASE, tpch_graph),
+        # spans / attribution / count-min — events 10x (user replicas)
+        "user_active_spans": (BASE, _events10x()),
+        "touch_attribution": (BASE, _events10x()),
+        "user_count_min": (BASE, _events10x()),
     }
     if only:
         fixtures = {k: v for k, v in fixtures.items() if k in only}
