@@ -310,6 +310,9 @@ HEADLINE = [
     # round-10 continuation: Count-Min point counts (timed — the
     # depth-row explode + fixed-size cell agg + broadcast probe join)
     "user_count_min",
+    # round-10 continuation: exact-integer-moment OLS trend (timed —
+    # fact agg + spine grid + one moment agg per group)
+    "event_type_trends",
 ]
 
 # Round-7 headline audit (round-6 judge item 5): every registered query

@@ -646,6 +646,12 @@ _DEFERRED_TWINS = {
     #   tests/test_streaming.py; NEW differential below — slot taken
     #   by user_count_min (NOVEL r10: Count-Min sketch point counts
     #   with the exact-rebuild oracle)
+    "customer_snapshot_diff",  # green r8-r9 (two passes); full-outer
+    #   snapshot diff / CDF — the table_diff CDC machinery executes
+    #   IN-WINDOW every round inside orders_mv_upsert (its changeset
+    #   feeds the retraction IVM); NEW differential below — slot taken
+    #   by event_type_trends (NOVEL r10: exact-integer-moment OLS
+    #   trend per series)
 }
 
 
@@ -8278,3 +8284,41 @@ def q_user_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SC.count_min_estimates(
         load(spark, sf_dir, "events").select("user_id"), "user_id"
     )
+
+
+@register(
+    "event_type_trends",
+    "WITH daily AS (SELECT event_type AS grp, CAST(ts AS DATE) AS day, "
+    "CAST(count(*) AS BIGINT) AS y FROM events GROUP BY 1, 2), "
+    "b AS (SELECT min(day) AS lo, max(day) AS hi FROM daily), "
+    "s AS (SELECT CAST(unnest(range(CAST(lo AS TIMESTAMP), "
+    "CAST(hi AS TIMESTAMP) + INTERVAL 1 DAY, INTERVAL 1 DAY)) AS DATE) "
+    "AS day, lo FROM b), "
+    "grid AS (SELECT g.grp, CAST(s.day - s.lo AS BIGINT) AS x, "
+    "coalesce(d.y, CAST(0 AS BIGINT)) AS y "
+    "FROM (SELECT DISTINCT grp FROM daily) g CROSS JOIN s "
+    "LEFT JOIN daily d ON d.grp = g.grp AND d.day = s.day), "
+    "m AS (SELECT grp, CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy, "
+    "CAST(sum(x * y) AS BIGINT) AS sxy, "
+    "CAST(sum(x * x) AS BIGINT) AS sxx FROM grid GROUP BY grp) "
+    "SELECT grp AS event_type, n AS n_days, "
+    "round(CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx), 9) "
+    "AS slope, "
+    "round((sy - (CAST(n * sxy - sx * sy AS DOUBLE) / "
+    "(n * sxx - sx * sx)) * sx) / n, 9) AS intercept "
+    "FROM m ORDER BY event_type",
+)
+def q_event_type_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series OLS trend (operators/stats.py:series_trend): slope
+    and intercept of each event type's zero-filled daily counts
+    against the day index.  Every regression moment is an exact
+    BIGINT sum, so the slope is ONE double division of two exact
+    integers — bit-identical in any engine, the integer-moment
+    alternative to the DECIMAL convention.  NOVEL round-10 machinery
+    → in-window at birth; customer_snapshot_diff (green r8-r9)
+    rotated out with a NEW differential (its table_diff machinery
+    executes in-window inside orders_mv_upsert)."""
+    from .operators import stats as ST
+
+    return ST.series_trend(load(spark, sf_dir, "events"), "event_type")

@@ -306,3 +306,66 @@ def chisq_independence(
             9,
         ).alias("contrib"),
     ).orderBy("row_val", "col_val")
+
+
+def series_trend(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-group OLS trend over the daily count series: slope and
+    intercept of counts-per-day against the day index, zero-filled
+    over the GLOBAL observed span so an absent day is a true 0, not a
+    missing sample — the trend detector behind "which event types are
+    growing".
+
+    Exactness is the design: with x = day index and y = daily count,
+    every regression moment (Σx, Σy, Σxy, Σx²) is an exact BIGINT sum,
+    so slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²) is one double division
+    of two exact integers — bit-identical in any engine, no DECIMAL
+    gymnastics needed (the one operator family where integer moments
+    beat the _dot_dec convention).  Returns (group, n_days, slope,
+    intercept) rounded to 9, deterministically ordered.
+
+    100 TB shape: one fact aggregate, a broadcast spine cross (the
+    LOCF family's grid), one moment aggregate per group — the fact is
+    read once and the regression state is four BIGINTs per group."""
+    day = F.to_date(ts_col)
+    daily = df.groupBy(
+        F.col(group_col).alias("grp"), day.alias("day")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    lo_hi = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    spine = lo_hi.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias(
+            "day"
+        ),
+        "lo",
+    )
+    grid = (
+        daily.select("grp")
+        .distinct()
+        .crossJoin(F.broadcast(spine))
+        .join(daily, ["grp", "day"], "left")
+        .select(
+            "grp",
+            F.datediff("day", "lo").cast("long").alias("x"),
+            F.coalesce("y", F.lit(0).cast("long")).alias("y"),
+        )
+    )
+    m = grid.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = m["n"] * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = m["n"] * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = num.cast("double") / den
+    intercept = (F.col("sy") - slope * F.col("sx")) / m["n"]
+    return m.select(
+        F.col("grp").alias(group_col),
+        F.col("n").alias("n_days"),
+        F.round(slope, 9).alias("slope"),
+        F.round(intercept, 9).alias("intercept"),
+    ).orderBy(group_col)

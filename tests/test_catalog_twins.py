@@ -993,3 +993,10 @@ def test_stream_user_latest_upsert_matches_oracle(spark, sf_dir):
     # and the idempotent-retry/crash contracts stay pinned in
     # tests/test_streaming.py
     _assert_matches_oracle(spark, sf_dir, "stream_user_latest_upsert")
+
+
+def test_customer_snapshot_diff_matches_oracle(spark, sf_dir):
+    # r10 continuation demotion: full-outer snapshot diff / CDF (green
+    # r8-r9) rotated out for event_type_trends; the table_diff CDC
+    # machinery executes in-window inside orders_mv_upsert every round
+    _assert_matches_oracle(spark, sf_dir, "customer_snapshot_diff")

@@ -153,3 +153,30 @@ def test_chisq_independence_contracts(spark):
     # the statistic over the grid: 10+5+... hand total
     chisq = sum(x.contrib for x in out.values())
     assert chisq == 5.0 + 10.0 + 5.0 + 10.0
+
+
+def test_series_trend_contracts(spark):
+    """r10 OLS contracts: a perfectly linear series recovers its exact
+    slope/intercept, a flat series gets slope 0, a group absent on
+    some days regresses against TRUE zeros over the global span."""
+    import datetime as dt
+
+    from database_per_keyword_analysis_spark.operators.stats import series_trend
+
+    d = lambda s: dt.datetime(2024, 1, s, 9, 0, 0)
+    rows = []
+    # group A: counts 1,2,3,4 on days 1-4 (slope 1, intercept 1)
+    for day in range(1, 5):
+        rows += [("A", d(day))] * day
+    # group B: constant 2 per day (slope 0, intercept 2)
+    for day in range(1, 5):
+        rows += [("B", d(day))] * 2
+    # group C: present only on day 4 with count 8 — zeros elsewhere:
+    # x=[0,1,2,3], y=[0,0,0,8]: slope = (4*24 - 6*8)/(4*14 - 36) = 2.4
+    rows += [("C", d(4))] * 8
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp_ntz")
+    out = {r.event_type: r for r in series_trend(df, "event_type").collect()}
+    assert out["A"].n_days == 4
+    assert (out["A"].slope, out["A"].intercept) == (1.0, 1.0)
+    assert (out["B"].slope, out["B"].intercept) == (0.0, 2.0)
+    assert out["C"].slope == 2.4 and out["C"].intercept == round(2.0 - 2.4 * 1.5, 9)
