@@ -313,6 +313,9 @@ HEADLINE = [
     # round-10 continuation: exact-integer-moment OLS trend (timed —
     # fact agg + spine grid + one moment agg per group)
     "event_type_trends",
+    # round-10 continuation: positional phrase query (timed — token
+    # scan prune + k-1 (doc, pos) equi-joins)
+    "phrase_search",
 ]
 
 # Round-7 headline audit (round-6 judge item 5): every registered query

@@ -652,6 +652,12 @@ _DEFERRED_TWINS = {
     #   feeds the retraction IVM); NEW differential below — slot taken
     #   by event_type_trends (NOVEL r10: exact-integer-moment OLS
     #   trend per series)
+    "hybrid_search_rrf",  # green r7-r9 (three passes); RRF rank
+    #   fusion — phrase_search becomes the retrieval family's
+    #   in-window anchor (positional postings, a layout no other
+    #   member exercises) and the rank-fusion/BM25/eval members all
+    #   carry differentials; NEW differential below — slot taken by
+    #   phrase_search (NOVEL r10: positional-index exact phrase query)
 }
 
 
@@ -8322,3 +8328,39 @@ def q_event_type_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import stats as ST
 
     return ST.series_trend(load(spark, sf_dir, "events"), "event_type")
+
+
+PHRASE_QUERY = "stream table hash"
+
+
+@register(
+    "phrase_search",
+    # the oracle is a token-window SCAN (array positions), a different
+    # formulation from the Spark side's positional-postings JOIN plan —
+    # the asymmetric-proof pattern
+    r"WITH toks AS (SELECT doc_id, list_filter("
+    r"string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS t "
+    "FROM documents WHERE text IS NOT NULL), "
+    "hits AS (SELECT doc_id, len(list_filter("
+    "generate_series(1, greatest(len(t) - 2, 0)), "
+    "i -> t[i] = 'stream' AND t[i+1] = 'table' AND t[i+2] = 'hash')) AS n "
+    "FROM toks) "
+    "SELECT doc_id, CAST(n AS BIGINT) AS n_occurrences FROM hits "
+    "WHERE n > 0 ORDER BY doc_id",
+)
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase query over positional postings
+    (operators/search.py:phrase_search; Manning et al. IR ch.2): docs
+    where 'stream table hash' occupies consecutive token positions —
+    k-1 (doc, pos+offset) equi-joins touching only the phrase terms'
+    postings, the layout a plain term index cannot answer.  The
+    oracle counts the same windows by array SCAN — a structurally
+    different formulation, so the hash equality proves the join plan,
+    not a shared derivation.  NOVEL round-10 machinery → in-window at
+    birth; hybrid_search_rrf (green r7-r9) rotated out with a NEW
+    differential."""
+    from .operators import search as SR
+
+    return SR.phrase_search(
+        load(spark, sf_dir, "documents", parallel=True), PHRASE_QUERY
+    )

@@ -603,3 +603,60 @@ def hybrid_search_rrf(
         .orderBy(F.desc("rrf_score"), F.asc(id_col))
         .limit(top_k)
     )
+
+
+def positional_tokens(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Positional postings: (doc_id, pos, token), pos 1-based over the
+    lowercase whitespace tokenization — the index layout phrase and
+    proximity queries need (a plain term index cannot distinguish
+    "stream table" from "table stream")."""
+    return (
+        docs.where(F.col(text_col).isNotNull())
+        .select(
+            id_col,
+            F.posexplode(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+            ).alias("pos0", "token"),
+        )
+        .where(F.col("token") != "")
+        .select(id_col, (F.col("pos0") + 1).alias("pos"), "token")
+    )
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrase: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact phrase search over the positional index: a document
+    matches where the phrase's tokens occupy CONSECUTIVE positions —
+    k-1 equi-joins on (doc, pos + offset), the classic positional-
+    postings phrase plan (Manning/Raghavan/Schütze IR ch.2).
+
+    100 TB shape: each join touches only the phrase TERMS' postings
+    (the scan prunes on token before any join), keyed on (doc, pos) —
+    co-partitioned after the first shuffle; join the rarest term
+    first at cluster scale (the df-ordering refinement; phrase order
+    here keeps the oracle formulation readable).  Returns
+    (doc_id, n_occurrences) per matching doc, deterministically
+    ordered."""
+    terms = [t for t in phrase.lower().split() if t]
+    if not terms:
+        raise ValueError("phrase_search: empty phrase")
+    idx = positional_tokens(docs, text_col, id_col)
+    cur = idx.where(F.col("token") == terms[0]).select(
+        id_col, F.col("pos").alias("p0")
+    )
+    for k, term in enumerate(terms[1:], start=1):
+        nxt = idx.where(F.col("token") == term).select(
+            id_col, (F.col("pos") - k).alias("p0")
+        )
+        cur = cur.join(nxt, [id_col, "p0"])
+    return (
+        cur.groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(id_col)
+    )

@@ -1000,3 +1000,11 @@ def test_customer_snapshot_diff_matches_oracle(spark, sf_dir):
     # r8-r9) rotated out for event_type_trends; the table_diff CDC
     # machinery executes in-window inside orders_mv_upsert every round
     _assert_matches_oracle(spark, sf_dir, "customer_snapshot_diff")
+
+
+def test_hybrid_search_rrf_matches_oracle(spark, sf_dir):
+    # r10 continuation demotion: RRF rank fusion (green r7-r9) rotated
+    # out for phrase_search, the retrieval family's new in-window
+    # anchor (positional postings — a layout no other member
+    # exercises)
+    _assert_matches_oracle(spark, sf_dir, "hybrid_search_rrf")

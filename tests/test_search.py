@@ -370,3 +370,32 @@ def test_hybrid_rrf_respects_side_and_output_limits(spark):
     for r in out:
         assert r.sparse_rank is None or r.sparse_rank <= 3
         assert r.dense_rank is None or r.dense_rank <= 3
+
+
+def test_phrase_search_contracts(spark):
+    """r10 positional-phrase contracts: consecutive-position matches
+    only (scrambled word order and gapped words do NOT match),
+    overlapping occurrences each count, case/whitespace normalize,
+    empty phrase rejected."""
+    import pytest as _pytest
+
+    from database_per_keyword_analysis_spark.operators.search import (
+        phrase_search,
+    )
+
+    rows = [
+        (1, "big data merge big data merge"),  # 2 occurrences
+        (2, "data big merge"),  # scrambled: no match
+        (3, "big fast data merge"),  # gapped: no match
+        (4, "BIG   Data merge"),  # case + runs of whitespace: match
+        (5, None),
+        (6, "a a a a"),  # overlapping self-phrase below
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.n_occurrences for r in phrase_search(df, "big data merge").collect()}
+    assert out == {1: 2, 4: 1}
+    # overlapping occurrences: 'a a' appears 3x in 'a a a a'
+    out2 = {r.doc_id: r.n_occurrences for r in phrase_search(df, "a a").collect()}
+    assert out2[6] == 3
+    with _pytest.raises(ValueError):
+        phrase_search(df, "   ")
