@@ -103,6 +103,10 @@ def main() -> None:
         "user_active_spans": (BASE, _events10x()),
         "touch_attribution": (BASE, _events10x()),
         "user_count_min": (BASE, _events10x()),
+        # trend — events 10x: moment agg per group, 10x fact rows
+        "event_type_trends": (BASE, _events10x()),
+        # phrase — documents 10x: postings prune + (doc, pos) joins
+        "phrase_search": (BASE, _docs10x()),
     }
     if only:
         fixtures = {k: v for k, v in fixtures.items() if k in only}
