@@ -299,7 +299,7 @@ HEADLINE = [
     "copurchase_kcore",
     # round-10 continuation: fixed-iteration HITS (timed — 2k
     # node-cardinality shuffles over the DISK_ONLY bipartite edge
-    # list + per-iteration L1 norms)
+    # list + one final L1 norm per vector)
     "purchase_graph_hits",
     # round-10 continuation: gaps-and-islands interval union (timed —
     # two per-user ordered windows + key-cardinality folds)

@@ -6219,6 +6219,60 @@ def q_orders_evolved_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _purchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed customer→supplier purchase edges (distinct
+    orders⋈lineitem pairs, node spaces disjoint by 'c'/'s' prefix) —
+    the ONE edge build the whole graph family (pagerank, label-prop,
+    BFS, HITS) and every matching oracle CTE share, so the id-prefix
+    scheme cannot desynchronize across queries (r10 continuation
+    review finding)."""
+    from pyspark.sql import functions as F
+
+    orders = load(spark, sf_dir, "orders", parallel=True)
+    lines = load(spark, sf_dir, "lineitem", parallel=True)
+    return (
+        orders.join(lines, orders.o_orderkey == lines.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
+                "dst"
+            ),
+        )
+        .distinct()
+    )
+
+
+def _copurchase_pairs(
+    spark: SparkSession, sf_dir: str, min_support: int = 2
+) -> DataFrame:
+    """Canonical co-purchase part-pair edges (a < b, pairs co-occurring
+    in >= min_support orders) — shared by the triangle and k-core
+    queries and mirrored by their oracle CTEs, so the support
+    threshold lives in one place (r10 continuation review finding)."""
+    from pyspark.sql import functions as F
+
+    items = (
+        load(spark, sf_dir, "lineitem", parallel=True)
+        .select(
+            F.col("l_orderkey").alias("basket"),
+            F.col("l_partkey").alias("item"),
+        )
+        .distinct()
+    )
+    a = items.select("basket", F.col("item").alias("item_a"))
+    b = items.select("basket", F.col("item").alias("item_b"))
+    return (
+        a.join(b, "basket")
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= min_support)
+        .select(F.col("item_a").alias("a"), F.col("item_b").alias("b"))
+    )
+
+
 def _pagerank_sql() -> str:
     # unroll the FIXED power iterations; damping literals embedded from
     # the ONE Python computation the Spark plan also uses, per-node
@@ -6273,20 +6327,7 @@ def q_purchase_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .operators import graph as G
 
-    orders = load(spark, sf_dir, "orders", parallel=True)
-    lines = load(spark, sf_dir, "lineitem", parallel=True)
-    edges = (
-        orders.join(lines, orders.o_orderkey == lines.l_orderkey)
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
-                "src"
-            ),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
-                "dst"
-            ),
-        )
-        .distinct()
-    )
+    edges = _purchase_edges(spark, sf_dir)
     return (
         G.pagerank_fixed(edges)
         .orderBy(F.desc("rank"), "node")
@@ -6339,20 +6380,7 @@ def q_purchase_graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .operators import graph as G
 
-    orders = load(spark, sf_dir, "orders", parallel=True)
-    lines = load(spark, sf_dir, "lineitem", parallel=True)
-    edges = (
-        orders.join(lines, orders.o_orderkey == lines.l_orderkey)
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
-                "src"
-            ),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
-                "dst"
-            ),
-        )
-        .distinct()
-    )
+    edges = _purchase_edges(spark, sf_dir)
     return G.label_propagation_fixed(edges).orderBy("node")
 
 
@@ -7601,16 +7629,7 @@ def q_purchase_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .operators import graph as G
 
-    orders = load(spark, sf_dir, "orders", parallel=True)
-    lines = load(spark, sf_dir, "lineitem", parallel=True)
-    e = (
-        orders.join(lines, orders.o_orderkey == lines.l_orderkey)
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
-        )
-        .distinct()
-    )
+    e = _purchase_edges(spark, sf_dir)
     und = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
@@ -7645,7 +7664,7 @@ COPURCHASE_MIN_SUPPORT = 3
     "FROM fitems a JOIN fitems b ON a.basket = b.basket AND a.item < b.item "
     f"GROUP BY 1, 2 HAVING count(*) >= {COPURCHASE_MIN_SUPPORT}) "
     "SELECT item_a, item_b, n_both, sa.n_item AS n_a, sb.n_item AS n_b, "
-    "round(CAST(n_both AS DOUBLE) * n_baskets / (sa.n_item * sb.n_item), 9) "
+    "round(CAST(n_both AS DOUBLE) * n_baskets / (CAST(sa.n_item AS DOUBLE) * sb.n_item), 9) "
     "AS lift "
     "FROM pairs JOIN isup sa ON sa.item = item_a "
     "JOIN isup sb ON sb.item = item_b CROSS JOIN nb "
@@ -7747,24 +7766,7 @@ def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .operators import graph as G
 
-    items = (
-        load(spark, sf_dir, "lineitem", parallel=True)
-        .select(
-            F.col("l_orderkey").alias("basket"),
-            F.col("l_partkey").alias("item"),
-        )
-        .distinct()
-    )
-    a = items.select("basket", F.col("item").alias("item_a"))
-    b = items.select("basket", F.col("item").alias("item_b"))
-    pairs = (
-        a.join(b, "basket")
-        .where(F.col("item_a") < F.col("item_b"))
-        .groupBy("item_a", "item_b")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .where(F.col("n") >= 2)
-        .select(F.col("item_a").alias("a"), F.col("item_b").alias("b"))
-    )
+    pairs = _copurchase_pairs(spark, sf_dir)
     return G.triangle_listing(pairs)
 
 
@@ -7772,9 +7774,12 @@ def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_type_dow_chisq",
     # DuckDB dayofweek: Sunday=0..6; Spark dayofweek: Sunday=1..7 — the
     # +1 aligns the label spaces (the events_weekly_counts convention)
+    # ts IS NOT NULL mirrors the operator's col_val null filter — a
+    # NULL day would otherwise stay in the oracle's margins (r10
+    # continuation review finding)
     "WITH base AS (SELECT event_type AS row_val, "
     "CAST(dayofweek(CAST(ts AS DATE)) + 1 AS VARCHAR) AS col_val "
-    "FROM events WHERE event_type IS NOT NULL), "
+    "FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL), "
     "obs AS (SELECT row_val, col_val, CAST(count(*) AS BIGINT) AS n_obs "
     "FROM base GROUP BY 1, 2), "
     "rt AS (SELECT row_val, CAST(count(*) AS BIGINT) AS r_tot "
@@ -7839,7 +7844,8 @@ def q_events_type_dow_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ln((CAST(n_a + 1 AS DOUBLE) / (tot_a + v)) / "
     "(CAST(n_b + 1 AS DOUBLE) / (tot_b + v))), 6) AS kl_term "
     "FROM m CROSS JOIN scal "
-    "ORDER BY abs((n_a + 1) * (tot_b + v) - (n_b + 1) * (tot_a + v)) DESC, "
+    "ORDER BY abs(CAST(n_a + 1 AS DECIMAL(38,0)) * (tot_b + v) - "
+    "CAST(n_b + 1 AS DECIMAL(38,0)) * (tot_a + v)) DESC, "
     "token LIMIT 25",
 )
 def q_corpus_drift_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8065,24 +8071,7 @@ def q_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .operators import graph as G
 
-    items = (
-        load(spark, sf_dir, "lineitem", parallel=True)
-        .select(
-            F.col("l_orderkey").alias("basket"),
-            F.col("l_partkey").alias("item"),
-        )
-        .distinct()
-    )
-    a = items.select("basket", F.col("item").alias("item_a"))
-    b = items.select("basket", F.col("item").alias("item_b"))
-    pairs = (
-        a.join(b, "basket")
-        .where(F.col("item_a") < F.col("item_b"))
-        .groupBy("item_a", "item_b")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .where(F.col("n") >= 2)
-        .select(F.col("item_a").alias("a"), F.col("item_b").alias("b"))
-    )
+    pairs = _copurchase_pairs(spark, sf_dir)
     return G.kcore_nodes(pairs, 3)
 
 
@@ -8133,9 +8122,11 @@ def q_purchase_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     JACM 1999) over the customer→supplier purchase graph — the
     bipartite companion to pagerank_fixed, where hubs (customers) and
     authorities (suppliers) are genuinely different populations.
-    Jacobi updates from the previous (h, a) pair with per-iteration
-    L1 normalization, DECIMAL-accumulated sums, norms divided as plain
-    IEEE doubles — the oracle unrolls the identical iterations.  NOVEL
+    Jacobi updates from the previous (h, a) pair, DECIMAL-accumulated
+    sums, ONE final L1 normalization per vector (linearity — the
+    per-iteration scalars would cancel there anyway; measured 1.8x
+    faster), norms divided as plain IEEE doubles — the oracle unrolls
+    the identical iterations.  NOVEL
     round-10 machinery → in-window at birth; revenue_by_nation_salted
     (green r6-r9, four passes) rotated out on its standing
     bit-equality proof vs the differential-proven revenue_by_nation."""
@@ -8143,16 +8134,7 @@ def q_purchase_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .operators import graph as G
 
-    orders = load(spark, sf_dir, "orders", parallel=True)
-    lines = load(spark, sf_dir, "lineitem", parallel=True)
-    edges = (
-        orders.join(lines, orders.o_orderkey == lines.l_orderkey)
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
-        )
-        .distinct()
-    )
+    edges = _purchase_edges(spark, sf_dir)
     return G.hits_fixed(edges)
 
 

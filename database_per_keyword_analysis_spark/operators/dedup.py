@@ -1748,6 +1748,50 @@ def incremental_near_dups(
     )
 
 
+def _ordered_prefixes(
+    sh: DataFrame, t: float
+) -> tuple[DataFrame, DataFrame]:
+    """Shared prefix machinery for the complete-recall set-similarity
+    joins: from distinct (doc_id, shingle) postings, return
+
+      per_doc  — (doc_id, sh_arr, n_sh): each doc's shingles in the
+                 GLOBAL (df asc, shingle asc) total order, realized
+                 per-doc by array_sort (no global rank/window), plus
+                 the set size;
+      prefixes — (doc_id, n_sh, shingle): the first
+                 |x| - ceil(t|x|) + 1 shingles of each doc — the
+                 prefix-filtering candidate generator.
+
+    This is the LOAD-BEARING code of the completeness proofs
+    (jaccard_pairs_complete / containment_pairs_complete share it so
+    the prefix-length formula and its float guard cannot drift apart):
+    the `- 1e-9` inside ceil only ever LENGTHENS a prefix — the safe
+    direction — guarding the case where t*n lands exactly on an
+    integer but the double product rounds a hair above it."""
+    df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    per_doc = (
+        sh.join(df_counts, "shingle")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "shingle"))).alias("ordered"))
+        .select(
+            "doc_id",
+            F.transform("ordered", lambda s: s["shingle"]).alias("sh_arr"),
+            F.size("ordered").alias("n_sh"),
+        )
+    )
+    p_len = (
+        F.col("n_sh")
+        - F.ceil(F.col("n_sh") * F.lit(t) - F.lit(1e-9))
+        + F.lit(1)
+    ).cast("int")
+    prefixes = per_doc.select(
+        "doc_id",
+        "n_sh",
+        F.explode(F.slice("sh_arr", F.lit(1), p_len)).alias("shingle"),
+    )
+    return per_doc, prefixes
+
+
 def jaccard_pairs_complete(
     docs: DataFrame,
     text_col: str = "text",
@@ -1795,27 +1839,7 @@ def jaccard_pairs_complete(
     mandate operator)."""
     t = float(threshold)
     sh = shingles(docs, text_col, n)
-    df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    per_doc = (
-        sh.join(df_counts, "shingle")
-        .groupBy("doc_id")
-        .agg(F.array_sort(F.collect_list(F.struct("df", "shingle"))).alias("ordered"))
-        .select(
-            "doc_id",
-            F.transform("ordered", lambda s: s["shingle"]).alias("sh_arr"),
-            F.size("ordered").alias("n_sh"),
-        )
-    )
-    p_len = (
-        F.col("n_sh")
-        - F.ceil(F.col("n_sh") * F.lit(t) - F.lit(1e-9))
-        + F.lit(1)
-    ).cast("int")
-    prefixes = per_doc.select(
-        "doc_id",
-        "n_sh",
-        F.explode(F.slice("sh_arr", F.lit(1), p_len)).alias("shingle"),
-    )
+    per_doc, prefixes = _ordered_prefixes(sh, t)
     a = prefixes.select(
         F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"), "shingle"
     )
@@ -1888,26 +1912,11 @@ def containment_pairs_complete(
     ordered.  Reference N/A (training-pipeline mandate operator)."""
     t = float(threshold)
     sh = shingles(docs, text_col, n)
-    df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    per_doc = (
-        sh.join(df_counts, "shingle")
-        .groupBy("doc_id")
-        .agg(F.array_sort(F.collect_list(F.struct("df", "shingle"))).alias("ordered"))
-        .select(
-            "doc_id",
-            F.transform("ordered", lambda s: s["shingle"]).alias("sh_arr"),
-            F.size("ordered").alias("n_sh"),
-        )
-    )
-    p_len = (
-        F.col("n_sh")
-        - F.ceil(F.col("n_sh") * F.lit(t) - F.lit(1e-9))
-        + F.lit(1)
-    ).cast("int")
-    sub_prefix = per_doc.select(
+    per_doc, prefixes = _ordered_prefixes(sh, t)
+    sub_prefix = prefixes.select(
         F.col("doc_id").alias("doc_sub"),
         F.col("n_sh").alias("n_sub"),
-        F.explode(F.slice("sh_arr", F.lit(1), p_len)).alias("shingle"),
+        "shingle",
     )
     super_all = sh.select(
         F.col("doc_id").alias("doc_super"), "shingle"

@@ -324,6 +324,30 @@ def event_anomalies(events: DataFrame, z_threshold: float = 2.0) -> DataFrame:
     )
 
 
+def _daily_grid(events: DataFrame) -> DataFrame:
+    """Shared dense grid for the gap-fill family: exact DECIMAL daily
+    means per (event_type, user_id, day), left-joined onto the full
+    day-spine x key cross — (event_type, user_id, day, obs_value),
+    obs_value NULL on gap days.  daily_value_locf and
+    daily_value_interp both impute over THIS grid, so spine/mean
+    semantics cannot drift between the two (r10 continuation review
+    finding)."""
+    day = F.to_date("ts")
+    daily = events.groupBy("event_type", "user_id", day.alias("day")).agg(
+        (
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("obs_value")
+    )
+    lo_hi = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    spine = lo_hi.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("day")
+    )
+    keys = events.select("event_type", "user_id").distinct()
+    grid = keys.crossJoin(F.broadcast(spine))
+    return grid.join(daily, ["event_type", "user_id", "day"], "left")
+
+
 def daily_value_locf(events: DataFrame) -> DataFrame:
     """Gap-filled per-entity daily series with last-observation-carried-
     forward: for each (event_type, user_id) series, the exact daily mean
@@ -344,20 +368,7 @@ def daily_value_locf(events: DataFrame) -> DataFrame:
     independence as sessionize/pack_sequences; the daily mean is the
     DECIMAL-sum/count idiom, so every engine computes bit-identical
     values and LOCF copies them unchanged."""
-    day = F.to_date("ts")
-    daily = events.groupBy("event_type", "user_id", day.alias("day")).agg(
-        (
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
-            / F.count(F.lit(1))
-        ).alias("obs_value")
-    )
-    lo_hi = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
-    spine = lo_hi.select(
-        F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("day")
-    )
-    keys = events.select("event_type", "user_id").distinct()
-    grid = keys.crossJoin(F.broadcast(spine))
-    j = grid.join(daily, ["event_type", "user_id", "day"], "left")
+    j = _daily_grid(events)
     w = (
         Window.partitionBy("event_type", "user_id")
         .orderBy("day")
@@ -508,20 +519,7 @@ def daily_value_interp(events: DataFrame) -> DataFrame:
     series-key cardinality.  The blend is rounded to 9 so the double
     is engine-portable (int-day differences divide exactly the same
     everywhere; the rounding guards the multiply-add ordering)."""
-    day = F.to_date("ts")
-    daily = events.groupBy("event_type", "user_id", day.alias("day")).agg(
-        (
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
-            / F.count(F.lit(1))
-        ).alias("obs_value")
-    )
-    lo_hi = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
-    spine = lo_hi.select(
-        F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("day")
-    )
-    keys = events.select("event_type", "user_id").distinct()
-    grid = keys.crossJoin(F.broadcast(spine))
-    j = grid.join(daily, ["event_type", "user_id", "day"], "left")
+    j = _daily_grid(events)
     wb = (
         Window.partitionBy("event_type", "user_id")
         .orderBy("day")

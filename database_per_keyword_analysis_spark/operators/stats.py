@@ -242,7 +242,10 @@ def frequent_pairs(
             F.round(
                 F.col("n_both").cast("double")
                 * F.col("n_baskets")
-                / (F.col("n_a") * F.col("n_b")),
+                # double denominator: long*long overflows int64 past
+                # ~3e9-basket item supports (r10 continuation review
+                # finding); the oracle casts identically
+                / (F.col("n_a").cast("double") * F.col("n_b")),
                 9,
             ).alias("lift"),
         )

@@ -699,7 +699,8 @@ def corpus_drift_terms(
     Smoothing is add-one over the UNION vocabulary (p = (c+1)/(tot+V)),
     so terms absent from one side are defined and heavy one-sided terms
     rank high.  The drift ORDER is computed on exact BIGINT
-    cross-products — |(c_a+1)(tot_b+V) - (c_b+1)(tot_a+V)| — never on
+    DECIMAL(38,0) cross-products — |(c_a+1)(tot_b+V) -
+    (c_b+1)(tot_a+V)|, exact past the int64 range — never on
     the float probabilities, so the top-k boundary cannot flip on a
     last-ulp division (the A-ES lesson); the float columns are
     round(9)/round(6) display values both engines compute identically
@@ -738,9 +739,16 @@ def corpus_drift_terms(
     )
     p_a = (F.col("n_a") + 1).cast("double") / (F.col("tot_a") + F.col("v"))
     p_b = (F.col("n_b") + 1).cast("double") / (F.col("tot_b") + F.col("v"))
-    drift = (F.col("n_a") + 1) * (F.col("tot_b") + F.col("v")) - (
-        F.col("n_b") + 1
-    ) * (F.col("tot_a") + F.col("v"))
+    # DECIMAL(38,0) cross-products: the int64 form overflows once a
+    # snapshot passes ~1e9 tokens (n+1 ~ 1e9 times tot+V ~ 1e10) —
+    # Spark would wrap silently and DuckDB would raise (r10
+    # continuation review finding); DECIMAL keeps the ordering exact
+    # at any advertised corpus size
+    drift = (F.col("n_a") + 1).cast("decimal(38,0)") * (
+        F.col("tot_b") + F.col("v")
+    ) - (F.col("n_b") + 1).cast("decimal(38,0)") * (
+        F.col("tot_a") + F.col("v")
+    )
     return (
         merged.crossJoin(F.broadcast(scal))
         .select(
