@@ -316,6 +316,9 @@ HEADLINE = [
     # round-10 continuation: positional phrase query (timed — token
     # scan prune + k-1 (doc, pos) equi-joins)
     "phrase_search",
+    # round-10 continuation: CM join-cardinality estimate (timed —
+    # two sketch builds + the fixed-size inner-product join)
+    "orders_join_size_sketch",
 ]
 
 # Round-7 headline audit (round-6 judge item 5): every registered query

@@ -658,6 +658,12 @@ _DEFERRED_TWINS = {
     #   member exercises) and the rank-fusion/BM25/eval members all
     #   carry differentials; NEW differential below — slot taken by
     #   phrase_search (NOVEL r10: positional-index exact phrase query)
+    "purchase_graph_pagerank",  # green r8-r9 (two passes); the graph
+    #   family now carries FOUR in-window members (reachability, HITS,
+    #   triangles, k-core — HITS shares the unrolled-iteration oracle
+    #   idiom); NEW differential below — slot taken by
+    #   orders_join_size_sketch (NOVEL r10: Count-Min inner-product
+    #   join-cardinality estimation)
 }
 
 
@@ -8345,4 +8351,63 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return SR.phrase_search(
         load(spark, sf_dir, "documents", parallel=True), PHRASE_QUERY
+    )
+
+
+def _join_size_sketch_sql() -> str:
+    from .operators.scale import CM_DEPTH, CM_WIDTH
+
+    def stacked(table: str, key: str) -> str:
+        return " UNION ALL ".join(
+            f"SELECT {r} AS row, CAST('0x' || "
+            f"substr(md5(CAST({key} AS VARCHAR)), {1 + 8 * r}, 8) AS BIGINT) "
+            f"% {CM_WIDTH} AS col FROM {table}"
+            for r in range(CM_DEPTH)
+        )
+
+    return (
+        f"WITH sa AS MATERIALIZED ({stacked('orders', 'o_custkey')}), "
+        "ca AS MATERIALIZED (SELECT row, col, CAST(count(*) AS BIGINT) "
+        "AS cnt FROM sa GROUP BY row, col), "
+        f"sb AS MATERIALIZED ({stacked('customer', 'c_custkey')}), "
+        "cb AS MATERIALIZED (SELECT row, col, CAST(count(*) AS BIGINT) "
+        "AS cnt FROM sb GROUP BY row, col), "
+        "per_row AS (SELECT ca.row, CAST(CAST(sum(CAST(ca.cnt * cb.cnt "
+        "AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS BIGINT) AS est "
+        "FROM ca JOIN cb ON ca.row = cb.row AND ca.col = cb.col "
+        "GROUP BY ca.row), "
+        "est AS (SELECT min(est) AS est_rows FROM per_row), "
+        "fa AS (SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS na "
+        "FROM orders GROUP BY 1), "
+        "fb AS (SELECT c_custkey AS k, CAST(count(*) AS BIGINT) AS nb "
+        "FROM customer GROUP BY 1), "
+        "t AS (SELECT CAST(CAST(sum(CAST(na * nb AS DECIMAL(38,0))) "
+        "AS DECIMAL(38,0)) AS BIGINT) AS true_rows FROM fa JOIN fb USING (k)) "
+        "SELECT est_rows, true_rows, est_rows - true_rows AS overcount "
+        "FROM est CROSS JOIN t"
+    )
+
+
+@register("orders_join_size_sketch", _join_size_sketch_sql())
+def q_orders_join_size_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation from two Count-Min sketches
+    (operators/scale.py:count_min_join_size; the AMS/CM inner-product
+    estimator): |orders ⋈ customer| estimated as the min over rows of
+    the sketch inner product — an upper bound by construction,
+    computed from two fixed-size summaries without re-touching either
+    table; the sketch the join-strategy control loop would consume at
+    100 TB, where even the exact per-key count join is itself a
+    shuffle.  Both engines rebuild identical cells, so the estimate
+    (and its overcount against the exact count, computed here as the
+    verification column) is hash-checkable.  NOVEL round-10 machinery
+    → in-window at birth; purchase_graph_pagerank (green r8-r9)
+    rotated out with a NEW differential — the graph family keeps four
+    in-window members."""
+    from .operators import scale as SC
+
+    return SC.count_min_join_size(
+        load(spark, sf_dir, "orders", parallel=True),
+        "o_custkey",
+        load(spark, sf_dir, "customer", parallel=True),
+        "c_custkey",
     )

@@ -893,3 +893,64 @@ def count_min_estimates(
         )
         .orderBy("key")
     )
+
+
+def count_min_join_size(
+    left: DataFrame,
+    left_key: str,
+    right: DataFrame,
+    right_key: str,
+    depth: int = CM_DEPTH,
+    width: int = CM_WIDTH,
+) -> DataFrame:
+    """Equi-join cardinality estimate from two Count-Min sketches
+    (Alon-Matias-Szegedy / Cormode-Muthukrishnan inner-product
+    estimation): |A ⋈ B| = Σ_k f_A(k)·f_B(k), estimated as
+    min over rows r of Σ_col cellsA[r][col]·cellsB[r][col] — an
+    OVERESTIMATE by construction (hash collisions only add cross
+    terms), computed from two fixed-size summaries without touching
+    either table again.  This is the sketch the join-strategy control
+    loop (choose_join_strategy) would consume at 100 TB, where the
+    exact per-key count join order_join_size_report builds is itself
+    a shuffle.
+
+    Returns ONE row: (est_rows, true_rows, overcount) — the exact
+    count is computed here only as the verification column; both
+    engines rebuild identical cells, so the estimate is
+    oracle-checkable.  All arithmetic exact BIGINTs (cell counts are
+    partition-bounded; the product sum is DECIMAL(38,0)-accumulated
+    against overflow on very hot cells)."""
+    ca = count_min_cells(left.select(F.col(left_key).alias("k")), "k", depth, width)
+    cb = count_min_cells(right.select(F.col(right_key).alias("k")), "k", depth, width)
+    per_row = (
+        ca.alias("a")
+        .join(cb.alias("b"), ["row", "col"])
+        .groupBy("row")
+        .agg(
+            F.sum(
+                (F.col("a.cnt") * F.col("b.cnt")).cast("decimal(38,0)")
+            )
+            .cast("long")
+            .alias("est")
+        )
+    )
+    est = per_row.agg(F.min("est").alias("est_rows"))
+    fa = left.groupBy(F.col(left_key).alias("k")).agg(
+        F.count(F.lit(1)).alias("na")
+    )
+    fb = right.groupBy(F.col(right_key).alias("k")).agg(
+        F.count(F.lit(1)).alias("nb")
+    )
+    true_rows = fa.join(fb, "k").agg(
+        F.sum((F.col("na") * F.col("nb")).cast("decimal(38,0)"))
+        .cast("long")
+        .alias("true_rows")
+    )
+    return (
+        est.crossJoin(F.broadcast(true_rows))
+        .select(
+            "est_rows",
+            "true_rows",
+            (F.col("est_rows") - F.col("true_rows")).alias("overcount"),
+        )
+    )

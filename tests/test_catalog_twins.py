@@ -1008,3 +1008,11 @@ def test_hybrid_search_rrf_matches_oracle(spark, sf_dir):
     # anchor (positional postings — a layout no other member
     # exercises)
     _assert_matches_oracle(spark, sf_dir, "hybrid_search_rrf")
+
+
+def test_purchase_graph_pagerank_matches_oracle(spark, sf_dir):
+    # r10 continuation demotion: fixed-iteration PageRank (green
+    # r8-r9) rotated out for orders_join_size_sketch; the graph family
+    # keeps reachability, HITS (same unrolled-iteration oracle idiom),
+    # triangles and k-core in-window
+    _assert_matches_oracle(spark, sf_dir, "purchase_graph_pagerank")

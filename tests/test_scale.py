@@ -638,3 +638,22 @@ def test_count_min_overestimates_and_merges(spark):
     # a generous width removes all collisions: est == truth everywhere
     wide = SC.count_min_estimates(df, "k", depth=3, width=4096).collect()
     assert all(r.overcount == 0 for r in wide)
+
+
+def test_count_min_join_size_contracts(spark):
+    """r10 inner-product contracts: the sketch estimate is always an
+    upper bound on the true equi-join cardinality; a wide sketch is
+    exact; a narrow sketch overcounts via collision cross-terms."""
+    from pyspark.sql import functions as F
+
+    from database_per_keyword_analysis_spark.operators import scale as SC
+
+    a = spark.range(300).select((F.col("id") % 30).alias("k"))
+    b = spark.range(200).select((F.col("id") % 20).alias("k"))
+    # true size: keys 0..19 appear 10x in a and 10x in b -> 20*100 = 2000
+    wide = SC.count_min_join_size(a, "k", b, "k", depth=3, width=4096).collect()[0]
+    assert wide.true_rows == 2000
+    assert wide.est_rows == 2000 and wide.overcount == 0
+    narrow = SC.count_min_join_size(a, "k", b, "k", depth=3, width=8).collect()[0]
+    assert narrow.true_rows == 2000
+    assert narrow.est_rows >= 2000 and narrow.overcount > 0
