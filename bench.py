@@ -319,6 +319,10 @@ HEADLINE = [
     # round-10 continuation: CM join-cardinality estimate (timed —
     # two sketch builds + the fixed-size inner-product join)
     "orders_join_size_sketch",
+    # round-10 continuation: streaming drift monitor (timed — 4
+    # micro-batch token folds through the exactly-once MV seam + the
+    # drift scoring join; cache-keyed workdir)
+    "stream_corpus_drift",
 ]
 
 # Round-7 headline audit (round-6 judge item 5): every registered query

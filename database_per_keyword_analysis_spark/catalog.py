@@ -664,6 +664,12 @@ _DEFERRED_TWINS = {
     #   idiom); NEW differential below — slot taken by
     #   orders_join_size_sketch (NOVEL r10: Count-Min inner-product
     #   join-cardinality estimation)
+    "orders_evolved_scan",  # green r8-r9 (two passes); schema-
+    #   evolution-tolerant mergeSchema scan — unique machinery, fully
+    #   value-checked by its NEW differential below; slot taken by
+    #   stream_corpus_drift (NOVEL r10: streaming drift monitor — the
+    #   token-counts MV folds per micro-batch and the drift report
+    #   hash-matches the batch monitor's oracle)
 }
 
 
@@ -7823,11 +7829,13 @@ def q_events_type_dow_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ST.chisq_independence(ev, "event_type", "dow")
 
 
-@register(
-    "corpus_drift_terms",
-    # snapshots emulated by doc_id parity (ingestion-time split); the
-    # drift ORDER is exact BIGINT cross-products, never the float
-    # probabilities (the A-ES ulp lesson)
+# snapshots emulated by doc_id parity (ingestion-time split); the
+# drift ORDER is exact DECIMAL cross-products, never the float
+# probabilities (the A-ES ulp lesson).  Shared by the batch monitor
+# AND stream_corpus_drift: the streaming fold accumulates the SAME odd
+# half, so one oracle covers both (the drained stream's final counts
+# are exactly tb's).
+_DRIFT_SQL = (
     r"WITH ta AS (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) "
     "AS token FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 0), "
     r"tb AS (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) "
@@ -7852,8 +7860,11 @@ def q_events_type_dow_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
     "FROM m CROSS JOIN scal "
     "ORDER BY abs(CAST(n_a + 1 AS DECIMAL(38,0)) * (tot_b + v) - "
     "CAST(n_b + 1 AS DECIMAL(38,0)) * (tot_a + v)) DESC, "
-    "token LIMIT 25",
+    "token LIMIT 25"
 )
+
+
+@register("corpus_drift_terms", _DRIFT_SQL)
 def q_corpus_drift_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus drift monitor (operators/textquality.py:
     corpus_drift_terms): the 25 unigrams whose add-one-smoothed
@@ -8411,3 +8422,100 @@ def q_orders_join_size_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "customer", parallel=True),
         "c_custkey",
     )
+
+
+@register("stream_corpus_drift", _DRIFT_SQL)
+def q_stream_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING corpus drift monitor: the odd-half snapshot arrives
+    as a document STREAM (4-file split, maxFilesPerTrigger=1 → 4
+    micro-batches) whose token counts fold into a persisted counts MV
+    inside foreachBatch (each occurrence = one +1 change row through
+    the exactly-once refresh_mv_batch seam — applied-batch watermark
+    inside the swapped dir, retries no-op, crash windows recover),
+    then the drift report runs against the frozen even-half reference
+    via the SAME scoring path as the batch monitor
+    (textquality.drift_from_counts).  Token counts are additive, so
+    the drained MV is batch-split-independent and the report
+    hash-matches corpus_drift_terms' oracle EXACTLY — the IVM
+    batch≡stream proof applied to corpus monitoring.  Cache-keyed
+    workdir (the stream_ingest_dedup seam).  NOVEL round-10 machinery
+    → in-window at birth; orders_evolved_scan (green r8-r9) rotated
+    out with a NEW differential."""
+    import hashlib
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from .operators import textquality as TQ
+    from .streaming import ingest as ING
+
+    docf = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(docf)
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{st.st_size}:{st.st_mtime_ns}".encode()
+    ).hexdigest()[:12]
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".cache", "driftstream", key,
+    )
+    src = os.path.join(base, "src")
+    mv_path = os.path.join(base, "mv")
+
+    docs = load(spark, sf_dir, "documents")
+    if not os.path.isfile(os.path.join(src, "_SUCCESS")):
+        shutil.rmtree(base, ignore_errors=True)
+        # seed: an EMPTY counts MV (the stream supplies every token)
+        empty = spark.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField("token", T.StringType()),
+                    T.StructField("n", T.LongType()),
+                ]
+            ),
+        )
+        ING.seed_mv(empty, mv_path)
+        docs.where(F.col("doc_id") % 2 == 1).select(
+            "doc_id", "text"
+        ).repartition(4).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    def fold(batch_df, batch_id):
+        # one +1 insert-change row per token OCCURRENCE in the batch
+        changes = (
+            batch_df.where(F.col("text").isNotNull())
+            .select(
+                F.explode(
+                    F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+                ).alias("token")
+            )
+            .where(F.col("token") != "")
+            .select(
+                F.lit("insert").alias("op"),
+                "token",
+                F.lit(None).cast("string").alias("old_token"),
+            )
+        )
+        ING.refresh_mv_batch(changes, mv_path, ["token"], "n", {}, batch_id)
+
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    ca = TQ.corpus_token_counts(
+        docs.where(F.col("doc_id") % 2 == 0)
+    ).select("token", F.col("n").alias("n_a"))
+    cb = ING.read_mv(spark, mv_path).select(
+        "token", F.col("n").alias("n_b")
+    )
+    return TQ.drift_from_counts(ca, cb)

@@ -713,20 +713,40 @@ def corpus_drift_terms(
     kl_term) ordered by drift.  Reference N/A (no corpus monitoring
     in main.py)."""
 
-    def counts(docs: DataFrame) -> DataFrame:
-        return (
-            docs.where(F.col(text_col).isNotNull())
-            .select(
-                F.explode(
-                    F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-                ).alias("token")
-            )
-            .where(F.col("token") != "")
-            .groupBy("token")
-            .agg(F.count(F.lit(1)).alias("n"))
+    ca = corpus_token_counts(docs_a, text_col).select(
+        "token", F.col("n").alias("n_a")
+    )
+    cb = corpus_token_counts(docs_b, text_col).select(
+        "token", F.col("n").alias("n_b")
+    )
+    return drift_from_counts(ca, cb, top_k)
+
+
+def corpus_token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Unigram occurrence counts (token, n) over the repo's lowercase
+    whitespace tokenization — the snapshot state the drift monitor
+    compares; also the per-batch increment the STREAMING drift fold
+    accumulates (one occurrence = one +1 change row)."""
+    return (
+        docs.where(F.col(text_col).isNotNull())
+        .select(
+            F.explode(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+            ).alias("token")
         )
-    ca = counts(docs_a).select("token", F.col("n").alias("n_a"))
-    cb = counts(docs_b).select("token", F.col("n").alias("n_b"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def drift_from_counts(
+    ca: DataFrame, cb: DataFrame, top_k: int = 25
+) -> DataFrame:
+    """The drift report from two (token, count) tables — split out of
+    `corpus_drift_terms` so the streaming fold (which maintains the
+    counts incrementally) and the batch monitor share one scoring
+    path.  ca carries (token, n_a), cb (token, n_b)."""
     merged = ca.join(cb, "token", "full_outer").select(
         "token",
         F.coalesce("n_a", F.lit(0).cast("long")).alias("n_a"),

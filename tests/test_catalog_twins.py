@@ -1016,3 +1016,10 @@ def test_purchase_graph_pagerank_matches_oracle(spark, sf_dir):
     # keeps reachability, HITS (same unrolled-iteration oracle idiom),
     # triangles and k-core in-window
     _assert_matches_oracle(spark, sf_dir, "purchase_graph_pagerank")
+
+
+def test_orders_evolved_scan_matches_oracle(spark, sf_dir):
+    # r10 continuation demotion: schema-evolution mergeSchema scan
+    # (green r8-r9) rotated out for stream_corpus_drift; unique
+    # machinery, fully value-checked here every pytest run
+    _assert_matches_oracle(spark, sf_dir, "orders_evolved_scan")

@@ -878,3 +878,26 @@ def test_stream_mv_refresh_is_batch_split_independent(spark, tmp_path):
         )
         got = sorted(tuple(r) for r in ING.read_mv(spark, mv_path).collect())
         assert got == want, tag
+
+
+def test_stream_corpus_drift_equals_batch_monitor(spark, sf_dir):
+    """r10 streaming-drift contracts: the drained stream's counts MV
+    reproduces the batch monitor bit-for-bit (token counts are
+    additive, so the fold is batch-split-independent), and a SECOND
+    invocation (checkpoint already consumed, MV already folded) is a
+    no-op returning the same report — the retried-drain idempotence
+    the exactly-once seam guarantees."""
+    from database_per_keyword_analysis_spark import catalog
+
+    qs = catalog.queries()
+    stream_rows = sorted(
+        tuple(r) for r in qs["stream_corpus_drift"](spark, sf_dir).collect()
+    )
+    batch_rows = sorted(
+        tuple(r) for r in qs["corpus_drift_terms"](spark, sf_dir).collect()
+    )
+    assert stream_rows == batch_rows
+    again = sorted(
+        tuple(r) for r in qs["stream_corpus_drift"](spark, sf_dir).collect()
+    )
+    assert again == stream_rows
