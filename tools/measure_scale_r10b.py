@@ -107,6 +107,21 @@ def main() -> None:
         "event_type_trends": (BASE, _events10x()),
         # phrase — documents 10x: postings prune + (doc, pos) joins
         "phrase_search": (BASE, _docs10x()),
+        # join-size sketch — orders+customer 10x: two sketch builds
+        # scan 10x rows into the SAME depth x width cells
+        "orders_join_size_sketch": (
+            BASE,
+            _fixture_dir(
+                {
+                    "orders": _tpch10x("orders"),
+                    "customer": _tpch10x("customer"),
+                },
+                tag="_r10b",
+            ),
+        ),
+        # streaming drift — documents 10x: 4 micro-batch folds over a
+        # 10x token stream (cache-keyed workdir rebuilds per fixture)
+        "stream_corpus_drift": (BASE, _docs10x()),
     }
     if only:
         fixtures = {k: v for k, v in fixtures.items() if k in only}
