@@ -50,11 +50,63 @@ from tools.measure_scale_r10 import (  # noqa: E402
 )
 
 
+def _docs100x() -> str:
+    out = os.path.join(os.path.dirname(_docs10x()), "scale_sf10")
+    if not os.path.exists(os.path.join(out, "documents.parquet")):
+        from tools.make_scale_fixture import build
+
+        build(BASE, out, replicas=100)
+    return out
+
+
+def _tpch100x(table: str) -> str:
+    from tools.measure_scale_r10 import _tpch100x as t100
+
+    return t100(table)
+
+
 def main() -> None:
     spark = get_spark("measure-scale-r10b")
     only = None
     if "--queries" in sys.argv:
         only = set(sys.argv[sys.argv.index("--queries") + 1].split(","))
+    if "--100x" in sys.argv:
+        # the 100x tier for the continuation's two candidate
+        # scale-killers: the complete-recall prefix join (does the
+        # candidate set stay per-replica at 100x vocab?) and BFS
+        # (seeds AND graphs both 100x)
+        fixtures = {
+            "doc_pairs_complete_jaccard": (BASE, _docs100x()),
+            "purchase_reachability": (
+                BASE,
+                _fixture_dir(
+                    {
+                        "orders": _tpch100x("orders"),
+                        "lineitem": _tpch100x("lineitem"),
+                        "customer": _tpch100x("customer"),
+                        "nation": os.path.join(BASE, "nation.parquet"),
+                    },
+                    tag="_r10b_100x",
+                ),
+            ),
+        }
+        if only:
+            fixtures = {k: v for k, v in fixtures.items() if k in only}
+        qs = catalog.queries()
+        for name, dirs in fixtures.items():
+            for d in dirs:
+                run_once(lambda: qs[name](spark, d))
+        for name, (d1, dbig) in fixtures.items():
+            w1 = median3(lambda: qs[name](spark, d1))
+            wbig = median3(lambda: qs[name](spark, dbig))
+            print(
+                json.dumps(
+                    {"q": name, "1x": w1, "100x": wbig,
+                     "ratio": round(wbig / w1, 2)}
+                ),
+                flush=True,
+            )
+        return
     tpch_graph = _fixture_dir(
         {
             "orders": _tpch10x("orders"),
