@@ -323,6 +323,12 @@ HEADLINE = [
     # micro-batch token folds through the exactly-once MV seam + the
     # drift scoring join; cache-keyed workdir)
     "stream_corpus_drift",
+    # round-10 continuation: conversion-window funnel (timed — the lag
+    # bound rides the chained-min joins' residual predicate)
+    "purchase_funnel_24h",
+    # round-10 continuation: NTILE equal-frequency deciles (timed —
+    # the one global-sort window member, documented trade-off)
+    "order_price_deciles",
 ]
 
 # Round-7 headline audit (round-6 judge item 5): every registered query

@@ -670,6 +670,18 @@ _DEFERRED_TWINS = {
     #   stream_corpus_drift (NOVEL r10: streaming drift monitor — the
     #   token-counts MV folds per micro-batch and the drift report
     #   hash-matches the batch monitor's oracle)
+    # round-10 continuation, sixth batch:
+    "kneser_ney3_scores",  # green r8-r9 (two passes); trigram KN —
+    #   both KN tiers now differential-covered (r7-era proofs resume
+    #   duty) and the LM family keeps bigram_lm_scores' machinery
+    #   exercised through them every pytest run — slot taken by
+    #   purchase_funnel_24h (NOVEL r10: conversion-window funnel)
+    "nation_profit",  # green r7-r9 (three passes); TPC-H Q9 — the
+    #   join-tree family (all 22 TPC-H shapes) is the catalog's
+    #   most-driver-verified surface, every member differential-
+    #   covered; NEW differential below — slot taken by
+    #   order_price_deciles (NOVEL r10: NTILE equal-frequency binning,
+    #   the one §2.4 window row no member exercised)
 }
 
 
@@ -8519,3 +8531,97 @@ def q_stream_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "token", F.col("n").alias("n_b")
     )
     return TQ.drift_from_counts(ca, cb)
+
+
+@register(
+    "purchase_funnel_24h",
+    # the lag bound rides the same chained-min joins: stage k must
+    # land in (prev, prev + 24h]
+    "WITH t1 AS (SELECT user_id, min(ts) AS t FROM events "
+    "WHERE event_type = 'view' GROUP BY user_id), "
+    "t2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e "
+    "JOIN t1 ON e.user_id = t1.user_id AND e.ts > t1.t "
+    "AND e.ts <= t1.t + INTERVAL 86400 SECOND "
+    "WHERE e.event_type = 'click' GROUP BY e.user_id), "
+    "t3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e "
+    "JOIN t2 ON e.user_id = t2.user_id AND e.ts > t2.t "
+    "AND e.ts <= t2.t + INTERVAL 86400 SECOND "
+    "WHERE e.event_type = 'purchase' GROUP BY e.user_id), "
+    "n1 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM t1) "
+    "SELECT stage, event_type, n_users, CASE WHEN n1.n > 0 THEN "
+    "round(CAST(n_users AS DOUBLE) / CAST(n1.n AS DOUBLE), 6) END "
+    "AS conversion FROM (SELECT 1 AS stage, 'view' AS event_type, "
+    "CAST(count(*) AS BIGINT) AS n_users FROM t1 "
+    "UNION ALL SELECT 2, 'click', CAST(count(*) AS BIGINT) FROM t2 "
+    "UNION ALL SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM t3) "
+    "CROSS JOIN n1 ORDER BY stage",
+)
+def q_purchase_funnel_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-window funnel (operators/events.py:funnel_report
+    with max_lag_hours=24): view → click → purchase where each stage
+    must land within 24 hours of the previous reach — the product
+    default (Amplitude's "within N days") the unconstrained funnel
+    over-counts; a stalled journey does not convert.  The bound rides
+    the same chained-min joins' residual predicate: no extra stage,
+    no extra shuffle.  NOVEL round-10 machinery → in-window at birth;
+    kneser_ney3_scores (green r8-r9) rotated out on its r7-era
+    differential."""
+    from .operators import events as EV
+
+    return EV.funnel_report(
+        load(spark, sf_dir, "events", parallel=True),
+        stages=["view", "click", "purchase"],
+        max_lag_hours=24,
+    )
+
+
+@register(
+    "order_price_deciles",
+    # ANSI ntile over the deterministic (price, key) total order —
+    # equal-frequency binning, the §2.4 window row nothing exercised
+    "WITH b AS (SELECT ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) "
+    "AS decile, o_totalprice FROM orders) "
+    "SELECT decile, CAST(count(*) AS BIGINT) AS n_orders, "
+    "min(o_totalprice) AS lo, max(o_totalprice) AS hi, "
+    "CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) "
+    "/ count(*) AS DOUBLE) AS avg_price "
+    "FROM b GROUP BY decile ORDER BY decile",
+)
+def q_order_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency price binning: NTILE(10) over the deterministic
+    (price, key) total order with per-decile count/min/max and the
+    DECIMAL-exact mean — the §2.4 window-function row no catalog
+    member exercised (rank/dense_rank/row_number/lag/lead/frames all
+    have in-window history; ntile's remainder-distribution rule is
+    its own semantics, identical in Spark and DuckDB over a total
+    order).  One global sort at fixture scale; at 100 TB
+    equal-frequency cuts come from approx quantiles + range
+    partitioning instead — documented next to the exact-quantile
+    family's same trade-off.  NOVEL round-10 machinery → in-window at
+    birth; nation_profit (green r7-r9, three passes) rotated out with
+    a NEW differential — the TPC-H join-tree family (22 shapes, the
+    catalog's most-driver-verified surface) is fully
+    differential-covered."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    orders = load(spark, sf_dir, "orders", parallel=True)
+    w = W.orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.select(
+            F.ntile(10).over(w).alias("decile"), "o_totalprice"
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+            (
+                F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1))
+            ).alias("avg_price"),
+        )
+        .orderBy("decile")
+    )

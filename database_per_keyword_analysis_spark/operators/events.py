@@ -389,6 +389,7 @@ def funnel_report(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    max_lag_hours: float | None = None,
 ) -> DataFrame:
     """Strict-order funnel analysis (the Amplitude/PostHog funnel;
     Flink's MATCH_RECOGNIZE territory): a user reaches stage k at the
@@ -411,19 +412,38 @@ def funnel_report(
     broadcasts the reach side when it fits).  Deterministic: min() is
     order-free and ties inside one timestamp resolve identically in
     any engine (strictly-greater keeps later stages off the tied
-    instant)."""
+    instant).
+
+    `max_lag_hours` adds the CONVERSION-WINDOW constraint product
+    funnels default to (Amplitude's "within N days"): stage k must
+    land in (prev_reach, prev_reach + lag] — a stalled journey does
+    not convert, and a user who re-enters later is still measured
+    from their FIRST stage-(k-1) reach (the strict first-touch
+    semantics; a per-retry funnel is a different operator).  The
+    bound rides the SAME join's residual predicate — no extra stage
+    or shuffle."""
     reach = (
         events.where(F.col(type_col) == stages[0])
         .groupBy(F.col(user_col).alias("_u"))
         .agg(F.min(ts_col).alias("_t"))
     )
     tables = [reach]
+    lag = (
+        F.expr(f"INTERVAL {int(max_lag_hours * 3600)} SECOND")
+        if max_lag_hours is not None
+        else None
+    )
     for s in stages[1:]:
+        cond = (F.col(user_col) == F.col("_u")) & (
+            F.col(ts_col) > F.col("_t")
+        )
+        if lag is not None:
+            cond = cond & (F.col(ts_col) <= F.col("_t") + lag)
         nxt = (
             events.where(F.col(type_col) == s)
             .join(
                 tables[-1],
-                (F.col(user_col) == F.col("_u")) & (F.col(ts_col) > F.col("_t")),
+                cond,
             )
             .groupBy(F.col("_u").alias("_u2"))
             .agg(F.min(ts_col).alias("_t2"))

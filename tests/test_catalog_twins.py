@@ -1023,3 +1023,11 @@ def test_orders_evolved_scan_matches_oracle(spark, sf_dir):
     # (green r8-r9) rotated out for stream_corpus_drift; unique
     # machinery, fully value-checked here every pytest run
     _assert_matches_oracle(spark, sf_dir, "orders_evolved_scan")
+
+
+def test_nation_profit_matches_oracle(spark, sf_dir):
+    # r10 continuation demotion: TPC-H Q9 (green r7-r9, three passes)
+    # rotated out for order_price_deciles; the 22-shape TPC-H family
+    # is the catalog's most-driver-verified surface and every member
+    # carries a differential
+    _assert_matches_oracle(spark, sf_dir, "nation_profit")

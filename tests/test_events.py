@@ -305,3 +305,38 @@ def test_touch_attribution_contracts(spark):
     out = {r.touch_type: (r.n_first_touch, r.n_last_touch)
            for r in touch_attribution(df).collect()}
     assert out == {"view": (1, 0), "click": (1, 2), "(none)": (1, 1)}
+
+
+def test_funnel_report_conversion_window(spark):
+    """r10 conversion-window contracts: a stage event inside the lag
+    converts, one past it does not, the boundary instant (exactly
+    prev + lag) is INCLUSIVE, and lagless behavior is unchanged."""
+    import datetime as dt
+
+    from database_per_keyword_analysis_spark.operators.events import (
+        funnel_report,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    h = lambda k: t0 + dt.timedelta(hours=k)
+    rows = [
+        # user 1: click 1h after view -> converts under 24h
+        (1, 1, h(0), "view"), (2, 1, h(1), "click"),
+        # user 2: click 30h after view -> outside the 24h window
+        (3, 2, h(0), "view"), (4, 2, h(30), "click"),
+        # user 3: click at EXACTLY +24h -> inclusive boundary
+        (5, 3, h(0), "view"), (6, 3, h(24), "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp_ntz, event_type string"
+    )
+    lagged = {
+        r.stage: r.n_users
+        for r in funnel_report(df, ["view", "click"], max_lag_hours=24).collect()
+    }
+    assert lagged == {1: 3, 2: 2}  # users 1 and 3 convert; 2 stalls
+    free = {
+        r.stage: r.n_users
+        for r in funnel_report(df, ["view", "click"]).collect()
+    }
+    assert free == {1: 3, 2: 3}  # without the window all three convert
