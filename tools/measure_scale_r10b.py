@@ -174,6 +174,13 @@ def main() -> None:
         # streaming drift — documents 10x: 4 micro-batch folds over a
         # 10x token stream (cache-keyed workdir rebuilds per fixture)
         "stream_corpus_drift": (BASE, _docs10x()),
+        # lag funnel — events 10x: same chained-min joins + residual
+        "purchase_funnel_24h": (BASE, _events10x()),
+        # deciles — orders 10x: the documented global-sort member
+        "order_price_deciles": (
+            BASE,
+            _fixture_dir({"orders": _tpch10x("orders")}),
+        ),
     }
     if only:
         fixtures = {k: v for k, v in fixtures.items() if k in only}
