@@ -676,6 +676,11 @@ _DEFERRED_TWINS = {
     #   duty) and the LM family keeps bigram_lm_scores' machinery
     #   exercised through them every pytest run — slot taken by
     #   purchase_funnel_24h (NOVEL r10: conversion-window funnel)
+    "purchase_graph_ppr",  # DEFERRED AT BIRTH (r10 continuation):
+    #   personalized PageRank — machinery twin of the differential-
+    #   proven pagerank_fixed (same unrolled dataflow, CASE'd seed
+    #   teleport); its own DuckDB differential in
+    #   tests/test_catalog_twins.py
     "nation_profit",  # green r7-r9 (three passes); TPC-H Q9 — the
     #   join-tree family (all 22 TPC-H shapes) is the catalog's
     #   most-driver-verified surface, every member differential-
@@ -8624,4 +8629,83 @@ def q_order_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_price"),
         )
         .orderBy("decile")
+    )
+
+
+def _ppr_sql() -> str:
+    # pagerank's unroll with the teleport CASE'd onto the seed set;
+    # init = 1[seed]/|S| directly (same expression as the operator)
+    from .operators.graph import PAGERANK_DAMPING, PAGERANK_ITERS
+
+    d = repr(float(PAGERANK_DAMPING))
+    t = repr(1.0 - PAGERANK_DAMPING)
+    sql = (
+        "WITH e AS MATERIALIZED (SELECT DISTINCT "
+        "'c' || CAST(o_custkey AS VARCHAR) AS src, "
+        "'s' || CAST(l_suppkey AS VARCHAR) AS dst "
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey), "
+        "nodes AS MATERIALIZED (SELECT src AS node FROM e "
+        "UNION SELECT dst FROM e), "
+        "sd AS MATERIALIZED (SELECT DISTINCT 'c' || CAST(c_custkey AS VARCHAR) "
+        "AS node FROM customer JOIN nation ON c_nationkey = n_nationkey "
+        f"WHERE n_name = '{REACHABILITY_SEED_NATION}'), "
+        "s AS MATERIALIZED (SELECT sd.node FROM sd JOIN nodes USING (node)), "
+        "ns AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM s), "
+        "deg AS MATERIALIZED (SELECT src, CAST(count(*) AS DOUBLE) AS deg "
+        "FROM e GROUP BY src), "
+        "r0 AS MATERIALIZED (SELECT nodes.node, CASE WHEN s.node IS NOT NULL "
+        "THEN 1.0 / ns.n ELSE 0.0 END AS rank "
+        "FROM nodes LEFT JOIN s ON nodes.node = s.node CROSS JOIN ns)"
+    )
+    for i in range(1, PAGERANK_ITERS + 1):
+        sql += (
+            f", s{i} AS MATERIALIZED (SELECT e.dst AS node, "
+            f"CAST(sum(CAST(r.rank / g.deg AS DECIMAL(38,18))) AS DOUBLE) "
+            f"AS sm FROM e JOIN r{i - 1} r ON e.src = r.node "
+            f"JOIN deg g ON e.src = g.src GROUP BY e.dst)"
+            f", r{i} AS MATERIALIZED (SELECT nodes.node, "
+            f"(CASE WHEN sd2.node IS NOT NULL THEN {t} / ns.n ELSE 0.0 END) "
+            f"+ {d} * coalesce(s{i}.sm, 0.0) AS rank "
+            f"FROM nodes LEFT JOIN s sd2 ON nodes.node = sd2.node "
+            f"CROSS JOIN ns "
+            f"LEFT JOIN s{i} ON nodes.node = s{i}.node)"
+        )
+    return (
+        sql
+        + f" SELECT node, rank FROM r{PAGERANK_ITERS} "
+        "ORDER BY rank DESC, node LIMIT 25"
+    )
+
+
+@register("purchase_graph_ppr", _ppr_sql())
+def q_purchase_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (operators/graph.py:ppr_fixed; Page et
+    al. 1999 §6): the random walk restarts at NATION_8's customers,
+    so rank measures closeness to THAT cohort — the
+    recommendation/expansion primitive (which suppliers serve this
+    market), where global pagerank measures importance.  Machinery
+    twin of the differential-proven pagerank_fixed (same unrolled
+    dataflow, CASE'd teleport) → DEFERRED AT BIRTH with its own
+    DuckDB differential in tests/test_catalog_twins.py — the standing
+    twin policy; no window slot consumed."""
+    from pyspark.sql import functions as F
+
+    from .operators import graph as G
+
+    edges = _purchase_edges(spark, sf_dir)
+    seeds = (
+        load(spark, sf_dir, "customer", parallel=True)
+        .join(
+            load(spark, sf_dir, "nation"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .where(F.col("n_name") == REACHABILITY_SEED_NATION)
+        .select(
+            F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("node")
+        )
+    )
+    return (
+        G.ppr_fixed(edges, seeds)
+        .orderBy(F.desc("rank"), "node")
+        .limit(25)
     )

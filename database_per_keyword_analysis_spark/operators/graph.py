@@ -542,3 +542,109 @@ def hits_fixed(
         .select("node", "kind", F.round("score", 9).alias("score"))
         .orderBy("kind", "node")
     )
+
+
+def ppr_fixed(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iters: int = PAGERANK_ITERS,
+    damping: float = PAGERANK_DAMPING,
+    src: str = "src",
+    dst: str = "dst",
+    broadcast_ranks: bool | None = None,
+) -> DataFrame:
+    """Personalized PageRank with FIXED iterations (Page et al. 1999
+    §6 'personalized' teleport; the random walk restarts at the SEED
+    set instead of uniformly):
+
+      rank_0(v) = 1[v∈S]/|S|;
+      rank_{i+1}(v) = (1-d)·1[v∈S]/|S| + d·Σ_{(u,v)} rank_i(u)/deg(u)
+
+    — 'what is close to THESE nodes' rather than global importance;
+    the recommendation/expansion primitive (related suppliers for one
+    nation's customers, similar docs to a seed set).  Machinery twin
+    of `pagerank_fixed`: same dangling variant, same DECIMAL
+    accumulation, same auto posture, same lazy loop over the
+    DISK_ONLY edge list — only the teleport vector differs, so the
+    oracle unrolls identically with a CASE'd teleport.  Seeds outside
+    the graph's node set are ignored (no edges to walk; |S| counts
+    in-graph seeds).  Returns (node, rank) for every node."""
+    from pyspark import StorageLevel
+
+    teleport = 1.0 - damping
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    ed = e.persist(StorageLevel.DISK_ONLY)
+    nodes = (
+        ed.select(F.col("src").alias("node"))
+        .unionByName(ed.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    if broadcast_ranks is None:
+        broadcast_ranks = nodes.count() <= GRAPH_BROADCAST_MAX_NODES
+    s = (
+        seeds.select("node")
+        .distinct()
+        .join(nodes, "node", "left_semi")
+        .localCheckpoint()
+    )
+    ns = s.agg(F.count(F.lit(1)).cast("double").alias("_ns"))
+    deg = ed.groupBy("src").agg(
+        F.count(F.lit(1)).cast("double").alias("_deg")
+    ).localCheckpoint()
+    # teleport vector: (1-d)/|S| on seeds, 0 elsewhere — materialized
+    # once, reused every iteration (and scaled for the init)
+    tvec = (
+        nodes.join(s.select("node", F.lit(1).alias("_is_s")), "node", "left")
+        .crossJoin(F.broadcast(ns))
+        .select(
+            "node",
+            F.when(F.col("_is_s") == 1, F.lit(teleport) / F.col("_ns"))
+            .otherwise(F.lit(0.0))
+            .alias("_t"),
+        )
+        .localCheckpoint()
+    )
+    # init 1[seed]/|S| computed DIRECTLY (dividing _t back by
+    # (1-d) would round differently than 1/|S| — the oracle replays
+    # this exact expression)
+    ranks = (
+        nodes.join(s.select("node", F.lit(1).alias("_is_s")), "node", "left")
+        .crossJoin(F.broadcast(ns))
+        .select(
+            "node",
+            F.when(F.col("_is_s") == 1, F.lit(1.0) / F.col("_ns"))
+            .otherwise(F.lit(0.0))
+            .alias("rank"),
+        )
+    )
+    for _ in range(iters):
+        rates = ranks.join(deg, ranks.node == deg.src).select(
+            F.col("node").alias("_u"),
+            (F.col("rank") / F.col("_deg")).alias("_rate"),
+        )
+        rhs = F.broadcast(rates) if broadcast_ranks else rates
+        sums = (
+            ed.join(rhs, ed.src == rates._u)
+            .groupBy("dst")
+            .agg(
+                F.sum(F.col("_rate").cast("decimal(38,18)"))
+                .cast("double")
+                .alias("_s")
+            )
+        )
+        ranks = (
+            tvec.join(
+                F.broadcast(sums) if broadcast_ranks else sums,
+                tvec.node == sums.dst,
+                "left",
+            )
+            .select(
+                "node",
+                (
+                    F.col("_t")
+                    + F.lit(damping) * F.coalesce(F.col("_s"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+    return ranks

@@ -1031,3 +1031,9 @@ def test_nation_profit_matches_oracle(spark, sf_dir):
     # is the catalog's most-driver-verified surface and every member
     # carries a differential
     _assert_matches_oracle(spark, sf_dir, "nation_profit")
+
+
+def test_purchase_graph_ppr_matches_oracle(spark, sf_dir):
+    # r10 continuation deferral at birth: personalized PageRank —
+    # pagerank_fixed's unrolled dataflow with the seed-CASE'd teleport
+    _assert_matches_oracle(spark, sf_dir, "purchase_graph_ppr")

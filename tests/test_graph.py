@@ -265,3 +265,28 @@ def test_hits_fixed_contracts(spark):
     assert abs(sum(auths.values()) - 1.0) < 1e-6
     forced = G.hits_fixed(edges, broadcast_scores=False).collect()
     assert sorted(map(tuple, forced)) == sorted(map(tuple, rows))
+
+
+def test_ppr_fixed_contracts(spark):
+    """r10 personalized-PageRank contracts: mass concentrates around
+    the seed's neighborhood (a node near the seed out-ranks a distant
+    one), off-graph seeds are ignored, and rank sums stay <= 1."""
+    # chain a -> b -> c -> d plus a far component x -> y
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")],
+        "src string, dst string",
+    )
+    seeds = spark.createDataFrame([("a",), ("ghost",)], "node string")
+    got = {r.node: r.rank for r in G.ppr_fixed(edges, seeds).collect()}
+    assert "ghost" not in got  # off-graph seed ignored
+    # hand-unrolled 3 iterations on the chain (d=0.85, single seed a):
+    # a holds its teleport; the restarted-walk wavefronts sit at b/c;
+    # the 3-step wavefront 0.85^3 lands on the sink d
+    import pytest as _pytest
+
+    assert got["a"] == _pytest.approx(0.15)
+    assert got["b"] == _pytest.approx(0.85 * 0.15)
+    assert got["c"] == _pytest.approx(0.85**2 * 0.15)
+    assert got["d"] == _pytest.approx(0.85**3)
+    assert got["x"] == 0.0 and got["y"] == 0.0  # unreachable component
+    assert sum(got.values()) <= 1.0 + 1e-9
