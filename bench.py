@@ -329,6 +329,11 @@ HEADLINE = [
     # round-10 continuation: NTILE equal-frequency deciles (timed —
     # the one global-sort window member, documented trade-off)
     "order_price_deciles",
+    # round-10 continuation deferred twins (timed — both carry real
+    # cost their primaries do not: the seeded teleport's extra joins,
+    # the entropy fold)
+    "purchase_graph_ppr",
+    "event_transition_entropy",
 ]
 
 # Round-7 headline audit (round-6 judge item 5): every registered query

@@ -676,6 +676,11 @@ _DEFERRED_TWINS = {
     #   duty) and the LM family keeps bigram_lm_scores' machinery
     #   exercised through them every pytest run — slot taken by
     #   purchase_funnel_24h (NOVEL r10: conversion-window funnel)
+    "event_transition_entropy",  # DEFERRED AT BIRTH (r10
+    #   continuation): per-state next-event Shannon entropy —
+    #   machinery twin of the in-window event_transition_matrix (same
+    #   lead window + transition aggregate); its own DuckDB
+    #   differential in tests/test_catalog_twins.py
     "purchase_graph_ppr",  # DEFERRED AT BIRTH (r10 continuation):
     #   personalized PageRank — machinery twin of the differential-
     #   proven pagerank_fixed (same unrolled dataflow, CASE'd seed
@@ -8709,3 +8714,33 @@ def q_purchase_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank"), "node")
         .limit(25)
     )
+
+
+@register(
+    "event_transition_entropy",
+    "WITH seq AS (SELECT event_type AS cur_type, "
+    "lead(event_type) OVER (PARTITION BY user_id "
+    "ORDER BY ts, event_id) AS next_type FROM events), "
+    "tr AS (SELECT cur_type, next_type, "
+    "CAST(count(*) AS BIGINT) AS n FROM seq "
+    "WHERE next_type IS NOT NULL GROUP BY 1, 2), "
+    "tot AS (SELECT cur_type, CAST(sum(n) AS BIGINT) AS tot, "
+    "CAST(count(*) AS BIGINT) AS n_out FROM tr GROUP BY 1) "
+    "SELECT tr.cur_type, n_out, tot AS n_trans, "
+    "round(-CAST(sum(CAST((CAST(n AS DOUBLE) / tot) * "
+    "ln(CAST(n AS DOUBLE) / tot) AS DECIMAL(38,18))) AS DOUBLE), 6) "
+    "AS entropy "
+    "FROM tr JOIN tot ON tr.cur_type = tot.cur_type "
+    "GROUP BY tr.cur_type, n_out, tot ORDER BY tr.cur_type",
+)
+def q_event_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Journey predictability (operators/events.py:transition_entropy):
+    per-state Shannon entropy of the next-event distribution — 0 means
+    the next step is deterministic, ln(k) means uniform over k
+    successors.  Machinery twin of the in-window
+    event_transition_matrix (same lead window + transition aggregate,
+    one more state-cardinality fold) → DEFERRED AT BIRTH with its own
+    DuckDB differential; no window slot consumed."""
+    from .operators import events as E2
+
+    return E2.transition_entropy(load(spark, sf_dir, "events"))

@@ -821,3 +821,48 @@ def touch_attribution(
         )
         .orderBy("touch_type")
     )
+
+
+def transition_entropy(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-state Shannon entropy of the next-event distribution — the
+    journey-predictability metric on top of the transition matrix
+    (H = -Σ p ln p; 0 = deterministic next step, ln(k) = uniform over
+    k successors).  Machinery twin of `event_transition_matrix`: the
+    same lead window and (cur, next) aggregate, one more
+    state-cardinality fold; ln at 6dp is the cross-engine convention.
+    Returns (cur_type, n_out, n_trans, entropy) with n_out = distinct
+    successors, deterministically ordered."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    trans = (
+        events.select(
+            F.col(type_col).alias("cur_type"),
+            F.lead(type_col).over(w).alias("next_type"),
+        )
+        .where(F.col("next_type").isNotNull())
+        .groupBy("cur_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = trans.groupBy("cur_type").agg(
+        F.sum("n").alias("tot"), F.count(F.lit(1)).alias("n_out")
+    )
+    p = F.col("n").cast("double") / F.col("tot")
+    return (
+        trans.join(totals, "cur_type")
+        .groupBy("cur_type", "n_out", F.col("tot").alias("n_trans"))
+        .agg(
+            F.round(
+                -F.sum(
+                    (p * F.log(p)).cast("decimal(38,18)")
+                ).cast("double"),
+                6,
+            ).alias("entropy")
+        )
+        .select("cur_type", "n_out", "n_trans", "entropy")
+        .orderBy("cur_type")
+    )

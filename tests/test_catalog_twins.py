@@ -1037,3 +1037,9 @@ def test_purchase_graph_ppr_matches_oracle(spark, sf_dir):
     # r10 continuation deferral at birth: personalized PageRank —
     # pagerank_fixed's unrolled dataflow with the seed-CASE'd teleport
     _assert_matches_oracle(spark, sf_dir, "purchase_graph_ppr")
+
+
+def test_event_transition_entropy_matches_oracle(spark, sf_dir):
+    # r10 continuation deferral at birth: per-state next-event entropy
+    # — event_transition_matrix's lead window + one more fold
+    _assert_matches_oracle(spark, sf_dir, "event_transition_entropy")

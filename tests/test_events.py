@@ -340,3 +340,33 @@ def test_funnel_report_conversion_window(spark):
         for r in funnel_report(df, ["view", "click"]).collect()
     }
     assert free == {1: 3, 2: 3}  # without the window all three convert
+
+
+def test_transition_entropy_contracts(spark):
+    """r10 entropy contracts: a deterministic next step scores 0, a
+    uniform 2-way split scores ln(2), counts weight the distribution."""
+    import datetime as dt
+    import math
+
+    from database_per_keyword_analysis_spark.operators.events import (
+        transition_entropy,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    s = dt.timedelta(seconds=1)
+    rows = []
+    eid = 0
+    # state A always goes to B (two users): entropy 0
+    for u in (1, 2):
+        rows += [(eid := eid + 1, u, t0, "A"), (eid := eid + 1, u, t0 + s, "B")]
+    # state B splits evenly B->C and B->D across users: entropy ln 2
+    rows += [(eid := eid + 1, 1, t0 + 2 * s, "C")]
+    rows += [(eid := eid + 1, 2, t0 + 2 * s, "D")]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp_ntz, event_type string"
+    )
+    out = {r.cur_type: r for r in transition_entropy(df).collect()}
+    assert out["A"].entropy == 0.0 and out["A"].n_out == 1
+    assert out["B"].entropy == round(math.log(2), 6) and out["B"].n_out == 2
+    assert out["B"].n_trans == 2
+    assert "C" not in out and "D" not in out  # terminal states emit nothing
