@@ -771,7 +771,15 @@ def touch_attribution(
     the numeric time axis pick the window's min and max touch.  The
     range frame [lookback, 1 preceding] is exact integer micros, so
     same-timestamp touch/conversion pairs do NOT self-attribute.
-    Window parallelism is user cardinality.  Returns
+    Window parallelism is user cardinality.  Key robustness (r10
+    advice item 3): the two numeric fields are padded to fixed widths
+    that cover their full non-negative BIGINT range (20 for micros,
+    20 for event_id — a BIGINT is at most 19 digits, so the pad can
+    never overflow and the lexicographic tie order is exact), and the
+    touch type is recovered by SUBSTRING past the fixed 42-char
+    numeric prefix rather than split-on-':' — an event_type
+    containing ':' survives intact.  Non-negative event ids are the
+    input contract (a '-' sign would break the pad order).  Returns
     (touch_type, n_first_touch, n_last_touch) deterministically
     ordered; conversions with no touch in window count under
     '(none)'."""
@@ -780,7 +788,7 @@ def touch_attribution(
     key = F.concat_ws(
         ":",
         F.lpad(us.cast("string"), 20, "0"),
-        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+        F.lpad(F.col("event_id").cast("string"), 20, "0"),
         F.col("event_type"),
     )
     base = events.select(
@@ -799,8 +807,9 @@ def touch_attribution(
         F.min("touch_key").over(w).alias("first_key"),
         F.max("touch_key").over(w).alias("last_key"),
     ).where(F.col("etype") == conversion_type)
+    # type starts right after "<20 micros>:<20 id>:" = 42 chars
     pick = lambda c: F.coalesce(
-        F.element_at(F.split(F.col(c), ":"), 3), F.lit("(none)")
+        F.expr(f"substring({c}, 43)"), F.lit("(none)")
     )
     first = attributed.groupBy(pick("first_key").alias("touch_type")).agg(
         F.count(F.lit(1)).alias("n_first_touch")

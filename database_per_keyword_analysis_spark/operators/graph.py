@@ -478,9 +478,15 @@ def hits_fixed(
     the arithmetic bit-identically.  Returns (node, kind, score) for
     every node — kind 'hub' for sources, 'authority' for destinations
     (a node on both sides carries both rows), scores rounded to 9.
-    Same posture rules as pagerank_fixed; k iterations = 2k
-    node-cardinality shuffles, edge list persisted DISK_ONLY and
-    probed 2k times."""
+    Input contract (same as pagerank_fixed, stated per r10 advice
+    item 5): `edges` must hold ONE ROW PER DISTINCT EDGE — duplicate
+    rows double-count hub/authority contributions.  The operator does
+    NOT dedup internally (an unconditional .distinct() would charge
+    every caller a shuffle the catalog's already-distinct edge lists
+    don't need); callers with multi-edges dedup first, as
+    `_purchase_edges` does.  Same posture rules as pagerank_fixed;
+    k iterations = 2k node-cardinality shuffles, edge list persisted
+    DISK_ONLY and probed 2k times."""
     from pyspark import StorageLevel
 
     ed = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist(
@@ -568,7 +574,12 @@ def ppr_fixed(
     DISK_ONLY edge list — only the teleport vector differs, so the
     oracle unrolls identically with a CASE'd teleport.  Seeds outside
     the graph's node set are ignored (no edges to walk; |S| counts
-    in-graph seeds).  Returns (node, rank) for every node."""
+    in-graph seeds).  Non-empty-seed contract (r10 advice item 2):
+    |S| = 0 would divide by zero — NULL ranks on Spark but
+    Infinity/NaN under DuckDB's IEEE double division — so an empty
+    in-graph seed set raises ValueError instead of returning a
+    cross-engine-divergent result.  Returns (node, rank) for every
+    node."""
     from pyspark import StorageLevel
 
     teleport = 1.0 - damping
@@ -588,6 +599,14 @@ def ppr_fixed(
         .join(nodes, "node", "left_semi")
         .localCheckpoint()
     )
+    # fail loud on |S| = 0 (already materialized by the checkpoint, so
+    # this probe is metadata-cheap): 1/|S| and teleport/|S| below have
+    # no meaning without a seed inside the graph
+    if not s.take(1):
+        raise ValueError(
+            "ppr_fixed: no seed node present in the edge set (|S| = 0); "
+            "personalized teleport requires at least one in-graph seed"
+        )
     ns = s.agg(F.count(F.lit(1)).cast("double").alias("_ns"))
     deg = ed.groupBy("src").agg(
         F.count(F.lit(1)).cast("double").alias("_deg")

@@ -364,8 +364,14 @@ def series_trend(
     )
     num = m["n"] * F.col("sxy") - F.col("sx") * F.col("sy")
     den = m["n"] * F.col("sxx") - F.col("sx") * F.col("sx")
-    slope = num.cast("double") / den
-    intercept = (F.col("sy") - slope * F.col("sx")) / m["n"]
+    # Degenerate-span guard (r10 advice item 1): when the global
+    # observed span is a single day every x is 0 and den is 0 — Spark's
+    # non-ANSI division yields NULL but DuckDB's IEEE double division
+    # yields Infinity, a cross-engine divergence.  Both engines must
+    # emit NULL, so the guard is explicit here and a CASE in the oracle.
+    den_ok = den != F.lit(0)
+    slope = F.when(den_ok, num.cast("double") / den)
+    intercept = F.when(den_ok, (F.col("sy") - slope * F.col("sx")) / m["n"])
     return m.select(
         F.col("grp").alias(group_col),
         F.col("n").alias("n_days"),

@@ -307,6 +307,33 @@ def test_touch_attribution_contracts(spark):
     assert out == {"view": (1, 0), "click": (1, 2), "(none)": (1, 1)}
 
 
+def test_touch_attribution_colon_types_and_huge_ids(spark):
+    """r10 advice item 3: an event_type containing ':' must survive
+    key recovery intact (substring past the fixed numeric prefix, not
+    split-on-':'), and event ids near the BIGINT ceiling must neither
+    overflow the pad nor corrupt the lexicographic tie order."""
+    import datetime as dt
+
+    from database_per_keyword_analysis_spark.operators.events import (
+        touch_attribution,
+    )
+
+    t0 = dt.datetime(2024, 1, 10, 12, 0, 0)
+    big = 9_223_372_036_854_775_807  # max BIGINT: 19 digits, pad is 20
+    rows = [
+        # same-timestamp touches: the id is the tie-break, so the
+        # max-key (last touch) must be the HIGHER id even at 19 digits
+        (1, 1, t0, "promo:email"), (big, 1, t0, "promo:sms"),
+        (5, 1, t0 + dt.timedelta(hours=1), "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp_ntz, event_type string"
+    )
+    out = {r.touch_type: (r.n_first_touch, r.n_last_touch)
+           for r in touch_attribution(df).collect()}
+    assert out == {"promo:email": (1, 0), "promo:sms": (0, 1)}
+
+
 def test_funnel_report_conversion_window(spark):
     """r10 conversion-window contracts: a stage event inside the lag
     converts, one past it does not, the boundary instant (exactly

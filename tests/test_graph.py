@@ -290,3 +290,17 @@ def test_ppr_fixed_contracts(spark):
     assert got["d"] == _pytest.approx(0.85**3)
     assert got["x"] == 0.0 and got["y"] == 0.0  # unreachable component
     assert sum(got.values()) <= 1.0 + 1e-9
+
+
+def test_ppr_fixed_empty_in_graph_seed_set_raises(spark):
+    """r10 advice item 2: |S| = 0 would divide by zero (NULL on Spark,
+    Infinity under DuckDB's IEEE division) — the non-empty-seed
+    contract fails loud instead."""
+    import pytest as _pytest
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "src string, dst string"
+    )
+    seeds = spark.createDataFrame([("ghost",)], "node string")
+    with _pytest.raises(ValueError, match=r"\|S\| = 0"):
+        G.ppr_fixed(edges, seeds)

@@ -399,3 +399,23 @@ def test_phrase_search_contracts(spark):
     assert out2[6] == 3
     with _pytest.raises(ValueError):
         phrase_search(df, "   ")
+
+
+def test_phrase_oracle_sql_is_built_from_the_shared_constant():
+    """r10 advice item 4: the DuckDB oracle for phrase_search derives
+    its per-position conjuncts from PHRASE_QUERY — editing the phrase
+    can never desynchronize plan and oracle."""
+    from database_per_keyword_analysis_spark.catalog import (
+        PHRASE_QUERY,
+        _phrase_oracle_sql,
+        oracle_sql,
+    )
+
+    assert oracle_sql()["phrase_search"] == _phrase_oracle_sql(PHRASE_QUERY)
+    sql = _phrase_oracle_sql("alpha beta")
+    assert "t[i] = 'alpha' AND t[i+1] = 'beta'" in sql
+    assert "len(t) - 1" in sql  # k-1 window bound for a 2-term phrase
+    # and the registered phrase's own terms appear positionally
+    live = _phrase_oracle_sql(PHRASE_QUERY)
+    for k, term in enumerate(PHRASE_QUERY.split()):
+        assert (f"t[i+{k}] = '{term}'" if k else f"t[i] = '{term}'") in live

@@ -180,3 +180,23 @@ def test_series_trend_contracts(spark):
     assert (out["A"].slope, out["A"].intercept) == (1.0, 1.0)
     assert (out["B"].slope, out["B"].intercept) == (0.0, 2.0)
     assert out["C"].slope == 2.4 and out["C"].intercept == round(2.0 - 2.4 * 1.5, 9)
+
+
+def test_series_trend_one_day_span_yields_null_not_infinity(spark):
+    """r10 advice item 1: when the global observed span is a single
+    day every x is 0 and the OLS denominator is 0 — the guard must
+    emit NULL slope/intercept (matching the oracle's CASE), never an
+    engine-dependent Infinity."""
+    import datetime as dt
+
+    from database_per_keyword_analysis_spark.operators.stats import series_trend
+
+    t = dt.datetime(2024, 3, 1, 9, 0, 0)
+    df = spark.createDataFrame(
+        [("A", t), ("A", t), ("B", t)],
+        "event_type string, ts timestamp_ntz",
+    )
+    rows = {r.event_type: r for r in series_trend(df, "event_type").collect()}
+    assert rows["A"].n_days == 1 and rows["B"].n_days == 1
+    for r in rows.values():
+        assert r.slope is None and r.intercept is None
