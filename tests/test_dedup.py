@@ -718,6 +718,47 @@ def test_incremental_near_dups_equals_full_rerun(spark, tmp_path):
     assert (100, 200) in got2 and (1, 200) in got2
 
 
+def test_incremental_near_dups_raises_on_stale_index_rows(spark, tmp_path):
+    """r10 verdict item 2 (band-index lifecycle): the index is
+    insert-only — a doc deleted from the corpus AFTER indexing leaves
+    stale band rows, and when one surfaces as a candidate the probe
+    must FAIL LOUD (mirroring zone_map_append's r10 hardening), not
+    silently under-report pairs.  Candidates that never touch the
+    deleted doc keep working."""
+    import pytest as _pytest
+
+    mk = lambda i, p: (i, " ".join(f"{p}w{j}" for j in range(20)))
+    corpus = spark.createDataFrame(
+        [mk(1, "a"), mk(3, "b"), mk(5, "c")], "doc_id long, text string"
+    )
+    idx = str(tmp_path / "bands")
+    D.build_minhash_band_index(corpus, idx, n_seeds=24, n_bands=12, hasher="xxhash64")
+    # doc 3 deleted after indexing
+    pruned = corpus.where("doc_id <> 3")
+    near3 = spark.createDataFrame(
+        [(100, " ".join(("X" if j == 0 else f"bw{j}") for j in range(20)))],
+        "doc_id long, text string",
+    )
+    with _pytest.raises(ValueError, match="insert-only"):
+        D.incremental_near_dups(
+            near3, pruned, idx, threshold=0.5, n_seeds=24, n_bands=12,
+            hasher="xxhash64",
+        ).collect()
+    # a batch whose candidates avoid the stale row still verifies
+    near1 = spark.createDataFrame(
+        [(102, " ".join(("X" if j == 0 else f"aw{j}") for j in range(20)))],
+        "doc_id long, text string",
+    )
+    ok = {
+        (r.doc_a, r.doc_b)
+        for r in D.incremental_near_dups(
+            near1, pruned, idx, threshold=0.5, n_seeds=24, n_bands=12,
+            hasher="xxhash64",
+        ).collect()
+    }
+    assert ok == {(1, 102)}
+
+
 def test_jaccard_pairs_complete_matches_brute_force(spark):
     """Round-10 completeness contract (prefix filtering; Chaudhuri et
     al. ICDE'06 / Bayardo et al. WWW'07): the prefix-filtered join
