@@ -459,6 +459,7 @@ def hits_fixed(
     src: str = "src",
     dst: str = "dst",
     broadcast_scores: bool | None = None,
+    fused: bool = False,
 ) -> DataFrame:
     """HITS hubs-and-authorities with a FIXED number of iterations
     (Kleinberg, "Authoritative sources in a hyperlinked environment",
@@ -484,9 +485,25 @@ def hits_fixed(
     NOT dedup internally (an unconditional .distinct() would charge
     every caller a shuffle the catalog's already-distinct edge lists
     don't need); callers with multi-edges dedup first, as
-    `_purchase_edges` does.  Same posture rules as pagerank_fixed;
-    k iterations = 2k node-cardinality shuffles, edge list persisted
-    DISK_ONLY and probed 2k times."""
+    `_purchase_edges` does.  Same posture rules as pagerank_fixed.
+
+    Probe shape (r10 verdict item 3, A/B'd round 11): the DEFAULT is
+    the two-probe Jacobi form — per iteration the |E|-row DISK_ONLY
+    edge persist is joined twice (hub pass + authority pass).  The
+    ``fused=True`` arm routes both half-updates through ONE
+    union-keyed message table built once before the loop — each edge
+    (u,v) contributes (probe=(v,authority) → out=(u,hub)) and
+    (probe=(u,hub) → out=(v,authority)) — making an iteration one
+    equi-join on (node, kind) plus one (node, kind) aggregate.  The
+    interleaved median-of-3 A/B (tools/ab_hits_fused.py; BASELINE.md
+    round-11 table) measured the fused arm 1.45x SLOWER at sf0.1 and
+    1.52x slower at 10x: halving the join count does not pay for
+    doubling the persisted probe rows and widening every join and
+    group key by the kind column, so the fused form is kept only as
+    the measured-and-rejected arm (same verdict pattern as r10's
+    per-iteration-norm A/B).  The DECIMAL message multiset per
+    (node, kind) group is identical in both forms, so the arms are
+    bit-equal (test-pinned) and the oracle is unchanged."""
     from pyspark import StorageLevel
 
     ed = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist(
@@ -502,34 +519,89 @@ def hits_fixed(
     def posture(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if broadcast_scores else df
 
-    h = hubs.select("node", F.lit(1.0).alias("score"))
-    a = auths.select("node", F.lit(1.0).alias("score"))
-    for _ in range(iters):
-        h_next = (
-            ed.join(
-                posture(a.select(F.col("node").alias("dst"), "score")), "dst"
+    if fused:
+        # ONE routing table, built once: edge (u,v) emits a message
+        # request from (v, authority) to (u, hub) and from (u, hub) to
+        # (v, authority) — both half-updates ride a single join + agg
+        route = (
+            ed.select(
+                F.col("dst").alias("pnode"),
+                F.lit("authority").alias("pkind"),
+                F.col("src").alias("onode"),
+                F.lit("hub").alias("okind"),
             )
-            .groupBy("src")
-            .agg(
-                F.sum(F.col("score").cast("decimal(38,18)"))
-                .cast("double")
-                .alias("score")
+            .unionByName(
+                ed.select(
+                    F.col("src").alias("pnode"),
+                    F.lit("hub").alias("pkind"),
+                    F.col("dst").alias("onode"),
+                    F.lit("authority").alias("okind"),
+                )
             )
-            .select(F.col("src").alias("node"), "score")
+            .persist(StorageLevel.DISK_ONLY)
         )
-        a_next = (
-            ed.join(
-                posture(h.select(F.col("node").alias("src"), "score")), "src"
+        scores = hubs.select(
+            "node", F.lit("hub").alias("kind"), F.lit(1.0).alias("score")
+        ).unionByName(
+            auths.select(
+                "node", F.lit("authority").alias("kind"), F.lit(1.0).alias("score")
             )
-            .groupBy("dst")
-            .agg(
-                F.sum(F.col("score").cast("decimal(38,18)"))
-                .cast("double")
-                .alias("score")
-            )
-            .select(F.col("dst").alias("node"), "score")
         )
-        h, a = h_next, a_next
+        for _ in range(iters):
+            scores = (
+                route.join(
+                    posture(
+                        scores.select(
+                            F.col("node").alias("pnode"),
+                            F.col("kind").alias("pkind"),
+                            "score",
+                        )
+                    ),
+                    ["pnode", "pkind"],
+                )
+                .groupBy("onode", "okind")
+                .agg(
+                    F.sum(F.col("score").cast("decimal(38,18)"))
+                    .cast("double")
+                    .alias("score")
+                )
+                .select(
+                    F.col("onode").alias("node"),
+                    F.col("okind").alias("kind"),
+                    "score",
+                )
+            )
+        h = scores.where(F.col("kind") == "hub").select("node", "score")
+        a = scores.where(F.col("kind") == "authority").select("node", "score")
+    else:
+        h = hubs.select("node", F.lit(1.0).alias("score"))
+        a = auths.select("node", F.lit(1.0).alias("score"))
+        for _ in range(iters):
+            h_next = (
+                ed.join(
+                    posture(a.select(F.col("node").alias("dst"), "score")), "dst"
+                )
+                .groupBy("src")
+                .agg(
+                    F.sum(F.col("score").cast("decimal(38,18)"))
+                    .cast("double")
+                    .alias("score")
+                )
+                .select(F.col("src").alias("node"), "score")
+            )
+            a_next = (
+                ed.join(
+                    posture(h.select(F.col("node").alias("src"), "score")), "src"
+                )
+                .groupBy("dst")
+                .agg(
+                    F.sum(F.col("score").cast("decimal(38,18)"))
+                    .cast("double")
+                    .alias("score")
+                )
+                .select(F.col("dst").alias("node"), "score")
+            )
+            h, a = h_next, a_next
 
     def l1_normalize(df: DataFrame) -> DataFrame:
         tot = df.agg(

@@ -267,6 +267,26 @@ def test_hits_fixed_contracts(spark):
     assert sorted(map(tuple, forced)) == sorted(map(tuple, rows))
 
 
+def test_hits_fused_and_two_probe_forms_are_bit_equal(spark):
+    """r10 verdict item 3: the fused single-probe update (one
+    union-keyed routing join per iteration) must be BIT-equal to the
+    two-probe Jacobi form — the per-(node, kind) DECIMAL message
+    multiset is identical, so no tolerance is needed.  Checked on an
+    asymmetric multi-component graph under both postures."""
+    edges = spark.createDataFrame(
+        [
+            ("c1", "s1"), ("c2", "s1"), ("c3", "s1"), ("c1", "s2"),
+            ("c3", "s3"), ("x", "y"), ("y", "z"), ("z", "x"),
+            ("s1", "c1"),  # a node on both sides carries both kinds
+        ],
+        "src string, dst string",
+    )
+    for posture in (None, False):
+        fused = G.hits_fixed(edges, broadcast_scores=posture, fused=True).collect()
+        plain = G.hits_fixed(edges, broadcast_scores=posture, fused=False).collect()
+        assert sorted(map(tuple, fused)) == sorted(map(tuple, plain))
+
+
 def test_ppr_fixed_contracts(spark):
     """r10 personalized-PageRank contracts: mass concentrates around
     the seed's neighborhood (a node near the seed out-ranks a distant

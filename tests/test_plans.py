@@ -911,3 +911,17 @@ def test_containment_join_is_prefix_equi_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Window" not in plan
+
+
+def test_hits_query_keeps_the_two_probe_winner_shape(spark, sf_dir):
+    """purchase_graph_hits (r11 A/B, r10 verdict item 3): the
+    interleaved A/B measured the fused single-probe routing form
+    1.45-1.52x SLOWER at 1x/10x, so the catalog query must keep the
+    two-probe Jacobi winner: no routing-table kind columns in the
+    plan, and the DISK_ONLY edge persist probed twice per iteration
+    (2k InMemoryTableScans for k iterations)."""
+    from database_per_keyword_analysis_spark.operators.graph import HITS_ITERS
+
+    plan = _plan(spark, sf_dir, "purchase_graph_hits")
+    assert "pkind" not in plan and "okind" not in plan  # fused markers
+    assert plan.count("InMemoryTableScan") >= 2 * HITS_ITERS
