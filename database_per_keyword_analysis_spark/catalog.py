@@ -710,6 +710,13 @@ _DEFERRED_TWINS = {
     #   keyword_breakdown (differential-covered)
     "stream_purchase_state_pit",  # green r9,r10; streaming PIT —
     #   differential-proven since its r8 deferral-at-birth
+    # ---- round-11 novel-query slots (novel machinery goes IN the
+    # window; each demotion below is 2-round-green r9+r10 and leaves
+    # on a NEW differential in tests/test_catalog_twins.py) ----
+    "orders_mv_incremental",  # green r9-r10; insert-only IVM — its
+    #   machinery also runs in-window inside orders_mv_upsert's
+    #   signed-partial fold; slot taken by events_kmv_distinct
+    #   (NOVEL r11: KMV distinct sketch, exact-rebuild oracle)
 }
 
 
@@ -8777,3 +8784,52 @@ def q_event_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import events as E2
 
     return E2.transition_entropy(load(spark, sf_dir, "events"))
+
+
+def _kmv_sql() -> str:
+    from .operators.scale import KMV_HASH_BITS, KMV_K
+
+    top = float((KMV_K - 1) * (1 << KMV_HASH_BITS))
+    return (
+        "WITH d AS (SELECT DISTINCT event_type AS grp, "
+        "CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12) "
+        "AS BIGINT) AS h FROM events), "
+        "r AS (SELECT grp, h, row_number() OVER (PARTITION BY grp "
+        "ORDER BY h) AS rn FROM d), "
+        f"a AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_kept, "
+        f"max(h) AS h_k FROM r WHERE rn <= {KMV_K} GROUP BY grp), "
+        "t AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_true "
+        "FROM d GROUP BY grp), "
+        f"e AS (SELECT grp, n_true, CASE WHEN n_kept < {KMV_K} "
+        "THEN CAST(n_kept AS DOUBLE) "
+        f"ELSE {top!r} / CAST(h_k AS DOUBLE) END AS est "
+        "FROM a JOIN t USING (grp)) "
+        "SELECT grp AS event_type, n_true, round(est, 6) AS n_est, "
+        "round((est - n_true) / n_true, 6) AS rel_err "
+        "FROM e ORDER BY event_type"
+    )
+
+
+@register("events_kmv_distinct", _kmv_sql())
+def q_events_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch (operators/scale.py:kmv_distinct;
+    Bar-Yossef et al. 2002, Beyer et al. SIGMOD 2007): per event
+    type, distinct users estimated from the k=1024 smallest 48-bit
+    md5 hashes — k values of state per group regardless of user
+    cardinality, exactly mergeable across splits (union, re-take k
+    minima; test-pinned).  The md5-chunk hash convention is portable,
+    so unlike the HLL-based rows-only rollup the DuckDB oracle
+    REBUILDS the identical k-min sets and the driver hash checks the
+    estimate AND its signed relative error per group — the
+    distinct-count companion to user_count_min's point counts.
+    NOVEL round-11 machinery → in-window at birth;
+    orders_mv_incremental (green r9-r10) rotated out with a NEW
+    differential (its IVM machinery also executes in-window inside
+    orders_mv_upsert's signed-partial fold)."""
+    from .operators import scale as SC
+
+    return SC.kmv_distinct(
+        load(spark, sf_dir, "events").select("event_type", "user_id"),
+        "event_type",
+        "user_id",
+    )

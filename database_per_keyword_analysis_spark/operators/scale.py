@@ -22,7 +22,7 @@ avoids it).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -953,4 +953,87 @@ def count_min_join_size(
             "true_rows",
             (F.col("est_rows") - F.col("true_rows")).alias("overcount"),
         )
+    )
+
+
+KMV_K = 1024  # k minimum hash values kept per group
+KMV_HASH_BITS = 48  # 12 md5 hex chars: exact in an IEEE double
+
+
+def _kmv_hash(key: Column) -> Column:
+    """48-bit uniform hash from the first 12 md5 hex chars — the
+    _cm_cols/_bloom_positions chunk convention, truncated so the value
+    is EXACTLY representable as an IEEE double (2^48 < 2^53): the
+    estimator below divides two exact integers in one IEEE op, so any
+    engine that has md5 rebuilds the identical estimate bit-for-bit."""
+    return F.conv(F.substring(F.md5(key.cast("string")), 1, 12), 16, 10).cast(
+        "long"
+    )
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    k: int = KMV_K,
+) -> DataFrame:
+    """Per-group KMV (k-minimum-values) distinct-count sketch
+    (Bar-Yossef et al., RANDOM 2002; Beyer et al., SIGMOD 2007):
+    hash every key uniformly into [0, 2^48), keep each group's k
+    SMALLEST distinct hash values, and estimate the distinct count
+    from how densely they pack the bottom of the hash space:
+
+      n_est = (k-1) / U_(k),  U_(k) = h_k / 2^48  (h_k = k-th min)
+
+    — the unbiased KMV estimator, with the exact count returned
+    whenever the group holds fewer than k distinct keys (the sketch
+    IS the set then).  The distinct-count analog of this family's
+    Count-Min point counts: per-group state is k 8-byte values
+    REGARDLESS of key cardinality, and sketches from disjoint splits
+    merge exactly (union the hash sets, re-take the k smallest — the
+    mergeable-summaries property, test-pinned) so 100 TB splits
+    combine without re-reading data.  The catalog's HLL-based
+    `events_distinct_users_rollup` stays rows-only (Spark's HLL++
+    internals are engine-private); KMV's hash convention is portable,
+    so THIS distinct sketch is oracle-checkable — the DuckDB oracle
+    rebuilds the identical k-min sets and estimates.
+
+    100 TB shape: one distinct (group, hash) aggregate (map-side
+    combine collapses duplicates before the shuffle), one per-group
+    ordered window over the distinct hashes to rank the k minima —
+    the same shuffle an exact COUNT(DISTINCT) pays, but the RETAINED
+    state is k values per group, which is what a serving/merge layer
+    stores.  Returns (group, n_true, n_est, rel_err) rounded to 6,
+    deterministically ordered; n_true (the exact count, computed from
+    the same distinct pass) is included so the driver hash pins the
+    estimator against ground truth, mirroring count_min_estimates."""
+    grp = F.col(group_col)
+    d = df.select(
+        grp.alias("grp"), _kmv_hash(F.col(key_col)).alias("h")
+    ).distinct()
+    w = Window.partitionBy("grp").orderBy("h")
+    kmin = d.select(
+        "grp", "h", F.row_number().over(w).alias("rn")
+    ).where(F.col("rn") <= k)
+    agg = kmin.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_kept"), F.max("h").alias("h_k")
+    )
+    truth = d.groupBy("grp").agg(F.count(F.lit(1)).alias("n_true"))
+    n_est = F.when(
+        F.col("n_kept") < k, F.col("n_kept").cast("double")
+    ).otherwise(
+        F.lit(float((k - 1) * (1 << KMV_HASH_BITS)))
+        / F.col("h_k").cast("double")
+    )
+    return (
+        agg.join(truth, "grp")
+        .select(
+            F.col("grp").alias(group_col),
+            "n_true",
+            F.round(n_est, 6).alias("n_est"),
+            F.round(
+                (n_est - F.col("n_true")) / F.col("n_true"), 6
+            ).alias("rel_err"),
+        )
+        .orderBy(group_col)
     )

@@ -1043,3 +1043,9 @@ def test_event_transition_entropy_matches_oracle(spark, sf_dir):
     # r10 continuation deferral at birth: per-state next-event entropy
     # — event_transition_matrix's lead window + one more fold
     _assert_matches_oracle(spark, sf_dir, "event_transition_entropy")
+
+
+def test_orders_mv_incremental_matches_oracle(spark, sf_dir):
+    # r11 demotion: 2-round-green (r9+r10); the insert-only IVM
+    # machinery also executes in-window inside orders_mv_upsert
+    _assert_matches_oracle(spark, sf_dir, "orders_mv_incremental")

@@ -657,3 +657,35 @@ def test_count_min_join_size_contracts(spark):
     narrow = SC.count_min_join_size(a, "k", b, "k", depth=3, width=8).collect()[0]
     assert narrow.true_rows == 2000
     assert narrow.est_rows >= 2000 and narrow.overcount > 0
+
+
+def test_kmv_distinct_contracts(spark):
+    """r11 KMV contracts: below k the sketch IS the set (exact count,
+    rel_err 0); above k the (k-1)/U_(k) estimate lands within the
+    3-sigma ~3/sqrt(k-1) band; and the k-min summary merges exactly
+    (k smallest of A∪B == k smallest of kmin(A) ∪ kmin(B)) — the
+    property that makes it a fixed-size shuffle payload at 100 TB."""
+    from database_per_keyword_analysis_spark.operators import scale as SC
+
+    rows = [("small", i) for i in range(40)]
+    rows += [("big", i) for i in range(5000)]
+    df = spark.createDataFrame(rows, "grp string, key long")
+    out = {r.grp: r for r in SC.kmv_distinct(df, "grp", "key", k=256).collect()}
+    assert out["small"].n_true == 40
+    assert out["small"].n_est == 40.0 and out["small"].rel_err == 0.0
+    assert out["big"].n_true == 5000
+    assert abs(out["big"].rel_err) < 3.0 / (255 ** 0.5)  # 3 sigma
+    # merge property over the operator's own hash column
+    from pyspark.sql import functions as F
+
+    hs = sorted(
+        r.h
+        for r in df.where("grp = 'big'")
+        .select(SC._kmv_hash(F.col("key")).alias("h"))
+        .distinct()
+        .collect()
+    )
+    k = 64
+    a, b = hs[::2], hs[1::2]  # two disjoint splits
+    merged = sorted(set(sorted(a)[:k]) | set(sorted(b)[:k]))[:k]
+    assert merged == hs[:k]
