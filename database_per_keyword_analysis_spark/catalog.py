@@ -717,6 +717,10 @@ _DEFERRED_TWINS = {
     #   machinery also runs in-window inside orders_mv_upsert's
     #   signed-partial fold; slot taken by events_kmv_distinct
     #   (NOVEL r11: KMV distinct sketch, exact-rebuild oracle)
+    "orders_pruned_totals",  # green r9-r10; zone-map skipping — the
+    #   family keeps orders_zorder_pruned AND orders_dpp_pruned
+    #   in-window; slot taken by purchase_cheapest_paths (NOVEL r11:
+    #   Bellman-Ford bounded min-cost paths vs a recursive-CTE oracle)
 }
 
 
@@ -8833,3 +8837,88 @@ def q_events_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "user_id",
     )
+
+
+SSSP_MAX_HOPS = 2
+
+
+@register(
+    "purchase_cheapest_paths",
+    # genuine bounded WITH RECURSIVE over ALL paths (the per-path
+    # enumeration Spark's frontier relaxation exists to avoid) — hash
+    # equality proves Bellman-Ford computes the same minima; weights
+    # are exact integer cents (round-half-up on the shared double
+    # product, positive prices, so both engines round identically)
+    "WITH RECURSIVE "
+    "e AS (SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src, "
+    "'s' || CAST(l_suppkey AS VARCHAR) AS dst, "
+    "CAST(min(round(l_extendedprice * 100)) AS BIGINT) AS w "
+    "FROM orders JOIN lineitem ON o_orderkey = l_orderkey "
+    "GROUP BY 1, 2), "
+    "und AS (SELECT src, dst, w FROM e "
+    "UNION ALL SELECT dst, src, w FROM e), "
+    "seeds AS (SELECT DISTINCT 'c' || CAST(c_custkey AS VARCHAR) AS node "
+    "FROM customer JOIN nation ON c_nationkey = n_nationkey "
+    f"WHERE n_name = '{REACHABILITY_SEED_NATION}'), "
+    "walk(node, cost, hops) AS ("
+    "SELECT node, CAST(0 AS BIGINT), 0 FROM seeds "
+    "UNION "
+    "SELECT und.dst, wk.cost + und.w, wk.hops + 1 FROM walk wk "
+    f"JOIN und ON und.src = wk.node WHERE wk.hops < {SSSP_MAX_HOPS}) "
+    "SELECT node, CAST(min(cost) AS BIGINT) AS cost FROM walk "
+    "GROUP BY node ORDER BY node",
+)
+def q_purchase_cheapest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-hop minimum-cost paths (operators/graph.py:
+    sssp_bounded; Bellman-Ford with the improved-only frontier) from
+    NATION_8's customers over the undirected purchase graph, edge
+    cost = the pair's cheapest lineitem in exact integer cents —
+    'cheapest 2-hop supply route to every reachable party', the
+    weighted companion to purchase_reachability's min-hop BFS.  The
+    oracle enumerates every bounded path in a genuine recursive CTE
+    and takes the min, so the driver hash proves the relaxation
+    (edge probes per IMPROVEMENT, never per path) reaches the same
+    fixpoint.  NOVEL round-11 machinery → in-window at birth;
+    orders_pruned_totals (green r9-r10) rotated out with a NEW
+    differential (the zone-map family keeps orders_zorder_pruned and
+    orders_dpp_pruned in-window)."""
+    from pyspark.sql import functions as F
+
+    from .operators import graph as G
+
+    orders = load(spark, sf_dir, "orders", parallel=True)
+    lines = load(spark, sf_dir, "lineitem", parallel=True)
+    e = (
+        orders.join(lines, orders.o_orderkey == lines.l_orderkey)
+        .groupBy(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
+                "dst"
+            ),
+        )
+        .agg(
+            F.min(F.round(F.col("l_extendedprice") * 100, 0).cast("long"))
+            .alias("w")
+        )
+    )
+    und = e.unionByName(
+        e.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+        )
+    )
+    seeds = (
+        load(spark, sf_dir, "customer", parallel=True)
+        .join(
+            load(spark, sf_dir, "nation"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .where(F.col("n_name") == REACHABILITY_SEED_NATION)
+        .select(
+            F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias(
+                "node"
+            )
+        )
+    )
+    return G.sssp_bounded(und, seeds, SSSP_MAX_HOPS)

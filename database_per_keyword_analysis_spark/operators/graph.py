@@ -739,3 +739,98 @@ def ppr_fixed(
             )
         )
     return ranks
+
+
+def sssp_bounded(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    broadcast_frontier: bool | None = None,
+) -> DataFrame:
+    """Bounded-hop minimum-cost paths from a seed set (Bellman-Ford
+    value iteration with the improved-only frontier — the weighted
+    companion to `bfs_min_hops`): dist_i(v) = min cost of reaching v
+    from any seed using <= i edges; after `max_hops` rounds every
+    reached node carries its cheapest bounded path cost.
+
+    Weights must be exact integers (the caller converts money to
+    cents etc.) so min-plus arithmetic is engine-exact — the DuckDB
+    oracle can then be a genuine bounded WITH RECURSIVE over all
+    paths, and hash equality proves the relaxation computes the same
+    minima without enumerating paths.  Input contract: one row per
+    directed edge with its weight (pre-aggregate parallel edges to
+    their min first, as `pagerank_fixed` requires distinct edges).
+
+    Frontier discipline is the 100 TB shape: round i relaxes ONLY
+    nodes whose distance IMPROVED in round i-1 (the Bellman-Ford
+    queue optimization) — a settled subgraph costs nothing, total
+    probe work is one edge probe per improvement, never per path
+    (the recursive CTE pays per path, which is why it is only the
+    sf0.01 oracle).  Early exit when no node improves is
+    result-neutral (the fixpoint is reached).  Distance/frontier
+    tables are node-bounded, localCheckpointed per round; the edge
+    list persists DISK_ONLY, probed <= max_hops times.  Returns
+    (node, cost) for every node within `max_hops` edges of a seed
+    (seeds at cost 0), deterministically ordered."""
+    from pyspark import StorageLevel
+
+    e = edges.select(
+        F.col(src).alias("src"),
+        F.col(dst).alias("dst"),
+        F.col(weight).cast("long").alias("w"),
+    ).persist(StorageLevel.DISK_ONLY)
+    if broadcast_frontier is None:
+        n_nodes = (
+            e.select(F.col("src").alias("node"))
+            .unionByName(e.select(F.col("dst").alias("node")))
+            .distinct()
+            .count()
+        )
+        broadcast_frontier = n_nodes <= GRAPH_BROADCAST_MAX_NODES
+
+    def posture(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if broadcast_frontier else df
+
+    dist = (
+        seeds.select("node")
+        .distinct()
+        .select("node", F.lit(0).cast("long").alias("cost"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist
+    for _ in range(max_hops):
+        offers = (
+            e.join(
+                posture(
+                    frontier.select(
+                        F.col("node").alias("src"), F.col("cost").alias("c0")
+                    )
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min(F.col("c0") + F.col("w")).alias("cost"))
+        )
+        improved = (
+            offers.join(
+                posture(dist.select("node", F.col("cost").alias("cur"))),
+                "node",
+                "left",
+            )
+            .where(F.col("cur").isNull() | (F.col("cost") < F.col("cur")))
+            .select("node", "cost")
+            .localCheckpoint(eager=True)
+        )
+        if not improved.take(1):
+            break
+        dist = (
+            dist.unionByName(improved)
+            .groupBy("node")
+            .agg(F.min("cost").alias("cost"))
+            .localCheckpoint(eager=True)
+        )
+        frontier = improved
+    return dist.orderBy("node")

@@ -1049,3 +1049,9 @@ def test_orders_mv_incremental_matches_oracle(spark, sf_dir):
     # r11 demotion: 2-round-green (r9+r10); the insert-only IVM
     # machinery also executes in-window inside orders_mv_upsert
     _assert_matches_oracle(spark, sf_dir, "orders_mv_incremental")
+
+
+def test_orders_pruned_totals_matches_oracle(spark, sf_dir):
+    # r11 demotion: 2-round-green (r9+r10); the zone-map family keeps
+    # orders_zorder_pruned and orders_dpp_pruned in-window
+    _assert_matches_oracle(spark, sf_dir, "orders_pruned_totals")

@@ -324,3 +324,36 @@ def test_ppr_fixed_empty_in_graph_seed_set_raises(spark):
     seeds = spark.createDataFrame([("ghost",)], "node string")
     with _pytest.raises(ValueError, match=r"\|S\| = 0"):
         G.ppr_fixed(edges, seeds)
+
+
+def test_sssp_bounded_contracts(spark):
+    """r11 Bellman-Ford contracts on a hand-built weighted graph: a
+    cheap 2-hop route beats an expensive direct edge, the hop bound
+    excludes a cheaper-but-longer route, seeds sit at cost 0,
+    unreachable nodes are absent, and the forced-shuffle posture is
+    result-identical."""
+    edges = spark.createDataFrame(
+        [
+            ("a", "b", 10),  # direct but expensive
+            ("a", "c", 1), ("c", "b", 2),  # 2-hop route, cost 3
+            ("a", "d", 1), ("d", "e", 1), ("e", "f", 1),  # f needs 3 hops
+            ("x", "y", 5),  # disconnected from the seed
+        ],
+        "src string, dst string, w long",
+    )
+    seeds = spark.createDataFrame([("a",)], "node string")
+    got = {r.node: r.cost for r in G.sssp_bounded(edges, seeds, 2).collect()}
+    assert got == {"a": 0, "b": 3, "c": 1, "d": 1, "e": 2}
+    # 3 hops reaches f; b stays at the relaxed 2-hop optimum
+    got3 = {r.node: r.cost for r in G.sssp_bounded(edges, seeds, 3).collect()}
+    assert got3["f"] == 3 and got3["b"] == 3
+    # early exit past the fixpoint is result-neutral
+    got9 = {r.node: r.cost for r in G.sssp_bounded(edges, seeds, 9).collect()}
+    assert got9 == got3
+    forced = {
+        r.node: r.cost
+        for r in G.sssp_bounded(
+            edges, seeds, 2, broadcast_frontier=False
+        ).collect()
+    }
+    assert forced == got
