@@ -721,6 +721,10 @@ _DEFERRED_TWINS = {
     #   family keeps orders_zorder_pruned AND orders_dpp_pruned
     #   in-window; slot taken by purchase_cheapest_paths (NOVEL r11:
     #   Bellman-Ford bounded min-cost paths vs a recursive-CTE oracle)
+    "purchase_funnel",  # green r9-r10; the chained-min funnel stays
+    #   in-window via purchase_funnel_24h (same joins + lag residual);
+    #   slot taken by stream_event_heavy_hitters (NOVEL r11: streaming
+    #   Misra-Gries fold, stream==batch proof on the shared oracle)
 }
 
 
@@ -8922,3 +8926,128 @@ def q_purchase_cheapest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return G.sssp_bounded(und, seeds, SSSP_MAX_HOPS)
+
+
+@register(
+    "stream_event_heavy_hitters",
+    # the SAME oracle as the batch event_heavy_hitters (plain
+    # GROUP BY ... HAVING over every event): hash equality proves the
+    # micro-batch Misra-Gries fold lost no heavy key — the
+    # stream==batch proof pattern of stream_corpus_drift
+    "WITH t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM events "
+    "WHERE user_id IS NOT NULL) "
+    "SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows, "
+    "round(CAST(count(*) AS DOUBLE) / t.total, 6) AS share "
+    "FROM events, t WHERE user_id IS NOT NULL "
+    "GROUP BY user_id, t.total HAVING count(*) >= ceil(0.007 * t.total) "
+    "ORDER BY n_rows DESC, user_id",
+)
+def q_stream_event_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING φ-heavy-hitters (φ=0.007): events arrive as a
+    4-micro-batch stream and each batch folds its per-partition
+    Misra-Gries summaries (operators/scale.py:mg_partial_summaries)
+    into ONE persisted summary of ⌈2/φ⌉ entries via the mergeable-
+    summaries merge (scale.mg_merge; Agarwal et al. PODS'12) — the
+    standing state is O(1/φ) REGARDLESS of stream length or key
+    cardinality, the shape that watches a 100 TB/day firehose.  The
+    fold is exactly-once (applied-batch watermark inside the
+    atomically-replaced state file, retries no-op — the
+    refresh_mv_batch discipline), and after the drain the surviving
+    candidates get an exact re-count against the archived corpus
+    (candidate-bounded, like the batch operator's pass 2).  Shares
+    event_heavy_hitters' oracle verbatim, so the driver hash is the
+    stream==batch equality proof: no batch split can lose a heavy
+    key.  NOVEL round-11 machinery → in-window at birth;
+    purchase_funnel (green r9-r10) rotated out with a NEW
+    differential (purchase_funnel_24h keeps the chained-min funnel
+    machinery in-window)."""
+    import hashlib
+    import json
+    import math
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from .operators import scale as SC
+
+    phi = 0.007
+    cap = math.ceil(2.0 / phi)
+    evf = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(evf)
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{st.st_size}:{st.st_mtime_ns}".encode()
+    ).hexdigest()[:12]
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".cache", "hhstream", key,
+    )
+    src = os.path.join(base, "src")
+    state_path = os.path.join(base, "state.json")
+
+    events = load(spark, sf_dir, "events")
+    if not os.path.isfile(os.path.join(src, "_SUCCESS")):
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(base, exist_ok=True)
+        tmp = state_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"applied": [], "total": 0, "summary": {}}, f)
+        os.replace(tmp, state_path)
+        events.select("user_id").repartition(4).write.mode(
+            "overwrite"
+        ).parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    def fold(batch_df, batch_id):
+        with open(state_path) as f:
+            state = json.load(f)
+        if batch_id in state["applied"]:
+            return  # retry of an applied batch: no-op (exactly-once)
+        clean = batch_df.where(F.col("user_id").isNotNull())
+        partials = SC.mg_partial_summaries(clean, "user_id", cap)
+        n_batch = clean.count()
+        state["summary"] = SC.mg_merge(
+            [state["summary"], *partials], cap
+        )
+        state["total"] += n_batch
+        state["applied"].append(batch_id)
+        tmp = state_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(state, f)
+        os.replace(tmp, state_path)  # atomic: crash leaves old state
+
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    with open(state_path) as f:
+        state = json.load(f)
+    threshold = math.ceil(phi * state["total"])
+    cand = spark.createDataFrame(
+        [(int(k),) for k in state["summary"]] or [(None,)],
+        "user_id long",
+    ).na.drop()
+    return (
+        events.where(F.col("user_id").isNotNull())
+        .join(F.broadcast(cand), "user_id")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .where(F.col("n_rows") >= threshold)
+        .select(
+            "user_id",
+            "n_rows",
+            F.round(
+                F.col("n_rows").cast("double") / F.lit(float(state["total"])),
+                6,
+            ).alias("share"),
+        )
+        .orderBy(F.desc("n_rows"), "user_id")
+    )

@@ -1037,3 +1037,58 @@ def kmv_distinct(
         )
         .orderBy(group_col)
     )
+
+
+def mg_merge(summaries: list[dict], cap: int) -> dict:
+    """Merge Misra-Gries summaries (Agarwal et al. PODS'12 §3.1,
+    the mergeable-summaries theorem): sum counts keywise, then if
+    more than `cap` keys survive subtract the (cap+1)-th largest
+    count from all and drop non-positives.  The merged summary keeps
+    the MG deficit bound est(x) >= freq(x) - n/(cap+1) over the
+    UNION of the inputs' data, so any φ-heavy key (cap = ⌈2/φ⌉)
+    still survives — the property that lets per-partition summaries
+    combine across micro-batches in the streaming fold exactly as
+    they combine across tasks in heavy_hitters_exact."""
+    merged: dict = {}
+    for s in summaries:
+        for k, v in s.items():
+            merged[k] = merged.get(k, 0) + int(v)
+    if len(merged) > cap:
+        delta = sorted(merged.values(), reverse=True)[cap]
+        merged = {k: v - delta for k, v in merged.items() if v > delta}
+    return merged
+
+
+def mg_partial_summaries(
+    df: DataFrame, key_col: str, cap: int
+) -> list[dict]:
+    """One Misra-Gries summary per partition of `df` (each ≤ cap
+    entries, keys stringified), collected to the driver: the
+    bounded-state half of the heavy-hitter passes, factored out so
+    the STREAMING fold can reuse it per micro-batch.  Collect size is
+    partitions x cap — O(1/φ) per task regardless of key
+    cardinality."""
+
+    def mg_partition(batches):
+        import pandas as pd
+
+        summ: dict[str, int] = {}
+        for pdf in batches:
+            vc = pdf.groupby(key_col, dropna=True, sort=False).size()
+            for k, c in vc.items():
+                k = str(k)
+                summ[k] = summ.get(k, 0) + int(c)
+            if len(summ) > cap:
+                delta = sorted(summ.values(), reverse=True)[cap]
+                summ = {k: v - delta for k, v in summ.items() if v > delta}
+        yield pd.DataFrame(
+            {"k": list(summ.keys()), "est": list(summ.values())}
+        )
+
+    rows = df.select(key_col).na.drop().mapInPandas(
+        mg_partition, "k string, est long"
+    ).collect()
+    # one single-entry dict per summary row: mg_merge sums keywise, so
+    # rows for the same key arriving from different partitions combine
+    # exactly as a keyed merge would
+    return [{r.k: r.est} for r in rows] or [{}]

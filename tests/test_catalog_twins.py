@@ -1055,3 +1055,9 @@ def test_orders_pruned_totals_matches_oracle(spark, sf_dir):
     # r11 demotion: 2-round-green (r9+r10); the zone-map family keeps
     # orders_zorder_pruned and orders_dpp_pruned in-window
     _assert_matches_oracle(spark, sf_dir, "orders_pruned_totals")
+
+
+def test_purchase_funnel_matches_oracle(spark, sf_dir):
+    # r11 demotion: 2-round-green (r9+r10); purchase_funnel_24h keeps
+    # the chained-min funnel machinery in-window
+    _assert_matches_oracle(spark, sf_dir, "purchase_funnel")

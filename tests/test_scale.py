@@ -689,3 +689,41 @@ def test_kmv_distinct_contracts(spark):
     a, b = hs[::2], hs[1::2]  # two disjoint splits
     merged = sorted(set(sorted(a)[:k]) | set(sorted(b)[:k]))[:k]
     assert merged == hs[:k]
+
+
+def test_mg_merge_keeps_every_heavy_key_under_any_split():
+    """r11 streaming-fold guarantee (Agarwal et al. PODS'12): however
+    a stream splits into micro-batches, the folded Misra-Gries
+    summary (cap = ceil(2/phi)) keeps (a) at most cap entries, (b)
+    the deficit bound est(x) >= freq(x) - n/(cap+1), and (c) EVERY
+    phi-heavy key — the completeness half the shared oracle then
+    verifies end-to-end.  Pure-python property over a seeded skewed
+    stream and several batch splits."""
+    import collections
+    import math
+    import random
+
+    from database_per_keyword_analysis_spark.operators.scale import mg_merge
+
+    rng = random.Random(11)
+    # skewed stream: a few hot keys over a long tail
+    stream = [f"hot{i}" for i in range(3) for _ in range(400)]
+    stream += [f"cold{rng.randrange(500)}" for _ in range(2000)]
+    rng.shuffle(stream)
+    n = len(stream)
+    phi = 0.05
+    cap = math.ceil(2.0 / phi)
+    freq = collections.Counter(stream)
+    heavy = {k for k, c in freq.items() if c >= math.ceil(phi * n)}
+    assert heavy  # the fixture plants hot keys
+    for n_batches in (1, 2, 4, 7):
+        size = math.ceil(n / n_batches)
+        summary: dict = {}
+        for i in range(n_batches):
+            batch = stream[i * size:(i + 1) * size]
+            partial = dict(collections.Counter(batch))
+            summary = mg_merge([summary, partial], cap)
+        assert len(summary) <= cap
+        for k, est in summary.items():
+            assert est >= freq[k] - n / (cap + 1) - 1e-9
+        assert heavy <= set(summary), (n_batches, heavy - set(summary))
