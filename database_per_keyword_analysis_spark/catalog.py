@@ -725,6 +725,10 @@ _DEFERRED_TWINS = {
     #   in-window via purchase_funnel_24h (same joins + lag residual);
     #   slot taken by stream_event_heavy_hitters (NOVEL r11: streaming
     #   Misra-Gries fold, stream==batch proof on the shared oracle)
+    "top_user_paths",  # green r9-r10; journey sequences stay in-window
+    #   via event_transition_matrix (same per-user lead window); slot
+    #   taken by doc_cooccurrence_npmi (NOVEL r11: A-priori-pruned
+    #   document co-occurrence NPMI)
 }
 
 
@@ -9051,3 +9055,49 @@ def q_stream_event_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("n_rows"), "user_id")
     )
+
+
+def _npmi_sql() -> str:
+    from .operators.textquality import NPMI_MIN_SUPPORT as S
+
+    return (
+        r"WITH toks AS (SELECT DISTINCT doc_id, t.token FROM documents, "
+        r"unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t(token) "
+        "WHERE text IS NOT NULL AND t.token <> ''), "
+        "dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df "
+        "FROM toks GROUP BY token), "
+        f"kept AS (SELECT doc_id, token, df FROM toks JOIN dfreq USING "
+        f"(token) WHERE df >= {S}), "
+        "n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS nd "
+        "FROM documents WHERE text IS NOT NULL), "
+        "pairs AS (SELECT a.token AS token_a, b.token AS token_b, "
+        "a.df AS n_a, b.df AS n_b, CAST(count(*) AS BIGINT) AS n_ab "
+        "FROM kept a JOIN kept b ON a.doc_id = b.doc_id "
+        "AND a.token < b.token GROUP BY 1, 2, 3, 4 "
+        f"HAVING count(*) >= {S}) "
+        "SELECT token_a, token_b, n_a, n_b, n_ab, "
+        "round(CASE WHEN n_ab = nd THEN 1.0 ELSE "
+        "ln(CAST(n_ab * nd AS DOUBLE) / (n_a * n_b)) / "
+        "(-ln(CAST(n_ab AS DOUBLE) / nd)) END, 6) AS npmi "
+        "FROM pairs CROSS JOIN n ORDER BY token_a, token_b"
+    )
+
+
+@register("doc_cooccurrence_npmi", _npmi_sql())
+def q_doc_cooccurrence_npmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level co-occurrence NPMI (operators/textquality.py:
+    cooccurrence_npmi; Bouma GSCL 2009) over the corpus — every token
+    pair sharing >= 10 documents with its normalized PMI, the
+    collocation/topic-affinity miner.  The A-priori downward-closure
+    prune (copurchase_lift's discipline applied to text) drops
+    sub-support tokens BEFORE the only quadratic stage, with zero
+    loss of qualifying pairs — completeness is exactly what the
+    oracle hash proves, since the oracle pairs the SAME pruned
+    postings by brute force.  Count-thresholded SET output (no rank
+    boundary to flip on an ulp); ln at 6dp.  NOVEL round-11 machinery
+    → in-window at birth; top_user_paths (green r9-r10) rotated out
+    with a NEW differential (event_transition_matrix keeps the
+    journey-sequence machinery in-window)."""
+    from .operators import textquality as TQ
+
+    return TQ.cooccurrence_npmi(load(spark, sf_dir, "documents", parallel=True))

@@ -784,3 +784,85 @@ def drift_from_counts(
         .limit(top_k)
         .drop("__drift")
     )
+
+
+NPMI_MIN_SUPPORT = 10  # minimum document frequency for tokens AND pairs
+
+
+def cooccurrence_npmi(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_support: int = NPMI_MIN_SUPPORT,
+) -> DataFrame:
+    """Document-level co-occurrence with normalized PMI (Bouma, GSCL
+    2009): for every token pair appearing together in >= min_support
+    documents,
+
+      npmi(a,b) = ln(p(a,b) / (p(a)·p(b))) / -ln(p(a,b)),
+
+    probabilities over DOCUMENTS (presence, not occurrence counts) —
+    the phrase/topic-affinity signal a training-data pipeline mines
+    for collocation dictionaries and near-duplicate topic clusters;
+    +1 = perfect association, 0 = independence, negative = repulsion.
+    The adjacency-free companion to bigram_collocations (which scores
+    ADJACENT pairs): here 'deep' and 'learning' associate however far
+    apart they sit in the document.
+
+    100 TB shape — the copurchase_lift discipline applied to text:
+    the ONLY quadratic stage (the within-document token pair
+    self-join) runs AFTER the A-priori downward-closure prune — a
+    pair in >= s documents needs each member in >= s documents, so
+    tokens below min_support are dropped BEFORE pairing with zero
+    loss of qualifying pairs (completeness is what the oracle hash
+    proves).  Pair work scales with frequent-token co-presence, not
+    vocabulary; the distinct (doc, token) projection collapses
+    occurrence counts at the scan.  Exact-integer discipline: all
+    counts are BIGINT document frequencies; the two ln calls divide
+    BIGINT products and round once at 6dp (the KN/entropy
+    convention); the degenerate p(a,b)=1 case (denominator 0) is
+    pinned to npmi=1 in both engines.  Returns
+    (token_a, token_b, n_a, n_b, n_ab, npmi) for qualifying pairs,
+    ordered by pair — a count-thresholded SET, so no rank boundary
+    can flip on an ulp."""
+    base = docs.where(F.col(text_col).isNotNull())
+    toks = (
+        base.select(
+            "doc_id",
+            F.explode(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+            ).alias("token"),
+        )
+        .where(F.col("token") != "")
+        .distinct()
+    )
+    dfreq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    kept = toks.join(
+        dfreq.where(F.col("df") >= min_support), "token"
+    )
+    n_docs = base.select("doc_id").distinct().count()
+    a = kept.select(
+        "doc_id", F.col("token").alias("token_a"), F.col("df").alias("n_a")
+    )
+    b = kept.select(
+        "doc_id", F.col("token").alias("token_b"), F.col("df").alias("n_b")
+    )
+    pairs = (
+        a.join(b, "doc_id")
+        .where(F.col("token_a") < F.col("token_b"))
+        .groupBy("token_a", "token_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= min_support)
+    )
+    n = F.lit(int(n_docs))
+    npmi = F.when(F.col("n_ab") == n, F.lit(1.0)).otherwise(
+        F.log((F.col("n_ab") * n).cast("double") / (F.col("n_a") * F.col("n_b")))
+        / -F.log(F.col("n_ab").cast("double") / n)
+    )
+    return pairs.select(
+        "token_a",
+        "token_b",
+        "n_a",
+        "n_b",
+        "n_ab",
+        F.round(npmi, 6).alias("npmi"),
+    ).orderBy("token_a", "token_b")

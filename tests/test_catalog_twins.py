@@ -1061,3 +1061,9 @@ def test_purchase_funnel_matches_oracle(spark, sf_dir):
     # r11 demotion: 2-round-green (r9+r10); purchase_funnel_24h keeps
     # the chained-min funnel machinery in-window
     _assert_matches_oracle(spark, sf_dir, "purchase_funnel")
+
+
+def test_top_user_paths_matches_oracle(spark, sf_dir):
+    # r11 demotion: 2-round-green (r9+r10); event_transition_matrix
+    # keeps the per-user journey-sequence machinery in-window
+    _assert_matches_oracle(spark, sf_dir, "top_user_paths")

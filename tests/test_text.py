@@ -392,3 +392,58 @@ def test_corpus_drift_terms_contracts(spark):
         abs((r.n_a + 1) * (7 + 4) - (r.n_b + 1) * (8 + 4)) for r in rows
     ]
     assert drifts == sorted(drifts, reverse=True)
+
+
+def test_cooccurrence_npmi_contracts(spark):
+    """r11 NPMI contracts on hand-built docs: a pair present in every
+    document pins to the degenerate npmi=1, a perfectly-associated
+    (but not universal) pair scores 1, near-independent pairs sit
+    near 0, sub-support tokens/pairs are pruned, and the A-priori
+    prune loses no qualifying pair."""
+    import math
+
+    from database_per_keyword_analysis_spark.operators.textquality import (
+        cooccurrence_npmi,
+    )
+
+    rows = []
+    # 8 docs all containing "anchor base" (universal pair, npmi = 1)
+    # docs 0-3 also contain "alpha beta" together (perfect association,
+    # p=1/2 each and jointly); docs 4-7 contain "gamma" (co-occurs with
+    # anchor but driven by anchor's universality)
+    for i in range(8):
+        extra = "alpha beta" if i < 4 else "gamma delta"
+        rows.append((i, f"anchor base {extra}"))
+    # "rare" appears in only 2 docs: below min_support=4, pruned
+    rows[0] = (0, rows[0][1] + " rare")
+    rows[1] = (1, rows[1][1] + " rare")
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r.token_a, r.token_b): r
+        for r in cooccurrence_npmi(df, min_support=4).collect()
+    }
+    assert out[("anchor", "base")].npmi == 1.0  # degenerate p_ab = 1
+    assert out[("anchor", "base")].n_ab == 8
+    # alpha-beta: p_a = p_b = p_ab = 1/2 -> npmi = ln(2)/ln(2) = 1
+    assert out[("alpha", "beta")].npmi == 1.0
+    assert out[("alpha", "beta")].n_ab == 4
+    # alpha-anchor: p_ab = 1/2 = p_a * 1 -> pmi ln(1) = 0 -> npmi 0
+    assert out[("alpha", "anchor")].npmi == 0.0
+    # the pruned token appears in NO pair
+    assert not any("rare" in k for k in out)
+    # completeness vs brute force at the same threshold
+    docs = {i: set(t.split()) for i, t in rows}
+    toks = sorted({t for s in docs.values() for t in s})
+    want = set()
+    for i, a in enumerate(toks):
+        for b in toks[i + 1:]:
+            n_ab = sum(1 for s in docs.values() if a in s and b in s)
+            if n_ab >= 4:
+                want.add((a, b))
+    assert set(out) == want
+    # spot-check one non-trivial value against the formula
+    r = out[("anchor", "gamma")]
+    p_ab, p_a, p_b = r.n_ab / 8, r.n_a / 8, r.n_b / 8
+    assert r.npmi == round(
+        math.log(p_ab / (p_a * p_b)) / -math.log(p_ab), 6
+    )
