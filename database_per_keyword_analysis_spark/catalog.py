@@ -729,6 +729,11 @@ _DEFERRED_TWINS = {
     #   via event_transition_matrix (same per-user lead window); slot
     #   taken by doc_cooccurrence_npmi (NOVEL r11: A-priori-pruned
     #   document co-occurrence NPMI)
+    "content_safe_split",  # green r9-r10; contamination-safe split
+    #   machinery stays in-window via content_safe_split_neardup
+    #   (fingerprint split + the MinHash-CC group key); slot taken by
+    #   order_price_mad_outliers (NOVEL r11: median/MAD robust
+    #   outliers on discrete order statistics)
 }
 
 
@@ -9101,3 +9106,47 @@ def q_doc_cooccurrence_npmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import textquality as TQ
 
     return TQ.cooccurrence_npmi(load(spark, sf_dir, "documents", parallel=True))
+
+
+def _mad_sql() -> str:
+    from .operators.stats import MAD_SCALE, MAD_Z_CUTOFF
+
+    return (
+        "WITH base AS (SELECT o_orderpriority AS grp, o_totalprice AS x "
+        "FROM orders WHERE o_totalprice IS NOT NULL), "
+        "med AS (SELECT grp, quantile_disc(x, 0.5) AS med, "
+        "CAST(count(*) AS BIGINT) AS n_rows FROM base GROUP BY grp), "
+        "dev AS (SELECT b.grp, med, n_rows, abs(x - med) AS d "
+        "FROM base b JOIN med USING (grp)), "
+        "mad AS (SELECT grp, quantile_disc(d, 0.5) AS mad "
+        "FROM dev GROUP BY grp) "
+        "SELECT d.grp AS o_orderpriority, d.n_rows, d.med, m.mad, "
+        f"CAST(sum(CASE WHEN m.mad > 0 AND {MAD_SCALE!r} * d.d > "
+        f"{MAD_Z_CUTOFF!r} * m.mad THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_outliers "
+        "FROM dev d JOIN mad m ON d.grp = m.grp "
+        "GROUP BY 1, 2, 3, 4 ORDER BY 1"
+    )
+
+
+@register("order_price_mad_outliers", _mad_sql())
+def q_order_price_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-priority price outliers (operators/stats.py:
+    mad_outliers; Iglewicz-Hoaglin modified z-score over median/MAD)
+    — the outlier screen a mean/stddev z-score cannot be (50%
+    breakdown point), over exact DISCRETE order statistics so both
+    engines pick the identical median element (no interpolation
+    ulps), with the MAD=0 pathology pinned to zero outliers in both.
+    The scale literals are embedded from one Python constant pair
+    (the pagerank-damping convention) and the outlier test is
+    multiplication-only.  NOVEL round-11 machinery → in-window at
+    birth; content_safe_split (green r9-r10) rotated out with a NEW
+    differential (content_safe_split_neardup keeps the
+    contamination-safe split machinery in-window)."""
+    from .operators import stats as ST
+
+    return ST.mad_outliers(
+        load(spark, sf_dir, "orders", parallel=True),
+        "o_orderpriority",
+        "o_totalprice",
+    )

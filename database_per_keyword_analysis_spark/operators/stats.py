@@ -378,3 +378,82 @@ def series_trend(
         F.round(slope, 9).alias("slope"),
         F.round(intercept, 9).alias("intercept"),
     ).orderBy(group_col)
+
+
+MAD_Z_CUTOFF = 3.5  # Iglewicz-Hoaglin modified z-score threshold
+MAD_SCALE = 0.6745  # Phi^-1(0.75): MAD -> sigma-consistent scale
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    z: float = MAD_Z_CUTOFF,
+) -> DataFrame:
+    """Per-group robust outlier report via median/MAD (Iglewicz &
+    Hoaglin 1993, "How to Detect and Handle Outliers"): a row is an
+    outlier when its modified z-score 0.6745·|x − med| / MAD exceeds
+    `z` — the price/length/quality screen that, unlike mean/stddev
+    z-scores, is not dragged by the outliers it hunts (50% breakdown
+    point vs 0%).
+
+    Cross-engine exactness: both medians are DISCRETE order
+    statistics (PERCENTILE_DISC / quantile_disc — the smallest value
+    whose cumulative distribution reaches 0.5, verified to pick the
+    identical element in Spark and DuckDB), so no (a+b)/2
+    interpolation whose evaluation order could differ by an ulp; the
+    outlier test multiplies shared double literals
+    (0.6745·|x−med| > z·MAD) instead of dividing by MAD, and the
+    MAD = 0 pathology (>50% of the group at the median — every other
+    value would flag) is pinned to n_outliers = 0 in both engines.
+
+    100 TB shape: two group-keyed aggregates (median, then MAD of
+    deviations) and one final count — three shuffles on the group
+    key, with the group-cardinality median/MAD tables joined back
+    broadcast-sized.  Exact per-group percentiles hold the group's
+    values in the aggregate buffer: right when groups are many and
+    bounded (the catalog's 5 priorities x millions of rows each is
+    the WRONG extreme for exact — the documented scale path swaps
+    stage 1-2 to approx_percentile, the order_price_deciles
+    trade-off, and everything downstream is unchanged).  Returns
+    (group, n_rows, med, mad, n_outliers) deterministically
+    ordered."""
+    g = F.col(group_col)
+    v = F.col(value_col)
+    base = df.where(v.isNotNull()).select(g.alias("grp"), v.alias("x"))
+    med = base.groupBy("grp").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY x)").alias("med"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    dev = base.join(F.broadcast(med), "grp").select(
+        "grp", "x", "med", "n_rows", F.abs(F.col("x") - F.col("med")).alias("d")
+    )
+    mad = dev.groupBy("grp", "med", "n_rows").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY d)").alias("mad")
+    )
+    flagged = dev.drop("med", "n_rows").join(F.broadcast(mad), "grp").select(
+        "grp",
+        "med",
+        "mad",
+        "n_rows",
+        F.when(
+            (F.col("mad") > 0)
+            & (F.lit(MAD_SCALE) * F.col("d") > F.lit(z) * F.col("mad")),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("is_out"),
+    )
+    return (
+        flagged.groupBy("grp", "med", "mad", "n_rows")
+        .agg(F.sum("is_out").alias("n_outliers"))
+        .select(
+            F.col("grp").alias(group_col),
+            "n_rows",
+            "med",
+            "mad",
+            "n_outliers",
+        )
+        .orderBy(group_col)
+    )

@@ -1067,3 +1067,9 @@ def test_top_user_paths_matches_oracle(spark, sf_dir):
     # r11 demotion: 2-round-green (r9+r10); event_transition_matrix
     # keeps the per-user journey-sequence machinery in-window
     _assert_matches_oracle(spark, sf_dir, "top_user_paths")
+
+
+def test_content_safe_split_matches_oracle(spark, sf_dir):
+    # r11 demotion: 2-round-green (r9+r10); content_safe_split_neardup
+    # keeps the contamination-safe split machinery in-window
+    _assert_matches_oracle(spark, sf_dir, "content_safe_split")

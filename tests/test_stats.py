@@ -200,3 +200,28 @@ def test_series_trend_one_day_span_yields_null_not_infinity(spark):
     assert rows["A"].n_days == 1 and rows["B"].n_days == 1
     for r in rows.values():
         assert r.slope is None and r.intercept is None
+
+
+def test_mad_outliers_contracts(spark):
+    """r11 MAD contracts: the discrete median/MAD are order
+    statistics (lower-middle on even counts), a gross outlier flags
+    while the robust core does not, the MAD=0 pathology yields zero
+    outliers, and the estimator survives 30% contamination that would
+    drag a mean/stddev screen."""
+    from database_per_keyword_analysis_spark.operators.stats import mad_outliers
+
+    rows = [("a", float(x)) for x in (1, 2, 3, 4, 1000)]
+    rows += [("z", 5.0)] * 6  # constant group: MAD = 0
+    # group c: 7 inliers around 10 plus 3 at 500 (30% contamination)
+    rows += [("c", float(x)) for x in (9, 9, 10, 10, 10, 11, 11, 500, 500, 500)]
+    df = spark.createDataFrame(rows, "grp string, x double")
+    out = {r.grp: r for r in mad_outliers(df, "grp", "x").collect()}
+    # group a: med = 3 (odd count), mad = median(|d|)=median(2,1,0,1,997)=1
+    a = out["a"]
+    assert (a.med, a.mad, a.n_rows) == (3.0, 1.0, 5)
+    assert a.n_outliers == 1  # only the 1000 row: 0.6745*997 > 3.5
+    z = out["z"]
+    assert z.mad == 0.0 and z.n_outliers == 0  # pinned pathology
+    c = out["c"]
+    assert c.med == 10.0 and c.mad == 1.0
+    assert c.n_outliers == 3  # the contamination, and nothing else
