@@ -734,6 +734,10 @@ _DEFERRED_TWINS = {
     #   (fingerprint split + the MinHash-CC group key); slot taken by
     #   order_price_mad_outliers (NOVEL r11: median/MAD robust
     #   outliers on discrete order statistics)
+    "weighted_doc_sample",  # green r9-r10; A-ES weighted sampling —
+    #   the curation family keeps content_safe_split_neardup
+    #   in-window; slot taken by events_hll_distinct (NOVEL r11: HLL
+    #   registers with an exact-integer harmonic fold)
 }
 
 
@@ -9149,4 +9153,68 @@ def q_order_price_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "orders", parallel=True),
         "o_orderpriority",
         "o_totalprice",
+    )
+
+
+def _hll_sql() -> str:
+    from .operators.scale import (
+        HLL_M,
+        HLL_RAW_NUM,
+        HLL_SUFFIX_BITS,
+    )
+
+    smod = 1 << HLL_SUFFIX_BITS
+    rb = HLL_SUFFIX_BITS + 1  # rank of an all-zero suffix
+    return (
+        "WITH h AS (SELECT event_type AS grp, "
+        "CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12) "
+        "AS BIGINT) AS h FROM events), "
+        f"hb AS (SELECT grp, CAST(floor(h / {smod}) AS BIGINT) AS bucket, "
+        f"h % {smod} AS suffix, h FROM h), "
+        "regs AS (SELECT grp, bucket, "
+        f"max(CASE WHEN suffix = 0 THEN {rb} "
+        f"ELSE {rb} - length(bin(suffix)) END) AS reg "
+        "FROM hb GROUP BY grp, bucket), "
+        "t AS (SELECT grp, CAST(count(DISTINCT h) AS BIGINT) AS n_true "
+        "FROM hb GROUP BY grp), "
+        "spine AS (SELECT DISTINCT grp, r.b FROM regs, "
+        f"range({HLL_M}) r(b)), "
+        "filled AS (SELECT s.grp, coalesce(reg, 0) AS reg FROM spine s "
+        "LEFT JOIN regs ON regs.grp = s.grp AND regs.bucket = s.b), "
+        "folded AS (SELECT grp, "
+        f"CAST(sum(CAST(1 AS BIGINT) << ({rb} - reg)) AS BIGINT) AS denom, "
+        "CAST(sum(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_zero FROM filled GROUP BY grp), "
+        f"e AS (SELECT grp, n_true, CASE WHEN {HLL_RAW_NUM!r} / denom <= "
+        f"{2.5 * HLL_M!r} AND n_zero > 0 THEN "
+        f"{float(HLL_M)!r} * ln({float(HLL_M)!r} / n_zero) "
+        f"ELSE {HLL_RAW_NUM!r} / denom END AS est "
+        "FROM folded JOIN t USING (grp)) "
+        "SELECT grp AS event_type, n_true, round(est, 6) AS n_est, "
+        "round((est - n_true) / n_true, 6) AS rel_err "
+        "FROM e ORDER BY event_type"
+    )
+
+
+@register("events_hll_distinct", _hll_sql())
+def q_events_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct users per event type (operators/scale.py:
+    hll_distinct; Flajolet et al. 2007): 256 six-bit registers per
+    group — ~kB of state regardless of user cardinality, mergeable by
+    elementwise MAX.  The portable md5-prefix hash, the integer-only
+    rank (bit_length via bin(), no float log at a boundary) and the
+    EXACT BIGINT harmonic fold Σ2^(41-reg) make the estimate
+    bit-identical in any engine, so the oracle REBUILDS the registers
+    and the driver hash checks estimate AND signed error — the sketch
+    family's third oracle-checked tier (Count-Min point counts, KMV
+    k-minima, HLL registers).  NOVEL round-11 machinery → in-window
+    at birth; weighted_doc_sample (green r9-r10) rotated out with a
+    NEW differential (the curation family keeps
+    content_safe_split_neardup in-window)."""
+    from .operators import scale as SC
+
+    return SC.hll_distinct(
+        load(spark, sf_dir, "events").select("event_type", "user_id"),
+        "event_type",
+        "user_id",
     )

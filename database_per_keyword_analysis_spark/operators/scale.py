@@ -1092,3 +1092,107 @@ def mg_partial_summaries(
     # rows for the same key arriving from different partitions combine
     # exactly as a keyed merge would
     return [{r.k: r.est} for r in rows] or [{}]
+
+
+HLL_M = 256  # 2^8 registers; standard error ~ 1.04/sqrt(m) ≈ 6.5%
+HLL_SUFFIX_BITS = KMV_HASH_BITS - 8  # 40 rank bits after the bucket byte
+# Flajolet-Fuss-Gandouet-Meunier 2007 §4 bias constant for m >= 128,
+# computed ONCE here so the Spark plan and the DuckDB oracle share the
+# exact double literal (the pagerank-damping convention)
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+# alpha * m^2 * 2^suffix_bits+1 — the raw-estimate numerator as one literal
+HLL_RAW_NUM = HLL_ALPHA * HLL_M * HLL_M * float(1 << (HLL_SUFFIX_BITS + 1))
+
+
+def hll_distinct(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+) -> DataFrame:
+    """Per-group HyperLogLog distinct-count estimate (Flajolet,
+    Fuss, Gandouet & Meunier, AofA 2007) — the industry-standard
+    fixed-memory distinct structure, built here with a PORTABLE hash
+    and EXACT-integer register folding so it is oracle-checkable:
+
+    * bucket = top byte of the 48-bit md5-prefix hash; rank ρ =
+      leading zeros of the remaining 40 bits + 1, computed as
+      41 - bit_length(suffix) via bin() string length — pure integer
+      ops, no float log whose boundary could differ by an ulp;
+    * registers fold with MAX — idempotent, so duplicate rows need no
+      distinct pass and splits merge by elementwise max (the HLL
+      merge property; test-pinned);
+    * the harmonic sum Σ 2^-reg is computed as the EXACT BIGINT
+      Σ 2^(41-reg) (every term a power of two ≤ 2^41, total < 2^50):
+      unlike the float sum, it is ORDER-INDEPENDENT, so both engines
+      reach bit-identical estimates — the trick that upgrades HLL
+      from rows-only to hash-checked;
+    * the standard small-range linear-counting correction applies
+      when raw ≤ 2.5m with empty registers (the branch condition
+      compares the deterministic raw estimate, so both engines take
+      the same branch).
+
+    m = 256 registers (~6.5% standard error) of 6 bits each — the
+    whole sketch is ~kB per group REGARDLESS of key cardinality,
+    the state that counts distinct users/URLs/n-grams per slice
+    across a 100 TB corpus and merges across days by max.  Companion
+    tiers: KMV (exact below k, mergeable by re-min) and Spark's own
+    HLL++ (approx_count_distinct, engine-private registers → the
+    rows-only rollup).  Returns (group, n_true, n_est, rel_err)
+    rounded to 6, deterministically ordered — n_true from the same
+    distinct-hash pass, mirroring kmv_distinct."""
+    grp = F.col(group_col)
+    suffix_mod = 1 << HLL_SUFFIX_BITS
+    hashed = df.select(
+        grp.alias("grp"), _kmv_hash(F.col(key_col)).alias("h")
+    ).select(
+        "grp",
+        F.floor(F.col("h") / F.lit(suffix_mod)).cast("long").alias("bucket"),
+        (F.col("h") % F.lit(suffix_mod)).alias("suffix"),
+        "h",
+    )
+    rho = F.when(F.col("suffix") == 0, F.lit(HLL_SUFFIX_BITS + 1)).otherwise(
+        F.lit(HLL_SUFFIX_BITS + 1) - F.length(F.bin(F.col("suffix")))
+    )
+    regs = hashed.groupBy("grp", "bucket").agg(F.max(rho).alias("reg"))
+    truth = hashed.select("grp", "h").distinct().groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_true")
+    )
+    spine = (
+        regs.select("grp")
+        .distinct()
+        .select(
+            "grp",
+            F.explode(F.sequence(F.lit(0), F.lit(HLL_M - 1))).alias("bucket"),
+        )
+    )
+    full = spine.join(regs, ["grp", "bucket"], "left").select(
+        "grp", F.coalesce("reg", F.lit(0)).alias("reg")
+    )
+    folded = full.groupBy("grp").agg(
+        F.sum(
+            # pyspark's shiftleft() helper takes only a literal shift,
+            # so the per-register power of two goes through expr
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), {HLL_SUFFIX_BITS + 1} - reg)"
+            )
+        ).alias("denom"),
+        F.sum(F.when(F.col("reg") == 0, 1).otherwise(0)).alias("n_zero"),
+    )
+    raw = F.lit(HLL_RAW_NUM) / F.col("denom").cast("double")
+    est = F.when(
+        (raw <= F.lit(2.5 * HLL_M)) & (F.col("n_zero") > 0),
+        F.lit(float(HLL_M))
+        * F.log(F.lit(float(HLL_M)) / F.col("n_zero").cast("double")),
+    ).otherwise(raw)
+    return (
+        folded.join(truth, "grp")
+        .select(
+            F.col("grp").alias(group_col),
+            "n_true",
+            F.round(est, 6).alias("n_est"),
+            F.round((est - F.col("n_true")) / F.col("n_true"), 6).alias(
+                "rel_err"
+            ),
+        )
+        .orderBy(group_col)
+    )

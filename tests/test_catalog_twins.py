@@ -1073,3 +1073,9 @@ def test_content_safe_split_matches_oracle(spark, sf_dir):
     # r11 demotion: 2-round-green (r9+r10); content_safe_split_neardup
     # keeps the contamination-safe split machinery in-window
     _assert_matches_oracle(spark, sf_dir, "content_safe_split")
+
+
+def test_weighted_doc_sample_matches_oracle(spark, sf_dir):
+    # r11 demotion: 2-round-green (r9+r10); the A-ES draw stays
+    # value-checked here every pytest run
+    _assert_matches_oracle(spark, sf_dir, "weighted_doc_sample")

@@ -727,3 +727,47 @@ def test_mg_merge_keeps_every_heavy_key_under_any_split():
         for k, est in summary.items():
             assert est >= freq[k] - n / (cap + 1) - 1e-9
         assert heavy <= set(summary), (n_batches, heavy - set(summary))
+
+
+def test_hll_distinct_contracts(spark):
+    """r11 HLL contracts: the estimate lands within ~3 standard
+    errors (1.04/sqrt(256) ≈ 6.5%) of truth on a 5k-key group, the
+    registers merge by elementwise MAX (split-and-merge equals
+    whole), and duplicate rows change nothing (max idempotence)."""
+    rows = [("big", i) for i in range(5000)]
+    rows += [("dup", i % 50) for i in range(2000)]  # 50 distinct, heavy dups
+    df = spark.createDataFrame(rows, "grp string, key long")
+    out = {r.grp: r for r in SC.hll_distinct(df, "grp", "key").collect()}
+    assert out["big"].n_true == 5000
+    assert abs(out["big"].rel_err) < 3 * 1.04 / (256 ** 0.5)
+    assert out["dup"].n_true == 50
+    # duplicates are invisible: the distinct slice estimates identically
+    ded = {
+        r.grp: r
+        for r in SC.hll_distinct(df.distinct(), "grp", "key").collect()
+    }
+    assert ded["dup"].n_est == out["dup"].n_est
+    # merge property: max-merged registers of two splits == whole's
+    from pyspark.sql import functions as F
+
+    big = df.where("grp = 'big'")
+    smod = 1 << SC.HLL_SUFFIX_BITS
+    rb = SC.HLL_SUFFIX_BITS + 1
+
+    def regs(d):
+        hashed = d.select(SC._kmv_hash(F.col("key")).alias("h")).select(
+            F.floor(F.col("h") / F.lit(smod)).cast("long").alias("bucket"),
+            (F.col("h") % F.lit(smod)).alias("suffix"),
+        )
+        rho = F.when(F.col("suffix") == 0, F.lit(rb)).otherwise(
+            F.lit(rb) - F.length(F.bin(F.col("suffix")))
+        )
+        return {
+            r.bucket: r.reg
+            for r in hashed.groupBy("bucket").agg(F.max(rho).alias("reg")).collect()
+        }
+
+    ra = regs(big.where("key % 2 = 0"))
+    rc = regs(big.where("key % 2 = 1"))
+    merged = {b: max(ra.get(b, 0), rc.get(b, 0)) for b in set(ra) | set(rc)}
+    assert merged == regs(big)
