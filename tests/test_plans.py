@@ -925,3 +925,48 @@ def test_hits_query_keeps_the_two_probe_winner_shape(spark, sf_dir):
     plan = _plan(spark, sf_dir, "purchase_graph_hits")
     assert "pkind" not in plan and "okind" not in plan  # fused markers
     assert plan.count("InMemoryTableScan") >= 2 * HITS_ITERS
+
+
+def test_npmi_pair_join_is_doc_equi_join(spark, sf_dir):
+    """doc_cooccurrence_npmi (r11): the only quadratic stage (the
+    within-document token pair self-join) is a doc_id-keyed equi-join
+    over the A-priori-pruned postings — never a cartesian, no global
+    window; the distinct (doc, token) projection collapses occurrence
+    counts before the pair stage."""
+    plan = _plan(spark, sf_dir, "doc_cooccurrence_npmi")
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    # the scalar n_docs broadcast is the only nested-loop join
+    assert plan.count("BroadcastNestedLoopJoin") == 0
+
+
+def test_kmv_query_is_one_distinct_one_window_pass(spark, sf_dir):
+    """events_kmv_distinct (r11): the sketch builds from ONE distinct
+    (group, hash) aggregate and ONE per-group ordered window over the
+    distinct hashes — no join against raw events, no cartesian; the
+    md5 hash is a scan-stage expression."""
+    plan = _plan(spark, sf_dir, "events_kmv_distinct")
+    assert "CartesianProduct" not in plan
+    assert plan.count("Window") == 1
+    assert "md5" in plan.lower()
+
+
+def test_hll_query_folds_registers_not_rows(spark, sf_dir):
+    """events_hll_distinct (r11): registers fold with MAX straight off
+    the scan (map-side combinable — HashAggregate, no sort-based agg
+    on raw rows), the 256-bucket spine joins group-cardinality tables
+    only, and no cartesian/window appears anywhere."""
+    plan = _plan(spark, sf_dir, "events_hll_distinct")
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_sssp_frontier_is_equi_join_per_round(spark, sf_dir):
+    """purchase_cheapest_paths (r11): every relaxation round probes
+    the DISK_ONLY edge persist with a key equi-join (frontier on src,
+    offers on node) — no cartesian, no per-path enumeration (that
+    lives only in the recursive-CTE oracle)."""
+    plan = _plan(spark, sf_dir, "purchase_cheapest_paths")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -60,11 +60,60 @@ def _docs100x() -> str:
     return d
 
 
+def _novel_fixtures() -> dict:
+    """10x fixtures for the round-11 novel queries (the per-addition
+    measured-curve standard): events user-replicas for the sketch and
+    streaming members, the TPC-H key-offset graph for the weighted
+    relaxation, content-disjoint docs for the NPMI pair join, orders
+    replicas for the MAD report."""
+    from tools.measure_scale_r10 import _docs10x, _events10x, _tpch10x
+
+    tpch_graph = _fixture_dir(
+        {
+            "orders": _tpch10x("orders"),
+            "lineitem": _tpch10x("lineitem"),
+            "customer": _tpch10x("customer"),
+            "nation": os.path.join(BASE, "nation.parquet"),
+        },
+        tag="_r11",
+    )
+    return {
+        "events_kmv_distinct": (BASE, _events10x()),
+        "events_hll_distinct": (BASE, _events10x()),
+        "stream_event_heavy_hitters": (BASE, _events10x()),
+        "purchase_cheapest_paths": (BASE, tpch_graph),
+        "doc_cooccurrence_npmi": (BASE, _docs10x()),
+        "order_price_mad_outliers": (
+            BASE,
+            _fixture_dir({"orders": _tpch10x("orders")}, tag="_r11"),
+        ),
+    }
+
+
 def main() -> None:
     only = None
     if "--queries" in sys.argv:
         only = set(sys.argv[sys.argv.index("--queries") + 1].split(","))
     spark = get_spark("measure-scale-r11")
+    if "--novel" in sys.argv:
+        fixtures = _novel_fixtures()
+        if only:
+            fixtures = {k: v for k, v in fixtures.items() if k in only}
+        qs = catalog.queries()
+        for name, dirs in fixtures.items():  # un-timed warmup sweep
+            for d in dirs:
+                run_once(lambda: qs[name](spark, d))
+        for name, (d1, dbig) in fixtures.items():
+            w1 = median3(lambda: qs[name](spark, d1))
+            wbig = median3(lambda: qs[name](spark, dbig))
+            print(
+                json.dumps(
+                    {"q": name, "1x": w1, "10x": wbig,
+                     "ratio": round(wbig / w1, 2)}
+                ),
+                flush=True,
+            )
+        return
     fixtures = {
         "customer_linkage_scores": (BASE, _linkage100x()),
         "doc_containment_pairs": (BASE, _docs100x()),
