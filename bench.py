@@ -334,6 +334,25 @@ HEADLINE = [
     # the entropy fold)
     "purchase_graph_ppr",
     "event_transition_entropy",
+    # round-11: KMV distinct sketch (timed — one distinct (group, hash)
+    # agg + one per-group window over distinct hashes)
+    "events_kmv_distinct",
+    # round-11: HLL distinct sketch (timed — scan-stage hash/rank
+    # expressions + MAX register fold + the 256-bucket harmonic fold)
+    "events_hll_distinct",
+    # round-11: streaming Misra-Gries heavy hitters (timed — 4
+    # micro-batch MG folds through the atomic state file + the
+    # candidate-bounded exact recount; cache-keyed workdir)
+    "stream_event_heavy_hitters",
+    # round-11: Bellman-Ford bounded min-cost paths (timed — H
+    # frontier-relaxation equi-join rounds over the DISK_ONLY edges)
+    "purchase_cheapest_paths",
+    # round-11: document co-occurrence NPMI (timed — A-priori-pruned
+    # postings + the doc-keyed pair self-join + scalar n_docs cross)
+    "doc_cooccurrence_npmi",
+    # round-11: median/MAD robust outliers (timed — three group-keyed
+    # aggregates with discrete order statistics)
+    "order_price_mad_outliers",
 ]
 
 # Round-7 headline audit (round-6 judge item 5): every registered query
