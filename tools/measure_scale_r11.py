@@ -95,6 +95,45 @@ def main() -> None:
     if "--queries" in sys.argv:
         only = set(sys.argv[sys.argv.index("--queries") + 1].split(","))
     spark = get_spark("measure-scale-r11")
+    if "--100x" in sys.argv:
+        # the round-11 candidates that could hide a knee: the weighted
+        # relaxation (iterative graph) and the NPMI pair join (the
+        # only quadratic stage) — 100x fixtures reuse the established
+        # key-offset TPC-H graph and content-disjoint docs recipes
+        from tools.measure_scale_r10 import _tpch100x
+
+        fixtures = {
+            "purchase_cheapest_paths": (
+                BASE,
+                _fixture_dir(
+                    {
+                        "orders": _tpch100x("orders"),
+                        "lineitem": _tpch100x("lineitem"),
+                        "customer": _tpch100x("customer"),
+                        "nation": os.path.join(BASE, "nation.parquet"),
+                    },
+                    tag="_r11_100x",
+                ),
+            ),
+            "doc_cooccurrence_npmi": (BASE, _docs100x()),
+        }
+        if only:
+            fixtures = {k: v for k, v in fixtures.items() if k in only}
+        qs = catalog.queries()
+        for name, dirs in fixtures.items():
+            for d in dirs:
+                run_once(lambda: qs[name](spark, d))
+        for name, (d1, dbig) in fixtures.items():
+            w1 = median3(lambda: qs[name](spark, d1))
+            wbig = median3(lambda: qs[name](spark, dbig))
+            print(
+                json.dumps(
+                    {"q": name, "1x": w1, "100x": wbig,
+                     "ratio": round(wbig / w1, 2)}
+                ),
+                flush=True,
+            )
+        return
     if "--novel" in sys.argv:
         fixtures = _novel_fixtures()
         if only:
