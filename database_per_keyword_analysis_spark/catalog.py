@@ -738,6 +738,11 @@ _DEFERRED_TWINS = {
     #   the curation family keeps content_safe_split_neardup
     #   in-window; slot taken by events_hll_distinct (NOVEL r11: HLL
     #   registers with an exact-integer harmonic fold)
+    "customer_pairs_complete_ed",  # green r9-r10; the complete-recall
+    #   family keeps doc_pairs_complete_jaccard, doc_containment_pairs
+    #   and customer_linkage_scores (which RUNS the ED block) in-window;
+    #   slot taken by doc_boolean_search (NOVEL r11: AND/OR/NOT
+    #   postings retrieval)
 }
 
 
@@ -9217,4 +9222,54 @@ def q_events_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "events").select("event_type", "user_id"),
         "event_type",
         "user_id",
+    )
+
+
+BOOL_MUST = ("data", "stream")
+BOOL_ANY = ("hash", "table")
+BOOL_NONE = ("batch",)
+
+
+def _boolean_sql() -> str:
+    must_list = ", ".join(f"'{t}'" for t in BOOL_MUST)
+    any_list = ", ".join(f"'{t}'" for t in BOOL_ANY)
+    none_list = ", ".join(f"'{t}'" for t in BOOL_NONE)
+    return (
+        r"WITH toks AS (SELECT DISTINCT doc_id, t.token FROM documents, "
+        r"unnest(regexp_split_to_array(lower(trim(text)), '\s+')) "
+        "AS t(token) WHERE text IS NOT NULL AND t.token IN "
+        f"({must_list}, {any_list}, {none_list})), "
+        f"m AS (SELECT doc_id FROM toks WHERE token IN ({must_list}) "
+        f"GROUP BY doc_id HAVING count(*) = {len(BOOL_MUST)}), "
+        "k AS (SELECT doc_id FROM m WHERE doc_id NOT IN "
+        f"(SELECT doc_id FROM toks WHERE token IN ({none_list}))) "
+        "SELECT k.doc_id, CAST(count(*) AS BIGINT) AS n_any "
+        f"FROM k JOIN toks USING (doc_id) WHERE token IN ({any_list}) "
+        "GROUP BY k.doc_id ORDER BY k.doc_id"
+    )
+
+
+@register("doc_boolean_search", _boolean_sql())
+def q_doc_boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean retrieval (operators/search.py:boolean_search;
+    Manning et al. IR ch.1): documents containing ALL of
+    ('data', 'stream'), at least one of ('hash', 'table') and NOT
+    'batch' — the AND/OR/NOT include-exclude filter tier under the
+    ranked search tiers, the shape curation pipelines use for keyword
+    corpus carving.  All five terms' postings are the ONLY rows any
+    stage touches (the IN-filter reaches the scan); the AND is one
+    count-distinct-terms aggregate, never a |must|-way self-join.
+    The shared term constants are embedded into both engines from one
+    Python tuple (the PHRASE_QUERY convention, r10 advice item 4).
+    NOVEL round-11 machinery → in-window at birth;
+    customer_pairs_complete_ed (green r9-r10) rotated out with a NEW
+    differential (the complete-recall family keeps jaccard /
+    containment / linkage in-window)."""
+    from .operators import search as SR
+
+    return SR.boolean_search(
+        load(spark, sf_dir, "documents", parallel=True),
+        BOOL_MUST,
+        BOOL_ANY,
+        BOOL_NONE,
     )

@@ -660,3 +660,70 @@ def phrase_search(
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
         .orderBy(id_col)
     )
+
+
+def boolean_search(
+    docs: DataFrame,
+    must: tuple[str, ...],
+    any_of: tuple[str, ...] = (),
+    none_of: tuple[str, ...] = (),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Boolean retrieval over the postings (Manning/Raghavan/Schütze
+    IR ch.1): documents containing ALL `must` terms, at least one
+    `any_of` term (when given), and NO `none_of` term — the
+    AND/OR/NOT filter tier under the ranked tiers (bm25_search,
+    phrase_search, hybrid RRF), and the shape a curation pipeline
+    uses for keyword include/exclude corpus carving.
+
+    100 TB shape: every stage touches only the QUERY terms' postings
+    — the distinct (doc, token) projection is filtered to
+    must+any+none tokens BEFORE any join (the filter reaches the
+    scan), the AND is one groupBy counting distinct must terms per
+    doc (= |must| ⇒ all present; no |must|-way self-join), the OR a
+    left-semi, the NOT a left-anti — each keyed on the doc id.
+    Returns (doc_id, n_any) with n_any = how many distinct any_of
+    terms matched (0 when any_of is empty), deterministically
+    ordered."""
+    must = tuple(t.lower() for t in must)
+    any_of = tuple(t.lower() for t in any_of)
+    none_of = tuple(t.lower() for t in none_of)
+    if not must:
+        raise ValueError("boolean_search: at least one must-term required")
+    overlap = (set(must) | set(any_of)) & set(none_of)
+    if overlap:
+        raise ValueError(f"boolean_search: terms both required and excluded: {sorted(overlap)}")
+    wanted = set(must) | set(any_of) | set(none_of)
+    posts = (
+        _tokens(docs, text_col, id_col)
+        .where(F.col("token").isin(*sorted(wanted)))
+        .distinct()
+    )
+    hits = (
+        posts.where(F.col("token").isin(*must))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("_n_must"))
+        .where(F.col("_n_must") == len(must))
+        .select(id_col)
+    )
+    if none_of:
+        hits = hits.join(
+            posts.where(F.col("token").isin(*none_of)).select(id_col),
+            id_col,
+            "left_anti",
+        )
+    if any_of:
+        anyc = (
+            posts.where(F.col("token").isin(*any_of))
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_any"))
+        )
+        return (
+            hits.join(anyc, id_col)
+            .select(id_col, "n_any")
+            .orderBy(id_col)
+        )
+    return hits.select(
+        id_col, F.lit(0).cast("long").alias("n_any")
+    ).orderBy(id_col)

@@ -1079,3 +1079,9 @@ def test_weighted_doc_sample_matches_oracle(spark, sf_dir):
     # r11 demotion: 2-round-green (r9+r10); the A-ES draw stays
     # value-checked here every pytest run
     _assert_matches_oracle(spark, sf_dir, "weighted_doc_sample")
+
+
+def test_customer_pairs_complete_ed_matches_oracle(spark, sf_dir):
+    # r11 demotion: 2-round-green (r9+r10); customer_linkage_scores
+    # executes the same complete-recall ED block in-window
+    _assert_matches_oracle(spark, sf_dir, "customer_pairs_complete_ed")

@@ -419,3 +419,42 @@ def test_phrase_oracle_sql_is_built_from_the_shared_constant():
     live = _phrase_oracle_sql(PHRASE_QUERY)
     for k, term in enumerate(PHRASE_QUERY.split()):
         assert (f"t[i+{k}] = '{term}'" if k else f"t[i] = '{term}'") in live
+
+
+def test_boolean_search_contracts(spark):
+    """r11 boolean retrieval contracts: AND requires every must term,
+    OR requires at least one any_of (with the match count reported),
+    NOT excludes, term repetition within a doc counts once, and the
+    validation rejects empty/contradictory queries."""
+    import pytest as _pytest
+
+    from database_per_keyword_analysis_spark.operators.search import (
+        boolean_search,
+    )
+
+    rows = [
+        (1, "data stream hash"),          # must+any: match, n_any 1
+        (2, "data stream hash table"),    # n_any 2
+        (3, "data hash table"),           # missing 'stream': out
+        (4, "data stream hash batch"),    # NOT term present: out
+        (5, "data stream data stream"),   # no any_of term: out
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r.n_any
+        for r in boolean_search(
+            df, ("data", "stream"), ("hash", "table"), ("batch",)
+        ).collect()
+    }
+    assert out == {1: 1, 2: 2}
+    # no any_of: pure AND NOT, n_any pinned to 0
+    out2 = {
+        r.doc_id: r.n_any
+        for r in boolean_search(df, ("data", "stream"), (), ("batch",)).collect()
+    }
+    assert out2 == {1: 0, 2: 0, 5: 0}
+    with _pytest.raises(ValueError, match="must-term"):
+        boolean_search(df, ())
+    with _pytest.raises(ValueError, match="required and excluded"):
+        boolean_search(df, ("data",), (), ("data",))
