@@ -743,6 +743,11 @@ _DEFERRED_TWINS = {
     #   and customer_linkage_scores (which RUNS the ED block) in-window;
     #   slot taken by doc_boolean_search (NOVEL r11: AND/OR/NOT
     #   postings retrieval)
+    "orders_zorder_pruned",  # green r9-r10; the pruning-ladder family
+    #   keeps orders_dpp_pruned (runtime partition tier) and
+    #   lineitem_bloom_join (row tier) in-window; slot taken by
+    #   event_trend_break (NOVEL r11: two-segment OLS change-point,
+    #   libm-free engine-exact argmin)
 }
 
 
@@ -9273,3 +9278,99 @@ def q_doc_boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         BOOL_ANY,
         BOOL_NONE,
     )
+
+
+def _trend_break_sql() -> str:
+    from .operators.stats import TREND_BREAK_MIN_SEG as MS
+
+    # left/right segment SSE and slope expressions, mirroring
+    # series_trend_break's +,-,*,/-only structure TOKEN FOR TOKEN so
+    # even the argmin over splits is engine-exact (no libm anywhere)
+    def sse(n, sx, sy, sxx, sxy, syy):
+        num = f"({n})*({sxy}) - ({sx})*({sy})"
+        den = f"({n})*({sxx}) - ({sx})*({sx})"
+        base = (
+            f"CAST({syy} AS DOUBLE) - "
+            f"(CAST({sy} AS DOUBLE) * CAST({sy} AS DOUBLE)) / CAST({n} AS DOUBLE)"
+        )
+        return (
+            f"({base} - CASE WHEN {den} > 0 THEN "
+            f"(CAST({num} AS DOUBLE) * CAST({num} AS DOUBLE)) / "
+            f"(CAST({n} AS DOUBLE) * CAST({den} AS DOUBLE)) ELSE 0 END)"
+        )
+
+    def slope(n, sx, sy, sxx, sxy):
+        num = f"({n})*({sxy}) - ({sx})*({sy})"
+        den = f"({n})*({sxx}) - ({sx})*({sx})"
+        return f"CASE WHEN {den} > 0 THEN CAST({num} AS DOUBLE) / ({den}) END"
+
+    L = ("cn", "csx", "csy", "csxx", "csxy", "csyy")
+    R = ("tn - cn", "tsx - csx", "tsy - csy", "tsxx - csxx",
+         "tsxy - csxy", "tsyy - csyy")
+    T = ("tn", "tsx", "tsy", "tsxx", "tsxy", "tsyy")
+    sse_split = (
+        f"{sse(L[0], L[1], L[2], L[3], L[4], L[5])} + "
+        f"{sse(R[0], R[1], R[2], R[3], R[4], R[5])}"
+    )
+    return (
+        "WITH daily AS (SELECT event_type AS grp, CAST(ts AS DATE) AS day, "
+        "CAST(count(*) AS BIGINT) AS y FROM events GROUP BY 1, 2), "
+        "b AS (SELECT min(day) AS lo, max(day) AS hi FROM daily), "
+        "s AS (SELECT CAST(unnest(range(CAST(lo AS TIMESTAMP), "
+        "CAST(hi AS TIMESTAMP) + INTERVAL 1 DAY, INTERVAL 1 DAY)) AS DATE) "
+        "AS day, lo FROM b), "
+        "grid AS (SELECT g.grp, s.lo, CAST(s.day - s.lo AS BIGINT) AS x, "
+        "coalesce(d.y, CAST(0 AS BIGINT)) AS y "
+        "FROM (SELECT DISTINCT grp FROM daily) g CROSS JOIN s "
+        "LEFT JOIN daily d ON d.grp = g.grp AND d.day = s.day), "
+        "c AS (SELECT grp, lo, x, "
+        "CAST(count(*) OVER wc AS BIGINT) AS cn, "
+        "CAST(sum(x) OVER wc AS BIGINT) AS csx, "
+        "CAST(sum(y) OVER wc AS BIGINT) AS csy, "
+        "CAST(sum(x * y) OVER wc AS BIGINT) AS csxy, "
+        "CAST(sum(x * x) OVER wc AS BIGINT) AS csxx, "
+        "CAST(sum(y * y) OVER wc AS BIGINT) AS csyy "
+        "FROM grid WINDOW wc AS (PARTITION BY grp ORDER BY x "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), "
+        "tot AS (SELECT grp, CAST(count(*) AS BIGINT) AS tn, "
+        "CAST(sum(x) AS BIGINT) AS tsx, CAST(sum(y) AS BIGINT) AS tsy, "
+        "CAST(sum(x * y) AS BIGINT) AS tsxy, "
+        "CAST(sum(x * x) AS BIGINT) AS tsxx, "
+        "CAST(sum(y * y) AS BIGINT) AS tsyy FROM grid GROUP BY grp), "
+        "scored AS (SELECT c.grp, c.lo, c.x, tn AS n_days, "
+        f"{sse_split} AS sse_split, "
+        f"{slope(L[0], L[1], L[2], L[3], L[4])} AS slope_left, "
+        f"{slope(R[0], R[1], R[2], R[3], R[4])} AS slope_right, "
+        f"{sse(T[0], T[1], T[2], T[3], T[4], T[5])} AS sse_full "
+        "FROM c JOIN tot USING (grp) "
+        f"WHERE cn >= {MS} AND tn - cn >= {MS}), "
+        "best AS (SELECT *, row_number() OVER (PARTITION BY grp "
+        "ORDER BY sse_split ASC, x ASC) AS rk FROM scored) "
+        "SELECT grp AS event_type, n_days, "
+        "lo + CAST(x + 1 AS INTEGER) AS break_day, "
+        "round(slope_left, 9) AS slope_left, "
+        "round(slope_right, 9) AS slope_right, "
+        "round(sse_full, 9) AS sse_full, "
+        "round(sse_split, 9) AS sse_split, "
+        "round(sse_full - sse_split, 9) AS gain "
+        "FROM best WHERE rk = 1 ORDER BY event_type"
+    )
+
+
+@register("event_trend_break", _trend_break_sql())
+def q_event_trend_break(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single change-point detection per event type (operators/
+    stats.py:series_trend_break; Quandt 1958 two-segment OLS): the
+    split day minimizing the two independent fits' summed squared
+    error over the zero-filled daily series — 'when did this series
+    change behavior', the regime-shift monitor above series_trend's
+    single slope.  Every candidate split scores from exact BIGINT
+    cumulative moments with +,-,*,/ only (no libm), so the doubles
+    AND the argmin are bit-identical cross-engine — the oracle
+    replays the full split scan and picks the same winner.  NOVEL
+    round-11 machinery → in-window at birth; orders_zorder_pruned
+    (green r9-r10) rotated out with a NEW differential (the layout
+    family keeps orders_dpp_pruned in-window)."""
+    from .operators import stats as ST
+
+    return ST.series_trend_break(load(spark, sf_dir, "events"), "event_type")

@@ -311,6 +311,41 @@ def chisq_independence(
     ).orderBy("row_val", "col_val")
 
 
+def _zero_filled_daily(
+    df: DataFrame, group_col: str, ts_col: str
+) -> DataFrame:
+    """Shared grid of the trend family (series_trend /
+    series_trend_break): per (group, day-index x over the GLOBAL
+    observed span) the daily count y, zero-filled so an absent day is
+    a true 0 — plus the span's first day `lo` so callers can map a
+    day index back to a date.  One fact aggregate + one broadcast
+    spine cross, hoisted so the two operators' grids cannot drift
+    apart (the _daily_grid/_purchase_edges hoist discipline)."""
+    day = F.to_date(ts_col)
+    daily = df.groupBy(
+        F.col(group_col).alias("grp"), day.alias("day")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    lo_hi = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    spine = lo_hi.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias(
+            "day"
+        ),
+        "lo",
+    )
+    return (
+        daily.select("grp")
+        .distinct()
+        .crossJoin(F.broadcast(spine))
+        .join(daily, ["grp", "day"], "left")
+        .select(
+            "grp",
+            "lo",
+            F.datediff("day", "lo").cast("long").alias("x"),
+            F.coalesce("y", F.lit(0).cast("long")).alias("y"),
+        )
+    )
+
+
 def series_trend(
     df: DataFrame,
     group_col: str,
@@ -333,28 +368,7 @@ def series_trend(
     100 TB shape: one fact aggregate, a broadcast spine cross (the
     LOCF family's grid), one moment aggregate per group — the fact is
     read once and the regression state is four BIGINTs per group."""
-    day = F.to_date(ts_col)
-    daily = df.groupBy(
-        F.col(group_col).alias("grp"), day.alias("day")
-    ).agg(F.count(F.lit(1)).alias("y"))
-    lo_hi = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
-    spine = lo_hi.select(
-        F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias(
-            "day"
-        ),
-        "lo",
-    )
-    grid = (
-        daily.select("grp")
-        .distinct()
-        .crossJoin(F.broadcast(spine))
-        .join(daily, ["grp", "day"], "left")
-        .select(
-            "grp",
-            F.datediff("day", "lo").cast("long").alias("x"),
-            F.coalesce("y", F.lit(0).cast("long")).alias("y"),
-        )
-    )
+    grid = _zero_filled_daily(df, group_col, ts_col).select("grp", "x", "y")
     m = grid.groupBy("grp").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("sx"),
@@ -454,6 +468,133 @@ def mad_outliers(
             "med",
             "mad",
             "n_outliers",
+        )
+        .orderBy(group_col)
+    )
+
+
+TREND_BREAK_MIN_SEG = 2  # minimum days on each side of a split
+
+
+def series_trend_break(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str = "ts",
+    min_seg: int = TREND_BREAK_MIN_SEG,
+) -> DataFrame:
+    """Per-group single change-point detection over the zero-filled
+    daily count series: the split day that minimizes the summed
+    squared error of TWO independent OLS fits (left segment + right
+    segment) — the classic two-segment regression regime-shift
+    detector (Quandt 1958; Bai & Perron's m=1 case), the "when did
+    this series change behavior" monitor on top of series_trend's
+    single-slope answer.
+
+    Engine-exactness is the design, extended from series_trend: every
+    candidate split's left moments come from exact BIGINT CUMULATIVE
+    sums (one ordered window pass), the right moments are exact
+    differences from the group totals, and each segment's SSE
+
+      SSE = (Σy² − (Σy)²/n) − (nΣxy − ΣxΣy)² / (n · (nΣx² − (Σx)²))
+
+    uses ONLY +,−,×,÷ on exact integers — no libm — so the doubles
+    are bit-identical in any engine and even the ARGMIN over splits
+    cannot flip cross-engine (ties broken by earliest split).  The
+    one-point segment (den = 0) contributes its exact base term
+    (which is 0 for n = 1).
+
+    100 TB shape: the fact collapses to (group, day) grain FIRST, so
+    the window pass and the split scoring run over days x groups
+    rows — thousands, not billions; everything after the first
+    aggregate is broadcast-sized.  Groups whose span is shorter than
+    2·min_seg days have no valid split and are absent (documented).
+    Returns (group, n_days, break_day, slope_left, slope_right,
+    sse_full, sse_split, gain) — break_day is the FIRST day of the
+    right segment, slopes NULL for degenerate segments, doubles
+    rounded to 9, deterministically ordered."""
+    grid = _zero_filled_daily(df, group_col, ts_col)
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = grid.select(
+        "grp",
+        "lo",
+        "x",
+        F.sum(F.lit(1).cast("long")).over(w).alias("cn"),
+        F.sum("x").over(w).alias("csx"),
+        F.sum("y").over(w).alias("csy"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("csxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("csxx"),
+        F.sum(F.col("y") * F.col("y")).over(w).alias("csyy"),
+    )
+    tot = grid.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("tn"),
+        F.sum("x").alias("tsx"),
+        F.sum("y").alias("tsy"),
+        F.sum(F.col("x") * F.col("y")).alias("tsxy"),
+        F.sum(F.col("x") * F.col("x")).alias("tsxx"),
+        F.sum(F.col("y") * F.col("y")).alias("tsyy"),
+    )
+
+    def sse(n, sx, sy, sxx, sxy, syy):
+        nd = n.cast("double")
+        base = syy.cast("double") - (sy.cast("double") * sy.cast("double")) / nd
+        num = (n * sxy - sx * sy).cast("double")
+        den = n * sxx - sx * sx
+        return F.when(
+            den > 0, base - (num * num) / (nd * den.cast("double"))
+        ).otherwise(base)
+
+    def slope(n, sx, sy, sxx, sxy):
+        num = (n * sxy - sx * sy).cast("double")
+        den = n * sxx - sx * sx
+        return F.when(den > 0, num / den)
+
+    j = c.join(F.broadcast(tot), "grp")
+    k = F.col("cn")  # split AFTER this row: left = first k days
+    ln = (F.col("cn"), F.col("csx"), F.col("csy"), F.col("csxx"),
+          F.col("csxy"), F.col("csyy"))
+    rn = (
+        F.col("tn") - F.col("cn"),
+        F.col("tsx") - F.col("csx"),
+        F.col("tsy") - F.col("csy"),
+        F.col("tsxx") - F.col("csxx"),
+        F.col("tsxy") - F.col("csxy"),
+        F.col("tsyy") - F.col("csyy"),
+    )
+    scored = j.where(
+        (k >= min_seg) & (F.col("tn") - k >= min_seg)
+    ).select(
+        "grp",
+        "lo",
+        "x",
+        F.col("tn").alias("n_days"),
+        (sse(ln[0], ln[1], ln[2], ln[3], ln[4], ln[5])
+         + sse(rn[0], rn[1], rn[2], rn[3], rn[4], rn[5])).alias("sse_split"),
+        slope(ln[0], ln[1], ln[2], ln[3], ln[4]).alias("slope_left"),
+        slope(rn[0], rn[1], rn[2], rn[3], rn[4]).alias("slope_right"),
+        sse(
+            F.col("tn"), F.col("tsx"), F.col("tsy"), F.col("tsxx"),
+            F.col("tsxy"), F.col("tsyy"),
+        ).alias("sse_full"),
+    )
+    pick = Window.partitionBy("grp").orderBy(F.asc("sse_split"), F.asc("x"))
+    return (
+        scored.withColumn("_rk", F.row_number().over(pick))
+        .where(F.col("_rk") == 1)
+        .select(
+            F.col("grp").alias(group_col),
+            "n_days",
+            F.date_add(F.col("lo"), (F.col("x") + 1).cast("int")).alias(
+                "break_day"
+            ),
+            F.round("slope_left", 9).alias("slope_left"),
+            F.round("slope_right", 9).alias("slope_right"),
+            F.round("sse_full", 9).alias("sse_full"),
+            F.round("sse_split", 9).alias("sse_split"),
+            F.round(F.col("sse_full") - F.col("sse_split"), 9).alias("gain"),
         )
         .orderBy(group_col)
     )

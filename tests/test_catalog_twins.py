@@ -1085,3 +1085,9 @@ def test_customer_pairs_complete_ed_matches_oracle(spark, sf_dir):
     # r11 demotion: 2-round-green (r9+r10); customer_linkage_scores
     # executes the same complete-recall ED block in-window
     _assert_matches_oracle(spark, sf_dir, "customer_pairs_complete_ed")
+
+
+def test_orders_zorder_pruned_matches_oracle(spark, sf_dir):
+    # r11 demotion: 2-round-green (r9+r10); the pruning ladder keeps
+    # orders_dpp_pruned and lineitem_bloom_join in-window
+    _assert_matches_oracle(spark, sf_dir, "orders_zorder_pruned")

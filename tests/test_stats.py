@@ -225,3 +225,42 @@ def test_mad_outliers_contracts(spark):
     c = out["c"]
     assert c.med == 10.0 and c.mad == 1.0
     assert c.n_outliers == 3  # the contamination, and nothing else
+
+
+def test_series_trend_break_contracts(spark):
+    """r11 change-point contracts: a planted slope break is recovered
+    at the exact day, a perfectly linear series gains ~nothing from
+    splitting, segment slopes match hand OLS, and groups with spans
+    too short for two min_seg segments are absent."""
+    import datetime as dt
+
+    from database_per_keyword_analysis_spark.operators.stats import (
+        series_trend_break,
+    )
+
+    d = lambda s: dt.datetime(2024, 1, s, 9, 0, 0)
+    rows = []
+    # group A: flat 2/day for days 1-6, then 10,14,18,22 (slope 4) —
+    # break at day 7 (first day of the right regime)
+    for day in range(1, 7):
+        rows += [("A", d(day))] * 2
+    for i, day in enumerate(range(7, 11)):
+        rows += [("A", d(day))] * (10 + 4 * i)
+    # group B: exactly linear 1..10 — any split fits perfectly too
+    for day in range(1, 11):
+        rows += [("B", d(day))] * day
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp_ntz")
+    out = {r.event_type: r for r in series_trend_break(df, "event_type").collect()}
+    a = out["A"]
+    assert a.n_days == 10
+    assert a.break_day == dt.date(2024, 1, 7)
+    assert a.slope_left == 0.0 and a.slope_right == 4.0
+    assert a.sse_split == 0.0  # both regimes fit exactly
+    assert a.gain == a.sse_full
+    b = out["B"]
+    assert b.sse_full == 0.0 and b.sse_split == 0.0 and b.gain == 0.0
+    # a 3-day span cannot host two 2-day segments: absent
+    short = spark.createDataFrame(
+        [("C", d(k)) for k in (1, 2, 3)], "event_type string, ts timestamp_ntz"
+    )
+    assert series_trend_break(short, "event_type").count() == 0
