@@ -353,6 +353,12 @@ HEADLINE = [
     # round-11: median/MAD robust outliers (timed — three group-keyed
     # aggregates with discrete order statistics)
     "order_price_mad_outliers",
+    # round-11: boolean AND/OR/NOT retrieval (timed — query-term-only
+    # postings scan + count-distinct AND + semi/anti joins)
+    "doc_boolean_search",
+    # round-11: two-segment OLS change-point (timed — fact agg to day
+    # grain + one cumulative window pass + the split argmin)
+    "event_trend_break",
 ]
 
 # Round-7 headline audit (round-6 judge item 5): every registered query

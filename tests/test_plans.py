@@ -970,3 +970,28 @@ def test_sssp_frontier_is_equi_join_per_round(spark, sf_dir):
     plan = _plan(spark, sf_dir, "purchase_cheapest_paths")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_boolean_search_filter_reaches_the_scan(spark, sf_dir):
+    """doc_boolean_search (r11): only the five query terms' postings
+    enter any join — the token IN-filter sits at the scan stage, the
+    AND is one aggregate (no |must|-way self-join), and nothing is a
+    cartesian."""
+    plan = _plan(spark, sf_dir, "doc_boolean_search")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # token IN-filter present below the joins
+    assert plan.count("Join") <= 4  # semi + anti + the any-of join
+
+
+def test_trend_break_scores_at_day_grain(spark, sf_dir):
+    """event_trend_break (r11): the fact collapses to (group, day)
+    grain BEFORE the cumulative window and split scan — raw events
+    never enter a window; the totals join is broadcast-sized."""
+    plan = _plan(spark, sf_dir, "event_trend_break")
+    assert "CartesianProduct" not in plan
+    # exactly two Window ops (the cumulative moment pass and the
+    # argmin pick) plus the WindowGroupLimit pushdown Catalyst derives
+    # from the rank-1 filter — per-group limits prune before the sort
+    assert plan.count("+- Window ") == 2
+    assert "WindowGroupLimit" in plan

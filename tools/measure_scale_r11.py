@@ -87,6 +87,8 @@ def _novel_fixtures() -> dict:
             BASE,
             _fixture_dir({"orders": _tpch10x("orders")}, tag="_r11"),
         ),
+        "doc_boolean_search": (BASE, _docs10x()),
+        "event_trend_break": (BASE, _events10x()),
     }
 
 
