@@ -748,6 +748,10 @@ _DEFERRED_TWINS = {
     #   lineitem_bloom_join (row tier) in-window; slot taken by
     #   event_trend_break (NOVEL r11: two-segment OLS change-point,
     #   libm-free engine-exact argmin)
+    "join_strategy_decisions",  # green r8-r10 (three passes); the
+    #   scale family keeps bucketed-join/bloom/heavy-hitter/Count-Min/
+    #   KMV/HLL members in-window; slot taken by
+    #   event_type_trends_robust (NOVEL r11: Theil-Sen median slope)
 }
 
 
@@ -9374,3 +9378,49 @@ def q_event_trend_break(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import stats as ST
 
     return ST.series_trend_break(load(spark, sf_dir, "events"), "event_type")
+
+
+@register(
+    "event_type_trends_robust",
+    # mirror theil_sen_trend token for token: day grid, pairwise
+    # slopes as one IEEE division of exact BIGINTs, DISCRETE medians
+    "WITH daily AS (SELECT event_type AS grp, CAST(ts AS DATE) AS day, "
+    "CAST(count(*) AS BIGINT) AS y FROM events GROUP BY 1, 2), "
+    "b AS (SELECT min(day) AS lo, max(day) AS hi FROM daily), "
+    "s AS (SELECT CAST(unnest(range(CAST(lo AS TIMESTAMP), "
+    "CAST(hi AS TIMESTAMP) + INTERVAL 1 DAY, INTERVAL 1 DAY)) AS DATE) "
+    "AS day, lo FROM b), "
+    "grid AS (SELECT g.grp, CAST(s.day - s.lo AS BIGINT) AS x, "
+    "coalesce(d.y, CAST(0 AS BIGINT)) AS y "
+    "FROM (SELECT DISTINCT grp FROM daily) g CROSS JOIN s "
+    "LEFT JOIN daily d ON d.grp = g.grp AND d.day = s.day), "
+    "pairs AS (SELECT a.grp, "
+    "CAST(b.y - a.y AS DOUBLE) / (b.x - a.x) AS sl "
+    "FROM grid a JOIN grid b ON a.grp = b.grp AND a.x < b.x), "
+    "med AS (SELECT grp, quantile_disc(sl, 0.5) AS slope, "
+    "CAST(count(*) AS BIGINT) AS n_pairs FROM pairs GROUP BY grp), "
+    "resid AS (SELECT g.grp, slope, n_pairs, "
+    "CAST(y AS DOUBLE) - slope * x AS r FROM grid g JOIN med "
+    "ON g.grp = med.grp) "
+    "SELECT grp AS event_type, CAST(count(*) AS BIGINT) AS n_days, "
+    "n_pairs, round(slope, 9) AS slope, "
+    "round(quantile_disc(r, 0.5), 9) AS intercept "
+    "FROM resid GROUP BY grp, slope, n_pairs ORDER BY event_type",
+)
+def q_event_type_trends_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per event type (operators/stats.py:
+    theil_sen_trend; Sen JASA 1968): median pairwise slope +
+    median-residual intercept over the zero-filled daily series —
+    the 29.3%-breakdown companion to event_type_trends' OLS (one
+    corrupted burst day drags OLS; it barely moves a median of
+    slopes), completing the robust family with
+    order_price_mad_outliers.  Discrete medians, single IEEE
+    divisions of exact BIGINTs, no libm ⇒ engine-exact; the only
+    quadratic stage is days² per group AFTER the day-grain collapse.
+    NOVEL round-11 machinery → in-window at birth;
+    join_strategy_decisions (green r8-r10, three passes) rotated out
+    with a NEW differential (the scale family keeps bucketed/bloom/
+    heavy-hitter/sketch members in-window)."""
+    from .operators import stats as ST
+
+    return ST.theil_sen_trend(load(spark, sf_dir, "events"), "event_type")

@@ -598,3 +598,70 @@ def series_trend_break(
         )
         .orderBy(group_col)
     )
+
+
+def theil_sen_trend(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-group Theil-Sen robust trend over the zero-filled daily
+    count series (Theil 1950; Sen, JASA 1968): slope = the MEDIAN of
+    all pairwise day slopes (y_j − y_i)/(x_j − x_i), intercept = the
+    median of y − slope·x — the 29.3%-breakdown-point companion to
+    series_trend's OLS (one corrupted burst day drags an OLS slope;
+    it moves a median-of-slopes almost not at all), completing the
+    robust family with mad_outliers.
+
+    Engine-exactness: both medians are DISCRETE order statistics
+    (percentile_disc / quantile_disc — verified to pick the identical
+    element), each pairwise slope is ONE IEEE division of exact
+    BIGINTs, and the residuals y − slope·x are single multiply-
+    subtract chains on those exact values — no libm, so results are
+    bit-identical cross-engine.
+
+    100 TB shape: the fact collapses to (group, day) grain FIRST
+    (the series_trend_break discipline), so the only quadratic stage
+    — the day-pair self-join — is days² per group (a YEAR of days is
+    ~66k pairs), broadcast-sized however big the fact is.  Returns
+    (group, n_days, n_pairs, slope, intercept) rounded to 9,
+    deterministically ordered; groups need >= 2 days (single-day
+    spans have no pair and are absent, the series_trend degenerate
+    case made explicit)."""
+    grid = _zero_filled_daily(df, group_col, ts_col).select("grp", "x", "y")
+    a = grid.select("grp", F.col("x").alias("xi"), F.col("y").alias("yi"))
+    b = grid.select("grp", F.col("x").alias("xj"), F.col("y").alias("yj"))
+    pairs = a.join(b, "grp").where(F.col("xi") < F.col("xj")).select(
+        "grp",
+        (
+            (F.col("yj") - F.col("yi")).cast("double")
+            / (F.col("xj") - F.col("xi"))
+        ).alias("s"),
+    )
+    med = pairs.groupBy("grp").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY s)").alias("slope"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    )
+    resid = grid.join(F.broadcast(med), "grp").select(
+        "grp",
+        "slope",
+        "n_pairs",
+        (F.col("y").cast("double") - F.col("slope") * F.col("x")).alias("r"),
+    )
+    return (
+        resid.groupBy("grp", "slope", "n_pairs")
+        .agg(
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY r)").alias(
+                "intercept"
+            ),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n_days",
+            "n_pairs",
+            F.round("slope", 9).alias("slope"),
+            F.round("intercept", 9).alias("intercept"),
+        )
+        .orderBy(group_col)
+    )

@@ -1091,3 +1091,9 @@ def test_orders_zorder_pruned_matches_oracle(spark, sf_dir):
     # r11 demotion: 2-round-green (r9+r10); the pruning ladder keeps
     # orders_dpp_pruned and lineitem_bloom_join in-window
     _assert_matches_oracle(spark, sf_dir, "orders_zorder_pruned")
+
+
+def test_join_strategy_decisions_matches_oracle(spark, sf_dir):
+    # r11 demotion: 3-round-green (r8-r10); the join-strategy control
+    # loop's sketch inputs stay in-window via orders_join_size_sketch
+    _assert_matches_oracle(spark, sf_dir, "join_strategy_decisions")

@@ -264,3 +264,39 @@ def test_series_trend_break_contracts(spark):
         [("C", d(k)) for k in (1, 2, 3)], "event_type string, ts timestamp_ntz"
     )
     assert series_trend_break(short, "event_type").count() == 0
+
+
+def test_theil_sen_trend_contracts(spark):
+    """r11 robust-trend contracts: exact slope/intercept on a clean
+    linear series, robustness to a single gross outlier day that
+    would drag OLS, hand-checkable medians on a tiny series, and the
+    day-pair count."""
+    import datetime as dt
+
+    from database_per_keyword_analysis_spark.operators.stats import (
+        series_trend,
+        theil_sen_trend,
+    )
+
+    d = lambda s: dt.datetime(2024, 2, s, 9, 0, 0)
+    rows = []
+    # group A: y = x + 1 on days 1-9 ... with the LAST day corrupted
+    # to 100 (an endpoint burst has maximal OLS leverage; a centered
+    # one would cancel out of the slope entirely)
+    for day in range(1, 10):
+        n = 100 if day == 9 else day
+        rows += [("A", d(day))] * n
+    # group B: clean y = 2x + 3 on days 1-9
+    for day in range(1, 10):
+        rows += [("B", d(day))] * (2 * (day - 1) + 3)
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp_ntz")
+    ts = {r.event_type: r for r in theil_sen_trend(df, "event_type").collect()}
+    b = ts["B"]
+    assert (b.n_days, b.n_pairs) == (9, 36)
+    assert (b.slope, b.intercept) == (2.0, 3.0)
+    a = ts["A"]
+    # the corrupted day barely moves the median slope (stays 1.0:
+    # most pairs avoid day 5), while OLS is dragged far off
+    assert a.slope == 1.0
+    ols = {r.event_type: r for r in series_trend(df, "event_type").collect()}
+    assert abs(ols["A"].slope - 1.0) > 1.0  # OLS dragged by the burst
