@@ -359,6 +359,9 @@ HEADLINE = [
     # round-11: two-segment OLS change-point (timed — fact agg to day
     # grain + one cumulative window pass + the split argmin)
     "event_trend_break",
+    # round-11: Theil-Sen robust trend (timed — day-grain collapse +
+    # the days^2 pair self-join + two discrete medians)
+    "event_type_trends_robust",
 ]
 
 # Round-7 headline audit (round-6 judge item 5): every registered query

@@ -995,3 +995,17 @@ def test_trend_break_scores_at_day_grain(spark, sf_dir):
     # from the rank-1 filter — per-group limits prune before the sort
     assert plan.count("+- Window ") == 2
     assert "WindowGroupLimit" in plan
+
+
+def test_theil_sen_pairs_at_day_grain(spark, sf_dir):
+    """event_type_trends_robust (r11): the days^2 pair self-join runs
+    on the DAY-GRAIN grid (raw events collapse first) as a group-keyed
+    equi-join — no cartesian; the median aggregates are the only
+    sort-bearing aggs."""
+    plan = _plan(spark, sf_dir, "event_type_trends_robust")
+    assert "CartesianProduct" not in plan
+    # the only nested-loop joins are the broadcast one-row spine
+    # crosses of the zero-fill grid (one per grid reference); the
+    # days^2 PAIR join itself is a grp-keyed hash join
+    assert plan.count("BroadcastNestedLoopJoin") <= 3
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan

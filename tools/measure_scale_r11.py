@@ -89,6 +89,7 @@ def _novel_fixtures() -> dict:
         ),
         "doc_boolean_search": (BASE, _docs10x()),
         "event_trend_break": (BASE, _events10x()),
+        "event_type_trends_robust": (BASE, _events10x()),
     }
 
 
