@@ -9031,22 +9031,10 @@ def q_stream_event_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def fold(batch_df, batch_id):
-        with open(state_path) as f:
-            state = json.load(f)
-        if batch_id in state["applied"]:
-            return  # retry of an applied batch: no-op (exactly-once)
-        clean = batch_df.where(F.col("user_id").isNotNull())
-        partials = SC.mg_partial_summaries(clean, "user_id", cap)
-        n_batch = clean.count()
-        state["summary"] = SC.mg_merge(
-            [state["summary"], *partials], cap
-        )
-        state["total"] += n_batch
-        state["applied"].append(batch_id)
-        tmp = state_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(state, f)
-        os.replace(tmp, state_path)  # atomic: crash leaves old state
+        # factored into scale.mg_fold_batch so the exactly-once
+        # contract (applied-batch watermark, atomic replace, retry
+        # no-op) is directly pytest-pinned (tests/test_scale.py)
+        SC.mg_fold_batch(batch_df, batch_id, state_path, "user_id", cap)
 
     q = (
         stream.writeStream.foreachBatch(fold)

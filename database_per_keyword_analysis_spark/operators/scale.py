@@ -1196,3 +1196,42 @@ def hll_distinct(
         )
         .orderBy(group_col)
     )
+
+
+def mg_fold_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    state_path: str,
+    key_col: str,
+    cap: int,
+) -> None:
+    """One micro-batch of the streaming Misra-Gries fold (the
+    foreachBatch body of stream_event_heavy_hitters, factored out so
+    its exactly-once contract is directly pytest-pinned): merge the
+    batch's per-partition MG summaries and its row count into the
+    JSON state at `state_path`, guarded by an applied-batch watermark
+    and an atomic replace —
+
+    * a RETRY of an applied batch_id is a no-op (foreachBatch may
+      redeliver after a failure);
+    * a crash before the os.replace leaves the previous state intact
+      (the next attempt redoes the whole batch);
+    * the merged summary keeps the MG deficit bound over the union of
+      all applied batches (mg_merge), so no φ-heavy key is lost
+      however the stream splits."""
+    import json
+    import os
+
+    with open(state_path) as f:
+        state = json.load(f)
+    if batch_id in state["applied"]:
+        return
+    clean = batch_df.where(F.col(key_col).isNotNull())
+    partials = mg_partial_summaries(clean, key_col, cap)
+    state["summary"] = mg_merge([state["summary"], *partials], cap)
+    state["total"] += clean.count()
+    state["applied"].append(batch_id)
+    tmp = state_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(state, f)
+    os.replace(tmp, state_path)

@@ -771,3 +771,46 @@ def test_hll_distinct_contracts(spark):
     rc = regs(big.where("key % 2 = 1"))
     merged = {b: max(ra.get(b, 0), rc.get(b, 0)) for b in set(ra) | set(rc)}
     assert merged == regs(big)
+
+
+def test_mg_fold_batch_is_exactly_once_and_split_independent(spark, tmp_path):
+    """r11 streaming heavy-hitter fold contracts, pinned directly on
+    the foreachBatch body: a RETRY of an applied batch_id is a no-op
+    (same state bytes), NULL keys are excluded from the total, and
+    two different batch splits of the same stream converge to states
+    whose candidate sets both contain every heavy key."""
+    import json
+    import math
+    import os
+
+    phi = 0.1
+    cap = math.ceil(2.0 / phi)
+    rows = [(f"hot{i % 2}",) for i in range(60)]
+    rows += [(f"cold{i}",) for i in range(40)] + [(None,)]
+    df = spark.createDataFrame(rows, "k string")
+
+    def seed(path):
+        with open(path, "w") as f:
+            json.dump({"applied": [], "total": 0, "summary": {}}, f)
+
+    s1 = str(tmp_path / "s1.json")
+    seed(s1)
+    SC.mg_fold_batch(df, 0, s1, "k", cap)
+    once = open(s1).read()
+    SC.mg_fold_batch(df, 0, s1, "k", cap)  # redelivery: must no-op
+    assert open(s1).read() == once
+    state = json.loads(once)
+    assert state["total"] == 100  # the NULL row excluded
+    assert state["applied"] == [0]
+    # split independence: 1 batch vs 3 batches — heavy keys survive both
+    s3 = str(tmp_path / "s3.json")
+    seed(s3)
+    parts = [df.where("k like 'hot%'"), df.where("k like 'cold1%'"),
+             df.where("k like 'cold%' and k not like 'cold1%'")]
+    for i, p in enumerate(parts):
+        SC.mg_fold_batch(p, i, s3, "k", cap)
+    st3 = json.loads(open(s3).read())
+    assert st3["total"] == 100 and st3["applied"] == [0, 1, 2]
+    heavy = {"hot0", "hot1"}  # 30 rows each >= ceil(0.1 * 100)
+    assert heavy <= set(state["summary"]) and heavy <= set(st3["summary"])
+    assert len(st3["summary"]) <= cap
