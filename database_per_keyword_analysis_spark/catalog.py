@@ -7382,8 +7382,12 @@ def q_stream_orders_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ordf = os.path.join(sf_dir, "orders.parquet")
     st = os.stat(ordf)
+    # pid in the key: this cache is MUTABLE (the MV is folded
+    # batch-by-batch + a streaming checkpoint), so concurrent driver
+    # processes need disjoint dirs — see stream_event_heavy_hitters.
     key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}:{st.st_size}:{st.st_mtime_ns}".encode()
+        f"{os.path.abspath(sf_dir)}:{st.st_size}:{st.st_mtime_ns}:"
+        f"{os.getpid()}".encode()
     ).hexdigest()[:12]
     base = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -8550,8 +8554,12 @@ def q_stream_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docf = os.path.join(sf_dir, "documents.parquet")
     st = os.stat(docf)
+    # pid in the key: this cache is MUTABLE (the counts MV is folded
+    # batch-by-batch + a streaming checkpoint), so concurrent driver
+    # processes need disjoint dirs — see stream_event_heavy_hitters.
     key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}:{st.st_size}:{st.st_mtime_ns}".encode()
+        f"{os.path.abspath(sf_dir)}:{st.st_size}:{st.st_mtime_ns}:"
+        f"{os.getpid()}".encode()
     ).hexdigest()[:12]
     base = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -9002,8 +9010,20 @@ def q_stream_event_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cap = math.ceil(2.0 / phi)
     evf = os.path.join(sf_dir, "events.parquet")
     st = os.stat(evf)
+    # pid in the key (r11 advice): this cache holds MUTABLE per-run
+    # state — state.json folded batch-by-batch plus the structured-
+    # streaming checkpoint — so two concurrent driver processes on the
+    # same fixture would race (the atomic-replace guard protects
+    # crashes, not concurrent writers).  Disjoint per-process dirs cost
+    # one extra fold per fresh process, which the steady-state path
+    # bench.py measures never pays (same-process repeats hit the
+    # _SUCCESS-gated cache).  The same fix applies to the other two
+    # mutable streaming caches (mvstream, driftstream); the remaining
+    # fixture caches in this module are write-once (immutable after
+    # their _SUCCESS marker) and keep the shared fixture key.
     key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}:{st.st_size}:{st.st_mtime_ns}".encode()
+        f"{os.path.abspath(sf_dir)}:{st.st_size}:{st.st_mtime_ns}:"
+        f"{os.getpid()}".encode()
     ).hexdigest()[:12]
     base = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),

@@ -35,6 +35,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 # Default query over the fixture vocabulary; any term list works.
 DEFAULT_QUERY = ("hash", "join", "window", "stream")
@@ -700,6 +701,17 @@ def boolean_search(
         .where(F.col("token").isin(*sorted(wanted)))
         .distinct()
     )
+    # The postings subtree feeds up to three branches (must aggregate,
+    # none_of anti, any_of count) — without a persist Spark recomputes
+    # the docs scan + tokenize + distinct once per branch.  Persist
+    # DISK_ONLY (the repo's reused-subtree convention: blocks cost the
+    # unified memory pool nothing, and the query-terms-only postings
+    # re-read in milliseconds) only when >1 branch will actually probe
+    # it; a must-only query consumes it exactly once and a
+    # materialization would be pure overhead.
+    n_consumers = 1 + bool(none_of) + bool(any_of)
+    if n_consumers > 1:
+        posts = posts.persist(StorageLevel.DISK_ONLY)
     hits = (
         posts.where(F.col("token").isin(*must))
         .groupBy(id_col)
