@@ -1097,3 +1097,51 @@ def test_join_strategy_decisions_matches_oracle(spark, sf_dir):
     # r11 demotion: 3-round-green (r8-r10); the join-strategy control
     # loop's sketch inputs stay in-window via orders_join_size_sketch
     _assert_matches_oracle(spark, sf_dir, "join_strategy_decisions")
+
+
+def test_orders_bucketed_join_matches_oracle(spark, sf_dir):
+    # r12 demotion: 2-round-green (r10+r11); the co-located-join family
+    # keeps lineitem_bloom_join and orders_dpp_pruned in-window
+    _assert_matches_oracle(spark, sf_dir, "orders_bucketed_join")
+
+
+def test_event_heavy_hitters_matches_oracle(spark, sf_dir):
+    # r12 demotion: 2-round-green (r10+r11); stream_event_heavy_hitters
+    # shares this oracle verbatim in-window (stream==batch proof)
+    _assert_matches_oracle(spark, sf_dir, "event_heavy_hitters")
+
+
+def test_events_value_interp_matches_oracle(spark, sf_dir):
+    # r12 demotion: 2-round-green (r10+r11); the promoted
+    # events_daily_counts keeps the time-spine machinery in-window
+    _assert_matches_oracle(spark, sf_dir, "events_value_interp")
+
+
+def test_copurchase_triangles_matches_oracle(spark, sf_dir):
+    # r12 demotion: 2-round-green (r10+r11); graph family keeps kcore,
+    # reachability, hits, ppr and cheapest_paths in-window
+    _assert_matches_oracle(spark, sf_dir, "copurchase_triangles")
+
+
+def test_events_type_dow_chisq_matches_oracle(spark, sf_dir):
+    # r12 demotion: 2-round-green (r10+r11); the stats family keeps
+    # trend-break, Theil-Sen and MAD members in-window
+    _assert_matches_oracle(spark, sf_dir, "events_type_dow_chisq")
+
+
+def test_corpus_drift_terms_matches_oracle(spark, sf_dir):
+    # r12 demotion: 2-round-green (r10+r11); stream_corpus_drift runs
+    # the same drift_from_counts comparison in-window
+    _assert_matches_oracle(spark, sf_dir, "corpus_drift_terms")
+
+
+def test_event_transition_matrix_matches_oracle(spark, sf_dir):
+    # r12 demotion: 2-round-green (r10+r11); the per-user lead window
+    # stays in-window via event_transition_entropy
+    _assert_matches_oracle(spark, sf_dir, "event_transition_matrix")
+
+
+def test_user_stickiness_matches_oracle(spark, sf_dir):
+    # r12 demotion: 2-round-green (r10+r11); the distinct-day ratio agg
+    # shares machinery with in-window user_active_spans
+    _assert_matches_oracle(spark, sf_dir, "user_stickiness")
