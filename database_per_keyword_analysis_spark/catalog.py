@@ -773,6 +773,14 @@ _DEFERRED_TWINS = {
     #   window stays in-window via event_transition_entropy
     "user_stickiness",  # green r10-r11; ratio-of-distinct-days agg —
     #   machinery shared with in-window user_active_spans
+    # ---- round-12 novel-query slots (novel machinery goes IN the
+    # window; each demotion below is 2-round-green r10+r11 and leaves
+    # on a NEW differential in tests/test_catalog_twins.py) ----
+    "order_price_deciles",  # green r10-r11; NTILE equal-frequency
+    #   binning — the percentile family keeps order_price_quantiles
+    #   (promoted this round) and order_price_mad_outliers in-window;
+    #   slot taken by order_price_quantile_summary (NOVEL r12:
+    #   mergeable equi-spaced quantile summary, exact-rebuild oracle)
 }
 
 
@@ -9453,3 +9461,52 @@ def q_event_type_trends_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import stats as ST
 
     return ST.theil_sen_trend(load(spark, sf_dir, "events"), "event_type")
+
+
+@register(
+    "order_price_quantile_summary",
+    # mirror quantile_summary token for token: per-priority ranked
+    # values, a 9-cell spine off the counts table, BIGINT rank
+    # arithmetic (i*(n-1) // 8), and a rank equi-join — the value is
+    # SELECTED, never operated on, so doubles match bit-for-bit
+    "WITH ranked AS (SELECT o_orderpriority AS grp, o_totalprice AS v, "
+    "row_number() OVER (PARTITION BY o_orderpriority "
+    "ORDER BY o_totalprice) AS rn FROM orders), "
+    "counts AS (SELECT o_orderpriority AS grp, "
+    "CAST(count(*) AS BIGINT) AS n FROM orders GROUP BY 1), "
+    "cells AS (SELECT grp, n, CAST(c.cell AS BIGINT) AS cell, "
+    "1 + (CAST(c.cell AS BIGINT) * (n - 1)) // 8 AS rank_pos "
+    "FROM counts CROSS JOIN "
+    "(SELECT unnest(generate_series(0, 8)) AS cell) c) "
+    "SELECT cells.grp AS o_orderpriority, cell, rank_pos, n, "
+    "ranked.v AS value FROM cells JOIN ranked "
+    "ON cells.grp = ranked.grp AND cells.rank_pos = ranked.rn "
+    "ORDER BY o_orderpriority, cell",
+)
+def q_order_price_quantile_summary(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-priority equi-spaced quantile summary over order totals
+    (operators/scale.py: quantile_summary; Agarwal et al. PODS'12
+    mergeable summaries): the 9 exact order statistics at equi-spaced
+    ranks — min, octiles, max — the sketch family's mergeable
+    DISTRIBUTION tier beside KMV/HLL (distincts), Count-Min (point
+    counts) and Misra-Gries (heavy keys).  Unlike a randomized KLL
+    compaction, every cell is a deterministic exact order statistic,
+    so the DuckDB oracle rebuilds the identical cells — upgrading the
+    quantile-sketch tier from rows-only (approx_order_stats) to
+    oracle-hash-checked, with the bounded-error merge proven in
+    tests/test_scale.py (quantile_summary_merge).  State is 9
+    (rank, value) pairs per group regardless of n; the spine explode
+    is k rows per group, never values-sized.  NOVEL round-12
+    machinery → in-window at birth; order_price_deciles (green
+    r10-r11) rotated out with a NEW differential (the percentile
+    family keeps order_price_quantiles — promoted this round — and
+    order_price_mad_outliers in-window)."""
+    from .operators import scale as SC
+
+    return SC.quantile_summary(
+        load(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice"),
+        "o_orderpriority",
+        "o_totalprice",
+    )

@@ -1235,3 +1235,136 @@ def mg_fold_batch(
     with open(tmp, "w") as f:
         json.dump(state, f)
     os.replace(tmp, state_path)
+
+
+# ---------------------------------------------------------------------------
+# Equi-spaced quantile summary: the sketch family's mergeable
+# order-statistics tier (KMV/HLL count distincts, Count-Min counts
+# points, Misra-Gries finds heavy keys — this summarizes a DISTRIBUTION
+# in k cells per group).
+# ---------------------------------------------------------------------------
+
+QS_K = 9  # summary cells per group; rank error of a k-cell summary
+#   is at most ceil((n-1)/(2*(QS_K-1))) (half a cell spacing)
+
+
+def quantile_summary(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = QS_K,
+) -> DataFrame:
+    """Per-group equi-spaced quantile summary: the k order statistics
+    at ranks r_i = 1 + floor(i*(n-1)/(k-1)), i = 0..k-1 — min, max,
+    and k-2 evenly spaced interior quantiles.  This is the
+    deterministic member of the mergeable-quantile family (GK /
+    KLL-style summaries, Agarwal et al. PODS'12 §2: any quantile
+    summary with uniform rank error is mergeable with bounded error
+    growth): every cell is an EXACT order statistic, so unlike a
+    randomized KLL compaction the summary is bit-reproducible by any
+    engine — which is what upgrades this tier from rows-only to
+    oracle-hash-checked (the count_min_cells move applied to
+    quantiles).
+
+    Answering a quantile query q from the summary reads the nearest
+    cell: rank error <= half the cell spacing, (n-1)/(2(k-1)).
+    Merging two summaries (quantile_summary_merge below) treats each
+    cell as a weighted point and re-selects k equi-spaced cells by
+    cumulative weight; the merged rank error grows by at most the sum
+    of the inputs' cell spacings (test-pinned), the bounded-error-
+    growth property that lets per-day summaries of a 100 TB corpus
+    combine without re-reading data.
+
+    100 TB shape: one per-group window sort to rank values — the same
+    shuffle an exact percentile pays ONCE — then the retained state is
+    k (rank, value) pairs per group regardless of n; the k-cell spine
+    is built by exploding a k-element sequence on the group-counts
+    table (k rows per group, never a values-sized blowup) and the
+    cell->value attach is a rank equi-join.  All rank arithmetic is
+    BIGINT (i*(n-1) div (k-1)), exact in both engines; the value is
+    SELECTED, never operated on, so doubles survive bit-for-bit.
+    Returns (group, cell, rank_pos, n, value) deterministically
+    ordered."""
+    if k < 2:
+        raise ValueError("quantile_summary: k must be >= 2")
+    grp = F.col(group_col)
+    ranked = df.select(
+        grp.alias("grp"), F.col(value_col).alias("v")
+    ).withColumn(
+        # ties share a value, so the value AT a rank is deterministic
+        # regardless of how row_number breaks them
+        "rn",
+        F.row_number().over(Window.partitionBy("grp").orderBy("v")),
+    )
+    counts = df.groupBy(grp.alias("grp")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    cells = counts.select(
+        "grp",
+        "n",
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("cell"),
+    ).withColumn(
+        "rank_pos",
+        F.expr(f"CAST(cell * (n - 1) AS BIGINT) div {k - 1}") + F.lit(1),
+    )
+    return (
+        cells.join(
+            ranked,
+            (cells["grp"] == ranked["grp"])
+            & (cells["rank_pos"] == ranked["rn"]),
+        )
+        .select(
+            cells["grp"].alias(group_col),
+            "cell",
+            "rank_pos",
+            "n",
+            F.col("v").alias("value"),
+        )
+        .orderBy(group_col, "cell")
+    )
+
+
+def quantile_summary_merge(
+    a: list[tuple[int, float]],
+    n_a: int,
+    b: list[tuple[int, float]],
+    n_b: int,
+    k: int = QS_K,
+) -> tuple[list[tuple[int, float]], int]:
+    """Merge two equi-spaced quantile summaries (lists of
+    (rank_pos, value) over n_a / n_b rows) into one k-cell summary
+    over the union, without touching the underlying data — the
+    mergeable-summaries operation (Agarwal et al. PODS'12).  Each
+    input cell becomes a weighted point carrying the rows between it
+    and its predecessor; the merged summary re-selects k cells at
+    equi-spaced cumulative weights.  Rank error grows by at most the
+    sum of the inputs' cell spacings (test-pinned in
+    tests/test_scale.py), so hierarchical merges over S splits stay
+    within S * (n_max-1)/(k-1) — the property a 100 TB serving layer
+    relies on to fold per-partition summaries.  Pure-Python on the
+    k-sized summaries themselves (the mg_merge convention: merging
+    state this small is driver-side arithmetic, not a Spark job)."""
+    if k < 2:
+        raise ValueError("quantile_summary_merge: k must be >= 2")
+    pts: list[tuple[float, int]] = []  # (value, weight)
+    for cells, _n in ((a, n_a), (b, n_b)):
+        prev = 0
+        for rank_pos, value in sorted(cells):
+            w = rank_pos - prev
+            pts.append((value, max(w, 1) if rank_pos != prev else 1))
+            prev = rank_pos
+    pts.sort()
+    n = n_a + n_b
+    total_w = sum(w for _, w in pts)
+    merged: list[tuple[int, float]] = []
+    for i in range(k):
+        target = 1 + (i * (total_w - 1)) // (k - 1)
+        cum = 0
+        chosen = pts[-1][0]
+        for value, w in pts:
+            cum += w
+            if cum >= target:
+                chosen = value
+                break
+        merged.append((1 + (i * (n - 1)) // (k - 1), chosen))
+    return merged, n

@@ -1145,3 +1145,10 @@ def test_user_stickiness_matches_oracle(spark, sf_dir):
     # r12 demotion: 2-round-green (r10+r11); the distinct-day ratio agg
     # shares machinery with in-window user_active_spans
     _assert_matches_oracle(spark, sf_dir, "user_stickiness")
+
+
+def test_order_price_deciles_matches_oracle(spark, sf_dir):
+    # r12 demotion: 2-round-green (r10+r11); the percentile family
+    # keeps order_price_quantiles and order_price_mad_outliers
+    # in-window; slot taken by order_price_quantile_summary
+    _assert_matches_oracle(spark, sf_dir, "order_price_deciles")

@@ -1009,3 +1009,16 @@ def test_theil_sen_pairs_at_day_grain(spark, sf_dir):
     # days^2 PAIR join itself is a grp-keyed hash join
     assert plan.count("BroadcastNestedLoopJoin") <= 3
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_quantile_summary_spine_is_group_sized(spark, sf_dir):
+    """order_price_quantile_summary (r12): ONE per-group window sort
+    ranks the values, the 9-cell spine explodes off the GROUP-COUNTS
+    table (k rows per group, never a values-sized blowup), and the
+    cell->value attach is a rank equi-join — no cartesian anywhere."""
+    plan = _plan(spark, sf_dir, "order_price_quantile_summary")
+    assert "CartesianProduct" not in plan
+    assert plan.count("Window") == 1
+    assert "Generate explode" in plan
+    # the explode feeds off an aggregate (the counts table), not the scan
+    assert "HashAggregate" in plan

@@ -814,3 +814,69 @@ def test_mg_fold_batch_is_exactly_once_and_split_independent(spark, tmp_path):
     heavy = {"hot0", "hot1"}  # 30 rows each >= ceil(0.1 * 100)
     assert heavy <= set(state["summary"]) and heavy <= set(st3["summary"])
     assert len(st3["summary"]) <= cap
+
+
+def test_quantile_summary_cells_are_exact_order_statistics(spark):
+    # 2 groups, known values: every cell must be the exact order
+    # statistic at rank 1 + i*(n-1)//(k-1)
+    rows = [("a", float(v)) for v in range(1, 18)]  # n=17: ranks 1,3,5,...,17
+    rows += [("b", 42.0)]  # n=1: every cell collapses to rank 1
+    df = spark.createDataFrame(rows, "grp string, v double")
+    out = SC.quantile_summary(df, "grp", "v", k=9).collect()
+    a = [(r.cell, r.rank_pos, r.value) for r in out if r.grp == "a"]
+    assert a == [(i, 1 + i * 16 // 8, float(1 + i * 2)) for i in range(9)]
+    b = [(r.cell, r.rank_pos, r.value, r.n) for r in out if r.grp == "b"]
+    assert b == [(i, 1, 42.0, 1) for i in range(9)]
+
+
+def test_quantile_summary_ties_are_deterministic(spark):
+    # duplicated values: the value AT a rank is an order statistic,
+    # so row_number tie order cannot change the output
+    rows = [("g", 5.0)] * 10 + [("g", 1.0)] * 7
+    df = spark.createDataFrame(rows, "grp string, v double")
+    out = SC.quantile_summary(df, "grp", "v", k=9).collect()
+    # n=17, sorted = seven 1.0s then ten 5.0s; ranks 1,3,5,7 -> 1.0
+    vals = [r.value for r in sorted(out, key=lambda r: r.cell)]
+    assert vals == [1.0, 1.0, 1.0, 1.0, 5.0, 5.0, 5.0, 5.0, 5.0]
+
+
+def test_quantile_summary_merge_rank_error_bound():
+    # merge summaries of two disjoint halves; every merged cell's
+    # value must sit within the inputs' summed cell spacings of its
+    # target rank over the union — the mergeable-summaries bound
+    import random
+
+    rng = random.Random(7)
+    xs = sorted(rng.uniform(0, 1000) for _ in range(400))
+    ys = sorted(rng.uniform(500, 1500) for _ in range(300))
+    k = 9
+
+    def summarize(vals):
+        n = len(vals)
+        return (
+            [(1 + i * (n - 1) // (k - 1), vals[i * (n - 1) // (k - 1)])
+             for i in range(k)],
+            n,
+        )
+    sa, na = summarize(xs)
+    sb, nb = summarize(ys)
+    merged, n = SC.quantile_summary_merge(sa, na, sb, nb, k=k)
+    assert n == 700
+    union = sorted(xs + ys)
+    spacing = (na - 1) / (k - 1) + (nb - 1) / (k - 1) + 2
+    for rank_pos, value in merged:
+        # true rank range of `value` in the union
+        lo = union.index(value) + 1
+        hi = len(union) - union[::-1].index(value)
+        err = 0 if lo <= rank_pos <= hi else min(abs(rank_pos - lo), abs(rank_pos - hi))
+        assert err <= spacing, (rank_pos, value, err, spacing)
+    # merged endpoints are the true min/max (weight-1 extreme cells)
+    assert merged[0][1] == union[0] and merged[-1][1] == union[-1]
+
+
+def test_quantile_summary_k_validation(spark):
+    df = spark.createDataFrame([("g", 1.0)], "grp string, v double")
+    with pytest.raises(ValueError):
+        SC.quantile_summary(df, "grp", "v", k=1)
+    with pytest.raises(ValueError):
+        SC.quantile_summary_merge([(1, 1.0)], 1, [(1, 2.0)], 1, k=1)
