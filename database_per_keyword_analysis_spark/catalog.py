@@ -781,6 +781,10 @@ _DEFERRED_TWINS = {
     #   (promoted this round) and order_price_mad_outliers in-window;
     #   slot taken by order_price_quantile_summary (NOVEL r12:
     #   mergeable equi-spaced quantile summary, exact-rebuild oracle)
+    "user_active_spans",  # green r10-r11; gaps-and-islands spans —
+    #   the family keeps sessionize_events (promoted r11) in-window;
+    #   slot taken by persian_word_frequency (NOVEL r12: the first
+    #   oracle-checked Persian normalize/tokenize/filter chain)
 }
 
 
@@ -9509,4 +9513,94 @@ def q_order_price_quantile_summary(
         load(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice"),
         "o_orderpriority",
         "o_totalprice",
+    )
+
+
+def _persian_wordfreq_sql() -> str:
+    """Oracle for persian_word_frequency, GENERATED from the same
+    constants the Spark side uses (functions/text.py: PERSIAN_FIXTURE,
+    _CHAR_MAP, _DIACRITICS, REFERENCE_SPEC) so a rule change cannot
+    desynchronize the two engines.  The repeat-squeeze is replayed
+    character-level (RE2 has no backreferences): keep char i unless
+    chars i-1 and i-2 equal it — exactly Java's `(.)\\1{2,}` -> `$1$1`
+    on the newline-free fixture."""
+    from .functions import text as TX
+
+    vals = ", ".join(
+        f"({i}, {_sql_quote(s)})" for i, s in enumerate(TX.PERSIAN_FIXTURE)
+    )
+    cm_from = "".join(TX._CHAR_MAP)
+    cm_to = "".join(TX._CHAR_MAP.values())
+    spec = TX.REFERENCE_SPEC
+    junk = ", ".join(_sql_quote(j) for j in spec.ascii_junk)
+    return (
+        f"WITH src(doc_id, txt) AS (VALUES {vals}), "
+        "lowered AS (SELECT doc_id, lower(translate(translate(txt, "
+        f"{_sql_quote(cm_from)}, {_sql_quote(cm_to)}), "
+        f"{_sql_quote(TX._DIACRITICS)}, '')) AS t FROM src), "
+        "arr AS (SELECT doc_id, regexp_split_to_array(t, '') AS a "
+        "FROM lowered), "
+        "chars AS (SELECT doc_id, u.i AS i, a[u.i] AS ch, "
+        "a[u.i-1] AS p1, a[u.i-2] AS p2 "
+        "FROM arr CROSS JOIN unnest(range(1, len(a)+1)) AS u(i)), "
+        "sq AS (SELECT doc_id, string_agg(ch, '' ORDER BY i) AS t "
+        "FROM chars WHERE i <= 2 OR NOT (p1 = ch AND p2 = ch) "
+        "GROUP BY doc_id), "
+        r"norm AS (SELECT doc_id, trim(regexp_replace(t, '\s+', ' ', "
+        "'g')) AS t FROM sq), "
+        "punct AS (SELECT doc_id, trim(regexp_replace(t, "
+        r"'[^\w؀-ۿ‌@.:/]+', ' ', 'g')) AS t FROM norm), "
+        "toks AS (SELECT u.token FROM punct CROSS JOIN "
+        r"unnest(regexp_split_to_array(t, '\s+')) AS u(token) "
+        "WHERE u.token <> ''), "
+        "kept AS (SELECT token FROM toks WHERE "
+        f"length(token) >= {spec.min_len} "
+        r"AND NOT regexp_matches(token, '\d') "
+        r"AND NOT regexp_matches(token, 'http|www|\.com|\.ir|@|id:|bot') "
+        r"AND regexp_matches(token, '^[\w؀-ۿ‌]+$') "
+        "AND NOT (regexp_matches(token, '^[a-zA-Z]+$') AND "
+        f"(length(token) > {spec.ascii_max_len} OR token IN ({junk})))) "
+        "SELECT token, CAST(count(*) AS BIGINT) AS n FROM kept "
+        "GROUP BY token ORDER BY n DESC, token"
+    )
+
+
+@register("persian_word_frequency", _persian_wordfreq_sql())
+def q_persian_word_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persian word frequency over the fixed UTF-8 fixture corpus
+    (functions/text.py: PERSIAN_FIXTURE) — the first ORACLE-checked
+    exercise of the Persian-specific Tier-A rules the reference's hazm
+    chain motivates (main.py:132-135, 440-510): Arabic-presentation
+    char unification (ي->ی, ك->ک), diacritics strip, repeated-char
+    squeeze, ZWNJ-preserving tokenization, and the REFERENCE_SPEC
+    token filters (ASCII-junk rule included) — previously unit-tested
+    only, since the parquet fixtures are English (r11 verdict item 7).
+    The oracle replays the identical chain in DuckDB, generated from
+    the same constants; the lone regex RE2 cannot express (the
+    backreference squeeze) is replayed character-level, exactly
+    equivalent on the newline-free fixture.  The corpus is a VALUES
+    literal on both sides — the point is rule parity, not scan scale;
+    every rule fires on at least one string (unification merging two
+    spellings into the same count is the hash's proof).  NOVEL
+    round-12 machinery → in-window at birth; user_active_spans (green
+    r10-r11) rotated out with a NEW differential (the gaps-and-islands
+    family keeps sessionize_events — promoted r11 — in-window)."""
+    from pyspark.sql import functions as F
+
+    from .functions import text as TX
+
+    docs = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(TX.PERSIAN_FIXTURE)],
+        "doc_id long, text string",
+    )
+    toks = docs.select(
+        F.explode(TX.tokenize(TX.normalize_text(F.col("text")))).alias(
+            "token"
+        )
+    )
+    return (
+        toks.where(TX.token_keep_predicate(F.col("token"), TX.REFERENCE_SPEC))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "token")
     )

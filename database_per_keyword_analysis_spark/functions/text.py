@@ -101,3 +101,32 @@ def snippet(col: Column | str, n: int = 100) -> Column:
     return F.concat(
         F.regexp_replace(F.substring(c, 1, n), r"\n", " "), F.lit("...")
     )
+
+
+# A small fixed Persian corpus for oracle-checking the Persian-specific
+# normalizer behavior (char unification, diacritics strip, ZWNJ-aware
+# tokenization) that the English parquet fixtures never exercise — each
+# string targets one rule.  Newline- and apostrophe-free BY CONTRACT:
+# the DuckDB replay of the repeat-squeeze is character-level (RE2 has
+# no backreferences), which matches Java's `(.)\1{2,}` everywhere
+# except newline runs (Java's dot excludes them), and the strings embed
+# into a SQL VALUES list.
+PERSIAN_FIXTURE: tuple[str, ...] = (
+    # Arabic-presentation yeh/kaf unify to Persian ی/ک: both spellings
+    # of 'یک کتاب' must count as the SAME tokens
+    "علي يك كتاب خوب دارد",
+    "علی یک کتاب خوب دارد",
+    # diacritics strip: کتابِ/خوبً collapse onto the bare forms
+    "کتابِ خوبً عالی است",
+    # ZWNJ survives inside tokens (می‌خواهم stays ONE token)
+    "می‌خواهم کتاب‌ها را بخوانم",
+    # 3+ repeated chars squeeze to exactly 2
+    "سلاااام عالییییی کتاب",
+    # weblike tokens drop; ASCII junk words drop; short ASCII survives
+    "تماس با http://example.ir یا @kanal یا id:123",
+    "landing admin click wonderful salam کتاب",
+    # ASCII digits drop the token; Persian digits pass the charset
+    "سال 1402 و ۱۴۰۲ بود",
+    # whitespace variety collapses; short tokens (<3) drop
+    "متن\tخوب   متن با او",
+)

@@ -1152,3 +1152,10 @@ def test_order_price_deciles_matches_oracle(spark, sf_dir):
     # keeps order_price_quantiles and order_price_mad_outliers
     # in-window; slot taken by order_price_quantile_summary
     _assert_matches_oracle(spark, sf_dir, "order_price_deciles")
+
+
+def test_user_active_spans_matches_oracle(spark, sf_dir):
+    # r12 demotion: 2-round-green (r10+r11); the gaps-and-islands
+    # family keeps sessionize_events in-window; slot taken by
+    # persian_word_frequency
+    _assert_matches_oracle(spark, sf_dir, "user_active_spans")

@@ -447,3 +447,27 @@ def test_cooccurrence_npmi_contracts(spark):
     assert r.npmi == round(
         math.log(p_ab / (p_a * p_b)) / -math.log(p_ab), 6
     )
+
+
+def test_persian_fixture_counts_pin_every_rule(spark):
+    # the oracle-checked persian_word_frequency query's expected
+    # output, pinned row-for-row so a fixture or rule change is loud:
+    # unification merges the two spellings of کتاب (5 total), the
+    # squeeze produces سلاام/عالیی, ZWNJ tokens survive whole, ASCII
+    # junk/weblike/digit tokens drop, Persian digits pass the charset
+    from database_per_keyword_analysis_spark import catalog
+
+    rows = catalog.queries()["persian_word_frequency"](spark, "").collect()
+    got = [(r.token, r.n) for r in rows]
+    assert got[0] == ("کتاب", 5)
+    assert got[1] == ("خوب", 4)
+    d = dict(got)
+    assert d["می‌خواهم"] == 1 and d["کتاب‌ها"] == 1  # ZWNJ intact
+    assert d["سلاام"] == 1 and d["عالیی"] == 1  # squeezed to 2
+    assert d["علی"] == 2  # Arabic yeh spelling unified
+    assert d["salam"] == 1  # short non-junk ASCII survives
+    assert d["۱۴۰۲"] == 1  # Persian digits pass the charset
+    for absent in ("landing", "admin", "click", "wonderful", "1402",
+                   "یک", "با", "او"):
+        assert absent not in d
+    assert len(got) == 17
