@@ -575,6 +575,7 @@ def kneser_ney_trigram_scores(
     discount: float = 0.75,
     text_col: str = "text",
     id_col: str = "doc_id",
+    derive_bigram_types: bool = False,
 ) -> DataFrame:
     """Order-3 interpolated Kneser–Ney (Chen & Goodman 1999 eq. 18 —
     the KenLM-default model shape): the trigram layer backs off through
@@ -634,13 +635,35 @@ def kneser_ney_trigram_scores(
         F.sum("n1p23").cast("long").alias("n1p2dot"),
         F.count(F.lit(1)).alias("n1f2"),
     )
-    bigtypes = (
-        base.where(F.size("toks") >= 2)
-        .select(F.explode(bis).alias("b"))
-        .select("b.w1", F.col("b.w2").alias("w3"))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    if derive_bigram_types:
+        # r11 verdict item 3 A/B arm: the unigram layer's bigram-TYPE
+        # table derived from the (already-checkpointed, vocab-bounded)
+        # trigram types instead of a third corpus-wide bigram
+        # explode+distinct.  Exact identity: in a doc of n >= 3 tokens
+        # every bigram position 1..n-2 is some trigram's (w1,w2) prefix
+        # and every position 2..n-1 its (w2,w3) suffix, so prefix-types
+        # ∪ suffix-types cover all of the doc's bigram types; docs with
+        # exactly 2 tokens (no trigram) contribute their single bigram
+        # from a cheap residual scan.  Trades the corpus-sized distinct
+        # shuffle for two vocab-bounded projections.
+        two = base.where(F.size("toks") == 2).select(
+            F.col("toks")[0].alias("w1"), F.col("toks")[1].alias("w3")
+        )
+        bigtypes = (
+            t3.select("w1", F.col("w2").alias("w3"))
+            .unionByName(t3.select(F.col("w2").alias("w1"), "w3"))
+            .unionByName(two)
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+    else:
+        bigtypes = (
+            base.where(F.size("toks") >= 2)
+            .select(F.explode(bis).alias("b"))
+            .select("b.w1", F.col("b.w2").alias("w3"))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
     cont = bigtypes.groupBy("w3").agg(F.count(F.lit(1)).alias("n1b"))
     ntb = bigtypes.agg(F.count(F.lit(1)).alias("ntb"))
     d = F.lit(float(discount))

@@ -471,3 +471,28 @@ def test_persian_fixture_counts_pin_every_rule(spark):
                    "یک", "با", "او"):
         assert absent not in d
     assert len(got) == 17
+
+
+def test_kn3_derived_bigram_types_arm_is_bit_equal(spark):
+    # r11 verdict item 3 A/B arm: deriving the unigram layer's
+    # bigram-type table from the trigram types (+ the 2-token-doc
+    # residual) must be EXACTLY the corpus bigram explode+distinct —
+    # crafted corpus hits every branch: n>=3 docs, an n==2 doc (no
+    # trigram, contributes its lone bigram), n==1 and NULL docs
+    from database_per_keyword_analysis_spark.operators import (
+        textquality as TQ,
+    )
+
+    rows = [(1, "a b c a b d"), (2, "x y"), (3, "a b"), (4, "p"),
+            (5, None), (6, "q r s q r s q r")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(
+        tuple(r) for r in TQ.kneser_ney_trigram_scores(docs).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in TQ.kneser_ney_trigram_scores(
+            docs, derive_bigram_types=True
+        ).collect()
+    )
+    assert a == b

@@ -1,0 +1,100 @@
+"""Round-12 scale points (r11 verdict item 4 + the per-addition
+standard):
+
+* winnowing_dup_groups — 100x content-disjoint documents
+  (make_scale_fixture's affine-bijection replicas: the token bijection
+  preserves each replica's within-replica equality structure, so dup
+  groups stay per-replica and OUTPUT rows must be exactly 100x — the
+  contract asserted below before timing).
+* bpe_encode — same 100x fixture; per-doc scan-stage replace chain,
+  output rows = document count (contract asserted).
+* order_price_quantile_summary — 10x key-offset TPC-H orders (the new
+  r12 member's curve): output is k cells per group, so rows are FLAT
+  (5 priorities x 9 cells at both scales — contract asserted); the
+  window sort is the scaling cost.
+
+Protocol: interleaved warmth (un-timed 1x/big sweep — which also
+builds the winnow index caches outside the timed window), median-of-3,
+noop sink — measure_scale_tpch.py's protocol.
+
+Usage: python tools/measure_scale_r12.py [--queries a,b]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from database_per_keyword_analysis_spark import catalog  # noqa: E402
+from database_per_keyword_analysis_spark.session import get_spark  # noqa: E402
+from tools.measure_scale_r10 import (  # noqa: E402
+    BASE,
+    _fixture_dir,
+    _tpch10x,
+    median3,
+    run_once,
+)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CACHE = os.path.join(REPO, ".cache")
+
+
+def _docs100x() -> str:
+    d = os.path.join(CACHE, "scale_sf10")
+    if not os.path.exists(os.path.join(d, "documents.parquet")):
+        from tools.make_scale_fixture import build
+
+        build(BASE, d, replicas=100)
+    return d
+
+
+def main() -> None:
+    spark = get_spark("measure-scale-r12")
+    only = None
+    if "--queries" in sys.argv:
+        only = set(sys.argv[sys.argv.index("--queries") + 1].split(","))
+    docs100 = _docs100x()
+    fixtures: dict[str, tuple[str, str, int]] = {
+        # name -> (1x dir, big dir, expected big/1x OUTPUT-row ratio;
+        #          0 = flat (equal row counts at both scales))
+        "winnowing_dup_groups": (BASE, docs100, 100),
+        "bpe_encode": (BASE, docs100, 100),
+        "order_price_quantile_summary": (
+            BASE,
+            _fixture_dir({"orders": _tpch10x("orders")}),
+            0,
+        ),
+    }
+    if only:
+        fixtures = {k: v for k, v in fixtures.items() if k in only}
+    qs = catalog.queries()
+    for name, (d1, dbig, ratio) in fixtures.items():
+        # output contract BEFORE timing: a fixture regression cannot
+        # silently turn the scale row into an artifact
+        n1 = qs[name](spark, d1).count()
+        nbig = qs[name](spark, dbig).count()
+        want = n1 if ratio == 0 else ratio * n1
+        assert nbig == want, (name, n1, nbig, want)
+        print(json.dumps({"q": name, "rows_1x": n1, "rows_big": nbig,
+                          "contract": "ok"}), flush=True)
+    for name, (d1, dbig, _r) in fixtures.items():  # un-timed warmup
+        run_once(lambda: qs[name](spark, d1))
+        run_once(lambda: qs[name](spark, dbig))
+    for name, (d1, dbig, ratio) in fixtures.items():
+        label = "10x" if ratio == 0 else "100x"
+        w1 = median3(lambda: qs[name](spark, d1))
+        wbig = median3(lambda: qs[name](spark, dbig))
+        print(
+            json.dumps(
+                {"q": name, "1x": w1, label: wbig,
+                 "ratio": round(wbig / w1, 2)}
+            ),
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()
