@@ -785,6 +785,11 @@ _DEFERRED_TWINS = {
     #   the family keeps sessionize_events (promoted r11) in-window;
     #   slot taken by persian_word_frequency (NOVEL r12: the first
     #   oracle-checked Persian normalize/tokenize/filter chain)
+    "event_type_trends",  # green r10-r11; OLS daily trend — the
+    #   daily-series family keeps event_trend_break and
+    #   event_type_trends_robust in-window; slot taken by
+    #   event_type_acf (NOVEL r12: lag-structure ACF, n²-scaled
+    #   BIGINT moments, engine-exact)
 }
 
 
@@ -9604,3 +9609,55 @@ def q_persian_word_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), "token")
     )
+
+
+@register(
+    "event_type_acf",
+    # mirror series_acf token for token: day grid, lag explode joined
+    # back on the equi key (grp, x+k), exact BIGINT moments, the
+    # n²-scaled single-division ACF, CASE NULL on constant series
+    "WITH daily AS (SELECT event_type AS grp, CAST(ts AS DATE) AS day, "
+    "CAST(count(*) AS BIGINT) AS y FROM events GROUP BY 1, 2), "
+    "b AS (SELECT min(day) AS lo, max(day) AS hi FROM daily), "
+    "sp AS (SELECT CAST(unnest(range(CAST(lo AS TIMESTAMP), "
+    "CAST(hi AS TIMESTAMP) + INTERVAL 1 DAY, INTERVAL 1 DAY)) AS DATE) "
+    "AS day, lo FROM b), "
+    "grid AS (SELECT g.grp, CAST(sp.day - sp.lo AS BIGINT) AS x, "
+    "coalesce(d.y, CAST(0 AS BIGINT)) AS y "
+    "FROM (SELECT DISTINCT grp FROM daily) g CROSS JOIN sp "
+    "LEFT JOIN daily d ON d.grp = g.grp AND d.day = sp.day), "
+    "tot AS (SELECT grp, CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(y) AS BIGINT) AS s, CAST(sum(y*y) AS BIGINT) AS q "
+    "FROM grid GROUP BY grp), "
+    "lags AS (SELECT grp, x, y AS ya, CAST(u.k AS BIGINT) AS k, "
+    "x + u.k AS x2 FROM grid CROSS JOIN "
+    "unnest(generate_series(1, 7)) AS u(k)), "
+    "mom AS (SELECT l.grp, k, CAST(count(*) AS BIGINT) AS n_pairs, "
+    "CAST(sum(l.ya * g2.y) AS BIGINT) AS c, "
+    "CAST(sum(l.ya) AS BIGINT) AS a, CAST(sum(g2.y) AS BIGINT) AS b "
+    "FROM lags l JOIN grid g2 ON g2.grp = l.grp AND g2.x = l.x2 "
+    "GROUP BY 1, 2) "
+    "SELECT mom.grp AS event_type, k AS lag, n AS n_days, n_pairs, "
+    "CASE WHEN n*(n*q - s*s) > 0 THEN "
+    "round(CAST(n*n*c - n*s*(a+b) + (n-k)*s*s AS DOUBLE) / "
+    "CAST(n*(n*q - s*s) AS DOUBLE), 9) END AS acf "
+    "FROM mom JOIN tot ON mom.grp = tot.grp ORDER BY event_type, lag",
+)
+def q_event_type_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type autocorrelation function at lags 1..7 over the
+    zero-filled daily series (operators/stats.py: series_acf; Box &
+    Jenkins ch.2) — the seasonality/memory diagnostic that completes
+    the daily-series family (OLS level, regime shift, robust slope,
+    robust outliers, now lag structure; a weekly cycle is a lag-7
+    spike).  Engine-exact via the n²-scaled BIGINT moment identity
+    (series_trend_break's discipline): every numerator/denominator
+    term is an exact integer, the ACF is ONE IEEE division, no libm —
+    so the driver hash pins the doubles bit-for-bit.  The lag attach
+    is days × 7 rows joined on an equi key, never days²; everything
+    after the day-grain collapse is days-sized.  NOVEL round-12
+    machinery → in-window at birth; event_type_trends (green r10-r11)
+    rotated out with a NEW differential (the family keeps
+    event_trend_break and event_type_trends_robust in-window)."""
+    from .operators import stats as ST
+
+    return ST.series_acf(load(spark, sf_dir, "events"), "event_type")

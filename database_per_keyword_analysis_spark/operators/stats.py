@@ -665,3 +665,89 @@ def theil_sen_trend(
         )
         .orderBy(group_col)
     )
+
+
+ACF_MAX_LAG = 7  # one week of daily lags: the seasonality diagnostic
+
+
+def series_acf(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str = "ts",
+    max_lag: int = ACF_MAX_LAG,
+) -> DataFrame:
+    """Per-group sample autocorrelation function over the zero-filled
+    daily count series, lags 1..max_lag (Box & Jenkins ch.2) — the
+    seasonality/memory diagnostic completing the daily-series family:
+    level (series_trend), regime shift (series_trend_break), robust
+    slope (theil_sen_trend), and now the lag structure (a weekly cycle
+    surfaces as a spike at lag 7).
+
+      r_k = Σ_{t<n-k} (y_t − ȳ)(y_{t+k} − ȳ) / Σ_t (y_t − ȳ)²
+
+    Engine-exactness (the series_trend_break discipline): multiply
+    through by n² so every term is an exact BIGINT —
+
+      r_k = (n²·C_k − n·S·(A_k+B_k) + (n−k)·S²) / (n·(n·Q − S²))
+
+    with C_k = Σ y_t·y_{t+k}, A_k/B_k the lagged/leading partial sums,
+    S = Σy, Q = Σy² — then ONE IEEE division; no libm, so the doubles
+    are bit-identical cross-engine (rounded 9dp).  BIGINT headroom at
+    fixture scale is ~10^17 of 9.2·10^18; a 100 TB deployment swaps
+    the moment casts to DECIMAL(38,0) (both engines' decimal multiply
+    is exact) — documented, not needed for the hash check.
+
+    100 TB shape: the fact collapses to (group, day) grain FIRST; the
+    lag attach explodes max_lag rows per day (days × L, never days²)
+    and joins back on the EQUI key (grp, x + k = x') — everything
+    after the first aggregate is days-sized.  Constant series
+    (denominator 0) surface acf = NULL (both engines' CASE).  Returns
+    (group, lag, n_days, n_pairs, acf) deterministically ordered."""
+    if max_lag < 1:
+        raise ValueError("series_acf: max_lag must be >= 1")
+    grid = _zero_filled_daily(df, group_col, ts_col).select("grp", "x", "y")
+    tot = grid.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("s"),
+        F.sum(F.col("y") * F.col("y")).alias("q"),
+    )
+    lagged = grid.select(
+        "grp",
+        "x",
+        F.col("y").alias("ya"),
+        F.explode(F.sequence(F.lit(1), F.lit(max_lag))).alias("k"),
+    ).withColumn("x2", F.col("x") + F.col("k"))
+    lead = grid.select(
+        "grp", F.col("x").alias("x2"), F.col("y").alias("yb")
+    )
+    mom = (
+        lagged.join(lead, ["grp", "x2"])
+        .groupBy("grp", "k")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.col("ya") * F.col("yb")).alias("c"),
+            F.sum("ya").alias("a"),
+            F.sum("yb").alias("b"),
+        )
+    )
+    n, s, q = F.col("n"), F.col("s"), F.col("q")
+    num = (
+        n * n * F.col("c")
+        - n * s * (F.col("a") + F.col("b"))
+        + (n - F.col("k")) * s * s
+    )
+    den = n * (n * q - s * s)
+    return (
+        mom.join(F.broadcast(tot), "grp")
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("k").alias("lag"),
+            F.col("n").alias("n_days"),
+            "n_pairs",
+            F.when(
+                den > 0,
+                F.round(num.cast("double") / den.cast("double"), 9),
+            ).alias("acf"),
+        )
+        .orderBy(group_col, "lag")
+    )

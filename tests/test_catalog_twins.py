@@ -1159,3 +1159,10 @@ def test_user_active_spans_matches_oracle(spark, sf_dir):
     # family keeps sessionize_events in-window; slot taken by
     # persian_word_frequency
     _assert_matches_oracle(spark, sf_dir, "user_active_spans")
+
+
+def test_event_type_trends_matches_oracle(spark, sf_dir):
+    # r12 demotion: 2-round-green (r10+r11); the daily-series family
+    # keeps event_trend_break and event_type_trends_robust in-window;
+    # slot taken by event_type_acf
+    _assert_matches_oracle(spark, sf_dir, "event_type_trends")

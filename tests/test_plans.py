@@ -1022,3 +1022,15 @@ def test_quantile_summary_spine_is_group_sized(spark, sf_dir):
     assert "Generate explode" in plan
     # the explode feeds off an aggregate (the counts table), not the scan
     assert "HashAggregate" in plan
+
+
+def test_acf_lag_attach_is_equi_join_at_day_grain(spark, sf_dir):
+    """event_type_acf (r12): the fact collapses to (group, day) grain
+    FIRST, the lag attach explodes max_lag rows per day and joins back
+    on an EQUI key (grp, x+k) — days x L rows, never days², and no
+    cartesian; the only explodes are the day spine and the lag spine."""
+    plan = _plan(spark, sf_dir, "event_type_acf")
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan  # moments are aggregates, not windows
+    assert "Generate explode" in plan
+    assert "HashAggregate" in plan

@@ -300,3 +300,62 @@ def test_theil_sen_trend_contracts(spark):
     assert a.slope == 1.0
     ols = {r.event_type: r for r in series_trend(df, "event_type").collect()}
     assert abs(ols["A"].slope - 1.0) > 1.0  # OLS dragged by the burst
+
+
+class TestSeriesAcf:
+    @staticmethod
+    def _ref_acf(ys, max_lag):
+        n = len(ys)
+        m = sum(ys) / n
+        den = sum((y - m) ** 2 for y in ys)
+        out = {}
+        for k in range(1, max_lag + 1):
+            num = sum(
+                (ys[t] - m) * (ys[t + k] - m) for t in range(n - k)
+            )
+            out[k] = None if den == 0 else round(num / den, 9)
+        return out
+
+    def _run(self, spark, series, max_lag=7):
+        from datetime import datetime, timedelta
+
+        from database_per_keyword_analysis_spark.operators import stats as ST
+
+        rows = []
+        t0 = datetime(2024, 1, 1)
+        for day, count in enumerate(series):
+            for _ in range(count):
+                rows.append(("g", t0 + timedelta(days=day)))
+        df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+        return ST.series_acf(df, "event_type", max_lag=max_lag).collect()
+
+    def test_matches_pure_python_reference(self, spark):
+        # a series with trend + weekly bump + gaps (zero-filled days)
+        series = [5, 2, 0, 4, 1, 3, 9, 6, 3, 1, 5, 2, 4, 10, 7, 4]
+        got = {r.lag: r.acf for r in self._run(spark, series)}
+        want = self._ref_acf(series, 7)
+        assert got == want
+        # integer moment identity vs the float reference: bit-equal
+        # after 9dp rounding is exactly the cross-engine contract
+
+    def test_period_two_alternation_is_negative_at_lag_one(self, spark):
+        series = [9, 1] * 8
+        got = {r.lag: r.acf for r in self._run(spark, series, max_lag=2)}
+        assert got[1] < -0.8 and got[2] > 0.7
+        assert got == self._ref_acf(series, 2)
+
+    def test_constant_series_yields_null(self, spark):
+        rows = self._run(spark, [3, 3, 3, 3, 3, 3, 3, 3], max_lag=3)
+        assert [r.acf for r in rows] == [None, None, None]
+        assert [r.n_pairs for r in rows] == [7, 6, 5]
+
+    def test_lag_validation(self, spark):
+        import pytest as _pytest
+
+        from database_per_keyword_analysis_spark.operators import stats as ST
+
+        df = spark.createDataFrame(
+            [("g", "2024-01-01")], "event_type string, ts string"
+        )
+        with _pytest.raises(ValueError):
+            ST.series_acf(df, "event_type", max_lag=0)

@@ -63,15 +63,47 @@ def _alphabet_bijections(n: int) -> list[str]:
     return maps
 
 
-def build(src_sf_dir: str, out_dir: str, replicas: int = N_REPLICAS) -> str:
+def _cjk_blocks(n: int) -> list[str]:
+    """`n` DISJOINT 36-codepoint caseless alphabets from the CJK block
+    (0x4E00+): replica i maps a-z0-9 (and A-Z onto the same 26 targets,
+    since the gram hashers lower() first) to its own codepoints, so
+    char k-grams are exactly disjoint across replicas — the guarantee
+    the affine ciphers cannot give (100 substitution maps over one
+    26-letter alphabet share grams by pigeonhole; measured: +0.68%
+    winnowing-group rows at 100x).  CJK is caseless (lower() is the
+    identity) and combining-free, so no case fold can weld two
+    replicas' blocks.  Residual cross-replica grams would need 16
+    consecutive non-alphanumeric chars post-normalization — the
+    output-contract assert in measure_scale_r12.py is the watchdog."""
+    return [
+        "".join(chr(0x4E00 + 36 * i + j) for j in range(36))
+        for i in range(n - 1)
+    ]
+
+
+def build(
+    src_sf_dir: str,
+    out_dir: str,
+    replicas: int = N_REPLICAS,
+    disjoint_grams: bool = False,
+) -> str:
     spark = get_spark("make-scale-fixture")
     docs = spark.read.parquet(os.path.join(src_sf_dir, "documents.parquet"))
     alpha = "abcdefghijklmnopqrstuvwxyz"
     text = F.col("text")
-    for i, mapped in enumerate(_alphabet_bijections(replicas), start=1):
-        text = F.when(
-            F.col("rep") == i, F.translate(F.col("text"), alpha, mapped)
-        ).otherwise(text)
+    if disjoint_grams:
+        digits = "0123456789"
+        src_syms = alpha + alpha.upper() + digits
+        for i, block in enumerate(_cjk_blocks(replicas), start=1):
+            mapped = block[:26] + block[:26] + block[26:]
+            text = F.when(
+                F.col("rep") == i, F.translate(F.col("text"), src_syms, mapped)
+            ).otherwise(text)
+    else:
+        for i, mapped in enumerate(_alphabet_bijections(replicas), start=1):
+            text = F.when(
+                F.col("rep") == i, F.translate(F.col("text"), alpha, mapped)
+            ).otherwise(text)
     rep = docs.crossJoin(
         spark.range(replicas).select(F.col("id").cast("int").alias("rep"))
     )

@@ -32,6 +32,7 @@ from database_per_keyword_analysis_spark import catalog  # noqa: E402
 from database_per_keyword_analysis_spark.session import get_spark  # noqa: E402
 from tools.measure_scale_r10 import (  # noqa: E402
     BASE,
+    _events10x,
     _fixture_dir,
     _tpch10x,
     median3,
@@ -51,25 +52,49 @@ def _docs100x() -> str:
     return d
 
 
+def _docs100x_disjoint_grams() -> str:
+    # winnowing's fixture: the affine-cipher replicas share char
+    # k-grams by pigeonhole (measured +0.68% group rows at 100x), so
+    # the gram-exact contract needs per-replica disjoint codepoint
+    # blocks (make_scale_fixture.build(disjoint_grams=True))
+    d = os.path.join(CACHE, "scale_sf10w")
+    if not os.path.exists(os.path.join(d, "documents.parquet")):
+        from tools.make_scale_fixture import build
+
+        build(BASE, d, replicas=100, disjoint_grams=True)
+    return d
+
+
 def main() -> None:
     spark = get_spark("measure-scale-r12")
     only = None
     if "--queries" in sys.argv:
         only = set(sys.argv[sys.argv.index("--queries") + 1].split(","))
-    docs100 = _docs100x()
     fixtures: dict[str, tuple[str, str, int]] = {
         # name -> (1x dir, big dir, expected big/1x OUTPUT-row ratio;
         #          0 = flat (equal row counts at both scales))
-        "winnowing_dup_groups": (BASE, docs100, 100),
-        "bpe_encode": (BASE, docs100, 100),
+        "winnowing_dup_groups": (BASE, _docs100x_disjoint_grams(), 100),
+        "bpe_encode": (BASE, _docs100x(), 100),
         "order_price_quantile_summary": (
             BASE,
             _fixture_dir({"orders": _tpch10x("orders")}),
             0,
         ),
+        # flat output (event types x 7 lags at both scales); the
+        # day-grain collapse makes the lag join flat in event volume
+        "event_type_acf": (BASE, _events10x(), 0),
     }
     if only:
         fixtures = {k: v for k, v in fixtures.items() if k in only}
+    # winnowing's contract is a BOUND, not equality: the window-MINIMUM
+    # fingerprint selection is hash-value-dependent, so no character
+    # bijection preserves the selected fp set — near-threshold pairs
+    # flip in/out per replica (measured two-sided flutter 471-480 rows
+    # per replica around the base 472 on the gram-disjoint fixture,
+    # where true cross-replica sharing is exactly ONE 48-bit hash
+    # collision).  1.5% bounds the flutter; a super-linear artifact
+    # (the welded-clique failure mode) would blow straight through it.
+    tolerance = {"winnowing_dup_groups": 0.015}
     qs = catalog.queries()
     for name, (d1, dbig, ratio) in fixtures.items():
         # output contract BEFORE timing: a fixture regression cannot
@@ -77,9 +102,11 @@ def main() -> None:
         n1 = qs[name](spark, d1).count()
         nbig = qs[name](spark, dbig).count()
         want = n1 if ratio == 0 else ratio * n1
-        assert nbig == want, (name, n1, nbig, want)
+        tol = tolerance.get(name, 0.0)
+        assert abs(nbig - want) <= tol * want, (name, n1, nbig, want)
         print(json.dumps({"q": name, "rows_1x": n1, "rows_big": nbig,
-                          "contract": "ok"}), flush=True)
+                          "rows_expected": want, "contract": "ok"}),
+              flush=True)
     for name, (d1, dbig, _r) in fixtures.items():  # un-timed warmup
         run_once(lambda: qs[name](spark, d1))
         run_once(lambda: qs[name](spark, dbig))
