@@ -790,6 +790,10 @@ _DEFERRED_TWINS = {
     #   event_type_trends_robust in-window; slot taken by
     #   event_type_acf (NOVEL r12: lag-structure ACF, n²-scaled
     #   BIGINT moments, engine-exact)
+    "copurchase_kcore",  # green r10-r11; the graph family keeps
+    #   reachability, hits, ppr and cheapest_paths in-window; slot
+    #   taken by copurchase_assortativity (NOVEL r12: Newman degree
+    #   mixing, sqrt-free symmetric Pearson over exact moments)
 }
 
 
@@ -9661,3 +9665,52 @@ def q_event_type_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import stats as ST
 
     return ST.series_acf(load(spark, sf_dir, "events"), "event_type")
+
+
+@register(
+    "copurchase_assortativity",
+    # mirror degree_assortativity token for token: the triangles/k-core
+    # pairs CTE (support >= 2), both directions, one degree agg, exact
+    # BIGINT moments, the sqrt-free symmetric Pearson, CASE NULL on
+    # regular graphs
+    "WITH items AS (SELECT DISTINCT l_orderkey AS basket, "
+    "l_partkey AS item FROM lineitem), "
+    "pairs AS (SELECT a.item AS pa, b.item AS pb "
+    "FROM items a JOIN items b ON a.basket = b.basket "
+    "AND a.item < b.item GROUP BY 1, 2 HAVING count(*) >= 2), "
+    "dir AS (SELECT pa AS u, pb AS v FROM pairs "
+    "UNION ALL SELECT pb AS u, pa AS v FROM pairs), "
+    "deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d "
+    "FROM dir GROUP BY u), "
+    "du AS (SELECT d1.d AS du, d2.d AS dv FROM dir "
+    "JOIN deg d1 ON dir.u = d1.u JOIN deg d2 ON dir.v = d2.u), "
+    "mom AS (SELECT CAST(count(*) AS BIGINT) AS m, "
+    "CAST(sum(du) AS BIGINT) AS sx, "
+    "CAST(sum(du * dv) AS BIGINT) AS sxy, "
+    "CAST(sum(du * du) AS BIGINT) AS sxx FROM du), "
+    "nodes AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg) "
+    "SELECT n_nodes, m // 2 AS n_edges, "
+    "CASE WHEN m * sxx - sx * sx > 0 THEN "
+    "round(CAST(m * sxy - sx * sx AS DOUBLE) / "
+    "CAST(m * sxx - sx * sx AS DOUBLE), 9) END AS assortativity "
+    "FROM mom CROSS JOIN nodes",
+)
+def q_copurchase_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-purchase graph
+    (operators/graph.py: degree_assortativity; Newman PRL 2002): do
+    frequently-co-bought parts attach to other hubs or to leaves —
+    the one-number mixing diagnostic completing the graph-statistics
+    ladder (reachability, triangles, k-core, PageRank/PPR, HITS,
+    min-cost paths, now global mixing).  Shares the triangles/k-core
+    pairs derivation (_copurchase_pairs, support >= 2) so the
+    threshold lives in one place.  Engine-exact WITHOUT libm: counting
+    each edge in both directions makes the two endpoint-degree
+    marginals coincide, so Newman's Pearson needs no sqrt — exact
+    BIGINT moments, ONE IEEE division (the series_acf discipline).
+    NOVEL round-12 machinery → in-window at birth; copurchase_kcore
+    (green r10-r11) rotated out with a NEW differential (the graph
+    family keeps reachability, hits, ppr and cheapest_paths
+    in-window)."""
+    from .operators import graph as G
+
+    return G.degree_assortativity(_copurchase_pairs(spark, sf_dir))

@@ -834,3 +834,60 @@ def sssp_bounded(
         )
         frontier = improved
     return dist.orderBy("node")
+
+
+def degree_assortativity(pairs: DataFrame) -> DataFrame:
+    """Degree assortativity of an undirected graph (Newman, PRL 2002):
+    the Pearson correlation of endpoint degrees over edges — positive
+    when hubs attach to hubs (social-style), negative when hubs attach
+    to leaves (hub-and-spoke), the one-number mixing diagnostic above
+    the triangle/k-core structure tiers.
+
+    Input: one row per undirected edge (a, b) with a < b (the
+    _copurchase_pairs convention).  Both directions are counted, and
+    that symmetry IS the engine-exactness trick: with each edge seen
+    both ways the two endpoint-degree marginals coincide, so Newman's
+    eq. 4 needs NO libm sqrt —
+
+        r = (m·Σ d_u d_v − (Σ d_u)²) / (m·Σ d_u² − (Σ d_u)²)
+
+    over directed edges, every Σ an exact BIGINT (degrees from one
+    count agg), then ONE IEEE division rounded 9dp — bit-identical in
+    any engine (the series_acf moment discipline; a 100 TB deployment
+    swaps the casts to DECIMAL(38,0)).  Regular graphs (zero degree
+    variance) surface NULL.
+
+    100 TB shape: one degree aggregate (node-sized), two broadcast-able
+    degree attaches keyed on the endpoint, one scalar fold — no
+    quadratic stage anywhere; the edge list is scanned twice.  Returns
+    a single row (n_nodes, n_edges, assortativity)."""
+    directed = pairs.select(
+        F.col("a").alias("u"), F.col("b").alias("v")
+    ).unionByName(pairs.select(F.col("b").alias("u"), F.col("a").alias("v")))
+    deg = directed.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    both = (
+        directed.join(deg.withColumnRenamed("u", "_n"), F.col("u") == F.col("_n"))
+        .select("u", "v", F.col("d").alias("du"))
+        .join(
+            deg.select(F.col("u").alias("_n2"), F.col("d").alias("dv")),
+            F.col("v") == F.col("_n2"),
+        )
+        .select("du", "dv")
+    )
+    mom = both.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("du").alias("sx"),
+        F.sum(F.col("du") * F.col("dv")).alias("sxy"),
+        F.sum(F.col("du") * F.col("du")).alias("sxx"),
+    )
+    m, sx = F.col("m"), F.col("sx")
+    num = m * F.col("sxy") - sx * sx
+    den = m * F.col("sxx") - sx * sx
+    nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    return mom.crossJoin(F.broadcast(nodes)).select(
+        "n_nodes",
+        (m / F.lit(2)).cast("long").alias("n_edges"),
+        F.when(
+            den > 0, F.round(num.cast("double") / den.cast("double"), 9)
+        ).alias("assortativity"),
+    )

@@ -1166,3 +1166,10 @@ def test_event_type_trends_matches_oracle(spark, sf_dir):
     # keeps event_trend_break and event_type_trends_robust in-window;
     # slot taken by event_type_acf
     _assert_matches_oracle(spark, sf_dir, "event_type_trends")
+
+
+def test_copurchase_kcore_matches_oracle(spark, sf_dir):
+    # r12 demotion: 2-round-green (r10+r11); the graph family keeps
+    # reachability, hits, ppr and cheapest_paths in-window; slot taken
+    # by copurchase_assortativity
+    _assert_matches_oracle(spark, sf_dir, "copurchase_kcore")

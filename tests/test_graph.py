@@ -357,3 +357,44 @@ def test_sssp_bounded_contracts(spark):
         ).collect()
     }
     assert forced == got
+
+
+class TestDegreeAssortativity:
+    def _run(self, spark, pairs):
+        from database_per_keyword_analysis_spark.operators import graph as G
+
+        df = spark.createDataFrame(pairs, "a string, b string")
+        return G.degree_assortativity(df).collect()[0]
+
+    @staticmethod
+    def _ref(pairs):
+        # pure-Python Newman r over directed edges (both ways)
+        from collections import Counter
+
+        dirs = [(u, v) for u, v in pairs] + [(v, u) for u, v in pairs]
+        deg = Counter(u for u, _ in dirs)
+        xs = [(deg[u], deg[v]) for u, v in dirs]
+        m = len(xs)
+        sx = sum(x for x, _ in xs)
+        sxy = sum(x * y for x, y in xs)
+        sxx = sum(x * x for x, _ in xs)
+        den = m * sxx - sx * sx
+        return None if den == 0 else round((m * sxy - sx * sx) / den, 9)
+
+    def test_star_graph_is_maximally_disassortative(self, spark):
+        pairs = [("h", f"l{i}") for i in range(5)]
+        row = self._run(spark, pairs)
+        assert row.n_nodes == 6 and row.n_edges == 5
+        assert row.assortativity == -1.0 == self._ref(pairs)
+
+    def test_regular_graph_is_null(self, spark):
+        # a 4-cycle: every degree 2 -> zero variance -> NULL
+        pairs = [("a", "b"), ("b", "c"), ("c", "d"), ("a", "d")]
+        row = self._run(spark, pairs)
+        assert row.assortativity is None and row.n_edges == 4
+
+    def test_matches_pure_python_on_mixed_graph(self, spark):
+        pairs = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"),
+                 ("d", "e"), ("e", "f"), ("f", "g"), ("d", "g")]
+        row = self._run(spark, pairs)
+        assert row.assortativity == self._ref(pairs)
