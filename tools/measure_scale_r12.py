@@ -83,6 +83,13 @@ def main() -> None:
         # flat output (event types x 7 lags at both scales); the
         # day-grain collapse makes the lag join flat in event volume
         "event_type_acf": (BASE, _events10x(), 0),
+        # flat single-row output; key-offset lineitem replicas keep
+        # baskets replica-local so the pairs CTE grows linearly
+        "copurchase_assortativity": (
+            BASE,
+            _fixture_dir({"lineitem": _tpch10x("lineitem")}, tag="_asrt"),
+            0,
+        ),
     }
     if only:
         fixtures = {k: v for k, v in fixtures.items() if k in only}
