@@ -362,6 +362,22 @@ HEADLINE = [
     # round-11: Theil-Sen robust trend (timed — day-grain collapse +
     # the days^2 pair self-join + two discrete medians)
     "event_type_trends_robust",
+    # round-12: mergeable equi-spaced quantile summary (timed — the
+    # one per-group window sort + the k-cell spine rank equi-join)
+    "order_price_quantile_summary",
+    # round-12: Persian normalize/tokenize/filter chain (timed — the
+    # fixed VALUES corpus costs microseconds, but the chain's codegen
+    # compilation IS its cost path and belongs in the headline)
+    "persian_word_frequency",
+    # round-12: daily-series ACF (timed — day-grain collapse + the
+    # days x 7 lag equi-join + one moment aggregate)
+    "event_type_acf",
+    # round-12: degree assortativity (timed — the shared pairs CTE +
+    # a node-sized degree agg + broadcast attaches + a scalar fold)
+    "copurchase_assortativity",
+    # round-12: corpus mass concentration (timed — one per-group
+    # window sort feeding the rank-form Gini and the top-k share)
+    "doc_length_gini",
 ]
 
 # Round-7 headline audit (round-6 judge item 5): every registered query

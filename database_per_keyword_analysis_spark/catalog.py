@@ -794,6 +794,11 @@ _DEFERRED_TWINS = {
     #   reachability, hits, ppr and cheapest_paths in-window; slot
     #   taken by copurchase_assortativity (NOVEL r12: Newman degree
     #   mixing, sqrt-free symmetric Pearson over exact moments)
+    "doc_pairs_complete_jaccard",  # green r10-r11; the complete-recall
+    #   family keeps doc_containment_pairs and customer_linkage_scores
+    #   (which runs the ED block) in-window; slot taken by
+    #   doc_length_gini (NOVEL r12: rank-form Gini + top-k mass share,
+    #   the curation concentration diagnostic)
 }
 
 
@@ -9714,3 +9719,45 @@ def q_copurchase_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import graph as G
 
     return G.degree_assortativity(_copurchase_pairs(spark, sf_dir))
+
+
+@register(
+    "doc_length_gini",
+    # mirror length_concentration token for token: ascending and
+    # descending row_number ranks, exact BIGINT sums, the rank-form
+    # Gini and the top-10 mass share as single IEEE divisions
+    "WITH base AS (SELECT source AS grp, CAST(n_chars AS BIGINT) AS x "
+    "FROM documents WHERE n_chars IS NOT NULL), "
+    "ranked AS (SELECT grp, x, "
+    "row_number() OVER (PARTITION BY grp ORDER BY x) AS i, "
+    "row_number() OVER (PARTITION BY grp ORDER BY x DESC) AS j "
+    "FROM base), "
+    "agg AS (SELECT grp, CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(x) AS BIGINT) AS s, CAST(sum(i * x) AS BIGINT) AS s1, "
+    "CAST(sum(CASE WHEN j <= 10 THEN x ELSE 0 END) AS BIGINT) AS top "
+    "FROM ranked GROUP BY grp) "
+    "SELECT grp AS source, n AS n_docs, s AS total, "
+    "CASE WHEN s > 0 THEN round(CAST(2 * s1 - (n + 1) * s AS DOUBLE) / "
+    "CAST(n * s AS DOUBLE), 9) END AS gini, "
+    "CASE WHEN s > 0 THEN round(CAST(top AS DOUBLE) / CAST(s AS DOUBLE), "
+    "9) END AS top_share FROM agg ORDER BY source",
+)
+def q_doc_length_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus mass concentration (operators/textquality.py:
+    length_concentration): the Gini coefficient of document sizes plus
+    the top-10-doc mass share — the "is this source a few giant
+    documents" diagnostic a curation pipeline reads before the
+    source-mixture samplers (operators/curation.py) assume balanced
+    mass; high-Gini sources get a token-budget cap or chunking first.
+    Engine-exact via the rank-form Gini on exact BIGINT sums (ties
+    share a value, so the rank sums are tie-order invariant) and ONE
+    IEEE division per ratio — the series_acf/assortativity moment
+    discipline.  NOVEL round-12 machinery → in-window at birth;
+    doc_pairs_complete_jaccard (green r10-r11) rotated out with a NEW
+    differential (the complete-recall family keeps
+    doc_containment_pairs and customer_linkage_scores in-window)."""
+    from .operators import textquality as TQ
+
+    return TQ.length_concentration(
+        load(spark, sf_dir, "documents", parallel=True)
+    )

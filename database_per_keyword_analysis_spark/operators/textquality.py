@@ -889,3 +889,70 @@ def cooccurrence_npmi(
         "n_ab",
         F.round(npmi, 6).alias("npmi"),
     ).orderBy("token_a", "token_b")
+
+
+CONCENTRATION_TOP_K = 10  # heaviest docs per group in the share metric
+
+
+def length_concentration(
+    docs: DataFrame,
+    group_col: str = "source",
+    value_col: str = "n_chars",
+    top_k: int = CONCENTRATION_TOP_K,
+) -> DataFrame:
+    """Per-group corpus mass concentration: the Gini coefficient of a
+    size column plus the share held by the top_k heaviest docs — the
+    "is this source dominated by a few giant documents" diagnostic a
+    curation pipeline reads before sampling (a high-Gini source needs
+    a token-budget cap or per-doc chunking before mixing; the
+    source-mixture samplers in operators/curation.py assume roughly
+    balanced mass).
+
+    Engine-exactness (the series_acf/assortativity moment discipline):
+    with x_(1) <= ... <= x_(n) the ascending sort,
+
+        gini = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx)
+
+    — every Σ an exact BIGINT (rank from one ordered window; ties
+    share a value, so Σ i·x_(i) is tie-order invariant), then ONE IEEE
+    division rounded 9dp; top_k share is a BIGINT sum over the k
+    largest divided by the total.  Groups with zero total mass surface
+    NULL for both ratios.
+
+    100 TB shape: one per-group window sort (the exact-percentile
+    shuffle, paid once) feeding both metrics; everything after is a
+    group-sized aggregate.  Returns (group, n_docs, total, gini,
+    top_share) deterministically ordered."""
+    if top_k < 1:
+        raise ValueError("length_concentration: top_k must be >= 1")
+    base = docs.where(F.col(value_col).isNotNull()).select(
+        F.col(group_col).alias("grp"), F.col(value_col).cast("long").alias("x")
+    )
+    w = Window.partitionBy("grp").orderBy("x")
+    wd = Window.partitionBy("grp").orderBy(F.desc("x"))
+    ranked = base.select(
+        "grp",
+        "x",
+        F.row_number().over(w).alias("i"),
+        F.row_number().over(wd).alias("j"),
+    )
+    agg = ranked.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("i") * F.col("x")).alias("s1"),
+        F.sum(F.when(F.col("j") <= top_k, F.col("x")).otherwise(0)).alias(
+            "top"
+        ),
+    )
+    n, s = F.col("n"), F.col("s")
+    gini = (F.lit(2) * F.col("s1") - (n + 1) * s).cast("double") / (
+        n * s
+    ).cast("double")
+    share = F.col("top").cast("double") / s.cast("double")
+    return agg.select(
+        F.col("grp").alias(group_col),
+        F.col("n").alias("n_docs"),
+        F.col("s").alias("total"),
+        F.when(s > 0, F.round(gini, 9)).alias("gini"),
+        F.when(s > 0, F.round(share, 9)).alias("top_share"),
+    ).orderBy(group_col)

@@ -1173,3 +1173,10 @@ def test_copurchase_kcore_matches_oracle(spark, sf_dir):
     # reachability, hits, ppr and cheapest_paths in-window; slot taken
     # by copurchase_assortativity
     _assert_matches_oracle(spark, sf_dir, "copurchase_kcore")
+
+
+def test_doc_pairs_complete_jaccard_matches_oracle(spark, sf_dir):
+    # r12 demotion: 2-round-green (r10+r11); the complete-recall family
+    # keeps doc_containment_pairs and customer_linkage_scores in-window;
+    # slot taken by doc_length_gini
+    _assert_matches_oracle(spark, sf_dir, "doc_pairs_complete_jaccard")

@@ -496,3 +496,49 @@ def test_kn3_derived_bigram_types_arm_is_bit_equal(spark):
         ).collect()
     )
     assert a == b
+
+
+class TestLengthConcentration:
+    def _run(self, spark, rows, **kw):
+        from database_per_keyword_analysis_spark.operators import (
+            textquality as TQ,
+        )
+
+        df = spark.createDataFrame(rows, "source string, n_chars long")
+        return {
+            r.source: r
+            for r in TQ.length_concentration(df, **kw).collect()
+        }
+
+    def test_equal_masses_give_gini_near_zero(self, spark):
+        # perfectly equal distribution: rank-form Gini = (n-1)/n - 1 + 1/n
+        # ... exactly 0 for equal x: (2*S1 - (n+1)*S)/(n*S) with
+        # S1 = x*n(n+1)/2 -> numerator 0
+        got = self._run(spark, [("a", 100)] * 8)
+        assert got["a"].gini == 0.0
+        assert got["a"].top_share == 1.0  # 8 docs <= top_k=10
+
+    def test_single_giant_doc_dominates(self, spark):
+        rows = [("b", 1)] * 9 + [("b", 991)]
+        got = self._run(spark, rows)
+        # hand Gini: sorted x = 1*9, 991; S=1000, S1=45+9910=9955
+        # (2*9955 - 11*1000)/(10*1000) = 8910/10000
+        assert got["b"].gini == 0.891
+        assert got["b"].top_share == 1.0
+
+    def test_matches_pure_python_reference(self, spark):
+        import random
+
+        rng = random.Random(3)
+        xs = [rng.randrange(1, 5000) for _ in range(57)]
+        got = self._run(spark, [("c", x) for x in xs], top_k=5)
+        xs.sort()
+        n, s = len(xs), sum(xs)
+        s1 = sum((i + 1) * x for i, x in enumerate(xs))
+        assert got["c"].gini == round((2 * s1 - (n + 1) * s) / (n * s), 9)
+        assert got["c"].top_share == round(sum(sorted(xs)[-5:]) / s, 9)
+
+    def test_zero_total_mass_is_null(self, spark):
+        got = self._run(spark, [("d", 0), ("d", 0)])
+        assert got["d"].gini is None and got["d"].top_share is None
+        assert got["d"].n_docs == 2

@@ -32,6 +32,7 @@ from database_per_keyword_analysis_spark import catalog  # noqa: E402
 from database_per_keyword_analysis_spark.session import get_spark  # noqa: E402
 from tools.measure_scale_r10 import (  # noqa: E402
     BASE,
+    _docs10x,
     _events10x,
     _fixture_dir,
     _tpch10x,
@@ -90,6 +91,9 @@ def main() -> None:
             _fixture_dir({"lineitem": _tpch10x("lineitem")}, tag="_asrt"),
             0,
         ),
+        # flat output (one row per source at both scales); the window
+        # sort is the scaling cost
+        "doc_length_gini": (BASE, _docs10x(), 0),
     }
     if only:
         fixtures = {k: v for k, v in fixtures.items() if k in only}
