@@ -378,6 +378,9 @@ HEADLINE = [
     # round-12: corpus mass concentration (timed — one per-group
     # window sort feeding the rank-form Gini and the top-k share)
     "doc_length_gini",
+    # round-12: Zipf rank-frequency slope (timed — one token-count
+    # agg + a vocab-bounded top-k rank window + a group-sized OLS)
+    "vocab_zipf_slope",
 ]
 
 # Round-7 headline audit (round-6 judge item 5): every registered query

@@ -799,6 +799,10 @@ _DEFERRED_TWINS = {
     #   (which runs the ED block) in-window; slot taken by
     #   doc_length_gini (NOVEL r12: rank-form Gini + top-k mass share,
     #   the curation concentration diagnostic)
+    "phrase_search",  # green r10-r11; positional phrase retrieval —
+    #   the retrieval family keeps doc_boolean_search and the promoted
+    #   bm25_search in-window; slot taken by vocab_zipf_slope (NOVEL
+    #   r12: log-log OLS over DECIMAL-accumulated ln sums)
 }
 
 
@@ -9761,3 +9765,58 @@ def q_doc_length_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TQ.length_concentration(
         load(spark, sf_dir, "documents", parallel=True)
     )
+
+
+_ZIPF_SLOPE_EXPR = (
+    "(CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE) - "
+    "CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / "
+    "(CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE) - "
+    "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+)
+
+
+@register(
+    "vocab_zipf_slope",
+    # mirror zipf_slope token for token: per-lang type counts, the
+    # (n DESC, token) rank, ln terms DECIMAL(38,18)-accumulated
+    # (order-free), slope/intercept as IEEE ops on the exact sums;
+    # the intercept reuses the UNROUNDED slope expression
+    r"WITH counts AS (SELECT lang AS grp, t.token AS token, "
+    "CAST(count(*) AS BIGINT) AS n FROM documents, "
+    r"unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t(token) "
+    "WHERE text IS NOT NULL AND t.token <> '' GROUP BY 1, 2), "
+    "tot AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_types, "
+    "CAST(sum(n) AS BIGINT) AS n_tokens FROM counts GROUP BY grp), "
+    "top AS (SELECT grp, n, row_number() OVER (PARTITION BY grp "
+    "ORDER BY n DESC, token) AS r FROM counts QUALIFY r <= 1000), "
+    "terms AS (SELECT grp, ln(CAST(r AS DOUBLE)) AS x, "
+    "ln(CAST(n AS DOUBLE)) AS y FROM top), "
+    "fit AS (SELECT grp, CAST(count(*) AS BIGINT) AS k, "
+    "sum(CAST(x AS DECIMAL(38,18))) AS sx, "
+    "sum(CAST(y AS DECIMAL(38,18))) AS sy, "
+    "sum(CAST(x * y AS DECIMAL(38,18))) AS sxy, "
+    "sum(CAST(x * x AS DECIMAL(38,18))) AS sxx FROM terms GROUP BY grp) "
+    "SELECT fit.grp AS lang, n_types, n_tokens, k AS k_used, "
+    f"CASE WHEN k >= 2 THEN round({_ZIPF_SLOPE_EXPR}, 6) END AS slope, "
+    "CASE WHEN k >= 2 THEN round((CAST(sy AS DOUBLE) - "
+    f"({_ZIPF_SLOPE_EXPR}) * CAST(sx AS DOUBLE)) / CAST(k AS DOUBLE), 6) "
+    "END AS intercept "
+    "FROM fit JOIN tot ON fit.grp = tot.grp ORDER BY lang",
+)
+def q_vocab_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Zipf rank-frequency slope over the corpus
+    (operators/textquality.py: zipf_slope; Zipf 1949, Piantadosi 2014):
+    the log-log OLS over each language's top-1000 word types — the
+    vocabulary-health read (natural text sits near slope −1;
+    boilerplate floods, spam, or tokenizer damage bend the curve)
+    beside doc_length_gini's mass view.  Rank ties break on the token
+    string so both engines rank identically; the ln sums accumulate in
+    DECIMAL(38,18) (order-free — the _dot_dec convention), making the
+    OLS engine-exact up to the shared-ulp ln inputs, rounded 6dp (the
+    NPMI precedent).  NOVEL round-12 machinery → in-window at birth;
+    phrase_search (green r10-r11) rotated out with a NEW differential
+    (the retrieval family keeps doc_boolean_search and the promoted
+    bm25_search in-window)."""
+    from .operators import textquality as TQ
+
+    return TQ.zipf_slope(load(spark, sf_dir, "documents", parallel=True))

@@ -956,3 +956,85 @@ def length_concentration(
         F.when(s > 0, F.round(gini, 9)).alias("gini"),
         F.when(s > 0, F.round(share, 9)).alias("top_share"),
     ).orderBy(group_col)
+
+
+ZIPF_TOP_K = 1000  # rank cutoff for the log-log fit
+
+
+def zipf_slope(
+    docs: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    top_k: int = ZIPF_TOP_K,
+) -> DataFrame:
+    """Per-group Zipf rank-frequency slope (Zipf 1949; Piantadosi 2014
+    review): OLS of ln(frequency) on ln(rank) over each group's top_k
+    word types — the vocabulary-health diagnostic of a training corpus
+    (natural language sits near slope −1; scraped boilerplate, spam,
+    or tokenizer damage bend the curve), beside length_concentration's
+    mass view.
+
+    Determinism: rank is a row_number over (n DESC, token) — the tie
+    on counts breaks on the token string, so both engines rank
+    identically; ln terms are doubles, and their SUMS accumulate in
+    DECIMAL(38,18) (the _dot_dec convention: decimal addition is
+    exact and order-free, so a parallel Spark sum and a sequential
+    DuckDB sum agree bit-for-bit); the slope/intercept are then a few
+    IEEE ops on the exact sums, rounded 6dp.
+
+    100 TB shape: one token count aggregate (map-side combinable), one
+    per-group top-k rank window over the TYPE table (vocab-bounded,
+    not corpus-bounded), then a group-sized OLS fold.  Groups with
+    fewer than 2 kept types have no fit and surface NULLs.  Returns
+    (group, n_types, n_tokens, k_used, slope, intercept)."""
+    if top_k < 2:
+        raise ValueError("zipf_slope: top_k must be >= 2")
+    counts = (
+        docs.where(F.col(text_col).isNotNull())
+        .select(
+            F.col(group_col).alias("grp"),
+            F.explode(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+            ).alias("token"),
+        )
+        .where(F.col("token") != "")
+        .groupBy("grp", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = counts.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum("n").alias("n_tokens"),
+    )
+    w = Window.partitionBy("grp").orderBy(F.desc("n"), "token")
+    top = counts.select(
+        "grp", "n", F.row_number().over(w).alias("r")
+    ).where(F.col("r") <= top_k)
+    x = F.log(F.col("r").cast("double"))
+    y = F.log(F.col("n").cast("double"))
+    dec = lambda c: c.cast("decimal(38,18)")  # noqa: E731
+    fit = top.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum(dec(x)).alias("sx"),
+        F.sum(dec(y)).alias("sy"),
+        F.sum(dec(x * y)).alias("sxy"),
+        F.sum(dec(x * x)).alias("sxx"),
+    )
+    k = F.col("k").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    den = k * F.col("sxx").cast("double") - sx * sx
+    slope = (k * F.col("sxy").cast("double") - sx * sy) / den
+    intercept = (sy - slope * sx) / k
+    return (
+        fit.join(tot, "grp")
+        .select(
+            F.col("grp").alias(group_col),
+            "n_types",
+            "n_tokens",
+            F.col("k").alias("k_used"),
+            F.when(F.col("k") >= 2, F.round(slope, 6)).alias("slope"),
+            F.when(F.col("k") >= 2, F.round(intercept, 6)).alias(
+                "intercept"
+            ),
+        )
+        .orderBy(group_col)
+    )

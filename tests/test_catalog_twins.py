@@ -1180,3 +1180,10 @@ def test_doc_pairs_complete_jaccard_matches_oracle(spark, sf_dir):
     # keeps doc_containment_pairs and customer_linkage_scores in-window;
     # slot taken by doc_length_gini
     _assert_matches_oracle(spark, sf_dir, "doc_pairs_complete_jaccard")
+
+
+def test_phrase_search_matches_oracle(spark, sf_dir):
+    # r12 demotion: 2-round-green (r10+r11); the retrieval family keeps
+    # doc_boolean_search and the promoted bm25_search in-window; slot
+    # taken by vocab_zipf_slope
+    _assert_matches_oracle(spark, sf_dir, "phrase_search")

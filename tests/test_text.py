@@ -542,3 +542,51 @@ class TestLengthConcentration:
         got = self._run(spark, [("d", 0), ("d", 0)])
         assert got["d"].gini is None and got["d"].top_share is None
         assert got["d"].n_docs == 2
+
+
+class TestZipfSlope:
+    def test_synthetic_zipf_recovers_minus_one(self, spark):
+        # frequencies n_r = round(C / r) over 60 ranks: the fitted
+        # log-log slope must sit near -1
+        from database_per_keyword_analysis_spark.operators import (
+            textquality as TQ,
+        )
+
+        rows = []
+        for r in range(1, 61):
+            tok = f"w{r:03d}"
+            rows.extend(("en", tok) for _ in range(max(1, round(600 / r))))
+        docs = spark.createDataFrame(
+            [(lang, " ".join(t for _, t in grp))
+             for lang, grp in [("en", rows)]],
+            "lang string, text string",
+        )
+        out = TQ.zipf_slope(docs).collect()[0]
+        assert out.n_types == 60 and out.k_used == 60
+        assert -1.05 < out.slope < -0.93
+
+    def test_tie_break_on_token_is_deterministic(self, spark):
+        # all-equal counts: slope exactly 0 (y constant), rank order
+        # pinned by the token tiebreak
+        from database_per_keyword_analysis_spark.operators import (
+            textquality as TQ,
+        )
+
+        docs = spark.createDataFrame(
+            [("en", "b a d c")], "lang string, text string"
+        )
+        out = TQ.zipf_slope(docs).collect()[0]
+        assert out.slope == 0.0 and out.k_used == 4
+
+    def test_top_k_validation(self, spark):
+        import pytest as _pytest
+
+        from database_per_keyword_analysis_spark.operators import (
+            textquality as TQ,
+        )
+
+        docs = spark.createDataFrame(
+            [("en", "a b")], "lang string, text string"
+        )
+        with _pytest.raises(ValueError):
+            TQ.zipf_slope(docs, top_k=1)

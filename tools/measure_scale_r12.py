@@ -94,6 +94,9 @@ def main() -> None:
         # flat output (one row per source at both scales); the window
         # sort is the scaling cost
         "doc_length_gini": (BASE, _docs10x(), 0),
+        # flat output (one row per lang); the type table is
+        # vocab-bounded — cipher replicas grow it ~10x, the worst case
+        "vocab_zipf_slope": (BASE, _docs10x(), 0),
     }
     if only:
         fixtures = {k: v for k, v in fixtures.items() if k in only}
