@@ -381,6 +381,9 @@ HEADLINE = [
     # round-12: Zipf rank-frequency slope (timed — one token-count
     # agg + a vocab-bounded top-k rank window + a group-sized OLS)
     "vocab_zipf_slope",
+    # round-12: Heaps vocabulary-growth fit (timed — one per-doc
+    # count projection + a min-doc type agg + a 10-row curve fold)
+    "vocab_heaps_law",
 ]
 
 # Round-7 headline audit (round-6 judge item 5): every registered query

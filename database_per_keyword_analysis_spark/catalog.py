@@ -803,6 +803,11 @@ _DEFERRED_TWINS = {
     #   the retrieval family keeps doc_boolean_search and the promoted
     #   bm25_search in-window; slot taken by vocab_zipf_slope (NOVEL
     #   r12: log-log OLS over DECIMAL-accumulated ln sums)
+    "user_count_min",  # green r10-r11; Count-Min point counts — the
+    #   sketch family keeps KMV, HLL, orders_join_size_sketch and the
+    #   new quantile summary in-window; slot taken by vocab_heaps_law
+    #   (NOVEL r12: one-pass vocabulary-growth fit via min-doc first
+    #   occurrences)
 }
 
 
@@ -9820,3 +9825,73 @@ def q_vocab_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import textquality as TQ
 
     return TQ.zipf_slope(load(spark, sf_dir, "documents", parallel=True))
+
+
+_HEAPS_BETA_EXPR = (
+    "(CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE) - "
+    "CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / "
+    "(CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE) - "
+    "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+)
+
+
+@register(
+    "vocab_heaps_law",
+    # mirror heaps_law token for token: doc_id prefix order, the
+    # integer bucket formula, min-doc first occurrences, cumulative
+    # window sums over the checkpoint spine, DECIMAL-accumulated
+    # log-log OLS with the UNROUNDED beta reused in ln_k
+    "WITH base AS (SELECT doc_id AS doc, "
+    r"list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), "
+    "t -> t <> '') AS toks FROM documents WHERE text IS NOT NULL), "
+    "ranked AS (SELECT doc, CAST(len(toks) AS BIGINT) AS n_toks, "
+    "row_number() OVER (ORDER BY doc) AS rnk FROM base), "
+    "nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM ranked), "
+    "bucketed AS (SELECT doc, n_toks, "
+    "(CAST(rnk - 1 AS BIGINT) * 10) // nd + 1 AS ckpt "
+    "FROM ranked CROSS JOIN nd), "
+    "occ AS (SELECT ckpt, CAST(sum(n_toks) AS BIGINT) AS n_inc "
+    "FROM bucketed GROUP BY ckpt), "
+    "f AS (SELECT t.token, min(doc) AS doc FROM base, "
+    "unnest(toks) AS t(token) GROUP BY t.token), "
+    "firsts AS (SELECT b2.ckpt, CAST(count(*) AS BIGINT) AS v_inc "
+    "FROM f JOIN bucketed b2 ON f.doc = b2.doc GROUP BY b2.ckpt), "
+    "spine AS (SELECT CAST(unnest(generate_series(1, 10)) AS BIGINT) "
+    "AS ckpt), "
+    "curve AS (SELECT s.ckpt, "
+    "CAST(sum(coalesce(n_inc, 0)) OVER (ORDER BY s.ckpt) AS BIGINT) "
+    "AS n_cum, "
+    "CAST(sum(coalesce(v_inc, 0)) OVER (ORDER BY s.ckpt) AS BIGINT) "
+    "AS v_cum FROM spine s LEFT JOIN occ ON s.ckpt = occ.ckpt "
+    "LEFT JOIN firsts ON s.ckpt = firsts.ckpt), "
+    "curve2 AS (SELECT * FROM curve WHERE n_cum > 0), "
+    "terms AS (SELECT ln(CAST(n_cum AS DOUBLE)) AS x, "
+    "ln(CAST(v_cum AS DOUBLE)) AS y FROM curve2), "
+    "fit AS (SELECT CAST(count(*) AS BIGINT) AS k, "
+    "sum(CAST(x AS DECIMAL(38,18))) AS sx, "
+    "sum(CAST(y AS DECIMAL(38,18))) AS sy, "
+    "sum(CAST(x * y AS DECIMAL(38,18))) AS sxy, "
+    "sum(CAST(x * x AS DECIMAL(38,18))) AS sxx FROM terms) "
+    "SELECT ckpt, n_cum, v_cum, "
+    f"CASE WHEN k >= 2 THEN round({_HEAPS_BETA_EXPR}, 6) END AS beta, "
+    "CASE WHEN k >= 2 THEN round((CAST(sy AS DOUBLE) - "
+    f"({_HEAPS_BETA_EXPR}) * CAST(sx AS DOUBLE)) / CAST(k AS DOUBLE), 6) "
+    "END AS ln_k FROM curve2 CROSS JOIN fit ORDER BY ckpt",
+)
+def q_vocab_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth over the corpus
+    (operators/textquality.py: heaps_law; Heaps 1978): V(N) ≈ K·N^β
+    fitted over 10 doc_id-ordered prefix checkpoints — zipf_slope's
+    companion (natural text at β ≈ 0.4-0.6; β→1 flags unbounded
+    novel-token churn, β→0 a closed boilerplate vocabulary).  One
+    pass, not 10: a token joins the vocabulary at min(doc_id), so
+    per-checkpoint vocabulary increments are one group count over the
+    first-occurrence TYPE table and the curve is a 10-row window
+    cumsum; the log-log OLS accumulates in DECIMAL(38,18) (order-free)
+    so both engines agree at 6dp.  NOVEL round-12 machinery →
+    in-window at birth; user_count_min (green r10-r11) rotated out
+    with a NEW differential (the sketch family keeps KMV, HLL,
+    orders_join_size_sketch and the new quantile summary in-window)."""
+    from .operators import textquality as TQ
+
+    return TQ.heaps_law(load(spark, sf_dir, "documents", parallel=True))

@@ -1038,3 +1038,117 @@ def zipf_slope(
         )
         .orderBy(group_col)
     )
+
+
+HEAPS_CHECKPOINTS = 10  # prefix checkpoints for the growth fit
+
+
+def heaps_law(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    checkpoints: int = HEAPS_CHECKPOINTS,
+) -> DataFrame:
+    """Heaps'-law vocabulary growth fit (Heaps 1978; Herdan 1960):
+    V(N) ≈ K·N^β — how fast the vocabulary grows as the corpus is
+    read in a fixed order — the companion diagnostic to zipf_slope
+    (natural text sits at β ≈ 0.4-0.6; β near 1 means unbounded
+    novel-token churn — OCR noise, serial numbers, tokenizer damage —
+    and β near 0 a closed boilerplate vocabulary).
+
+    The corpus prefix order is doc_id (deterministic on both engines);
+    `checkpoints` equal-count doc buckets give the sample points.  The
+    trick that keeps it one pass instead of `checkpoints` distinct
+    scans: a token joins the vocabulary at its FIRST document —
+    min(doc_id) per token — so per-bucket vocabulary increments are a
+    group count over that first-occurrence table, and the cumulative
+    V_j / N_j curves are window sums over `checkpoints` rows.  The
+    log-log OLS runs on DECIMAL(38,18)-accumulated ln sums (the
+    zipf_slope/_dot_dec convention), so slope and intercept are
+    engine-reproducible at 6dp.
+
+    100 TB shape: one per-doc token-count projection, one (token ->
+    min doc) aggregate over the TYPE table, one `checkpoints`-row
+    fold; nothing is rescanned per checkpoint.  Returns one row per
+    checkpoint (ckpt, n_cum, v_cum) with the fitted (beta, ln_k)
+    repeated on each row, deterministically ordered."""
+    if checkpoints < 2:
+        raise ValueError("heaps_law: checkpoints must be >= 2")
+    c = checkpoints
+    base = docs.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("doc"),
+        F.filter(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+            lambda t: t != F.lit(""),
+        ).alias("toks"),
+    )
+    # doc -> checkpoint bucket via the integer rank formula
+    # ((rank-1)*c) div n + 1 (identical arithmetic in both engines)
+    ranked = base.select(
+        "doc", F.size("toks").alias("n_toks")
+    ).withColumn("rnk", F.row_number().over(Window.orderBy("doc")))
+    nd = ranked.groupBy().agg(F.count(F.lit(1)).alias("nd"))
+    bucketed = ranked.crossJoin(F.broadcast(nd)).select(
+        "doc",
+        "n_toks",
+        (
+            F.expr("CAST((rnk - 1) AS BIGINT) * "
+                   f"{c} div nd") + F.lit(1)
+        ).alias("ckpt"),
+    )
+    occ = bucketed.groupBy("ckpt").agg(
+        F.sum("n_toks").alias("n_inc")
+    )
+    firsts = (
+        base.select("doc", F.explode("toks").alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.min("doc").alias("doc"))
+        .join(bucketed.select("doc", "ckpt"), "doc")
+        .groupBy("ckpt")
+        .agg(F.count(F.lit(1)).alias("v_inc"))
+    )
+    spine = nd.select(
+        F.explode(F.sequence(F.lit(1), F.lit(c))).alias("ckpt")
+    )
+    wc = Window.orderBy("ckpt").rowsBetween(Window.unboundedPreceding, 0)
+    curve = (
+        spine.join(occ, "ckpt", "left")
+        .join(firsts, "ckpt", "left")
+        .select(
+            "ckpt",
+            F.sum(F.coalesce("n_inc", F.lit(0).cast("long")))
+            .over(wc)
+            .alias("n_cum"),
+            F.sum(F.coalesce("v_inc", F.lit(0).cast("long")))
+            .over(wc)
+            .alias("v_cum"),
+        )
+        .where(F.col("n_cum") > 0)
+    )
+    x = F.log(F.col("n_cum").cast("double"))
+    y = F.log(F.col("v_cum").cast("double"))
+    dec = lambda col: col.cast("decimal(38,18)")  # noqa: E731
+    fit = curve.groupBy().agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum(dec(x)).alias("sx"),
+        F.sum(dec(y)).alias("sy"),
+        F.sum(dec(x * y)).alias("sxy"),
+        F.sum(dec(x * x)).alias("sxx"),
+    )
+    kk = F.col("k").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    den = kk * F.col("sxx").cast("double") - sx * sx
+    beta = (kk * F.col("sxy").cast("double") - sx * sy) / den
+    ln_k = (sy - beta * sx) / kk
+    return (
+        curve.crossJoin(F.broadcast(fit))
+        .select(
+            "ckpt",
+            "n_cum",
+            "v_cum",
+            F.when(F.col("k") >= 2, F.round(beta, 6)).alias("beta"),
+            F.when(F.col("k") >= 2, F.round(ln_k, 6)).alias("ln_k"),
+        )
+        .orderBy("ckpt")
+    )

@@ -1187,3 +1187,10 @@ def test_phrase_search_matches_oracle(spark, sf_dir):
     # doc_boolean_search and the promoted bm25_search in-window; slot
     # taken by vocab_zipf_slope
     _assert_matches_oracle(spark, sf_dir, "phrase_search")
+
+
+def test_user_count_min_matches_oracle(spark, sf_dir):
+    # r12 demotion: 2-round-green (r10+r11); the sketch family keeps
+    # KMV, HLL, orders_join_size_sketch and order_price_quantile_summary
+    # in-window; slot taken by vocab_heaps_law
+    _assert_matches_oracle(spark, sf_dir, "user_count_min")

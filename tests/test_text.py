@@ -590,3 +590,90 @@ class TestZipfSlope:
         )
         with _pytest.raises(ValueError):
             TQ.zipf_slope(docs, top_k=1)
+
+
+class TestHeapsLaw:
+    def _docs(self, spark, texts):
+        return spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            "doc_id long, text string",
+        )
+
+    def test_closed_vocabulary_beta_near_zero(self, spark):
+        from database_per_keyword_analysis_spark.operators import (
+            textquality as TQ,
+        )
+
+        # the same 4 words repeated: V saturates at the first
+        # checkpoint, beta ~ 0
+        texts = ["a b c d"] * 40
+        rows = TQ.heaps_law(self._docs(spark, texts)).collect()
+        assert len(rows) == 10
+        assert all(r.v_cum == 4 for r in rows)
+        assert rows[0].beta == rows[9].beta  # repeated fit columns
+        assert abs(rows[0].beta) < 0.01
+
+    def test_all_novel_tokens_beta_is_one(self, spark):
+        from database_per_keyword_analysis_spark.operators import (
+            textquality as TQ,
+        )
+
+        # every token unique: V(N) = N exactly -> beta = 1, ln_k = 0
+        texts = [f"t{4*i} t{4*i+1} t{4*i+2} t{4*i+3}" for i in range(30)]
+        rows = TQ.heaps_law(self._docs(spark, texts)).collect()
+        assert all(r.v_cum == r.n_cum for r in rows)
+        assert rows[0].beta == 1.0 and rows[0].ln_k == 0.0
+
+    def test_matches_pure_python_reference(self, spark):
+        import math
+        import random
+
+        from database_per_keyword_analysis_spark.operators import (
+            textquality as TQ,
+        )
+
+        rng = random.Random(11)
+        texts = [
+            " ".join(f"w{rng.randrange(1, 1 + 3 * (i + 1))}"
+                     for _ in range(12))
+            for i in range(25)
+        ]
+        rows = TQ.heaps_law(self._docs(spark, texts)).collect()
+        # replay: doc order, bucket formula, first occurrences
+        n_docs, c = len(texts), 10
+        seen, curve, n_cum, v_cum = set(), {}, 0, 0
+        for rnk, t in enumerate(texts, start=1):
+            ck = ((rnk - 1) * c) // n_docs + 1
+            toks = t.split()
+            n_cum += len(toks)
+            for tok in toks:
+                if tok not in seen:
+                    seen.add(tok)
+                    v_cum += 1
+            curve[ck] = (n_cum, v_cum)
+        # cumulative at each checkpoint = value at its LAST doc
+        want = {}
+        acc = (0, 0)
+        for ck in range(1, c + 1):
+            acc = curve.get(ck, acc)
+            want[ck] = acc
+        got = {r.ckpt: (r.n_cum, r.v_cum) for r in rows}
+        assert got == {k: v for k, v in want.items() if v[0] > 0}
+        xs = [math.log(n) for n, _ in got.values()]
+        ys = [math.log(v) for _, v in got.values()]
+        k = len(xs)
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(a * b for a, b in zip(xs, ys))
+        sxx = sum(a * a for a in xs)
+        beta = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+        assert abs(rows[0].beta - round(beta, 6)) <= 1e-6
+
+    def test_checkpoint_validation(self, spark):
+        import pytest as _pytest
+
+        from database_per_keyword_analysis_spark.operators import (
+            textquality as TQ,
+        )
+
+        with _pytest.raises(ValueError):
+            TQ.heaps_law(self._docs(spark, ["a"]), checkpoints=1)

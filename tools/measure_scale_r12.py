@@ -97,6 +97,9 @@ def main() -> None:
         # flat output (one row per lang); the type table is
         # vocab-bounded — cipher replicas grow it ~10x, the worst case
         "vocab_zipf_slope": (BASE, _docs10x(), 0),
+        # flat 10-row curve; the first-occurrence agg runs over the
+        # (10x-grown) type table, the curve fold stays 10 rows
+        "vocab_heaps_law": (BASE, _docs10x(), 0),
     }
     if only:
         fixtures = {k: v for k, v in fixtures.items() if k in only}
