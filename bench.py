@@ -384,6 +384,9 @@ HEADLINE = [
     # round-12: Heaps vocabulary-growth fit (timed — one per-doc
     # count projection + a min-doc type agg + a 10-row curve fold)
     "vocab_heaps_law",
+    # round-12: inter-event gap burstiness (timed — one
+    # (type,user)-keyed lag window + a group-keyed rank pick)
+    "event_gap_burstiness",
 ]
 
 # Round-7 headline audit (round-6 judge item 5): every registered query

@@ -808,6 +808,11 @@ _DEFERRED_TWINS = {
     #   new quantile summary in-window; slot taken by vocab_heaps_law
     #   (NOVEL r12: one-pass vocabulary-growth fit via min-doc first
     #   occurrences)
+    "touch_attribution",  # green r10-r11; first/last-touch credit —
+    #   the journey family keeps purchase_funnel_24h and
+    #   event_transition_entropy in-window; slot taken by
+    #   event_gap_burstiness (NOVEL r12: Goh-Barabási burstiness +
+    #   rank-exact gap percentiles)
 }
 
 
@@ -9895,3 +9900,59 @@ def q_vocab_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import textquality as TQ
 
     return TQ.heaps_law(load(spark, sf_dir, "documents", parallel=True))
+
+
+_GAP_SIGMA_EXPR = (
+    "sqrt(greatest(CAST(sgg AS DOUBLE) / n - "
+    "(CAST(sg AS DOUBLE) / n) * (CAST(sg AS DOUBLE) / n), 0))"
+)
+
+
+@register(
+    "event_gap_burstiness",
+    # mirror event_gap_stats token for token: per-(type,user) lag in
+    # exact epoch-microseconds // 1e6, explicit rank picks at
+    # ceil(q*n) (NOT quantile_disc — index conventions diverge at
+    # 0.9), DECIMAL-exact sum of squares, one sqrt
+    "WITH base AS (SELECT event_type AS grp, user_id AS ent, "
+    "epoch_us(ts) AS us FROM events WHERE event_type IS NOT NULL "
+    "AND user_id IS NOT NULL AND ts IS NOT NULL), "
+    "gaps AS (SELECT grp, (us - lag(us) OVER "
+    "(PARTITION BY grp, ent ORDER BY us)) // 1000000 AS g "
+    "FROM base QUALIFY g IS NOT NULL), "
+    "mom AS (SELECT grp, CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(g) AS BIGINT) AS sg, "
+    "sum(CAST(g * g AS DECIMAL(38,0))) AS sgg FROM gaps GROUP BY grp), "
+    "ranked AS (SELECT grp, g, row_number() OVER "
+    "(PARTITION BY grp ORDER BY g) AS rn FROM gaps), "
+    "picks AS (SELECT r.grp, "
+    "min(CASE WHEN rn = (5 * n + 9) // 10 THEN g END) AS med_gap_s, "
+    "min(CASE WHEN rn = (9 * n + 9) // 10 THEN g END) AS p90_gap_s "
+    "FROM ranked r JOIN mom ON r.grp = mom.grp "
+    "WHERE rn = (5 * n + 9) // 10 OR rn = (9 * n + 9) // 10 "
+    "GROUP BY r.grp) "
+    "SELECT mom.grp AS event_type, n AS n_gaps, med_gap_s, p90_gap_s, "
+    "round(CAST(sg AS DOUBLE) / n, 6) AS mean_gap_s, "
+    f"CASE WHEN {_GAP_SIGMA_EXPR} + CAST(sg AS DOUBLE) / n > 0 THEN "
+    f"round(({_GAP_SIGMA_EXPR} - CAST(sg AS DOUBLE) / n) / "
+    f"({_GAP_SIGMA_EXPR} + CAST(sg AS DOUBLE) / n), 6) END AS burstiness "
+    "FROM mom JOIN picks ON mom.grp = picks.grp ORDER BY event_type",
+)
+def q_event_gap_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type inter-event gap statistics + burstiness
+    (operators/events.py: event_gap_stats; Goh & Barabási EPL 2008):
+    consecutive same-user gaps in exact BIGINT seconds, their discrete
+    median / p90 via explicit rank selection, and
+    B = (σ−μ)/(σ+μ) — the temporal-texture diagnostic (clock −1,
+    Poisson 0, bursty +1) the daily-grain family (trend / break / ACF)
+    cannot see.  Rank picks use ceil(q·n) row_number selection on BOTH
+    engines because percentile_disc (Spark) and quantile_disc (DuckDB)
+    disagree on the discrete index at q=0.9; Σg² accumulates exact
+    per-row BIGINT squares into DECIMAL(38,0); σ is one
+    correctly-rounded IEEE sqrt.  NOVEL round-12 machinery → in-window
+    at birth; touch_attribution (green r10-r11) rotated out with a NEW
+    differential (the journey family keeps purchase_funnel_24h and
+    event_transition_entropy in-window)."""
+    from .operators import events as E
+
+    return E.event_gap_stats(load(spark, sf_dir, "events"))

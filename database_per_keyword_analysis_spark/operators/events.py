@@ -875,3 +875,106 @@ def transition_entropy(
         .select("cur_type", "n_out", "n_trans", "entropy")
         .orderBy("cur_type")
     )
+
+
+def event_gap_stats(
+    df: DataFrame,
+    group_col: str = "event_type",
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-group inter-event gap statistics + burstiness (Goh &
+    Barabási, EPL 2008): the gaps between consecutive same-entity
+    events, summarized as discrete median / p90 and the burstiness
+    index B = (σ−μ)/(σ+μ) — B near −1 is a regular clock, 0 a
+    Poisson process, +1 extreme burst-silence alternation; the
+    temporal texture the daily-grain family (trend/break/ACF) cannot
+    see.
+
+    Cross-engine exactness: gap values are exact BIGINT seconds
+    (epoch-microsecond differences, integer-div 1e6; ties in `ts`
+    cannot perturb them — gaps are differences of order statistics,
+    a tie-order-invariant multiset).  Median and p90 are explicit
+    rank selections (value at rank ceil(q·n) via row_number — NOT
+    percentile_disc/quantile_disc, whose discrete index conventions
+    diverge between engines at q≠0.5).  μ is one IEEE division of
+    exact integers; Σg² accumulates per-row BIGINT squares into an
+    exact DECIMAL(38,0) sum, so σ² = Σg²/n − μ² is the same IEEE
+    tree in both engines and σ one correctly-rounded sqrt.  Groups
+    where σ+μ = 0 (all gaps zero) surface NULL burstiness.
+
+    100 TB shape: one (group, entity)-keyed lag window over the
+    facts, then everything is group-keyed — one moments aggregate,
+    one rank window over the gap values feeding both percentile rows
+    via a single rank equi-join.  Returns (group, n_gaps, med_gap_s,
+    p90_gap_s, mean_gap_s, burstiness) deterministically ordered."""
+    w = Window.partitionBy("grp", "ent").orderBy("us")
+    base = df.where(
+        F.col(group_col).isNotNull()
+        & F.col(entity_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("grp"),
+        F.col(entity_col).alias("ent"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("us"),
+    )
+    gaps = (
+        base.withColumn("prev", F.lag("us").over(w))
+        .where(F.col("prev").isNotNull())
+        .select(
+            "grp",
+            F.expr("(us - prev) div 1000000").alias("g"),
+        )
+    )
+    mom = gaps.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("g").alias("sg"),
+        F.sum((F.col("g") * F.col("g")).cast("decimal(38,0)")).alias("sgg"),
+    )
+    ranked = gaps.select(
+        "grp",
+        "g",
+        F.row_number().over(Window.partitionBy("grp").orderBy("g")).alias(
+            "rn"
+        ),
+    )
+    picks = (
+        ranked.join(F.broadcast(mom.select("grp", "n")), "grp")
+        .where(
+            (F.col("rn") == F.expr("(5 * n + 9) div 10"))
+            | (F.col("rn") == F.expr("(9 * n + 9) div 10"))
+        )
+        .groupBy("grp")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("rn") == F.expr("(5 * n + 9) div 10"), F.col("g")
+                )
+            ).alias("med_gap_s"),
+            F.min(
+                F.when(
+                    F.col("rn") == F.expr("(9 * n + 9) div 10"), F.col("g")
+                )
+            ).alias("p90_gap_s"),
+        )
+    )
+    n_d = F.col("n").cast("double")
+    mu = F.col("sg").cast("double") / n_d
+    var = F.greatest(
+        F.col("sgg").cast("double") / n_d - mu * mu, F.lit(0.0)
+    )
+    s = F.sqrt(var)
+    return (
+        mom.join(picks, "grp")
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("n").alias("n_gaps"),
+            "med_gap_s",
+            "p90_gap_s",
+            F.round(mu, 6).alias("mean_gap_s"),
+            F.when(
+                s + mu > 0, F.round((s - mu) / (s + mu), 6)
+            ).alias("burstiness"),
+        )
+        .orderBy(group_col)
+    )

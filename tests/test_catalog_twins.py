@@ -1194,3 +1194,10 @@ def test_user_count_min_matches_oracle(spark, sf_dir):
     # KMV, HLL, orders_join_size_sketch and order_price_quantile_summary
     # in-window; slot taken by vocab_heaps_law
     _assert_matches_oracle(spark, sf_dir, "user_count_min")
+
+
+def test_touch_attribution_matches_oracle(spark, sf_dir):
+    # r12 demotion: 2-round-green (r10+r11); the journey family keeps
+    # purchase_funnel_24h and event_transition_entropy in-window; slot
+    # taken by event_gap_burstiness
+    _assert_matches_oracle(spark, sf_dir, "touch_attribution")

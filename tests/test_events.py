@@ -397,3 +397,71 @@ def test_transition_entropy_contracts(spark):
     assert out["B"].entropy == round(math.log(2), 6) and out["B"].n_out == 2
     assert out["B"].n_trans == 2
     assert "C" not in out and "D" not in out  # terminal states emit nothing
+
+
+class TestEventGapStats:
+    def _run(self, spark, rows):
+        from database_per_keyword_analysis_spark.operators import events as E
+
+        df = spark.createDataFrame(
+            rows, "event_type string, user_id long, ts timestamp"
+        )
+        return {r.event_type: r for r in E.event_gap_stats(df).collect()}
+
+    def test_regular_clock_is_minus_one(self, spark):
+        from datetime import datetime, timedelta
+
+        t0 = datetime(2024, 1, 1)
+        rows = [("tick", 1, t0 + timedelta(seconds=60 * i))
+                for i in range(20)]
+        got = self._run(spark, rows)["tick"]
+        # constant 60 s gaps: sigma = 0 -> B = -1 exactly
+        assert got.n_gaps == 19
+        assert got.med_gap_s == 60 and got.p90_gap_s == 60
+        assert got.burstiness == -1.0
+
+    def test_matches_pure_python_reference(self, spark):
+        import math
+        import random
+        from datetime import datetime, timedelta
+
+        rng = random.Random(5)
+        t = datetime(2024, 1, 1)
+        rows, gaps = [], []
+        for _ in range(40):
+            rows.append(("b", 7, t))
+            g = rng.randrange(1, 5000)
+            gaps.append(g)
+            t += timedelta(seconds=g)
+        gaps = gaps[:-1]  # the last increment has no following event
+        got = self._run(spark, rows)["b"]
+        n = len(gaps)
+        srt = sorted(gaps)
+        assert got.n_gaps == n
+        assert got.med_gap_s == srt[(5 * n + 9) // 10 - 1]
+        assert got.p90_gap_s == srt[(9 * n + 9) // 10 - 1]
+        mu = sum(gaps) / n
+        sig = math.sqrt(sum(g * g for g in gaps) / n - mu * mu)
+        assert got.burstiness == round((sig - mu) / (sig + mu), 6)
+
+    def test_all_simultaneous_gaps_are_null_burstiness(self, spark):
+        from datetime import datetime
+
+        t0 = datetime(2024, 1, 1)
+        rows = [("z", 3, t0)] * 5
+        got = self._run(spark, rows)["z"]
+        # all gaps 0: mu = sigma = 0 -> burstiness NULL
+        assert got.n_gaps == 4 and got.med_gap_s == 0
+        assert got.burstiness is None
+
+    def test_gaps_are_per_entity_not_cross_user(self, spark):
+        from datetime import datetime, timedelta
+
+        t0 = datetime(2024, 1, 1)
+        # two interleaved users, each on a 100 s clock offset by 50 s:
+        # per-entity gaps are all 100; a cross-user bug would see 50s
+        rows = [("e", u, t0 + timedelta(seconds=off + 100 * i))
+                for u, off in ((1, 0), (2, 50)) for i in range(10)]
+        got = self._run(spark, rows)["e"]
+        assert got.n_gaps == 18 and got.med_gap_s == 100
+        assert got.burstiness == -1.0

@@ -100,6 +100,9 @@ def main() -> None:
         # flat 10-row curve; the first-occurrence agg runs over the
         # (10x-grown) type table, the curve fold stays 10 rows
         "vocab_heaps_law": (BASE, _docs10x(), 0),
+        # flat output (one row per event type); 10x user replicas give
+        # 10x lag partitions of the same per-user history
+        "event_gap_burstiness": (BASE, _events10x(), 0),
     }
     if only:
         fixtures = {k: v for k, v in fixtures.items() if k in only}
