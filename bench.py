@@ -387,6 +387,9 @@ HEADLINE = [
     # round-12: inter-event gap burstiness (timed — one
     # (type,user)-keyed lag window + a group-keyed rank pick)
     "event_gap_burstiness",
+    # round-12: two-sample KS drift (timed — one value-collapse agg +
+    # a distinct-value window + a max fold)
+    "doc_length_ks_drift",
 ]
 
 # Round-7 headline audit (round-6 judge item 5): every registered query

@@ -813,6 +813,11 @@ _DEFERRED_TWINS = {
     #   event_transition_entropy in-window; slot taken by
     #   event_gap_burstiness (NOVEL r12: Goh-Barabási burstiness +
     #   rank-exact gap percentiles)
+    "stream_corpus_drift",  # green r10-r11; streaming KL drift — the
+    #   streaming family keeps stream_tumbling_counts,
+    #   stream_orders_mv_refresh and stream_event_heavy_hitters
+    #   in-window; slot taken by doc_length_ks_drift (NOVEL r12: the
+    #   drift ladder's integer-exact distribution-shape tier)
 }
 
 
@@ -9956,3 +9961,54 @@ def q_event_gap_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import events as E
 
     return E.event_gap_stats(load(spark, sf_dir, "events"))
+
+
+@register(
+    "doc_length_ks_drift",
+    # mirror ks_two_sample token for token: distinct-value CDF counts,
+    # cross-multiplied integer sup (no floats until the report), the
+    # (dnum DESC, x ASC) argmax pick
+    "WITH base AS (SELECT doc_id % 2 = 0 AS is_a, "
+    "CAST(n_chars AS BIGINT) AS x FROM documents "
+    "WHERE n_chars IS NOT NULL), "
+    "per_x AS (SELECT x, "
+    "CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS da, "
+    "CAST(sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS db "
+    "FROM base GROUP BY x), "
+    "tot AS (SELECT CAST(sum(da) AS BIGINT) AS n_a, "
+    "CAST(sum(db) AS BIGINT) AS n_b FROM per_x), "
+    "cum AS (SELECT x, "
+    "CAST(sum(da) OVER (ORDER BY x) AS BIGINT) AS ca, "
+    "CAST(sum(db) OVER (ORDER BY x) AS BIGINT) AS cb FROM per_x), "
+    "scored AS (SELECT x, n_a, n_b, "
+    "abs(ca * n_b - cb * n_a) AS dnum FROM cum CROSS JOIN tot) "
+    "SELECT n_a, n_b, "
+    "CASE WHEN n_a > 0 AND n_b > 0 THEN "
+    "round(CAST(dnum AS DOUBLE) / CAST(n_a * n_b AS DOUBLE), 9) END "
+    "AS ks_d, x AS at_value FROM scored "
+    "ORDER BY dnum DESC, x LIMIT 1",
+)
+def q_doc_length_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift test on document lengths
+    between the even/odd doc_id corpus halves (operators/stats.py:
+    ks_two_sample; the stream_corpus_drift split convention) — the
+    distribution-SHAPE drift tier beside the token-mass KL tier
+    (corpus_drift_terms): a new ingestion snapshot whose length
+    profile shifts (truncation bugs, boilerplate floods, chunking
+    changes) fires here even when its vocabulary does not move.
+    Integer-exact end to end: CDFs are distinct-value cumulative
+    counts and the sup compares cross-multiplied BIGINT fractions, so
+    the maximizing value and the statistic are exact; ONE division at
+    the output (9dp).  NOVEL round-12 machinery → in-window at birth;
+    stream_corpus_drift (green r10-r11) rotated out with a NEW
+    differential (the drift family keeps this distribution tier
+    in-window; the streaming family keeps stream_tumbling_counts,
+    stream_orders_mv_refresh and stream_event_heavy_hitters)."""
+    from pyspark.sql import functions as F
+
+    from .operators import stats as ST
+
+    docs = load(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 2 == 0).alias("is_a"), "n_chars"
+    )
+    return ST.ks_two_sample(docs, "is_a", "n_chars")

@@ -751,3 +751,75 @@ def series_acf(
         )
         .orderBy(group_col, "lag")
     )
+
+
+def ks_two_sample(
+    df: DataFrame,
+    side_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic between the two
+    sides of `side_col` (boolean): D = sup_x |F_a(x) − F_b(x)| — the
+    nonparametric distribution-drift test completing the drift ladder
+    (corpus_drift_terms compares token MASS via KL; this compares any
+    numeric column's SHAPE — doc lengths, prices, scores — between
+    snapshots or segments).
+
+    Engine-exactness is total — no floats until the final report: the
+    empirical CDFs are evaluated at each DISTINCT value (the correct
+    tie handling) as integer cumulative counts, and the sup compares
+    exact cross-multiplied fractions |ca·n_b − cb·n_a| over the common
+    denominator n_a·n_b, so the maximizing value and the statistic are
+    BIGINT arithmetic; the single division happens once, at the
+    output.  The argmax location ties break on the smallest value.
+
+    100 TB shape: one groupBy(value) count collapse (map-side
+    combinable), one ordered window over DISTINCT values (the
+    value-cardinality table, not the facts), one max fold.  Returns
+    one row (n_a, n_b, ks_d, at_value), ks_d rounded 9dp."""
+    side = F.col(side_col)
+    base = df.where(
+        F.col(value_col).isNotNull() & side.isNotNull()
+    ).select(
+        side.cast("boolean").alias("is_a"),
+        F.col(value_col).alias("x"),
+    )
+    per_x = base.groupBy("x").agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).alias("da"),
+        F.sum(F.when(F.col("is_a"), 0).otherwise(1)).alias("db"),
+    )
+    tot = per_x.groupBy().agg(
+        F.sum("da").alias("n_a"), F.sum("db").alias("n_b")
+    )
+    wc = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_x.select(
+        "x",
+        F.sum("da").over(wc).alias("ca"),
+        F.sum("db").over(wc).alias("cb"),
+    )
+    scored = cum.crossJoin(F.broadcast(tot)).select(
+        "x",
+        "n_a",
+        "n_b",
+        F.abs(
+            F.col("ca") * F.col("n_b") - F.col("cb") * F.col("n_a")
+        ).alias("dnum"),
+    )
+    pick = Window.orderBy(F.desc("dnum"), F.asc("x"))
+    return (
+        scored.withColumn("_rk", F.row_number().over(pick))
+        .where(F.col("_rk") == 1)
+        .select(
+            "n_a",
+            "n_b",
+            F.when(
+                (F.col("n_a") > 0) & (F.col("n_b") > 0),
+                F.round(
+                    F.col("dnum").cast("double")
+                    / (F.col("n_a") * F.col("n_b")).cast("double"),
+                    9,
+                ),
+            ).alias("ks_d"),
+            F.col("x").alias("at_value"),
+        )
+    )

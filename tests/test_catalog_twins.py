@@ -1201,3 +1201,11 @@ def test_touch_attribution_matches_oracle(spark, sf_dir):
     # purchase_funnel_24h and event_transition_entropy in-window; slot
     # taken by event_gap_burstiness
     _assert_matches_oracle(spark, sf_dir, "touch_attribution")
+
+
+def test_stream_corpus_drift_matches_oracle(spark, sf_dir):
+    # r12 demotion: 2-round-green (r10+r11); the streaming family keeps
+    # stream_tumbling_counts, stream_orders_mv_refresh and
+    # stream_event_heavy_hitters in-window; slot taken by
+    # doc_length_ks_drift
+    _assert_matches_oracle(spark, sf_dir, "stream_corpus_drift")

@@ -359,3 +359,52 @@ class TestSeriesAcf:
         )
         with _pytest.raises(ValueError):
             ST.series_acf(df, "event_type", max_lag=0)
+
+
+class TestKsTwoSample:
+    def _run(self, spark, a_vals, b_vals):
+        from database_per_keyword_analysis_spark.operators import stats as ST
+
+        rows = [(True, float(v)) for v in a_vals] + [
+            (False, float(v)) for v in b_vals
+        ]
+        df = spark.createDataFrame(rows, "is_a boolean, x double")
+        return ST.ks_two_sample(df, "is_a", "x").collect()[0]
+
+    def test_identical_samples_give_zero(self, spark):
+        got = self._run(spark, [1, 2, 3, 4], [1, 2, 3, 4])
+        assert got.ks_d == 0.0 and got.n_a == 4 and got.n_b == 4
+
+    def test_disjoint_samples_give_one(self, spark):
+        got = self._run(spark, [1, 2, 3], [10, 11, 12])
+        assert got.ks_d == 1.0
+        assert got.at_value == 3.0  # sup reached after A is exhausted
+
+    def test_matches_scipy_style_reference(self, spark):
+        import random
+
+        rng = random.Random(9)
+        a = [rng.uniform(0, 10) for _ in range(60)]
+        b = [rng.uniform(2, 12) for _ in range(45)]
+        got = self._run(spark, a, b)
+        # pure-Python exact KS with tie handling at distinct values
+        xs = sorted(set(a) | set(b))
+        na, nb = len(a), len(b)
+        best, at = -1, None
+        ca = cb = 0
+        sa, sb = sorted(a), sorted(b)
+        for x in xs:
+            while ca < na and sa[ca] <= x:
+                ca += 1
+            while cb < nb and sb[cb] <= x:
+                cb += 1
+            dn = abs(ca * nb - cb * na)
+            if dn > best:
+                best, at = dn, x
+        assert got.ks_d == round(best / (na * nb), 9)
+        assert got.at_value == at
+
+    def test_tie_heavy_data_uses_distinct_value_cdf(self, spark):
+        # A = {0 x5}, B = {0 x2, 1 x3}: at x=0, F_a=1, F_b=0.4 -> D=0.6
+        got = self._run(spark, [0] * 5, [0, 0, 1, 1, 1])
+        assert got.ks_d == 0.6 and got.at_value == 0.0

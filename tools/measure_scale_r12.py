@@ -103,6 +103,9 @@ def main() -> None:
         # flat output (one row per event type); 10x user replicas give
         # 10x lag partitions of the same per-user history
         "event_gap_burstiness": (BASE, _events10x(), 0),
+        # flat single-row output; the distinct-value CDF table is
+        # value-cardinality work after the groupBy(value) collapse
+        "doc_length_ks_drift": (BASE, _docs10x(), 0),
     }
     if only:
         fixtures = {k: v for k, v in fixtures.items() if k in only}
