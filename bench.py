@@ -390,6 +390,10 @@ HEADLINE = [
     # round-12: two-sample KS drift (timed — one value-collapse agg +
     # a distinct-value window + a max fold)
     "doc_length_ks_drift",
+    # round-12: streaming KS twin (timed — steady state reads the
+    # folded MV + the batch-side collapse; the fold runs once at
+    # fixture build, cache-keyed)
+    "stream_length_ks_drift",
 ]
 
 # Round-7 headline audit (round-6 judge item 5): every registered query

@@ -818,6 +818,11 @@ _DEFERRED_TWINS = {
     #   stream_orders_mv_refresh and stream_event_heavy_hitters
     #   in-window; slot taken by doc_length_ks_drift (NOVEL r12: the
     #   drift ladder's integer-exact distribution-shape tier)
+    "purchase_funnel_24h",  # green r10-r11; the lag-bounded funnel —
+    #   the journey family keeps event_transition_entropy and
+    #   event_gap_burstiness in-window; slot taken by
+    #   stream_length_ks_drift (NOVEL r12: the KS tier's streaming
+    #   twin on the shared oracle — a stream==batch proof)
 }
 
 
@@ -9963,8 +9968,11 @@ def q_event_gap_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return E.event_gap_stats(load(spark, sf_dir, "events"))
 
 
-@register(
-    "doc_length_ks_drift",
+# shared by doc_length_ks_drift and its STREAMING twin
+# stream_length_ks_drift — identical SQL, so the stream twin's driver
+# hash is the stream==batch equality proof (the
+# stream_event_heavy_hitters convention)
+_KS_LENGTH_SQL = (
     # mirror ks_two_sample token for token: distinct-value CDF counts,
     # cross-multiplied integer sup (no floats until the report), the
     # (dnum DESC, x ASC) argmax pick
@@ -9986,8 +9994,11 @@ def q_event_gap_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     "CASE WHEN n_a > 0 AND n_b > 0 THEN "
     "round(CAST(dnum AS DOUBLE) / CAST(n_a * n_b AS DOUBLE), 9) END "
     "AS ks_d, x AS at_value FROM scored "
-    "ORDER BY dnum DESC, x LIMIT 1",
+    "ORDER BY dnum DESC, x LIMIT 1"
 )
+
+
+@register("doc_length_ks_drift", _KS_LENGTH_SQL)
 def q_doc_length_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample Kolmogorov-Smirnov drift test on document lengths
     between the even/odd doc_id corpus halves (operators/stats.py:
@@ -10012,3 +10023,94 @@ def q_doc_length_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 2 == 0).alias("is_a"), "n_chars"
     )
     return ST.ks_two_sample(docs, "is_a", "n_chars")
+
+
+@register("stream_length_ks_drift", _KS_LENGTH_SQL)
+def q_stream_length_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of doc_length_ks_drift: the odd-doc_id half's
+    length histogram is folded batch-by-batch through the exactly-once
+    refresh_mv_batch seam (one +1 change row per document, 4
+    micro-batch files), then the exact KS statistic compares the
+    persisted MV against the even half computed batch-side
+    (operators/stats.py: ks_from_counts).  Shares _KS_LENGTH_SQL
+    VERBATIM with the batch query, so the driver hash IS the
+    stream==batch equality proof: no micro-batch split can perturb the
+    counts MV (the stream_event_heavy_hitters convention).  NOVEL
+    round-12 machinery → in-window at birth; purchase_funnel_24h
+    (green r10-r11) rotated out with a NEW differential (the journey
+    family keeps event_transition_entropy and event_gap_burstiness
+    in-window)."""
+    import hashlib
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from .operators import stats as ST
+    from .streaming import ingest as ING
+
+    docf = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(docf)
+    # pid in the key: MUTABLE cache (MV fold + streaming checkpoint) —
+    # see stream_event_heavy_hitters
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{st.st_size}:{st.st_mtime_ns}:"
+        f"{os.getpid()}".encode()
+    ).hexdigest()[:12]
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".cache", "ksstream", key,
+    )
+    src = os.path.join(base, "src")
+    mv_path = os.path.join(base, "mv")
+
+    docs = load(spark, sf_dir, "documents")
+    if not os.path.isfile(os.path.join(src, "_SUCCESS")):
+        shutil.rmtree(base, ignore_errors=True)
+        empty = spark.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField("x", T.LongType()),
+                    T.StructField("n", T.LongType()),
+                ]
+            ),
+        )
+        ING.seed_mv(empty, mv_path)
+        docs.where(
+            (F.col("doc_id") % 2 == 1) & F.col("n_chars").isNotNull()
+        ).select(F.col("n_chars").cast("long").alias("x")).repartition(
+            4
+        ).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    def fold(batch_df, batch_id):
+        changes = batch_df.select(
+            F.lit("insert").alias("op"),
+            "x",
+            F.lit(None).cast("long").alias("old_x"),
+        )
+        ING.refresh_mv_batch(changes, mv_path, ["x"], "n", {}, batch_id)
+
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    a = (
+        docs.where(
+            (F.col("doc_id") % 2 == 0) & F.col("n_chars").isNotNull()
+        )
+        .groupBy(F.col("n_chars").cast("long").alias("x"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    b = ING.read_mv(spark, mv_path)
+    return ST.ks_from_counts(a, b)

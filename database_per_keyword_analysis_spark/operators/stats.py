@@ -788,6 +788,25 @@ def ks_two_sample(
         F.sum(F.when(F.col("is_a"), 1).otherwise(0)).alias("da"),
         F.sum(F.when(F.col("is_a"), 0).otherwise(1)).alias("db"),
     )
+    return _ks_from_per_x(per_x)
+
+
+def ks_from_counts(a_counts: DataFrame, b_counts: DataFrame) -> DataFrame:
+    """ks_two_sample over PRE-AGGREGATED per-value counts — (x, n)
+    tables for each side (e.g. one side a persisted/streaming counts
+    MV, the other a batch aggregate).  Same exact integer sup; the
+    full-outer value join zero-fills values one side never saw."""
+    a = a_counts.select(F.col("x"), F.col("n").alias("da"))
+    b = b_counts.select(F.col("x"), F.col("n").alias("db"))
+    per_x = a.join(b, "x", "full_outer").select(
+        "x",
+        F.coalesce("da", F.lit(0).cast("long")).alias("da"),
+        F.coalesce("db", F.lit(0).cast("long")).alias("db"),
+    )
+    return _ks_from_per_x(per_x)
+
+
+def _ks_from_per_x(per_x: DataFrame) -> DataFrame:
     tot = per_x.groupBy().agg(
         F.sum("da").alias("n_a"), F.sum("db").alias("n_b")
     )

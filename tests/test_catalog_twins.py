@@ -1209,3 +1209,10 @@ def test_stream_corpus_drift_matches_oracle(spark, sf_dir):
     # stream_event_heavy_hitters in-window; slot taken by
     # doc_length_ks_drift
     _assert_matches_oracle(spark, sf_dir, "stream_corpus_drift")
+
+
+def test_purchase_funnel_24h_matches_oracle(spark, sf_dir):
+    # r12 demotion: 2-round-green (r10+r11); the journey family keeps
+    # event_transition_entropy and event_gap_burstiness in-window; slot
+    # taken by stream_length_ks_drift
+    _assert_matches_oracle(spark, sf_dir, "purchase_funnel_24h")

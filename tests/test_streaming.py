@@ -901,3 +901,18 @@ def test_stream_corpus_drift_equals_batch_monitor(spark, sf_dir):
         tuple(r) for r in qs["stream_corpus_drift"](spark, sf_dir).collect()
     )
     assert again == stream_rows
+
+
+def test_stream_length_ks_equals_batch_ks(spark):
+    # the stream twin must produce EXACTLY the batch query's row on
+    # the same fixture — the shared-oracle stream==batch contract
+    from database_per_keyword_analysis_spark import catalog
+
+    sf = "/root/testdata/sf0.001"
+    qs = catalog.queries()
+    batch = qs["doc_length_ks_drift"](spark, sf).collect()
+    stream = qs["stream_length_ks_drift"](spark, sf).collect()
+    assert [tuple(r) for r in batch] == [tuple(r) for r in stream]
+    assert catalog.oracle_sql()["doc_length_ks_drift"] == (
+        catalog.oracle_sql()["stream_length_ks_drift"]
+    )
