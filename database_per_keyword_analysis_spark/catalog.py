@@ -823,6 +823,10 @@ _DEFERRED_TWINS = {
     #   event_gap_burstiness in-window; slot taken by
     #   stream_length_ks_drift (NOVEL r12: the KS tier's streaming
     #   twin on the shared oracle — a stream==batch proof)
+    "orders_join_size_sketch",  # green r10-r11; Count-Min join-size
+    #   estimate — the sketch family keeps KMV, HLL and the quantile
+    #   summary in-window; slot taken by order_price_benford (NOVEL
+    #   r12: string-exact first-digit law audit)
 }
 
 
@@ -10114,3 +10118,58 @@ def q_stream_length_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     b = ING.read_mv(spark, mv_path)
     return ST.ks_from_counts(a, b)
+
+
+def _benford_sql() -> str:
+    """Oracle for order_price_benford, GENERATED from the same
+    BENFORD_EXPECTED literals the Spark plan embeds (the ONE-Python-
+    computation convention) — no in-engine log10 at power-of-ten
+    boundaries; digit extraction is the same exact-cents string head."""
+    from .operators.stats import BENFORD_EXPECTED
+
+    spine = ", ".join(
+        f"({d}, {float(e)!r})" for d, e in sorted(BENFORD_EXPECTED.items())
+    )
+    return (
+        "WITH pos AS (SELECT o_totalprice AS v FROM orders "
+        "WHERE o_totalprice IS NOT NULL AND o_totalprice > 0), "
+        "digits AS (SELECT CAST(substr(CAST(CAST(round(v * 100) AS "
+        "BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit FROM pos), "
+        "obs AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs "
+        "FROM digits GROUP BY digit), "
+        f"spine(digit, expected) AS (VALUES {spine}), "
+        "f AS (SELECT s.digit, coalesce(n_obs, CAST(0 AS BIGINT)) "
+        "AS n_obs, s.expected FROM spine s "
+        "LEFT JOIN obs ON s.digit = obs.digit), "
+        "tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n_total FROM f) "
+        "SELECT digit, n_obs, "
+        "CASE WHEN n_total > 0 THEN round(CAST(n_obs AS DOUBLE) / "
+        "CAST(n_total AS DOUBLE), 9) END AS share, "
+        "round(expected, 9) AS expected, "
+        "CASE WHEN n_total > 0 THEN round((CAST(n_obs AS DOUBLE) - "
+        "expected * CAST(n_total AS DOUBLE)) * (CAST(n_obs AS DOUBLE) - "
+        "expected * CAST(n_total AS DOUBLE)) / "
+        "(expected * CAST(n_total AS DOUBLE)), 9) END AS contrib "
+        "FROM f CROSS JOIN tot ORDER BY digit"
+    )
+
+
+@register("order_price_benford", _benford_sql())
+def q_order_price_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of order totals (operators/stats.py:
+    benford_audit; Benford 1938, Nigrini's forensic screen): observed
+    first-significant-digit shares vs the log10(1+1/d) law with
+    per-digit chi-square contributions — the fabricated-data /
+    synthetic-corpus detector (real ledgers follow Benford; invented
+    numbers cluster mid-digits).  Digit extraction is STRING-exact on
+    integer cents (immune to the log10(100.0)=1.999... ulp trap);
+    expected shares are Python literals embedded in BOTH plans.  NOVEL
+    round-12 machinery → in-window at birth; orders_join_size_sketch
+    (green r10-r11) rotated out with a NEW differential (the sketch
+    family keeps KMV, HLL and the quantile summary in-window)."""
+    from .operators import stats as ST
+
+    return ST.benford_audit(
+        load(spark, sf_dir, "orders").select("o_totalprice"),
+        "o_totalprice",
+    )

@@ -842,3 +842,83 @@ def _ks_from_per_x(per_x: DataFrame) -> DataFrame:
             F.col("x").alias("at_value"),
         )
     )
+
+
+import math as _math
+
+# Benford expected first-digit shares log10(1 + 1/d), computed ONCE in
+# Python and embedded as literals in BOTH engines' plans (the pagerank
+# damping-constant convention) — no in-engine libm whose log10 could
+# differ at a power-of-ten boundary.
+BENFORD_EXPECTED: dict[int, float] = {
+    d: _math.log10(1.0 + 1.0 / d) for d in range(1, 10)
+}
+
+
+def benford_audit(
+    df: DataFrame,
+    value_col: str,
+) -> DataFrame:
+    """First-significant-digit Benford audit (Benford 1938; Nigrini's
+    forensic-accounting staple): observed digit shares vs the
+    log10(1+1/d) law, with each digit's chi-square contribution — the
+    fabricated-data / synthetic-corpus screen (price ledgers, token
+    counts and file sizes follow Benford; invented numbers do not).
+
+    Digit extraction is STRING-exact, not log-based: the value is
+    converted to exact integer cents (round(x·100) — exact for
+    2-decimal money doubles), and the first digit is the first
+    character of the BIGINT's decimal string — identical in any
+    engine, immune to the log10(100.0) = 1.999... ulp trap at
+    power-of-ten boundaries.  Expected shares are shared Python
+    literals; observed share and contribution are single IEEE ops on
+    exact counts, rounded 9dp.
+
+    100 TB shape: one scan-stage digit projection + one 9-group
+    aggregate (map-side combinable) + a broadcast scalar total.
+    Non-positive and NULL values are excluded (Benford is defined on
+    positive magnitudes).  Returns (digit, n_obs, share, expected,
+    contrib) — 9 rows, zero-filled for absent digits."""
+    v = F.col(value_col)
+    cents = F.round(v * 100).cast("long")
+    digits = (
+        df.where(v.isNotNull() & (v > 0))
+        .select(
+            F.substring(cents.cast("string"), 1, 1).cast("int").alias(
+                "digit"
+            )
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    spark = df.sparkSession
+    spine = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    full = spine.join(digits, "digit", "left").select(
+        "digit", F.coalesce("n_obs", F.lit(0).cast("long")).alias("n_obs")
+    )
+    tot = full.groupBy().agg(F.sum("n_obs").alias("n_total"))
+    exp_col = F.lit(None).cast("double")
+    for d in range(9, 0, -1):
+        exp_col = F.when(
+            F.col("digit") == d, F.lit(BENFORD_EXPECTED[d])
+        ).otherwise(exp_col)
+    share = F.col("n_obs").cast("double") / F.col("n_total").cast("double")
+    e_cnt = exp_col * F.col("n_total").cast("double")
+    contrib = (
+        (F.col("n_obs").cast("double") - e_cnt)
+        * (F.col("n_obs").cast("double") - e_cnt)
+        / e_cnt
+    )
+    return (
+        full.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n_obs",
+            F.when(F.col("n_total") > 0, F.round(share, 9)).alias("share"),
+            F.round(exp_col, 9).alias("expected"),
+            F.when(F.col("n_total") > 0, F.round(contrib, 9)).alias(
+                "contrib"
+            ),
+        )
+        .orderBy("digit")
+    )

@@ -1216,3 +1216,10 @@ def test_purchase_funnel_24h_matches_oracle(spark, sf_dir):
     # event_transition_entropy and event_gap_burstiness in-window; slot
     # taken by stream_length_ks_drift
     _assert_matches_oracle(spark, sf_dir, "purchase_funnel_24h")
+
+
+def test_orders_join_size_sketch_matches_oracle(spark, sf_dir):
+    # r12 demotion: 2-round-green (r10+r11); the sketch family keeps
+    # KMV, HLL and order_price_quantile_summary in-window; slot taken
+    # by order_price_benford
+    _assert_matches_oracle(spark, sf_dir, "orders_join_size_sketch")

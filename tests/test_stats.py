@@ -408,3 +408,52 @@ class TestKsTwoSample:
         # A = {0 x5}, B = {0 x2, 1 x3}: at x=0, F_a=1, F_b=0.4 -> D=0.6
         got = self._run(spark, [0] * 5, [0, 0, 1, 1, 1])
         assert got.ks_d == 0.6 and got.at_value == 0.0
+
+
+class TestBenfordAudit:
+    def _run(self, spark, vals):
+        from database_per_keyword_analysis_spark.operators import stats as ST
+
+        df = spark.createDataFrame([(float(v),) for v in vals], "v double")
+        return {r.digit: r for r in ST.benford_audit(df, "v").collect()}
+
+    def test_digit_extraction_is_string_exact(self, spark):
+        # values straddling power-of-ten boundaries where a log10-based
+        # extraction can misfire by an ulp
+        got = self._run(spark, [100.00, 999.99, 1000.00, 0.01, 9.99, 10.00])
+        by_digit = {d: r.n_obs for d, r in got.items()}
+        assert by_digit[1] == 4  # 100, 1000, 0.01 (cents=1), 10.00
+        assert by_digit[9] == 2  # 999.99, 9.99
+        assert sum(by_digit.values()) == 6
+        assert len(got) == 9  # zero-filled spine
+
+    def test_benford_sample_matches_reference(self, spark):
+        import math
+        import random
+
+        rng = random.Random(13)
+        # log-uniform magnitudes follow Benford closely
+        vals = [round(10 ** rng.uniform(0, 4), 2) for _ in range(4000)]
+        vals = [v for v in vals if v > 0]
+        got = self._run(spark, vals)
+        n = len(vals)
+        from collections import Counter
+
+        ref = Counter(str(int(round(v * 100)))[0] for v in vals)
+        for d in range(1, 10):
+            r = got[d]
+            assert r.n_obs == ref.get(str(d), 0)
+            assert r.expected == round(math.log10(1 + 1 / d), 9)
+            assert r.share == round(r.n_obs / n, 9)
+        # the sample is Benford-ish: digit 1 leads, digit 9 trails
+        assert got[1].n_obs > got[9].n_obs
+
+    def test_nonpositive_and_null_excluded(self, spark):
+        from database_per_keyword_analysis_spark.operators import stats as ST
+
+        df = spark.createDataFrame(
+            [(-5.0,), (0.0,), (None,), (2.50,)], "v double"
+        )
+        rows = {r.digit: r for r in ST.benford_audit(df, "v").collect()}
+        assert sum(r.n_obs for r in rows.values()) == 1
+        assert rows[2].n_obs == 1

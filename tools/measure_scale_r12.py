@@ -110,6 +110,13 @@ def main() -> None:
         # fold runs once at fixture build in the warmup, cache-keyed);
         # timed cost = the even-half collapse + value-cardinality KS
         "stream_length_ks_drift": (BASE, _docs10x(), 0),
+        # flat 9-row output; one scan-stage digit projection + a
+        # 9-group map-side-combinable aggregate
+        "order_price_benford": (
+            BASE,
+            _fixture_dir({"orders": _tpch10x("orders")}),
+            0,
+        ),
     }
     if only:
         fixtures = {k: v for k, v in fixtures.items() if k in only}
