@@ -827,6 +827,10 @@ _DEFERRED_TWINS = {
     #   estimate — the sketch family keeps KMV, HLL and the quantile
     #   summary in-window; slot taken by order_price_benford (NOVEL
     #   r12: string-exact first-digit law audit)
+    "purchase_reachability",  # green r10-r11; BFS closure — the graph
+    #   family keeps hits, ppr, cheapest_paths and assortativity
+    #   in-window; slot taken by event_type_stationary (NOVEL r12:
+    #   Markov fixed point via unrolled power iterations)
 }
 
 
@@ -10173,3 +10177,77 @@ def q_order_price_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "orders").select("o_totalprice"),
         "o_totalprice",
     )
+
+
+def _stationary_sql() -> str:
+    """Oracle for event_type_stationary: the FIXED power iterations
+    unrolled as chained CTEs (the _pagerank_sql convention), generated
+    from the same MARKOV_ITERS constant the Spark loop uses.  Each
+    step mirrors the Spark arithmetic token for token: DECIMAL(38,18)
+    per-state sums, a DECIMAL dangling-mass fold, and the
+    coalesce(c,0) + m/K update."""
+    from .operators.events import MARKOV_ITERS
+
+    sql = (
+        "WITH seq AS (SELECT event_type AS cur, lead(event_type) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id) AS nxt "
+        "FROM events), "
+        "trans AS (SELECT cur, nxt, CAST(count(*) AS BIGINT) AS n "
+        "FROM seq WHERE nxt IS NOT NULL GROUP BY cur, nxt), "
+        "states AS (SELECT DISTINCT event_type AS state FROM events "
+        "WHERE event_type IS NOT NULL), "
+        "kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM states), "
+        "tot AS (SELECT cur, CAST(sum(n) AS BIGINT) AS tot, "
+        "CAST(count(*) AS BIGINT) AS n_out FROM trans GROUP BY cur), "
+        # MATERIALIZED throughout the iteration chain (the kcore
+        # lesson): DuckDB inlines plain CTEs, so 30 chained steps
+        # would re-expand the whole upstream subtree exponentially
+        "p AS MATERIALIZED (SELECT cur AS s_from, nxt AS s_to, "
+        "CAST(n AS DOUBLE) / tot AS p FROM trans JOIN tot USING (cur)), "
+        "pi0 AS MATERIALIZED (SELECT state, 1.0 / CAST(k AS DOUBLE) "
+        "AS pi FROM states CROSS JOIN kk), "
+    )
+    for i in range(1, MARKOV_ITERS + 1):
+        prev = f"pi{i - 1}"
+        sql += (
+            f"c{i} AS MATERIALIZED (SELECT s_to AS state, "
+            "CAST(sum(CAST(pi * p AS DECIMAL(38,18))) AS DOUBLE) AS c "
+            f"FROM {prev} JOIN p ON {prev}.state = p.s_from "
+            "GROUP BY s_to), "
+            f"d{i} AS MATERIALIZED (SELECT CAST(sum(CAST(pi AS "
+            f"DECIMAL(38,18))) AS DOUBLE) AS m FROM {prev} "
+            "WHERE state NOT IN (SELECT s_from FROM p)), "
+            f"pi{i} AS MATERIALIZED (SELECT s.state, coalesce(c, 0.0) + "
+            "coalesce(m, 0.0) / CAST(k AS DOUBLE) AS pi "
+            f"FROM states s LEFT JOIN c{i} USING (state) "
+            f"CROSS JOIN d{i} CROSS JOIN kk), "
+        )
+    sql = sql.rstrip(", ") + " "
+    sql += (
+        f"SELECT s.state AS event_type, "
+        "coalesce(n_out, CAST(0 AS BIGINT)) AS n_out, "
+        f"round(pi, 9) AS pi FROM states s "
+        f"JOIN pi{MARKOV_ITERS} f ON s.state = f.state "
+        "LEFT JOIN tot ON s.state = tot.cur ORDER BY event_type"
+    )
+    return sql
+
+
+@register("event_type_stationary", _stationary_sql())
+def q_event_type_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the event-type Markov chain
+    (operators/events.py: markov_stationary): the long-run state mix
+    implied by the per-user transition matrix — the fixed-point member
+    completing the journey family (one-step matrix, one-step entropy,
+    now the limit).  Dangling states redistribute uniformly (the
+    pagerank convention); 30 FIXED power iterations from uniform, so
+    the DuckDB oracle unrolls the identical arithmetic as 30 chained
+    CTEs (the _pagerank_sql convention) — DECIMAL(38,18) per-state
+    sums make every step order-free, and the only fact-scale stage is
+    the lead-window transition count.  NOVEL round-12 machinery →
+    in-window at birth; purchase_reachability (green r10-r11) rotated
+    out with a NEW differential (the graph family keeps hits, ppr,
+    cheapest_paths and assortativity in-window)."""
+    from .operators import events as E
+
+    return E.markov_stationary(load(spark, sf_dir, "events"))

@@ -978,3 +978,109 @@ def event_gap_stats(
         )
         .orderBy(group_col)
     )
+
+
+MARKOV_ITERS = 30  # fixed power-iteration count (the pagerank_fixed
+#   discipline: a FIXED unrollable count, so the oracle replays the
+#   identical arithmetic instead of a convergence test)
+
+
+def markov_stationary(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    iters: int = MARKOV_ITERS,
+) -> DataFrame:
+    """Stationary distribution of the event-type Markov chain: the
+    long-run state mix implied by the per-user transition matrix —
+    'where do journeys spend their time', the fixed-point answer on
+    top of event_transition_matrix (one step) and transition_entropy
+    (one-step predictability).
+
+    Semantics: row-stochastic P from the same lead-window transition
+    counts the matrix family uses (ties ordered by event_id); states
+    with NO outgoing transitions redistribute their mass uniformly
+    (the pagerank dangling convention); pi starts uniform and takes
+    `iters` fixed power steps — deterministic by construction, so the
+    oracle unrolls the identical arithmetic even when the chain is
+    periodic.
+
+    100 TB shape: the ONLY fact-scale stage is the lead window + the
+    transition count (state-pair-bounded output).  The K-state vector
+    iteration then runs DRIVER-SIDE on the collected K² transition
+    table (the bounded-collect precedent: kmeans centroids, scalar
+    guards — states are event TYPES, small by definition; a dataflow
+    form was measured at ~0.77 s of pure scheduling overhead PER
+    ITERATION on 5-row tables, 23 s for 30 rounds, and rejected).
+
+    Engine-exactness: each p_ij is ONE IEEE division of exact BIGINTs
+    (computed in the Spark plan before the collect); each step's
+    per-state sum accumulates decimal.Decimal-quantized terms at 18
+    fractional digits with ROUND_HALF_EVEN — mirroring the oracle's
+    CAST(pi·p AS DECIMAL(38,18)) sums term for term (order-free on
+    both sides); the update coalesce(c,0) + m/K is the same IEEE tree
+    (Python floats are IEEE doubles); the one 9dp round happens in a
+    SPARK expression over the literal results, so the output rounding
+    is the same engine pair every other query exercises.  Returns
+    (type_col, n_out, pi) deterministically ordered."""
+    from decimal import ROUND_HALF_EVEN, Decimal
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    trans = (
+        events.select(
+            F.col(type_col).alias("cur"),
+            F.lead(type_col).over(w).alias("nxt"),
+        )
+        .where(F.col("nxt").isNotNull())
+        .groupBy("cur", "nxt")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = trans.groupBy("cur").agg(
+        F.sum("n").alias("tot"), F.count(F.lit(1)).alias("n_out")
+    )
+    p = trans.join(tot.select("cur", "tot"), "cur").select(
+        F.col("cur").alias("s_from"),
+        F.col("nxt").alias("s_to"),
+        (F.col("n").cast("double") / F.col("tot")).alias("p"),
+    )
+    states = [
+        r.state
+        for r in events.where(F.col(type_col).isNotNull())
+        .select(F.col(type_col).alias("state"))
+        .distinct()
+        .collect()
+    ]
+    p_rows = [(r.s_from, r.s_to, r.p) for r in p.collect()]  # K²-bounded
+    n_out = {r.cur: r.n_out for r in tot.collect()}
+    k = len(states)
+    if k == 0:
+        spark = events.sparkSession
+        return spark.createDataFrame(
+            [], f"{type_col} string, n_out long, pi double"
+        )
+    outgoing = {s for s, _, _ in p_rows}
+    dangling = [s for s in states if s not in outgoing]
+    q18 = Decimal(1).scaleb(-18)
+    kd = float(k)
+    pi = {s: 1.0 / kd for s in states}
+    for _ in range(iters):
+        sums = {s: Decimal(0) for s in states}
+        for s_from, s_to, pv in p_rows:
+            sums[s_to] += Decimal(pi[s_from] * pv).quantize(
+                q18, ROUND_HALF_EVEN
+            )
+        m = Decimal(0)
+        for s in dangling:
+            m += Decimal(pi[s]).quantize(q18, ROUND_HALF_EVEN)
+        mf = float(m)
+        pi = {s: float(sums[s]) + mf / kd for s in states}
+    spark = events.sparkSession
+    out = spark.createDataFrame(
+        [(s, int(n_out.get(s, 0)), pi[s]) for s in sorted(states)],
+        f"{type_col} string, n_out long, pi double",
+    )
+    return out.select(
+        type_col, "n_out", F.round("pi", 9).alias("pi")
+    ).orderBy(type_col)

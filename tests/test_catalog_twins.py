@@ -1223,3 +1223,10 @@ def test_orders_join_size_sketch_matches_oracle(spark, sf_dir):
     # KMV, HLL and order_price_quantile_summary in-window; slot taken
     # by order_price_benford
     _assert_matches_oracle(spark, sf_dir, "orders_join_size_sketch")
+
+
+def test_purchase_reachability_matches_oracle(spark, sf_dir):
+    # r12 demotion: 2-round-green (r10+r11); the graph family keeps
+    # hits, ppr, cheapest_paths and assortativity in-window; slot taken
+    # by event_type_stationary
+    _assert_matches_oracle(spark, sf_dir, "purchase_reachability")

@@ -465,3 +465,67 @@ class TestEventGapStats:
         got = self._run(spark, rows)["e"]
         assert got.n_gaps == 18 and got.med_gap_s == 100
         assert got.burstiness == -1.0
+
+
+class TestMarkovStationary:
+    def _run(self, spark, seqs, iters=30):
+        from datetime import datetime, timedelta
+
+        from database_per_keyword_analysis_spark.operators import events as E
+
+        rows = []
+        t0 = datetime(2024, 1, 1)
+        for uid, seq in enumerate(seqs):
+            for i, s in enumerate(seq):
+                rows.append(
+                    (uid * 1000 + i, t0 + timedelta(seconds=i), uid, s)
+                )
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+            "event_type string"
+        )
+        return {
+            r.event_type: r
+            for r in E.markov_stationary(df, iters=iters).collect()
+        }
+
+    def test_two_state_symmetric_chain_is_uniform(self, spark):
+        # a<->b alternation: stationary is exactly (0.5, 0.5)
+        got = self._run(spark, [list("abababab")] * 3)
+        assert got["a"].pi == 0.5 and got["b"].pi == 0.5
+        assert got["a"].n_out == 1 and got["b"].n_out == 1
+
+    def test_absorbing_state_with_uniform_restart(self, spark):
+        # a->b always, b dangling (restarts uniformly): pi solves
+        # pi_a = pi_b/2, pi_b = pi_a + pi_b/2 -> pi = (1/3, 2/3)
+        got = self._run(spark, [list("ab")] * 5)
+        assert abs(got["a"].pi - 1 / 3) < 1e-9
+        assert abs(got["b"].pi - 2 / 3) < 1e-9
+        assert got["b"].n_out == 0  # dangling
+
+    def test_matches_pure_python_power_iteration(self, spark):
+        import random
+        from collections import Counter, defaultdict
+
+        rng = random.Random(21)
+        seqs = ["".join(rng.choice("xyz") for _ in range(30))
+                for _ in range(6)]
+        got = self._run(spark, [list(s) for s in seqs], iters=30)
+        trans = Counter()
+        for s in seqs:
+            for a, b in zip(s, s[1:]):
+                trans[(a, b)] += 1
+        states = sorted(set("".join(seqs)))
+        tot = defaultdict(int)
+        for (a, _), n in trans.items():
+            tot[a] += n
+        k = len(states)
+        pi = {s: 1.0 / k for s in states}
+        for _ in range(30):
+            nxt = {s: 0.0 for s in states}
+            m = sum(pi[s] for s in states if tot[s] == 0)
+            for (a, b), n in trans.items():
+                nxt[b] += pi[a] * (n / tot[a])
+            pi = {s: nxt[s] + m / k for s in states}
+        for s in states:
+            assert abs(got[s].pi - round(pi[s], 9)) <= 2e-9, (s, got[s].pi, pi[s])

@@ -117,6 +117,9 @@ def main() -> None:
             _fixture_dir({"orders": _tpch10x("orders")}),
             0,
         ),
+        # flat K-row output; the lead-window transition count is the
+        # only fact-scale stage, the iterations are K-row work
+        "event_type_stationary": (BASE, _events10x(), 0),
     }
     if only:
         fixtures = {k: v for k, v in fixtures.items() if k in only}
