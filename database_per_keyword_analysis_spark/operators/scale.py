@@ -1288,6 +1288,11 @@ def quantile_summary(
     if k < 2:
         raise ValueError("quantile_summary: k must be >= 2")
     grp = F.col(group_col)
+    # NULLs are excluded, not ranked: Spark orders NULLS FIRST and
+    # DuckDB NULLS LAST, so an unfiltered nullable column would put
+    # different values in the same cells cross-engine (and n would
+    # count rows that are not order statistics)
+    df = df.where(F.col(value_col).isNotNull())
     ranked = df.select(
         grp.alias("grp"), F.col(value_col).alias("v")
     ).withColumn(
@@ -1350,11 +1355,20 @@ def quantile_summary_merge(
     for cells, _n in ((a, n_a), (b, n_b)):
         prev = 0
         for rank_pos, value in sorted(cells):
+            # a cell carries the rows between its rank and its
+            # predecessor's; duplicate-rank cells (an n<k summary pins
+            # several cells to the same order statistic) carry ZERO
+            # new rows and are skipped — counting them weight 1 was
+            # measured to inflate a 3-row summary to cumulative weight
+            # 9 and break the documented rank-error bound
             w = rank_pos - prev
-            pts.append((value, max(w, 1) if rank_pos != prev else 1))
+            if w > 0:
+                pts.append((value, w))
             prev = rank_pos
     pts.sort()
     n = n_a + n_b
+    if not pts:
+        return [], 0
     total_w = sum(w for _, w in pts)
     merged: list[tuple[int, float]] = []
     for i in range(k):

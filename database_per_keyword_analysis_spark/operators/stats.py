@@ -876,13 +876,21 @@ def benford_audit(
 
     100 TB shape: one scan-stage digit projection + one 9-group
     aggregate (map-side combinable) + a broadcast scalar total.
-    Non-positive and NULL values are excluded (Benford is defined on
-    positive magnitudes).  Returns (digit, n_obs, share, expected,
-    contrib) — 9 rows, zero-filled for absent digits."""
+    NULL values and values below one cent (cents = round(x·100) < 1,
+    which includes all non-positives) are excluded — Benford is
+    defined on positive magnitudes, and the cent-resolution floor
+    keeps n_total equal to the 1..9 spine's sum by construction.
+    Returns (digit, n_obs, share, expected, contrib) — 9 rows,
+    zero-filled for absent digits."""
     v = F.col(value_col)
     cents = F.round(v * 100).cast("long")
+    # the population is values with at least one cent: a positive
+    # value below half a cent rounds to cents = 0 (digit '0'), which
+    # is outside the 1..9 law — excluding it HERE keeps n_total equal
+    # to the spine's sum by construction instead of silently dropping
+    # such rows from the shares
     digits = (
-        df.where(v.isNotNull() & (v > 0))
+        df.where(v.isNotNull() & (cents >= 1))
         .select(
             F.substring(cents.cast("string"), 1, 1).cast("int").alias(
                 "digit"

@@ -958,6 +958,13 @@ def length_concentration(
     ).orderBy(group_col)
 
 
+def _dec18(c: Column) -> Column:
+    """DECIMAL(38,18) accumulator cast — the cross-engine contract for
+    order-free sums of double terms (the _dot_dec convention); shared
+    by zipf_slope and heaps_law so the precision cannot drift apart."""
+    return c.cast("decimal(38,18)")
+
+
 ZIPF_TOP_K = 1000  # rank cutoff for the log-log fit
 
 
@@ -1011,13 +1018,12 @@ def zipf_slope(
     ).where(F.col("r") <= top_k)
     x = F.log(F.col("r").cast("double"))
     y = F.log(F.col("n").cast("double"))
-    dec = lambda c: c.cast("decimal(38,18)")  # noqa: E731
     fit = top.groupBy("grp").agg(
         F.count(F.lit(1)).alias("k"),
-        F.sum(dec(x)).alias("sx"),
-        F.sum(dec(y)).alias("sy"),
-        F.sum(dec(x * y)).alias("sxy"),
-        F.sum(dec(x * x)).alias("sxx"),
+        F.sum(_dec18(x)).alias("sx"),
+        F.sum(_dec18(y)).alias("sy"),
+        F.sum(_dec18(x * y)).alias("sxy"),
+        F.sum(_dec18(x * x)).alias("sxx"),
     )
     k = F.col("k").cast("double")
     sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
@@ -1128,13 +1134,12 @@ def heaps_law(
     )
     x = F.log(F.col("n_cum").cast("double"))
     y = F.log(F.col("v_cum").cast("double"))
-    dec = lambda col: col.cast("decimal(38,18)")  # noqa: E731
     fit = curve.groupBy().agg(
         F.count(F.lit(1)).alias("k"),
-        F.sum(dec(x)).alias("sx"),
-        F.sum(dec(y)).alias("sy"),
-        F.sum(dec(x * y)).alias("sxy"),
-        F.sum(dec(x * x)).alias("sxx"),
+        F.sum(_dec18(x)).alias("sx"),
+        F.sum(_dec18(y)).alias("sy"),
+        F.sum(_dec18(x * y)).alias("sxy"),
+        F.sum(_dec18(x * x)).alias("sxx"),
     )
     kk = F.col("k").cast("double")
     sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")

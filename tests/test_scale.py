@@ -880,3 +880,38 @@ def test_quantile_summary_k_validation(spark):
         SC.quantile_summary(df, "grp", "v", k=1)
     with pytest.raises(ValueError):
         SC.quantile_summary_merge([(1, 1.0)], 1, [(1, 2.0)], 1, k=1)
+
+
+def test_quantile_summary_merge_small_summary_weights():
+    # r12 review finding: an n<k summary pins several cells to the
+    # same order statistic; duplicate-rank cells must carry ZERO new
+    # weight, or a 3-row summary inflates to cumulative weight 9 and
+    # the merged ranks drift far past the documented bound
+    k = 9
+    small = [(1 + i * 2 // 8, [10.0, 20.0, 30.0][i * 2 // 8])
+             for i in range(k)]  # n=3: ranks 1,1,1,1,1,2,2,2,3
+    big_vals = [float(100 * (i + 1)) for i in range(9)]
+    big = [(1 + i * 8 // 8, 0.0) for i in range(0)]  # placeholder
+    big = [(1 + i * (9 - 1) // (k - 1), big_vals[i * (9 - 1) // (k - 1)])
+           for i in range(k)]
+    merged, n = SC.quantile_summary_merge(small, 3, big, 9, k=k)
+    assert n == 12
+    union = sorted([10.0, 20.0, 30.0] + big_vals)
+    spacing = (3 - 1) / (k - 1) + (9 - 1) / (k - 1)
+    for rank_pos, value in merged:
+        lo = union.index(value) + 1
+        hi = len(union) - union[::-1].index(value)
+        err = 0 if lo <= rank_pos <= hi else min(
+            abs(rank_pos - lo), abs(rank_pos - hi)
+        )
+        assert err <= spacing, (rank_pos, value, err, spacing)
+    assert merged[0][1] == 10.0 and merged[-1][1] == 900.0
+
+
+def test_quantile_summary_merge_empty_inputs():
+    merged, n = SC.quantile_summary_merge([], 0, [], 0)
+    assert merged == [] and n == 0
+    # one-sided empty: the other side passes through within its bound
+    one = [(1 + i * 4 // 8, float(1 + i * 4 // 8)) for i in range(9)]
+    merged, n = SC.quantile_summary_merge(one, 5, [], 0)
+    assert n == 5 and merged[0][1] == 1.0 and merged[-1][1] == 5.0
