@@ -80,8 +80,17 @@ _DEFERRED_TWINS = {
     #  percentile / sampling each regains an in-window member.  Their
     #  proofs stay in tests/test_catalog_twins.py.  Last-green-pre-r5
     #  tally after this rotation: 19 -> 11.)
-    "top_channels_by_views",  # groupBy-sum top-k; salted twin now in-window
-    "top_posts",  # ordered top-k with tie-break
+    # (r13: the eight OLDEST last-green-r4 members — event_funnel,
+    #  events_json_stats, running_order_totals, segment_order_stats,
+    #  sliding_window_counts, top_channels_by_views, top_posts,
+    #  user_activity_pivot — rotated INTO the window for their second
+    #  driver pass; r12 verdict item 3.  Family-balanced: funnel /
+    #  JSON / frame-window / multi-agg / overlapping-bucket / top-k /
+    #  pivot machinery each regains an in-window member.  Their proofs
+    #  stay in tests/test_catalog_twins.py.  Last-green-pre-r5 tally
+    #  after this rotation: 11 -> 3, remaining:
+    #  winnowing_fingerprints, word_frequency_by_industry,
+    #  word_frequency_by_lang — next rotation's queue.)
     # (r9: top_posts_per_industry, debug_keyword_posts,
     #  orders_status_union, customer_nation_cube, minhash_near_dups_char
     #  — the five members last driver-verified before round 5 — rotated
@@ -95,14 +104,6 @@ _DEFERRED_TWINS = {
     #  asof_last_view_before_purchase (r4) — rotated INTO the window
     #  for their second driver pass; r9 verdict item 3.  Their proofs
     #  stay in tests/test_catalog_twins.py.)
-    "segment_order_stats",  # count/avg/countDistinct agg
-    "running_order_totals",  # frame windows; machinery differential-
-    #   proven (r7: event_anomalies and events_value_locf both rotated
-    #   out with their own differentials)
-    "sliding_window_counts",  # overlapping-bucket explode + groupBy
-    "user_activity_pivot",  # pivot (conditional-count) machinery
-    "event_funnel",  # conditional-count machinery
-    "events_json_stats",  # JSON projections; VARIANT twin differential
     "word_frequency_by_industry",  # explode→count→rank + dynamic stopwords
     "word_frequency_by_lang",  # same explode→count→rank family
     "winnowing_fingerprints",  # fingerprint stage inside winnowing_pairs
@@ -829,6 +830,45 @@ _DEFERRED_TWINS = {
     #   estimate — the sketch family keeps KMV, HLL and the quantile
     #   summary in-window; slot taken by order_price_benford (NOVEL
     #   r12: string-exact first-digit law audit)
+    # ==================================================================
+    # ROUND-13 ROTATION (r12 verdict item 3): the drift-guard second
+    # pass continues with the 8 OLDEST last-green-r4 members (listed in
+    # the r13 note at the top of this set) promoted back IN; the five
+    # r13 novel queries (spearman / xcorr / dim-profile / mix-allocation
+    # / rank-sum drift) take in-window slots at birth.  In exchange the
+    # 13 demotions below leave the window — the most-driver-verified
+    # members first (pq_knn_frozen five passes, then the 3-round r10-r12
+    # cohort, then 2-round r11-r12 members) — each on a NEW differential
+    # in tests/test_catalog_twins.py (AST-guard enforced).
+    # ==================================================================
+    "pq_knn_frozen",  # green r8-r12 (five passes, the catalog's most-
+    #   verified serve-tier member); the similarity family keeps
+    #   embedding_dim_profile (NOVEL r13) in-window
+    "orders_mv_upsert",  # green r10-r12; the IVM family keeps
+    #   stream_orders_mv_refresh (its streaming refresh twin) in-window
+    "content_safe_split_neardup",  # green r10-r12; the curation family
+    #   keeps decontamination_check and stratified_sample (both
+    #   promoted r12) in-window
+    "incremental_near_dup_ingest",  # green r10-r12; the near-dup
+    #   family keeps simhash_fingerprints in-window
+    "orders_dpp_pruned",  # green r10-r12; the pruning ladder keeps
+    #   lineitem_bloom_join (the row-level runtime tier) in-window
+    "copurchase_lift",  # green r10-r12; the graph family keeps
+    #   purchase_cheapest_paths and copurchase_assortativity in-window
+    "purchase_graph_hits",  # green r10-r12; same graph-family cover
+    "customer_linkage_scores",  # green r10-r12; the complete-recall
+    #   family keeps doc_containment_pairs in-window
+    "purchase_graph_ppr",  # green r11-r12; the graph family keeps
+    #   cheapest_paths and assortativity in-window
+    "events_hll_distinct",  # green r11-r12; the sketch family keeps
+    #   events_kmv_distinct and order_price_quantile_summary in-window
+    "doc_cooccurrence_npmi",  # green r11-r12; the text-statistics
+    #   family keeps doc_length_gini, vocab_zipf_slope and
+    #   vocab_heaps_law in-window
+    "doc_boolean_search",  # green r11-r12; the retrieval family keeps
+    #   bm25_search (promoted r12) in-window
+    "event_type_trends_robust",  # green r11-r12; the robust family
+    #   keeps order_price_mad_outliers and event_trend_break in-window
     "purchase_reachability",  # green r10-r11; BFS closure — the graph
     #   family keeps hits, ppr, cheapest_paths and assortativity
     #   in-window; slot taken by event_type_stationary (NOVEL r12:
@@ -843,15 +883,21 @@ def _mutable_stream_base(family: str, sf_dir: str, stat_file: str) -> str:
     processes get disjoint dirs (the r11-advice race fix), with the
     pid VISIBLE in the dirname so this call can sweep siblings left by
     DEAD processes — the leak the pure-md5 pid key could not clean up
-    (the pid was hashed away).  The sweep only removes dirs whose
-    recorded pid no longer exists (os.kill(pid, 0) probe), so it can
-    never race a live writer; pre-fix legacy dirs (no '-p' suffix) are
-    also swept — they were the shared-fixture dirs the race fix
-    retired.  Within-process reuse (bench.py's steady state) is
-    untouched: the same process always maps to the same dir."""
+    (the pid was hashed away).  The sweep removes dirs whose recorded
+    pid no longer exists (os.kill(pid, 0) probe) or whose owner token
+    proves the pid was RECYCLED by a different process (each dir
+    records its owner's /proc start tick; a reused pid carries a
+    different tick, closing the r12-advice leak where a dead owner's
+    dir hid behind an unrelated live process indefinitely).  Pre-fix
+    legacy dirs (no '-p' suffix) are swept only once hours old: a
+    still-running pre-fix process writing a shared-key dir must not
+    lose its checkpoint mid-run (r12 advice); abandoned ones age out.
+    Within-process reuse (bench.py's steady state) is untouched: the
+    same process always maps to the same dir."""
     import hashlib
     import os
     import shutil
+    import time
 
     st = os.stat(stat_file)
     fixture = hashlib.md5(
@@ -863,7 +909,9 @@ def _mutable_stream_base(family: str, sf_dir: str, stat_file: str) -> str:
         family,
     )
     base = os.path.join(root, f"{fixture}-p{os.getpid()}")
+    legacy_max_age_s = 6 * 3600
     if os.path.isdir(root):
+        now = time.time()
         for name in os.listdir(root):
             path = os.path.join(root, name)
             if path == base or not os.path.isdir(path):
@@ -875,13 +923,65 @@ def _mutable_stream_base(family: str, sf_dir: str, stat_file: str) -> str:
                     continue
                 try:
                     os.kill(pid, 0)
-                    continue  # owner alive — never touch
+                    # owner pid alive — but a RECYCLED pid is a dead
+                    # owner in disguise; the boot token disambiguates
+                    if _same_process(path, pid):
+                        continue  # genuinely alive — never touch
                 except ProcessLookupError:
                     pass  # dead owner — safe to sweep
                 except PermissionError:
                     continue  # alive under another uid
+            else:
+                try:
+                    if now - os.stat(path).st_mtime < legacy_max_age_s:
+                        # young shared-key dir: a live pre-fix writer
+                        # may own it — age-gate rather than race it
+                        continue
+                except OSError:
+                    continue
             shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+    token = os.path.join(base, "_owner_start_tick")
+    if not os.path.exists(token):
+        tick = _proc_start_tick(os.getpid())
+        if tick is not None:
+            with open(token, "w") as fh:
+                fh.write(tick)
     return base
+
+
+def _proc_start_tick(pid: int) -> str | None:
+    """The process's kernel start time in clock ticks since boot —
+    field 22 of /proc/<pid>/stat (parsed after the parenthesised comm,
+    which may itself contain spaces).  (pid, start_tick) uniquely
+    identifies a process incarnation, which a bare pid does not (pid
+    reuse — the r12-advice leak).  Returns None off Linux or on any
+    read failure; callers then fall back to the plain liveness
+    probe."""
+    try:
+        with open(f"/proc/{pid}/stat", "rb") as fh:
+            raw = fh.read().decode("ascii", "replace")
+        fields = raw.rsplit(")", 1)[1].split()
+        return fields[19]  # field 22 overall; 20th after comm
+    except (OSError, IndexError):
+        return None
+
+
+def _same_process(state_dir: str, pid: int) -> bool:
+    """True unless the dir's owner token PROVES the live `pid` is a
+    different incarnation than the one that created it.  A missing
+    token or no /proc (non-Linux) errs on the safe side: treat the
+    live pid as the owner and keep the dir."""
+    import os
+
+    token = os.path.join(state_dir, "_owner_start_tick")
+    try:
+        with open(token) as fh:
+            recorded = fh.read().strip()
+    except OSError:
+        return True
+    current = _proc_start_tick(pid)
+    return current is None or not recorded or recorded == current
 
 
 def _emit_order() -> list[str]:
@@ -9533,27 +9633,44 @@ def q_event_type_trends_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ST.theil_sen_trend(load(spark, sf_dir, "events"), "event_type")
 
 
+def _quantile_summary_sql() -> str:
+    """Oracle for order_price_quantile_summary, GENERATED from
+    scale.QS_K (the _benford_sql/_stationary_sql convention) so the
+    cell count and the rank divisor live in ONE place — a QS_K change
+    re-derives both engines together instead of silently
+    desynchronizing them (round-12 advice item).
+
+    Mirrors quantile_summary token for token: per-priority ranked
+    values, a QS_K-cell spine off the counts table, BIGINT rank
+    arithmetic (i*(n-1) // (QS_K-1)), and a rank equi-join — the
+    value is SELECTED, never operated on, so doubles match
+    bit-for-bit."""
+    from .operators import scale as SC
+
+    k = SC.QS_K
+    return (
+        "WITH ranked AS (SELECT o_orderpriority AS grp, "
+        "o_totalprice AS v, "
+        "row_number() OVER (PARTITION BY o_orderpriority "
+        "ORDER BY o_totalprice) AS rn FROM orders "
+        "WHERE o_totalprice IS NOT NULL), "
+        "counts AS (SELECT o_orderpriority AS grp, "
+        "CAST(count(*) AS BIGINT) AS n FROM orders "
+        "WHERE o_totalprice IS NOT NULL GROUP BY 1), "
+        "cells AS (SELECT grp, n, CAST(c.cell AS BIGINT) AS cell, "
+        f"1 + (CAST(c.cell AS BIGINT) * (n - 1)) // {k - 1} AS rank_pos "
+        "FROM counts CROSS JOIN "
+        f"(SELECT unnest(generate_series(0, {k - 1})) AS cell) c) "
+        "SELECT cells.grp AS o_orderpriority, cell, rank_pos, n, "
+        "ranked.v AS value FROM cells JOIN ranked "
+        "ON cells.grp = ranked.grp AND cells.rank_pos = ranked.rn "
+        "ORDER BY o_orderpriority, cell"
+    )
+
+
 @register(
     "order_price_quantile_summary",
-    # mirror quantile_summary token for token: per-priority ranked
-    # values, a 9-cell spine off the counts table, BIGINT rank
-    # arithmetic (i*(n-1) // 8), and a rank equi-join — the value is
-    # SELECTED, never operated on, so doubles match bit-for-bit
-    "WITH ranked AS (SELECT o_orderpriority AS grp, o_totalprice AS v, "
-    "row_number() OVER (PARTITION BY o_orderpriority "
-    "ORDER BY o_totalprice) AS rn FROM orders "
-    "WHERE o_totalprice IS NOT NULL), "
-    "counts AS (SELECT o_orderpriority AS grp, "
-    "CAST(count(*) AS BIGINT) AS n FROM orders "
-    "WHERE o_totalprice IS NOT NULL GROUP BY 1), "
-    "cells AS (SELECT grp, n, CAST(c.cell AS BIGINT) AS cell, "
-    "1 + (CAST(c.cell AS BIGINT) * (n - 1)) // 8 AS rank_pos "
-    "FROM counts CROSS JOIN "
-    "(SELECT unnest(generate_series(0, 8)) AS cell) c) "
-    "SELECT cells.grp AS o_orderpriority, cell, rank_pos, n, "
-    "ranked.v AS value FROM cells JOIN ranked "
-    "ON cells.grp = ranked.grp AND cells.rank_pos = ranked.rn "
-    "ORDER BY o_orderpriority, cell",
+    _quantile_summary_sql(),
 )
 def q_order_price_quantile_summary(
     spark: SparkSession, sf_dir: str
@@ -10204,9 +10321,11 @@ def _stationary_sql() -> str:
     from .operators.events import MARKOV_ITERS
 
     sql = (
+        # NULL states excluded BEFORE the lead window, mirroring the
+        # Spark side's explicit isNotNull pre-filter (r12 advice)
         "WITH seq AS (SELECT event_type AS cur, lead(event_type) OVER "
         "(PARTITION BY user_id ORDER BY ts, event_id) AS nxt "
-        "FROM events), "
+        "FROM events WHERE event_type IS NOT NULL), "
         "trans AS (SELECT cur, nxt, CAST(count(*) AS BIGINT) AS n "
         "FROM seq WHERE nxt IS NOT NULL GROUP BY cur, nxt), "
         "states AS (SELECT DISTINCT event_type AS state FROM events "
@@ -10266,3 +10385,277 @@ def q_event_type_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import events as E
 
     return E.markov_stationary(load(spark, sf_dir, "events"))
+
+
+@register(
+    "lineitem_price_qty_spearman",
+    # mirror spearman_corr token for token: distinct-value CDFs give
+    # 2x tie-averaged ranks as exact BIGINTs, five DECIMAL(38,0)
+    # moment sums, one fixed IEEE tree (every cast moment is far
+    # below 2^53 at sf0.01, so the doubles are bit-identical)
+    "WITH base AS (SELECT l_extendedprice AS x, l_quantity AS y "
+    "FROM lineitem WHERE l_extendedprice IS NOT NULL "
+    "AND l_quantity IS NOT NULL), "
+    "vx AS (SELECT x, CAST(count(*) AS BIGINT) AS cnt "
+    "FROM base GROUP BY x), "
+    "rx AS (SELECT x, 2 * CAST(sum(cnt) OVER (ORDER BY x) AS BIGINT) "
+    "- cnt + 1 AS r2x FROM vx), "
+    "vy AS (SELECT y, CAST(count(*) AS BIGINT) AS cnt "
+    "FROM base GROUP BY y), "
+    "ry AS (SELECT y, 2 * CAST(sum(cnt) OVER (ORDER BY y) AS BIGINT) "
+    "- cnt + 1 AS r2y FROM vy), "
+    "j AS (SELECT r2x, r2y FROM base "
+    "JOIN rx USING (x) JOIN ry USING (y)), "
+    "m AS (SELECT CAST(count(*) AS BIGINT) AS n, "
+    "sum(CAST(r2x AS DECIMAL(38,0))) AS sx, "
+    "sum(CAST(r2y AS DECIMAL(38,0))) AS sy, "
+    "sum(CAST(r2x * r2y AS DECIMAL(38,0))) AS sxy, "
+    "sum(CAST(r2x * r2x AS DECIMAL(38,0))) AS sxx, "
+    "sum(CAST(r2y * r2y AS DECIMAL(38,0))) AS syy FROM j) "
+    "SELECT n AS n_rows, "
+    "CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) "
+    "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0 "
+    "AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) "
+    "- CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0 THEN "
+    "round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) "
+    "- CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / "
+    "sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) "
+    "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * "
+    "(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) "
+    "- CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 9) END "
+    "AS rho_spearman FROM m",
+)
+def q_lineitem_price_qty_spearman(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Spearman rank correlation between line-item price and quantity
+    (operators/stats.py: spearman_corr; Spearman 1904): Pearson over
+    tie-averaged pooled ranks — the monotone-association tier beside
+    the profiling family's linear corr (outlier- and curvature-
+    robust).  Ranks attach as 2·rank exact BIGINTs off the
+    distinct-value CDFs; the near-unique price side's prefix sum runs
+    through scale.global_cumsum (range-partitioned, the r13
+    vocab_heaps_law discipline — never a single-task window over a
+    fact-scale value table); five DECIMAL(38,0) moments, one IEEE
+    tree, one correctly-rounded sqrt.  NOVEL round-13 machinery →
+    in-window at birth."""
+    from .operators import stats as ST
+
+    return ST.spearman_corr(
+        load(spark, sf_dir, "lineitem").select(
+            "l_extendedprice", "l_quantity"
+        ),
+        "l_extendedprice",
+        "l_quantity",
+    )
+
+
+_XCORR_GRID_SQL = (
+    # the zero-filled two-series daily grid shared by the xcorr oracle:
+    # the _zero_filled_daily twin restricted to the two chosen types
+    "WITH daily AS (SELECT event_type AS grp, CAST(ts AS DATE) AS day, "
+    "CAST(count(*) AS BIGINT) AS y FROM events "
+    "WHERE event_type IN ('view', 'purchase') GROUP BY 1, 2), "
+    "bnd AS (SELECT min(day) AS lo, max(day) AS hi FROM daily), "
+    "s AS (SELECT CAST(unnest(range(CAST(lo AS TIMESTAMP), "
+    "CAST(hi AS TIMESTAMP) + INTERVAL 1 DAY, INTERVAL 1 DAY)) AS DATE) "
+    "AS day, lo FROM bnd), "
+    "grid AS (SELECT g.grp, CAST(s.day - s.lo AS BIGINT) AS x, "
+    "coalesce(d.y, CAST(0 AS BIGINT)) AS y "
+    "FROM (SELECT DISTINCT grp FROM daily) g CROSS JOIN s "
+    "LEFT JOIN daily d ON d.grp = g.grp AND d.day = s.day), "
+)
+
+
+@register(
+    "event_view_purchase_xcorr",
+    # mirror series_xcorr token for token: shared zero-filled grid,
+    # lag explode on series a, equi-join to series b, the n^2-scaled
+    # BIGINT numerator, one IEEE multiply/sqrt/divide chain
+    _XCORR_GRID_SQL
+    + "a AS (SELECT x, y AS ya FROM grid WHERE grp = 'view'), "
+    "b AS (SELECT x AS x2, y AS yb FROM grid WHERE grp = 'purchase'), "
+    "ta AS (SELECT CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(ya) AS BIGINT) AS sa, "
+    "CAST(sum(ya * ya) AS BIGINT) AS qa FROM a), "
+    "tb AS (SELECT CAST(sum(yb) AS BIGINT) AS sb, "
+    "CAST(sum(yb * yb) AS BIGINT) AS qb FROM b), "
+    "lagged AS (SELECT x, ya, CAST(k.k AS BIGINT) AS k, x + k.k AS x2 "
+    "FROM a CROSS JOIN "
+    "(SELECT unnest(generate_series(-7, 7)) AS k) k), "
+    "mom AS (SELECT k, CAST(count(*) AS BIGINT) AS n_pairs, "
+    "CAST(sum(ya * yb) AS BIGINT) AS c, "
+    "CAST(sum(ya) AS BIGINT) AS pa, CAST(sum(yb) AS BIGINT) AS pb "
+    "FROM lagged JOIN b USING (x2) GROUP BY k) "
+    "SELECT k AS lag, n AS n_days, n_pairs, "
+    "CASE WHEN CAST(n * qa - sa * sa AS DOUBLE) > 0 "
+    "AND CAST(n * qb - sb * sb AS DOUBLE) > 0 THEN "
+    "round(CAST(n * n * c - n * sa * pb - n * sb * pa "
+    "+ (n - abs(k)) * sa * sb AS DOUBLE) / "
+    "(CAST(n AS DOUBLE) * sqrt(CAST(n * qa - sa * sa AS DOUBLE) "
+    "* CAST(n * qb - sb * sb AS DOUBLE))), 9) END AS xcorr "
+    "FROM mom CROSS JOIN ta CROSS JOIN tb ORDER BY lag",
+)
+def q_event_view_purchase_xcorr(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Lead-lag cross-correlation between the daily view and purchase
+    series at lags −7..7 (operators/stats.py: series_xcorr; Box &
+    Jenkins ch.11 CCF): r_k = corr(view_t, purchase_{t+k}) with
+    full-span means/sds — the pairwise companion completing the
+    daily-series family beside series_acf's own-lag structure (a
+    positive spike at k=+2 reads 'views lead purchases by two days').
+    The series_acf discipline: day-grain collapse first, a 15-row lag
+    explode + equi-join (days × L, never days²), the n²-scaled exact
+    BIGINT numerator, one IEEE multiply/sqrt/divide chain (sqrt is
+    correctly rounded in both engines).  NOVEL round-13 machinery →
+    in-window at birth."""
+    from .operators import stats as ST
+
+    return ST.series_xcorr(
+        load(spark, sf_dir, "events"), "event_type", "view", "purchase"
+    )
+
+
+@register(
+    "embedding_dim_profile",
+    # mirror dim_profile token for token: a 1-based subscript explode
+    # (DuckDB lacks WITH ORDINALITY; list indexing is 1-based ->
+    # dim = i - 1), DECIMAL(38,18) v / v*v sums, the n^2-scaled
+    # variance identity as a fixed IEEE tree, 6dp
+    "WITH flat AS (SELECT CAST(u.i - 1 AS INTEGER) AS dim, "
+    "CAST(embedding[u.i] AS DOUBLE) AS v FROM embeddings "
+    "CROSS JOIN unnest(generate_series(1, len(embedding))) AS u(i) "
+    "WHERE embedding IS NOT NULL), "
+    "agg AS (SELECT dim, CAST(count(*) AS BIGINT) AS n_vecs, "
+    "sum(CAST(v AS DECIMAL(38,18))) AS s, "
+    "sum(CAST(v * v AS DECIMAL(38,18))) AS q, "
+    "min(v) AS lo, max(v) AS hi FROM flat GROUP BY dim) "
+    "SELECT dim, n_vecs, "
+    "round(CAST(s AS DOUBLE) / CAST(n_vecs AS DOUBLE), 6) AS mean, "
+    "round((CAST(n_vecs AS DOUBLE) * CAST(q AS DOUBLE) "
+    "- CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / "
+    "(CAST(n_vecs AS DOUBLE) * CAST(n_vecs AS DOUBLE)), 6) "
+    "AS variance, lo, hi FROM agg ORDER BY dim",
+)
+def q_embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension health profile of the embedding corpus
+    (operators/similarity.py: dim_profile): count, mean, population
+    variance, min, max per coordinate — the collapse/corruption
+    screen run before any indexing at 100 TB (dead dims show var 0
+    and lo == hi; truncation shows short n on tail dims; encoder
+    blow-ups show runaway variance).  One posexplode projection + one
+    map-side-combinable d-group aggregate; DECIMAL(38,18) order-free
+    sums feed a fixed IEEE tree (the zipf_slope convention, 6dp);
+    min/max are exact doubles.  NOVEL round-13 machinery → in-window
+    at birth, keeping the similarity family in-window as
+    pq_knn_frozen (five driver passes) rotates out."""
+    from .operators import similarity as SIM
+
+    return SIM.dim_profile(load(spark, sf_dir, "embeddings"))
+
+
+def _mix_allocation_sql() -> str:
+    """Oracle for source_mix_allocation, GENERATED from the same
+    MIX_BUDGET_TOKENS constant the Spark side uses (the _benford_sql
+    convention).  Pure BIGINT arithmetic throughout — floor division,
+    modulo, a (rem DESC, stratum ASC) row_number — so the engines
+    cannot diverge by construction."""
+    from .operators.curation import MIX_BUDGET_TOKENS as B
+
+    return (
+        "WITH supply AS (SELECT source AS stratum, "
+        r"CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) "
+        "AS BIGINT) AS n_tokens FROM documents "
+        "WHERE text IS NOT NULL AND source IS NOT NULL GROUP BY 1), "
+        "tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total "
+        "FROM supply), "
+        f"parts AS (SELECT stratum, n_tokens, "
+        f"(CAST({B} AS BIGINT) * n_tokens) // total AS base, "
+        f"(CAST({B} AS BIGINT) * n_tokens) % total AS rem "
+        "FROM supply CROSS JOIN tot), "
+        f"lo AS (SELECT CAST({B} AS BIGINT) - CAST(sum(base) AS BIGINT) "
+        "AS leftover FROM parts), "
+        "ranked AS (SELECT stratum, n_tokens, base, "
+        "row_number() OVER (ORDER BY rem DESC, stratum) AS rk "
+        "FROM parts) "
+        "SELECT stratum, n_tokens, "
+        "CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END "
+        "AS BIGINT) AS quota "
+        "FROM ranked CROSS JOIN lo ORDER BY stratum"
+    )
+
+
+@register("source_mix_allocation", _mix_allocation_sql())
+def q_source_mix_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder apportionment of a 100k-token budget across
+    document sources (operators/curation.py: mix_allocation; Hamilton
+    1792): base = ⌊B·n_s/N⌋ plus the leftover seats to the largest
+    remainders, ties by source — the integer-exact mix PLAN the
+    sampling family executes against (token_budget_sample hits a
+    budget in expectation; the plan's quotas sum to B exactly).  All
+    BIGINT arithmetic, no floats anywhere; the only fact-sized work
+    is one scan-stage token count + one map-side-combinable source
+    aggregate, and the apportionment runs on the #sources-bounded
+    table.  NOVEL round-13 machinery → in-window at birth."""
+    from .operators import curation as CU
+
+    return CU.mix_allocation(load(spark, sf_dir, "documents", parallel=True))
+
+
+@register(
+    "doc_length_ranksum_drift",
+    # mirror mann_whitney_u token for token: pooled distinct-value
+    # CDF gives 2x tie-averaged ranks as exact BIGINTs; 2R_a, 2U_a
+    # and the centered numerator are exact integers; the tie term
+    # sum(t^3 - t) is an exact BIGINT fold; one IEEE
+    # divide-by-sqrt, 9dp
+    "WITH base AS (SELECT doc_id % 2 = 0 AS is_a, "
+    "CAST(n_chars AS BIGINT) AS x FROM documents "
+    "WHERE n_chars IS NOT NULL), "
+    "per_x AS (SELECT x, "
+    "CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS da, "
+    "CAST(sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS db "
+    "FROM base GROUP BY x), "
+    "ranked AS (SELECT da, db, da + db AS t, "
+    "2 * CAST(sum(da + db) OVER (ORDER BY x) AS BIGINT) "
+    "- (da + db) + 1 AS r2 FROM per_x), "
+    "agg AS (SELECT CAST(sum(da) AS BIGINT) AS n_a, "
+    "CAST(sum(db) AS BIGINT) AS n_b, "
+    "CAST(sum(da * r2) AS BIGINT) AS r2a, "
+    "CAST(sum(t * t * t - t) AS BIGINT) AS ties FROM ranked) "
+    "SELECT n_a, n_b, "
+    "CASE WHEN n_a > 0 AND n_b > 0 THEN "
+    "CAST(r2a - n_a * (n_a + 1) AS DOUBLE) / 2.0 END AS u_a, "
+    "CASE WHEN n_a > 0 AND n_b > 0 AND "
+    "CAST(n_a * n_b AS DOUBLE) / 12.0 * "
+    "(CAST(n_a + n_b + 1 AS DOUBLE) - CAST(ties AS DOUBLE) / "
+    "CAST((n_a + n_b) * (n_a + n_b - 1) AS DOUBLE)) > 0 THEN "
+    "round(CAST(r2a - n_a * (n_a + 1) - n_a * n_b AS DOUBLE) / "
+    "(2.0 * sqrt(CAST(n_a * n_b AS DOUBLE) / 12.0 * "
+    "(CAST(n_a + n_b + 1 AS DOUBLE) - CAST(ties AS DOUBLE) / "
+    "CAST((n_a + n_b) * (n_a + n_b - 1) AS DOUBLE)))), 9) END AS z "
+    "FROM agg",
+)
+def q_doc_length_ranksum_drift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mann-Whitney rank-sum drift test on document lengths between
+    the even/odd doc_id corpus halves (operators/stats.py:
+    mann_whitney_u; Mann & Whitney 1947) — the LOCATION tier of the
+    drift ladder beside doc_length_ks_drift's SHAPE tier and
+    corpus_drift_terms' token-mass KL tier: a median-length creep
+    fires here with more power than KS when the shape is otherwise
+    stable.  Tie-averaged pooled ranks enter as 2·rank exact BIGINTs
+    off the distinct-value CDF (the ks value-cardinality table), so
+    U_a and the centered numerator are exact; the tie-corrected z is
+    ONE IEEE divide-by-sqrt, no continuity correction (documented
+    both sides).  NOVEL round-13 machinery → in-window at birth."""
+    from pyspark.sql import functions as F
+
+    from .operators import stats as ST
+
+    docs = load(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 2 == 0).alias("is_a"), "n_chars"
+    )
+    return ST.mann_whitney_u(docs, "is_a", "n_chars")

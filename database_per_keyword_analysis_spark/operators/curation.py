@@ -955,3 +955,73 @@ def content_safe_split_neardup(
             split.alias("split"),
         )
     )
+
+
+MIX_BUDGET_TOKENS = 100_000  # default allocation budget (tokens)
+
+
+def mix_allocation(
+    docs: DataFrame,
+    budget_tokens: int = MIX_BUDGET_TOKENS,
+    stratum_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of a token budget
+    across sources, proportional to each source's token supply — the
+    INTEGER-EXACT planning step a training-data mix needs before the
+    samplers run (token_budget_sample hits a budget in expectation;
+    a mix plan must hit it EXACTLY and publish per-source quotas that
+    sum to it, the way seats sum to a parliament).
+
+    Semantics (Hamilton 1792, the apportionment classic): source s
+    with n_s of N total tokens gets base_s = ⌊B·n_s/N⌋, and the
+    leftover B − Σbase seats go to the largest remainders
+    B·n_s mod N, ties broken by source ascending.  Everything is
+    BIGINT arithmetic — no floats anywhere, so the two engines cannot
+    disagree by construction; Σquota = B exactly (asserted in tests).
+
+    100 TB shape: one scan-stage whitespace token count + one
+    map-side-combinable groupBy(source) — the only fact-sized work;
+    the apportionment itself runs on the #sources-bounded table (one
+    broadcast scalar, one bounded window).  Returns
+    (stratum, n_tokens, quota) ordered by stratum."""
+    if budget_tokens < 0:
+        raise ValueError("mix_allocation: budget_tokens must be >= 0")
+    n = TQ.ws_token_count(F.col(text_col))
+    supply = (
+        docs.where(
+            F.col(text_col).isNotNull() & F.col(stratum_col).isNotNull()
+        )
+        .select(F.col(stratum_col).alias("stratum"), n.alias("n_tok"))
+        .groupBy("stratum")
+        .agg(F.sum(F.col("n_tok").cast("long")).alias("n_tokens"))
+    )
+    tot = supply.agg(F.sum("n_tokens").alias("total"))
+    b = F.lit(budget_tokens).cast("long")
+    based = supply.crossJoin(F.broadcast(tot)).select(
+        "stratum",
+        "n_tokens",
+        (b * F.col("n_tokens")).alias("num"),
+        F.col("total"),
+    )
+    parts = based.select(
+        "stratum",
+        "n_tokens",
+        F.floor(F.col("num") / F.col("total")).alias("base"),
+        (F.col("num") % F.col("total")).alias("rem"),
+    )
+    leftover = parts.agg((b - F.sum("base")).alias("leftover"))
+    pick = Window.orderBy(F.desc("rem"), F.asc("stratum"))
+    return (
+        parts.crossJoin(F.broadcast(leftover))
+        .withColumn("_rk", F.row_number().over(pick))
+        .select(
+            "stratum",
+            "n_tokens",
+            (
+                F.col("base")
+                + F.when(F.col("_rk") <= F.col("leftover"), 1).otherwise(0)
+            ).alias("quota"),
+        )
+        .orderBy("stratum")
+    )

@@ -1029,7 +1029,13 @@ def markov_stationary(
 
     w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
     trans = (
-        events.select(
+        # NULL states are excluded BEFORE the lead window (the
+        # event_gap_stats convention), so the exclusion is explicit on
+        # both engines rather than an accident of the downstream inner
+        # join on 'cur' — a null-safe-join refactor can no longer
+        # desync the oracle or KeyError the driver loop (r12 advice)
+        events.where(F.col(type_col).isNotNull())
+        .select(
             F.col(type_col).alias("cur"),
             F.lead(type_col).over(w).alias("nxt"),
         )

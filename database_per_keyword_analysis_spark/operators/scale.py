@@ -1382,3 +1382,114 @@ def quantile_summary_merge(
                 break
         merged.append((1 + (i * (n - 1)) // (k - 1), chosen))
     return merged, n
+
+
+GLOBAL_RANK_PARTITIONS = 32  # range splits for the distributed rank
+
+
+def global_rank(
+    df: DataFrame,
+    order_col: str,
+    rank_col: str = "rnk",
+    num_partitions: int = GLOBAL_RANK_PARTITIONS,
+) -> DataFrame:
+    """Scale-safe global row numbering by a UNIQUE key — the dense rank
+    `row_number() OVER (ORDER BY order_col)` computes, without the
+    single-task sort an unpartitioned WindowExec forces (Spark warns
+    `No Partition Defined ... all the data to a single partition`; at
+    100 TB that is every row through one executor).
+
+    The classic zipWithIndex decomposition, expressed in DataFrame ops:
+
+      1. `repartitionByRange(order_col)` — each partition holds a
+         contiguous key range, partition ids ordered by range.
+      2. per-partition `row_number()` keyed on `spark_partition_id()`
+         — a hash-partitioned window, every executor ranks its slice.
+      3. per-partition counts (≤ `num_partitions` rows — bounded by
+         the partition count, never the data) prefix-summed into
+         offsets and broadcast-joined back: rank = offset + local.
+
+    Within one query the range exchange is planned once and reused
+    (ReuseExchange), so the count branch and the rank branch see the
+    same partition boundaries.  Requires `order_col` values unique —
+    with duplicates a global row_number is itself nondeterministic, so
+    callers must already hold uniqueness for oracle parity."""
+    part = df.repartitionByRange(num_partitions, order_col).withColumn(
+        "_grk_pid", F.spark_partition_id()
+    )
+    local = part.withColumn(
+        "_grk_lrnk",
+        F.row_number().over(
+            Window.partitionBy("_grk_pid").orderBy(order_col)
+        ),
+    )
+    counts = part.groupBy("_grk_pid").agg(
+        F.count(F.lit(1)).alias("_grk_cnt")
+    )
+    # ≤ num_partitions rows: the unpartitioned window here is over the
+    # bounded counts table, the same class as a checkpoint spine
+    offsets = counts.select(
+        "_grk_pid",
+        F.coalesce(
+            F.sum("_grk_cnt").over(
+                Window.orderBy("_grk_pid").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0).cast("long"),
+        ).alias("_grk_off"),
+    )
+    return (
+        local.join(F.broadcast(offsets), "_grk_pid")
+        .withColumn(rank_col, F.col("_grk_off") + F.col("_grk_lrnk"))
+        .drop("_grk_pid", "_grk_lrnk", "_grk_off")
+    )
+
+
+def global_cumsum(
+    df: DataFrame,
+    order_col: str,
+    weight_col: str,
+    cum_col: str = "cum",
+    num_partitions: int = GLOBAL_RANK_PARTITIONS,
+) -> DataFrame:
+    """Scale-safe INCLUSIVE prefix sum of `weight_col` ordered by the
+    UNIQUE key `order_col` — the weighted sibling of `global_rank`
+    (rank = cumsum of weight 1), built for cumulative-count CDFs over
+    value-cardinality tables whose cardinality can approach fact scale
+    (a near-unique numeric column's distinct-value table).  Same
+    decomposition: range partition, per-partition window cumsum,
+    bounded per-partition totals prefix-summed into offsets and
+    broadcast back.  Weights must be non-NULL integers (sums stay
+    exact in BIGINT; callers needing more headroom pre-cast to
+    DECIMAL)."""
+    part = df.repartitionByRange(num_partitions, order_col).withColumn(
+        "_gcs_pid", F.spark_partition_id()
+    )
+    local = part.withColumn(
+        "_gcs_lcum",
+        F.sum(weight_col).over(
+            Window.partitionBy("_gcs_pid")
+            .orderBy(order_col)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    totals = part.groupBy("_gcs_pid").agg(
+        F.sum(weight_col).alias("_gcs_tot")
+    )
+    offsets = totals.select(
+        "_gcs_pid",
+        F.coalesce(
+            F.sum("_gcs_tot").over(
+                Window.orderBy("_gcs_pid").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0).cast("long"),
+        ).alias("_gcs_off"),
+    )
+    return (
+        local.join(F.broadcast(offsets), "_gcs_pid")
+        .withColumn(cum_col, F.col("_gcs_off") + F.col("_gcs_lcum"))
+        .drop("_gcs_pid", "_gcs_lcum", "_gcs_off")
+    )

@@ -239,6 +239,13 @@ def vocab_coverage(
         F.count(F.lit(1)).alias("cnt")
     )
     total = counts.agg(F.sum("cnt").cast("double").alias("_total"))
+    # 100M-type regime note (r12 verdict): the unpartitioned windows
+    # below are SAFE at any vocabulary size because they run AFTER the
+    # orderBy().limit(top_n) — Spark plans that as TakeOrderedAndProject
+    # (per-partition top-N, merged on the driver), so the single-task
+    # window only ever sees top_n rows; the full type table is never
+    # globally sorted.  If top_n itself were raised to vocabulary
+    # scale, switch the rank to scale.global_rank.
     top = counts.orderBy(F.desc("cnt"), F.asc("token")).limit(top_n)
     w = Window.orderBy(F.desc("cnt"), F.asc("token")).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -282,6 +289,10 @@ def encode_documents(
         F.count(F.lit(1)).alias("cnt")
     )
     vocab = (
+        # the rank window runs AFTER limit(vocab_size) — TakeOrdered
+        # bounds it to vocab_size rows even against a 100M-type
+        # vocabulary (see the vocab_coverage note); never a global
+        # sort of the type table
         counts.orderBy(F.desc("cnt"), F.asc("token"))
         .limit(vocab_size)
         .select(

@@ -1327,3 +1327,51 @@ def pq_knn_frozen(
         .where(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+
+
+def dim_profile(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-dimension health profile of an embedding corpus: count,
+    mean, population variance, min, max for every coordinate — the
+    collapse/corruption screen a 100 TB embedding pipeline runs before
+    indexing (a DEAD dimension shows var 0 and lo == hi; a blown-up
+    encoder shows runaway variance; an off-by-one truncation shows a
+    short n on the tail dims).
+
+    Engine-exactness: each coordinate is a float widened to double
+    (exact); v and v·v accumulate as DECIMAL(38,18) quantized terms
+    (order-free sums, the zipf_slope convention), then mean and the
+    n²-scaled variance identity (n·Q − S²)/n² run as a fixed IEEE
+    tree over the cast sums, rounded 6dp (the DECIMAL-sum/6dp
+    convention); min/max are exact doubles, no rounding.
+
+    100 TB shape: ONE posexplode projection (scan-stage, n·d rows
+    never materialized wider than (dim, v)) + one map-side-combinable
+    groupBy(dim) aggregate over d groups.  Returns one row per
+    dimension (dim 0-based, n_vecs, mean, variance, lo, hi), ordered
+    by dim."""
+    flat = emb.where(F.col(vec_col).isNotNull()).select(
+        F.posexplode(vec_col).alias("dim", "_v")
+    )
+    v = F.col("_v").cast("double")
+    d18 = lambda c: c.cast("decimal(38,18)")  # noqa: E731
+    agg = flat.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum(d18(v)).alias("s"),
+        F.sum(d18(v * v)).alias("q"),
+        F.min(v).alias("lo"),
+        F.max(v).alias("hi"),
+    )
+    n = F.col("n_vecs").cast("double")
+    s, q = F.col("s").cast("double"), F.col("q").cast("double")
+    return agg.select(
+        "dim",
+        "n_vecs",
+        F.round(s / n, 6).alias("mean"),
+        F.round((n * q - s * s) / (n * n), 6).alias("variance"),
+        "lo",
+        "hi",
+    ).orderBy("dim")

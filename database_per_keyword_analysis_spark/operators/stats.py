@@ -930,3 +930,269 @@ def benford_audit(
         )
         .orderBy("digit")
     )
+
+
+def _rank2_table(
+    base: DataFrame, value_col: str, out_col: str
+) -> DataFrame:
+    """Per distinct value of `value_col`: TWICE its tie-averaged
+    pooled rank — 2·avg_rank = 2·cum − cnt + 1 with cum the inclusive
+    cumulative count, so the half-integer average rank stays an exact
+    BIGINT.  The prefix sum runs through scale.global_cumsum (range
+    partition + bounded offsets), NOT an unpartitioned window: a
+    near-unique numeric column's value table approaches fact scale,
+    exactly the regime the vocab_heaps_law r13 fix targets.  Returns
+    (value_col, cnt, out_col)."""
+    from . import scale as _scale
+
+    counts = base.groupBy(value_col).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return _scale.global_cumsum(counts, value_col, "cnt").select(
+        value_col,
+        "cnt",
+        (F.lit(2) * F.col("cum") - F.col("cnt") + F.lit(1)).alias(
+            out_col
+        ),
+    )
+
+
+def spearman_corr(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Spearman rank correlation between two numeric columns
+    (Spearman 1904): Pearson over tie-averaged ranks — the monotone-
+    association member beside the linear corr the profiling family
+    reports (a doubling-prices-doubles-quantities relation scores 1.0
+    here even when Pearson is dragged by curvature or outliers).
+
+    Engine-exactness: each column's tie-averaged rank is attached as
+    2·rank (exact BIGINT off the distinct-value CDF — _rank2_table);
+    scaling both rank vectors by 2 leaves Pearson unchanged.  The five
+    moments accumulate in DECIMAL(38,0) (order-free integer sums);
+    the final rho is a fixed IEEE tree over the cast moments — every
+    cast value is far below 2^53 at hash-check scale, so the doubles
+    are bit-identical cross-engine (rounded 9dp; the one sqrt is
+    IEEE-correctly-rounded in both engines).
+
+    100 TB shape: two groupBy(value) collapses (map-side combinable),
+    two scale-safe prefix sums over the value tables (range-
+    partitioned, never a single-task window even when values are
+    near-unique), two fact-sized equi-joins to attach ranks, ONE
+    moment aggregate.  Returns one row (n_rows, rho_spearman); NULL
+    rho when either column is constant."""
+    base = df.where(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(F.col(x_col).alias("x"), F.col(y_col).alias("y"))
+    rx = _rank2_table(base, "x", "r2x").drop("cnt")
+    ry = _rank2_table(base, "y", "r2y").drop("cnt")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    mom = (
+        base.join(rx, "x")
+        .join(ry, "y")
+        .groupBy()
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec(F.col("r2x"))).alias("sx"),
+            F.sum(dec(F.col("r2y"))).alias("sy"),
+            F.sum(dec(F.col("r2x") * F.col("r2y"))).alias("sxy"),
+            F.sum(dec(F.col("r2x") * F.col("r2x"))).alias("sxx"),
+            F.sum(dec(F.col("r2y") * F.col("r2y"))).alias("syy"),
+        )
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    dx = n * sxx - sx * sx
+    dy = n * syy - sy * sy
+    rho = (n * sxy - sx * sy) / F.sqrt(dx * dy)
+    return mom.select(
+        F.col("n").alias("n_rows"),
+        F.when((dx > 0) & (dy > 0), F.round(rho, 9)).alias(
+            "rho_spearman"
+        ),
+    )
+
+
+XCORR_MAX_LAG = 7  # lead-lag window, days, each direction
+
+
+def series_xcorr(
+    df: DataFrame,
+    group_col: str,
+    type_a: str,
+    type_b: str,
+    ts_col: str = "ts",
+    max_lag: int = XCORR_MAX_LAG,
+) -> DataFrame:
+    """Sample cross-correlation between two groups' zero-filled daily
+    count series at lags −max_lag..max_lag (Box & Jenkins ch.11 CCF):
+    r_k = corr(a_t, b_{t+k}) with FULL-span means and sds — the
+    lead-lag diagnostic on top of series_acf (a positive spike at
+    k=+2 reads "a leads b by two days").
+
+    Engine-exactness (the series_acf discipline): multiplied through
+    by n² so the numerator is one exact BIGINT —
+
+      r_k = (n²·C_k − n·Sa·B_k − n·Sb·A_k + (n−|k|)·Sa·Sb)
+            / (n · sqrt((n·Qa − Sa²) · (n·Qb − Sb²)))
+
+    with C_k = Σ a_t·b_{t+k} over the overlap, A_k/B_k the overlap
+    partial sums, Sa/Qa the full-span sum and sum-of-squares — then
+    one IEEE multiply/sqrt/divide chain (sqrt is correctly rounded in
+    both engines).  BIGINT headroom mirrors series_acf's documented
+    DECIMAL(38,0) swap for a 100 TB deployment.
+
+    100 TB shape: the fact collapses to (group, day) grain FIRST over
+    the shared zero-filled grid; the lag attach explodes 2·max_lag+1
+    rows per day of series a and joins series b on the EQUI key
+    (x + k = x') — days × L, never days².  Constant series surface
+    xcorr = NULL.  Returns (lag, n_days, n_pairs, xcorr) ordered by
+    lag."""
+    if max_lag < 1:
+        raise ValueError("series_xcorr: max_lag must be >= 1")
+    grid = _zero_filled_daily(
+        df.where(F.col(group_col).isin(type_a, type_b)),
+        group_col,
+        ts_col,
+    ).select("grp", "x", "y")
+    a = grid.where(F.col("grp") == type_a).select("x", F.col("y").alias("ya"))
+    b = grid.where(F.col("grp") == type_b).select(
+        F.col("x").alias("x2"), F.col("y").alias("yb")
+    )
+    tots = grid.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("s"),
+        F.sum(F.col("y") * F.col("y")).alias("q"),
+    )
+    ta = tots.where(F.col("grp") == type_a).select(
+        F.col("n").alias("n"), F.col("s").alias("sa"), F.col("q").alias("qa")
+    )
+    tb = tots.where(F.col("grp") == type_b).select(
+        F.col("s").alias("sb"), F.col("q").alias("qb")
+    )
+    lagged = a.select(
+        "x",
+        "ya",
+        F.explode(
+            F.sequence(F.lit(-max_lag), F.lit(max_lag))
+        ).alias("k"),
+    ).withColumn("x2", F.col("x") + F.col("k"))
+    mom = (
+        lagged.join(b, "x2")
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.col("ya") * F.col("yb")).alias("c"),
+            F.sum("ya").alias("pa"),
+            F.sum("yb").alias("pb"),
+        )
+    )
+    n = F.col("n")
+    num = (
+        n * n * F.col("c")
+        - n * F.col("sa") * F.col("pb")
+        - n * F.col("sb") * F.col("pa")
+        + (n - F.abs(F.col("k"))) * F.col("sa") * F.col("sb")
+    )
+    da = (n * F.col("qa") - F.col("sa") * F.col("sa")).cast("double")
+    db = (n * F.col("qb") - F.col("sb") * F.col("sb")).cast("double")
+    den = n.cast("double") * F.sqrt(da * db)
+    return (
+        mom.crossJoin(F.broadcast(ta))
+        .crossJoin(F.broadcast(tb))
+        .select(
+            F.col("k").alias("lag"),
+            F.col("n").alias("n_days"),
+            "n_pairs",
+            F.when(
+                (da > 0) & (db > 0),
+                F.round(num.cast("double") / den, 9),
+            ).alias("xcorr"),
+        )
+        .orderBy("lag")
+    )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    side_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Exact two-sample Mann-Whitney/Wilcoxon rank-sum test between
+    the two sides of `side_col` (Mann & Whitney 1947): U_a off
+    tie-averaged pooled ranks plus the tie-corrected normal z — the
+    LOCATION tier of the drift ladder beside ks_two_sample's SHAPE
+    tier (a corpus whose median length creeps up fires here with more
+    power than KS when the shape is otherwise stable).
+
+    Engine-exactness: pooled tie-averaged ranks enter as 2·rank
+    (exact BIGINT off the distinct-value CDF), so 2·R_a, 2·U_a and
+    the centered numerator 2·(U_a − n_a·n_b/2) are exact integers;
+    the tie-correction term Σ(t³−t) is an exact BIGINT fold over the
+    value table (a 100 TB deployment swaps the cubes to
+    DECIMAL(38,0), the series_acf note).  z is ONE IEEE
+    divide-by-sqrt over exact inputs, rounded 9dp; u_a is the exact
+    half-integer as a double.  No continuity correction (documented;
+    both engines identical).
+
+    100 TB shape: one groupBy(value) collapse, one window over the
+    value-cardinality table, scalar folds.  Returns one row
+    (n_a, n_b, u_a, z); z NULL when either side is empty or all
+    values tie."""
+    side = F.col(side_col)
+    base = df.where(
+        F.col(value_col).isNotNull() & side.isNotNull()
+    ).select(
+        side.cast("boolean").alias("is_a"),
+        F.col(value_col).alias("x"),
+    )
+    per_x = base.groupBy("x").agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).alias("da"),
+        F.sum(F.when(F.col("is_a"), 0).otherwise(1)).alias("db"),
+    )
+    t = F.col("da") + F.col("db")
+    wc = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = per_x.select(
+        "da",
+        "db",
+        t.alias("t"),
+        (F.lit(2) * F.sum(t).over(wc) - t + F.lit(1)).alias("r2"),
+    )
+    agg = ranked.groupBy().agg(
+        F.sum("da").alias("n_a"),
+        F.sum("db").alias("n_b"),
+        F.sum(F.col("da") * F.col("r2")).alias("r2a"),
+        F.sum(
+            F.col("t") * F.col("t") * F.col("t") - F.col("t")
+        ).alias("ties"),
+    )
+    na, nb = F.col("n_a"), F.col("n_b")
+    nn = na + nb
+    num2 = F.col("r2a") - na * (na + 1) - na * nb  # 2·(U_a − μ_U)
+    u2 = F.col("r2a") - na * (na + 1)  # 2·U_a
+    var_u = (
+        (na * nb).cast("double")
+        / F.lit(12.0)
+        * (
+            (nn + 1).cast("double")
+            - F.col("ties").cast("double")
+            / (nn * (nn - 1)).cast("double")
+        )
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.when(
+            (na > 0) & (nb > 0), u2.cast("double") / F.lit(2.0)
+        ).alias("u_a"),
+        F.when(
+            (na > 0) & (nb > 0) & (var_u > 0),
+            F.round(
+                num2.cast("double") / (F.lit(2.0) * F.sqrt(var_u)), 9
+            ),
+        ).alias("z"),
+    )

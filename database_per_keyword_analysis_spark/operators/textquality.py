@@ -1073,9 +1073,14 @@ def heaps_law(
     zipf_slope/_dot_dec convention), so slope and intercept are
     engine-reproducible at 6dp.
 
-    100 TB shape: one per-doc token-count projection, one (token ->
-    min doc) aggregate over the TYPE table, one `checkpoints`-row
-    fold; nothing is rescanned per checkpoint.  Returns one row per
+    100 TB shape: one per-doc token-count projection ranked by
+    scale.global_rank (range-partitioned local row_number + bounded
+    prefix-sum offsets — no unpartitioned WindowExec over the per-doc
+    table), one (token -> min doc) aggregate over the TYPE table, one
+    `checkpoints`-row fold; nothing is rescanned per checkpoint.  The
+    only unpartitioned windows left run over bounded tables (the
+    partition-count offsets and the `checkpoints`-row spine cumsum),
+    never over facts.  Returns one row per
     checkpoint (ckpt, n_cum, v_cum) with the fitted (beta, ln_k)
     repeated on each row, deterministically ordered."""
     if checkpoints < 2:
@@ -1089,10 +1094,18 @@ def heaps_law(
         ).alias("toks"),
     )
     # doc -> checkpoint bucket via the integer rank formula
-    # ((rank-1)*c) div n + 1 (identical arithmetic in both engines)
-    ranked = base.select(
-        "doc", F.size("toks").alias("n_toks")
-    ).withColumn("rnk", F.row_number().over(Window.orderBy("doc")))
+    # ((rank-1)*c) div n + 1 (identical arithmetic in both engines).
+    # The rank itself is scale.global_rank's range-partitioned
+    # decomposition, NOT row_number() OVER (ORDER BY doc): the per-doc
+    # table is fact-scale (one row per document), and an unpartitioned
+    # WindowExec would push every row through a single task at 100 TB
+    # (round-12 verdict finding).  doc ids are unique, so the
+    # distributed rank is bit-identical to the oracle's global one.
+    from . import scale as _scale
+
+    ranked = _scale.global_rank(
+        base.select("doc", F.size("toks").alias("n_toks")), "doc"
+    )
     nd = ranked.groupBy().agg(F.count(F.lit(1)).alias("nd"))
     bucketed = ranked.crossJoin(F.broadcast(nd)).select(
         "doc",

@@ -1230,3 +1230,81 @@ def test_purchase_reachability_matches_oracle(spark, sf_dir):
     # hits, ppr, cheapest_paths and assortativity in-window; slot taken
     # by event_type_stationary
     _assert_matches_oracle(spark, sf_dir, "purchase_reachability")
+
+
+def test_pq_knn_frozen_matches_oracle(spark, sf_dir):
+    # r13 demotion: FIVE driver passes (r8-r12), the catalog's most-
+    # verified serve-tier member; the similarity family keeps
+    # embedding_dim_profile (NOVEL r13) in-window; slot freed for the
+    # r13 rotation/novel batch
+    _assert_matches_oracle(spark, sf_dir, "pq_knn_frozen")
+
+
+def test_orders_mv_upsert_matches_oracle(spark, sf_dir):
+    # r13 demotion: 3-round-green (r10-r12); the IVM family keeps
+    # stream_orders_mv_refresh (the streaming refresh twin) in-window
+    _assert_matches_oracle(spark, sf_dir, "orders_mv_upsert")
+
+
+def test_content_safe_split_neardup_matches_oracle(spark, sf_dir):
+    # r13 demotion: 3-round-green (r10-r12); the curation family keeps
+    # decontamination_check and stratified_sample in-window
+    _assert_matches_oracle(spark, sf_dir, "content_safe_split_neardup")
+
+
+def test_incremental_near_dup_ingest_matches_oracle(spark, sf_dir):
+    # r13 demotion: 3-round-green (r10-r12); the near-dup family keeps
+    # simhash_fingerprints in-window
+    _assert_matches_oracle(spark, sf_dir, "incremental_near_dup_ingest")
+
+
+def test_orders_dpp_pruned_matches_oracle(spark, sf_dir):
+    # r13 demotion: 3-round-green (r10-r12); the pruning ladder keeps
+    # lineitem_bloom_join in-window
+    _assert_matches_oracle(spark, sf_dir, "orders_dpp_pruned")
+
+
+def test_copurchase_lift_matches_oracle(spark, sf_dir):
+    # r13 demotion: 3-round-green (r10-r12); the graph family keeps
+    # purchase_cheapest_paths and copurchase_assortativity in-window
+    _assert_matches_oracle(spark, sf_dir, "copurchase_lift")
+
+
+def test_purchase_graph_hits_matches_oracle(spark, sf_dir):
+    # r13 demotion: 3-round-green (r10-r12); same graph-family cover
+    _assert_matches_oracle(spark, sf_dir, "purchase_graph_hits")
+
+
+def test_customer_linkage_scores_matches_oracle(spark, sf_dir):
+    # r13 demotion: 3-round-green (r10-r12); the complete-recall family
+    # keeps doc_containment_pairs in-window
+    _assert_matches_oracle(spark, sf_dir, "customer_linkage_scores")
+
+
+# (purchase_graph_ppr — r13 demotion, 2-round-green r11+r12 — keeps
+# its ORIGINAL r10 deferral-at-birth proof above; the graph family
+# keeps cheapest_paths and assortativity in-window)
+
+
+def test_events_hll_distinct_matches_oracle(spark, sf_dir):
+    # r13 demotion: 2-round-green (r11+r12); the sketch family keeps
+    # events_kmv_distinct and order_price_quantile_summary in-window
+    _assert_matches_oracle(spark, sf_dir, "events_hll_distinct")
+
+
+def test_doc_cooccurrence_npmi_matches_oracle(spark, sf_dir):
+    # r13 demotion: 2-round-green (r11+r12); the text-statistics family
+    # keeps doc_length_gini, vocab_zipf_slope, vocab_heaps_law in-window
+    _assert_matches_oracle(spark, sf_dir, "doc_cooccurrence_npmi")
+
+
+def test_doc_boolean_search_matches_oracle(spark, sf_dir):
+    # r13 demotion: 2-round-green (r11+r12); the retrieval family keeps
+    # bm25_search (promoted r12) in-window
+    _assert_matches_oracle(spark, sf_dir, "doc_boolean_search")
+
+
+def test_event_type_trends_robust_matches_oracle(spark, sf_dir):
+    # r13 demotion: 2-round-green (r11+r12); the robust family keeps
+    # order_price_mad_outliers and event_trend_break in-window
+    _assert_matches_oracle(spark, sf_dir, "event_type_trends_robust")

@@ -113,3 +113,53 @@ def test_curate_repetition_rule_optional(spark):
     )
     d2 = {r.doc_id: r for r in CUR.curate(docs2, max_dup_trigram_frac=0.5).collect()}
     assert d2[2].drop_reason == "exact_duplicate"
+
+
+def test_mix_allocation_hand_example(spark):
+    # r13: supply (a=5, b=3, c=2 tokens), budget 7:
+    # shares 3.5/2.1/1.4 -> base 3/2/1 (sum 6), remainders
+    # 7*5%10=5, 7*3%10=1, 7*2%10=4 -> the 1 leftover seat goes to a
+    rows = [
+        (1, "a", "t1 t2 t3 t4 t5"),
+        (2, "b", "t1 t2 t3"),
+        (3, "c", "t1 t2"),
+        (4, None, "ignored"),
+        (5, "a", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {
+        r.stratum: r
+        for r in CUR.mix_allocation(df, budget_tokens=7).collect()
+    }
+    assert {s: r.n_tokens for s, r in out.items()} == {"a": 5, "b": 3, "c": 2}
+    assert {s: r.quota for s, r in out.items()} == {"a": 4, "b": 2, "c": 1}
+
+
+def test_mix_allocation_quotas_sum_to_budget_exactly(spark, sf_dir):
+    from database_per_keyword_analysis_spark.sources import load
+
+    docs = load(spark, sf_dir, "documents")
+    for budget in (0, 1, 9_999, 100_000):
+        out = CUR.mix_allocation(docs, budget_tokens=budget).collect()
+        assert sum(r.quota for r in out) == budget
+        assert all(r.quota >= 0 for r in out)
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        CUR.mix_allocation(docs, budget_tokens=-1)
+
+
+def test_mix_allocation_remainder_tie_breaks_by_stratum(spark):
+    # equal supplies, budget not divisible: remainders all tie, the
+    # leftover seats go to the ascending-name strata
+    rows = [
+        (1, "s1", "a b"),
+        (2, "s2", "a b"),
+        (3, "s3", "a b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {
+        r.stratum: r.quota
+        for r in CUR.mix_allocation(df, budget_tokens=4).collect()
+    }
+    assert out == {"s1": 2, "s2": 1, "s3": 1}

@@ -529,3 +529,14 @@ class TestMarkovStationary:
             pi = {s: nxt[s] + m / k for s in states}
         for s in states:
             assert abs(got[s].pi - round(pi[s], 9)) <= 2e-9, (s, got[s].pi, pi[s])
+
+
+    def test_null_states_excluded_before_lead(self, spark):
+        # r13 (r12 advice): NULL event types are filtered BEFORE the
+        # lead window, so a NULL mid-sequence BRIDGES its neighbours
+        # (a, NULL, b contributes a->b) instead of silently vanishing
+        # through the inner join on 'cur'
+        got = self._run(spark, [["a", None, "b", "a", None, "b"]] * 2)
+        assert set(got) == {"a", "b"}  # no None state, no KeyError
+        # bridged chain is exactly the a<->b alternation: pi = 0.5/0.5
+        assert got["a"].pi == 0.5 and got["b"].pi == 0.5

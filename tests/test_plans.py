@@ -1034,3 +1034,78 @@ def test_acf_lag_attach_is_equi_join_at_day_grain(spark, sf_dir):
     assert "Window" not in plan  # moments are aggregates, not windows
     assert "Generate explode" in plan
     assert "HashAggregate" in plan
+
+
+def test_heaps_rank_window_is_partitioned(spark, sf_dir):
+    """vocab_heaps_law (r13 fix of the r12 verdict finding): the
+    per-doc rank must be scale.global_rank's range-partitioned
+    decomposition, NOT an unpartitioned row_number over the fact-scale
+    per-doc table (single-task sort at 100 TB).  Pin: every
+    row_number WindowExec in the plan carries the _grk_pid partition
+    key, and the range exchange that defines the partitions exists."""
+    plan = _plan(spark, sf_dir, "vocab_heaps_law")
+    assert "Exchange rangepartitioning" in plan
+    rn_lines = [l for l in plan.splitlines() if "row_number()" in l]
+    assert rn_lines, "expected a row_number window in the rank subtree"
+    for line in rn_lines:
+        assert "_grk_pid" in line, f"unpartitioned rank window: {line}"
+
+
+def test_vocab_rank_windows_are_take_ordered_bounded(spark, sf_dir):
+    """vocab_coverage / encode_documents (r12 verdict item 5): the
+    unpartitioned rank windows must sit ABOVE a TakeOrderedAndProject
+    (per-partition top-N, driver merge), so the single-task window
+    sees top_n rows, never the full type table — safe even in a
+    100M-type vocabulary regime."""
+    for name in ("vocab_coverage", "encode_documents"):
+        plan = _plan(spark, sf_dir, name)
+        assert "TakeOrderedAndProject" in plan, name
+
+
+def test_spearman_rank_attach_is_scale_safe(spark, sf_dir):
+    """lineitem_price_qty_spearman (r13): both rank CDFs run through
+    scale.global_cumsum — range exchanges + pid-partitioned window
+    sums, never a single-task window over the near-unique price value
+    table; ranks attach by equi-join (no cartesian)."""
+    plan = _plan(spark, sf_dir, "lineitem_price_qty_spearman")
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange rangepartitioning") >= 2
+    # every window over the value tables carries the pid partition key
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line and "_gcs_pid" not in line:
+            # the only pid-free windows allowed are the bounded
+            # per-partition offset prefix sums (<= num_partitions rows)
+            assert "_gcs_tot" in line or "_gcs_off" in line, line
+
+
+def test_xcorr_lag_attach_is_equi_join_at_day_grain(spark, sf_dir):
+    """event_view_purchase_xcorr (r13): day-grain collapse first, a
+    15-row lag explode on series a, EQUI-join to series b — days x L,
+    never days^2; moments are aggregates, not windows."""
+    plan = _plan(spark, sf_dir, "event_view_purchase_xcorr")
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert "Generate explode" in plan
+    assert "HashAggregate" in plan
+
+
+def test_dim_profile_is_one_explode_one_agg(spark, sf_dir):
+    """embedding_dim_profile (r13): one posexplode projection + one
+    map-side-combinable d-group aggregate; no window, no join."""
+    plan = _plan(spark, sf_dir, "embedding_dim_profile")
+    assert "Generate posexplode" in plan
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_mix_allocation_window_is_source_bounded(spark, sf_dir):
+    """source_mix_allocation (r13): the apportionment row_number runs
+    over the #sources-bounded aggregate, never the fact scan; the only
+    fact-sized work is the token-count projection + source groupBy."""
+    plan = _plan(spark, sf_dir, "source_mix_allocation")
+    assert "CartesianProduct" not in plan
+    assert plan.count("Window") == 1
+    # scalar attaches (total twice along the two branches, leftover)
+    # ride broadcast one-row joins
+    assert plan.count("BroadcastNestedLoopJoin") <= 3

@@ -891,7 +891,6 @@ def test_quantile_summary_merge_small_summary_weights():
     small = [(1 + i * 2 // 8, [10.0, 20.0, 30.0][i * 2 // 8])
              for i in range(k)]  # n=3: ranks 1,1,1,1,1,2,2,2,3
     big_vals = [float(100 * (i + 1)) for i in range(9)]
-    big = [(1 + i * 8 // 8, 0.0) for i in range(0)]  # placeholder
     big = [(1 + i * (9 - 1) // (k - 1), big_vals[i * (9 - 1) // (k - 1)])
            for i in range(k)]
     merged, n = SC.quantile_summary_merge(small, 3, big, 9, k=k)
@@ -915,3 +914,36 @@ def test_quantile_summary_merge_empty_inputs():
     one = [(1 + i * 4 // 8, float(1 + i * 4 // 8)) for i in range(9)]
     merged, n = SC.quantile_summary_merge(one, 5, [], 0)
     assert n == 5 and merged[0][1] == 1.0 and merged[-1][1] == 5.0
+
+
+def test_global_rank_matches_unpartitioned_row_number(spark):
+    # r13: the heaps_law rank fix — range-partitioned local
+    # row_number + prefix-sum offsets must be BIT-IDENTICAL to the
+    # global row_number it replaces, on a scrambled unique key set
+    # spread over more partitions than the rank uses
+    keys = [f"d{(i * 37) % 101:04d}" for i in range(101)]  # permutation
+    df = spark.createDataFrame(
+        [(k, len(k)) for k in keys], "doc string, payload int"
+    ).repartition(7)
+    got = {
+        r["doc"]: r["rnk"]
+        for r in SC.global_rank(df, "doc", num_partitions=5).collect()
+    }
+    expect = {k: i + 1 for i, k in enumerate(sorted(keys))}
+    assert got == expect
+
+
+def test_global_rank_more_partitions_than_rows(spark):
+    # empty range partitions contribute no counts rows; offsets must
+    # still line up
+    df = spark.createDataFrame(
+        [("b", 1), ("a", 2), ("c", 3)], "doc string, v int"
+    )
+    got = sorted(
+        (r["doc"], r["rnk"])
+        for r in SC.global_rank(df, "doc", num_partitions=16).collect()
+    )
+    assert got == [("a", 1), ("b", 2), ("c", 3)]
+    # payload columns survive untouched
+    cols = SC.global_rank(df, "doc").columns
+    assert set(cols) == {"doc", "v", "rnk"}

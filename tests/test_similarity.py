@@ -501,3 +501,48 @@ def test_pq_adc_topk_is_sane_and_scan_shaped(spark):
     enc = SIM.pq_encode_frozen(df, books)
     eplan = enc._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in eplan
+
+
+def test_dim_profile_exact_hand_values(spark):
+    # r13: three 3-dim vectors; dim 1 is DEAD (constant), dim 2 has a
+    # hand-computed variance
+    rows = [
+        (1, [1.0, 0.5, 2.0]),
+        (2, [3.0, 0.5, 4.0]),
+        (3, [5.0, 0.5, 9.0]),
+        (4, None),  # NULL vector excluded entirely
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.dim: r for r in SIM.dim_profile(df).collect()}
+    assert set(out) == {0, 1, 2}
+    assert all(out[d].n_vecs == 3 for d in out)
+    assert out[0].mean == 3.0 and out[0].lo == 1.0 and out[0].hi == 5.0
+    # population var of (1,3,5) = 8/3
+    assert abs(out[0].variance - round(8 / 3, 6)) <= 1e-9
+    assert out[1].variance == 0.0 and out[1].lo == out[1].hi == 0.5  # dead
+    # (2,4,9): mean 5, var ((4+1+16))/3 - wait: population var = 26/3
+    assert out[2].mean == 5.0
+    assert abs(out[2].variance - round(26 / 3, 6)) <= 1e-9
+
+
+def test_dim_profile_matches_pure_python_on_fixture(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    got = {r.dim: r for r in SIM.dim_profile(emb).collect()}
+    rows = emb.select("embedding").collect()
+    vecs = [list(map(float, r.embedding)) for r in rows if r.embedding]
+    d = len(vecs[0])
+    assert set(got) == set(range(d))
+    import decimal
+
+    q = decimal.Decimal(1).scaleb(-18)
+    for dim in (0, d // 2, d - 1):
+        col = [v[dim] for v in vecs]
+        n = len(col)
+        s = float(sum(decimal.Decimal(x).quantize(q) for x in col))
+        qq = float(sum(decimal.Decimal(x * x).quantize(q) for x in col))
+        assert got[dim].n_vecs == n
+        assert abs(got[dim].mean - round(s / n, 6)) <= 1e-6
+        assert abs(
+            got[dim].variance - round((n * qq - s * s) / (n * n), 6)
+        ) <= 1e-6
+        assert got[dim].lo == min(col) and got[dim].hi == max(col)

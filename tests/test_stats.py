@@ -457,3 +457,180 @@ class TestBenfordAudit:
         rows = {r.digit: r for r in ST.benford_audit(df, "v").collect()}
         assert sum(r.n_obs for r in rows.values()) == 1
         assert rows[2].n_obs == 1
+
+
+# ---------------------------------------------------------------- r13
+
+
+def _spearman_py(xs, ys):
+    # pure-Python tie-averaged Spearman reference (no scipy)
+    def avg_ranks(vs):
+        order = sorted(vs)
+        first = {}
+        for i, v in enumerate(order):
+            first.setdefault(v, i + 1)
+        cnt = {}
+        for v in order:
+            cnt[v] = cnt.get(v, 0) + 1
+        return [first[v] + (cnt[v] - 1) / 2.0 for v in vs]
+
+    rx, ry = avg_ranks(xs), avg_ranks(ys)
+    n = len(xs)
+    mx, my = sum(rx) / n, sum(ry) / n
+    num = sum((a - mx) * (b - my) for a, b in zip(rx, ry))
+    dx = sum((a - mx) ** 2 for a in rx)
+    dy = sum((b - my) ** 2 for b in ry)
+    return num / (dx * dy) ** 0.5
+
+
+def test_spearman_perfect_monotone_nonlinear(spark):
+    # y = x^3 is nonlinear but perfectly monotone: rho exactly 1
+    rows = [(float(x), float(x) ** 3) for x in range(-5, 6)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    r = S.spearman_corr(df, "x", "y").collect()[0]
+    assert r.n_rows == 11 and r.rho_spearman == 1.0
+    rev = spark.createDataFrame(
+        [(x, -y) for x, y in rows], "x double, y double"
+    )
+    assert S.spearman_corr(rev, "x", "y").collect()[0].rho_spearman == -1.0
+
+
+def test_spearman_with_ties_matches_pure_python(spark):
+    import random
+
+    rng = random.Random(13)
+    xs = [float(rng.randint(0, 8)) for _ in range(60)]  # heavy ties
+    ys = [x + rng.randint(-3, 3) for x in xs]
+    df = spark.createDataFrame(list(zip(xs, ys)), "x double, y double")
+    got = S.spearman_corr(df, "x", "y").collect()[0].rho_spearman
+    assert abs(got - round(_spearman_py(xs, ys), 9)) <= 2e-9
+
+
+def test_spearman_constant_column_is_null(spark):
+    df = spark.createDataFrame(
+        [(1.0, 5.0), (2.0, 5.0), (3.0, 5.0)], "x double, y double"
+    )
+    r = S.spearman_corr(df, "x", "y").collect()[0]
+    assert r.n_rows == 3 and r.rho_spearman is None
+
+
+def _xcorr_py(a, b, k):
+    n = len(a)
+    sa, sb = sum(a), sum(b)
+    qa = sum(v * v for v in a)
+    qb = sum(v * v for v in b)
+    pairs = [
+        (a[t], b[t + k]) for t in range(n) if 0 <= t + k < n
+    ]
+    c = sum(x * y for x, y in pairs)
+    pa = sum(x for x, _ in pairs)
+    pb = sum(y for _, y in pairs)
+    num = n * n * c - n * sa * pb - n * sb * pa + (n - abs(k)) * sa * sb
+    den = n * ((n * qa - sa * sa) * (n * qb - sb * sb)) ** 0.5
+    return num / den
+
+
+def test_series_xcorr_detects_known_lead(spark):
+    # series b is series a shifted +2 days: the CCF peaks at lag +2
+    # with r exactly 1 (identical shapes, full-span moments coincide
+    # only on the overlap — peak is the max, not necessarily 1.0;
+    # assert argmax and the pure-Python replay instead)
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 1, 1)
+    a_counts = [5, 1, 4, 9, 2, 7, 3, 8, 6, 1, 5, 2, 9, 4, 7, 3, 1, 8, 2, 6]
+    rows = []
+    eid = 0
+    for d, c in enumerate(a_counts):
+        for _ in range(c):
+            rows.append((eid, t0 + timedelta(days=d), 1, "a"))
+            eid += 1
+    for d, c in enumerate(a_counts):
+        d2 = d + 2
+        if d2 < len(a_counts):
+            for _ in range(c):
+                rows.append((eid, t0 + timedelta(days=d2), 1, "b"))
+                eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = {
+        r.lag: r for r in S.series_xcorr(df, "event_type", "a", "b").collect()
+    }
+    assert set(out) == set(range(-7, 8))
+    best = max(out.values(), key=lambda r: (r.xcorr or -9))
+    assert best.lag == 2
+    # pure-Python replay of the grid-level formula at every lag
+    n = len(a_counts)
+    b_counts = [0, 0] + a_counts[: n - 2]
+    for k in range(-7, 8):
+        exp = round(_xcorr_py(a_counts, b_counts, k), 9)
+        assert abs(out[k].xcorr - exp) <= 2e-9, (k, out[k].xcorr, exp)
+        assert out[k].n_pairs == n - abs(k)
+
+
+def test_series_xcorr_constant_series_is_null(spark):
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    for d in range(5):
+        rows.append((d * 2, t0 + timedelta(days=d), 1, "a"))
+        rows.append((d * 2 + 1, t0 + timedelta(days=d), 1, "b"))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = S.series_xcorr(df, "event_type", "a", "b", max_lag=2).collect()
+    assert all(r.xcorr is None for r in out)  # both series constant 1/day
+    with pytest.raises(ValueError):
+        S.series_xcorr(df, "event_type", "a", "b", max_lag=0)
+
+
+def _mwu_py(a_vals, b_vals):
+    pooled = sorted(a_vals + b_vals)
+    first = {}
+    for i, v in enumerate(pooled):
+        first.setdefault(v, i + 1)
+    cnt = {}
+    for v in pooled:
+        cnt[v] = cnt.get(v, 0) + 1
+    rk = {v: first[v] + (cnt[v] - 1) / 2.0 for v in cnt}
+    na, nb = len(a_vals), len(b_vals)
+    n = na + nb
+    ra = sum(rk[v] for v in a_vals)
+    u = ra - na * (na + 1) / 2.0
+    ties = sum(t**3 - t for t in cnt.values())
+    var = na * nb / 12.0 * ((n + 1) - ties / (n * (n - 1)))
+    z = (u - na * nb / 2.0) / var**0.5
+    return u, z
+
+
+def test_mann_whitney_matches_pure_python(spark):
+    import random
+
+    rng = random.Random(7)
+    a = [rng.randint(10, 40) for _ in range(35)]
+    b = [rng.randint(15, 45) for _ in range(25)]  # shifted up
+    rows = [(True, v) for v in a] + [(False, v) for v in b]
+    df = spark.createDataFrame(rows, "is_a boolean, x long")
+    r = S.mann_whitney_u(df, "is_a", "x").collect()[0]
+    u, z = _mwu_py(a, b)
+    assert (r.n_a, r.n_b) == (35, 25)
+    assert r.u_a == u
+    assert abs(r.z - round(z, 9)) <= 2e-9
+    assert z < 0  # b shifted up -> a's ranks low -> negative z
+
+
+def test_mann_whitney_all_tied_is_null_z(spark):
+    df = spark.createDataFrame(
+        [(True, 5), (True, 5), (False, 5), (False, 5)], "is_a boolean, x long"
+    )
+    r = S.mann_whitney_u(df, "is_a", "x").collect()[0]
+    assert r.z is None  # var 0 when every value ties
+    assert r.u_a == 2.0  # U_a = R_a - na(na+1)/2 = (2.5+2.5) - 3
+
+
+def test_mann_whitney_empty_side_is_null(spark):
+    df = spark.createDataFrame([(True, 1), (True, 2)], "is_a boolean, x long")
+    r = S.mann_whitney_u(df, "is_a", "x").collect()[0]
+    assert r.n_b == 0 and r.u_a is None and r.z is None

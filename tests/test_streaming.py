@@ -916,3 +916,61 @@ def test_stream_length_ks_equals_batch_ks(spark):
     assert catalog.oracle_sql()["doc_length_ks_drift"] == (
         catalog.oracle_sql()["stream_length_ks_drift"]
     )
+
+
+def test_mutable_stream_base_sweep_rules(tmp_path):
+    # r13 (r12 advice): the sibling sweep must (a) age-gate legacy
+    # shared-key dirs instead of racing a possible live pre-fix
+    # writer, (b) sweep dead-pid dirs, (c) keep a live owner, and
+    # (d) sweep a dir whose pid was RECYCLED (owner token mismatch)
+    import os
+    import shutil
+    import time
+    import uuid
+
+    from database_per_keyword_analysis_spark import catalog as CAT
+
+    family = f"testfam-{uuid.uuid4().hex[:8]}"
+    stat_file = tmp_path / "stat_anchor"
+    stat_file.write_text("x")
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(CAT.__file__))),
+        ".cache",
+        family,
+    )
+    try:
+        os.makedirs(root)
+        young_legacy = os.path.join(root, "deadbeef0000")
+        old_legacy = os.path.join(root, "deadbeef0001")
+        dead_pid = os.path.join(root, "deadbeef0002-p4194200")
+        live_kept = os.path.join(root, "deadbeef0003-p1")
+        recycled = os.path.join(root, "deadbeef0004-p1")
+        for d in (young_legacy, old_legacy, dead_pid, live_kept, recycled):
+            os.makedirs(d)
+        stale = time.time() - 7 * 3600
+        os.utime(old_legacy, (stale, stale))
+        tick1 = CAT._proc_start_tick(1)
+        assert tick1 is not None  # linux container: /proc exists
+        with open(os.path.join(live_kept, "_owner_start_tick"), "w") as fh:
+            fh.write(tick1)
+        with open(os.path.join(recycled, "_owner_start_tick"), "w") as fh:
+            fh.write("0")  # a PREVIOUS incarnation of pid 1
+
+        base = CAT._mutable_stream_base(family, str(tmp_path), str(stat_file))
+
+        assert os.path.isdir(young_legacy)  # age-gated, not raced
+        assert not os.path.isdir(old_legacy)  # aged out
+        assert not os.path.isdir(dead_pid)  # dead owner
+        assert os.path.isdir(live_kept)  # live owner, token matches
+        assert not os.path.isdir(recycled)  # pid reuse detected
+        # our own dir exists and carries our incarnation token
+        with open(os.path.join(base, "_owner_start_tick")) as fh:
+            assert fh.read().strip() == CAT._proc_start_tick(os.getpid())
+        # steady-state reuse: second call maps to the same dir and
+        # leaves the survivors alone
+        assert CAT._mutable_stream_base(
+            family, str(tmp_path), str(stat_file)
+        ) == base
+        assert os.path.isdir(young_legacy) and os.path.isdir(live_kept)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
