@@ -869,6 +869,23 @@ _DEFERRED_TWINS = {
     #   bm25_search (promoted r12) in-window
     "event_type_trends_robust",  # green r11-r12; the robust family
     #   keeps order_price_mad_outliers and event_trend_break in-window
+    # ---- round-13 second batch (5 more novel-query slots: kendall /
+    # cusum / vocab-richness / anisotropy / stream ranksum twin); the
+    # five demotions below are all 2-round-green (r11+r12), each on a
+    # NEW differential (event_transition_entropy keeps its original
+    # r10 deferral-at-birth proof) ----
+    "events_kmv_distinct",  # green r11-r12; the sketch family keeps
+    #   order_price_quantile_summary in-window
+    "purchase_cheapest_paths",  # green r11-r12; the graph family
+    #   keeps copurchase_assortativity in-window
+    "stream_event_heavy_hitters",  # green r11-r12; the streaming
+    #   family keeps stream_tumbling_counts, stream_orders_mv_refresh,
+    #   stream_length_ks_drift and the NEW stream_length_ranksum_drift
+    #   in-window
+    "event_trend_break",  # green r11-r12; the change-detection family
+    #   keeps event_type_cusum (NOVEL r13, same family) in-window
+    "event_transition_entropy",  # green r11-r12; the journey family
+    #   keeps event_gap_burstiness and event_type_stationary in-window
     "purchase_reachability",  # green r10-r11; BFS closure — the graph
     #   family keeps hits, ppr, cheapest_paths and assortativity
     #   in-window; slot taken by event_type_stationary (NOVEL r12:
@@ -10174,28 +10191,22 @@ def q_doc_length_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ST.ks_two_sample(docs, "is_a", "n_chars")
 
 
-@register("stream_length_ks_drift", _KS_LENGTH_SQL)
-def q_stream_length_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STREAMING twin of doc_length_ks_drift: the odd-doc_id half's
-    length histogram is folded batch-by-batch through the exactly-once
-    refresh_mv_batch seam (one +1 change row per document, 4
-    micro-batch files), then the exact KS statistic compares the
-    persisted MV against the even half computed batch-side
-    (operators/stats.py: ks_from_counts).  Shares _KS_LENGTH_SQL
-    VERBATIM with the batch query, so the driver hash IS the
-    stream==batch equality proof: no micro-batch split can perturb the
-    counts MV (the stream_event_heavy_hitters convention).  NOVEL
-    round-12 machinery → in-window at birth; purchase_funnel_24h
-    (green r10-r11) rotated out with a NEW differential (the journey
-    family keeps event_transition_entropy and event_gap_burstiness
-    in-window)."""
+def _length_counts_stream(spark: SparkSession, sf_dir: str):
+    """Shared seam of the streaming drift twins (KS r12, rank-sum
+    r13): fold the odd-doc_id half's length histogram batch-by-batch
+    through the exactly-once refresh_mv_batch seam (one +1 change row
+    per document, 4 micro-batch files), and return
+    (even_half_batch_counts, odd_half_mv) — ONE persisted MV feeding
+    BOTH drift statistics, exactly how a production monitor would
+    share its counts state across tests.  Hoisted so the two twins'
+    folds cannot drift apart (the _zero_filled_daily hoist
+    discipline)."""
     import os
     import shutil
 
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
-    from .operators import stats as ST
     from .streaming import ingest as ING
 
     docf = os.path.join(sf_dir, "documents.parquet")
@@ -10223,6 +10234,9 @@ def q_stream_length_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.col("n_chars").cast("long").alias("x")).repartition(
             4
         ).write.mode("overwrite").parquet(src)
+    # the fold runs EVERY call (exactly-once via the checkpoint: a
+    # steady-state run schedules zero new batches, and a fold a dead
+    # process left half-done resumes to completion — the r12 behavior)
     schema = spark.read.parquet(src).schema
     stream = (
         spark.readStream.schema(schema)
@@ -10253,6 +10267,26 @@ def q_stream_length_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
     )
     b = ING.read_mv(spark, mv_path)
+    return a, b
+
+
+@register("stream_length_ks_drift", _KS_LENGTH_SQL)
+def q_stream_length_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of doc_length_ks_drift: the odd-doc_id half's
+    length histogram is folded batch-by-batch through the exactly-once
+    refresh_mv_batch seam (the shared _length_counts_stream seam),
+    then the exact KS statistic compares the persisted MV against the
+    even half computed batch-side (operators/stats.py:
+    ks_from_counts).  Shares _KS_LENGTH_SQL VERBATIM with the batch
+    query, so the driver hash IS the stream==batch equality proof: no
+    micro-batch split can perturb the counts MV (the
+    stream_event_heavy_hitters convention).  NOVEL round-12 machinery
+    → in-window at birth; purchase_funnel_24h (green r10-r11) rotated
+    out with a NEW differential (the journey family keeps
+    event_transition_entropy and event_gap_burstiness in-window)."""
+    from .operators import stats as ST
+
+    a, b = _length_counts_stream(spark, sf_dir)
     return ST.ks_from_counts(a, b)
 
 
@@ -10603,8 +10637,11 @@ def q_source_mix_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CU.mix_allocation(load(spark, sf_dir, "documents", parallel=True))
 
 
-@register(
-    "doc_length_ranksum_drift",
+# shared by doc_length_ranksum_drift and its STREAMING twin
+# stream_length_ranksum_drift — identical SQL, so the stream twin's
+# driver hash is the stream==batch equality proof (the _KS_LENGTH_SQL
+# convention; both twins consume the SAME folded counts MV)
+_RANKSUM_LENGTH_SQL = (
     # mirror mann_whitney_u token for token: pooled distinct-value
     # CDF gives 2x tie-averaged ranks as exact BIGINTs; 2R_a, 2U_a
     # and the centered numerator are exact integers; the tie term
@@ -10635,8 +10672,11 @@ def q_source_mix_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(2.0 * sqrt(CAST(n_a * n_b AS DOUBLE) / 12.0 * "
     "(CAST(n_a + n_b + 1 AS DOUBLE) - CAST(ties AS DOUBLE) / "
     "CAST((n_a + n_b) * (n_a + n_b - 1) AS DOUBLE)))), 9) END AS z "
-    "FROM agg",
+    "FROM agg"
 )
+
+
+@register("doc_length_ranksum_drift", _RANKSUM_LENGTH_SQL)
 def q_doc_length_ranksum_drift(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -10659,3 +10699,202 @@ def q_doc_length_ranksum_drift(
         (F.col("doc_id") % 2 == 0).alias("is_a"), "n_chars"
     )
     return ST.mann_whitney_u(docs, "is_a", "n_chars")
+
+
+@register(
+    "lineitem_qty_discount_kendall",
+    # mirror kendall_tau_b token for token: (x, y) cell collapse,
+    # exact BIGINT concordant/discordant mass over ordered cell
+    # pairs, doubled tie terms, one IEEE multiply/sqrt/divide
+    "WITH base AS (SELECT l_quantity AS x, l_discount AS y "
+    "FROM lineitem WHERE l_quantity IS NOT NULL "
+    "AND l_discount IS NOT NULL), "
+    "cells AS (SELECT x, y, CAST(count(*) AS BIGINT) AS c "
+    "FROM base GROUP BY x, y), "
+    "cd AS (SELECT "
+    "coalesce(CAST(sum(CASE WHEN a.y < b.y THEN a.c * b.c END) "
+    "AS BIGINT), 0) AS nc, "
+    "coalesce(CAST(sum(CASE WHEN a.y > b.y THEN a.c * b.c END) "
+    "AS BIGINT), 0) AS nd "
+    "FROM cells a JOIN cells b ON a.x < b.x), "
+    "tx AS (SELECT CAST(sum(t * (t - 1)) AS BIGINT) AS t1 FROM "
+    "(SELECT CAST(sum(c) AS BIGINT) AS t FROM cells GROUP BY x)), "
+    "ty AS (SELECT CAST(sum(t * (t - 1)) AS BIGINT) AS t2 FROM "
+    "(SELECT CAST(sum(c) AS BIGINT) AS t FROM cells GROUP BY y)), "
+    "tot AS (SELECT CAST(sum(c) AS BIGINT) AS n, "
+    "CAST(count(*) AS BIGINT) AS n_cells FROM cells) "
+    "SELECT n AS n_rows, n_cells, "
+    "CASE WHEN CAST(n * (n - 1) - t1 AS DOUBLE) > 0 "
+    "AND CAST(n * (n - 1) - t2 AS DOUBLE) > 0 THEN "
+    "round(2.0 * CAST(nc - nd AS DOUBLE) / "
+    "sqrt(CAST(n * (n - 1) - t1 AS DOUBLE) * "
+    "CAST(n * (n - 1) - t2 AS DOUBLE)), 9) END AS tau_b "
+    "FROM cd CROSS JOIN tot CROSS JOIN tx CROSS JOIN ty",
+)
+def q_lineitem_qty_discount_kendall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Kendall tau-b between line-item quantity and discount
+    (operators/stats.py: kendall_tau_b; Kendall 1938): concordant-
+    minus-discordant pair mass with tie correction — completing the
+    association ladder beside Pearson (profiling corr) and the r13
+    Spearman (rank CDFs): pairwise-order agreement, the most
+    outlier-insensitive of the three.  The only fact-sized work is
+    the (x, y) cell collapse; the cell-pair join is cells² BY DESIGN
+    for discrete columns (quantity × discount ≈ 550 cells, guarded
+    by assert_all_pairs_safe — continuous columns belong to
+    spearman_corr's linear rank attach instead, documented).  NOVEL
+    round-13 machinery → in-window at birth."""
+    from .operators import stats as ST
+
+    return ST.kendall_tau_b(
+        load(spark, sf_dir, "lineitem").select("l_quantity", "l_discount"),
+        "l_quantity",
+        "l_discount",
+    )
+
+
+@register(
+    "event_type_cusum",
+    # mirror series_cusum token for token: the shared zero-filled
+    # grid, the exact BIGINT scaled deviation n*cum - (x+1)*S, the
+    # (|d| DESC, x ASC) argmax pick, ONE division at the output
+    "WITH daily AS (SELECT event_type AS grp, CAST(ts AS DATE) AS day, "
+    "CAST(count(*) AS BIGINT) AS y FROM events GROUP BY 1, 2), "
+    "bnd AS (SELECT min(day) AS lo, max(day) AS hi FROM daily), "
+    "s AS (SELECT CAST(unnest(range(CAST(lo AS TIMESTAMP), "
+    "CAST(hi AS TIMESTAMP) + INTERVAL 1 DAY, INTERVAL 1 DAY)) AS DATE) "
+    "AS day, lo FROM bnd), "
+    "grid AS (SELECT g.grp, CAST(s.day - s.lo AS BIGINT) AS x, "
+    "coalesce(d.y, CAST(0 AS BIGINT)) AS y "
+    "FROM (SELECT DISTINCT grp FROM daily) g CROSS JOIN s "
+    "LEFT JOIN daily d ON d.grp = g.grp AND d.day = s.day), "
+    "tot AS (SELECT grp, CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(y) AS BIGINT) AS s FROM grid GROUP BY grp), "
+    "dev AS (SELECT g.grp, n, x, "
+    "n * CAST(sum(y) OVER (PARTITION BY g.grp ORDER BY x) AS BIGINT) "
+    "- (x + 1) * s AS d FROM grid g JOIN tot ON g.grp = tot.grp), "
+    "pick AS (SELECT grp, n, x, d, row_number() OVER "
+    "(PARTITION BY grp ORDER BY abs(d) DESC, x) AS rk FROM dev) "
+    "SELECT grp AS event_type, n AS n_days, x AS at_x, "
+    "CASE WHEN n > 1 THEN round(CAST(d AS DOUBLE) / CAST(n AS DOUBLE), "
+    "9) END AS cusum FROM pick WHERE rk = 1 ORDER BY event_type",
+)
+def q_event_type_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type CUSUM change scan over the daily event series
+    (operators/stats.py: series_cusum; Page 1954): the maximum
+    absolute cumulative deviation from the series mean and the day it
+    peaks — the mean-shift LOCATOR completing the change-detection
+    family beside event_trend_break's two-segment OLS (CUSUM peaks AT
+    the shift day; the break OLS minimizes residuals around it).
+    Exact BIGINT deviations off the shared zero-filled grid, bounded
+    per-group windows, one division at the output (9dp).  NOVEL
+    round-13 machinery → in-window at birth; event_trend_break
+    (green r11-r12) rotated out with a NEW differential — the same
+    family keeps its novel member in-window."""
+    from .operators import stats as ST
+
+    return ST.series_cusum(load(spark, sf_dir, "events"), "event_type")
+
+
+@register(
+    "corpus_vocab_richness",
+    # mirror vocab_richness token for token: the type table's
+    # frequency-of-frequencies head, two single-division estimators
+    "WITH tok AS (SELECT unnest(list_filter("
+    r"regexp_split_to_array(lower(trim(text)), '\s+'), "
+    "t -> t <> '')) AS token FROM documents WHERE text IS NOT NULL), "
+    "types AS (SELECT token, CAST(count(*) AS BIGINT) AS c "
+    "FROM tok GROUP BY token), "
+    "agg AS (SELECT coalesce(CAST(sum(c) AS BIGINT), 0) AS n_tokens, "
+    "CAST(count(*) AS BIGINT) AS vocab, "
+    "coalesce(CAST(sum(CASE WHEN c = 1 THEN 1 END) AS BIGINT), 0) "
+    "AS singletons, "
+    "coalesce(CAST(sum(CASE WHEN c = 2 THEN 1 END) AS BIGINT), 0) "
+    "AS doubletons FROM types) "
+    "SELECT n_tokens, vocab, singletons, doubletons, "
+    "CASE WHEN n_tokens > 0 THEN round(CAST(singletons AS DOUBLE) / "
+    "CAST(n_tokens AS DOUBLE), 9) END AS gt_unseen, "
+    "CASE WHEN n_tokens > 0 THEN round(CAST(vocab AS DOUBLE) + "
+    "CAST(singletons * (singletons - 1) AS DOUBLE) / "
+    "(2.0 * CAST(doubletons + 1 AS DOUBLE)), 9) END AS chao1 "
+    "FROM agg",
+)
+def q_corpus_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing unseen mass + bias-corrected Chao1 richness off the
+    corpus type table (operators/textquality.py: vocab_richness; Good
+    1953, Chao 1984) — 'how much vocabulary have we NOT seen yet', the
+    saturation companion to zipf_slope (mass law) and vocab_heaps_law
+    (growth law): high unseen mass after a large read means junk-type
+    churn, Chao1 ≈ V means read to saturation.  All inputs are exact
+    BIGINTs off ONE type-table aggregate; each estimator is a single
+    IEEE division (9dp) — engine-exact by construction.  NOVEL
+    round-13 machinery → in-window at birth."""
+    from .operators import textquality as TQ
+
+    return TQ.vocab_richness(load(spark, sf_dir, "documents", parallel=True))
+
+
+@register(
+    "embedding_anisotropy",
+    # mirror anisotropy token for token: the subscript explode, the
+    # per-dim DECIMAL centroid, the broadcast-joined per-vector
+    # dot/norm DECIMAL folds, DECIMAL-accumulated vector-level means
+    "WITH flat AS (SELECT vec_id AS vid, CAST(u.i - 1 AS INTEGER) "
+    "AS dim, CAST(embedding[u.i] AS DOUBLE) AS v FROM embeddings "
+    "CROSS JOIN unnest(generate_series(1, len(embedding))) AS u(i) "
+    "WHERE embedding IS NOT NULL), "
+    "cent AS (SELECT dim, CAST(count(*) AS BIGINT) AS nv, "
+    "sum(CAST(v AS DECIMAL(38,18))) AS s FROM flat GROUP BY dim), "
+    "m AS (SELECT dim, CAST(s AS DOUBLE) / CAST(nv AS DOUBLE) AS m "
+    "FROM cent), "
+    "pv AS (SELECT vid, sum(CAST(v * m AS DECIMAL(38,18))) AS dot, "
+    "sum(CAST(v * v AS DECIMAL(38,18))) AS q "
+    "FROM flat JOIN m USING (dim) GROUP BY vid), "
+    "cn AS (SELECT sqrt(CAST(sum(CAST(m * m AS DECIMAL(38,18))) "
+    "AS DOUBLE)) AS cnorm FROM m), "
+    "nd AS (SELECT CAST(count(*) AS BIGINT) AS n_dims FROM m), "
+    "scored AS (SELECT CAST(q AS DOUBLE) AS qd, "
+    "CASE WHEN q > 0 AND cnorm > 0 THEN CAST(dot AS DOUBLE) / "
+    "(sqrt(CAST(q AS DOUBLE)) * cnorm) END AS cos, cnorm "
+    "FROM pv CROSS JOIN cn) "
+    "SELECT CAST(count(*) AS BIGINT) AS n_vecs, n_dims, "
+    "round(max(cnorm), 6) AS centroid_norm, "
+    "round(sqrt(CAST(sum(CAST(qd AS DECIMAL(38,18))) AS DOUBLE) / "
+    "CAST(count(*) AS DOUBLE)), 6) AS rms_norm, "
+    "round(CAST(sum(CAST(cos AS DECIMAL(38,18))) AS DOUBLE) / "
+    "CAST(count(*) AS DOUBLE), 6) AS mean_cos_to_centroid "
+    "FROM scored CROSS JOIN nd GROUP BY n_dims",
+)
+def q_embedding_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus anisotropy diagnostic over the embedding table
+    (operators/similarity.py: anisotropy; Ethayarajh EMNLP 2019
+    framing): centroid norm vs RMS vector norm + mean cosine to the
+    centroid — a cone-shaped embedding space inflates every cosine,
+    silently mis-calibrating dedup thresholds and ANN recall tuned on
+    another corpus; run beside embedding_dim_profile before indexing.
+    DECIMAL(38,18) order-free sums at every fold (per-dim centroid,
+    per-vector dot/norm, vector-level means), IEEE sqrt, 6dp.  NOVEL
+    round-13 machinery → in-window at birth."""
+    from .operators import similarity as SIM
+
+    return SIM.anisotropy(load(spark, sf_dir, "embeddings"))
+
+
+@register("stream_length_ranksum_drift", _RANKSUM_LENGTH_SQL)
+def q_stream_length_ranksum_drift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING twin of doc_length_ranksum_drift: the SAME persisted
+    odd-half length-counts MV the KS twin folds (the shared
+    _length_counts_stream seam — one monitor state, two drift
+    statistics, exactly how a production monitor amortizes its counts
+    across tests) feeds mwu_from_counts against the batch-side even
+    half.  Shares _RANKSUM_LENGTH_SQL VERBATIM with the batch query,
+    so the driver hash IS the stream==batch equality proof (the
+    _KS_LENGTH_SQL convention).  NOVEL round-13 machinery → in-window
+    at birth."""
+    from .operators import stats as ST
+
+    a, b = _length_counts_stream(spark, sf_dir)
+    return ST.mwu_from_counts(a, b)

@@ -1375,3 +1375,95 @@ def dim_profile(
         "lo",
         "hi",
     ).orderBy("dim")
+
+
+def anisotropy(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Corpus anisotropy diagnostic (Ethayarajh EMNLP 2019 framing):
+    how far the embedding cloud is from isotropic — the centroid's
+    norm relative to the vectors' RMS norm, and the mean cosine of
+    each vector to the centroid.  An anisotropic ("cone-shaped")
+    space inflates every cosine similarity, so dedup thresholds and
+    ANN recall tuned on one corpus silently mis-calibrate on another;
+    this is the one-row health check run beside dim_profile before
+    indexing.
+
+    Engine-exactness: per-dim centroid sums, per-vector dot/norm
+    partial terms and the final vector-level averages all accumulate
+    as DECIMAL(38,18) quantized terms (order-free, the zipf_slope
+    convention); sqrt is IEEE-correctly-rounded; outputs at 6dp.
+
+    100 TB shape: one posexplode projection feeding BOTH the d-row
+    centroid aggregate and (after a broadcast join back on dim) the
+    per-vector dot/norm aggregate — the explode is the only
+    fact-sized stage; everything downstream is d-row or vec-count
+    work.  Returns one row (n_vecs, n_dims, centroid_norm, rms_norm,
+    mean_cos_to_centroid)."""
+    flat = emb.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("vid"),
+        F.posexplode(vec_col).alias("dim", "_v"),
+    )
+    v = F.col("_v").cast("double")
+    d18 = lambda c: c.cast("decimal(38,18)")  # noqa: E731
+    cent = flat.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("nv"),
+        F.sum(d18(v)).alias("s"),
+    )
+    m = cent.select(
+        "dim",
+        (F.col("s").cast("double") / F.col("nv").cast("double")).alias(
+            "m"
+        ),
+    )
+    per_vec = (
+        flat.join(F.broadcast(m), "dim")
+        .groupBy("vid")
+        .agg(
+            F.sum(d18(v * F.col("m"))).alias("dot"),
+            F.sum(d18(v * v)).alias("q"),
+        )
+    )
+    cn = (
+        m.agg(F.sum(d18(F.col("m") * F.col("m"))).alias("mm"))
+        .select(F.sqrt(F.col("mm").cast("double")).alias("cnorm"))
+    )
+    scored = per_vec.crossJoin(F.broadcast(cn)).select(
+        F.col("q").cast("double").alias("qd"),
+        F.when(
+            (F.col("q") > 0) & (F.col("cnorm") > 0),
+            F.col("dot").cast("double")
+            / (F.sqrt(F.col("q").cast("double")) * F.col("cnorm")),
+        ).alias("cos"),
+        "cnorm",
+    )
+    nd = m.groupBy().agg(F.count(F.lit(1)).alias("n_dims"))
+    return (
+        scored.groupBy()
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.max("cnorm"), 6).alias("centroid_norm"),
+            F.round(
+                F.sqrt(
+                    F.sum(d18(F.col("qd"))).cast("double")
+                    / F.count(F.lit(1)).cast("double")
+                ),
+                6,
+            ).alias("rms_norm"),
+            F.round(
+                F.sum(d18(F.col("cos"))).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("mean_cos_to_centroid"),
+        )
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "n_vecs",
+            "n_dims",
+            "centroid_norm",
+            "rms_norm",
+            "mean_cos_to_centroid",
+        )
+    )

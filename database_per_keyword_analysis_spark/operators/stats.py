@@ -1154,6 +1154,28 @@ def mann_whitney_u(
         F.sum(F.when(F.col("is_a"), 1).otherwise(0)).alias("da"),
         F.sum(F.when(F.col("is_a"), 0).otherwise(1)).alias("db"),
     )
+    return _mwu_from_per_x(per_x)
+
+
+def mwu_from_counts(
+    a_counts: DataFrame, b_counts: DataFrame
+) -> DataFrame:
+    """mann_whitney_u over PRE-AGGREGATED per-value counts — (x, n)
+    tables for each side (the ks_from_counts convention: one side a
+    persisted/streaming counts MV, the other a batch aggregate).
+    Same exact integer rank arithmetic; the full-outer value join
+    zero-fills values one side never saw."""
+    a = a_counts.select(F.col("x"), F.col("n").alias("da"))
+    b = b_counts.select(F.col("x"), F.col("n").alias("db"))
+    per_x = a.join(b, "x", "full_outer").select(
+        "x",
+        F.coalesce("da", F.lit(0).cast("long")).alias("da"),
+        F.coalesce("db", F.lit(0).cast("long")).alias("db"),
+    )
+    return _mwu_from_per_x(per_x)
+
+
+def _mwu_from_per_x(per_x: DataFrame) -> DataFrame:
     t = F.col("da") + F.col("db")
     wc = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
     ranked = per_x.select(
@@ -1195,4 +1217,168 @@ def mann_whitney_u(
                 num2.cast("double") / (F.lit(2.0) * F.sqrt(var_u)), 9
             ),
         ).alias("z"),
+    )
+
+
+def kendall_tau_b(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Kendall tau-b rank correlation between two DISCRETE numeric
+    columns (Kendall 1938, tau-b tie correction): concordant-minus-
+    discordant pair mass over the geometric mean of tie-corrected
+    pair counts — completing the association ladder (Pearson linear,
+    Spearman monotone-by-rank, Kendall pairwise-order agreement, the
+    most outlier-insensitive of the three).
+
+    Engine-exactness is total until one sqrt: the data collapses to
+    (x, y) cells with counts; concordant/discordant mass is an exact
+    BIGINT fold over ordered cell PAIRS (nc = Σ c1·c2 over x1<x2 ∧
+    y1<y2, nd over x1<x2 ∧ y1>y2); the doubled tie terms
+    N0 = n(n−1), T1 = Σ tx(tx−1), T2 = Σ ty(ty−1) keep everything
+    integer; tau = 2(nc−nd)/sqrt((N0−T1)(N0−T2)) is one IEEE
+    multiply/sqrt/divide (the factors cast to double first —
+    correctly rounded in both engines).
+
+    100 TB shape: the ONLY fact-sized work is the groupBy(x, y)
+    collapse (map-side combinable).  The cell-pair join is cells² —
+    by design for DISCRETE/bucketed columns (quantities, grades,
+    bucketed scores; the registered query runs quantity × discount,
+    ≤ ~550 cells).  For continuous columns the cell table approaches
+    fact scale and this operator is the WRONG tool — use
+    spearman_corr, whose rank attach is linear; enforced by a
+    guard: the cell count is bounded via assert_all_pairs_safe.
+    Returns one row (n_rows, n_cells, tau_b); NULL tau when either
+    column is constant."""
+    from .scale import assert_all_pairs_safe
+
+    base = df.where(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(F.col(x_col).alias("x"), F.col(y_col).alias("y"))
+    cells = base.groupBy("x", "y").agg(F.count(F.lit(1)).alias("c"))
+    assert_all_pairs_safe(
+        cells, "kendall_tau_b cells", scale_alternative="spearman_corr"
+    )
+    a = cells.select(
+        F.col("x").alias("x1"), F.col("y").alias("y1"), F.col("c").alias("c1")
+    )
+    b = cells.select(
+        F.col("x").alias("x2"), F.col("y").alias("y2"), F.col("c").alias("c2")
+    )
+    pairs = a.join(b, F.col("x1") < F.col("x2")).select(
+        (F.col("c1") * F.col("c2")).alias("w"),
+        F.when(F.col("y1") < F.col("y2"), F.lit(1))
+        .when(F.col("y1") > F.col("y2"), F.lit(-1))
+        .otherwise(F.lit(0))
+        .alias("sgn"),
+    )
+    cd = pairs.groupBy().agg(
+        F.coalesce(
+            F.sum(F.when(F.col("sgn") == 1, F.col("w"))),
+            F.lit(0).cast("long"),
+        ).alias("nc"),
+        F.coalesce(
+            F.sum(F.when(F.col("sgn") == -1, F.col("w"))),
+            F.lit(0).cast("long"),
+        ).alias("nd"),
+    )
+    tx = (
+        cells.groupBy("x")
+        .agg(F.sum("c").alias("t"))
+        .agg(F.sum(F.col("t") * (F.col("t") - 1)).alias("t1"))
+    )
+    ty = (
+        cells.groupBy("y")
+        .agg(F.sum("c").alias("t"))
+        .agg(F.sum(F.col("t") * (F.col("t") - 1)).alias("t2"))
+    )
+    tot = cells.groupBy().agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("n_cells")
+    )
+    n = F.col("n")
+    n0 = n * (n - 1)
+    dx = (n0 - F.col("t1")).cast("double")
+    dy = (n0 - F.col("t2")).cast("double")
+    tau = (
+        F.lit(2.0)
+        * (F.col("nc") - F.col("nd")).cast("double")
+        / F.sqrt(dx * dy)
+    )
+    return (
+        cd.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(tx))
+        .crossJoin(F.broadcast(ty))
+        .select(
+            F.col("n").alias("n_rows"),
+            "n_cells",
+            F.when((dx > 0) & (dy > 0), F.round(tau, 9)).alias("tau_b"),
+        )
+    )
+
+
+def series_cusum(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-group CUSUM change scan over the zero-filled daily count
+    series (Page 1954): the maximum absolute cumulative deviation
+    from the series mean, and the day it peaks — the classic
+    mean-shift locator completing the change-detection family beside
+    event_trend_break's two-segment OLS (CUSUM peaks AT the shift
+    day; the OLS break minimizes residuals around it).
+
+    Engine-exactness: with S = Σy over n days, the scaled deviation
+    D_t = n·cum_t − (t+1)·S is an exact BIGINT per day (cum_t the
+    inclusive prefix count); the argmax of |D_t| ties to the
+    SMALLEST day index; the reported magnitude divides by n once
+    (9dp).  The sign at the peak is kept: negative = the series ran
+    below its mean first (an upward step), positive = above.
+
+    100 TB shape: the fact collapses to (group, day) grain FIRST; the
+    prefix window runs per group over the day-span-bounded grid;
+    the argmax pick is one more bounded window.  Returns
+    (group, n_days, at_x, cusum) with cusum = D_peak/n, NULL for a
+    1-day span."""
+    grid = _zero_filled_daily(df, group_col, ts_col).select("grp", "x", "y")
+    tot = grid.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("s")
+    )
+    wc = (
+        Window.partitionBy("grp")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    dev = (
+        grid.withColumn("cum", F.sum("y").over(wc))
+        .join(F.broadcast(tot), "grp")
+        .select(
+            "grp",
+            "n",
+            "x",
+            (
+                F.col("n") * F.col("cum")
+                - (F.col("x") + 1) * F.col("s")
+            ).alias("d"),
+        )
+    )
+    pick = Window.partitionBy("grp").orderBy(
+        F.desc(F.abs(F.col("d"))), F.asc("x")
+    )
+    return (
+        dev.withColumn("_rk", F.row_number().over(pick))
+        .where(F.col("_rk") == 1)
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("n").alias("n_days"),
+            F.col("x").alias("at_x"),
+            F.when(
+                F.col("n") > 1,
+                F.round(
+                    F.col("d").cast("double") / F.col("n").cast("double"), 9
+                ),
+            ).alias("cusum"),
+        )
+        .orderBy(group_col)
     )

@@ -1170,3 +1170,70 @@ def heaps_law(
         )
         .orderBy("ckpt")
     )
+
+
+def vocab_richness(
+    docs: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Vocabulary-richness estimators off the frequency-of-frequencies
+    head: Good-Turing unseen mass (Good 1953) and bias-corrected Chao1
+    species richness (Chao 1984; Chiu et al. 2014 correction) — the
+    "how much vocabulary have we NOT seen yet" companion to
+    zipf_slope/heaps_law (a corpus whose unseen mass stays high after
+    trillions of tokens is churning junk types; one whose Chao1 ≈ V
+    has been read to saturation).
+
+      gt_unseen = n1 / N          (mass of the next token being novel)
+      chao1     = V + n1·(n1−1) / (2·(n2+1))   (bias-corrected)
+
+    with N total tokens, V distinct types, n1 singletons, n2
+    doubletons.  All four inputs are exact BIGINTs off ONE aggregate
+    over the type table; each estimator is a single IEEE division
+    (9dp) — no libm, engine-exact by construction.
+
+    100 TB shape: one tokenize projection, one groupBy(token) count
+    (map-side combinable), one 4-scalar fold over the type table.
+    Returns one row (n_tokens, vocab, singletons, doubletons,
+    gt_unseen, chao1); NULL estimators on an empty corpus."""
+    toks = docs.where(F.col(text_col).isNotNull()).select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("token")
+    )
+    types = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    agg = types.groupBy().agg(
+        F.coalesce(F.sum("c"), F.lit(0).cast("long")).alias("n_tokens"),
+        F.count(F.lit(1)).alias("vocab"),
+        F.coalesce(
+            F.sum(F.when(F.col("c") == 1, 1)), F.lit(0).cast("long")
+        ).alias("singletons"),
+        F.coalesce(
+            F.sum(F.when(F.col("c") == 2, 1)), F.lit(0).cast("long")
+        ).alias("doubletons"),
+    )
+    n1 = F.col("singletons")
+    return agg.select(
+        "n_tokens",
+        "vocab",
+        "singletons",
+        "doubletons",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(
+                n1.cast("double") / F.col("n_tokens").cast("double"), 9
+            ),
+        ).alias("gt_unseen"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(
+                F.col("vocab").cast("double")
+                + (n1 * (n1 - 1)).cast("double")
+                / (F.lit(2.0) * (F.col("doubletons") + 1).cast("double")),
+                9,
+            ),
+        ).alias("chao1"),
+    )

@@ -1308,3 +1308,39 @@ def test_event_type_trends_robust_matches_oracle(spark, sf_dir):
     # r13 demotion: 2-round-green (r11+r12); the robust family keeps
     # order_price_mad_outliers and event_trend_break in-window
     _assert_matches_oracle(spark, sf_dir, "event_type_trends_robust")
+
+
+def test_events_kmv_distinct_matches_oracle(spark, sf_dir):
+    # r13 demotion (second batch): 2-round-green (r11+r12); the sketch
+    # family keeps order_price_quantile_summary in-window; slot taken
+    # by lineitem_qty_discount_kendall
+    _assert_matches_oracle(spark, sf_dir, "events_kmv_distinct")
+
+
+def test_purchase_cheapest_paths_matches_oracle(spark, sf_dir):
+    # r13 demotion (second batch): 2-round-green (r11+r12); the graph
+    # family keeps copurchase_assortativity in-window; slot taken by
+    # event_type_cusum
+    _assert_matches_oracle(spark, sf_dir, "purchase_cheapest_paths")
+
+
+def test_stream_event_heavy_hitters_matches_oracle(spark, sf_dir):
+    # r13 demotion (second batch): 2-round-green (r11+r12); the
+    # streaming family keeps stream_tumbling_counts,
+    # stream_orders_mv_refresh, stream_length_ks_drift and the new
+    # stream_length_ranksum_drift in-window; slot taken by
+    # corpus_vocab_richness
+    _assert_matches_oracle(spark, sf_dir, "stream_event_heavy_hitters")
+
+
+def test_event_trend_break_matches_oracle(spark, sf_dir):
+    # r13 demotion (second batch): 2-round-green (r11+r12); the
+    # change-detection family keeps event_type_cusum (NOVEL r13, same
+    # family) in-window; slot taken by embedding_anisotropy
+    _assert_matches_oracle(spark, sf_dir, "event_trend_break")
+
+
+# (event_transition_entropy — r13 second-batch demotion, 2-round-green
+# r11+r12 — keeps its ORIGINAL r10 deferral-at-birth proof above; the
+# journey family keeps event_gap_burstiness and event_type_stationary
+# in-window; slot taken by stream_length_ranksum_drift)

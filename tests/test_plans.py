@@ -1109,3 +1109,46 @@ def test_mix_allocation_window_is_source_bounded(spark, sf_dir):
     # scalar attaches (total twice along the two branches, leftover)
     # ride broadcast one-row joins
     assert plan.count("BroadcastNestedLoopJoin") <= 3
+
+
+def test_kendall_pairs_run_on_cell_table(spark, sf_dir):
+    """lineitem_qty_discount_kendall (r13): the only fact-sized stage
+    is the (x, y) cell collapse; the pair join runs on the bounded
+    cell table (inequality condition -> broadcast nested loop over
+    ~550 rows, guarded by assert_all_pairs_safe), never the scan."""
+    plan = _plan(spark, sf_dir, "lineitem_qty_discount_kendall")
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan
+    assert "Window" not in plan
+
+
+def test_cusum_windows_are_group_partitioned(spark, sf_dir):
+    """event_type_cusum (r13): the prefix-sum and argmax windows run
+    per event type over the day-grain grid — every windowspec carries
+    the grp partition key."""
+    plan = _plan(spark, sf_dir, "event_type_cusum")
+    assert "CartesianProduct" not in plan
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "grp" in line, line
+
+
+def test_vocab_richness_is_one_explode_two_aggs(spark, sf_dir):
+    """corpus_vocab_richness (r13): tokenize explode -> type-table
+    groupBy -> one 4-scalar fold; no window, no join anywhere."""
+    plan = _plan(spark, sf_dir, "corpus_vocab_richness")
+    assert "Generate explode" in plan
+    assert "Window" not in plan
+    assert "Join" not in plan
+
+
+def test_anisotropy_joins_are_broadcast_dim_sized(spark, sf_dir):
+    """embedding_anisotropy (r13): the explode is the only fact-sized
+    stage; the centroid attaches back on dim via a BROADCAST hash join
+    (d rows), and scalar attaches ride broadcast one-row joins — no
+    shuffle join, no cartesian, no window."""
+    plan = _plan(spark, sf_dir, "embedding_anisotropy")
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -546,3 +546,39 @@ def test_dim_profile_matches_pure_python_on_fixture(spark, sf_dir):
             got[dim].variance - round((n * qq - s * s) / (n * n), 6)
         ) <= 1e-6
         assert got[dim].lo == min(col) and got[dim].hi == max(col)
+
+
+def test_anisotropy_identical_vectors(spark):
+    # all vectors equal: every cosine to the centroid is exactly 1 and
+    # centroid_norm == rms_norm == |v|
+    rows = [(i, [3.0, 4.0]) for i in range(4)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    r = SIM.anisotropy(df).collect()[0]
+    assert (r.n_vecs, r.n_dims) == (4, 2)
+    assert r.centroid_norm == 5.0 and r.rms_norm == 5.0
+    assert r.mean_cos_to_centroid == 1.0
+
+
+def test_anisotropy_symmetric_cloud_has_null_cos(spark):
+    # +v and -v in equal measure: centroid is exactly 0, cosine to it
+    # undefined -> NULL mean (isotropic-degenerate case surfaces, not
+    # a crash)
+    rows = [(1, [1.0, 0.0]), (2, [-1.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    r = SIM.anisotropy(df).collect()[0]
+    assert r.centroid_norm == 0.0 and r.mean_cos_to_centroid is None
+
+
+def test_anisotropy_orthonormal_basis(spark):
+    import math
+
+    d = 4
+    rows = [
+        (i, [1.0 if j == i else 0.0 for j in range(d)]) for i in range(d)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    r = SIM.anisotropy(df).collect()[0]
+    assert r.rms_norm == 1.0
+    assert abs(r.centroid_norm - round(1 / math.sqrt(d), 6)) <= 1e-6
+    # cos(e_i, centroid) = (1/d) / (1/sqrt(d)) = 1/sqrt(d) for every i
+    assert abs(r.mean_cos_to_centroid - round(1 / math.sqrt(d), 6)) <= 2e-6

@@ -634,3 +634,138 @@ def test_mann_whitney_empty_side_is_null(spark):
     df = spark.createDataFrame([(True, 1), (True, 2)], "is_a boolean, x long")
     r = S.mann_whitney_u(df, "is_a", "x").collect()[0]
     assert r.n_b == 0 and r.u_a is None and r.z is None
+
+
+def _kendall_py(xs, ys):
+    n = len(xs)
+    nc = nd = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            a = (xs[i] - xs[j]) * (ys[i] - ys[j])
+            if a > 0:
+                nc += 1
+            elif a < 0:
+                nd += 1
+    from collections import Counter
+
+    t1 = sum(t * (t - 1) for t in Counter(xs).values())
+    t2 = sum(t * (t - 1) for t in Counter(ys).values())
+    n0 = n * (n - 1)
+    return 2 * (nc - nd) / ((n0 - t1) * (n0 - t2)) ** 0.5
+
+
+def test_kendall_perfect_and_reversed(spark):
+    rows = [(float(i), float(i * i)) for i in range(1, 9)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    r = S.kendall_tau_b(df, "x", "y").collect()[0]
+    assert r.n_rows == 8 and r.n_cells == 8 and r.tau_b == 1.0
+    rev = spark.createDataFrame(
+        [(x, -y) for x, y in rows], "x double, y double"
+    )
+    assert S.kendall_tau_b(rev, "x", "y").collect()[0].tau_b == -1.0
+
+
+def test_kendall_with_ties_matches_pure_python(spark):
+    import random
+
+    rng = random.Random(29)
+    xs = [float(rng.randint(0, 6)) for _ in range(50)]
+    ys = [x + rng.randint(-2, 2) for x in xs]
+    df = spark.createDataFrame(list(zip(xs, ys)), "x double, y double")
+    got = S.kendall_tau_b(df, "x", "y").collect()[0]
+    assert abs(got.tau_b - round(_kendall_py(xs, ys), 9)) <= 2e-9
+
+
+def test_kendall_constant_column_is_null(spark):
+    df = spark.createDataFrame(
+        [(1.0, 2.0), (2.0, 2.0), (3.0, 2.0)], "x double, y double"
+    )
+    r = S.kendall_tau_b(df, "x", "y").collect()[0]
+    assert r.tau_b is None and r.n_cells == 3
+
+
+def test_series_cusum_locates_known_step(spark):
+    # 10 days at 2/day then 10 days at 8/day: |D_t| peaks at the last
+    # low day (x=9); the sign is negative (series below its mean first)
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for d in range(20):
+        for _ in range(2 if d < 10 else 8):
+            rows.append((eid, t0 + timedelta(days=d), 1, "a"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    r = S.series_cusum(df, "event_type").collect()[0]
+    assert r.n_days == 20 and r.at_x == 9
+    # D_9 = n*cum_9 - 10*S = 20*20 - 10*100 = -600; cusum = -600/20
+    assert r.cusum == -30.0
+
+
+def test_series_cusum_matches_pure_python(spark):
+    import random
+    from datetime import datetime, timedelta
+
+    rng = random.Random(17)
+    t0 = datetime(2024, 1, 1)
+    counts = [rng.randint(0, 9) for _ in range(30)]
+    rows = []
+    eid = 0
+    for d, c in enumerate(counts):
+        for _ in range(c):
+            rows.append((eid, t0 + timedelta(days=d), 1, "a"))
+            eid += 1
+    # ensure first/last day nonzero so the span is the full 30 days
+    rows.append((eid, t0, 1, "a"))
+    rows.append((eid + 1, t0 + timedelta(days=29), 1, "a"))
+    counts[0] += 1
+    counts[29] += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    n = len(counts)
+    s = sum(counts)
+    cum = 0
+    best = None
+    for x, y in enumerate(counts):
+        cum += y
+        d = n * cum - (x + 1) * s
+        if best is None or abs(d) > abs(best[1]):
+            best = (x, d)
+    r = S.series_cusum(df, "event_type").collect()[0]
+    assert (r.at_x, r.cusum) == (best[0], round(best[1] / n, 9))
+
+
+def test_series_cusum_one_day_span_is_null(spark):
+    from datetime import datetime
+
+    df = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1), 1, "a"), (2, datetime(2024, 1, 1), 2, "a")],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    r = S.series_cusum(df, "event_type").collect()[0]
+    assert r.n_days == 1 and r.cusum is None
+
+
+def test_mwu_from_counts_equals_row_level(spark):
+    import random
+
+    rng = random.Random(3)
+    a = [rng.randint(0, 15) for _ in range(40)]
+    b = [rng.randint(5, 20) for _ in range(30)]
+    rows = [(True, v) for v in a] + [(False, v) for v in b]
+    df = spark.createDataFrame(rows, "is_a boolean, x long")
+    direct = S.mann_whitney_u(df, "is_a", "x").collect()
+    from collections import Counter
+
+    ca = spark.createDataFrame(
+        sorted(Counter(a).items()), "x long, n long"
+    )
+    cb = spark.createDataFrame(
+        sorted(Counter(b).items()), "x long, n long"
+    )
+    via_counts = S.mwu_from_counts(ca, cb).collect()
+    assert [tuple(r) for r in direct] == [tuple(r) for r in via_counts]

@@ -974,3 +974,19 @@ def test_mutable_stream_base_sweep_rules(tmp_path):
         assert os.path.isdir(young_legacy) and os.path.isdir(live_kept)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_stream_length_ranksum_equals_batch(spark):
+    # the r13 rank-sum stream twin consumes the SAME counts MV as the
+    # KS twin and must produce EXACTLY the batch query's row — the
+    # shared-oracle stream==batch contract
+    from database_per_keyword_analysis_spark import catalog
+
+    sf = "/root/testdata/sf0.001"
+    qs = catalog.queries()
+    batch = qs["doc_length_ranksum_drift"](spark, sf).collect()
+    stream = qs["stream_length_ranksum_drift"](spark, sf).collect()
+    assert [tuple(r) for r in batch] == [tuple(r) for r in stream]
+    assert catalog.oracle_sql()["doc_length_ranksum_drift"] == (
+        catalog.oracle_sql()["stream_length_ranksum_drift"]
+    )

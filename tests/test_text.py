@@ -677,3 +677,42 @@ class TestHeapsLaw:
 
         with _pytest.raises(ValueError):
             TQ.heaps_law(self._docs(spark, ["a"]), checkpoints=1)
+
+
+def test_vocab_richness_hand_counts(spark):
+    # tokens: a a a b b c d -> N=7, V=4, n1=2 (c,d), n2=1 (b)
+    from database_per_keyword_analysis_spark.operators import (
+        textquality as TQ,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "b c d")], "doc_id long, text string"
+    )
+    r = TQ.vocab_richness(df).collect()[0]
+    assert (r.n_tokens, r.vocab, r.singletons, r.doubletons) == (7, 4, 2, 1)
+    assert r.gt_unseen == round(2 / 7, 9)
+    # chao1 = 4 + 2*1/(2*(1+1)) = 4.5
+    assert r.chao1 == 4.5
+
+
+def test_vocab_richness_closed_vocab_is_saturated(spark):
+    # every type seen >= 3 times: n1 = 0 -> unseen mass 0, chao1 == V
+    from database_per_keyword_analysis_spark.operators import (
+        textquality as TQ,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "x y x y"), (2, "x y x y")], "doc_id long, text string"
+    )
+    r = TQ.vocab_richness(df).collect()[0]
+    assert r.singletons == 0 and r.gt_unseen == 0.0 and r.chao1 == 2.0
+
+
+def test_vocab_richness_empty_corpus(spark):
+    from database_per_keyword_analysis_spark.operators import (
+        textquality as TQ,
+    )
+
+    df = spark.createDataFrame([(1, None)], "doc_id long, text string")
+    r = TQ.vocab_richness(df).collect()[0]
+    assert r.n_tokens == 0 and r.gt_unseen is None and r.chao1 is None
