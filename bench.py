@@ -401,6 +401,45 @@ HEADLINE = [
     # transition count is the only fact-scale stage; 30 power
     # iterations run on K-row broadcast tables)
     "event_type_stationary",
+    # round-13: Spearman rank correlation (timed — two value-table
+    # collapses, two range-partitioned CDF cumsums, two rank
+    # equi-joins, one moment aggregate)
+    "lineitem_price_qty_spearman",
+    # round-13: daily-series cross-correlation (timed — day-grain
+    # collapse + the days x 15 lag equi-join + one moment aggregate)
+    "event_view_purchase_xcorr",
+    # round-13: per-dimension embedding profile (timed — one
+    # posexplode + a d-group map-side-combinable aggregate)
+    "embedding_dim_profile",
+    # round-13: largest-remainder budget apportionment (timed — one
+    # scan-stage token count + a source agg; the apportionment is
+    # #sources-bounded)
+    "source_mix_allocation",
+    # round-13: Mann-Whitney rank-sum drift (timed — one value
+    # collapse + a value-cardinality rank window + a scalar fold)
+    "doc_length_ranksum_drift",
+    # round-13: Kendall tau-b (timed — the (x,y) cell collapse is
+    # the only fact-sized stage; the pair join runs on ~550 cells)
+    "lineitem_qty_discount_kendall",
+    # round-13: CUSUM change scan (timed — day-grain collapse + two
+    # grid-bounded per-group windows)
+    "event_type_cusum",
+    # round-13: Good-Turing/Chao1 richness (timed — tokenize explode
+    # + type-table agg + a 4-scalar fold)
+    "corpus_vocab_richness",
+    # round-13: embedding anisotropy (timed — one explode feeding the
+    # d-row centroid + broadcast dim join + per-vector folds)
+    "embedding_anisotropy",
+    # round-13: streaming rank-sum twin (timed — steady state reads
+    # the SAME folded counts MV as the KS twin + the batch-side
+    # collapse)
+    "stream_length_ranksum_drift",
+    # round-13: exact trimmed mean (timed — one value collapse + the
+    # range-partitioned CDF cumsum + rank clipping)
+    "order_price_trimmed_mean",
+    # round-13: Burrows' Delta style distance (timed — tokenize
+    # explode + (source, token) agg; panel/z/pair stages bounded)
+    "source_style_delta",
 ]
 
 # Round-7 headline audit (round-6 judge item 5): every registered query

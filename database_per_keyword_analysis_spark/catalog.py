@@ -104,9 +104,11 @@ _DEFERRED_TWINS = {
     #  asof_last_view_before_purchase (r4) — rotated INTO the window
     #  for their second driver pass; r9 verdict item 3.  Their proofs
     #  stay in tests/test_catalog_twins.py.)
-    "word_frequency_by_industry",  # explode→count→rank + dynamic stopwords
-    "word_frequency_by_lang",  # same explode→count→rank family
-    "winnowing_fingerprints",  # fingerprint stage inside winnowing_pairs
+    # (r13 third batch: the LAST three pre-r5 members —
+    #  winnowing_fingerprints, word_frequency_by_industry,
+    #  word_frequency_by_lang — rotated INTO the window, draining the
+    #  last-green-pre-r5 queue to ZERO.  Every catalog member's latest
+    #  driver pass is now round 5 or later.)
     # ==================================================================
     # ROUND-6 ROTATION (round-5 judge "Next round" item 2): the 27
     # never-driver-verified oracle-backed queries move INTO the window
@@ -886,6 +888,28 @@ _DEFERRED_TWINS = {
     #   keeps event_type_cusum (NOVEL r13, same family) in-window
     "event_transition_entropy",  # green r11-r12; the journey family
     #   keeps event_gap_burstiness and event_type_stationary in-window
+    # ---- round-13 third batch (the last 3 pre-r5 members promoted —
+    # queue drained to zero — plus 2 novel slots: trimmed mean /
+    # style delta).  The five demotions below keep their existing
+    # proofs (all were deferred with differentials in earlier
+    # rotations) except order_price_mad_outliers, which leaves on a
+    # NEW differential ----
+    "top_customers_by_revenue",  # green r1-r4,r11,r12 (SIX passes,
+    #   the drift-guard's most-verified member); join-agg-topk
+    #   machinery stays in-window via the promoted top_posts and
+    #   top_channels_by_views
+    "sessionize_events",  # green r2-r4,r11,r12 (five passes); the
+    #   session-window machinery is differential-covered and the
+    #   promoted sliding_window_counts keeps windowing in-window
+    "customers_without_orders",  # green r1-r4,r11,r12 (six passes);
+    #   the anti-join also runs inside decontamination_check's
+    #   in-window plan
+    "simhash_fingerprints",  # green r1-r4,r11,r12 (six passes); the
+    #   fingerprint family keeps the promoted winnowing_fingerprints
+    #   in-window
+    "order_price_mad_outliers",  # green r11-r12; the robust family
+    #   keeps order_price_trimmed_mean (NOVEL r13, the location tier)
+    #   in-window
     "purchase_reachability",  # green r10-r11; BFS closure — the graph
     #   family keeps hits, ppr, cheapest_paths and assortativity
     #   in-window; slot taken by event_type_stationary (NOVEL r12:
@@ -10898,3 +10922,104 @@ def q_stream_length_ranksum_drift(
 
     a, b = _length_counts_stream(spark, sf_dir)
     return ST.mwu_from_counts(a, b)
+
+
+@register(
+    "order_price_trimmed_mean",
+    # mirror trimmed_mean token for token: exact integer cents, the
+    # inclusive value-CDF rank clipping, integer `//` trim counts,
+    # DECIMAL(38,0) mass, ONE division at the output
+    "WITH base AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) "
+    "AS x FROM orders WHERE o_totalprice IS NOT NULL), "
+    "per_x AS (SELECT x, CAST(count(*) AS BIGINT) AS cnt "
+    "FROM base GROUP BY x), "
+    "cum AS (SELECT x, cnt, "
+    "CAST(sum(cnt) OVER (ORDER BY x) AS BIGINT) AS cum FROM per_x), "
+    "tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM per_x), "
+    "k AS (SELECT x, cnt, cum, n, (n * 1) // 10 AS lo, "
+    "n - (n * 1) // 10 AS hi FROM cum CROSS JOIN tot), "
+    "agg AS (SELECT n, CAST(sum(greatest(CAST(0 AS BIGINT), "
+    "least(cum, hi) - greatest(cum - cnt, lo))) AS BIGINT) AS n_kept, "
+    "sum(CAST(x * greatest(CAST(0 AS BIGINT), least(cum, hi) "
+    "- greatest(cum - cnt, lo)) AS DECIMAL(38,0))) AS cents "
+    "FROM k GROUP BY n) "
+    "SELECT n AS n_rows, n_kept, "
+    "CASE WHEN n_kept > 0 THEN round(CAST(cents AS DOUBLE) / "
+    "(100.0 * CAST(n_kept AS DOUBLE)), 9) END AS trimmed_mean "
+    "FROM agg",
+)
+def q_order_price_trimmed_mean(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact 10%-trimmed mean of order totals (operators/stats.py:
+    trimmed_mean; Tukey's robust location): drop n//10 rows off each
+    ordered tail, average the middle — the robust-LOCATION member
+    beside order_price_mad_outliers' robust scale (which leaves the
+    window on a NEW differential this batch; the robust family keeps
+    its location tier in-window).  Integer cents, BIGINT rank
+    clipping off the value CDF, integer `div` trim counts,
+    DECIMAL(38,0) mass, one division — and the CDF prefix sum runs
+    through scale.global_cumsum (a near-unique money column's value
+    table approaches fact scale; the r13 rank-fix regime).  NOVEL
+    round-13 machinery → in-window at birth."""
+    from .operators import stats as ST
+
+    return ST.trimmed_mean(
+        load(spark, sf_dir, "orders").select("o_totalprice"), "o_totalprice"
+    )
+
+
+@register(
+    "source_style_delta",
+    # mirror style_delta token for token: (grp, token) counts, the
+    # TakeOrdered top-30 panel (ties by token), zero-filled rate grid,
+    # DECIMAL across-group moments, population-sigma z-scores with
+    # zero-variance terms EXCLUDED, DECIMAL |z|-difference pair means
+    "WITH toks AS (SELECT source AS grp, unnest(list_filter("
+    r"regexp_split_to_array(lower(trim(text)), '\s+'), "
+    "t -> t <> '')) AS token FROM documents "
+    "WHERE text IS NOT NULL AND source IS NOT NULL), "
+    "gt AS (SELECT grp, token, CAST(count(*) AS BIGINT) AS c "
+    "FROM toks GROUP BY grp, token), "
+    "panel AS (SELECT token FROM (SELECT token, "
+    "CAST(sum(c) AS BIGINT) AS tc FROM gt GROUP BY token) "
+    "ORDER BY tc DESC, token LIMIT 30), "
+    "gtot AS (SELECT grp, CAST(sum(c) AS BIGINT) AS gn "
+    "FROM gt GROUP BY grp), "
+    "grid AS (SELECT gtot.grp, p.token, "
+    "CAST(coalesce(gt.c, 0) AS DOUBLE) / CAST(gn AS DOUBLE) AS f "
+    "FROM gtot CROSS JOIN panel p LEFT JOIN gt "
+    "ON gt.grp = gtot.grp AND gt.token = p.token), "
+    "mom AS (SELECT token, CAST(count(*) AS BIGINT) AS k, "
+    "sum(CAST(f AS DECIMAL(38,18))) AS s, "
+    "sum(CAST(f * f AS DECIMAL(38,18))) AS q FROM grid GROUP BY token), "
+    "z AS (SELECT grp, grid.token, "
+    "(f - CAST(s AS DOUBLE) / CAST(k AS DOUBLE)) / "
+    "sqrt((CAST(k AS DOUBLE) * CAST(q AS DOUBLE) "
+    "- CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / "
+    "(CAST(k AS DOUBLE) * CAST(k AS DOUBLE))) AS z "
+    "FROM grid JOIN mom ON grid.token = mom.token "
+    "WHERE k > 1 AND CAST(k AS DOUBLE) * CAST(q AS DOUBLE) "
+    "- CAST(s AS DOUBLE) * CAST(s AS DOUBLE) > 0) "
+    "SELECT a.grp AS group_a, b.grp AS group_b, "
+    "CAST(count(*) AS BIGINT) AS n_terms, "
+    "round(CAST(sum(CAST(abs(a.z - b.z) AS DECIMAL(38,18))) "
+    "AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS delta "
+    "FROM z a JOIN z b ON a.token = b.token AND a.grp < b.grp "
+    "GROUP BY a.grp, b.grp ORDER BY group_a, group_b",
+)
+def q_source_style_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' Delta stylometric distance between document sources
+    (operators/textquality.py: style_delta; Burrows 2002): z-scored
+    function-word rates over the corpus-wide top-30 panel, Delta =
+    mean |z| difference per unordered source pair — the
+    duplicated-pipeline detector for training mixes (near-zero Delta
+    between two 'different' sources = the same crawl wearing two
+    labels).  The only fact-sized work is the tokenize explode +
+    (source, token) count; the panel is a vocab-bounded TakeOrdered;
+    the z table and pair join are (#sources × 30)-bounded.
+    Zero-variance panel terms are excluded on both engines.  NOVEL
+    round-13 machinery → in-window at birth."""
+    from .operators import textquality as TQ
+
+    return TQ.style_delta(load(spark, sf_dir, "documents", parallel=True))

@@ -1382,3 +1382,79 @@ def series_cusum(
         )
         .orderBy(group_col)
     )
+
+
+TRIM_TENTHS = 1  # default trim: n DIV 10 rows off EACH tail
+
+
+def trimmed_mean(
+    df: DataFrame,
+    value_col: str,
+    trim_tenths: int = TRIM_TENTHS,
+) -> DataFrame:
+    """Exact alpha-trimmed mean of a money column (Tukey's robust
+    location estimator): drop the lowest and highest `trim_tenths`
+    tenths of the ordered sample (trim count = trim_tenths·n DIV 10,
+    INTEGER arithmetic so both engines drop identical row counts) and
+    average the middle — the robust-location member beside
+    mad_outliers' robust-scale (a corrupted price burst drags the mean
+    ~linearly; it cannot touch a 10%-trimmed mean until it owns 10% of
+    the rows).
+
+    Engine-exactness is total: values enter as exact integer CENTS
+    (round(x·100), the benford convention — exact for 2-decimal money
+    doubles); per distinct value the kept multiplicity is
+    min(cum, hi) − max(cum − cnt, lo) clipped at 0 (BIGINT rank
+    clipping off the inclusive CDF); Σ cents·kept accumulates in
+    DECIMAL(38,0); ONE division at the output (9dp).
+
+    100 TB shape: one groupBy(value) collapse (map-side combinable),
+    then scale.global_cumsum's range-partitioned prefix sum over the
+    value table — a near-unique money column's value table approaches
+    fact scale, exactly the single-task-window regime the r13 rank
+    fix targets.  Returns one row (n_rows, n_kept, trimmed_mean)."""
+    from . import scale as _scale
+
+    if not 0 <= trim_tenths < 5:
+        raise ValueError("trimmed_mean: trim_tenths must be in [0, 5)")
+    base = df.where(F.col(value_col).isNotNull()).select(
+        F.round(F.col(value_col) * 100).cast("long").alias("x")
+    )
+    per_x = base.groupBy("x").agg(F.count(F.lit(1)).alias("cnt"))
+    cum = _scale.global_cumsum(per_x, "x", "cnt")
+    tot = per_x.groupBy().agg(F.sum("cnt").alias("n"))
+    # INTEGER division (expr `div`), not floor-of-double: a double
+    # quotient goes inexact past 2^53 rows and the two engines could
+    # trim different counts
+    lo = F.expr(f"(n * {trim_tenths}) div 10")
+    hi = F.col("n") - lo
+    kept = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.col("cum"), hi)
+        - F.greatest(F.col("cum") - F.col("cnt"), lo),
+    )
+    agg = (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("n"),
+            kept.alias("kept"),
+            (F.col("x") * kept).cast("decimal(38,0)").alias("mass"),
+        )
+        .groupBy("n")
+        .agg(
+            F.sum("kept").alias("n_kept"),
+            F.sum("mass").alias("cents"),
+        )
+    )
+    return agg.select(
+        F.col("n").alias("n_rows"),
+        "n_kept",
+        F.when(
+            F.col("n_kept") > 0,
+            F.round(
+                F.col("cents").cast("double")
+                / (F.lit(100.0) * F.col("n_kept").cast("double")),
+                9,
+            ),
+        ).alias("trimmed_mean"),
+    )

@@ -1237,3 +1237,116 @@ def vocab_richness(
             ),
         ).alias("chao1"),
     )
+
+
+DELTA_TOP_K = 30  # function-word panel size for the Delta distance
+
+
+def style_delta(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    top_k: int = DELTA_TOP_K,
+) -> DataFrame:
+    """Burrows' Delta stylometric distance between corpus groups
+    (Burrows 2002; Evert et al. 2017): over the corpus-wide top-k most
+    frequent tokens (the function-word panel — style lives in 'the /
+    of / and' rates, not content words), z-score each group's relative
+    frequencies against the across-group mean/sd, then Delta(a, b) =
+    mean_t |z_at − z_bt| — the duplicated-pipeline detector for
+    training mixes (two 'different' sources with near-zero Delta are
+    the same crawl wearing two labels; one source drifting from its
+    own history is a scraper change).
+
+    Engine-exactness: token counts are exact BIGINTs; relative
+    frequencies are one IEEE division each; across-group moments and
+    the |z| difference sums accumulate as DECIMAL(38,18) quantized
+    terms (order-free); σ uses the population form via the n²-scaled
+    identity and one IEEE sqrt.  Zero-variance panel tokens (same
+    rate everywhere) are EXCLUDED from the mean — their z is
+    undefined — and the per-pair mean divides by the surviving term
+    count (mirrored in the oracle).  Output rounded 6dp.
+
+    100 TB shape: one tokenize explode + one (group, token) count
+    (map-side combinable) — the only fact-sized work; the panel is a
+    vocab-bounded TakeOrdered top-k; everything downstream (z table,
+    pair join) is (#groups × k)-bounded.  Returns one row per
+    unordered group pair (group_a < group_b, n_terms, delta)."""
+    if top_k < 1:
+        raise ValueError("style_delta: top_k must be >= 1")
+    toks = docs.where(
+        F.col(text_col).isNotNull() & F.col(group_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("grp"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("token"),
+    )
+    gt = toks.groupBy("grp", "token").agg(F.count(F.lit(1)).alias("c"))
+    # corpus-wide panel: top_k by total count, ties by token — a
+    # TakeOrdered over the type table, never a global sort
+    panel = (
+        gt.groupBy("token")
+        .agg(F.sum("c").alias("tc"))
+        .orderBy(F.desc("tc"), F.asc("token"))
+        .limit(top_k)
+        .select("token")
+    )
+    gtot = gt.groupBy("grp").agg(F.sum("c").alias("gn"))
+    # zero-fill: every (group, panel token) cell exists
+    grid = (
+        gtot.crossJoin(F.broadcast(panel))
+        .join(gt, ["grp", "token"], "left")
+        .select(
+            "grp",
+            "token",
+            (
+                F.coalesce("c", F.lit(0).cast("long")).cast("double")
+                / F.col("gn").cast("double")
+            ).alias("f"),
+        )
+    )
+    d18 = lambda c: c.cast("decimal(38,18)")  # noqa: E731
+    mom = grid.groupBy("token").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum(d18(F.col("f"))).alias("s"),
+        F.sum(d18(F.col("f") * F.col("f"))).alias("q"),
+    )
+    kk = F.col("k").cast("double")
+    s, q = F.col("s").cast("double"), F.col("q").cast("double")
+    var = (kk * q - s * s) / (kk * kk)
+    z = grid.join(F.broadcast(mom), "token").where(
+        (F.col("k") > 1)
+        & ((F.col("k").cast("double") * F.col("q").cast("double")
+            - F.col("s").cast("double") * F.col("s").cast("double")) > 0)
+    ).select(
+        "grp",
+        "token",
+        (
+            (F.col("f") - s / kk) / F.sqrt(var)
+        ).alias("z"),
+    )
+    a = z.select(
+        F.col("grp").alias("group_a"), "token", F.col("z").alias("za")
+    )
+    b = z.select(
+        F.col("grp").alias("group_b"), "token", F.col("z").alias("zb")
+    )
+    return (
+        a.join(b, "token")
+        .where(F.col("group_a") < F.col("group_b"))
+        .groupBy("group_a", "group_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.round(
+                F.sum(d18(F.abs(F.col("za") - F.col("zb"))))
+                .cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("delta"),
+        )
+        .orderBy("group_a", "group_b")
+    )

@@ -1344,3 +1344,19 @@ def test_event_trend_break_matches_oracle(spark, sf_dir):
 # r11+r12 — keeps its ORIGINAL r10 deferral-at-birth proof above; the
 # journey family keeps event_gap_burstiness and event_type_stationary
 # in-window; slot taken by stream_length_ranksum_drift)
+
+
+def test_order_price_mad_outliers_matches_oracle(spark, sf_dir):
+    # r13 demotion (third batch): 2-round-green (r11+r12); the robust
+    # family keeps order_price_trimmed_mean (NOVEL r13, the location
+    # tier) in-window; slot freed for the queue-draining promotion
+    _assert_matches_oracle(spark, sf_dir, "order_price_mad_outliers")
+
+
+# (top_customers_by_revenue, sessionize_events, customers_without_orders,
+# simhash_fingerprints — r13 third-batch demotions after 6/5/6/6 driver
+# passes each — keep their EXISTING differential proofs earlier in this
+# file, added when they were deferred in previous rotations; the
+# families stay covered by the promoted top_posts /
+# top_channels_by_views / sliding_window_counts / decontamination_check
+# / winnowing_fingerprints members)

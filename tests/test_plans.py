@@ -1152,3 +1152,25 @@ def test_anisotropy_joins_are_broadcast_dim_sized(spark, sf_dir):
     assert "Window" not in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_trimmed_mean_cdf_is_range_partitioned(spark, sf_dir):
+    """order_price_trimmed_mean (r13): the value-CDF prefix sum runs
+    through scale.global_cumsum — range exchange + pid-partitioned
+    window — never a single-task window over the near-unique cents
+    value table."""
+    plan = _plan(spark, sf_dir, "order_price_trimmed_mean")
+    assert "CartesianProduct" not in plan
+    assert "Exchange rangepartitioning" in plan
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line and "_gcs_pid" not in line:
+            assert "_gcs_tot" in line or "_gcs_off" in line, line
+
+
+def test_style_delta_panel_is_take_ordered(spark, sf_dir):
+    """source_style_delta (r13): the function-word panel comes from a
+    TakeOrderedAndProject over the type table (never a global sort);
+    the z/pair stages run on the (#sources x 30)-bounded grid."""
+    plan = _plan(spark, sf_dir, "source_style_delta")
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan

@@ -769,3 +769,49 @@ def test_mwu_from_counts_equals_row_level(spark):
     )
     via_counts = S.mwu_from_counts(ca, cb).collect()
     assert [tuple(r) for r in direct] == [tuple(r) for r in via_counts]
+
+
+def test_trimmed_mean_hand_example(spark):
+    # 10 values 1..9 + 1000 outlier: n=10, lo=hi-trim=1 each side ->
+    # keep ranks 2..9 = values 2..9, mean 5.5; the outlier is gone
+    vals = [float(v) for v in range(1, 10)] + [1000.0]
+    df = spark.createDataFrame([(v,) for v in vals], "p double")
+    r = S.trimmed_mean(df, "p").collect()[0]
+    assert (r.n_rows, r.n_kept) == (10, 8)
+    assert r.trimmed_mean == 5.5
+
+
+def test_trimmed_mean_ties_split_across_the_cut(spark):
+    # value 2.0 has multiplicity straddling the lower cut: the rank
+    # clipping must keep only its in-range copies
+    vals = [2.0] * 5 + [3.0] * 10 + [4.0] * 5  # n=20, lo=2, hi=18
+    df = spark.createDataFrame([(v,) for v in vals], "p double")
+    r = S.trimmed_mean(df, "p").collect()[0]
+    # kept: 2.0 x3 (ranks 3-5), 3.0 x10, 4.0 x3 (ranks 16-18)
+    assert r.n_kept == 16
+    assert r.trimmed_mean == round((2 * 3 + 3 * 10 + 4 * 3) / 16, 9)
+
+
+def test_trimmed_mean_matches_pure_python(spark):
+    import random
+
+    rng = random.Random(41)
+    vals = [round(rng.uniform(1, 500), 2) for _ in range(137)]
+    df = spark.createDataFrame([(v,) for v in vals], "p double")
+    r = S.trimmed_mean(df, "p").collect()[0]
+    cents = sorted(round(v * 100) for v in vals)
+    lo = len(cents) // 10
+    kept = cents[lo: len(cents) - lo]
+    assert r.n_kept == len(kept)
+    assert r.trimmed_mean == round(sum(kept) / (100.0 * len(kept)), 9)
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        S.trimmed_mean(df, "p", trim_tenths=5)
+
+
+def test_trimmed_mean_zero_trim_is_exact_mean(spark):
+    vals = [1.25, 2.50, 3.75]
+    df = spark.createDataFrame([(v,) for v in vals], "p double")
+    r = S.trimmed_mean(df, "p", trim_tenths=0).collect()[0]
+    assert r.n_kept == 3 and r.trimmed_mean == 2.5

@@ -716,3 +716,86 @@ def test_vocab_richness_empty_corpus(spark):
     df = spark.createDataFrame([(1, None)], "doc_id long, text string")
     r = TQ.vocab_richness(df).collect()[0]
     assert r.n_tokens == 0 and r.gt_unseen is None and r.chao1 is None
+
+
+def test_style_delta_identical_groups_are_zero(spark):
+    # two sources with identical token rates: every z difference is 0
+    from database_per_keyword_analysis_spark.operators import (
+        textquality as TQ,
+    )
+
+    rows = [
+        (1, "a", "the cat sat on the mat"),
+        (2, "b", "the cat sat on the mat"),
+        (3, "c", "dogs dogs dogs bark bark loudly"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {(r.group_a, r.group_b): r for r in TQ.style_delta(df).collect()}
+    assert out[("a", "b")].delta == 0.0
+    assert out[("a", "c")].delta > 0.5
+    # symmetry by construction: (a,c) and (b,c) identical
+    assert out[("a", "c")].delta == out[("b", "c")].delta
+
+
+def test_style_delta_matches_pure_python(spark):
+    import math
+    import random
+    from collections import Counter
+
+    from database_per_keyword_analysis_spark.operators import (
+        textquality as TQ,
+    )
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(12)]
+    groups = {}
+    rows = []
+    for gi, g in enumerate(["s1", "s2", "s3"]):
+        toks = [rng.choice(vocab) for _ in range(200 + gi * 40)]
+        groups[g] = toks
+        rows.append((gi, g, " ".join(toks)))
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        (r.group_a, r.group_b): (r.n_terms, r.delta)
+        for r in TQ.style_delta(df, top_k=8).collect()
+    }
+    # pure-Python replay
+    total = Counter()
+    for toks in groups.values():
+        total.update(toks)
+    panel = sorted(total, key=lambda t: (-total[t], t))[:8]
+    f = {
+        g: {t: Counter(toks)[t] / len(toks) for t in panel}
+        for g, toks in groups.items()
+    }
+    z = {}
+    terms = []
+    for t in panel:
+        vs = [f[g][t] for g in groups]
+        k = len(vs)
+        mu = sum(vs) / k
+        var = (k * sum(v * v for v in vs) - sum(vs) ** 2) / (k * k)
+        if var <= 0:
+            continue
+        terms.append(t)
+        for g in groups:
+            z[(g, t)] = (f[g][t] - mu) / math.sqrt(var)
+    for a in groups:
+        for b in groups:
+            if a < b:
+                d = sum(abs(z[(a, t)] - z[(b, t)]) for t in terms) / len(terms)
+                nt, delta = got[(a, b)]
+                assert nt == len(terms)
+                assert abs(delta - round(d, 6)) <= 2e-6, (a, b, delta, d)
+
+
+def test_style_delta_validates_top_k(spark):
+    import pytest as _pt
+
+    from database_per_keyword_analysis_spark.operators import (
+        textquality as TQ,
+    )
+
+    df = spark.createDataFrame([(1, "a", "x")], "doc_id long, source string, text string")
+    with _pt.raises(ValueError):
+        TQ.style_delta(df, top_k=0)

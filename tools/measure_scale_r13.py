@@ -95,6 +95,12 @@ def main() -> None:
         # builds at fixture warmup, cache-keyed); timed cost = the
         # even-half collapse + the rank-sum fold off the counts MV
         "stream_length_ranksum_drift": (BASE, _docs10x()),
+        # third batch (flat-output contracts)
+        "order_price_trimmed_mean": (
+            BASE,
+            _fixture_dir({"orders": _tpch10x("orders")}),
+        ),
+        "source_style_delta": (BASE, _docs10x()),
     }
     if only:
         fixtures = {k: v for k, v in fixtures.items() if k in only}
