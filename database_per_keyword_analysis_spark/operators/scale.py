@@ -1457,39 +1457,61 @@ def global_cumsum(
     UNIQUE key `order_col` — the weighted sibling of `global_rank`
     (rank = cumsum of weight 1), built for cumulative-count CDFs over
     value-cardinality tables whose cardinality can approach fact scale
-    (a near-unique numeric column's distinct-value table).  Same
-    decomposition: range partition, per-partition window cumsum,
-    bounded per-partition totals prefix-summed into offsets and
-    broadcast back.  Weights must be non-NULL integers (sums stay
-    exact in BIGINT; callers needing more headroom pre-cast to
-    DECIMAL)."""
+    (a near-unique numeric column's distinct-value table).  Weights
+    must be non-NULL integers (sums stay exact in BIGINT; callers
+    needing more headroom pre-cast to DECIMAL)."""
+    return global_cumsums(
+        df, order_col, {cum_col: weight_col}, num_partitions
+    )
+
+
+def global_cumsums(
+    df: DataFrame,
+    order_col: str,
+    sums: dict[str, str],
+    num_partitions: int = GLOBAL_RANK_PARTITIONS,
+) -> DataFrame:
+    """`global_cumsum` over SEVERAL weight columns in one pass —
+    `sums` maps each output cumulative column to its weight column
+    (the two-sided drift CDFs need cum(da) and cum(db) over the same
+    value ordering; two single-weight calls would range-shuffle the
+    value table twice).  Same decomposition: range partition,
+    per-partition window cumsums, bounded per-partition totals
+    prefix-summed into offsets and broadcast back."""
     part = df.repartitionByRange(num_partitions, order_col).withColumn(
         "_gcs_pid", F.spark_partition_id()
     )
-    local = part.withColumn(
-        "_gcs_lcum",
-        F.sum(weight_col).over(
-            Window.partitionBy("_gcs_pid")
-            .orderBy(order_col)
-            .rowsBetween(Window.unboundedPreceding, 0)
-        ),
+    wl = (
+        Window.partitionBy("_gcs_pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
+    local = part
+    for out, src in sums.items():
+        local = local.withColumn(f"_gcs_l_{out}", F.sum(src).over(wl))
     totals = part.groupBy("_gcs_pid").agg(
-        F.sum(weight_col).alias("_gcs_tot")
+        *[F.sum(src).alias(f"_gcs_t_{out}") for out, src in sums.items()]
+    )
+    # ≤ num_partitions rows: bounded, same class as a checkpoint spine
+    wo = Window.orderBy("_gcs_pid").rowsBetween(
+        Window.unboundedPreceding, -1
     )
     offsets = totals.select(
         "_gcs_pid",
-        F.coalesce(
-            F.sum("_gcs_tot").over(
-                Window.orderBy("_gcs_pid").rowsBetween(
-                    Window.unboundedPreceding, -1
-                )
-            ),
-            F.lit(0).cast("long"),
-        ).alias("_gcs_off"),
+        *[
+            F.coalesce(
+                F.sum(f"_gcs_t_{out}").over(wo), F.lit(0).cast("long")
+            ).alias(f"_gcs_o_{out}")
+            for out in sums
+        ],
     )
-    return (
-        local.join(F.broadcast(offsets), "_gcs_pid")
-        .withColumn(cum_col, F.col("_gcs_off") + F.col("_gcs_lcum"))
-        .drop("_gcs_pid", "_gcs_lcum", "_gcs_off")
+    out_df = local.join(F.broadcast(offsets), "_gcs_pid")
+    for out in sums:
+        out_df = out_df.withColumn(
+            out, F.col(f"_gcs_o_{out}") + F.col(f"_gcs_l_{out}")
+        )
+    return out_df.drop(
+        "_gcs_pid",
+        *[f"_gcs_l_{out}" for out in sums],
+        *[f"_gcs_o_{out}" for out in sums],
     )

@@ -1396,11 +1396,14 @@ def anisotropy(
     as DECIMAL(38,18) quantized terms (order-free, the zipf_slope
     convention); sqrt is IEEE-correctly-rounded; outputs at 6dp.
 
-    100 TB shape: one posexplode projection feeding BOTH the d-row
-    centroid aggregate and (after a broadcast join back on dim) the
-    per-vector dot/norm aggregate — the explode is the only
-    fact-sized stage; everything downstream is d-row or vec-count
-    work.  Returns one row (n_vecs, n_dims, centroid_norm, rms_norm,
+    100 TB shape: TWO scan passes over the corpus (the centroid pass
+    aggregates the explode to d rows map-side; the score pass
+    re-explodes, broadcast-joins the d-row centroid back on dim, and
+    folds per-vector dot/norm partials map-side before the vid
+    aggregate) — a one-pass form would have to persist the n·d
+    explode, which at 100 TB costs more than the second scan.
+    Everything downstream of the scans is d-row or vec-count work.
+    Returns one row (n_vecs, n_dims, centroid_norm, rms_norm,
     mean_cos_to_centroid)."""
     flat = emb.where(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("vid"),

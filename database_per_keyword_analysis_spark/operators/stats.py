@@ -807,15 +807,22 @@ def ks_from_counts(a_counts: DataFrame, b_counts: DataFrame) -> DataFrame:
 
 
 def _ks_from_per_x(per_x: DataFrame) -> DataFrame:
+    # Both drift CDFs run through scale.global_cumsums (ONE range
+    # partition of the value table, pid-keyed window sums, bounded
+    # offsets) and the argmax is a TakeOrdered limit(1) — no
+    # unpartitioned window anywhere, so the statistic stays
+    # distributed even when the tested column is near-unique and the
+    # value-cardinality table approaches fact scale (the r13
+    # vocab_heaps_law regime; previously this leaned on the
+    # "value table is bounded" assumption).
+    from . import scale as _scale
+
     tot = per_x.groupBy().agg(
         F.sum("da").alias("n_a"), F.sum("db").alias("n_b")
     )
-    wc = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
-    cum = per_x.select(
-        "x",
-        F.sum("da").over(wc).alias("ca"),
-        F.sum("db").over(wc).alias("cb"),
-    )
+    cum = _scale.global_cumsums(
+        per_x, "x", {"ca": "da", "cb": "db"}
+    ).select("x", "ca", "cb")
     scored = cum.crossJoin(F.broadcast(tot)).select(
         "x",
         "n_a",
@@ -824,10 +831,9 @@ def _ks_from_per_x(per_x: DataFrame) -> DataFrame:
             F.col("ca") * F.col("n_b") - F.col("cb") * F.col("n_a")
         ).alias("dnum"),
     )
-    pick = Window.orderBy(F.desc("dnum"), F.asc("x"))
     return (
-        scored.withColumn("_rk", F.row_number().over(pick))
-        .where(F.col("_rk") == 1)
+        scored.orderBy(F.desc("dnum"), F.asc("x"))
+        .limit(1)
         .select(
             "n_a",
             "n_b",
@@ -1176,13 +1182,22 @@ def mwu_from_counts(
 
 
 def _mwu_from_per_x(per_x: DataFrame) -> DataFrame:
-    t = F.col("da") + F.col("db")
-    wc = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
-    ranked = per_x.select(
+    # the pooled-rank CDF runs through scale.global_cumsum (the
+    # _ks_from_per_x note): distributed even over a near-unique
+    # value column's fact-scale value table
+    from . import scale as _scale
+
+    ranked = _scale.global_cumsum(
+        per_x.select(
+            "x", "da", "db", (F.col("da") + F.col("db")).alias("t")
+        ),
+        "x",
+        "t",
+    ).select(
         "da",
         "db",
-        t.alias("t"),
-        (F.lit(2) * F.sum(t).over(wc) - t + F.lit(1)).alias("r2"),
+        "t",
+        (F.lit(2) * F.col("cum") - F.col("t") + F.lit(1)).alias("r2"),
     )
     agg = ranked.groupBy().agg(
         F.sum("da").alias("n_a"),

@@ -1296,10 +1296,15 @@ def style_delta(
         .select("token")
     )
     gtot = gt.groupBy("grp").agg(F.sum("c").alias("gn"))
+    # restrict the (group, token) table to the panel BEFORE the grid
+    # join: gt is vocab x #groups sized at 100 TB, and without this
+    # broadcast semi-filter the zero-fill left join would shuffle the
+    # whole type table to meet a 600-row grid
+    gt_panel = gt.join(F.broadcast(panel), "token")
     # zero-fill: every (group, panel token) cell exists
     grid = (
         gtot.crossJoin(F.broadcast(panel))
-        .join(gt, ["grp", "token"], "left")
+        .join(gt_panel, ["grp", "token"], "left")
         .select(
             "grp",
             "token",

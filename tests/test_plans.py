@@ -1174,3 +1174,22 @@ def test_style_delta_panel_is_take_ordered(spark, sf_dir):
     plan = _plan(spark, sf_dir, "source_style_delta")
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_drift_cdfs_are_range_partitioned(spark, sf_dir):
+    """doc_length_ks_drift / doc_length_ranksum_drift (r13 upgrade):
+    the whole drift ladder's value-CDFs now run through
+    scale.global_cumsum(s) — range exchange + pid-partitioned window
+    sums — instead of leaning on the 'value table is bounded'
+    assumption; the KS argmax is a TakeOrdered limit(1), so no
+    unpartitioned window touches the value table even when the tested
+    column is near-unique."""
+    for name in ("doc_length_ks_drift", "doc_length_ranksum_drift"):
+        plan = _plan(spark, sf_dir, name)
+        assert "Exchange rangepartitioning" in plan, name
+        for line in plan.splitlines():
+            if "windowspecdefinition" in line and "_gcs_pid" not in line:
+                assert "_gcs_t_" in line or "_gcs_o_" in line, (name, line)
+    assert "TakeOrderedAndProject" in _plan(
+        spark, sf_dir, "doc_length_ks_drift"
+    )
