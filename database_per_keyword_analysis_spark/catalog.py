@@ -981,11 +981,30 @@ def _mutable_stream_base(family: str, sf_dir: str, stat_file: str) -> str:
                 except OSError:
                     continue
             shutil.rmtree(path, ignore_errors=True)
+            try:  # the dir's sibling owner token goes with it
+                os.remove(path + ".owner")
+            except OSError:
+                pass
     os.makedirs(base, exist_ok=True)
-    token = os.path.join(base, "_owner_start_tick")
-    if not os.path.exists(token):
-        tick = _proc_start_tick(os.getpid())
-        if tick is not None:
+    # The owner token is a SIBLING file (base + '.owner'), NOT inside
+    # the dir: every stream query's first-run branch rmtrees `base`
+    # before reseeding, and an in-dir token would vanish with it,
+    # voiding the pid-recycle protection (r13 review finding).  It is
+    # also REWRITTEN whenever it names a different incarnation — a
+    # recycled pid adopting a dead predecessor's fixture key must not
+    # inherit the stale tick, or every OTHER process's sweep would
+    # read this live owner as 'recycled' and rmtree an active
+    # checkpoint (r13 review finding).
+    token = base + ".owner"
+    tick = _proc_start_tick(os.getpid())
+    if tick is not None:
+        recorded = None
+        try:
+            with open(token) as fh:
+                recorded = fh.read().strip()
+        except OSError:
+            pass
+        if recorded != tick:
             with open(token, "w") as fh:
                 fh.write(tick)
     return base
@@ -1015,7 +1034,7 @@ def _same_process(state_dir: str, pid: int) -> bool:
     live pid as the owner and keep the dir."""
     import os
 
-    token = os.path.join(state_dir, "_owner_start_tick")
+    token = state_dir + ".owner"  # sibling file — survives reseeds
     try:
         with open(token) as fh:
             recorded = fh.read().strip()
@@ -10525,35 +10544,44 @@ _XCORR_GRID_SQL = (
 )
 
 
-@register(
-    "event_view_purchase_xcorr",
-    # mirror series_xcorr token for token: shared zero-filled grid,
-    # lag explode on series a, equi-join to series b, the n^2-scaled
-    # BIGINT numerator, one IEEE multiply/sqrt/divide chain
-    _XCORR_GRID_SQL
-    + "a AS (SELECT x, y AS ya FROM grid WHERE grp = 'view'), "
-    "b AS (SELECT x AS x2, y AS yb FROM grid WHERE grp = 'purchase'), "
-    "ta AS (SELECT CAST(count(*) AS BIGINT) AS n, "
-    "CAST(sum(ya) AS BIGINT) AS sa, "
-    "CAST(sum(ya * ya) AS BIGINT) AS qa FROM a), "
-    "tb AS (SELECT CAST(sum(yb) AS BIGINT) AS sb, "
-    "CAST(sum(yb * yb) AS BIGINT) AS qb FROM b), "
-    "lagged AS (SELECT x, ya, CAST(k.k AS BIGINT) AS k, x + k.k AS x2 "
-    "FROM a CROSS JOIN "
-    "(SELECT unnest(generate_series(-7, 7)) AS k) k), "
-    "mom AS (SELECT k, CAST(count(*) AS BIGINT) AS n_pairs, "
-    "CAST(sum(ya * yb) AS BIGINT) AS c, "
-    "CAST(sum(ya) AS BIGINT) AS pa, CAST(sum(yb) AS BIGINT) AS pb "
-    "FROM lagged JOIN b USING (x2) GROUP BY k) "
-    "SELECT k AS lag, n AS n_days, n_pairs, "
-    "CASE WHEN CAST(n * qa - sa * sa AS DOUBLE) > 0 "
-    "AND CAST(n * qb - sb * sb AS DOUBLE) > 0 THEN "
-    "round(CAST(n * n * c - n * sa * pb - n * sb * pa "
-    "+ (n - abs(k)) * sa * sb AS DOUBLE) / "
-    "(CAST(n AS DOUBLE) * sqrt(CAST(n * qa - sa * sa AS DOUBLE) "
-    "* CAST(n * qb - sb * sb AS DOUBLE))), 9) END AS xcorr "
-    "FROM mom CROSS JOIN ta CROSS JOIN tb ORDER BY lag",
-)
+def _xcorr_sql() -> str:
+    """Oracle for event_view_purchase_xcorr, GENERATED from the same
+    XCORR_MAX_LAG constant the Spark side uses (the _benford_sql
+    convention; r13 review finding — a hardcoded lag spine would
+    silently desynchronize on a constant change).  Mirrors
+    series_xcorr token for token: shared zero-filled grid, lag
+    explode on series a, equi-join to series b, the n^2-scaled BIGINT
+    numerator, one IEEE multiply/sqrt/divide chain."""
+    from .operators.stats import XCORR_MAX_LAG as L
+
+    return (
+        _XCORR_GRID_SQL
+        + "a AS (SELECT x, y AS ya FROM grid WHERE grp = 'view'), "
+        "b AS (SELECT x AS x2, y AS yb FROM grid WHERE grp = 'purchase'), "
+        "ta AS (SELECT CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(ya) AS BIGINT) AS sa, "
+        "CAST(sum(ya * ya) AS BIGINT) AS qa FROM a), "
+        "tb AS (SELECT CAST(sum(yb) AS BIGINT) AS sb, "
+        "CAST(sum(yb * yb) AS BIGINT) AS qb FROM b), "
+        "lagged AS (SELECT x, ya, CAST(k.k AS BIGINT) AS k, x + k.k AS x2 "
+        "FROM a CROSS JOIN "
+        f"(SELECT unnest(generate_series({-L}, {L})) AS k) k), "
+        "mom AS (SELECT k, CAST(count(*) AS BIGINT) AS n_pairs, "
+        "CAST(sum(ya * yb) AS BIGINT) AS c, "
+        "CAST(sum(ya) AS BIGINT) AS pa, CAST(sum(yb) AS BIGINT) AS pb "
+        "FROM lagged JOIN b USING (x2) GROUP BY k) "
+        "SELECT k AS lag, n AS n_days, n_pairs, "
+        "CASE WHEN CAST(n * qa - sa * sa AS DOUBLE) > 0 "
+        "AND CAST(n * qb - sb * sb AS DOUBLE) > 0 THEN "
+        "round(CAST(n * n * c - n * sa * pb - n * sb * pa "
+        "+ (n - abs(k)) * sa * sb AS DOUBLE) / "
+        "(CAST(n AS DOUBLE) * sqrt(CAST(n * qa - sa * sa AS DOUBLE) "
+        "* CAST(n * qb - sb * sb AS DOUBLE))), 9) END AS xcorr "
+        "FROM mom CROSS JOIN ta CROSS JOIN tb ORDER BY lag"
+    )
+
+
+@register("event_view_purchase_xcorr", _xcorr_sql())
 def q_event_view_purchase_xcorr(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -10924,30 +10952,38 @@ def q_stream_length_ranksum_drift(
     return ST.mwu_from_counts(a, b)
 
 
-@register(
-    "order_price_trimmed_mean",
-    # mirror trimmed_mean token for token: exact integer cents, the
-    # inclusive value-CDF rank clipping, integer `//` trim counts,
-    # DECIMAL(38,0) mass, ONE division at the output
-    "WITH base AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) "
-    "AS x FROM orders WHERE o_totalprice IS NOT NULL), "
-    "per_x AS (SELECT x, CAST(count(*) AS BIGINT) AS cnt "
-    "FROM base GROUP BY x), "
-    "cum AS (SELECT x, cnt, "
-    "CAST(sum(cnt) OVER (ORDER BY x) AS BIGINT) AS cum FROM per_x), "
-    "tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM per_x), "
-    "k AS (SELECT x, cnt, cum, n, (n * 1) // 10 AS lo, "
-    "n - (n * 1) // 10 AS hi FROM cum CROSS JOIN tot), "
-    "agg AS (SELECT n, CAST(sum(greatest(CAST(0 AS BIGINT), "
-    "least(cum, hi) - greatest(cum - cnt, lo))) AS BIGINT) AS n_kept, "
-    "sum(CAST(x * greatest(CAST(0 AS BIGINT), least(cum, hi) "
-    "- greatest(cum - cnt, lo)) AS DECIMAL(38,0))) AS cents "
-    "FROM k GROUP BY n) "
-    "SELECT n AS n_rows, n_kept, "
-    "CASE WHEN n_kept > 0 THEN round(CAST(cents AS DOUBLE) / "
-    "(100.0 * CAST(n_kept AS DOUBLE)), 9) END AS trimmed_mean "
-    "FROM agg",
-)
+def _trimmed_mean_sql() -> str:
+    """Oracle for order_price_trimmed_mean, GENERATED from the same
+    TRIM_TENTHS constant the Spark side uses (the _benford_sql
+    convention; r13 review finding).  Mirrors trimmed_mean token for
+    token: exact integer cents, the inclusive value-CDF rank
+    clipping, integer `//` trim counts, DECIMAL(38,0) mass, ONE
+    division at the output."""
+    from .operators.stats import TRIM_TENTHS as T
+
+    return (
+        "WITH base AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) "
+        "AS x FROM orders WHERE o_totalprice IS NOT NULL), "
+        "per_x AS (SELECT x, CAST(count(*) AS BIGINT) AS cnt "
+        "FROM base GROUP BY x), "
+        "cum AS (SELECT x, cnt, "
+        "CAST(sum(cnt) OVER (ORDER BY x) AS BIGINT) AS cum FROM per_x), "
+        "tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM per_x), "
+        f"k AS (SELECT x, cnt, cum, n, (n * {T}) // 10 AS lo, "
+        f"n - (n * {T}) // 10 AS hi FROM cum CROSS JOIN tot), "
+        "agg AS (SELECT n, CAST(sum(greatest(CAST(0 AS BIGINT), "
+        "least(cum, hi) - greatest(cum - cnt, lo))) AS BIGINT) AS n_kept, "
+        "sum(CAST(x * greatest(CAST(0 AS BIGINT), least(cum, hi) "
+        "- greatest(cum - cnt, lo)) AS DECIMAL(38,0))) AS cents "
+        "FROM k GROUP BY n) "
+        "SELECT n AS n_rows, n_kept, "
+        "CASE WHEN n_kept > 0 THEN round(CAST(cents AS DOUBLE) / "
+        "(100.0 * CAST(n_kept AS DOUBLE)), 9) END AS trimmed_mean "
+        "FROM agg"
+    )
+
+
+@register("order_price_trimmed_mean", _trimmed_mean_sql())
 def q_order_price_trimmed_mean(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -10969,12 +11005,17 @@ def q_order_price_trimmed_mean(
     )
 
 
-@register(
-    "source_style_delta",
-    # mirror style_delta token for token: (grp, token) counts, the
-    # TakeOrdered top-30 panel (ties by token), zero-filled rate grid,
-    # DECIMAL across-group moments, population-sigma z-scores with
-    # zero-variance terms EXCLUDED, DECIMAL |z|-difference pair means
+def _style_delta_sql() -> str:
+    """Oracle for source_style_delta, GENERATED from the same
+    DELTA_TOP_K constant the Spark side uses (the _benford_sql
+    convention; r13 review finding).  Mirrors style_delta token for
+    token: (grp, token) counts, the TakeOrdered top-k panel (ties by
+    token), zero-filled rate grid, DECIMAL across-group moments,
+    population-sigma z-scores with zero-variance terms EXCLUDED,
+    DECIMAL |z|-difference pair means."""
+    from .operators.textquality import DELTA_TOP_K as K
+
+    return (
     "WITH toks AS (SELECT source AS grp, unnest(list_filter("
     r"regexp_split_to_array(lower(trim(text)), '\s+'), "
     "t -> t <> '')) AS token FROM documents "
@@ -10983,7 +11024,7 @@ def q_order_price_trimmed_mean(
     "FROM toks GROUP BY grp, token), "
     "panel AS (SELECT token FROM (SELECT token, "
     "CAST(sum(c) AS BIGINT) AS tc FROM gt GROUP BY token) "
-    "ORDER BY tc DESC, token LIMIT 30), "
+    f"ORDER BY tc DESC, token LIMIT {K}), "
     "gtot AS (SELECT grp, CAST(sum(c) AS BIGINT) AS gn "
     "FROM gt GROUP BY grp), "
     "grid AS (SELECT gtot.grp, p.token, "
@@ -11006,8 +11047,11 @@ def q_order_price_trimmed_mean(
     "round(CAST(sum(CAST(abs(a.z - b.z) AS DECIMAL(38,18))) "
     "AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS delta "
     "FROM z a JOIN z b ON a.token = b.token AND a.grp < b.grp "
-    "GROUP BY a.grp, b.grp ORDER BY group_a, group_b",
-)
+    "GROUP BY a.grp, b.grp ORDER BY group_a, group_b"
+    )
+
+
+@register("source_style_delta", _style_delta_sql())
 def q_source_style_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Burrows' Delta stylometric distance between document sources
     (operators/textquality.py: style_delta; Burrows 2002): z-scored

@@ -1007,7 +1007,13 @@ def mix_allocation(
     parts = based.select(
         "stratum",
         "n_tokens",
-        F.floor(F.col("num") / F.col("total")).alias("base"),
+        # INTEGER division (expr `div`), not floor-of-double: Spark's
+        # `/` on BIGINTs is IEEE double division, and past ~2^52 the
+        # quotient can round UP across an integer boundary (reproduced:
+        # num=2^55-1, total=2^53 -> floor(num/total)=4 vs exact 3),
+        # breaking Σquota == B and the oracle hash — the trimmed_mean
+        # trap, r13 review finding
+        F.expr("num div total").alias("base"),
         (F.col("num") % F.col("total")).alias("rem"),
     )
     leftover = parts.agg((b - F.sum("base")).alias("leftover"))

@@ -1332,7 +1332,6 @@ def pq_knn_frozen(
 def dim_profile(
     emb: DataFrame,
     vec_col: str = "embedding",
-    id_col: str = "vec_id",
 ) -> DataFrame:
     """Per-dimension health profile of an embedding corpus: count,
     mean, population variance, min, max for every coordinate — the
@@ -1461,6 +1460,12 @@ def anisotropy(
                 6,
             ).alias("mean_cos_to_centroid"),
         )
+        # an EMPTY corpus yields ZERO rows on both engines: Spark's
+        # global agg produces one (0, NULL...) row here while the
+        # oracle's GROUP BY n_dims over an empty input produces none
+        # (r13 review finding) — and an empty-profile row carries no
+        # information anyway
+        .where(F.col("n_vecs") > 0)
         .crossJoin(F.broadcast(nd))
         .select(
             "n_vecs",

@@ -582,3 +582,11 @@ def test_anisotropy_orthonormal_basis(spark):
     assert abs(r.centroid_norm - round(1 / math.sqrt(d), 6)) <= 1e-6
     # cos(e_i, centroid) = (1/d) / (1/sqrt(d)) = 1/sqrt(d) for every i
     assert abs(r.mean_cos_to_centroid - round(1 / math.sqrt(d), 6)) <= 2e-6
+
+
+def test_anisotropy_empty_corpus_is_zero_rows(spark):
+    # r13 review finding: Spark's global agg yields a (0, NULL...) row
+    # on an empty corpus while the oracle's GROUP BY yields none — the
+    # operator filters the degenerate row so BOTH engines return 0
+    df = spark.createDataFrame([(1, None)], "vec_id long, embedding array<float>")
+    assert SIM.anisotropy(df).collect() == []

@@ -919,10 +919,15 @@ def test_stream_length_ks_equals_batch_ks(spark):
 
 
 def test_mutable_stream_base_sweep_rules(tmp_path):
-    # r13 (r12 advice): the sibling sweep must (a) age-gate legacy
-    # shared-key dirs instead of racing a possible live pre-fix
-    # writer, (b) sweep dead-pid dirs, (c) keep a live owner, and
-    # (d) sweep a dir whose pid was RECYCLED (owner token mismatch)
+    # r13 (r12 advice + review findings): the sibling sweep must
+    # (a) age-gate legacy shared-key dirs instead of racing a possible
+    # live pre-fix writer, (b) sweep dead-pid dirs AND their sibling
+    # owner tokens, (c) keep a live owner, (d) sweep a dir whose pid
+    # was RECYCLED (owner token mismatch), (e) REFRESH the token when
+    # this process adopts a predecessor's dir (stale tick would make
+    # other sweeps read a live owner as recycled), and (f) survive the
+    # callers' first-run rmtree(base) reseed (the token is a SIBLING
+    # file, not inside the dir)
     import os
     import shutil
     import time
@@ -947,30 +952,48 @@ def test_mutable_stream_base_sweep_rules(tmp_path):
         recycled = os.path.join(root, "deadbeef0004-p1")
         for d in (young_legacy, old_legacy, dead_pid, live_kept, recycled):
             os.makedirs(d)
+        with open(dead_pid + ".owner", "w") as fh:
+            fh.write("12345")  # dead owner's leftover token
         stale = time.time() - 7 * 3600
         os.utime(old_legacy, (stale, stale))
         tick1 = CAT._proc_start_tick(1)
         assert tick1 is not None  # linux container: /proc exists
-        with open(os.path.join(live_kept, "_owner_start_tick"), "w") as fh:
+        with open(live_kept + ".owner", "w") as fh:
             fh.write(tick1)
-        with open(os.path.join(recycled, "_owner_start_tick"), "w") as fh:
+        with open(recycled + ".owner", "w") as fh:
             fh.write("0")  # a PREVIOUS incarnation of pid 1
+        # (e): a stale token under OUR pid, as if a dead predecessor
+        # with a recycled pid left it behind — must be refreshed
+        mine_stale = os.path.join(
+            root, f"feedfeed0005-p{os.getpid()}"
+        )
+        os.makedirs(mine_stale)
 
         base = CAT._mutable_stream_base(family, str(tmp_path), str(stat_file))
 
         assert os.path.isdir(young_legacy)  # age-gated, not raced
         assert not os.path.isdir(old_legacy)  # aged out
         assert not os.path.isdir(dead_pid)  # dead owner
+        assert not os.path.exists(dead_pid + ".owner")  # token swept too
         assert os.path.isdir(live_kept)  # live owner, token matches
         assert not os.path.isdir(recycled)  # pid reuse detected
-        # our own dir exists and carries our incarnation token
-        with open(os.path.join(base, "_owner_start_tick")) as fh:
-            assert fh.read().strip() == CAT._proc_start_tick(os.getpid())
-        # steady-state reuse: second call maps to the same dir and
-        # leaves the survivors alone
+        my_tick = CAT._proc_start_tick(os.getpid())
+        # our own dir exists and its SIBLING token carries our tick
+        with open(base + ".owner") as fh:
+            assert fh.read().strip() == my_tick
+        # (e) adoption refresh: write a stale tick, re-enter, refreshed
+        with open(base + ".owner", "w") as fh:
+            fh.write("0")
         assert CAT._mutable_stream_base(
             family, str(tmp_path), str(stat_file)
         ) == base
+        with open(base + ".owner") as fh:
+            assert fh.read().strip() == my_tick
+        # (f) a caller's first-run reseed deletes the DIR but the
+        # sibling token survives, keeping the recycle protection
+        shutil.rmtree(base)
+        os.makedirs(base)
+        assert os.path.exists(base + ".owner")
         assert os.path.isdir(young_legacy) and os.path.isdir(live_kept)
     finally:
         shutil.rmtree(root, ignore_errors=True)
