@@ -440,6 +440,12 @@ HEADLINE = [
     # round-13: Burrows' Delta style distance (timed — tokenize
     # explode + (source, token) agg; panel/z/pair stages bounded)
     "source_style_delta",
+    # round-13 (deferred-at-birth): pairwise JS mix map (timed — one
+    # (source, token) count + a token equi-join folded to G^2 rows)
+    "source_token_js_matrix",
+    # round-13 (deferred-at-birth): sweep-line open-order backlog
+    # (timed — 2-rows-per-order differencing + a day-spine prefix sum)
+    "orders_open_backlog",
 ]
 
 # Round-7 headline audit (round-6 judge item 5): every registered query

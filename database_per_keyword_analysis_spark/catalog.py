@@ -914,6 +914,14 @@ _DEFERRED_TWINS = {
     #   family keeps hits, ppr, cheapest_paths and assortativity
     #   in-window; slot taken by event_type_stationary (NOVEL r12:
     #   Markov fixed point via unrolled power iterations)
+    # ---- round-13 deferrals AT BIRTH (the r10 convention: the window
+    # is full of this round's twelve in-window novelties; each carries
+    # a differential proof from day one and queues for the round-14
+    # rotation's first driver pass) ----
+    "source_token_js_matrix",  # NOVEL r13: pairwise Jensen-Shannon
+    #   mix map over source token distributions
+    "orders_open_backlog",  # NOVEL r13: sweep-line interval-stabbing
+    #   daily open-order counts
 }
 
 
@@ -11067,3 +11075,118 @@ def q_source_style_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import textquality as TQ
 
     return TQ.style_delta(load(spark, sf_dir, "documents", parallel=True))
+
+
+def _js_matrix_sql() -> str:
+    """Oracle for source_token_js_matrix, GENERATED so the ln 2
+    literal is the SAME Python constant the Spark plan embeds (the
+    shared-literal convention).  Mirrors token_js_matrix token for
+    token: exact-BIGINT rates, the inner-join + shared-mass identity,
+    DECIMAL(38,18)-accumulated ln terms, the G^2 pair spine
+    zero-filling no-overlap pairs at exactly ln 2, 6dp."""
+    ln2 = 0.6931471805599453  # math.log(2) — shared with the operator
+
+    return (
+        "WITH toks AS (SELECT source AS grp, unnest(list_filter("
+        r"regexp_split_to_array(lower(trim(text)), '\s+'), "
+        "t -> t <> '')) AS token FROM documents "
+        "WHERE text IS NOT NULL AND source IS NOT NULL), "
+        "gt AS (SELECT grp, token, CAST(count(*) AS BIGINT) AS c "
+        "FROM toks GROUP BY grp, token), "
+        "gtot AS (SELECT grp, CAST(sum(c) AS BIGINT) AS gn "
+        "FROM gt GROUP BY grp), "
+        "p AS (SELECT gt.grp, token, "
+        "CAST(c AS DOUBLE) / CAST(gn AS DOUBLE) AS p "
+        "FROM gt JOIN gtot ON gt.grp = gtot.grp), "
+        "shared AS (SELECT a.grp AS group_a, b.grp AS group_b, "
+        "CAST(count(*) AS BIGINT) AS n_shared, "
+        "sum(CAST(a.p AS DECIMAL(38,18))) AS sa, "
+        "sum(CAST(b.p AS DECIMAL(38,18))) AS sb, "
+        "sum(CAST(a.p * ln(2.0 * a.p / (a.p + b.p)) "
+        "+ b.p * ln(2.0 * b.p / (a.p + b.p)) AS DECIMAL(38,18))) "
+        "AS core FROM p a JOIN p b ON a.token = b.token "
+        "AND a.grp < b.grp GROUP BY a.grp, b.grp), "
+        "pairs AS (SELECT a.grp AS group_a, b.grp AS group_b "
+        "FROM gtot a CROSS JOIN gtot b WHERE a.grp < b.grp) "
+        "SELECT pairs.group_a, pairs.group_b, "
+        "coalesce(n_shared, CAST(0 AS BIGINT)) AS n_shared, "
+        f"round(0.5 * {ln2!r} * (2.0 "
+        "- coalesce(CAST(sa AS DOUBLE), 0.0) "
+        "- coalesce(CAST(sb AS DOUBLE), 0.0)) "
+        "+ 0.5 * coalesce(CAST(core AS DOUBLE), 0.0), 6) AS js "
+        "FROM pairs LEFT JOIN shared "
+        "ON pairs.group_a = shared.group_a "
+        "AND pairs.group_b = shared.group_b "
+        "ORDER BY pairs.group_a, pairs.group_b"
+    )
+
+
+@register("source_token_js_matrix", _js_matrix_sql())
+def q_source_token_js_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between sources' token
+    distributions (operators/textquality.py: token_js_matrix; Lin
+    1991): the symmetric bounded mix map beside the drift ladder's
+    directional KL tier — near-0 pairs are redundant sources, near-
+    ln 2 pairs disjoint vocabularies; what a curator reads before
+    setting mixture weights.  One inner equi-join on token (the
+    shared-mass identity replaces a full-outer per pair); the only
+    corpus-scale work is the (source, token) count.  DEFERRED AT
+    BIRTH (the r10 convention: the window is full of this round's
+    twelve in-window novelties; the differential proof below stands
+    in until the round-14 rotation promotes it)."""
+    from .operators import textquality as TQ
+
+    return TQ.token_js_matrix(load(spark, sf_dir, "documents", parallel=True))
+
+
+@register(
+    "orders_open_backlog",
+    # mirror interval_open_counts token for token: per-order
+    # [orderdate, last shipdate] intervals, +1/-1 differencing, the
+    # day-spine prefix sum — all integer arithmetic
+    "WITH iv AS (SELECT CAST(o.o_orderdate AS DATE) AS s, "
+    "coalesce(CAST(max(l.l_shipdate) AS DATE), "
+    "CAST(o.o_orderdate AS DATE)) AS e FROM orders o "
+    "LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey "
+    "WHERE o.o_orderdate IS NOT NULL "
+    "GROUP BY o.o_orderkey, o.o_orderdate), "
+    "base AS (SELECT s, e FROM iv WHERE e >= s), "
+    "net AS (SELECT day, CAST(sum(d) AS BIGINT) AS net FROM "
+    "(SELECT s AS day, 1 AS d FROM base "
+    "UNION ALL SELECT e + 1 AS day, -1 AS d FROM base) "
+    "GROUP BY day), "
+    "bnd AS (SELECT min(s) AS lo, max(e) AS hi FROM base), "
+    "spine AS (SELECT CAST(unnest(range(CAST(lo AS TIMESTAMP), "
+    "CAST(hi AS TIMESTAMP) + INTERVAL 1 DAY, INTERVAL 1 DAY)) "
+    "AS DATE) AS day FROM bnd) "
+    "SELECT spine.day, CAST(sum(coalesce(net, 0)) "
+    "OVER (ORDER BY spine.day) AS BIGINT) AS n_open "
+    "FROM spine LEFT JOIN net ON spine.day = net.day "
+    "ORDER BY spine.day",
+)
+def q_orders_open_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily open-order backlog via the sweep-line differencing trick
+    (operators/events.py: interval_open_counts): for every day of the
+    span, how many orders are between their order date and their last
+    line-item ship date — the interval-STABBING aggregate the
+    rangejoin family lacks (those answer point lookups; this answers
+    every point in one pass: +1/-1 deltas, one day-grain collapse,
+    one spine prefix sum, all integers).  DEFERRED AT BIRTH (the r10
+    convention; differential proof below until the round-14
+    rotation)."""
+    from pyspark.sql import functions as F
+
+    from .operators import events as E
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    ship = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("last_ship"))
+    )
+    iv = orders.join(
+        ship, orders.o_orderkey == ship.l_orderkey, "left"
+    ).select("o_orderdate", "last_ship")
+    return E.interval_open_counts(iv, "o_orderdate", "last_ship")

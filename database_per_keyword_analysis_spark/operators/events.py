@@ -1101,3 +1101,64 @@ def markov_stationary(
     return out.select(
         type_col, "n_out", F.round("pi", 9).alias("pi")
     ).orderBy(type_col)
+
+
+def interval_open_counts(
+    intervals: DataFrame,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Sweep-line interval-stabbing aggregate: for every day of the
+    observed span, how many [start, end] intervals COVER it — the
+    open-order backlog / concurrent-sessions / active-contracts curve,
+    computed WITHOUT a range join (the rangejoin family answers
+    "which intervals cover point x"; this answers "how many, for every
+    x" in one pass).
+
+    The classic differencing trick: each interval contributes +1 at
+    its start day and −1 the day AFTER its end; the running prefix
+    sum over the zero-filled day spine is exactly the open count.
+    All integer arithmetic — no floats anywhere, engines cannot
+    diverge.
+
+    100 TB shape: one 2-rows-per-interval projection (scan-stage
+    explode) + one groupBy(day) net-delta collapse (map-side
+    combinable) — the only interval-scale work; the prefix sum runs
+    over the day-span-bounded spine (the _zero_filled_daily
+    acceptance).  NULL-start rows are dropped; a NULL end is treated
+    as a point interval (end = start).  Returns (day, n_open)
+    covering the full span, deterministically ordered."""
+    base = intervals.where(F.col(start_col).isNotNull()).select(
+        F.to_date(start_col).alias("s"),
+        F.coalesce(F.to_date(end_col), F.to_date(start_col)).alias("e"),
+    ).where(F.col("e") >= F.col("s"))
+    deltas = base.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("s").alias("day"), F.lit(1).alias("d")),
+                F.struct(
+                    F.date_add("e", 1).alias("day"), F.lit(-1).alias("d")
+                ),
+            )
+        ).alias("x")
+    ).select("x.day", "x.d")
+    net = deltas.groupBy("day").agg(F.sum("d").alias("net"))
+    span = base.agg(
+        F.min("s").alias("lo"), F.max("e").alias("hi")
+    )
+    spine = span.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("interval 1 day"))
+        ).alias("day")
+    )
+    wc = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        spine.join(net, "day", "left")
+        .select(
+            "day",
+            F.sum(F.coalesce("net", F.lit(0).cast("long")))
+            .over(wc)
+            .alias("n_open"),
+        )
+        .orderBy("day")
+    )

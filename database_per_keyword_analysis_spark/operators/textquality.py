@@ -1355,3 +1355,114 @@ def style_delta(
         )
         .orderBy("group_a", "group_b")
     )
+
+
+def token_js_matrix(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between groups' token
+    distributions (Lin 1991): the SYMMETRIC, bounded (≤ ln 2)
+    companion to the drift ladder's one-directional KL tier — the
+    all-pairs mix map a training-data curator reads before setting
+    mixture weights (JS near 0 = redundant sources; near ln 2 =
+    disjoint vocabularies).
+
+    The identity that keeps it one INNER join instead of a full-outer
+    per pair: tokens present in only one side contribute exactly
+    ½·P·ln 2, so with S_a = Σ_{t∈A∩B} P_a(t) (the shared mass seen
+    from a),
+
+      JS(a,b) = ½ln2·(2 − S_a − S_b)
+              + ½·Σ_{t∈A∩B} [P_a·ln(2P_a/(P_a+P_b))
+                             + P_b·ln(2P_b/(P_a+P_b))]
+
+    Engine-exactness: the P's are single IEEE divisions of exact
+    BIGINTs (bit-identical); each ln term may differ by an ulp of
+    libm between engines, so the per-pair sums accumulate as
+    DECIMAL(38,18) quantized terms (order-free) and the output rounds
+    at 6dp — the accumulated ulp drift is ≤ |vocab|·1.4e-17, orders
+    of magnitude under the rounding quantum (the NPMI/KL-ladder
+    convention).
+
+    100 TB shape: one tokenize explode + one (group, token) count is
+    the only corpus-scale work; the pair join is an equi-join ON
+    TOKEN over the group-count table — rows = Σ_t C(groups_with_t, 2)
+    ≤ vocab · C(G,2), linear in vocabulary, map-side-combined down to
+    G² rows.  Returns (group_a < group_b, n_shared, js) ordered."""
+    toks = docs.where(
+        F.col(text_col).isNotNull() & F.col(group_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("grp"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("token"),
+    )
+    gt = toks.groupBy("grp", "token").agg(F.count(F.lit(1)).alias("c"))
+    gtot = gt.groupBy("grp").agg(F.sum("c").alias("gn"))
+    p = gt.join(F.broadcast(gtot), "grp").select(
+        "grp",
+        "token",
+        (F.col("c").cast("double") / F.col("gn").cast("double")).alias(
+            "p"
+        ),
+    )
+    a = p.select(
+        F.col("grp").alias("group_a"), "token", F.col("p").alias("pa")
+    )
+    b = p.select(
+        F.col("grp").alias("group_b"), "token", F.col("p").alias("pb")
+    )
+    d18 = lambda c: c.cast("decimal(38,18)")  # noqa: E731
+    pa, pb = F.col("pa"), F.col("pb")
+    shared = (
+        a.join(b, "token")
+        .where(F.col("group_a") < F.col("group_b"))
+        .groupBy("group_a", "group_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_shared"),
+            F.sum(d18(pa)).alias("sa"),
+            F.sum(d18(pb)).alias("sb"),
+            F.sum(
+                d18(
+                    pa * F.log(F.lit(2.0) * pa / (pa + pb))
+                    + pb * F.log(F.lit(2.0) * pb / (pa + pb))
+                )
+            ).alias("core"),
+        )
+    )
+    # group pairs with NO shared token never appear in the inner join;
+    # the G²-bounded pair spine zero-fills them at the exact JS = ln 2
+    pairs = (
+        gtot.select(F.col("grp").alias("group_a"))
+        .crossJoin(gtot.select(F.col("grp").alias("group_b")))
+        .where(F.col("group_a") < F.col("group_b"))
+    )
+    ln2 = 0.6931471805599453  # math.log(2), a shared Python literal
+    js = (
+        F.lit(0.5)
+        * F.lit(ln2)
+        * (
+            F.lit(2.0)
+            - F.coalesce(F.col("sa").cast("double"), F.lit(0.0))
+            - F.coalesce(F.col("sb").cast("double"), F.lit(0.0))
+        )
+        + F.lit(0.5)
+        * F.coalesce(F.col("core").cast("double"), F.lit(0.0))
+    )
+    return (
+        pairs.join(shared, ["group_a", "group_b"], "left")
+        .select(
+            "group_a",
+            "group_b",
+            F.coalesce("n_shared", F.lit(0).cast("long")).alias(
+                "n_shared"
+            ),
+            F.round(js, 6).alias("js"),
+        )
+        .orderBy("group_a", "group_b")
+    )

@@ -1360,3 +1360,17 @@ def test_order_price_mad_outliers_matches_oracle(spark, sf_dir):
 # families stay covered by the promoted top_posts /
 # top_channels_by_views / sliding_window_counts / decontamination_check
 # / winnowing_fingerprints members)
+
+
+def test_source_token_js_matrix_matches_oracle(spark, sf_dir):
+    # r13 deferral AT BIRTH (window full of the round's in-window
+    # novelties): pairwise JS mix map — differential proof from day
+    # one, queued for the round-14 rotation's first driver pass
+    _assert_matches_oracle(spark, sf_dir, "source_token_js_matrix")
+
+
+def test_orders_open_backlog_matches_oracle(spark, sf_dir):
+    # r13 deferral AT BIRTH: sweep-line interval-stabbing backlog
+    # curve — differential proof from day one, queued for the
+    # round-14 rotation's first driver pass
+    _assert_matches_oracle(spark, sf_dir, "orders_open_backlog")

@@ -540,3 +540,58 @@ class TestMarkovStationary:
         assert set(got) == {"a", "b"}  # no None state, no KeyError
         # bridged chain is exactly the a<->b alternation: pi = 0.5/0.5
         assert got["a"].pi == 0.5 and got["b"].pi == 0.5
+
+
+class TestIntervalOpenCounts:
+    def _run(self, spark, rows):
+        from database_per_keyword_analysis_spark.operators import events as E
+
+        df = spark.createDataFrame(rows, "s date, e date")
+        return {
+            str(r.day): r.n_open
+            for r in E.interval_open_counts(df, "s", "e").collect()
+        }
+
+    def test_hand_intervals(self, spark):
+        from datetime import date
+
+        got = self._run(
+            spark,
+            [
+                (date(2024, 1, 1), date(2024, 1, 3)),
+                (date(2024, 1, 2), date(2024, 1, 2)),
+                (date(2024, 1, 5), date(2024, 1, 5)),
+            ],
+        )
+        assert got == {
+            "2024-01-01": 1,
+            "2024-01-02": 2,  # both open
+            "2024-01-03": 1,
+            "2024-01-04": 0,  # gap day is a true zero
+            "2024-01-05": 1,
+        }
+
+    def test_null_end_is_point_interval(self, spark):
+        from datetime import date
+
+        got = self._run(spark, [(date(2024, 2, 1), None)])
+        assert got == {"2024-02-01": 1}
+
+    def test_matches_pure_python(self, spark):
+        import random
+        from datetime import date, timedelta
+
+        rng = random.Random(11)
+        d0 = date(2024, 3, 1)
+        rows = []
+        for _ in range(60):
+            s = d0 + timedelta(days=rng.randint(0, 25))
+            rows.append((s, s + timedelta(days=rng.randint(0, 10))))
+        got = self._run(spark, rows)
+        lo = min(s for s, _ in rows)
+        hi = max(e for _, e in rows)
+        d = lo
+        while d <= hi:
+            want = sum(1 for s, e in rows if s <= d <= e)
+            assert got[str(d)] == want, (d, got[str(d)], want)
+            d += timedelta(days=1)

@@ -799,3 +799,63 @@ def test_style_delta_validates_top_k(spark):
     df = spark.createDataFrame([(1, "a", "x")], "doc_id long, source string, text string")
     with _pt.raises(ValueError):
         TQ.style_delta(df, top_k=0)
+
+
+def test_token_js_matrix_contracts(spark):
+    import math
+
+    from database_per_keyword_analysis_spark.operators import (
+        textquality as TQ,
+    )
+
+    rows = [
+        (1, "a", "x y z x"),
+        (2, "b", "x y z x"),  # identical to a -> JS exactly 0
+        (3, "c", "p q r"),  # disjoint from both -> JS exactly ln 2
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {(r.group_a, r.group_b): r for r in TQ.token_js_matrix(df).collect()}
+    assert out[("a", "b")].js == 0.0 and out[("a", "b")].n_shared == 3
+    ln2_6 = round(math.log(2), 6)
+    assert out[("a", "c")].js == ln2_6 and out[("a", "c")].n_shared == 0
+    assert out[("b", "c")].js == ln2_6  # zero-filled pair spine
+
+
+def test_token_js_matrix_matches_pure_python(spark):
+    import math
+    import random
+    from collections import Counter
+
+    from database_per_keyword_analysis_spark.operators import (
+        textquality as TQ,
+    )
+
+    rng = random.Random(23)
+    vocab = [f"t{i}" for i in range(15)]
+    groups = {
+        g: [rng.choice(vocab[: 8 + i * 3]) for _ in range(120)]
+        for i, g in enumerate(["s1", "s2", "s3"])
+    }
+    rows = [
+        (i, g, " ".join(toks)) for i, (g, toks) in enumerate(groups.items())
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {(r.group_a, r.group_b): r.js for r in TQ.token_js_matrix(df).collect()}
+
+    def js(a, b):
+        ca, cb = Counter(a), Counter(b)
+        na, nb = len(a), len(b)
+        total = 0.0
+        for t in set(ca) | set(cb):
+            pa, pb = ca[t] / na, cb[t] / nb
+            m = (pa + pb) / 2
+            if pa:
+                total += 0.5 * pa * math.log(pa / m)
+            if pb:
+                total += 0.5 * pb * math.log(pb / m)
+        return total
+
+    for a in groups:
+        for b in groups:
+            if a < b:
+                assert abs(got[(a, b)] - round(js(groups[a], groups[b]), 6)) <= 2e-6

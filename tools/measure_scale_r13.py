@@ -101,6 +101,16 @@ def main() -> None:
             _fixture_dir({"orders": _tpch10x("orders")}),
         ),
         "source_style_delta": (BASE, _docs10x()),
+        # deferred-at-birth additions (flat-output contracts)
+        "source_token_js_matrix": (BASE, _docs10x()),
+        "orders_open_backlog": (
+            BASE,
+            _fixture_dir(
+                {"orders": _tpch10x("orders"),
+                 "lineitem": _tpch10x("lineitem")},
+                tag="_bklg",
+            ),
+        ),
     }
     if only:
         fixtures = {k: v for k, v in fixtures.items() if k in only}
