@@ -446,6 +446,9 @@ HEADLINE = [
     # round-13 (deferred-at-birth): sweep-line open-order backlog
     # (timed — 2-rows-per-order differencing + a day-spine prefix sum)
     "orders_open_backlog",
+    # round-13 (deferred-at-birth): ANOVA eta2 weekday seasonality
+    # (timed — day-grain collapse + a 7G-row bucket aggregate)
+    "event_dow_seasonality",
 ]
 
 # Round-7 headline audit (round-6 judge item 5): every registered query

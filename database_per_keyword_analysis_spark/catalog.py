@@ -922,6 +922,8 @@ _DEFERRED_TWINS = {
     #   mix map over source token distributions
     "orders_open_backlog",  # NOVEL r13: sweep-line interval-stabbing
     #   daily open-order counts
+    "event_dow_seasonality",  # NOVEL r13: ANOVA eta2 weekday
+    #   seasonality strength over the daily grid
 }
 
 
@@ -11190,3 +11192,57 @@ def q_orders_open_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
         ship, orders.o_orderkey == ship.l_orderkey, "left"
     ).select("o_orderdate", "last_ship")
     return E.interval_open_counts(iv, "o_orderdate", "last_ship")
+
+
+@register(
+    "event_dow_seasonality",
+    # mirror dow_seasonality token for token: the shared zero-filled
+    # grid, the epoch-based weekday index ((day - 1970-01-05) mod 7 —
+    # both engines' dayofweek() builtins disagree on their base, so
+    # integer date arithmetic it is), exact BIGINT moments, the
+    # DECIMAL(38,18)-accumulated 7-term SSB fold, one division
+    "WITH daily AS (SELECT event_type AS grp, CAST(ts AS DATE) AS day, "
+    "CAST(count(*) AS BIGINT) AS y FROM events GROUP BY 1, 2), "
+    "bnd AS (SELECT min(day) AS lo, max(day) AS hi FROM daily), "
+    "s AS (SELECT CAST(unnest(range(CAST(lo AS TIMESTAMP), "
+    "CAST(hi AS TIMESTAMP) + INTERVAL 1 DAY, INTERVAL 1 DAY)) AS DATE) "
+    "AS day, lo FROM bnd), "
+    "grid AS (SELECT g.grp, s.day, "
+    "coalesce(d.y, CAST(0 AS BIGINT)) AS y "
+    "FROM (SELECT DISTINCT grp FROM daily) g CROSS JOIN s "
+    "LEFT JOIN daily d ON d.grp = g.grp AND d.day = s.day), "
+    "bucket AS (SELECT grp, "
+    "CAST((day - DATE '1970-01-05') % 7 AS BIGINT) AS k, y FROM grid), "
+    "per_k AS (SELECT grp, k, CAST(count(*) AS BIGINT) AS nk, "
+    "CAST(sum(y) AS BIGINT) AS sk FROM bucket GROUP BY grp, k), "
+    "tot AS (SELECT grp, CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(y) AS BIGINT) AS st, "
+    "CAST(sum(y * y) AS BIGINT) AS q FROM bucket GROUP BY grp), "
+    "ssb AS (SELECT grp, sum(CAST(CAST(sk AS DOUBLE) * "
+    "CAST(sk AS DOUBLE) / CAST(nk AS DOUBLE) AS DECIMAL(38,18))) "
+    "AS ssb_raw FROM per_k GROUP BY grp) "
+    "SELECT tot.grp AS event_type, n AS n_days, "
+    "CASE WHEN CAST(q AS DOUBLE) - CAST(st AS DOUBLE) * "
+    "CAST(st AS DOUBLE) / CAST(n AS DOUBLE) > 0 THEN "
+    "round((CAST(ssb_raw AS DOUBLE) - CAST(st AS DOUBLE) * "
+    "CAST(st AS DOUBLE) / CAST(n AS DOUBLE)) / "
+    "(CAST(q AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / "
+    "CAST(n AS DOUBLE)), 9) END AS eta2 "
+    "FROM tot JOIN ssb ON tot.grp = ssb.grp ORDER BY event_type",
+)
+def q_event_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality strength per event type
+    (operators/stats.py: dow_seasonality; one-way-ANOVA eta², Fisher
+    1925): the share of daily-count variance the weekday factor
+    explains — the STRENGTH companion to series_acf's lag-7 cycle
+    detector, completing the daily-series diagnostic family (level,
+    regime, robustness, memory, lead-lag, cycle strength).  Exact
+    BIGINT moments off the shared zero-filled grid, an epoch-based
+    weekday index (integer date arithmetic — the engines' dayofweek()
+    builtins disagree on their base), a DECIMAL-accumulated 7-term
+    fold, one division.  DEFERRED AT BIRTH (the r10 convention;
+    differential proof in tests/test_catalog_twins.py until the
+    round-14 rotation)."""
+    from .operators import stats as ST
+
+    return ST.dow_seasonality(load(spark, sf_dir, "events"), "event_type")

@@ -1473,3 +1473,79 @@ def trimmed_mean(
             ),
         ).alias("trimmed_mean"),
     )
+
+
+# Monday 1970-01-05: the fixed epoch for a cross-engine weekday index
+# ((date - epoch) mod 7 = 0 for Mondays) — Spark's dayofweek() is
+# 1=Sunday-based and DuckDB's dayofweek() 0=Sunday-based, so neither
+# built-in is safe to mirror; integer date arithmetic is.
+DOW_EPOCH = "1970-01-05"
+
+
+def dow_seasonality(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-group day-of-week seasonality strength over the zero-filled
+    daily count series: eta² — the share of daily-count variance
+    explained by the weekday factor (the one-way-ANOVA effect size,
+    Fisher 1925) — completing the daily-series diagnostic family:
+    level (trend), regime (break/CUSUM), robustness (Theil-Sen/MAD),
+    memory (ACF), lead-lag (CCF), and now the weekly cycle's STRENGTH
+    (an ACF spike at lag 7 says a cycle exists; eta² says how much of
+    the variance it owns — the seasonal-adjust-or-not decision).
+
+      eta² = SSB / SST,  SSB = Σ_k S_k²/n_k − S²/n,
+                         SST = Q − S²/n
+
+    over the 7 weekday buckets k (indexed (day − 1970-01-05) mod 7 —
+    integer date arithmetic, identical in both engines; the built-in
+    dayofweek()s disagree on their base).  Engine-exactness: every
+    moment (n, S, Q, n_k, S_k) is an exact BIGINT; each bucket's
+    S_k²/n_k is a fixed IEEE tree over exact inputs, and the 7-term
+    fold accumulates as DECIMAL(38,18) quantized terms (order-free);
+    one division at the output (9dp).  Constant series (SST = 0)
+    surface eta² = NULL.
+
+    100 TB shape: the fact collapses to (group, day) grain FIRST; the
+    bucket moments are a 7·G-row aggregate over the day-span-bounded
+    grid.  Returns (group, n_days, eta2) deterministically ordered."""
+    grid = _zero_filled_daily(df, group_col, ts_col).select(
+        "grp", "lo", "x", "y"
+    )
+    k = F.pmod(
+        F.datediff(F.date_add(F.col("lo"), F.col("x").cast("int")),
+                   F.lit(DOW_EPOCH).cast("date")),
+        F.lit(7),
+    )
+    bucket = grid.select("grp", k.alias("k"), "y")
+    per_k = bucket.groupBy("grp", "k").agg(
+        F.count(F.lit(1)).alias("nk"), F.sum("y").alias("sk")
+    )
+    tot = bucket.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("s"),
+        F.sum(F.col("y") * F.col("y")).alias("q"),
+    )
+    term = (
+        F.col("sk").cast("double")
+        * F.col("sk").cast("double")
+        / F.col("nk").cast("double")
+    )
+    ssb_part = per_k.groupBy("grp").agg(
+        F.sum(term.cast("decimal(38,18)")).alias("ssb_raw")
+    )
+    n, s, q = F.col("n"), F.col("s"), F.col("q")
+    mean_sq = s.cast("double") * s.cast("double") / n.cast("double")
+    sst = q.cast("double") - mean_sq
+    ssb = F.col("ssb_raw").cast("double") - mean_sq
+    return (
+        tot.join(ssb_part, "grp")
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("n").alias("n_days"),
+            F.when(sst > 0, F.round(ssb / sst, 9)).alias("eta2"),
+        )
+        .orderBy(group_col)
+    )

@@ -1374,3 +1374,10 @@ def test_orders_open_backlog_matches_oracle(spark, sf_dir):
     # curve — differential proof from day one, queued for the
     # round-14 rotation's first driver pass
     _assert_matches_oracle(spark, sf_dir, "orders_open_backlog")
+
+
+def test_event_dow_seasonality_matches_oracle(spark, sf_dir):
+    # r13 deferral AT BIRTH: ANOVA eta2 weekday seasonality strength —
+    # differential proof from day one, queued for the round-14
+    # rotation's first driver pass
+    _assert_matches_oracle(spark, sf_dir, "event_dow_seasonality")

@@ -815,3 +815,69 @@ def test_trimmed_mean_zero_trim_is_exact_mean(spark):
     df = spark.createDataFrame([(v,) for v in vals], "p double")
     r = S.trimmed_mean(df, "p", trim_tenths=0).collect()[0]
     assert r.n_kept == 3 and r.trimmed_mean == 2.5
+
+
+def test_dow_seasonality_pure_weekly_cycle_is_one(spark):
+    # counts depend ONLY on weekday over exactly 4 full weeks: the
+    # weekday factor explains ALL variance -> eta2 exactly 1
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 1, 1)  # a Monday
+    per_dow = [5, 1, 4, 2, 7, 3, 6]
+    rows = []
+    eid = 0
+    for d in range(28):
+        for _ in range(per_dow[d % 7]):
+            rows.append((eid, t0 + timedelta(days=d), 1, "a"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    r = S.dow_seasonality(df, "event_type").collect()[0]
+    assert r.n_days == 28 and r.eta2 == 1.0
+
+
+def test_dow_seasonality_constant_series_is_null(spark):
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 1, 1)
+    rows = [(d, t0 + timedelta(days=d), 1, "a") for d in range(14)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    r = S.dow_seasonality(df, "event_type").collect()[0]
+    assert r.eta2 is None  # 1 event every day: zero variance
+
+
+def test_dow_seasonality_matches_pure_python(spark):
+    import random
+    from datetime import datetime, timedelta
+
+    rng = random.Random(31)
+    t0 = datetime(2024, 1, 1)
+    counts = [rng.randint(0, 9) for _ in range(45)]
+    counts[0] += 1
+    counts[-1] += 1  # pin the span
+    rows = []
+    eid = 0
+    for d, c in enumerate(counts):
+        for _ in range(c):
+            rows.append((eid, t0 + timedelta(days=d), 1, "a"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    # 2024-01-01 is a Monday: epoch index (day - 1970-01-05) % 7 == d % 7
+    n = len(counts)
+    s = sum(counts)
+    q = sum(y * y for y in counts)
+    from collections import defaultdict
+
+    nk, sk = defaultdict(int), defaultdict(int)
+    for d, y in enumerate(counts):
+        nk[d % 7] += 1
+        sk[d % 7] += y
+    ssb = sum(sk[k] ** 2 / nk[k] for k in nk) - s * s / n
+    sst = q - s * s / n
+    r = S.dow_seasonality(df, "event_type").collect()[0]
+    assert abs(r.eta2 - round(ssb / sst, 9)) <= 2e-9

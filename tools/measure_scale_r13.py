@@ -111,6 +111,7 @@ def main() -> None:
                 tag="_bklg",
             ),
         ),
+        "event_dow_seasonality": (BASE, _events10x()),
     }
     if only:
         fixtures = {k: v for k, v in fixtures.items() if k in only}
