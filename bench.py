@@ -449,6 +449,13 @@ HEADLINE = [
     # round-13 (deferred-at-birth): ANOVA eta2 weekday seasonality
     # (timed — day-grain collapse + a 7G-row bucket aggregate)
     "event_dow_seasonality",
+    # round-13 (deferred-at-birth): second A-priori iteration (timed —
+    # the L2-pruned per-basket extension join is real cost beyond
+    # frequent_pairs)
+    "basket_frequent_triples",
+    # round-13 (deferred-at-birth): CSN degree-tail exponent (timed —
+    # shares the pairs CTE; degree agg + ln fold)
+    "copurchase_degree_powerlaw",
 ]
 
 # Round-7 headline audit (round-6 judge item 5): every registered query

@@ -924,6 +924,10 @@ _DEFERRED_TWINS = {
     #   daily open-order counts
     "event_dow_seasonality",  # NOVEL r13: ANOVA eta2 weekday
     #   seasonality strength over the daily grid
+    "basket_frequent_triples",  # NOVEL r13: second A-priori iteration
+    #   with the full downward-closure prune
+    "copurchase_degree_powerlaw",  # NOVEL r13: Clauset-Shalizi-Newman
+    #   degree-tail exponent
 }
 
 
@@ -11246,3 +11250,95 @@ def q_event_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import stats as ST
 
     return ST.dow_seasonality(load(spark, sf_dir, "events"), "event_type")
+
+
+@register(
+    "basket_frequent_triples",
+    # mirror frequent_triples token for token: distinct (basket, item),
+    # L1 support prune, L2 pair prune, per-basket L2 pair instances
+    # extended by a frequent third item, BOTH remaining sub-pairs
+    # checked against L2, the triple count — all integer arithmetic
+    "WITH items AS (SELECT DISTINCT l_orderkey AS basket, "
+    "l_partkey AS item FROM lineitem), "
+    "isup AS (SELECT item, CAST(count(*) AS BIGINT) AS n "
+    "FROM items GROUP BY item), "
+    "fi AS (SELECT basket, item FROM items "
+    "JOIN (SELECT item FROM isup WHERE n >= 2) f USING (item)), "
+    "pinst AS (SELECT a.basket, a.item AS item_a, b.item AS item_b "
+    "FROM fi a JOIN fi b ON a.basket = b.basket AND a.item < b.item), "
+    "l2 AS (SELECT item_a, item_b FROM pinst "
+    "GROUP BY item_a, item_b HAVING count(*) >= 2), "
+    "bp AS (SELECT basket, item_a, item_b FROM pinst "
+    "JOIN l2 USING (item_a, item_b)), "
+    "cand AS (SELECT bp.item_a, bp.item_b, c.item AS item_c "
+    "FROM bp JOIN fi c ON bp.basket = c.basket "
+    "AND c.item > bp.item_b "
+    "JOIN l2 p2 ON bp.item_a = p2.item_a AND c.item = p2.item_b "
+    "JOIN l2 p3 ON bp.item_b = p3.item_a AND c.item = p3.item_b) "
+    "SELECT item_a, item_b, item_c, "
+    "CAST(count(*) AS BIGINT) AS support FROM cand "
+    "GROUP BY item_a, item_b, item_c HAVING count(*) >= 2 "
+    "ORDER BY item_a, item_b, item_c",
+)
+def q_basket_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent part triples over order baskets (operators/stats.py:
+    frequent_triples; the SECOND A-priori iteration, Agrawal & Srikant
+    VLDB'94): bundles co-bought in >= 2 orders, mined with the full
+    downward-closure prune (L1 item prune, L2 pair prune, all three
+    sub-pairs checked before counting) — the depth tier above
+    frequent_pairs' lift and DISTINCT from copurchase_triangles,
+    which lists pairwise-connected triples without requiring the
+    TRIPLE itself to recur (a graph triangle needs 3 frequent edges;
+    a frequent triple needs the 3-way co-occurrence to repeat).
+    DEFERRED AT BIRTH (the r10 convention; differential proof in
+    tests/test_catalog_twins.py until the round-14 rotation)."""
+    from .operators import stats as ST
+
+    return ST.frequent_triples(
+        load(spark, sf_dir, "lineitem", parallel=True),
+        "l_orderkey",
+        "l_partkey",
+        min_support=2,
+    )
+
+
+@register(
+    "copurchase_degree_powerlaw",
+    # mirror degree_powerlaw token for token: the canonical pair CTE,
+    # both-endpoint degrees, the d_min - 1/2 shifted ln fold
+    # DECIMAL(38,18)-accumulated, alpha = 1 + n/lsum at 6dp
+    "WITH items AS (SELECT DISTINCT l_orderkey AS basket, "
+    "l_partkey AS item FROM lineitem), "
+    "pairs AS (SELECT a.item AS pa, b.item AS pb "
+    "FROM items a JOIN items b ON a.basket = b.basket "
+    "AND a.item < b.item GROUP BY 1, 2 HAVING count(*) >= 2), "
+    "directed AS (SELECT pa AS u FROM pairs "
+    "UNION ALL SELECT pb FROM pairs), "
+    "deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d "
+    "FROM directed GROUP BY u), "
+    "nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg), "
+    "tail AS (SELECT CAST(count(*) AS BIGINT) AS n_tail, "
+    "sum(CAST(ln(CAST(d AS DOUBLE) / 0.5) AS DECIMAL(38,18))) "
+    "AS lsum FROM deg WHERE d >= 1) "
+    "SELECT n_nodes, coalesce(n_tail, CAST(0 AS BIGINT)) AS n_tail, "
+    "CASE WHEN n_tail > 0 AND CAST(lsum AS DOUBLE) > 0 THEN "
+    "round(1.0 + CAST(n_tail AS DOUBLE) / CAST(lsum AS DOUBLE), 6) "
+    "END AS alpha FROM nn CROSS JOIN tail",
+)
+def q_copurchase_degree_powerlaw(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Power-law exponent of the co-purchase degree distribution
+    (operators/graph.py: degree_powerlaw; Clauset-Shalizi-Newman SIAM
+    Rev. 2009 continuous MLE with the d_min − ½ shift): the
+    heavy-tail diagnostic beside assortativity's mixing number —
+    alpha near 2-3 reads scale-free hub structure (salt the hub
+    keys), large alpha a thin tail.  Shares the canonical
+    _copurchase_pairs derivation (support >= 2) with the
+    triangle/k-core/assortativity family; exact BIGINT degrees,
+    DECIMAL-accumulated ln fold, one division (6dp).  DEFERRED AT
+    BIRTH (the r10 convention; differential proof until the round-14
+    rotation)."""
+    from .operators import graph as G
+
+    return G.degree_powerlaw(_copurchase_pairs(spark, sf_dir))

@@ -891,3 +891,65 @@ def degree_assortativity(pairs: DataFrame) -> DataFrame:
             den > 0, F.round(num.cast("double") / den.cast("double"), 9)
         ).alias("assortativity"),
     )
+
+
+def degree_powerlaw(pairs: DataFrame, d_min: int = 1) -> DataFrame:
+    """Continuous-MLE power-law exponent of the degree distribution
+    (Clauset, Shalizi & Newman SIAM Rev. 2009, eq. 3.1 with the
+    d_min − ½ discreteness shift):
+
+        alpha = 1 + n / Σ_{d_u ≥ d_min} ln(d_u / (d_min − ½))
+
+    — the heavy-tail diagnostic completing the graph-statistics
+    ladder beside assortativity's mixing number (alpha near 2-3 =
+    scale-free hub structure; large alpha = thin exponential-ish
+    tail; the value decides whether hub-aware salting is worth it).
+
+    Input: one row per undirected edge (a, b), a < b (the
+    _copurchase_pairs convention); degrees count both endpoints.
+    Engine-exactness: degrees are exact BIGINTs; each ln term may
+    differ by an engine ulp, so the fold accumulates DECIMAL(38,18)
+    quantized terms (order-free, the JS-matrix convention) and alpha
+    rounds at 6dp; the d_min − ½ shift is an exact double literal.
+    Degenerate inputs (no nodes at d ≥ d_min, or all degrees equal to
+    d_min with a zero ln sum) surface NULL.
+
+    100 TB shape: one degree aggregate (node-sized) + one scalar fold
+    over the degree table; no quadratic stage.  Returns one row
+    (n_nodes, n_tail, alpha)."""
+    if d_min < 1:
+        raise ValueError("degree_powerlaw: d_min must be >= 1")
+    directed = pairs.select(F.col("a").alias("u")).unionByName(
+        pairs.select(F.col("b").alias("u"))
+    )
+    deg = directed.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    shift = float(d_min) - 0.5
+    tail = deg.where(F.col("d") >= d_min)
+    agg = deg.groupBy().agg(
+        F.count(F.lit(1)).alias("n_nodes")
+    ).crossJoin(
+        F.broadcast(
+            tail.groupBy().agg(
+                F.count(F.lit(1)).alias("n_tail"),
+                F.sum(
+                    F.log(
+                        F.col("d").cast("double") / F.lit(shift)
+                    ).cast("decimal(38,18)")
+                ).alias("lsum"),
+            )
+        )
+    )
+    return agg.select(
+        "n_nodes",
+        F.coalesce("n_tail", F.lit(0).cast("long")).alias("n_tail"),
+        F.when(
+            (F.col("n_tail") > 0)
+            & (F.col("lsum").cast("double") > 0),
+            F.round(
+                F.lit(1.0)
+                + F.col("n_tail").cast("double")
+                / F.col("lsum").cast("double"),
+                6,
+            ),
+        ).alias("alpha"),
+    )

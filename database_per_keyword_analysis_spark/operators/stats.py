@@ -1549,3 +1549,72 @@ def dow_seasonality(
         )
         .orderBy(group_col)
     )
+
+
+def frequent_triples(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int,
+) -> DataFrame:
+    """The SECOND A-priori iteration (Agrawal & Srikant VLDB'94):
+    frequent item TRIPLES, mined with the full downward-closure prune
+    — the depth tier above frequent_pairs (pairs answer 'what sells
+    together'; triples answer 'what bundle sells together', the
+    market-basket bundle recommendation unit).
+
+    The prune IS the 100 TB design, applied three times before the
+    only counting stage: items below min_support drop before any
+    join (L1); within-basket pair instances keep only L2-frequent
+    pairs; each candidate extension (a, b, c) must have ALL THREE
+    sub-pairs in L2 (two more equi-joins) — so the per-basket triple
+    fan-out is bounded by the basket's L2-pair count times its
+    frequent items, not C(k,3).  Everything after the triple count is
+    key-cardinality.  All integer arithmetic.
+
+    Returns (item_a < item_b < item_c, support) with support >=
+    min_support, deterministically ordered."""
+    items = baskets.select(
+        F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
+    ).distinct()
+    isup = items.groupBy("item").agg(F.count(F.lit(1)).alias("n_item"))
+    fitems = items.join(
+        isup.where(F.col("n_item") >= min_support).select("item"), "item"
+    )
+    a = fitems.select("basket", F.col("item").alias("item_a"))
+    b = fitems.select("basket", F.col("item").alias("item_b"))
+    pair_inst = a.join(b, "basket").where(
+        F.col("item_a") < F.col("item_b")
+    )
+    l2 = (
+        pair_inst.groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .where(F.col("n_both") >= min_support)
+        .select("item_a", "item_b")
+    )
+    bp = pair_inst.join(l2, ["item_a", "item_b"])
+    c = fitems.select("basket", F.col("item").alias("item_c"))
+    cand = (
+        bp.join(c, "basket")
+        .where(F.col("item_c") > F.col("item_b"))
+        # full A-priori prune: (a, c) and (b, c) must both be L2
+        .join(
+            l2.select(
+                F.col("item_a"), F.col("item_b").alias("item_c")
+            ),
+            ["item_a", "item_c"],
+        )
+        .join(
+            l2.select(
+                F.col("item_a").alias("item_b"),
+                F.col("item_b").alias("item_c"),
+            ),
+            ["item_b", "item_c"],
+        )
+    )
+    return (
+        cand.groupBy("item_a", "item_b", "item_c")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= min_support)
+        .orderBy("item_a", "item_b", "item_c")
+    )

@@ -1381,3 +1381,15 @@ def test_event_dow_seasonality_matches_oracle(spark, sf_dir):
     # differential proof from day one, queued for the round-14
     # rotation's first driver pass
     _assert_matches_oracle(spark, sf_dir, "event_dow_seasonality")
+
+
+def test_basket_frequent_triples_matches_oracle(spark, sf_dir):
+    # r13 deferral AT BIRTH: second A-priori iteration — differential
+    # proof from day one, queued for the round-14 rotation
+    _assert_matches_oracle(spark, sf_dir, "basket_frequent_triples")
+
+
+def test_copurchase_degree_powerlaw_matches_oracle(spark, sf_dir):
+    # r13 deferral AT BIRTH: CSN degree-tail exponent — differential
+    # proof from day one, queued for the round-14 rotation
+    _assert_matches_oracle(spark, sf_dir, "copurchase_degree_powerlaw")

@@ -398,3 +398,48 @@ class TestDegreeAssortativity:
                  ("d", "e"), ("e", "f"), ("f", "g"), ("d", "g")]
         row = self._run(spark, pairs)
         assert row.assortativity == self._ref(pairs)
+
+
+def test_degree_powerlaw_star_graph(spark):
+    # star K1,5: hub degree 5, five leaves degree 1
+    # alpha = 1 + 6 / (ln(5/0.5) + 5*ln(1/0.5)) = 1 + 6/(ln10 + 5 ln2)
+    import math
+
+    from database_per_keyword_analysis_spark.operators import graph as G
+
+    pairs = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "a long, b long"
+    )
+    r = G.degree_powerlaw(pairs).collect()[0]
+    assert (r.n_nodes, r.n_tail) == (6, 6)
+    want = 1 + 6 / (math.log(10.0) + 5 * math.log(2.0))
+    assert abs(r.alpha - round(want, 6)) <= 2e-6
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        G.degree_powerlaw(pairs, d_min=0)
+
+
+def test_degree_powerlaw_matches_pure_python(spark):
+    import math
+    import random
+    from collections import Counter
+
+    from database_per_keyword_analysis_spark.operators import graph as G
+
+    rng = random.Random(19)
+    edges = set()
+    while len(edges) < 60:
+        a, b = rng.randint(0, 25), rng.randint(0, 25)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    pairs = spark.createDataFrame(sorted(edges), "a long, b long")
+    deg = Counter()
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+    lsum = sum(math.log(d / 0.5) for d in deg.values())
+    want = 1 + len(deg) / lsum
+    r = G.degree_powerlaw(pairs).collect()[0]
+    assert r.n_nodes == len(deg)
+    assert abs(r.alpha - round(want, 6)) <= 2e-6

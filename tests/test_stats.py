@@ -881,3 +881,63 @@ def test_dow_seasonality_matches_pure_python(spark):
     sst = q - s * s / n
     r = S.dow_seasonality(df, "event_type").collect()[0]
     assert abs(r.eta2 - round(ssb / sst, 9)) <= 2e-9
+
+
+def test_frequent_triples_hand_example(spark):
+    # baskets: {a,b,c} x3, {a,b,d} x2, {a,d} x1 ->
+    # triple (a,b,c) support 3; (a,b,d) support 2; nothing else
+    rows = []
+    for i, basket in enumerate(
+        [("a", "b", "c")] * 3 + [("a", "b", "d")] * 2 + [("a", "d")]
+    ):
+        for it in basket:
+            rows.append((i, it))
+    df = spark.createDataFrame(rows, "basket long, item string")
+    got = {
+        (r.item_a, r.item_b, r.item_c): r.support
+        for r in S.frequent_triples(df, "basket", "item", 2).collect()
+    }
+    assert got == {("a", "b", "c"): 3, ("a", "b", "d"): 2}
+
+
+def test_frequent_triples_prunes_infrequent_subpair(spark):
+    # (x,y), (x,z) frequent but (y,z) co-occurs only once: the full
+    # A-priori prune must kill candidate (x,y,z) even though the
+    # triple itself occurs... it cannot — a triple occurrence implies
+    # all sub-pairs co-occur; instead pin that a triple whose own
+    # support is 1 is dropped even when all sub-pairs are frequent
+    rows = []
+    baskets = [("x", "y"), ("x", "y"), ("x", "z"), ("x", "z"),
+               ("y", "z"), ("y", "z"), ("x", "y", "z")]
+    for i, basket in enumerate(baskets):
+        for it in basket:
+            rows.append((i, it))
+    df = spark.createDataFrame(rows, "basket long, item string")
+    out = S.frequent_triples(df, "basket", "item", 2).collect()
+    assert out == []  # all three pairs L2-frequent, triple support 1
+
+
+def test_frequent_triples_matches_bruteforce(spark):
+    import itertools
+    import random
+    from collections import Counter
+
+    rng = random.Random(5)
+    baskets = []
+    for _ in range(40):
+        k = rng.randint(2, 5)
+        baskets.append(tuple(sorted(rng.sample("abcdefgh", k))))
+    rows = [
+        (i, it) for i, basket in enumerate(baskets) for it in basket
+    ]
+    df = spark.createDataFrame(rows, "basket long, item string")
+    support = Counter()
+    for basket in baskets:
+        for t in itertools.combinations(sorted(set(basket)), 3):
+            support[t] += 1
+    want = {t: s for t, s in support.items() if s >= 2}
+    got = {
+        (r.item_a, r.item_b, r.item_c): r.support
+        for r in S.frequent_triples(df, "basket", "item", 2).collect()
+    }
+    assert got == want

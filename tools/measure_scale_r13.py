@@ -112,6 +112,14 @@ def main() -> None:
             ),
         ),
         "event_dow_seasonality": (BASE, _events10x()),
+        "basket_frequent_triples": (
+            BASE,
+            _fixture_dir({"lineitem": _tpch10x("lineitem")}, tag="_sprm"),
+        ),
+        "copurchase_degree_powerlaw": (
+            BASE,
+            _fixture_dir({"lineitem": _tpch10x("lineitem")}, tag="_sprm"),
+        ),
     }
     if only:
         fixtures = {k: v for k, v in fixtures.items() if k in only}
