@@ -1193,3 +1193,50 @@ def test_drift_cdfs_are_range_partitioned(spark, sf_dir):
     assert "TakeOrderedAndProject" in _plan(
         spark, sf_dir, "doc_length_ks_drift"
     )
+
+
+def test_dow_seasonality_windows_absent(spark, sf_dir):
+    """event_dow_seasonality (r13): moments are AGGREGATES over the
+    day-grain grid — no window function anywhere, no cartesian beyond
+    the broadcast one-row spine crosses."""
+    plan = _plan(spark, sf_dir, "event_dow_seasonality")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_js_matrix_pair_join_is_token_equi(spark, sf_dir):
+    """source_token_js_matrix (r13): the pair fold is an EQUI-join on
+    token (the shared-mass identity), never a cartesian; the only
+    nested-loop joins are the G-row pair-spine cross and scalar
+    attaches."""
+    plan = _plan(spark, sf_dir, "source_token_js_matrix")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_open_backlog_is_delta_collapse_plus_spine(spark, sf_dir):
+    """orders_open_backlog (r13): the 2-rows-per-interval differencing
+    explode collapses at day grain BEFORE the spine prefix sum; the
+    only window runs over the day-span-bounded spine."""
+    plan = _plan(spark, sf_dir, "orders_open_backlog")
+    assert "CartesianProduct" not in plan
+    assert "Generate explode" in plan
+    assert plan.count("Window") == 1
+
+
+def test_frequent_triples_joins_are_equi_pruned(spark, sf_dir):
+    """basket_frequent_triples (r13): every stage is an equi-join
+    (basket key or L2 pair key) — the downward-closure prune must
+    never degrade to a cartesian candidate enumeration."""
+    plan = _plan(spark, sf_dir, "basket_frequent_triples")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_degree_powerlaw_no_quadratic_stage(spark, sf_dir):
+    """copurchase_degree_powerlaw (r13): after the shared pairs CTE,
+    only a node-sized degree aggregate and a scalar fold — no window,
+    no cartesian."""
+    plan = _plan(spark, sf_dir, "copurchase_degree_powerlaw")
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
