@@ -456,6 +456,9 @@ HEADLINE = [
     # round-13 (deferred-at-birth): CSN degree-tail exponent (timed —
     # shares the pairs CTE; degree agg + ln fold)
     "copurchase_degree_powerlaw",
+    # round-13 (deferred-at-birth): streaming CUSUM twin (timed —
+    # steady state re-drains an empty stream + the MV-fed grid scan)
+    "stream_event_type_cusum",
 ]
 
 # Round-7 headline audit (round-6 judge item 5): every registered query

@@ -928,6 +928,8 @@ _DEFERRED_TWINS = {
     #   with the full downward-closure prune
     "copurchase_degree_powerlaw",  # NOVEL r13: Clauset-Shalizi-Newman
     #   degree-tail exponent
+    "stream_event_type_cusum",  # NOVEL r13: streaming CUSUM twin on
+    #   the shared oracle (stream==batch proof)
 }
 
 
@@ -10820,8 +10822,11 @@ def q_lineitem_qty_discount_kendall(
     )
 
 
-@register(
-    "event_type_cusum",
+# shared by event_type_cusum and its STREAMING twin
+# stream_event_type_cusum — identical SQL, so the stream twin's driver
+# hash is the stream==batch equality proof (the _KS_LENGTH_SQL
+# convention)
+_CUSUM_SQL = (
     # mirror series_cusum token for token: the shared zero-filled
     # grid, the exact BIGINT scaled deviation n*cum - (x+1)*S, the
     # (|d| DESC, x ASC) argmax pick, ONE division at the output
@@ -10844,8 +10849,11 @@ def q_lineitem_qty_discount_kendall(
     "(PARTITION BY grp ORDER BY abs(d) DESC, x) AS rk FROM dev) "
     "SELECT grp AS event_type, n AS n_days, x AS at_x, "
     "CASE WHEN n > 1 THEN round(CAST(d AS DOUBLE) / CAST(n AS DOUBLE), "
-    "9) END AS cusum FROM pick WHERE rk = 1 ORDER BY event_type",
+    "9) END AS cusum FROM pick WHERE rk = 1 ORDER BY event_type"
 )
+
+
+@register("event_type_cusum", _CUSUM_SQL)
 def q_event_type_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type CUSUM change scan over the daily event series
     (operators/stats.py: series_cusum; Page 1954): the maximum
@@ -11342,3 +11350,83 @@ def q_copurchase_degree_powerlaw(
     from .operators import graph as G
 
     return G.degree_powerlaw(_copurchase_pairs(spark, sf_dir))
+
+
+@register("stream_event_type_cusum", _CUSUM_SQL)
+def q_stream_event_type_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of event_type_cusum: the (event_type, day)
+    count table folds batch-by-batch through the exactly-once
+    refresh_mv_batch seam (4 micro-batch files, one +1 change row per
+    event), then the SAME zero-filled-grid CUSUM runs off the
+    persisted MV (operators/stats.py: cusum_from_daily) — a
+    change-point monitor whose state is the day-grain counts, exactly
+    how a production drift monitor holds it.  Shares _CUSUM_SQL
+    VERBATIM with the batch query, so the driver hash IS the
+    stream==batch equality proof (the _KS_LENGTH_SQL convention).
+    DEFERRED AT BIRTH (differential proof until the round-14
+    rotation)."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from .operators import stats as ST
+    from .streaming import ingest as ING
+
+    evf = os.path.join(sf_dir, "events.parquet")
+    base = _mutable_stream_base("cusumstream", sf_dir, evf)
+    src = os.path.join(base, "src")
+    mv_path = os.path.join(base, "mv")
+
+    events = load(spark, sf_dir, "events")
+    if not os.path.isfile(os.path.join(src, "_SUCCESS")):
+        shutil.rmtree(base, ignore_errors=True)
+        empty = spark.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField("grp", T.StringType()),
+                    T.StructField("day", T.DateType()),
+                    T.StructField("n", T.LongType()),
+                ]
+            ),
+        )
+        ING.seed_mv(empty, mv_path)
+        events.select(
+            F.col("event_type").alias("grp"),
+            F.to_date("ts").alias("day"),
+        ).repartition(4).write.mode("overwrite").parquet(src)
+    # the fold runs EVERY call (exactly-once via the checkpoint; a
+    # half-done fold a dead process left resumes — the
+    # _length_counts_stream discipline)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    def fold(batch_df, batch_id):
+        changes = batch_df.select(
+            F.lit("insert").alias("op"),
+            "grp",
+            "day",
+            F.lit(None).cast("string").alias("old_grp"),
+            F.lit(None).cast("date").alias("old_day"),
+        )
+        ING.refresh_mv_batch(
+            changes, mv_path, ["grp", "day"], "n", {}, batch_id
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    daily = ING.read_mv(spark, mv_path).select(
+        "grp", "day", F.col("n").alias("y")
+    )
+    return ST.cusum_from_daily(daily)

@@ -325,6 +325,15 @@ def _zero_filled_daily(
     daily = df.groupBy(
         F.col(group_col).alias("grp"), day.alias("day")
     ).agg(F.count(F.lit(1)).alias("y"))
+    return _zero_filled_from_daily(daily)
+
+
+def _zero_filled_from_daily(daily: DataFrame) -> DataFrame:
+    """The grid construction off a PRE-AGGREGATED (grp, day, y) table
+    — split out (r13) so a persisted/streaming daily-counts MV can
+    feed the same spine/zero-fill/x-index logic the batch operators
+    use; the batch path above aggregates then delegates here, so the
+    two grids cannot drift apart."""
     lo_hi = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
     spine = lo_hi.select(
         F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias(
@@ -1357,6 +1366,21 @@ def series_cusum(
     (group, n_days, at_x, cusum) with cusum = D_peak/n, NULL for a
     1-day span."""
     grid = _zero_filled_daily(df, group_col, ts_col).select("grp", "x", "y")
+    return _cusum_from_grid(grid, group_col)
+
+
+def cusum_from_daily(
+    daily: DataFrame, out_col: str = "event_type"
+) -> DataFrame:
+    """series_cusum over a PRE-AGGREGATED (grp, day, y) daily-counts
+    table (the ks_from_counts convention: the table is typically a
+    persisted/streaming MV folded batch-by-batch) — same zero-filled
+    grid, same exact BIGINT deviations, same argmax pick."""
+    grid = _zero_filled_from_daily(daily).select("grp", "x", "y")
+    return _cusum_from_grid(grid, out_col)
+
+
+def _cusum_from_grid(grid: DataFrame, out_col: str) -> DataFrame:
     tot = grid.groupBy("grp").agg(
         F.count(F.lit(1)).alias("n"), F.sum("y").alias("s")
     )
@@ -1385,7 +1409,7 @@ def series_cusum(
         dev.withColumn("_rk", F.row_number().over(pick))
         .where(F.col("_rk") == 1)
         .select(
-            F.col("grp").alias(group_col),
+            F.col("grp").alias(out_col),
             F.col("n").alias("n_days"),
             F.col("x").alias("at_x"),
             F.when(
@@ -1395,7 +1419,7 @@ def series_cusum(
                 ),
             ).alias("cusum"),
         )
-        .orderBy(group_col)
+        .orderBy(out_col)
     )
 
 

@@ -1393,3 +1393,10 @@ def test_copurchase_degree_powerlaw_matches_oracle(spark, sf_dir):
     # r13 deferral AT BIRTH: CSN degree-tail exponent — differential
     # proof from day one, queued for the round-14 rotation
     _assert_matches_oracle(spark, sf_dir, "copurchase_degree_powerlaw")
+
+
+def test_stream_event_type_cusum_matches_oracle(spark, sf_dir):
+    # r13 deferral AT BIRTH: streaming CUSUM twin — shares _CUSUM_SQL
+    # verbatim with the batch query (stream==batch proof); queued for
+    # the round-14 rotation
+    _assert_matches_oracle(spark, sf_dir, "stream_event_type_cusum")

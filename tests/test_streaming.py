@@ -1013,3 +1013,19 @@ def test_stream_length_ranksum_equals_batch(spark):
     assert catalog.oracle_sql()["doc_length_ranksum_drift"] == (
         catalog.oracle_sql()["stream_length_ranksum_drift"]
     )
+
+
+def test_stream_cusum_equals_batch(spark):
+    # the r13 CUSUM stream twin folds the (type, day) counts MV and
+    # must produce EXACTLY the batch query's rows — the shared-oracle
+    # stream==batch contract
+    from database_per_keyword_analysis_spark import catalog
+
+    sf = "/root/testdata/sf0.001"
+    qs = catalog.queries()
+    batch = qs["event_type_cusum"](spark, sf).collect()
+    stream = qs["stream_event_type_cusum"](spark, sf).collect()
+    assert [tuple(r) for r in batch] == [tuple(r) for r in stream]
+    assert catalog.oracle_sql()["event_type_cusum"] == (
+        catalog.oracle_sql()["stream_event_type_cusum"]
+    )

@@ -120,6 +120,8 @@ def main() -> None:
             BASE,
             _fixture_dir({"lineitem": _tpch10x("lineitem")}, tag="_sprm"),
         ),
+        # steady state (MV folds at fixture warmup, cache-keyed)
+        "stream_event_type_cusum": (BASE, _events10x()),
     }
     if only:
         fixtures = {k: v for k, v in fixtures.items() if k in only}
