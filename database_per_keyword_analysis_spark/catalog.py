@@ -8967,28 +8967,39 @@ def q_purchase_funnel_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
     "FROM b GROUP BY decile ORDER BY decile",
 )
 def q_order_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Equal-frequency price binning: NTILE(10) over the deterministic
-    (price, key) total order with per-decile count/min/max and the
-    DECIMAL-exact mean — the §2.4 window-function row no catalog
-    member exercised (rank/dense_rank/row_number/lag/lead/frames all
-    have in-window history; ntile's remainder-distribution rule is
-    its own semantics, identical in Spark and DuckDB over a total
-    order).  One global sort at fixture scale; at 100 TB
-    equal-frequency cuts come from approx quantiles + range
-    partitioning instead — documented next to the exact-quantile
-    family's same trade-off.  NOVEL round-10 machinery → in-window at
-    birth; nation_profit (green r7-r9, three passes) rotated out with
-    a NEW differential — the TPC-H join-tree family (22 shapes, the
-    catalog's most-driver-verified surface) is fully
-    differential-covered."""
+    """Equal-frequency price binning: NTILE(10) semantics over the
+    deterministic (price, key) total order with per-decile
+    count/min/max and the DECIMAL-exact mean — the §2.4
+    window-function row no catalog member exercised (ntile's
+    remainder-distribution rule is its own semantics, identical in
+    Spark and DuckDB over a total order).
+
+    r13 scale upgrade: the bucket is computed ARITHMETICALLY from
+    scale.global_rank's composite-key distributed rank via
+    scale.ntile_from_rank (the exact remainder-distribution formula,
+    identity-verified against NTILE for hundreds of (n, k) shapes) —
+    bit-identical to the window form the DuckDB oracle still runs,
+    WITHOUT the single-task global sort an unpartitioned ntile()
+    window forces; this retired the catalog's last documented
+    fact-scale global sort.  NOVEL round-10 machinery; since r12
+    deferred on its differential."""
     from pyspark.sql import functions as F
-    from pyspark.sql.window import Window as W
+
+    from .operators import scale as SC
 
     orders = load(spark, sf_dir, "orders", parallel=True)
-    w = W.orderBy("o_totalprice", "o_orderkey")
+    ranked = SC.global_rank(
+        orders.select("o_totalprice", "o_orderkey"),
+        ["o_totalprice", "o_orderkey"],
+    )
+    tot = ranked.groupBy().agg(F.count(F.lit(1)).alias("_n"))
     return (
-        orders.select(
-            F.ntile(10).over(w).alias("decile"), "o_totalprice"
+        ranked.crossJoin(F.broadcast(tot))
+        .select(
+            SC.ntile_from_rank(
+                F.col("rnk"), F.col("_n"), 10
+            ).alias("decile"),
+            "o_totalprice",
         )
         .groupBy("decile")
         .agg(

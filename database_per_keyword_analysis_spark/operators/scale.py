@@ -1389,7 +1389,7 @@ GLOBAL_RANK_PARTITIONS = 32  # range splits for the distributed rank
 
 def global_rank(
     df: DataFrame,
-    order_col: str,
+    order_col: str | list[str],
     rank_col: str = "rnk",
     num_partitions: int = GLOBAL_RANK_PARTITIONS,
 ) -> DataFrame:
@@ -1411,16 +1411,19 @@ def global_rank(
 
     Within one query the range exchange is planned once and reused
     (ReuseExchange), so the count branch and the rank branch see the
-    same partition boundaries.  Requires `order_col` values unique —
-    with duplicates a global row_number is itself nondeterministic, so
-    callers must already hold uniqueness for oracle parity."""
-    part = df.repartitionByRange(num_partitions, order_col).withColumn(
+    same partition boundaries.  Requires the `order_col` key (a single
+    column or a COMPOSITE list, r13: the NTILE total orders rank by
+    (value, tiebreak-id)) to be unique — with duplicates a global
+    row_number is itself nondeterministic, so callers must already
+    hold uniqueness for oracle parity."""
+    cols = [order_col] if isinstance(order_col, str) else list(order_col)
+    part = df.repartitionByRange(num_partitions, *cols).withColumn(
         "_grk_pid", F.spark_partition_id()
     )
     local = part.withColumn(
         "_grk_lrnk",
         F.row_number().over(
-            Window.partitionBy("_grk_pid").orderBy(order_col)
+            Window.partitionBy("_grk_pid").orderBy(*cols)
         ),
     )
     counts = part.groupBy("_grk_pid").agg(
@@ -1514,4 +1517,44 @@ def global_cumsums(
         "_gcs_pid",
         *[f"_gcs_l_{out}" for out in sums],
         *[f"_gcs_o_{out}" for out in sums],
+    )
+
+
+def ntile_from_rank(rank: Column, n: Column, k: int) -> Column:
+    """ANSI NTILE(k) bucket computed ARITHMETICALLY from a 1-based
+    global rank and the total row count — bit-identical to
+    `ntile(k) OVER (ORDER BY ...)` over the same total order, without
+    the single-task sort the window form forces (pair with
+    `global_rank`; r13, retiring the catalog's last fact-scale global
+    sort).
+
+    The remainder-distribution rule NTILE implements: with q = n div k
+    and rem = n mod k, the first `rem` buckets hold q+1 rows and the
+    rest hold q, so
+
+      bucket(r) = ceil(r / (q+1))                   for r ≤ rem·(q+1)
+                = rem + ceil((r − rem·(q+1)) / q)   otherwise
+
+    with integer ceil(a/b) = (a + b − 1) div b — all BIGINT, identical
+    in any engine.  When n < k the else-branch (q = 0) is unreachable:
+    every row satisfies r ≤ rem·1."""
+    if k < 1:
+        raise ValueError("ntile_from_rank: k must be >= 1")
+    # the divisions below go through doubles; every dividend is ≤ n+q,
+    # exact in a double up to 2^53 rows (9e15 — three orders past a
+    # 100 TB fact count; the mix_allocation review trap needed a
+    # PRODUCT of two counts to overflow that bound, which never forms
+    # here), and the pmod subtraction makes each quotient an integer
+    q = ((n - F.pmod(n, F.lit(k))) / k).cast("long")
+    rem = F.pmod(n, F.lit(k))
+    cut = rem * (q + 1)
+    in_big = rank <= cut
+    big_bucket = ((rank + q) - F.pmod(rank + q, q + 1)) / (q + 1)
+    small_bucket = rem + (
+        (rank - cut + q - 1) - F.pmod(rank - cut + q - 1, q)
+    ) / q
+    return (
+        F.when(in_big, big_bucket.cast("long"))
+        .otherwise(small_bucket.cast("long"))
+        .cast("int")
     )

@@ -1240,3 +1240,16 @@ def test_degree_powerlaw_no_quadratic_stage(spark, sf_dir):
     plan = _plan(spark, sf_dir, "copurchase_degree_powerlaw")
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
+
+
+def test_deciles_rank_is_range_partitioned_no_global_sort(spark, sf_dir):
+    """order_price_deciles (r13 upgrade): the NTILE bucket is computed
+    arithmetically from the composite-key distributed rank — no
+    unpartitioned window over the fact table remains; this retired
+    the catalog's last documented fact-scale global sort."""
+    plan = _plan(spark, sf_dir, "order_price_deciles")
+    assert "Exchange rangepartitioning" in plan
+    assert "ntile" not in plan.lower()
+    for line in plan.splitlines():
+        if "row_number()" in line:
+            assert "_grk_pid" in line, line

@@ -947,3 +947,51 @@ def test_global_rank_more_partitions_than_rows(spark):
     # payload columns survive untouched
     cols = SC.global_rank(df, "doc").columns
     assert set(cols) == {"doc", "v", "rnk"}
+
+
+def test_global_rank_composite_key(spark):
+    # r13: ranks by (value, tiebreak) must equal the single-sort rank
+    rows = [((i * 7) % 5, (i * 13) % 101) for i in range(101)]
+    df = spark.createDataFrame(rows, "v int, k int")
+    got = {
+        (r.v, r.k): r.rnk
+        for r in SC.global_rank(df, ["v", "k"], num_partitions=6).collect()
+    }
+    expect = {
+        t: i + 1 for i, t in enumerate(sorted(rows))
+    }
+    assert got == expect
+
+
+def test_ntile_from_rank_matches_window_ntile(spark):
+    # the arithmetic bucket must be BIT-IDENTICAL to ntile(k) OVER the
+    # same total order, across remainder shapes (n % k != 0) and k > n
+    from pyspark.sql.window import Window as W
+
+    rows = [((i * 37) % 103, i) for i in range(53)]
+    df = spark.createDataFrame(rows, "v int, id int")
+    for k in (1, 4, 10, 60):
+        w = W.orderBy("v", "id")
+        want = {
+            (r.v, r.id): r.b
+            for r in df.select(
+                "v", "id", F.ntile(k).over(w).alias("b")
+            ).collect()
+        }
+        ranked = SC.global_rank(df, ["v", "id"], num_partitions=5)
+        tot = ranked.groupBy().agg(F.count(F.lit(1)).alias("n"))
+        got = {
+            (r.v, r.id): r.b
+            for r in ranked.crossJoin(F.broadcast(tot))
+            .select(
+                "v",
+                "id",
+                SC.ntile_from_rank(F.col("rnk"), F.col("n"), k).alias("b"),
+            )
+            .collect()
+        }
+        assert got == want, k
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        SC.ntile_from_rank(F.col("rnk"), F.lit(10), 0)
