@@ -988,6 +988,15 @@ def _mutable_stream_base(family: str, sf_dir: str, stat_file: str) -> str:
                     pass  # dead owner — safe to sweep
                 except PermissionError:
                     continue  # alive under another uid
+                # TOCTOU guard (r14, r13 advice): between the probe
+                # above and the rmtree below, a process that recycled
+                # this pid can ADOPT the dir — its own
+                # _mutable_stream_base call rewrites the owner token
+                # to its incarnation.  Re-read at the last instant and
+                # skip if the dir now belongs to a live owner; the
+                # abandoned-dir case re-converges on a later sweep.
+                if _owned_by_live_process(path, pid):
+                    continue
             else:
                 try:
                     if now - os.stat(path).st_mtime < legacy_max_age_s:
@@ -1041,6 +1050,24 @@ def _proc_start_tick(pid: int) -> str | None:
         return fields[19]  # field 22 overall; 20th after comm
     except (OSError, IndexError):
         return None
+
+
+def _owned_by_live_process(state_dir: str, pid: int) -> bool:
+    """Last-instant re-probe before an irreversible rmtree (r13
+    advice): True when `pid` is alive NOW and the freshly re-read
+    owner token matches its incarnation — i.e. a new process recycled
+    the pid and adopted this dir between the sweep's first probe and
+    its delete.  Errs toward keeping the dir (PermissionError = alive
+    under another uid)."""
+    import os
+
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False  # still dead — delete proceeds
+    except PermissionError:
+        return True
+    return _same_process(state_dir, pid)
 
 
 def _same_process(state_dir: str, pid: int) -> bool:
@@ -11109,7 +11136,7 @@ def _js_matrix_sql() -> str:
     token: exact-BIGINT rates, the inner-join + shared-mass identity,
     DECIMAL(38,18)-accumulated ln terms, the G^2 pair spine
     zero-filling no-overlap pairs at exactly ln 2, 6dp."""
-    ln2 = 0.6931471805599453  # math.log(2) — shared with the operator
+    from .operators.textquality import LN2 as ln2  # the operator's literal
 
     return (
         "WITH toks AS (SELECT source AS grp, unnest(list_filter("
@@ -11234,8 +11261,14 @@ def q_orders_open_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
     "coalesce(d.y, CAST(0 AS BIGINT)) AS y "
     "FROM (SELECT DISTINCT grp FROM daily) g CROSS JOIN s "
     "LEFT JOIN daily d ON d.grp = g.grp AND d.day = s.day), "
+    # the inner %7 then +7 %7 is a hand-rolled pmod: DuckDB's % keeps
+    # the dividend's sign, so a pre-epoch day (before 1970-01-05)
+    # would land in a NEGATIVE bucket and silently split the weekday
+    # factor into up to 13 levels vs Spark's pmod 7 (r13 advice);
+    # fixture dates are 1992+, but the oracle must not rely on that
     "bucket AS (SELECT grp, "
-    "CAST((day - DATE '1970-01-05') % 7 AS BIGINT) AS k, y FROM grid), "
+    "CAST(((day - DATE '1970-01-05') % 7 + 7) % 7 AS BIGINT) AS k, y "
+    "FROM grid), "
     "per_k AS (SELECT grp, k, CAST(count(*) AS BIGINT) AS nk, "
     "CAST(sum(y) AS BIGINT) AS sk FROM bucket GROUP BY grp, k), "
     "tot AS (SELECT grp, CAST(count(*) AS BIGINT) AS n, "

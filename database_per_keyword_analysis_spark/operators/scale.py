@@ -1387,6 +1387,33 @@ def quantile_summary_merge(
 GLOBAL_RANK_PARTITIONS = 32  # range splits for the distributed rank
 
 
+def _require_exchange_reuse(df: DataFrame, who: str) -> None:
+    """Refuse to build a rank/cumsum decomposition in a session where
+    exchange reuse is disabled — the ONE configuration under which the
+    decomposition is silently wrong (r14, closing the r13 advice).
+
+    Why this is load-bearing: the rank branch and the counts branch
+    both consume the sampled range exchange.  Each ShuffleExchangeExec
+    instance samples boundaries with a seed derived from its own
+    rdd.id (RangePartitioner.sketch), so two independently-materialized
+    instances pick DIFFERENT boundaries — measured at 500k rows:
+    per-partition counts disagree on 32/32 partitions with
+    spark.sql.exchange.reuse=false, and agree exactly (ranks bijective
+    1..n) with it true, because the stage cache dedupes the exchange
+    into one materialization both branches read.  A plan-string pin is
+    NOT sufficient — the final AQE plan sometimes prints two Exchange
+    nodes even when the runtime stage cache deduped them — so the
+    guard is at the config level plus a runtime bijectivity pytest."""
+    sess = df.sparkSession
+    if str(sess.conf.get("spark.sql.exchange.reuse", "true")).lower() != "true":
+        raise RuntimeError(
+            f"{who} requires spark.sql.exchange.reuse=true: with reuse "
+            "disabled the rank and counts branches materialize "
+            "independently-sampled range exchanges and the global rank "
+            "silently corrupts (see session.get_spark, which pins it)"
+        )
+
+
 def global_rank(
     df: DataFrame,
     order_col: str | list[str],
@@ -1409,13 +1436,20 @@ def global_rank(
          the partition count, never the data) prefix-summed into
          offsets and broadcast-joined back: rank = offset + local.
 
-    Within one query the range exchange is planned once and reused
-    (ReuseExchange), so the count branch and the rank branch see the
-    same partition boundaries.  Requires the `order_col` key (a single
-    column or a COMPOSITE list, r13: the NTILE total orders rank by
-    (value, tiebreak-id)) to be unique — with duplicates a global
-    row_number is itself nondeterministic, so callers must already
-    hold uniqueness for oracle parity."""
+    Within one query the count branch and the rank branch see the same
+    partition boundaries because exchange reuse dedupes the sampled
+    range shuffle into ONE materialization (r14: measured, not
+    assumed — with spark.sql.exchange.reuse=false the branches'
+    per-partition counts disagree on every partition, since each
+    exchange instance samples with its own rdd.id-derived seed; the
+    session pins the flag true and `_require_exchange_reuse` refuses
+    to compose otherwise, and tests/test_scale.py pins runtime
+    bijectivity through a genuinely sampled exchange).  Requires the
+    `order_col` key (a single column or a COMPOSITE list, r13: the
+    NTILE total orders rank by (value, tiebreak-id)) to be unique —
+    with duplicates a global row_number is itself nondeterministic, so
+    callers must already hold uniqueness for oracle parity."""
+    _require_exchange_reuse(df, "global_rank")
     cols = [order_col] if isinstance(order_col, str) else list(order_col)
     part = df.repartitionByRange(num_partitions, *cols).withColumn(
         "_grk_pid", F.spark_partition_id()
@@ -1480,7 +1514,9 @@ def global_cumsums(
     value ordering; two single-weight calls would range-shuffle the
     value table twice).  Same decomposition: range partition,
     per-partition window cumsums, bounded per-partition totals
-    prefix-summed into offsets and broadcast back."""
+    prefix-summed into offsets and broadcast back.  Same exchange-
+    reuse dependency as global_rank (see _require_exchange_reuse)."""
+    _require_exchange_reuse(df, "global_cumsums")
     part = df.repartitionByRange(num_partitions, order_col).withColumn(
         "_gcs_pid", F.spark_partition_id()
     )

@@ -29,6 +29,12 @@ STOPWORDS_EN = ["the", "a", "an", "of", "and", "to", "in", "is"]
 # (shared regex subset: works identically in Java, RE2/DuckDB, Python).
 BPE_ISH_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
 
+# math.log(2) as a single shared literal: token_js_matrix's Spark plan
+# AND catalog._js_matrix_sql's DuckDB oracle both embed it (the
+# generated-oracle convention — QS_K/MIX_BUDGET_TOKENS/XCORR_MAX_LAG);
+# defining it once means neither side can silently desync (r13 advice)
+LN2 = 0.6931471805599453
+
 
 def ws_token_count(c: Column) -> Column:
     """Whitespace token count."""
@@ -1442,10 +1448,9 @@ def token_js_matrix(
         .crossJoin(gtot.select(F.col("grp").alias("group_b")))
         .where(F.col("group_a") < F.col("group_b"))
     )
-    ln2 = 0.6931471805599453  # math.log(2), a shared Python literal
     js = (
         F.lit(0.5)
-        * F.lit(ln2)
+        * F.lit(LN2)  # module constant, shared with the oracle
         * (
             F.lit(2.0)
             - F.coalesce(F.col("sa").cast("double"), F.lit(0.0))

@@ -37,6 +37,18 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # HARD correctness pin, not a tuning default (r14, r13 advice):
+        # operators/scale.py's global_rank/global_cumsums join a
+        # sampled range exchange's output with an aggregate of the
+        # SAME exchange; the two consumers see identical partition
+        # boundaries ONLY because exchange reuse dedupes the sampled
+        # shuffle (measured: with this flag off the two branches'
+        # per-partition counts disagree on 32/32 partitions and ranks
+        # silently corrupt — even over a deterministic parquet input,
+        # because each exchange instance samples with its own rdd.id
+        # seed).  `true` is Spark's default; pinning it here protects
+        # against a caller override.  scale.py re-asserts at runtime.
+        .config("spark.sql.exchange.reuse", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # events.parquet carries TIMESTAMP(NANOS), which Spark rejects by

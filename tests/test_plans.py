@@ -1049,6 +1049,13 @@ def test_heaps_rank_window_is_partitioned(spark, sf_dir):
     assert rn_lines, "expected a row_number window in the rank subtree"
     for line in rn_lines:
         assert "_grk_pid" in line, f"unpartitioned rank window: {line}"
+    # boundary identity between the rank and counts branches is pinned
+    # at RUNTIME in tests/test_scale.py (bijectivity through a
+    # genuinely sampled exchange) + the session's exchange.reuse pin —
+    # a static "ReusedExchange" string assertion here would be wrong
+    # both ways (the pre-execution plan never shows it; the final AQE
+    # plan sometimes prints two Exchange nodes even when the stage
+    # cache deduped them — measured r14)
 
 
 def test_vocab_rank_windows_are_take_ordered_bounded(spark, sf_dir):
@@ -1253,3 +1260,4 @@ def test_deciles_rank_is_range_partitioned_no_global_sort(spark, sf_dir):
     for line in plan.splitlines():
         if "row_number()" in line:
             assert "_grk_pid" in line, line
+    # boundary identity is pinned at runtime in tests/test_scale.py

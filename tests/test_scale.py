@@ -963,6 +963,45 @@ def test_global_rank_composite_key(spark):
     assert got == expect
 
 
+def test_global_rank_bijective_through_sampled_exchange(spark):
+    # r14 (r13 advice, upgraded): the decisive RUNTIME pin for the
+    # rank/counts boundary-identity contract.  The tiny-input tests
+    # above never exercise it — with <= ~300 rows per input partition
+    # the range exchange's reservoir sample is the WHOLE partition, so
+    # even two unshared exchanges agree.  Here 500k continuous keys
+    # over 32 input partitions force genuine seeded sampling; if any
+    # future Spark/AQE change stops deduping the sampled exchange, the
+    # two branches pick different boundaries and the ranks stop being
+    # a bijection onto 1..n (measured failure mode: with
+    # spark.sql.exchange.reuse=false the per-partition counts disagree
+    # on 32/32 partitions).
+    df = spark.range(0, 500_000).repartition(32).selectExpr(
+        "id", "cast(hash(id) as double)/1e9 + id*1e-12 as k"
+    )
+    ranks = [r["rnk"] for r in SC.global_rank(df, "k").select("rnk").collect()]
+    assert sorted(ranks) == list(range(1, len(ranks) + 1))
+    assert len(ranks) == 500_000
+
+
+def test_global_rank_refuses_disabled_exchange_reuse(spark):
+    # r14: with exchange reuse off the decomposition is SILENTLY wrong
+    # (independently-seeded boundary samples per branch), so the
+    # helpers must fail loudly instead of composing
+    import pytest
+
+    df = spark.createDataFrame([("a", 1)], "doc string, w int")
+    spark.conf.set("spark.sql.exchange.reuse", "false")
+    try:
+        with pytest.raises(RuntimeError, match="exchange.reuse"):
+            SC.global_rank(df, "doc")
+        with pytest.raises(RuntimeError, match="exchange.reuse"):
+            SC.global_cumsum(df, "doc", "w")
+    finally:
+        spark.conf.set("spark.sql.exchange.reuse", "true")
+    # and the engine session pins the flag on (session.py)
+    assert spark.conf.get("spark.sql.exchange.reuse") == "true"
+
+
 def test_ntile_from_rank_matches_window_ntile(spark):
     # the arithmetic bucket must be BIT-IDENTICAL to ntile(k) OVER the
     # same total order, across remainder shapes (n % k != 0) and k > n
