@@ -627,6 +627,61 @@ def stable_core_movers(timings: dict[str, float]) -> dict[str, list[float]]:
     return movers
 
 
+def _latest_recorded_headline() -> dict[str, float]:
+    """Prior medians for EVERY timed query, not just the stable core
+    (r13 verdict item 2: the two r13 out-of-band movers —
+    incremental_near_dup_ingest +65%, copurchase_lift +45% — arrived
+    unflagged because mover detection only looked at the 25-member
+    core).  The driver's BENCH_r*.json keeps a bounded stdout TAIL, so
+    the full per-query dict is clipped there — but bench.py also
+    persists the COMPLETE payload to BENCH_LOCAL.json, and when that
+    file describes the SAME run the newest driver record captured
+    (its headline total appears verbatim in the record's tail), its
+    per-query dict IS the driver's ground truth.  Falls back to the
+    core-only tail scan when the local file is from a different run
+    (e.g. mid-round local iteration after the prior got overwritten)."""
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    recs = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+    if not recs:
+        return {}
+    try:
+        with open(recs[-1]) as f:
+            blob = f.read()
+    except OSError:
+        return {}
+    try:
+        with open(os.path.join(here, "BENCH_LOCAL.json")) as f:
+            local = json.load(f)
+        total = local["value"]
+        queries = local["queries"]
+        # same-run check: the compact line the driver tailed carries the
+        # run's total; an exact-text match (both sides json.dumps floats)
+        # proves BENCH_LOCAL.json is that very run
+        marker = f'\\"value\\": {json.dumps(total)},'
+        if (marker in blob or marker.replace("\\", "") in blob) and all(
+            isinstance(v, (int, float)) for v in queries.values()
+        ):
+            return {k: float(v) for k, v in queries.items()}
+    except (OSError, KeyError, ValueError, TypeError):
+        pass
+    return _scan_core_blob(blob)
+
+
+def headline_movers(timings: dict[str, float]) -> dict[str, list[float]]:
+    """The stable-core 0.25 s trigger rule applied to EVERY timed query
+    with a recoverable prior-record median (r13 verdict item 2); feeds
+    the full-headline outlier (±25%) report so non-core regressions
+    demand their own interleaved A/B from inside the artifact."""
+    prev = _latest_recorded_headline()
+    movers: dict[str, list[float]] = {}
+    for name, t in timings.items():
+        if name in prev and abs(t - prev[name]) > 0.25:
+            movers[name] = [round(prev[name], 3), round(t, 3)]
+    return movers
+
+
 # A genuine code regression moves the queries the code change touched;
 # an overloaded benchmark session multiplies EVERYTHING.  When at least
 # this many stable-core members move past the 0.25 s rule all in the
@@ -724,6 +779,9 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     movers = stable_core_movers(timings)
+    # full-headline movers must be computed BEFORE BENCH_LOCAL.json is
+    # overwritten below — the prior-run medians live in that file
+    all_movers = headline_movers(timings)
     payload = {
         "metric": "headline_queries_total_sec",
         "value": total,
@@ -735,7 +793,11 @@ def main() -> None:
         "stable_core": {n: timings[n] for n in STABLE_CORE if n in timings},
         "stable_core_movers": movers,
         "contention_suspect": contention_suspect(movers),
-        "outlier_movers": outlier_movers(movers),
+        # the ±25% band rule now covers the FULL headline (r13 verdict
+        # item 2), not just the core; headline_movers is its 0.25 s
+        # pre-filter over every query with a recoverable prior median
+        "headline_movers": all_movers,
+        "outlier_movers": outlier_movers(all_movers),
         "iters": iters,
         "sf": float(sf),
     }
@@ -765,7 +827,8 @@ def main() -> None:
         "n_queries": len(timings),
         "stable_core_sec": stable_core_total(timings),
         "contention_suspect": contention_suspect(movers),
-        "n_outlier_movers": len(outlier_movers(movers)),
+        "n_outlier_movers": len(outlier_movers(all_movers)),
+        "n_headline_movers": len(all_movers),
         "iters": iters,
         "sf": float(sf),
     }

@@ -120,19 +120,13 @@ _DEFERRED_TWINS = {
     # in tests/test_catalog_twins.py (AST-guard enforced), so each
     # remains value-checked against the oracle every pytest run.
     # ==================================================================
-    "industry_counts",  # green r1-r5; generated-oracle UNION spine;
-    #   conditional-count machinery also under the golden e2e test
+    # (r14: industry_counts, pricing_summary, revenue_by_nation,
+    #  exact_duplicates, minhash_near_dups — all green r1-r5 — rotated
+    #  INTO the window for their second driver pass; r13 verdict item
+    #  5, the r5-cohort second sweep.)
     "keyword_breakdown",  # green r1-r5; join formulation twin deferred
     "channel_audit",  # green r1-r5; rank-per-group + semi-join
-    "pricing_summary",  # green r1-r5; DECIMAL agg conventions pinned by
-    #   the in-window price_quantity_corr (r7: disjunctive_revenue
-    #   rotated out with its own differential)
-    "revenue_by_nation",  # green r1-r5; identical oracle to the promoted
-    #   revenue_by_nation_salted (equality twin test keeps them locked)
     "order_priority_rollup",  # green r1-r5; rollup/grouping-sets
-    "exact_duplicates",  # green r1-r5; fingerprint groupBy machinery
-    "minhash_near_dups",  # green r1-r5; banded-LSH machinery also inside
-    #   the in-window corpus-curation composition's dedup stage
     "minhash_dup_groups",  # green r3-r5; CC machinery via promoted
     #   winnowing_dup_groups / cosine_dup_groups
     "knn_bruteforce",  # green r1-r5; decimal-cosine machinery via the
@@ -140,15 +134,16 @@ _DEFERRED_TWINS = {
     "stream_dedup_count",  # green r1-r5; streaming dedup machinery; the
     #   promoted stream_quality_gate / stream_jsonl_counts keep
     #   streaming in-window
-    "stateful_user_stats",  # green r1-r5; applyInPandasWithState
+    # (r14: stateful_user_stats — green r1-r5, applyInPandasWithState —
+    #  rotated INTO the window for its second driver pass.)
     "stream_view_purchase_join",  # green r2-r5; stream-stream join
     "unigram_lm_scores",  # green r4-r5; broadcast-normalizer machinery
     #   via the promoted bigram_lm_scores / lm_quality_buckets
     "repetition_flags",  # green r4-r5; scan-stage expressions
     "pii_redaction",  # green r4-r5; zero-shuffle regex projections
     "line_dedup",  # green r4-r5; line-level C4 boilerplate machinery
-    "winnowing_pairs",  # green r4-r5; index probe via promoted
-    #   winnowing_dup_groups (which executes the pair stage internally)
+    # (r14: winnowing_pairs — green r4-r5, the MOSS index probe —
+    #  rotated INTO the window for its second driver pass.)
     "corpus_curation",  # green r4-r5; composition; the promoted
     #   curation_funnel / curation_summary / quality_keeper_selection
     #   re-execute its verdict pipeline in-window
@@ -195,10 +190,9 @@ _DEFERRED_TWINS = {
     # an in-window member or a measured scale test, and each demotion
     # carries a DuckDB differential below (AST-guard enforced).
     # ==================================================================
-    "fuzzy_customer_pairs",  # green r5 + measured 10x stress w/ planted
-    #   recall; q-gram Levenshtein machinery pinned by its own plan
-    #   guard — slot taken by min_cost_supplier (Q2 per-part min across
-    #   a region-scoped join chain)
+    # (r14: fuzzy_customer_pairs — green r5 + measured 10x stress with
+    #  planted recall — rotated INTO the window for its second driver
+    #  pass.)
     "order_price_histogram",  # green r5; broadcast-boundary equi-depth
     #   machinery, no-Window plan-pinned — slot taken by important_parts
     #   (Q11 HAVING vs global scalar)
@@ -914,22 +908,50 @@ _DEFERRED_TWINS = {
     #   family keeps hits, ppr, cheapest_paths and assortativity
     #   in-window; slot taken by event_type_stationary (NOVEL r12:
     #   Markov fixed point via unrolled power iterations)
-    # ---- round-13 deferrals AT BIRTH (the r10 convention: the window
-    # is full of this round's twelve in-window novelties; each carries
-    # a differential proof from day one and queues for the round-14
-    # rotation's first driver pass) ----
-    "source_token_js_matrix",  # NOVEL r13: pairwise Jensen-Shannon
-    #   mix map over source token distributions
-    "orders_open_backlog",  # NOVEL r13: sweep-line interval-stabbing
-    #   daily open-order counts
-    "event_dow_seasonality",  # NOVEL r13: ANOVA eta2 weekday
-    #   seasonality strength over the daily grid
-    "basket_frequent_triples",  # NOVEL r13: second A-priori iteration
-    #   with the full downward-closure prune
-    "copurchase_degree_powerlaw",  # NOVEL r13: Clauset-Shalizi-Newman
-    #   degree-tail exponent
-    "stream_event_type_cusum",  # NOVEL r13: streaming CUSUM twin on
-    #   the shared oracle (stream==batch proof)
+    # ==================================================================
+    # ROUND-14 ROTATION (r13 verdict items 3 + 5).  IN: the six r13
+    # deferrals-at-birth (source_token_js_matrix, orders_open_backlog,
+    # event_dow_seasonality, basket_frequent_triples,
+    # copurchase_degree_powerlaw, stream_event_type_cusum — their first
+    # driver pass; never-driver-checked tally back to 0) plus the
+    # EIGHT longest-stale r5-cohort members (industry_counts,
+    # pricing_summary, revenue_by_nation, exact_duplicates,
+    # minhash_near_dups, winnowing_pairs, stateful_user_stats,
+    # fuzzy_customer_pairs — second driver pass, starting the
+    # r5-cohort second sweep: 41 -> 33).  OUT: the fourteen demotions
+    # below — every one driver-green in round 13 (the freshest
+    # possible), none an in-window equality-twin anchor
+    # (top_channels_by_views, sliding_window_counts, events_json_stats
+    # and bm25_search stay in-window for exactly that reason), and
+    # every one already carrying its DuckDB differential in
+    # tests/test_catalog_twins.py from an earlier rotation (AST-guard
+    # re-verified).
+    # ==================================================================
+    "top_posts",  # green r1-r4,r13; top-k machinery stays in-window
+    #   via top_channels_by_views (the salted equality anchor)
+    "segment_order_stats",  # green r1-r4,r13; multi-agg join shapes
+    #   in-window via monthly rollup family + TPC-H members
+    "running_order_totals",  # green r1-r4,r13; frame windows in-window
+    #   via sliding_window_counts
+    "nation_region_setops",  # green r1-r4,r13; set-op plans pinned
+    "events_daily_counts",  # green r1-r4,r12,r13; the zero-fill spine
+    #   also runs inside in-window event_dow_seasonality's daily grid
+    "monthly_revenue_rollup",  # green r1-r4,r12,r13; time-bucket
+    #   rollup; the spine family keeps orders_open_backlog in-window
+    "user_activity_pivot",  # green r1-r4,r13; pivot machinery
+    "word_frequency_by_lang",  # green r5,r13; tokenize+count via
+    #   in-window word_frequency_by_industry / persian_word_frequency
+    "doc_quality_metrics",  # green r4,r12,r13; scan-stage quality
+    #   features also feed in-window corpus_vocab_richness
+    "language_id",  # green r4,r12,r13; marker-score projection
+    "winnowing_fingerprints",  # green r5,r13; the fingerprint family's
+    #   pair stage (winnowing_pairs) takes the in-window slot
+    "decontamination_check",  # green r4,r12,r13; n-gram probe joins
+    #   in-window via the promoted minhash/winnowing members
+    "stratified_sample",  # green r4,r12,r13; deterministic md5-draw
+    #   samplers also run inside in-window source_mix_allocation
+    "multimodal_byte_features",  # green r5,r13; Arrow mapInPandas
+    #   plumbing pinned by plan + unit tests; real codecs env-gated
 }
 
 
@@ -6670,31 +6692,118 @@ def _purchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+COPURCHASE_INDEX_FLOOR = 2  # weakest support any family member uses
+
+
+def _copurchase_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once/query-many canonical co-purchase PAIR-COUNT index
+    (r14, r13 verdict item 7): six catalog members — lift, triangles,
+    k-core, assortativity, degree-powerlaw, frequent-triples — each
+    re-derived the same (order, part)-basket pair CTE per query, and
+    its within-basket self-join is the single most expensive stage of
+    the family (SCALE.md: it dominates copurchase_degree_powerlaw).
+    This persists that stage ONCE per fixture under
+    .cache/copairs/<key>/ (the .cache/winnow / lshindex / dpp seam:
+    staged build + atomic rename, crash-safe, keyed on the lineitem
+    file's size+mtime so a fixture change rebuilds):
+
+      pair_counts/   (item_a < item_b, n_both)  with n_both >= FLOOR
+      item_support/  (item, n_item)             every item
+      n_baskets/     (n_baskets)                one row
+
+    Exactness, not approximation: any pair with co-occurrence >=
+    FLOOR appears with its EXACT count (the A-priori floor prune
+    drops items with support < FLOOR before the self-join, which
+    cannot lose any pair with n_both >= FLOOR because both its items'
+    supports are >= n_both) — so every consumer with min_support >=
+    FLOOR reads `pair_counts WHERE n_both >= its threshold` and gets
+    bit-identical results to its old per-query derivation; oracles
+    are unchanged and keep proving exactly that."""
+    import hashlib
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    src_file = os.path.join(sf_dir, "lineitem.parquet")
+    st = os.stat(src_file)
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{st.st_size}:{st.st_mtime_ns}".encode()
+    ).hexdigest()[:12]
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".cache", "copairs", key,
+    )
+    if not os.path.isfile(os.path.join(base, "_BUILT")):
+        shutil.rmtree(base, ignore_errors=True)
+        tmp = base + ".building"
+        shutil.rmtree(tmp, ignore_errors=True)
+        items = (
+            load(spark, sf_dir, "lineitem", parallel=True)
+            .select(
+                F.col("l_orderkey").alias("basket"),
+                F.col("l_partkey").alias("item"),
+            )
+            .distinct()
+        )
+        isup = items.groupBy("item").agg(
+            F.count(F.lit(1)).cast("long").alias("n_item")
+        )
+        isup.write.mode("overwrite").parquet(
+            os.path.join(tmp, "item_support")
+        )
+        items.select(
+            F.count_distinct("basket").cast("long").alias("n_baskets")
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(tmp, "n_baskets")
+        )
+        fitems = items.join(
+            isup.where(F.col("n_item") >= COPURCHASE_INDEX_FLOOR).select(
+                "item"
+            ),
+            "item",
+        )
+        a = fitems.select("basket", F.col("item").alias("item_a"))
+        b = fitems.select("basket", F.col("item").alias("item_b"))
+        (
+            a.join(b, "basket")
+            .where(F.col("item_a") < F.col("item_b"))
+            .groupBy("item_a", "item_b")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+            .where(F.col("n_both") >= COPURCHASE_INDEX_FLOOR)
+            .write.mode("overwrite")
+            .parquet(os.path.join(tmp, "pair_counts"))
+        )
+        with open(os.path.join(tmp, "_BUILT"), "w") as f:
+            f.write("ok")
+        os.rename(tmp, base)
+    return base
+
+
 def _copurchase_pairs(
     spark: SparkSession, sf_dir: str, min_support: int = 2
 ) -> DataFrame:
     """Canonical co-purchase part-pair edges (a < b, pairs co-occurring
-    in >= min_support orders) — shared by the triangle and k-core
-    queries and mirrored by their oracle CTEs, so the support
-    threshold lives in one place (r10 continuation review finding)."""
+    in >= min_support orders) — shared by the triangle / k-core /
+    assortativity / degree-powerlaw queries and mirrored by their
+    oracle CTEs, so the support threshold lives in one place (r10
+    continuation review finding).  r14: served from the persisted
+    _copurchase_index instead of re-running the within-basket
+    self-join per query."""
+    import os
+
     from pyspark.sql import functions as F
 
-    items = (
-        load(spark, sf_dir, "lineitem", parallel=True)
-        .select(
-            F.col("l_orderkey").alias("basket"),
-            F.col("l_partkey").alias("item"),
+    if min_support < COPURCHASE_INDEX_FLOOR:
+        raise ValueError(
+            f"min_support {min_support} below index floor "
+            f"{COPURCHASE_INDEX_FLOOR}: pairs rarer than the floor are "
+            "not in the persisted index"
         )
-        .distinct()
-    )
-    a = items.select("basket", F.col("item").alias("item_a"))
-    b = items.select("basket", F.col("item").alias("item_b"))
+    base = _copurchase_index(spark, sf_dir)
     return (
-        a.join(b, "basket")
-        .where(F.col("item_a") < F.col("item_b"))
-        .groupBy("item_a", "item_b")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .where(F.col("n") >= min_support)
+        spark.read.parquet(os.path.join(base, "pair_counts"))
+        .where(F.col("n_both") >= min_support)
         .select(F.col("item_a").alias("a"), F.col("item_b").alias("b"))
     )
 
@@ -8100,14 +8209,50 @@ def q_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     explosion runs on frequent items only, co-partitioned on the
     order key.  NOVEL round-10 machinery → in-window at birth;
     events_skew_report (green r8-r9) rotated out on its r7-era
-    differential."""
-    from .operators import stats as ST
+    differential.  r14: the pair-count stage now comes from the
+    persisted _copurchase_index (support-3 pairs are exactly the
+    index's floor-2 rows filtered at 3 — see the index docstring);
+    the lift attach joins the persisted item supports and basket
+    count, reproducing operators/stats.py:frequent_pairs' output
+    bit-for-bit (the oracle, unchanged, keeps proving it)."""
+    import os
 
-    return ST.frequent_pairs(
-        load(spark, sf_dir, "lineitem", parallel=True),
-        "l_orderkey",
-        "l_partkey",
-        COPURCHASE_MIN_SUPPORT,
+    from pyspark.sql import functions as F
+
+    base = _copurchase_index(spark, sf_dir)
+    pairs = (
+        spark.read.parquet(os.path.join(base, "pair_counts"))
+        .where(F.col("n_both") >= COPURCHASE_MIN_SUPPORT)
+    )
+    isup = spark.read.parquet(os.path.join(base, "item_support"))
+    nb = spark.read.parquet(os.path.join(base, "n_baskets"))
+    sa = isup.select(
+        F.col("item").alias("item_a"), F.col("n_item").alias("n_a")
+    )
+    sb = isup.select(
+        F.col("item").alias("item_b"), F.col("n_item").alias("n_b")
+    )
+    return (
+        pairs.join(sa, "item_a")
+        .join(sb, "item_b")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "item_a",
+            "item_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_both").cast("double")
+                * F.col("n_baskets")
+                # double denominator: long*long overflows int64 past
+                # ~3e9-basket item supports (the frequent_pairs
+                # convention; the oracle casts identically)
+                / (F.col("n_a").cast("double") * F.col("n_b")),
+                9,
+            ).alias("lift"),
+        )
+        .orderBy("item_a", "item_b")
     )
 
 
@@ -11342,15 +11487,29 @@ def q_basket_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     which lists pairwise-connected triples without requiring the
     TRIPLE itself to recur (a graph triangle needs 3 frequent edges;
     a frequent triple needs the 3-way co-occurrence to repeat).
-    DEFERRED AT BIRTH (the r10 convention; differential proof in
-    tests/test_catalog_twins.py until the round-14 rotation)."""
+    r14: L1 supports and L2 frequent pairs come from the persisted
+    _copurchase_index (min_support 2 == the index floor), skipping
+    both aggregate shuffles; the basket-grain extension stage is
+    unchanged.  Promoted into the window by the round-14 rotation for
+    its first driver pass."""
+    import os
+
+    from pyspark.sql import functions as F
+
     from .operators import stats as ST
 
+    base = _copurchase_index(spark, sf_dir)
     return ST.frequent_triples(
         load(spark, sf_dir, "lineitem", parallel=True),
         "l_orderkey",
         "l_partkey",
         min_support=2,
+        item_support=spark.read.parquet(
+            os.path.join(base, "item_support")
+        ),
+        l2_pairs=spark.read.parquet(
+            os.path.join(base, "pair_counts")
+        ).where(F.col("n_both") >= 2),
     )
 
 

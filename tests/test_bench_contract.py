@@ -157,6 +157,60 @@ def test_contention_suspect_flags_uniform_direction_only():
     assert bench.contention_suspect({}) is False
 
 
+def test_headline_movers_cover_non_core_queries():
+    # r13 verdict item 2: the ±25% outlier rule must see EVERY timed
+    # query with a recoverable prior median, not only the 25-member
+    # core — the r13 record's two out-of-band movers
+    # (incremental_near_dup_ingest, copurchase_lift) arrived unflagged
+    # because detection was core-only.
+    prev = bench._latest_recorded_headline()
+    if not prev:  # fresh checkout: no driver record at all
+        assert bench.headline_movers({"anything": 1.0}) == {}
+        return
+    # the full-headline prior must be a strict superset of the core
+    # scan whenever BENCH_LOCAL.json matches the driver record
+    core = bench._latest_recorded_core()
+    assert set(core) <= set(prev) or prev == core
+    if len(prev) > len(core):
+        # a NON-core member moving past the rule is now flagged
+        name = next(n for n in prev if n not in core)
+        moved = {name: prev[name] + 0.3}
+        flagged = bench.headline_movers(moved)
+        assert name in flagged
+        assert flagged[name] == [round(prev[name], 3), round(prev[name] + 0.3, 3)]
+        # and in-band movement stays quiet
+        assert bench.headline_movers({name: prev[name] + 0.2}) == {}
+
+
+def test_headline_prior_falls_back_when_local_is_stale(tmp_path, monkeypatch):
+    # when BENCH_LOCAL.json describes a DIFFERENT run than the newest
+    # driver record (mid-round local iteration), the same-run marker
+    # fails and the prior degrades to the core-only tail scan instead
+    # of silently trusting stale per-query numbers
+    import os, shutil, glob, json as _json
+
+    src = os.path.dirname(os.path.abspath(bench.__file__))
+    recs = sorted(glob.glob(os.path.join(src, "BENCH_r*.json")))
+    if not recs or not os.path.exists(os.path.join(src, "BENCH_LOCAL.json")):
+        return  # fresh checkout: nothing to degrade from
+    shutil.copy(recs[-1], tmp_path / os.path.basename(recs[-1]))
+    with open(os.path.join(src, "BENCH_LOCAL.json")) as f:
+        local = _json.load(f)
+    local["value"] = local["value"] + 999.0  # different run now
+    with open(tmp_path / "BENCH_LOCAL.json", "w") as f:
+        f.write(_json.dumps(local))
+    real_dirname = os.path.dirname
+
+    def fake_dirname(p):
+        return str(tmp_path) if p == os.path.abspath(bench.__file__) else real_dirname(p)
+
+    monkeypatch.setattr(bench.os.path, "dirname", fake_dirname)
+    got = bench._latest_recorded_headline()
+    with open(recs[-1]) as f:
+        blob = f.read()
+    assert got == bench._scan_core_blob(blob)
+
+
 def test_outlier_movers_flags_band_leavers_any_direction():
     # r9 verdict item 1: the r9 record's 4-up/2-down mover set (largest
     # +44%) slipped past the direction-count contention rule; the
