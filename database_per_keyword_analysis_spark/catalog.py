@@ -6692,94 +6692,6 @@ def _purchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-COPURCHASE_INDEX_FLOOR = 2  # weakest support any family member uses
-
-
-def _copurchase_index(spark: SparkSession, sf_dir: str) -> str:
-    """Build-once/query-many canonical co-purchase PAIR-COUNT index
-    (r14, r13 verdict item 7): six catalog members — lift, triangles,
-    k-core, assortativity, degree-powerlaw, frequent-triples — each
-    re-derived the same (order, part)-basket pair CTE per query, and
-    its within-basket self-join is the single most expensive stage of
-    the family (SCALE.md: it dominates copurchase_degree_powerlaw).
-    This persists that stage ONCE per fixture under
-    .cache/copairs/<key>/ (the .cache/winnow / lshindex / dpp seam:
-    staged build + atomic rename, crash-safe, keyed on the lineitem
-    file's size+mtime so a fixture change rebuilds):
-
-      pair_counts/   (item_a < item_b, n_both)  with n_both >= FLOOR
-      item_support/  (item, n_item)             every item
-      n_baskets/     (n_baskets)                one row
-
-    Exactness, not approximation: any pair with co-occurrence >=
-    FLOOR appears with its EXACT count (the A-priori floor prune
-    drops items with support < FLOOR before the self-join, which
-    cannot lose any pair with n_both >= FLOOR because both its items'
-    supports are >= n_both) — so every consumer with min_support >=
-    FLOOR reads `pair_counts WHERE n_both >= its threshold` and gets
-    bit-identical results to its old per-query derivation; oracles
-    are unchanged and keep proving exactly that."""
-    import hashlib
-    import os
-    import shutil
-
-    from pyspark.sql import functions as F
-
-    src_file = os.path.join(sf_dir, "lineitem.parquet")
-    st = os.stat(src_file)
-    key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}:{st.st_size}:{st.st_mtime_ns}".encode()
-    ).hexdigest()[:12]
-    base = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        ".cache", "copairs", key,
-    )
-    if not os.path.isfile(os.path.join(base, "_BUILT")):
-        shutil.rmtree(base, ignore_errors=True)
-        tmp = base + ".building"
-        shutil.rmtree(tmp, ignore_errors=True)
-        items = (
-            load(spark, sf_dir, "lineitem", parallel=True)
-            .select(
-                F.col("l_orderkey").alias("basket"),
-                F.col("l_partkey").alias("item"),
-            )
-            .distinct()
-        )
-        isup = items.groupBy("item").agg(
-            F.count(F.lit(1)).cast("long").alias("n_item")
-        )
-        isup.write.mode("overwrite").parquet(
-            os.path.join(tmp, "item_support")
-        )
-        items.select(
-            F.count_distinct("basket").cast("long").alias("n_baskets")
-        ).coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(tmp, "n_baskets")
-        )
-        fitems = items.join(
-            isup.where(F.col("n_item") >= COPURCHASE_INDEX_FLOOR).select(
-                "item"
-            ),
-            "item",
-        )
-        a = fitems.select("basket", F.col("item").alias("item_a"))
-        b = fitems.select("basket", F.col("item").alias("item_b"))
-        (
-            a.join(b, "basket")
-            .where(F.col("item_a") < F.col("item_b"))
-            .groupBy("item_a", "item_b")
-            .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
-            .where(F.col("n_both") >= COPURCHASE_INDEX_FLOOR)
-            .write.mode("overwrite")
-            .parquet(os.path.join(tmp, "pair_counts"))
-        )
-        with open(os.path.join(tmp, "_BUILT"), "w") as f:
-            f.write("ok")
-        os.rename(tmp, base)
-    return base
-
-
 def _copurchase_pairs(
     spark: SparkSession, sf_dir: str, min_support: int = 2
 ) -> DataFrame:
@@ -6787,23 +6699,36 @@ def _copurchase_pairs(
     in >= min_support orders) — shared by the triangle / k-core /
     assortativity / degree-powerlaw queries and mirrored by their
     oracle CTEs, so the support threshold lives in one place (r10
-    continuation review finding).  r14: served from the persisted
-    _copurchase_index instead of re-running the within-basket
-    self-join per query."""
-    import os
+    continuation review finding).
 
+    r14 optimization round: computed per invocation from the parquet
+    input — the round-14-open persisted .cache/copairs index was
+    removed because the optimization-round contract forbids persisted
+    intermediates keyed on the fixture (every bench/oracle invocation
+    must compute from parquet); the derivation stays shared as CODE.
+    No L1 item prune here: on this star schema items below the support
+    floor are a negligible slice (avg part support ≈ 30 baskets), so
+    the prune's extra item-keyed exchange costs more than the pair
+    fan-out it saves — frequent_pairs (Zipfian-basket posture) keeps
+    the prune where the skew argument holds."""
     from pyspark.sql import functions as F
 
-    if min_support < COPURCHASE_INDEX_FLOOR:
-        raise ValueError(
-            f"min_support {min_support} below index floor "
-            f"{COPURCHASE_INDEX_FLOOR}: pairs rarer than the floor are "
-            "not in the persisted index"
+    items = (
+        load(spark, sf_dir, "lineitem", parallel=True)
+        .select(
+            F.col("l_orderkey").alias("basket"),
+            F.col("l_partkey").alias("item"),
         )
-    base = _copurchase_index(spark, sf_dir)
+        .distinct()
+    )
+    a = items.select("basket", F.col("item").alias("item_a"))
+    b = items.select("basket", F.col("item").alias("item_b"))
     return (
-        spark.read.parquet(os.path.join(base, "pair_counts"))
-        .where(F.col("n_both") >= min_support)
+        a.join(b, "basket")
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= min_support)
         .select(F.col("item_a").alias("a"), F.col("item_b").alias("b"))
     )
 
@@ -8209,50 +8134,16 @@ def q_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     explosion runs on frequent items only, co-partitioned on the
     order key.  NOVEL round-10 machinery → in-window at birth;
     events_skew_report (green r8-r9) rotated out on its r7-era
-    differential.  r14: the pair-count stage now comes from the
-    persisted _copurchase_index (support-3 pairs are exactly the
-    index's floor-2 rows filtered at 3 — see the index docstring);
-    the lift attach joins the persisted item supports and basket
-    count, reproducing operators/stats.py:frequent_pairs' output
-    bit-for-bit (the oracle, unchanged, keeps proving it)."""
-    import os
+    differential.  r14 optimization round: computed per invocation
+    from parquet (the round-14-open persisted pair index was removed —
+    optimization-round contract; see _copurchase_pairs)."""
+    from .operators import stats as ST
 
-    from pyspark.sql import functions as F
-
-    base = _copurchase_index(spark, sf_dir)
-    pairs = (
-        spark.read.parquet(os.path.join(base, "pair_counts"))
-        .where(F.col("n_both") >= COPURCHASE_MIN_SUPPORT)
-    )
-    isup = spark.read.parquet(os.path.join(base, "item_support"))
-    nb = spark.read.parquet(os.path.join(base, "n_baskets"))
-    sa = isup.select(
-        F.col("item").alias("item_a"), F.col("n_item").alias("n_a")
-    )
-    sb = isup.select(
-        F.col("item").alias("item_b"), F.col("n_item").alias("n_b")
-    )
-    return (
-        pairs.join(sa, "item_a")
-        .join(sb, "item_b")
-        .crossJoin(F.broadcast(nb))
-        .select(
-            "item_a",
-            "item_b",
-            "n_both",
-            "n_a",
-            "n_b",
-            F.round(
-                F.col("n_both").cast("double")
-                * F.col("n_baskets")
-                # double denominator: long*long overflows int64 past
-                # ~3e9-basket item supports (the frequent_pairs
-                # convention; the oracle casts identically)
-                / (F.col("n_a").cast("double") * F.col("n_b")),
-                9,
-            ).alias("lift"),
-        )
-        .orderBy("item_a", "item_b")
+    return ST.frequent_pairs(
+        load(spark, sf_dir, "lineitem", parallel=True),
+        "l_orderkey",
+        "l_partkey",
+        COPURCHASE_MIN_SUPPORT,
     )
 
 
@@ -11487,29 +11378,16 @@ def q_basket_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     which lists pairwise-connected triples without requiring the
     TRIPLE itself to recur (a graph triangle needs 3 frequent edges;
     a frequent triple needs the 3-way co-occurrence to repeat).
-    r14: L1 supports and L2 frequent pairs come from the persisted
-    _copurchase_index (min_support 2 == the index floor), skipping
-    both aggregate shuffles; the basket-grain extension stage is
-    unchanged.  Promoted into the window by the round-14 rotation for
-    its first driver pass."""
-    import os
-
-    from pyspark.sql import functions as F
-
+    Promoted into the window by the round-14 rotation for its first
+    driver pass.  r14 optimization round: computed per invocation
+    from parquet (persisted index removed; see _copurchase_pairs)."""
     from .operators import stats as ST
 
-    base = _copurchase_index(spark, sf_dir)
     return ST.frequent_triples(
         load(spark, sf_dir, "lineitem", parallel=True),
         "l_orderkey",
         "l_partkey",
         min_support=2,
-        item_support=spark.read.parquet(
-            os.path.join(base, "item_support")
-        ),
-        l2_pairs=spark.read.parquet(
-            os.path.join(base, "pair_counts")
-        ).where(F.col("n_both") >= 2),
     )
 
 

@@ -1580,9 +1580,6 @@ def frequent_triples(
     basket_col: str,
     item_col: str,
     min_support: int,
-    *,
-    item_support: DataFrame | None = None,
-    l2_pairs: DataFrame | None = None,
 ) -> DataFrame:
     """The SECOND A-priori iteration (Agrawal & Srikant VLDB'94):
     frequent item TRIPLES, mined with the full downward-closure prune
@@ -1599,24 +1596,12 @@ def frequent_triples(
     frequent items, not C(k,3).  Everything after the triple count is
     key-cardinality.  All integer arithmetic.
 
-    `item_support` / `l2_pairs` (r14) optionally inject PRECOMPUTED
-    L1 supports (item, n_item) and L2 frequent pairs (item_a, item_b,
-    already thresholded at min_support) — the catalog passes both
-    from its persisted co-purchase index, skipping the two aggregate
-    shuffles; the basket-grain pair-instance stage (the part an edge
-    index cannot replace — triple counting needs the co-occurrences,
-    not the counts) is unchanged, and so is the result.
-
     Returns (item_a < item_b < item_c, support) with support >=
     min_support, deterministically ordered."""
     items = baskets.select(
         F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
     ).distinct()
-    isup = (
-        item_support
-        if item_support is not None
-        else items.groupBy("item").agg(F.count(F.lit(1)).alias("n_item"))
-    )
+    isup = items.groupBy("item").agg(F.count(F.lit(1)).alias("n_item"))
     fitems = items.join(
         isup.where(F.col("n_item") >= min_support).select("item"), "item"
     )
@@ -1626,9 +1611,7 @@ def frequent_triples(
         F.col("item_a") < F.col("item_b")
     )
     l2 = (
-        l2_pairs.select("item_a", "item_b")
-        if l2_pairs is not None
-        else pair_inst.groupBy("item_a", "item_b")
+        pair_inst.groupBy("item_a", "item_b")
         .agg(F.count(F.lit(1)).alias("n_both"))
         .where(F.col("n_both") >= min_support)
         .select("item_a", "item_b")
