@@ -764,16 +764,34 @@ def main() -> None:
         # noop write under-reported those queries (semantic_dedup showed
         # 0.3 s for a ~2 s computation).  For plain queries construction
         # is millisecond plan building, so this changes nothing else.
+        # r14 measurement fix (documented in OPTIMIZATION_r14.md): clear
+        # the SQL cache BETWEEN samples, outside the timed window.  Two
+        # measured reasons: (1) queries that persist() an intermediate
+        # (the graph family's DISK_ONLY edge lists, CC label tables)
+        # register it in Catalyst's CacheManager, and the NEXT run of
+        # the same query plan-matches that entry and silently reuses
+        # the cached data — the warm medians were partially measuring
+        # cross-run result reuse, which the bench must not do; (2) the
+        # entries accumulate across the whole headline (never
+        # unpersisted — the returned DataFrames outlive their query),
+        # and every later query's plan compilation scans the growing
+        # cache for subtree matches: a 12-leaker probe degraded an
+        # unrelated scan query ~30% and clearCache restored it.  Each
+        # sample now computes its full plan from the parquet inputs.
+        spark.sparkContext.setJobDescription(f"bench: {name} (cold)")
         t0 = time.perf_counter()
         df = qs[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         cold[name] = round(time.perf_counter() - t0, 3)
+        spark.catalog.clearCache()
         samples = []
-        for _ in range(iters):
+        for i in range(iters):
+            spark.sparkContext.setJobDescription(f"bench: {name} #{i}")
             t0 = time.perf_counter()
             dfi = qs[name](spark, sf_dir)
             dfi.write.format("noop").mode("overwrite").save()
             samples.append(round(time.perf_counter() - t0, 3))
+            spark.catalog.clearCache()
         spread[name] = samples
         timings[name] = sorted(samples)[len(samples) // 2]
 

@@ -6720,6 +6720,10 @@ def _copurchase_pairs(
             F.col("l_partkey").alias("item"),
         )
         .distinct()
+        # materialize once (r14): both self-join sides reference this
+        # table; without it each side re-scans lineitem and re-runs
+        # the distinct shuffle (branch column pruning defeats reuse)
+        .localCheckpoint()
     )
     a = items.select("basket", F.col("item").alias("item_a"))
     b = items.select("basket", F.col("item").alias("item_b"))

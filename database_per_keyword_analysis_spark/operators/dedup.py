@@ -1724,7 +1724,17 @@ def incremental_near_dups(
         )
     )
     within = lsh_candidate_pairs(sig_b, n_seeds, n_bands)
-    cand = cross.unionByName(within).distinct()
+    # materialize the candidate list ONCE (r14 optimization): it is
+    # candidate-bounded (tiny next to the corpus), yet FIVE consumers
+    # reference it below — the two partner_ids union branches, the
+    # stale-guard action, the verify join's spine, and the
+    # corpus_needed broadcast — and each branch would otherwise re-run
+    # the whole candidate pipeline (batch shingling + S-seed signature
+    # aggregate + index probe + within-batch banding join), because
+    # per-branch column pruning makes the subtrees non-identical and
+    # defeats exchange reuse.  Measured at sf0.1: the stale-guard
+    # collect alone re-ran the full pipeline before this.
+    cand = cross.unionByName(within).distinct().localCheckpoint()
     # verify shingles: the batch's own stream plus ONLY the candidate
     # corpus partners' stream (key-join, candidate-bounded)
     partner_ids = (
@@ -1750,7 +1760,14 @@ def incremental_near_dups(
             "insert-only — rebuild it after deletions"
         )
     corpus_needed = corpus_docs.join(F.broadcast(partner_ids), "doc_id")
-    sh_all = sh_b.unionByName(shingles(corpus_needed, text_col, n, unit))
+    # materialize the verify shingle stream once (r14 optimization):
+    # its three consumers below (the size aggregate and both sides of
+    # the intersection join) would each re-run the batch + partner
+    # shingling explode+distinct; the stream is batch-plus-partners
+    # sized — bounded by the ingest batch, never the corpus
+    sh_all = sh_b.unionByName(
+        shingles(corpus_needed, text_col, n, unit)
+    ).localCheckpoint()
     sizes = sh_all.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh_all.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh_all.select(F.col("doc_id").alias("doc_b"), "shingle")

@@ -209,13 +209,27 @@ def frequent_pairs(
     (item_a, item_b, n_both, n_a, n_b, lift), item_a < item_b,
     pair support >= min_support, deterministically ordered.
     Reference N/A (no basket analysis in main.py)."""
+    # materialize the distinct (basket, item) table ONCE (r14
+    # optimization): its three consumers below (the basket count, the
+    # item-support aggregate, and the frequent-item join) each push a
+    # DIFFERENT column set into the scan, so Catalyst plans three
+    # non-identical subtrees and exchange reuse never fires — the
+    # measured plan re-scanned the fact table 14 times at sf0.1, and at
+    # 100 TB every branch is a full table pass.  One localCheckpoint
+    # turns that into one scan + one distinct shuffle, read three times.
     items = baskets.select(
         F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
-    ).distinct()
+    ).distinct().localCheckpoint()
     n_baskets = items.select(
         F.count_distinct("basket").cast("long").alias("n_baskets")
     )
-    isup = items.groupBy("item").agg(F.count(F.lit(1)).alias("n_item"))
+    # isup is item-cardinality (small next to the fact); it too has
+    # three consumers (the frequent filter and both lift attach sides)
+    isup = (
+        items.groupBy("item")
+        .agg(F.count(F.lit(1)).alias("n_item"))
+        .localCheckpoint()
+    )
     frequent = isup.where(F.col("n_item") >= min_support)
     fitems = items.join(frequent.select("item"), "item")
     a = fitems.select("basket", F.col("item").alias("item_a"))
@@ -1598,13 +1612,24 @@ def frequent_triples(
 
     Returns (item_a < item_b < item_c, support) with support >=
     min_support, deterministically ordered."""
+    # materialize each reused tier once (r14 optimization): items has
+    # two consumers, fitems three (the a/b pair sides and the c
+    # extension side), l2 three (the pair filter and both sub-pair
+    # prunes) — without this every reference re-planned its whole
+    # upstream (per-branch column pruning defeats exchange reuse) and
+    # the measured plan re-scanned the fact table 36 times at sf0.1;
+    # at 100 TB each of those is a full table pass.  items/fitems are
+    # basket-grain (one scan's worth of narrow longs), l2 is
+    # pair-key-cardinality — all bounded next to the pair-instance
+    # stream, which stays unmaterialized (it is the one stage LARGER
+    # than the input and is consumed co-partitioned).
     items = baskets.select(
         F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
-    ).distinct()
+    ).distinct().localCheckpoint()
     isup = items.groupBy("item").agg(F.count(F.lit(1)).alias("n_item"))
     fitems = items.join(
         isup.where(F.col("n_item") >= min_support).select("item"), "item"
-    )
+    ).localCheckpoint()
     a = fitems.select("basket", F.col("item").alias("item_a"))
     b = fitems.select("basket", F.col("item").alias("item_b"))
     pair_inst = a.join(b, "basket").where(
@@ -1615,6 +1640,7 @@ def frequent_triples(
         .agg(F.count(F.lit(1)).alias("n_both"))
         .where(F.col("n_both") >= min_support)
         .select("item_a", "item_b")
+        .localCheckpoint()
     )
     bp = pair_inst.join(l2, ["item_a", "item_b"])
     c = fitems.select("basket", F.col("item").alias("item_c"))

@@ -41,12 +41,14 @@ def main() -> None:
         df = qs[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         cold = round(time.perf_counter() - t0, 3)
+        spark.catalog.clearCache()  # bench.py's r14 between-sample hygiene
         samples = []
         for _ in range(reps):
             t0 = time.perf_counter()
             dfi = qs[name](spark, sf_dir)
             dfi.write.format("noop").mode("overwrite").save()
             samples.append(round(time.perf_counter() - t0, 3))
+            spark.catalog.clearCache()
         out[name] = {
             "cold": cold,
             "samples": samples,

@@ -48,6 +48,7 @@ def main() -> None:
         df = qs[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         cold = round(time.perf_counter() - t0, 3)
+        spark.catalog.clearCache()  # bench.py's r14 between-sample hygiene
         samples = []
         for i in range(reps):
             spark.sparkContext.setJobDescription(f"r14-measure: {name} #{i}")
@@ -55,6 +56,7 @@ def main() -> None:
             dfi = qs[name](spark, sf_dir)
             dfi.write.format("noop").mode("overwrite").save()
             samples.append(round(time.perf_counter() - t0, 3))
+            spark.catalog.clearCache()
         # plan capture AFTER timing so explain cost never pollutes samples
         buf = io.StringIO()
         with redirect_stdout(buf):
