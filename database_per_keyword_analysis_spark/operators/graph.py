@@ -218,6 +218,12 @@ def label_propagation_fixed(
         counts = nbr.groupBy("_v", "label").agg(
             F.count(F.lit(1)).alias("_n")
         )
+        # top-1 label per node stays a row_number window (r14 A/B:
+        # the min(struct(-n, label)) aggregate variant — map-side
+        # partial agg, no sort — measured 1.115x SLOWER paired over 4
+        # interleaved trips; Catalyst's WindowGroupLimit pushdown
+        # already prunes the per-node sort to top-1 before it runs,
+        # and the struct build costs more than the pruned sort saves)
         w = Window.partitionBy("_v").orderBy(F.desc("_n"), F.asc("label"))
         labels = (
             counts.withColumn("_r", F.row_number().over(w))
@@ -604,6 +610,20 @@ def hits_fixed(
             h, a = h_next, a_next
 
     def l1_normalize(df: DataFrame) -> DataFrame:
+        # node-cardinality eager persist (r14): the norm consumes df
+        # TWICE (the total aggregate and the divide join), and without
+        # materialization each consumer re-ran the entire iteration
+        # chain — the whole HITS loop executed ~2x per invocation
+        # (interleaved A/B 0.804 paired, 10.56 -> 8.49 s at sf0.1
+        # over 4 trips).  Persist + count, not
+        # localCheckpoint: a lazy persist measured NO win (the
+        # broadcast-total job and the result stage raced past the
+        # still-empty cache), and a checkpoint truncates lineage so the
+        # final plan would no longer show the two-probe iteration
+        # subtree the r11 A/B pinned (tests/test_plans.py).  The count
+        # fills the cache before either consumer plans a job.
+        df = df.persist()
+        df.count()
         tot = df.agg(
             F.sum(F.col("score").cast("decimal(38,18)"))
             .cast("double")
