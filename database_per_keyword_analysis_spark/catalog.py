@@ -8088,7 +8088,12 @@ def q_purchase_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .operators import graph as G
 
-    e = _purchase_edges(spark, sf_dir)
+    # r14 (guide §2.1): the symmetrizing union references the edge
+    # derivation twice — one localCheckpoint of the (distinct,
+    # edge-bounded) directed list runs the orders⋈lineitem build once
+    # instead of per union branch; bfs_min_hops then re-distincts and
+    # persists the undirected list as before.
+    e = _purchase_edges(spark, sf_dir).localCheckpoint()
     und = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
@@ -9305,6 +9310,10 @@ def q_purchase_cheapest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.round(F.col("l_extendedprice") * 100, 0).cast("long"))
             .alias("w")
         )
+        # r14 (guide §2.1): the symmetrizing union below references
+        # this weighted-edge aggregate twice — materialize the
+        # edge-bounded table once (the purchase_reachability fix)
+        .localCheckpoint()
     )
     und = e.unionByName(
         e.select(

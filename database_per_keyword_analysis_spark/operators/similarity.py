@@ -995,6 +995,12 @@ def hard_negative_mining(
             "rank",
             F.when(F.col("_lbl") == F.col("_qlbl"), 1).otherwise(0).alias("rel"),
         )
+        # r14 (guide §2.1): this (n_queries × k)-row table feeds the
+        # picks aggregate plus BOTH broadcast id-attach sides — three
+        # consumers, each of which re-ran the full brute-force kNN
+        # ranking upstream (the audit counted 24 embeddings scans).
+        # One localCheckpoint of ~200 rows runs the kNN once.
+        .localCheckpoint()
     )
     picks = flagged.groupBy("query_id").agg(
         F.min(F.when(F.col("rel") == 1, F.col("rank"))).alias("positive_rank"),

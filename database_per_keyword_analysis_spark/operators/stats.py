@@ -347,7 +347,21 @@ def _zero_filled_from_daily(daily: DataFrame) -> DataFrame:
     — split out (r13) so a persisted/streaming daily-counts MV can
     feed the same spine/zero-fill/x-index logic the batch operators
     use; the batch path above aggregates then delegates here, so the
-    two grids cannot drift apart."""
+    two grids cannot drift apart.
+
+    r14 (guide §2.1/§5): `daily` is materialized ONCE — it has THREE
+    consumers here (the span aggregate, the distinct-group list, the
+    zero-fill left join) and the whole series family's callers then
+    reference the returned grid 2-4 more times (totals + lag/pair
+    attach sides), so without this every reference re-ran the
+    fact-scale day-grain aggregate (the audit counted 12 events scans
+    in event_trend_break, 12 in event_view_purchase_xcorr).  The
+    materialized table is (group × day)-grain — thousands of rows
+    however big the fact is — exactly the bounded-intermediate shape
+    the round's rule allows (never an exploded stream).  The
+    isStreaming guard keeps the MV path usable mid-stream."""
+    if not daily.isStreaming:
+        daily = daily.localCheckpoint()
     lo_hi = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
     spine = lo_hi.select(
         F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias(

@@ -1151,6 +1151,17 @@ def heaps_law(
         )
         .where(F.col("n_cum") > 0)
     )
+    # r14 (guide §2.1): `curve` (≤ `checkpoints` rows) feeds BOTH the
+    # OLS fit aggregate and the final fit-attach crossJoin — without
+    # materialization each consumer re-ran the whole upstream (the
+    # corpus token explode + first-occurrence aggregate, the query's
+    # dominant stage, executed twice; the audit counted 22 documents
+    # scans).  Eager persist+count, not localCheckpoint: truncating
+    # lineage here would hide the range-partitioned rank subtree that
+    # tests/test_plans.py::test_heaps_rank_window_is_partitioned pins
+    # (the 100 TB no-single-task-sort guarantee must stay visible).
+    curve = curve.persist()
+    curve.count()
     x = F.log(F.col("n_cum").cast("double"))
     y = F.log(F.col("v_cum").cast("double"))
     fit = curve.groupBy().agg(
@@ -1291,6 +1302,13 @@ def style_delta(
             )
         ).alias("token"),
     )
+    # r14: materializing this (group, token) table (localCheckpoint)
+    # plus the grid below (persist) A/B'd at 1.090 / 1.08 across two
+    # independent 3- and 5-trip interleaved runs — a consistent LOSS.
+    # The three consumers' recompute is already deduplicated at
+    # runtime (ReusedExchange fires for these identical-pruning
+    # branches), so the checkpoint only added materialization cost.
+    # Rejected; left as the r13 lineage form.
     gt = toks.groupBy("grp", "token").agg(F.count(F.lit(1)).alias("c"))
     # corpus-wide panel: top_k by total count, ties by token — a
     # TakeOrdered over the type table, never a global sort
