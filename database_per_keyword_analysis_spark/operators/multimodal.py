@@ -372,14 +372,32 @@ def perceptual_hash(media: DataFrame, *, fake: bool = True) -> DataFrame:
                 return 0
             arr = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
             n, total = len(arr), int(arr.sum())
-            chunks = np.array_split(arr, PHASH_BITS)
+            # chunk mean > global mean, as EXACT integer
+            # cross-multiplication (sum_c/len_c > total/n ⇔
+            # sum_c·n > total·len_c) — bit decisions never touch
+            # floats, so the DuckDB oracle reproduces them exactly.
+            if n < PHASH_BITS:
+                # tiny payloads have EMPTY chunks, which reduceat cannot
+                # express — keep the chunked reference form (rare, cheap)
+                chunks = np.array_split(arr, PHASH_BITS)
+                v = 0
+                for i, c in enumerate(chunks):
+                    if c.size and int(c.sum()) * n > total * len(c):
+                        v |= 1 << i
+                return v - (1 << 64) if v >= (1 << 63) else v
+            # vectorized chunk sums (r14, guide §4.2): one reduceat pass
+            # replaces 64 array_split allocations + 64 .sum() calls per
+            # row; boundaries replicate np.array_split exactly (first
+            # n % 64 chunks one element longer).  The ≤64 bit decisions
+            # stay Python-int exact (no int64 overflow at any size).
+            div, mod = divmod(n, PHASH_BITS)
+            sizes = [div + 1] * mod + [div] * (PHASH_BITS - mod)
+            starts = np.zeros(PHASH_BITS, dtype=np.int64)
+            np.cumsum(np.asarray(sizes[:-1], dtype=np.int64), out=starts[1:])
+            sums = np.add.reduceat(arr, starts)
             v = 0
-            for i, c in enumerate(chunks):
-                # chunk mean > global mean, as EXACT integer
-                # cross-multiplication (sum_c/len_c > total/n ⇔
-                # sum_c·n > total·len_c) — bit decisions never touch
-                # floats, so the DuckDB oracle reproduces them exactly
-                if c.size and int(c.sum()) * n > total * len(c):
+            for i in range(PHASH_BITS):
+                if int(sums[i]) * n > total * sizes[i]:
                     v |= 1 << i
             return v - (1 << 64) if v >= (1 << 63) else v
 
