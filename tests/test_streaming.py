@@ -671,16 +671,22 @@ def test_upsert_cache_rebuilds_without_success_marker(spark, tmp_path, monkeypat
     repo = os.path.dirname(
         os.path.dirname(os.path.abspath(catalog.__file__))
     )
-    # run once to learn the cache key for this fixture
+    # run once so this fixture's cache dir exists and is committed
     df1 = catalog.queries()["stream_user_latest_upsert"](spark, sf)
     want = sorted(tuple(r) for r in df1.collect())
-    bases = [
-        d
-        for d in g_glob(os.path.join(repo, ".cache", "upsert", "*"))
-        if os.path.isfile(os.path.join(d, "src", "_SUCCESS"))
-    ]
-    assert bases
-    base = bases[0]
+    # derive THIS fixture's cache key exactly as the wrapper does —
+    # globbing bases[0] picked an arbitrary sibling (e.g. the sf0.1
+    # entry a bench run left behind) and the rerun below then never
+    # rebuilds it (test-isolation flake found in round 14)
+    import hashlib
+
+    ev = os.path.join(sf, "events.parquet")
+    st = os.stat(ev)
+    key = hashlib.md5(
+        f"{os.path.abspath(sf)}:{st.st_size}:{st.st_mtime_ns}".encode()
+    ).hexdigest()[:12]
+    base = os.path.join(repo, ".cache", "upsert", key)
+    assert os.path.isfile(os.path.join(base, "src", "_SUCCESS"))
     # simulate the crash window: marker gone, dir present, stale table
     os.remove(os.path.join(base, "src", "_SUCCESS"))
     import shutil
@@ -689,12 +695,6 @@ def test_upsert_cache_rebuilds_without_success_marker(spark, tmp_path, monkeypat
     df2 = catalog.queries()["stream_user_latest_upsert"](spark, sf)
     assert sorted(tuple(r) for r in df2.collect()) == want
     assert os.path.isfile(os.path.join(base, "src", "_SUCCESS"))
-
-
-def g_glob(pat):
-    import glob
-
-    return glob.glob(pat)
 
 
 def test_stream_pit_dimension_rewrite_contract(spark, tmp_path):
