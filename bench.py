@@ -586,9 +586,12 @@ def _scan_core_blob(blob: str) -> dict[str, float]:
         # string, so the quotes around the name arrive escaped (\");
         # json.dumps serializes sub-1e-4 medians in exponent notation
         # (6.5e-05), so the number pattern must accept an exponent or
-        # that member silently drops out of mover detection
+        # that member silently drops out of mover detection.  The
+        # colon-space is optional: the r15 compact line (which now
+        # carries per-query medians inside the tail) uses compact
+        # separators, while the full first line keeps the default.
         m = re.search(
-            rf'\\?"{name}\\?": ([0-9][0-9.]*(?:[eE][-+]?[0-9]+)?)[,}}\\]', blob
+            rf'\\?"{name}\\?": ?([0-9][0-9.]*(?:[eE][-+]?[0-9]+)?)[,}}\\]', blob
         )
         if m:
             out[name] = float(m.group(1))
@@ -680,6 +683,55 @@ def headline_movers(timings: dict[str, float]) -> dict[str, list[float]]:
         if name in prev and abs(t - prev[name]) > 0.25:
             movers[name] = [round(prev[name], 3), round(t, 3)]
     return movers
+
+
+# r15 (verdict item 1): the driver's PERF comparison was blind two
+# rounds running (n_common: 0, null geomean) because the tail-safe
+# compact line carried no per-query medians at all — per-query detail
+# lived only in BENCH_LOCAL.json / the full first line, both outside
+# the driver's bounded 2,000-char stdout TAIL.  The full 198-query
+# dict is ~5.4 kB even with compact separators (names alone are
+# ~3.8 kB), so it can NEVER fit; this frozen subset is the middle
+# path: the 25 stable-core members plus the 28 most expensive
+# non-core queries at the r14 close record — 53 queries covering
+# ~51% of total bench seconds and the entire expensive tail.  The
+# compact line carries exactly these medians, sized so the line stays
+# under the tail even at worst-case float widths (test-pinned).
+# MEMBERSHIP IS FROZEN (cost-derived ONCE, then a literal): a
+# cost-derived membership recomputed per run would drift between
+# rounds and surface as spurious bench drops in the driver's
+# comparison.  Like STABLE_CORE: changing this list is a deliberate,
+# reviewed act.
+COMPACT_LINE_QUERIES = STABLE_CORE + [
+    "purchase_graph_hits",
+    "content_safe_split_neardup",
+    "incremental_near_dup_ingest",
+    "bpe_encode",
+    "winnowing_dup_groups",
+    "purchase_graph_ppr",
+    "purchase_graph_pagerank",
+    "purchase_cheapest_paths",
+    "doc_containment_pairs",
+    "doc_pairs_complete_jaccard",
+    "purchase_reachability",
+    "revenue_by_nation_salted",
+    "kneser_ney3_scores",
+    "customer_pairs_complete_ed",
+    "stream_jsonl_counts",
+    "bpe_merges",
+    "stream_view_purchase_left",
+    "events_value_interp",
+    "customer_linkage_scores",
+    "minhash_near_dups_fast",
+    "basket_frequent_triples",
+    "copurchase_assortativity",
+    "copurchase_degree_powerlaw",
+    "copurchase_triangles",
+    "copurchase_kcore",
+    "copurchase_lift",
+    "orders_mv_upsert",
+    "kneser_ney_scores",
+]
 
 
 # A genuine code regression moves the queries the code change touched;
@@ -838,6 +890,14 @@ def main() -> None:
     # full per-query detail — and an explicit RuntimeError (not assert,
     # which python -O strips) caps the line so headline growth can never
     # silently break the tail parse again.
+    # r15 (verdict item 1): the compact line now carries per-query
+    # medians for the frozen COMPACT_LINE_QUERIES subset so the
+    # driver's PERF comparison (per-query speedups, geomean, the
+    # 8-core scaling block) has data again — n_common was 0 for two
+    # rounds because this line was scalar-only.  Compact separators
+    # (no spaces) buy ~2 chars per key; the frozen membership plus the
+    # worst-case-width length test keep the line inside the 2,000-char
+    # tail by construction.
     compact = {
         "metric": "headline_queries_total_sec",
         "value": total,
@@ -849,12 +909,15 @@ def main() -> None:
         "n_headline_movers": len(all_movers),
         "iters": iters,
         "sf": float(sf),
+        "queries": {
+            n: timings[n] for n in COMPACT_LINE_QUERIES if n in timings
+        },
     }
-    compact_line = json.dumps(compact)
-    if len(compact_line) >= 1500:
+    compact_line = json.dumps(compact, separators=(",", ":"))
+    if len(compact_line) >= 1900:
         raise RuntimeError(
             f"compact bench line grew to {len(compact_line)} chars; it must "
-            "stay well inside the driver's 2,000-char stdout tail"
+            "stay inside the driver's 2,000-char stdout tail"
         )
     print(compact_line)
 

@@ -82,22 +82,50 @@ def test_stable_core_total_counts_all_members():
 
 
 def test_compact_line_stays_inside_driver_tail():
-    # the compact line carries ONLY scalars; reconstruct it exactly as
-    # bench.main() prints it and assert it parses and fits with margin
-    # even at worst-case float widths
+    # r15 (verdict item 1): the compact line now ALSO carries per-query
+    # medians for the frozen COMPACT_LINE_QUERIES subset so the
+    # driver's PERF comparison has per-query data again.  Reconstruct
+    # it exactly as bench.main() prints it (compact separators) and
+    # assert it parses and fits the 2,000-char tail with margin even at
+    # worst-case float widths.
     compact = {
         "metric": "headline_queries_total_sec",
         "value": 99999.999,
         "unit": "sec",
         "n_queries": len(bench.HEADLINE),
         "stable_core_sec": 99999.999,
+        "contention_suspect": False,
+        "n_outlier_movers": 99,
+        "n_headline_movers": 99,
         "iters": 3,
         "sf": 0.1,
+        "queries": {n: 9999.999 for n in bench.COMPACT_LINE_QUERIES},
     }
-    line = json.dumps(compact)
-    assert len(line) < 1500
+    line = json.dumps(compact, separators=(",", ":"))
+    assert len(line) < 1900
     parsed = json.loads(line)
     assert parsed["n_queries"] == len(bench.HEADLINE)
+    assert len(parsed["queries"]) == len(bench.COMPACT_LINE_QUERIES)
+
+
+def test_compact_line_queries_membership_is_frozen():
+    # cost-derived ONCE (r14 close record: stable core + the 28 most
+    # expensive non-core queries), then a literal — a membership that
+    # recomputed per run would drift between rounds and surface as
+    # spurious dropped-from-bench flags in the driver's comparison.
+    assert bench.COMPACT_LINE_QUERIES[:25] == bench.STABLE_CORE
+    assert len(bench.COMPACT_LINE_QUERIES) == 53
+    assert len(set(bench.COMPACT_LINE_QUERIES)) == 53
+    assert set(bench.COMPACT_LINE_QUERIES) <= set(bench.HEADLINE)
+
+
+def test_core_blob_scan_handles_compact_separators():
+    # the r15 compact line uses separators=(",", ":") — no space after
+    # the colon; the tail scan must recover medians from BOTH styles
+    a = bench.STABLE_CORE[0]
+    got = bench._scan_core_blob(json.dumps({"stdout_tail": json.dumps(
+        {"queries": {a: 1.25}}, separators=(",", ":"))}))
+    assert got[a] == 1.25
 
 
 def test_stable_core_movers_flags_deltas_above_rule():
