@@ -3,7 +3,7 @@ geometric round schedule buy?  Times dup_groups end-to-end on the real
 winnowing / semantic pair lists at sf0.1 under different
 steps_per_round values, interleaved A/B/A/B in one session.
 
-Usage: python .scratch/probe_cc_rounds.py
+Usage: python tools/probe_cc_rounds_r14.py
 """
 from __future__ import annotations
 
@@ -11,7 +11,7 @@ import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from database_per_keyword_analysis_spark import catalog  # noqa: E402
 from database_per_keyword_analysis_spark.operators import dedup as D  # noqa: E402
@@ -20,15 +20,19 @@ from database_per_keyword_analysis_spark.session import get_spark  # noqa: E402
 SF = "/root/testdata/sf0.1"
 
 
-def run(spark, qname, steps_per_round):
+def run(spark, qname, arm_steps_per_round):
     import database_per_keyword_analysis_spark.operators.dedup as dd
 
     orig = dd.connected_components
 
+    # keep the original parameter name (r14 advice item 3): a keyword
+    # callsite passing steps_per_round= must bind, not TypeError —
+    # the probe's arm value overrides whatever arrives
     def patched(pairs, src="doc_a", dst="doc_b", max_iter=50,
-                shortcut_after=2, steps_per_round_ignored=2):
+                shortcut_after=2, steps_per_round=2):
+        del steps_per_round  # overridden by the probe's arm value
         return orig(pairs, src, dst, max_iter, shortcut_after,
-                    steps_per_round)
+                    arm_steps_per_round)
 
     dd.connected_components = patched
     try:
