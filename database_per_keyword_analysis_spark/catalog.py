@@ -124,21 +124,14 @@ _DEFERRED_TWINS = {
     #  exact_duplicates, minhash_near_dups — all green r1-r5 — rotated
     #  INTO the window for their second driver pass; r13 verdict item
     #  5, the r5-cohort second sweep.)
-    "keyword_breakdown",  # green r1-r5; join formulation twin deferred
-    "channel_audit",  # green r1-r5; rank-per-group + semi-join
-    "order_priority_rollup",  # green r1-r5; rollup/grouping-sets
-    "minhash_dup_groups",  # green r3-r5; CC machinery via promoted
-    #   winnowing_dup_groups / cosine_dup_groups
-    "knn_bruteforce",  # green r1-r5; decimal-cosine machinery via the
-    #   promoted embedding_quantization differential + semantic family
-    "stream_dedup_count",  # green r1-r5; streaming dedup machinery; the
-    #   promoted stream_quality_gate / stream_jsonl_counts keep
-    #   streaming in-window
+    # (r15: keyword_breakdown, channel_audit, order_priority_rollup,
+    #  minhash_dup_groups, knn_bruteforce, stream_dedup_count,
+    #  stream_view_purchase_join, unigram_lm_scores — the eight
+    #  longest-stale r5-cohort members — rotated INTO the window for
+    #  their second driver pass; r14 verdict item 9, the r5-cohort
+    #  second sweep continues: 33 -> 25.)
     # (r14: stateful_user_stats — green r1-r5, applyInPandasWithState —
     #  rotated INTO the window for its second driver pass.)
-    "stream_view_purchase_join",  # green r2-r5; stream-stream join
-    "unigram_lm_scores",  # green r4-r5; broadcast-normalizer machinery
-    #   via the promoted bigram_lm_scores / lm_quality_buckets
     "repetition_flags",  # green r4-r5; scan-stage expressions
     "pii_redaction",  # green r4-r5; zero-shuffle regex projections
     "line_dedup",  # green r4-r5; line-level C4 boilerplate machinery
@@ -952,6 +945,40 @@ _DEFERRED_TWINS = {
     #   samplers also run inside in-window source_mix_allocation
     "multimodal_byte_features",  # green r5,r13; Arrow mapInPandas
     #   plumbing pinned by plan + unit tests; real codecs env-gated
+    # ==================================================================
+    # ROUND-15 ROTATION (r14 verdict item 9: keep the rotation
+    # cadence).  IN: the eight longest-stale r5-cohort members for
+    # their second driver pass (keyword_breakdown, channel_audit,
+    # order_priority_rollup, minhash_dup_groups, knn_bruteforce,
+    # stream_dedup_count, stream_view_purchase_join, unigram_lm_scores
+    # — r5-cohort second sweep: 33 -> 25).  OUT: the eight r14
+    # promotions below — each now TWICE driver-green (their r5-era
+    # passes plus round 14, the freshest possible), none an in-window
+    # equality-twin anchor, and every one keeping its DuckDB
+    # differential in tests/test_catalog_twins.py from its original
+    # demotion (AST-guard re-verified).
+    # ==================================================================
+    "industry_counts",  # green r1-r5,r14 (seven passes); keyword
+    #   containment counts stay in-window via the promoted
+    #   keyword_breakdown (same cleaned-CTE machinery)
+    "pricing_summary",  # green r1-r5,r14; the TPC-H Q1 agg family
+    #   keeps order_priority_rollup (promoted) in-window
+    "revenue_by_nation",  # green r1-r5,r14; join-agg machinery
+    #   in-window via the TPC-H members + salted twin differential
+    "exact_duplicates",  # green r1-r5,r14; exact-dup keeper decisions
+    #   also run inside in-window corpus-curation-family members;
+    #   minhash_dup_groups (promoted) keeps the groups machinery
+    "minhash_near_dups",  # green r1-r5,r14; banded-LSH pairs feed the
+    #   promoted minhash_dup_groups in-window (strictly contains the
+    #   pair pipeline)
+    "winnowing_pairs",  # green r4-r5,r14; the MOSS index probe stays
+    #   in-window via winnowing_dup_groups (runs the pair stage)
+    "stateful_user_stats",  # green r1-r5,r14; applyInPandasWithState
+    #   machinery; streaming keeps the promoted stream_dedup_count and
+    #   stream_view_purchase_join in-window
+    "fuzzy_customer_pairs",  # green r5,r14 + measured 10x stress with
+    #   planted recall; the ED family keeps doc_containment_pairs
+    #   in-window
 }
 
 
@@ -2955,8 +2982,13 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline actually consumes; the reference stops at per-slice reports
     (main.py:385-437)."""
     from .operators import curation as CUR
+    from .sources import fan_out
 
-    return CUR.curate(load(spark, sf_dir, "documents", parallel=True))
+    # r15: force fan-out past the loader's 2 MiB floor (sub-MiB scan;
+    # the composed quality + dedup tiers are the catalog's heaviest
+    # per-row chain; measured 6.33 → 4.82 s, paired floor-sweep ratio
+    # 0.761)
+    return CUR.curate(fan_out(load(spark, sf_dir, "documents"), min_bytes=0))
 
 
 def _curation_summary_sql() -> str:
@@ -3937,10 +3969,18 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     from .operators import bpe as B
+    from .sources import fan_out
 
-    return B.bpe_encode_frozen(
-        load(spark, sf_dir, "documents", parallel=True), FROZEN_BPE_MERGES
-    ).withColumn("subwords", F.concat_ws(" ", "subwords"))
+    # r15 (guide §2.6 idle capacity): force fan-out past the loader's
+    # 2 MiB floor — the 24-replace codegen chain is ~10 s/MB of
+    # per-row CPU (the floor was calibrated for ~2.7 s/MB shingling),
+    # so the sub-MiB sf0.1 scan left the whole chain on ONE task.
+    # Measured: 5.51 s single-task → 1.83 s fanned (paired interleaved
+    # A/B 0.332, results bit-identical; the repetition_flags idiom).
+    docs = fan_out(load(spark, sf_dir, "documents"), min_bytes=0)
+    return B.bpe_encode_frozen(docs, FROZEN_BPE_MERGES).withColumn(
+        "subwords", F.concat_ws(" ", "subwords")
+    )
 
 
 @register("approx_top_words", None)  # sketch output cannot hash-match a
@@ -4089,8 +4129,14 @@ def q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     from .operators import similarity as SIM
+    from .sources import fan_out
 
-    emb = load(spark, sf_dir, "embeddings", parallel=True)
+    # r15: force fan-out past the loader's 2 MiB floor — embeddings at
+    # sf0.1 is 0.78 MB, so parallel=True was a no-op and the per-row
+    # decimal vector math ran single-task (measured 3.72 → 1.31 s,
+    # paired floor-sweep ratio 0.352; no-op at scale where the scan
+    # naturally splits)
+    emb = fan_out(load(spark, sf_dir, "embeddings"), min_bytes=0)
     key = hashlib.md5(
         f"{os.path.abspath(sf_dir)}|lists=16|seed=42|b{_IVF_BUCKETS}".encode()
     ).hexdigest()[:12]
@@ -5373,12 +5419,20 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/relational.py:min_cost_supplier): region-scoped offer
     aggregate, per-part min, join-back with ties — the
     correlated-min-subquery-across-a-join-chain shape, decorrelated."""
+    # r15 scale gate: materialize the offers aggregate only when the
+    # lineitem scan is big enough that its duplicated re-execution
+    # (min aggregate + join-back) beats idle-core parallelism —
+    # measured flip between sf0.1 (checkpoint 1.269x WORSE) and 10x
+    # (0.821x better); see SCALE.md r15 rows.
     return R.min_cost_supplier(
         load(spark, sf_dir, "lineitem", parallel=True),
         load(spark, sf_dir, "supplier"),
         load(spark, sf_dir, "nation"),
         load(spark, sf_dir, "region"),
         load(spark, sf_dir, "part"),
+        materialize_offers=(
+            _table_bytes(sf_dir, "lineitem") >= _MATERIALIZE_LINEITEM_MIN_BYTES
+        ),
     )
 
 
@@ -6202,11 +6256,65 @@ def q_bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     adds one K-group integer aggregate; differential in
     tests/test_catalog_twins.py."""
     from .operators import bpe as B
+    from .sources import fan_out
 
+    # r15: same forced fan-out as q_bpe_encode (this twin runs the
+    # identical ~10 s/MB replace chain end-to-end)
+    docs = fan_out(load(spark, sf_dir, "documents"), min_bytes=0)
     return B.bpe_fertility_by_group(
-        load(spark, sf_dir, "documents", parallel=True),
+        docs,
         FROZEN_BPE_MERGES,
         group_col="lang",
+    )
+
+
+def _table_bytes(sf_dir: str, name: str) -> int:
+    """On-disk bytes of one fixture table (file or multi-part dir) —
+    the metadata-only input-size probe behind the r15 scale-gated
+    materialization flags (min_cost_supplier, source_token_js_matrix):
+    the gate must be derived from the DATA, not hard-coded for either
+    local mode or the cluster."""
+    import os
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isdir(path):
+        return sum(
+            e.stat().st_size for e in os.scandir(path) if e.is_file()
+        )
+    try:
+        return os.path.getsize(path)
+    except OSError:
+        return 0
+
+
+# Gate thresholds for the r15 scale-aware materialization (SCALE.md r15
+# rows): the r14 sf0.1 probes measured the checkpoints LOSING 1.25-1.27x
+# (duplicated branches hide on idle cores) while the r15 10x probes
+# measured them WINNING 0.82-0.86x; each threshold sits between the two
+# measured regimes' input sizes (documents: 0.59 MB vs 6.9 MB; lineitem:
+# 10.8 MB vs 140 MB).
+_MATERIALIZE_DOCS_MIN_BYTES = 2 * 1024**2
+_MATERIALIZE_LINEITEM_MIN_BYTES = 32 * 1024**2
+
+
+def _upsert_cache_base(sf_dir: str) -> str:
+    """Cache dir for stream_user_latest_upsert's source split + table,
+    keyed on the events fixture's identity (abspath + size + mtime_ns)
+    so a regenerated fixture at the same path can never serve a stale
+    committed table.  Extracted (r14 advice item 1) so the wrapper and
+    the cache-rebuild test derive the key from ONE formula and cannot
+    diverge."""
+    import hashlib
+    import os
+
+    ev = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(ev)
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{st.st_size}:{st.st_mtime_ns}".encode()
+    ).hexdigest()[:12]
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".cache", "upsert", key,
     )
 
 
@@ -6233,7 +6341,6 @@ def q_stream_user_latest_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition-MOVER path for every user whose newest event_type
     changed.  Cache-keyed workdir (the stream_ingest_dedup seam):
     re-runs see no new source files and the committed table stands."""
-    import hashlib
     import os
     import shutil
 
@@ -6245,15 +6352,7 @@ def q_stream_user_latest_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dir exists the moment the write starts) or a regenerated fixture
     # at the same path can no longer poison the cache into returning
     # rows that diverge from the oracle's live events read
-    ev = os.path.join(sf_dir, "events.parquet")
-    st = os.stat(ev)
-    key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}:{st.st_size}:{st.st_mtime_ns}".encode()
-    ).hexdigest()[:12]
-    base = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        ".cache", "upsert", key,
-    )
+    base = _upsert_cache_base(sf_dir)
     src = os.path.join(base, "src")
     table = os.path.join(base, "table")
     events = load(spark, sf_dir, "events").select(
@@ -6350,8 +6449,13 @@ def q_kneser_ney_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates with the type total as a one-row broadcast.  Deferred at
     birth as that machinery twin; DuckDB differential in
     tests/test_catalog_twins.py."""
+    from .sources import fan_out
+
+    # r15: force fan-out past the loader's 2 MiB floor (sub-MiB scan,
+    # heavy tokenize/explode chain; measured 4.18 → 2.85 s, paired
+    # floor-sweep ratio 0.682)
     return TQ.kneser_ney_bigram_scores(
-        load(spark, sf_dir, "documents", parallel=True)
+        fan_out(load(spark, sf_dir, "documents"), min_bytes=0)
     )
 
 
@@ -6678,8 +6782,17 @@ def _purchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load(spark, sf_dir, "orders", parallel=True)
     lines = load(spark, sf_dir, "lineitem", parallel=True)
+    # r15 (guide §2.3, shuffle fewer/narrower bytes): distinct on the
+    # RAW LONG pair first, concat the 'c'/'s' prefixes after — the
+    # distinct exchange moves two 8-byte longs per row instead of two
+    # ~7-char strings, hash/compare runs on longs, and the string
+    # concat runs once per DISTINCT edge instead of once per joined
+    # row.  Identical result: the prefixed strings are injective in
+    # the (custkey, suppkey) pair.
     return (
         orders.join(lines, orders.o_orderkey == lines.l_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .distinct()
         .select(
             F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
                 "src"
@@ -6688,7 +6801,6 @@ def _purchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "dst"
             ),
         )
-        .distinct()
     )
 
 
@@ -6722,7 +6834,9 @@ def _copurchase_pairs(
         .distinct()
         # materialize once (r14): both self-join sides reference this
         # table; without it each side re-scans lineitem and re-runs
-        # the distinct shuffle (branch column pruning defeats reuse)
+        # the distinct shuffle (branch column pruning defeats reuse).
+        # Lifecycle trade (see materialize.py): construction-time job;
+        # executor-only blocks, cheap to re-run on node loss.
         .localCheckpoint()
     )
     a = items.select("basket", F.col("item").alias("item_a"))
@@ -7029,8 +7143,13 @@ def q_kneser_ney3_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     kneser_ney_scores differential-proven); pure-Python reference
     differential in tests/test_text.py, DuckDB differential in
     tests/test_catalog_twins.py."""
+    from .sources import fan_out
+
+    # r15: force fan-out past the loader's 2 MiB floor (sub-MiB scan,
+    # heavy trigram explode chain; measured 5.59 → 3.74 s, paired
+    # floor-sweep ratio 0.669)
     return TQ.kneser_ney_trigram_scores(
-        load(spark, sf_dir, "documents", parallel=True)
+        fan_out(load(spark, sf_dir, "documents"), min_bytes=0)
     )
 
 
@@ -7981,8 +8100,13 @@ def q_doc_pairs_complete_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins.  NOVEL round-10 machinery → in-window at birth;
     kneser_ney_scores (green r8-r9) rotated out with a NEW
     differential."""
+    from .sources import fan_out
+
+    # r15: force fan-out past the loader's 2 MiB floor (sub-MiB scan,
+    # shingle + rarest-first prefix chain; measured 4.19 → 3.36 s,
+    # paired floor-sweep ratio 0.802)
     return D.jaccard_pairs_complete(
-        load(spark, sf_dir, "documents", parallel=True), threshold=0.8
+        fan_out(load(spark, sf_dir, "documents"), min_bytes=0), threshold=0.8
     )
 
 
@@ -8092,7 +8216,9 @@ def q_purchase_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     # derivation twice — one localCheckpoint of the (distinct,
     # edge-bounded) directed list runs the orders⋈lineitem build once
     # instead of per union branch; bfs_min_hops then re-distincts and
-    # persists the undirected list as before.
+    # persists the undirected list as before.  Lifecycle trade (see
+    # materialize.py): the checkpoint job runs at query-construction
+    # time; executor-only blocks, cheap to re-run on node loss.
     e = _purchase_edges(spark, sf_dir).localCheckpoint()
     und = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -9312,7 +9438,9 @@ def q_purchase_cheapest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # r14 (guide §2.1): the symmetrizing union below references
         # this weighted-edge aggregate twice — materialize the
-        # edge-bounded table once (the purchase_reachability fix)
+        # edge-bounded table once (the purchase_reachability fix).
+        # Lifecycle trade (see materialize.py): construction-time
+        # job; executor-only blocks, cheap to re-run on node loss.
         .localCheckpoint()
     )
     und = e.unionByName(
@@ -11237,7 +11365,16 @@ def q_source_token_js_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     in until the round-14 rotation promotes it)."""
     from .operators import textquality as TQ
 
-    return TQ.token_js_matrix(load(spark, sf_dir, "documents", parallel=True))
+    # r15 scale gate: materialize the (source, token) count only when
+    # the corpus scan is big enough that re-running the tokenize
+    # explode per consumer beats idle-core parallelism — measured flip
+    # between sf0.1 (checkpoint 1.252x WORSE) and 10x (0.863x better);
+    # see SCALE.md r15 rows.  Size-derived, not a local[32] constant.
+    big = _table_bytes(sf_dir, "documents") >= _MATERIALIZE_DOCS_MIN_BYTES
+    return TQ.token_js_matrix(
+        load(spark, sf_dir, "documents", parallel=True),
+        materialize_counts=big,
+    )
 
 
 @register(

@@ -1733,7 +1733,10 @@ def incremental_near_dups(
     # aggregate + index probe + within-batch banding join), because
     # per-branch column pruning makes the subtrees non-identical and
     # defeats exchange reuse.  Measured at sf0.1: the stale-guard
-    # collect alone re-ran the full pipeline before this.
+    # collect alone re-ran the full pipeline before this.  Lifecycle
+    # trade (see materialize.py): both checkpoints here run their job
+    # at query-construction time; blocks are executor-only (not
+    # fault-tolerant) — candidate-bounded tables, cheap to re-run.
     cand = cross.unionByName(within).distinct().localCheckpoint()
     # verify shingles: the batch's own stream plus ONLY the candidate
     # corpus partners' stream (key-join, candidate-bounded)

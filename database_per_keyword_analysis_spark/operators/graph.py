@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .. import materialize as _mat
+
 PAGERANK_DAMPING = 0.85
 PAGERANK_ITERS = 3
 
@@ -104,7 +106,7 @@ def pagerank_fixed(
     # — while DISK_ONLY blocks cost the pool nothing and small-graph
     # re-reads come from the OS page cache anyway.  Node-sized tables
     # below keep the (faster) localCheckpoint.
-    ed = e.persist(StorageLevel.DISK_ONLY)
+    ed = _mat.track(e.persist(StorageLevel.DISK_ONLY))
     nodes = (
         ed.select(F.col("src").alias("node"))
         .unionByName(ed.select(F.col("dst").alias("node")))
@@ -197,9 +199,9 @@ def label_propagation_fixed(
     # edge-cardinality table: DISK_ONLY for the same reason as
     # pagerank_fixed's edge list (checkpoint blocks squat in the
     # unified pool; the undirected list is 2x edges)
-    und = e.unionByName(
+    und = _mat.track(e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct().persist(StorageLevel.DISK_ONLY)
+    ).distinct().persist(StorageLevel.DISK_ONLY))
     labels = (
         und.select(F.col("src").alias("node"))
         .distinct()
@@ -266,7 +268,7 @@ def bfs_min_hops(
     GRAPH_BROADCAST_MAX_NODES budget applies."""
     from pyspark import StorageLevel
 
-    e = (
+    e = _mat.track(
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .distinct()
         .persist(StorageLevel.DISK_ONLY)
@@ -512,15 +514,27 @@ def hits_fixed(
     bit-equal (test-pinned) and the oracle is unchanged."""
     from pyspark import StorageLevel
 
-    ed = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist(
-        StorageLevel.DISK_ONLY
-    )
-    hubs = ed.select(F.col("src").alias("node")).distinct().localCheckpoint()
-    auths = ed.select(F.col("dst").alias("node")).distinct().localCheckpoint()
-    if broadcast_scores is None:
-        broadcast_scores = (
-            hubs.count() + auths.count() <= GRAPH_BROADCAST_MAX_NODES
+    ed = _mat.track(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist(
+            StorageLevel.DISK_ONLY
         )
+    )
+    # r15 (guide §1.2, fewer serial jobs): the old shape ran FOUR
+    # construction jobs before the loop — two eager localCheckpoints of
+    # hubs/auths plus two separate .count()s for the posture probe.
+    # One combined aggregate over the edge list returns both distinct
+    # populations in a single job (which also fills the DISK_ONLY edge
+    # cache); hubs/auths then stay LAZY — each is consumed exactly once
+    # (as the opposite chain's iteration-0 scores), so materializing
+    # them bought nothing.
+    if broadcast_scores is None:
+        pops = ed.agg(
+            F.countDistinct("src").alias("h"),
+            F.countDistinct("dst").alias("a"),
+        ).first()
+        broadcast_scores = pops["h"] + pops["a"] <= GRAPH_BROADCAST_MAX_NODES
+    hubs = ed.select(F.col("src").alias("node")).distinct()
+    auths = ed.select(F.col("dst").alias("node")).distinct()
 
     def posture(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if broadcast_scores else df
@@ -546,6 +560,7 @@ def hits_fixed(
             )
             .persist(StorageLevel.DISK_ONLY)
         )
+        route = _mat.track(route)
         scores = hubs.select(
             "node", F.lit("hub").alias("kind"), F.lit(1.0).alias("score")
         ).unionByName(
@@ -609,21 +624,33 @@ def hits_fixed(
             )
             h, a = h_next, a_next
 
+    # node-cardinality eager persists (r14): the norm consumes each of
+    # h/a TWICE (the total aggregate and the divide join), and without
+    # materialization each consumer re-ran the entire iteration chain —
+    # the whole HITS loop executed ~2x per invocation (interleaved A/B
+    # 0.804 paired, 10.56 -> 8.49 s at sf0.1 over 4 trips).  Persist +
+    # count, not localCheckpoint: a lazy persist measured NO win (the
+    # broadcast-total job and the result stage raced past the
+    # still-empty cache), and a checkpoint truncates lineage so the
+    # final plan would no longer show the two-probe iteration subtree
+    # the r11 A/B pinned (tests/test_plans.py).  The counts fill the
+    # caches before either consumer plans a job.
+    # r15 (guide §2.6, overlap independent jobs): the h and a chains
+    # are INDEPENDENT until the final union, and each eager fill is a
+    # multi-stage job whose stage tails leave cores idle — so the two
+    # fills run concurrently from a 2-thread pool, one chain's tasks
+    # back-filling executors freed by the other's stragglers.
+    # Lifecycle (see materialize.py): runs at query-construction time;
+    # the tracked CacheManager entries are released by
+    # release_materialized() when the consumer finishes.
+    from concurrent.futures import ThreadPoolExecutor
+
+    hp = _mat.track(h.persist())
+    ap = _mat.track(a.persist())
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        list(pool.map(lambda d: d.count(), (hp, ap)))
+
     def l1_normalize(df: DataFrame) -> DataFrame:
-        # node-cardinality eager persist (r14): the norm consumes df
-        # TWICE (the total aggregate and the divide join), and without
-        # materialization each consumer re-ran the entire iteration
-        # chain — the whole HITS loop executed ~2x per invocation
-        # (interleaved A/B 0.804 paired, 10.56 -> 8.49 s at sf0.1
-        # over 4 trips).  Persist + count, not
-        # localCheckpoint: a lazy persist measured NO win (the
-        # broadcast-total job and the result stage raced past the
-        # still-empty cache), and a checkpoint truncates lineage so the
-        # final plan would no longer show the two-probe iteration
-        # subtree the r11 A/B pinned (tests/test_plans.py).  The count
-        # fills the cache before either consumer plans a job.
-        df = df.persist()
-        df.count()
         tot = df.agg(
             F.sum(F.col("score").cast("decimal(38,18)"))
             .cast("double")
@@ -633,7 +660,7 @@ def hits_fixed(
             "node", (F.col("score") / F.col("_tot")).alias("score")
         )
 
-    h, a = l1_normalize(h), l1_normalize(a)
+    h, a = l1_normalize(hp), l1_normalize(ap)
     return (
         h.select("node", F.lit("hub").alias("kind"), "score")
         .unionByName(a.select("node", F.lit("authority").alias("kind"), "score"))
@@ -676,7 +703,7 @@ def ppr_fixed(
 
     teleport = 1.0 - damping
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    ed = e.persist(StorageLevel.DISK_ONLY)
+    ed = _mat.track(e.persist(StorageLevel.DISK_ONLY))
     nodes = (
         ed.select(F.col("src").alias("node"))
         .unionByName(ed.select(F.col("dst").alias("node")))
@@ -797,11 +824,11 @@ def sssp_bounded(
     (seeds at cost 0), deterministically ordered."""
     from pyspark import StorageLevel
 
-    e = edges.select(
+    e = _mat.track(edges.select(
         F.col(src).alias("src"),
         F.col(dst).alias("dst"),
         F.col(weight).cast("long").alias("w"),
-    ).persist(StorageLevel.DISK_ONLY)
+    ).persist(StorageLevel.DISK_ONLY))
     if broadcast_frontier is None:
         n_nodes = (
             e.select(F.col("src").alias("node"))

@@ -914,6 +914,7 @@ def min_cost_supplier(
     part: DataFrame,
     region_name: str = "EUROPE",
     p_type: str = "LARGE",
+    materialize_offers: bool = False,
 ) -> DataFrame:
     """TPC-H Q2-style minimum-cost supplier: for every part of one type,
     the supplier(s) inside one region offering it at the LOWEST average
@@ -957,16 +958,38 @@ def min_cost_supplier(
             ).alias("avg_price")
         )
     )
-    min_price = offers.groupBy("l_partkey").agg(
-        F.min("avg_price").alias("min_price")
-    )
-    return (
-        offers.join(
+    if materialize_offers:
+        # r15 scale gate (SCALE.md r15 rows): both the per-part min
+        # aggregate and the join-back re-execute the lineitem⋈dims
+        # offer aggregate when lazy.  At sf0.1 idle-core parallelism
+        # hides the duplication and a checkpoint LOSES (r14 paired
+        # 1.269); at 10x it flips to a WIN (r15 paired 0.821) — so the
+        # caller derives this flag from the measured input size.
+        # Lifecycle (see materialize.py): construction-time job,
+        # executor-only blocks.  Post-checkpoint both join sides share
+        # one plan, so the join-back keys disambiguate by rename.
+        offers = offers.localCheckpoint()
+        min_price = (
+            offers.groupBy("l_partkey")
+            .agg(F.min("avg_price").alias("min_price"))
+            .select(F.col("l_partkey").alias("_mp_part"), "min_price")
+        )
+        joined = offers.join(
+            min_price,
+            (offers.l_partkey == F.col("_mp_part"))
+            & (offers.avg_price == F.col("min_price")),
+        ).drop("_mp_part")
+    else:
+        min_price = offers.groupBy("l_partkey").agg(
+            F.min("avg_price").alias("min_price")
+        )
+        joined = offers.join(
             min_price,
             (offers.l_partkey == min_price.l_partkey)
             & (offers.avg_price == min_price.min_price),
-        )
-        .drop(min_price.l_partkey)
+        ).drop(min_price.l_partkey)
+    return (
+        joined
         .join(
             F.broadcast(
                 part.where(F.col("p_type") == p_type).select(

@@ -333,7 +333,9 @@ def mv_apply_changes_minmax(
     # materialize-the-small-side call as graph.py's edge persist
     from pyspark import StorageLevel
 
-    changes = changes.persist(StorageLevel.MEMORY_AND_DISK)
+    from .. import materialize as _mat
+
+    changes = _mat.track(changes.persist(StorageLevel.MEMORY_AND_DISK))
     mv_types = {f.name: f.dataType for f in mv.schema.fields}
     core = mv_apply_changes(
         mv.select(*group_keys, count_col, *sums), changes,

@@ -722,7 +722,9 @@ def boolean_search(
     # materialization would be pure overhead.
     n_consumers = 1 + bool(none_of) + bool(any_of)
     if n_consumers > 1:
-        posts = posts.persist(StorageLevel.DISK_ONLY)
+        from .. import materialize as _mat
+
+        posts = _mat.track(posts.persist(StorageLevel.DISK_ONLY))
     hits = (
         posts.where(F.col("token").isin(*must))
         .groupBy(id_col)

@@ -247,7 +247,9 @@ def cosine_near_dups_lsh(
         withb.write.mode("overwrite").parquet(index_path)
         withb = vectors.sparkSession.read.parquet(index_path)
     else:
-        withb = withb.persist(StorageLevel.DISK_ONLY)
+        from .. import materialize as _mat
+
+        withb = _mat.track(withb.persist(StorageLevel.DISK_ONLY))
     cand = (
         withb.select(F.col("id").alias("vec_a"), "bucket")
         .join(withb.select(F.col("id").alias("vec_b"), "bucket"), "bucket")
@@ -1000,6 +1002,8 @@ def hard_negative_mining(
         # consumers, each of which re-ran the full brute-force kNN
         # ranking upstream (the audit counted 24 embeddings scans).
         # One localCheckpoint of ~200 rows runs the kNN once.
+        # Lifecycle trade (see materialize.py): the checkpoint job
+        # runs at query-construction time; executor-only blocks.
         .localCheckpoint()
     )
     picks = flagged.groupBy("query_id").agg(

@@ -217,6 +217,9 @@ def frequent_pairs(
     # measured plan re-scanned the fact table 14 times at sf0.1, and at
     # 100 TB every branch is a full table pass.  One localCheckpoint
     # turns that into one scan + one distinct shuffle, read three times.
+    # Lifecycle trade (see materialize.py): the checkpoint job runs at
+    # query-CONSTRUCTION time, and its blocks are executor-only — not
+    # fault-tolerant; bounded table, cheap to re-run on node loss.
     items = baskets.select(
         F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
     ).distinct().localCheckpoint()
@@ -359,7 +362,10 @@ def _zero_filled_from_daily(daily: DataFrame) -> DataFrame:
     materialized table is (group × day)-grain — thousands of rows
     however big the fact is — exactly the bounded-intermediate shape
     the round's rule allows (never an exploded stream).  The
-    isStreaming guard keeps the MV path usable mid-stream."""
+    isStreaming guard keeps the MV path usable mid-stream.
+    Lifecycle trade (see materialize.py): the checkpoint job runs at
+    query-construction time; blocks are executor-only (not
+    fault-tolerant) — day-grain table, cheap to re-run."""
     if not daily.isStreaming:
         daily = daily.localCheckpoint()
     lo_hi = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
@@ -1636,7 +1642,10 @@ def frequent_triples(
     # basket-grain (one scan's worth of narrow longs), l2 is
     # pair-key-cardinality — all bounded next to the pair-instance
     # stream, which stays unmaterialized (it is the one stage LARGER
-    # than the input and is consumed co-partitioned).
+    # than the input and is consumed co-partitioned).  Lifecycle trade
+    # (see materialize.py): the checkpoint jobs run at query-
+    # construction time; blocks are executor-only (not fault-tolerant)
+    # — bounded tables, cheap to re-run on node loss.
     items = baskets.select(
         F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
     ).distinct().localCheckpoint()

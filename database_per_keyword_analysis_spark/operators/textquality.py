@@ -1160,7 +1160,12 @@ def heaps_law(
     # lineage here would hide the range-partitioned rank subtree that
     # tests/test_plans.py::test_heaps_rank_window_is_partitioned pins
     # (the 100 TB no-single-task-sort guarantee must stay visible).
-    curve = curve.persist()
+    # Lifecycle (see materialize.py): the persist+count runs a job at
+    # query-construction time and registers a CacheManager entry the
+    # tracker releases; release_materialized() is the consumer seam.
+    from .. import materialize as _mat
+
+    curve = _mat.track(curve.persist())
     curve.count()
     x = F.log(F.col("n_cum").cast("double"))
     y = F.log(F.col("v_cum").cast("double"))
@@ -1385,6 +1390,7 @@ def token_js_matrix(
     docs: DataFrame,
     group_col: str = "source",
     text_col: str = "text",
+    materialize_counts: bool = False,
 ) -> DataFrame:
     """Pairwise Jensen-Shannon divergence between groups' token
     distributions (Lin 1991): the SYMMETRIC, bounded (≤ ln 2)
@@ -1427,6 +1433,16 @@ def token_js_matrix(
         ).alias("token"),
     )
     gt = toks.groupBy("grp", "token").agg(F.count(F.lit(1)).alias("c"))
+    if materialize_counts:
+        # r15 scale gate (SCALE.md r15 rows): the (group, token) count
+        # feeds the group totals AND both renamed sides of the pair
+        # join — three differently-pruned consumers, each re-running
+        # the tokenize explode when lazy.  At sf0.1 a checkpoint LOSES
+        # (r14 paired 1.252, idle cores hide the duplication); at 10x
+        # it flips to a WIN (r15 paired 0.863) — the caller derives
+        # this flag from the measured input size.  Lifecycle (see
+        # materialize.py): construction-time job, executor-only blocks.
+        gt = gt.localCheckpoint()
     gtot = gt.groupBy("grp").agg(F.sum("c").alias("gn"))
     p = gt.join(F.broadcast(gtot), "grp").select(
         "grp",

@@ -37,6 +37,22 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # r15 probed and REJECTED:
+        # spark.sql.optimizer.canChangeCachedPlanOutputPartitioning=true
+        # (AQE re-coalescing of cached-plan output).  Stage accounting
+        # showed the graph family's DISK_ONLY edge caches keep all 32
+        # shuffle partitions however small the data (each hits
+        # iteration stage burned ~7 s executorRunTime over 32 tasks to
+        # scan a 4 MB cached list — per-task broadcast-deserialization
+        # and scheduling overhead), and the flag does collapse those
+        # stages to ~8 tasks — but the paired subprocess A/B over the
+        # six graph queries read a WALL-CLOCK WASH at sf0.1 (summed
+        # medians 26.2 s on vs 27.0 s off, per-query signals inside
+        # session noise, cheapest_paths trending worse: fewer cache
+        # partitions also under-parallelize the CPU-dense decimal
+        # aggregations that consume the cache).  Executor-seconds are
+        # not the bottleneck at this scale; the serial job structure
+        # was (fixed in hits_fixed).  Left at Spark's default.
         # HARD correctness pin, not a tuning default (r14, r13 advice):
         # operators/scale.py's global_rank/global_cumsums join a
         # sampled range exchange's output with an aggregate of the

@@ -674,18 +674,14 @@ def test_upsert_cache_rebuilds_without_success_marker(spark, tmp_path, monkeypat
     # run once so this fixture's cache dir exists and is committed
     df1 = catalog.queries()["stream_user_latest_upsert"](spark, sf)
     want = sorted(tuple(r) for r in df1.collect())
-    # derive THIS fixture's cache key exactly as the wrapper does —
+    # derive THIS fixture's cache key via the wrapper's OWN helper —
     # globbing bases[0] picked an arbitrary sibling (e.g. the sf0.1
     # entry a bench run left behind) and the rerun below then never
-    # rebuilds it (test-isolation flake found in round 14)
-    import hashlib
-
-    ev = os.path.join(sf, "events.parquet")
-    st = os.stat(ev)
-    key = hashlib.md5(
-        f"{os.path.abspath(sf)}:{st.st_size}:{st.st_mtime_ns}".encode()
-    ).hexdigest()[:12]
-    base = os.path.join(repo, ".cache", "upsert", key)
+    # rebuilds it (test-isolation flake found in round 14); importing
+    # the helper (r14 advice item 1) means the test and the wrapper
+    # can never disagree about the key formula
+    base = catalog._upsert_cache_base(sf)
+    assert base.startswith(os.path.join(repo, ".cache", "upsert"))
     assert os.path.isfile(os.path.join(base, "src", "_SUCCESS"))
     # simulate the crash window: marker gone, dir present, stale table
     os.remove(os.path.join(base, "src", "_SUCCESS"))
