@@ -17,6 +17,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from database_per_keyword_analysis_spark import catalog  # noqa: E402
+from database_per_keyword_analysis_spark import materialize  # noqa: E402
 from database_per_keyword_analysis_spark.session import get_spark  # noqa: E402
 
 # Representative headline set: keyword analytics, relational joins/aggs,
@@ -830,12 +831,22 @@ def main() -> None:
         # cache for subtree matches: a 12-leaker probe degraded an
         # unrelated scan query ~30% and clearCache restored it.  Each
         # sample now computes its full plan from the parquet inputs.
+        # r15: release the lifecycle registry alongside clearCache —
+        # materialize.track() holds strong references to every
+        # persisted DataFrame a query constructed (so consumers can
+        # unpersist them); a 198-query session that never releases
+        # accumulates hundreds of retained JVM plan trees, and the
+        # close run measured a progressive late-session slowdown
+        # (tail queries inflating 2-3x within their own samples) that
+        # the release call removes.  This is the seam's intended use,
+        # outside the timed window like clearCache.
         spark.sparkContext.setJobDescription(f"bench: {name} (cold)")
         t0 = time.perf_counter()
         df = qs[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         cold[name] = round(time.perf_counter() - t0, 3)
         spark.catalog.clearCache()
+        materialize.release_materialized()
         samples = []
         for i in range(iters):
             spark.sparkContext.setJobDescription(f"bench: {name} #{i}")
@@ -844,6 +855,7 @@ def main() -> None:
             dfi.write.format("noop").mode("overwrite").save()
             samples.append(round(time.perf_counter() - t0, 3))
             spark.catalog.clearCache()
+            materialize.release_materialized()
         spread[name] = samples
         timings[name] = sorted(samples)[len(samples) // 2]
 
